@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Numerics, Vectors}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design (SURVEY.md §4): brute-force is only the kernel —
+  * queries are broadcast against a streamed corpus (never a shuffled
+  * cross product), and the scale path is random-hyperplane LSH: each
+  * vector lands in per-band sign buckets, candidates come from a
+  * bucket-keyed equi-join, and the exact cosine is computed only within
+  * buckets. Hyperplanes are derived deterministically from md5 so any
+  * engine (including the DuckDB oracle) draws identical planes.
+  */
+object Similarity {
+
+  /** Deterministic hyperplane component d of plane p, in [-1, 1):
+    * the 60-bit md5 prefix of "hp-p-d" scaled by 2^59 — computed once on
+    * the driver (it is a constant, not data) and shipped as an array
+    * literal, so executors never hash. The DuckDB oracle re-derives the
+    * identical values in SQL:
+    * `('0x'||substr(md5('hp-'||p||'-'||d),1,15))::BIGINT
+    *   / 576460752303423488.0 - 1.0`.
+    */
+  def hyperplaneValues(p: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = digest.digest(s"hp-$p-$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      BigInt(hex, 16).toDouble / 5.76460752303423488e17 - 1.0
+    }
+  }
+
+  def hyperplane(p: Int, dim: Int): Column =
+    typedLit(hyperplaneValues(p, dim))
+
+  /** Sign bit of v · H_p (1 when positive, else 0). */
+  def planeBit(v: Column, p: Int, dim: Int): Column =
+    when(Vectors.dot(v, hyperplane(p, dim)) > 0, lit(1)).otherwise(lit(0))
+
+  /** Add per-band LSH buckets: `bands` bands of `bitsPerBand` sign bits
+    * each, packed to an int. Input needs `id` and `v` (array<double>);
+    * output is (id, v, band, bucket) — one row per band, ready for a
+    * bucket-keyed join. Entirely shuffle-free until the join.
+    */
+  def withBuckets(
+      vecs: DataFrame,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int): DataFrame = {
+    val buckets = (0 until bands).map { b =>
+      (0 until bitsPerBand)
+        .map(i => planeBit(col("v"), b * bitsPerBand + i, dim) * lit(1 << i))
+        .reduce(_ + _)
+    }
+    vecs.select(
+      col("id"), col("v"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Embedding near-dup pairs: same (band, bucket) in at least one band
+    * AND exact cosine >= threshold. Output: (id_a, id_b, cos_sim).
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bands: Int = 2,
+      bitsPerBand: Int = 4,
+      threshold: Double = 0.35): DataFrame = {
+    val vecs = df.select(
+      col(idCol).cast("long").as("id"),
+      Vectors.asDouble(col(vecCol)).as("v"))
+    val banded = withBuckets(vecs, dim, bands, bitsPerBand)
+    val a = banded.select(
+      col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(
+      col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy("id_a", "id_b") // a pair can collide in several bands
+      .agg(Numerics.fix4(max(col("cos"))).as("cos_sim"))
+  }
+
+  /** Brute-force exact top-k: the small query set is broadcast against
+    * the streamed corpus (one pass, no shuffle of the corpus), then
+    * ranked per query. This is the correctness baseline and the
+    * per-bucket kernel of the LSH path.
+    * Output: (query_id, neighbor_id, rank, cos_sim).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).cast("long").as("query_id"),
+      Vectors.asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      Vectors.asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** LSH top-k: queries and corpus are bucketed with the same
+    * deterministic hyperplanes; candidates come only from shared
+    * (band, bucket) pairs — a plain equi-join shuffle, no cross
+    * product — then exact cosine ranks the candidates.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      bands: Int = 2,
+      bitsPerBand: Int = 4): DataFrame = {
+    def prep(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"),
+      Vectors.asDouble(col(vecCol)).as("v"))
+    val qb = withBuckets(prep(queries), dim, bands, bitsPerBand)
+      .select(col("band"), col("bucket"),
+        col("id").as("query_id"), col("v").as("qv"))
+    val cb = withBuckets(prep(corpus), dim, bands, bitsPerBand)
+      .select(col("band"), col("bucket"),
+        col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = qb.join(cb, Seq("band", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Rank (cos desc, neighbor asc) per query and keep the top k. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("nn_rank"),
+        Numerics.fix4(col("cos")).as("cos_sim"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Numerics, Texts}
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting, n-gram stats.
+  * All per-row array folds over codegen'd built-ins — zero shuffle
+  * except the (intended) aggregation in n-gram stats.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"))
+
+  /** Language ID: per-language stopword hit counts over the token
+    * stream; prediction is the argmax with fixed precedence
+    * en > de > fr > es on ties (including the all-zero case).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val hits = StopwordProfiles.map { case (lang, vocab) =>
+      lang -> Texts.vocabHits(ws, vocab)
+    }
+    val Seq(en, de, fr, es) = hits.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    df.select(
+      col(idCol),
+      pred.as("pred_lang"),
+      Numerics.fix4(en.cast("double") / size(ws)).as("en_stop_ratio"))
+  }
+
+  /** Quality metrics + composite score. All components are exact
+    * integer ratios so any engine reproduces them bit-for-bit:
+    * score = 0.4·min(tokens/100, 1) + 0.3·(1 − stop_ratio)
+    *       + 0.3·min(avg_token_len/10, 1).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val nTok = size(ws).cast("double")
+    val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      .cast("double")
+    val stopHits = Texts.vocabHits(ws, StopwordProfiles.head._2).cast("double")
+    val avgLen = sumLen / nTok
+    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopHits / nTok) +
+      lit(0.3) * least(avgLen / 10.0, lit(1.0))
+    df.select(
+      col(idCol),
+      size(ws).cast("long").as("n_tokens"),
+      Numerics.fix4(avgLen).as("avg_token_len"),
+      Numerics.fix4(stopHits / nTok).as("stop_ratio"),
+      Numerics.fix4(score).as("quality_score"))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (letter runs | digit runs | single punctuation).
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(Texts.words(col(textCol))).cast("long").as("ws_tokens"),
+      regexp_count(Texts.normText(col(textCol)), lit(BpeishPattern))
+        .cast("long").as("bpeish_tokens"))
+
+  /** Document fingerprints: full-content md5 of normalized text plus a
+    * winnowing-style char-5-gram min/max hash pair (robust to small
+    * edits at the ends; fixed-width hex so min/max are numeric).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = Texts.charGrams(col(textCol), 5)
+    val hashed = transform(grams, g => Hashes.hexHash(g, 0))
+    df.select(
+      col(idCol),
+      md5(Texts.normText(col(textCol))).as("content_md5"),
+      array_min(hashed).as("gram_min_hash"),
+      array_max(hashed).as("gram_max_hash"))
+  }
+
+  /** Corpus-level top n-gram statistics (duplicates counted): one
+    * explode + one hash aggregation with map-side partials.
+    */
+  def topNgrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      topK: Int): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    val all = when(size(ws) >= n, grams).otherwise(array())
+    df.select(explode(all).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram").asc)
+      .limit(topK)
+  }
+}

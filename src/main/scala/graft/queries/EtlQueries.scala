@@ -1,0 +1,137 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Numerics
+import graft.sources.{DatasetCatalog, DatasetIO, MatchMode}
+
+/** Blueprint-parity surface (SURVEY.md §2.1): list/select/read/write/
+  * move/remove as dataset-level operators, exercised end-to-end against
+  * the driver's tables (plus scratch temp dirs for the write paths) and
+  * verified against oracles over the SOURCE tables — a roundtrip that
+  * drops or corrupts anything fails the hash compare.
+  */
+object EtlQueries {
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val q01 = Q(
+    "q01_scan_exact",
+    (s, dir) =>
+      new DatasetIO(s)
+        .readMatched(dir, "lineitem.parquet", MatchMode.Exact)
+        .where(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val q02 = Q(
+    "q02_scan_regex",
+    (s, dir) =>
+      new DatasetIO(s)
+        .readMatched(dir, "^ord[a-z]*\\.parquet$", MatchMode.Regex)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          Numerics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus"),
+    Some(s"""
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS order_cnt,
+             ${Numerics.sqlMoneySum("o_totalprice")} AS total_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  val q03 = Q(
+    "q03_read_csv_roundtrip",
+    (s, dir) => {
+      val io = new DatasetIO(s)
+      val tmp = Files.createTempDirectory("graft_csv_").toString
+      val csvPath = s"file:$tmp/customer.csv"
+      io.write(io.read(s"$dir/customer.parquet"), csvPath)
+      io.read(csvPath, schema = Some(customerSchema))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("cust_cnt"),
+          Numerics.moneySum(col("c_acctbal")).as("acctbal_sum"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS cust_cnt,
+             ${Numerics.sqlMoneySum("c_acctbal")} AS acctbal_sum
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** Listing + regex selection over the catalog. Weaker rows-only check
+    * (no SQL oracle can see the filesystem); ScalaTest covers the
+    * pagination/selection semantics.
+    */
+  val q16 = Q(
+    "q16_catalog_list",
+    (s, dir) => {
+      val refs = new DatasetCatalog(s)
+        .select(dir, "\\.parquet$", MatchMode.Regex)
+        .map(r => (r.name, r.sizeBytes))
+      import s.implicits._
+      refs.toDF("dataset_name", "size_bytes").orderBy("dataset_name")
+    },
+    None)
+
+  val q17 = Q(
+    "q17_move_dataset",
+    (s, dir) => {
+      val io = new DatasetIO(s)
+      val tmpA = Files.createTempDirectory("graft_mv_a_").toString
+      val tmpB = Files.createTempDirectory("graft_mv_b_").toString
+      io.write(io.read(s"$dir/nation.parquet"), s"file:$tmpA/nation_copy.parquet")
+      io.move(s"file:$tmpA", "nation_copy.parquet", MatchMode.Exact,
+        s"file:$tmpB", destName = Some("nation_moved.parquet"))
+      io.read(s"file:$tmpB/nation_moved.parquet")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("nation_cnt"))
+        .orderBy("n_regionkey")
+    },
+    Some(s"""
+      SELECT n_regionkey, CAST(count(*) AS BIGINT) AS nation_cnt
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey"""))
+
+  val q18 = Q(
+    "q18_remove_matched",
+    (s, dir) => {
+      val io = new DatasetIO(s)
+      val tmp = Files.createTempDirectory("graft_rm_").toString
+      io.write(io.read(s"$dir/nation.parquet"), s"file:$tmp/keep_nation.parquet")
+      io.write(io.read(s"$dir/region.parquet"), s"file:$tmp/rm_region.parquet")
+      io.write(io.read(s"$dir/region.parquet"), s"file:$tmp/rm_region2.parquet")
+      io.remove(s"file:$tmp", "^rm_", MatchMode.Regex)
+      val remaining = io.catalog
+        .select(s"file:$tmp", "\\.parquet$", MatchMode.Regex)
+      val df = io.read(remaining.head.path)
+      df.agg(
+        lit(remaining.size.toLong).as("n_datasets"),
+        count(lit(1)).as("total_rows"))
+    },
+    Some(s"""
+      SELECT CAST(1 AS BIGINT) AS n_datasets,
+             CAST(count(*) AS BIGINT) AS total_rows
+      FROM nation"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18)
+}

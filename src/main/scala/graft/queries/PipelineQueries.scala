@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.{MediaRecord, Multimodal}
+import graft.functions.Numerics
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators (SURVEY.md §2.3) over the `documents`
+  * and `embeddings` tables. Every oracle either replays the identical
+  * deterministic pipeline in DuckDB (simhash, hyperplane LSH) or is the
+  * EXACT computation the LSH path approximates (all-pairs Jaccard at
+  * oracle scale — the data's separation margin makes the LSH miss
+  * probability negligible; SURVEY.md §5).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // ---- shared DuckDB fragments (kept in lockstep with graft.functions) ----
+
+  /** words CTE: doc_id, ws (whitespace tokens of normalized text). */
+  private val wordsCte =
+    """w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |      FROM documents)""".stripMargin
+
+  /** distinct n-word shingle list expression over `ws`. */
+  private def shingleExpr(n: Int): String = {
+    val parts = (0 until n).map(k => s"ws[i+$k]").mkString("||' '||")
+    s"list_distinct([$parts for i in generate_series(1, len(ws)-${n - 1})])"
+  }
+
+  private def jaccardPairsSql(n: Int, threshold: Double): String =
+    s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(n)} AS sh FROM w),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, ${Numerics.sqlFix("j", 4)} AS jaccard_sim
+      FROM p WHERE j >= $threshold
+      ORDER BY doc_a, doc_b"""
+
+  /** Per-plane signature bit columns over `v` (array<double>), drawn
+    * from the same md5-derived hyperplanes as
+    * [[graft.operators.Similarity.hyperplaneValues]].
+    */
+  private def planeBitsSql(bands: Int, bitsPerBand: Int): String = {
+    val nPlanes = bands * bitsPerBand
+    val bitCols = (0 until nPlanes).map { p =>
+      s"""(CASE WHEN list_dot_product(v,
+         [('0x'||substr(md5('hp-$p-'||i),1,15))::BIGINT/576460752303423488.0 - 1.0
+          for i in generate_series(0,63)]) > 0 THEN 1 ELSE 0 END) AS bit$p"""
+    }.mkString(",\n        ")
+    val bucketCols = (0 until bands).map { b =>
+      val terms = (0 until bitsPerBand)
+        .map(i => s"${1 << i}*bit${b * bitsPerBand + i}").mkString(" + ")
+      s"($terms) AS k$b"
+    }.mkString(", ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      bits AS (SELECT vec_id, v, $bitCols FROM e),
+      sig AS (SELECT vec_id, v, $bucketCols FROM bits)"""
+  }
+
+  private val cosSql =
+    "list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+
+  // ---- q20: exact dedup ----
+
+  val q20 = Q(
+    "q20_dedup_exact",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exact(d.unionAll(d), "doc_id", "text")
+        .orderBy("kept_doc_id")
+    },
+    Some("""
+      SELECT md5(lower(trim(text))) AS digest,
+             CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      GROUP BY digest
+      ORDER BY kept_doc_id"""))
+
+  // ---- q21: MinHash-LSH near-dedup (3-word shingles) ----
+
+  val q21 = Q(
+    "q21_dedup_minhash",
+    (s, dir) =>
+      Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
+          shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+    Some(jaccardPairsSql(3, 0.6)))
+
+  // ---- q22: SimHash signatures ----
+
+  val q22 = Q(
+    "q22_dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    Some {
+      val terms = (0 until 16).map { k =>
+        val pos = 1 + k / 4
+        val pow = 1 << (k % 4)
+        s"""(CASE WHEN list_sum([2*(((strpos('0123456789abcdef',
+           substr(md5(x), $pos, 1))-1)//$pow)%2)-1 for x in sh]) > 0
+           THEN ${1 << k} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST($terms AS INT) AS simhash
+      FROM sh ORDER BY doc_id"""
+    })
+
+  // ---- q23: n-gram (bigram) Jaccard over LSH candidates ----
+
+  val q23 = Q(
+    "q23_ngram_jaccard",
+    (s, dir) =>
+      Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
+          shingleWidth = 2, bands = 8, rowsPerBand = 3, threshold = 0.6)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+    Some(jaccardPairsSql(2, 0.6)))
+
+  // ---- q24: embedding-cosine near-dup via hyperplane LSH ----
+
+  val q24 = Q(
+    "q24_embed_neardup",
+    (s, dir) =>
+      Similarity.embeddingNearDup(embs(s, dir), "vec_id", "embedding",
+          dim = 64, bands = 2, bitsPerBand = 4, threshold = 0.35)
+        .withColumnRenamed("id_a", "vec_a")
+        .withColumnRenamed("id_b", "vec_b")
+        .orderBy("vec_a", "vec_b"),
+    Some(s"""
+      WITH ${planeBitsSql(2, 4)},
+      pairs AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, $cosSql AS cos
+        FROM sig a JOIN sig c
+          ON a.vec_id < c.vec_id AND (a.k0 = c.k0 OR a.k1 = c.k1))
+      SELECT vec_a, vec_b, ${Numerics.sqlFix("cos", 4)} AS cos_sim
+      FROM pairs WHERE cos >= 0.35
+      ORDER BY vec_a, vec_b"""))
+
+  // ---- q25: ANN brute-force top-k (baseline kernel) ----
+
+  val q25 = Q(
+    "q25_ann_bruteforce",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "nn_rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+        FROM (SELECT * FROM e WHERE vec_id < 10) a
+        JOIN e c ON a.vec_id != c.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS nn_rank,
+               ${Numerics.sqlFix("cos", 4)} AS cos_sim
+        FROM scored)
+      SELECT query_id, neighbor_id, nn_rank, cos_sim
+      FROM ranked WHERE nn_rank <= 5
+      ORDER BY query_id, nn_rank"""))
+
+  // ---- q26: ANN LSH-bucketed top-k (scale path) ----
+
+  val q26 = Q(
+    "q26_ann_lsh",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+          dim = 64, k = 3, bands = 2, bitsPerBand = 4)
+        .orderBy("query_id", "nn_rank")
+    },
+    Some(s"""
+      WITH ${planeBitsSql(2, 4)},
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM (SELECT * FROM sig WHERE vec_id < 10) q
+        JOIN sig c
+          ON q.vec_id != c.vec_id AND (q.k0 = c.k0 OR q.k1 = c.k1)),
+      scored AS (
+        SELECT query_id, neighbor_id, $cosSql AS cos
+        FROM cand
+        JOIN (SELECT vec_id, v FROM e) a ON a.vec_id = cand.query_id
+        JOIN (SELECT vec_id, v FROM e) c ON c.vec_id = cand.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS nn_rank,
+               ${Numerics.sqlFix("cos", 4)} AS cos_sim
+        FROM scored)
+      SELECT query_id, neighbor_id, nn_rank, cos_sim
+      FROM ranked WHERE nn_rank <= 3
+      ORDER BY query_id, nn_rank"""))
+
+  // ---- q27: language ID ----
+
+  val q27 = Q(
+    "q27_lang_id",
+    (s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id"),
+    Some {
+      def inList(vocab: Seq[String]) =
+        vocab.map(v => s"'$v'").mkString("(", ",", ")")
+      val profs = TextAnalysis.StopwordProfiles.toMap
+      s"""
+      WITH $wordsCte,
+      h AS (SELECT doc_id, ws,
+        len(list_filter(ws, x -> x IN ${inList(profs("en"))})) AS en,
+        len(list_filter(ws, x -> x IN ${inList(profs("de"))})) AS de,
+        len(list_filter(ws, x -> x IN ${inList(profs("fr"))})) AS fr,
+        len(list_filter(ws, x -> x IN ${inList(profs("es"))})) AS es
+        FROM w)
+      SELECT doc_id,
+             CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                  WHEN de >= fr AND de >= es THEN 'de'
+                  WHEN fr >= es THEN 'fr'
+                  ELSE 'es' END AS pred_lang,
+             ${Numerics.sqlFix("CAST(en AS DOUBLE) / len(ws)", 4)} AS en_stop_ratio
+      FROM h ORDER BY doc_id"""
+    })
+
+  // ---- q28: quality scoring ----
+
+  val q28 = Q(
+    "q28_quality_score",
+    (s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some {
+      val en = TextAnalysis.StopwordProfiles.head._2
+        .map(v => s"'$v'").mkString("(", ",", ")")
+      val scoreExpr = "0.4 * least(t / 100.0, 1.0) " +
+        "+ 0.3 * (1.0 - st / t) " +
+        "+ 0.3 * least((c / t) / 10.0, 1.0)"
+      s"""
+      WITH $wordsCte,
+      m AS (SELECT doc_id,
+              CAST(len(ws) AS DOUBLE) AS t,
+              CAST(list_sum([len(x) for x in ws]) AS DOUBLE) AS c,
+              CAST(len(list_filter(ws, x -> x IN $en)) AS DOUBLE) AS st
+            FROM w)
+      SELECT doc_id,
+             CAST(t AS BIGINT) AS n_tokens,
+             ${Numerics.sqlFix("c / t", 4)} AS avg_token_len,
+             ${Numerics.sqlFix("st / t", 4)} AS stop_ratio,
+             ${Numerics.sqlFix(scoreExpr, 4)} AS quality_score
+      FROM m ORDER BY doc_id"""
+    })
+
+  // ---- q29: token counting ----
+
+  val q29 = Q(
+    "q29_token_count",
+    (s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(trim(text)),
+               '${TextAnalysis.BpeishPattern}')) AS BIGINT)
+               AS bpeish_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  // ---- q30: document fingerprinting ----
+
+  val q30 = Q(
+    "q30_fingerprint",
+    (s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH g AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents),
+      gr AS (SELECT doc_id, tx,
+               list_distinct([tx[i:i+4] for i in generate_series(1, len(tx)-4)])
+                 AS grams
+             FROM g)
+      SELECT doc_id,
+             md5(tx) AS content_md5,
+             list_min([substr(md5('0|'||x),1,15) for x in grams]) AS gram_min_hash,
+             list_max([substr(md5('0|'||x),1,15) for x in grams]) AS gram_max_hash
+      FROM gr ORDER BY doc_id"""))
+
+  // ---- q31: top n-gram statistics ----
+
+  val q31 = Q(
+    "q31_ngram_stats",
+    (s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), "text", n = 3, topK = 20),
+    Some("""
+      WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      g AS (SELECT unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                           for i in generate_series(1, len(ws)-2)]) AS gram
+            FROM w)
+      SELECT gram, CAST(count(*) AS BIGINT) AS freq
+      FROM g GROUP BY gram
+      ORDER BY freq DESC, gram ASC
+      LIMIT 20"""))
+
+  // ---- q32: multimodal binary plumbing (deterministic features) ----
+
+  val q32 = Q(
+    "q32_multimodal_meta",
+    (s, dir) => {
+      import s.implicits._
+      val packed = Multimodal.packText(docs(s, dir), "doc_id", "text")
+        .as[MediaRecord]
+      Multimodal.extractFeatures(packed)
+        .select("doc_id", "byte_len", "header_hex", "content_sha")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             upper(substr(hex(encode(text)), 1, 8)) AS header_hex,
+             sha256(text) AS content_sha
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+}

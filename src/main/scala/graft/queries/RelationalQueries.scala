@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Numerics
+
+/** The relational/query surface (SURVEY.md §2.2): the engine a
+  * blueprint user runs over the datasets the blueprints move.
+  * Declarative DataFrame plans throughout — Catalyst handles pushdown,
+  * pruning, partial aggregation and join strategy; broadcast hints mark
+  * the star-schema dims, AQE handles the rest at scale.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val q04 = Q(
+    "q04_filter_pushdown",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_discount").between(0.02, 0.06) &&
+            col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+          col("l_quantity"),
+          col("l_discount"),
+          Numerics.fix2(col("l_extendedprice") * col("l_discount"))
+            .as("disc_amount"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""
+      SELECT l_orderkey, l_linenumber,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+             l_quantity, l_discount,
+             ${Numerics.sqlFix("l_extendedprice * l_discount", 2)} AS disc_amount
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 24
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val q05 = Q(
+    "q05_agg_groupby",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Numerics.moneySum(col("l_quantity")).as("sum_qty"),
+          Numerics.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Numerics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Numerics.moneyAvg(col("l_quantity")).as("avg_qty"),
+          Numerics.moneyAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${Numerics.sqlMoneySum("l_quantity")} AS sum_qty,
+             ${Numerics.sqlMoneySum("l_extendedprice")} AS sum_base_price,
+             ${Numerics.sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${Numerics.sqlMoneyAvg("l_quantity")} AS avg_qty,
+             ${Numerics.sqlMoneyAvg("l_extendedprice")} AS avg_price,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q06 = Q(
+    "q06_join_broadcast",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("cust_cnt"),
+          Numerics.moneySum(col("c_acctbal")).as("acctbal_sum"))
+        .orderBy("r_name", "n_name"),
+    Some(s"""
+      SELECT r_name, n_name,
+             CAST(count(*) AS BIGINT) AS cust_cnt,
+             ${Numerics.sqlMoneySum("c_acctbal")} AS acctbal_sum
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  val q07 = Q(
+    "q07_join_shuffle",
+    (s, dir) =>
+      t(s, dir, "orders").hint("shuffle_hash")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(
+          Numerics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("order_month"),
+    Some(s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             ${Numerics.sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+      ORDER BY order_month"""))
+
+  /** Flagship: multi-way star join + aggregate (TPC-H Q5-flavored).
+    * Fact-fact (orders⋈lineitem) shuffles on the key; all dims
+    * broadcast.
+    */
+  def starJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").where(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(
+        Numerics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val q08 = Q(
+    "q08_star_join",
+    (s, dir) => starJoin(s, dir),
+    Some(s"""
+      SELECT n_name,
+             ${Numerics.sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             CAST(count(*) AS BIGINT) AS line_cnt
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  val q09 = Q(
+    "q09_window_rank",
+    (s, dir) => {
+      val totals = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(Numerics.moneySum(col("o_totalprice")).as("total_price"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("total_price").desc, col("c_custkey").asc)
+      totals
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    },
+    Some(s"""
+      SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, total_price,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY total_price DESC, c_custkey ASC) AS INT) AS rn
+        FROM (
+          SELECT c_mktsegment, c_custkey,
+                 ${Numerics.sqlMoneySum("o_totalprice")} AS total_price
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_mktsegment, c_custkey))
+      WHERE rn <= 5
+      ORDER BY c_mktsegment, rn"""))
+
+  val q10 = Q(
+    "q10_topn",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20),
+    Some(s"""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_day
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 20"""))
+
+  val q11 = Q(
+    "q11_distinct",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+    Some(s"""
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  val q12 = Q(
+    "q12_anti_join",
+    (s, dir) => {
+      val pending = t(s, dir, "orders")
+        .where(col("o_orderstatus") === "P").select("o_custkey")
+      t(s, dir, "customer")
+        .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey"""))
+
+  val q13 = Q(
+    "q13_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          Numerics.moneySum(when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(0.0)).as("qty_a"),
+          Numerics.moneySum(when(col("l_returnflag") === "N", col("l_quantity"))
+            .otherwise(0.0)).as("qty_n"),
+          Numerics.moneySum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(0.0)).as("qty_r"))
+        .orderBy("l_linestatus"),
+    Some(s"""
+      SELECT l_linestatus,
+             ${Numerics.sqlMoneySum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END")} AS qty_a,
+             ${Numerics.sqlMoneySum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END")} AS qty_n,
+             ${Numerics.sqlMoneySum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")} AS qty_r
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
+  val q14 = Q(
+    "q14_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          Numerics.moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag_grp"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status_grp"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag_grp", "status_grp"),
+    Some(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag_grp,
+             coalesce(l_linestatus, 'ALL') AS status_grp,
+             ${Numerics.sqlMoneySum("l_quantity")} AS sum_qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY flag_grp, status_grp"""))
+
+  val q15 = Q(
+    "q15_scalar_subquery",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      // Scalar aggregate as a broadcast 1-row join — no driver collect,
+      // no single-partition window.
+      val avgPrice = part.agg(avg("p_retailprice").as("avg_price"))
+      part.join(broadcast(avgPrice))
+        .where(col("p_retailprice") > col("avg_price"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+    Some(s"""
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      ORDER BY p_partkey"""))
+
+  val q19 = Q(
+    "q19_sessionize",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          expr("ts DIV 1000000").as("ms"))
+      graft.operators.Sessionize(ev, "user_id", "ms", "event_id", 1800000L)
+        .orderBy("user_id", "session_seq")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+      marked AS (
+        SELECT user_id, ms, event_id,
+               CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      numbered AS (
+        SELECT user_id, ms,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(ms) AS start_ms, max(ms) AS end_ms,
+             max(ms) - min(ms) AS duration_ms
+      FROM numbered
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  val all: Seq[Q] =
+    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19)
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Dataset-level read/write/move/remove — the four reference blueprints
+  * re-expressed as DataFrame operations:
+  *
+  *  - download → [[read]] / [[readMatched]]: path(s) → DataFrame
+  *    (reference download_s3_file, download_file.py:231-246; multi-match
+  *    loop download_file.py:276-296).
+  *  - upload → [[write]]: DataFrame → path
+  *    (reference upload_file.py:197-217).
+  *  - move → [[move]]: copy+delete between prefixes with destination
+  *    renaming/enumeration (reference move_file.py:125-154).
+  *  - remove → [[remove]]: delete by exact/regex match
+  *    (reference remove_files.py:96-117).
+  *
+  * All data movement is distributed: reads/writes are Spark jobs over
+  * the executors; only the object *listing* (names, not bytes) touches
+  * the driver, mirroring how the reference only pages object keys.
+  */
+final class DatasetIO(spark: SparkSession) {
+
+  val catalog = new DatasetCatalog(spark)
+
+  private def hadoopConf: Configuration = spark.sessionState.newHadoopConf()
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Read one dataset path into a DataFrame. Format is inferred from the
+    * extension unless given. CSV/JSON accept an explicit schema —
+    * schema-on-read beats inference at scale (no extra pass).
+    */
+  def read(
+      path: String,
+      format: Option[String] = None,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val fmt = format.getOrElse(inferFormat(path))
+    var reader = spark.read.format(fmt).options(defaultOptions(fmt) ++ options)
+    schema.foreach(s => reader = reader.schema(s))
+    reader.load(path)
+  }
+
+  /** Select by exact name or regex under `dir` and read all matches as
+    * one DataFrame (a multi-path scan — one Spark job, not a
+    * per-file loop). The matched files must share a schema, as the
+    * reference's multi-download shares one destination naming scheme.
+    */
+  def readMatched(
+      dir: String,
+      pattern: String,
+      mode: MatchMode,
+      format: Option[String] = None,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val matches = catalog.select(dir, pattern, mode)
+    val fmt = format.getOrElse(inferFormat(matches.head.path))
+    var reader = spark.read.format(fmt).options(defaultOptions(fmt) ++ options)
+    schema.foreach(s => reader = reader.schema(s))
+    reader.load(matches.map(_.path): _*)
+  }
+
+  /** Persist a DataFrame to `path` (the upload blueprint). */
+  def write(
+      df: DataFrame,
+      path: String,
+      format: Option[String] = None,
+      saveMode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit = {
+    val fmt = format.getOrElse(inferFormat(path))
+    df.write.format(fmt).options(defaultOptions(fmt) ++ options)
+      .mode(saveMode).save(path)
+  }
+
+  /** Move datasets matching `pattern` from `srcDir` to `dstDir`,
+    * optionally renaming to `destName` (enumerated `name_1.ext`,
+    * `name_2.ext`, ... on multi-match, per the reference's destination
+    * naming, download_file.py:101-133). Copy+delete semantics like the
+    * reference's move blueprint; same-filesystem moves take the O(1)
+    * metadata `rename` fast path — no data pass.
+    * Returns (source, destination) path pairs.
+    */
+  def move(
+      srcDir: String,
+      pattern: String,
+      mode: MatchMode,
+      dstDir: String,
+      destName: Option[String] = None): Seq[(String, String)] = {
+    val matches = catalog.select(srcDir, pattern, mode)
+    val multi = matches.size > 1
+    val dstRoot = new Path(dstDir)
+    val dstFs = fsFor(dstRoot)
+    if (!dstFs.exists(dstRoot)) dstFs.mkdirs(dstRoot)
+    matches.zipWithIndex.map { case (ref, i) =>
+      val name = PathUtil.destinationName(
+        ref.path, destName, if (multi) Some(i + 1) else None)
+      val src = new Path(ref.path)
+      val dst = new Path(dstRoot, name)
+      val srcFs = fsFor(src)
+      val sameFs = srcFs.getUri == dstFs.getUri
+      val renamed = sameFs && srcFs.rename(src, dst)
+      if (!renamed) {
+        // Cross-filesystem (e.g. file:// -> s3a://): copy then delete.
+        FileUtil.copy(srcFs, src, dstFs, dst, /*deleteSource=*/ true,
+          /*overwrite=*/ true, hadoopConf)
+      }
+      ref.path -> dst.toString
+    }
+  }
+
+  /** Delete datasets matching `pattern` under `dir` (the remove
+    * blueprint). Returns the deleted paths.
+    */
+  def remove(dir: String, pattern: String, mode: MatchMode): Seq[String] = {
+    val matches = catalog.select(dir, pattern, mode)
+    matches.map { ref =>
+      val p = new Path(ref.path)
+      fsFor(p).delete(p, /*recursive=*/ true)
+      ref.path
+    }
+  }
+
+  private def inferFormat(path: String): String = {
+    val name = PathUtil.baseName(path).toLowerCase
+    if (name.endsWith(".csv")) "csv"
+    else if (name.endsWith(".json") || name.endsWith(".jsonl")) "json"
+    else "parquet"
+  }
+
+  private def defaultOptions(fmt: String): Map[String, String] = fmt match {
+    case "csv" => Map("header" -> "true")
+    case _ => Map.empty
+  }
+}

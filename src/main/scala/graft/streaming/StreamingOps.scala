@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A typed streaming event (mirrors the `events` table columns that
+  * matter for streaming).
+  */
+final case class StreamEvent(
+    user_id: Long,
+    ts: Timestamp,
+    event_type: String,
+    value: Double)
+
+/** One closed session emitted by the stateful sessionizer. */
+final case class SessionOut(
+    user_id: Long,
+    n_events: Long,
+    start_ms: Long,
+    end_ms: Long)
+
+/** Mutable-in-state session accumulator. */
+final case class SessionState(n_events: Long, start_ms: Long, end_ms: Long)
+
+/** Structured Streaming variants of the batch operators: the same
+  * transforms declared over an unbounded source. Watermarks bound
+  * state; `flatMapGroupsWithState` holds one small state record per
+  * user, so state size is O(active users), not O(events).
+  */
+object StreamingOps {
+
+  /** Windowed aggregation with a watermark: event counts + value sums
+    * per (tumbling window, event_type).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("value_sum"))
+
+  /** Stateful sessionization: a session closes when no event arrives
+    * for `gapMs` past the watermark. Emits one row per closed session.
+    */
+  def sessionize(
+      events: Dataset[StreamEvent],
+      gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(updateSession(gapMs))
+  }
+
+  private def updateSession(gapMs: Long)(
+      userId: Long,
+      events: Iterator[StreamEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        cur match {
+          case Some(s) if ms - s.end_ms <= gapMs =>
+            cur = Some(s.copy(
+              n_events = s.n_events + 1,
+              end_ms = math.max(s.end_ms, ms)))
+          case Some(s) =>
+            closed ::= SessionOut(userId, s.n_events, s.start_ms, s.end_ms)
+            cur = Some(SessionState(1L, ms, ms))
+          case None =>
+            cur = Some(SessionState(1L, ms, ms))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end_ms + gapMs)
+      }
+      closed.reverseIterator
+    }
+  }
+}
