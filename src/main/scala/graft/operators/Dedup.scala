@@ -54,8 +54,13 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       maxBucket: Option[Int] = None): DataFrame = {
-    val withSig = docs.select(
-      col("id") +: minhashSignature(col("shingles"), bands * rowsPerBand): _*)
+    // Shingle-less docs (shorter than the shingle width) have no
+    // signature; without this filter they'd all collide in one
+    // null-key bucket.
+    val withSig = docs
+      .where(size(col("shingles")) > 0)
+      .select(
+        col("id") +: minhashSignature(col("shingles"), bands * rowsPerBand): _*)
     val bandKeys = (0 until bands).map { b =>
       concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)

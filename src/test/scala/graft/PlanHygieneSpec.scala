@@ -1,0 +1,77 @@
+package graft
+
+/** Plan-audit gate (SURVEY.md §6): every declared query is planned at
+  * sf0.001 and its physical plan checked for scale-killers.
+  *  - No CartesianProduct anywhere.
+  *  - BroadcastNestedLoopJoin only where a broadcast-against-stream
+  *    kernel is the intended design (brute-force ANN, 1-row scalar).
+  *  - Pushdown visible on the filtered scan; broadcast/shuffle-hash
+  *    joins where the query demands them.
+  */
+class PlanHygieneSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  // Queries whose *kernel* is broadcast-nested-loop by design:
+  // q15 broadcasts a 1-row scalar aggregate; q25 broadcasts the small
+  // query set against the streamed corpus.
+  private val bnljByDesign = Set("q15_scalar_subquery", "q25_ann_bruteforce")
+
+  test("no CartesianProduct in any declared query") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian join")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin only where it IS the kernel") {
+    SparkEntry.queries.keys.filterNot(bnljByDesign).foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("BroadcastNestedLoop"),
+        s"$name has an unintended nested-loop join")
+    }
+  }
+
+  test("q04 pushes filters into the parquet scan") {
+    val plan = planOf("q04_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"),
+      "no filters reached the scan")
+  }
+
+  test("q04 prunes columns at the scan (no full-width read)") {
+    val plan = planOf("q04_filter_pushdown")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_partkey"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q06 uses broadcast hash joins for the dims") {
+    assert(planOf("q06_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q07 honors the shuffle-hash fact-fact join") {
+    assert(planOf("q07_join_shuffle").contains("ShuffledHashJoin"))
+  }
+
+  test("q08 star join broadcasts dims") {
+    assert(planOf("q08_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("LSH near-dup and ANN plans join by bucket keys (hash joins only)") {
+    for (name <- Seq("q21_dedup_minhash", "q24_embed_neardup", "q26_ann_lsh")) {
+      val plan = planOf(name)
+      assert(plan.contains("Join"), s"$name should contain joins")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"$name joins must be keyed")
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+
+  private def docsDF(rows: (Long, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  private def corpus = docsDF(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different words about spark shuffles and partitions here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "another unrelated document mentioning joins aggregates and windows today"))
+
+  test("exact dedup groups identical normalized text, keeps min id") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy("kept_doc_id").collect()
+    assert(out.length == 4) // 1 & 4 merge
+    val merged = out.find(_.getLong(1) == 1L).get
+    assert(merged.getLong(2) == 2L) // n_copies
+  }
+
+  test("exact dedup normalizes case and edge whitespace") {
+    val df = docsDF((1L, "Hello World"), (2L, "  hello world  "))
+    assert(Dedup.exact(df, "doc_id", "text").count() == 1)
+  }
+
+  test("minhash near-dup finds the planted pairs and nothing else") {
+    val pairs = Dedup.minhashNearDup(corpus, "doc_id", "text",
+      shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.5)
+      .collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L))) // exact dup: J = 1.0
+    assert(keys.contains((1L, 2L)) && keys.contains((2L, 4L))) // near-dups
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash: identical docs identical signature; distinct docs differ") {
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+    val ham = Integer.bitCount(sigs(1L) ^ sigs(2L))
+    assert(ham <= 4, s"near-dup hamming distance $ham")
+  }
+
+  test("maxBucket skew guard drops degenerate buckets") {
+    // 30 identical docs: every band bucket holds all 30 -> capped away
+    val degenerate = docsDF((1L to 30L).map(i =>
+      (i, "same words repeated here for every single document body")): _*)
+    val capped = Dedup.minhashNearDup(degenerate, "doc_id", "text",
+      maxBucket = Some(10))
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashNearDup(degenerate, "doc_id", "text")
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
+  test("documents shorter than the shingle width produce no candidates") {
+    val tiny = docsDF((1L, "one two"), (2L, "one two"), (3L, "x"))
+    assert(Dedup.minhashNearDup(tiny, "doc_id", "text").count() == 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  // Hand-built 4-dim vectors with known geometry.
+  private def vecs = spark.createDataFrame(Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.999f, 0.04f, 0f, 0f)), // ~same direction as 0
+    (2L, Seq(0f, 1f, 0f, 0f)), // orthogonal to 0
+    (3L, Seq(-1f, 0f, 0f, 0f)), // opposite of 0
+    (4L, Seq(0.7f, 0.7f, 0f, 0f)) // 45 degrees
+  )).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by exact cosine") {
+    val out = Similarity.bruteForceTopK(
+      vecs.where("vec_id = 0"), vecs, "vec_id", "embedding", k = 4)
+      .orderBy("nn_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(out.head.getDouble(3) > 0.999) // cos(0,1)
+    assert(math.abs(out(1).getDouble(3) - math.sqrt(0.5)) < 1e-3) // cos 45°
+    assert(out(2).getDouble(3) == 0.0) // orthogonal
+    assert(out(3).getDouble(3) == -1.0) // opposite
+  }
+
+  test("identical-direction vectors land in the same LSH bucket") {
+    val topk = Similarity.lshTopK(
+      vecs.where("vec_id = 0"), vecs, "vec_id", "embedding",
+      dim = 4, k = 2, bands = 2, bitsPerBand = 4)
+      .collect()
+    // vec 1 is ~colinear with vec 0: all hyperplane signs agree, so it
+    // MUST be retrieved as the nearest neighbor.
+    assert(topk.nonEmpty)
+    assert(topk.head.getLong(1) == 1L)
+    assert(topk.head.getInt(2) == 1)
+  }
+
+  test("embeddingNearDup returns only above-threshold bucket pairs") {
+    val pairs = Similarity.embeddingNearDup(
+      vecs, "vec_id", "embedding", dim = 4, threshold = 0.9)
+      .collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L))) // colinear pair always shares buckets
+    // opposite vectors can never pass cos >= 0.9
+    assert(!keys.contains((0L, 3L)))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    assert(Similarity.hyperplaneValues(3, 8) == Similarity.hyperplaneValues(3, 8))
+    val v = Similarity.hyperplaneValues(0, 64)
+    assert(v.forall(x => x >= -1.0 && x < 1.0))
+    // pseudo-uniform: mean near 0
+    assert(math.abs(v.sum / v.size) < 0.2)
+  }
+}

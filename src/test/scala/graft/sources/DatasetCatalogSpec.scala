@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkTestBase
+
+class DatasetCatalogSpec extends SparkTestBase {
+
+  private def catalog = new DatasetCatalog(spark)
+
+  private def tmpWith(names: String*): Path = {
+    val dir = Files.createTempDirectory("graft_cat_")
+    names.foreach(n => Files.writeString(dir.resolve(n), s"content of $n"))
+    dir
+  }
+
+  test("list streams every entry (paginated iterator, no page-2 loss)") {
+    // The reference loses page 2+ (download_file.py:210); we must not.
+    val names = (1 to 250).map(i => f"obj_$i%03d.dat")
+    val dir = tmpWith(names: _*)
+    val listed = catalog.list(dir.toString).map(_.name).toSeq
+    assert(listed.sorted == names)
+  }
+
+  test("exact match selects exactly one dataset") {
+    val dir = tmpWith("a.csv", "ab.csv", "b.csv")
+    val sel = catalog.select(dir.toString, "a.csv", MatchMode.Exact)
+    assert(sel.map(_.name) == Seq("a.csv"))
+  }
+
+  test("regex match uses find-anywhere semantics like re.search") {
+    val dir = tmpWith("data_1.csv", "data_2.csv", "other.csv", "data.json")
+    val sel = catalog.select(dir.toString, "data_\\d", MatchMode.Regex)
+    assert(sel.map(_.name) == Seq("data_1.csv", "data_2.csv"))
+    // unanchored: matches substring anywhere
+    val sub = catalog.select(dir.toString, "ther", MatchMode.Regex)
+    assert(sub.map(_.name) == Seq("other.csv"))
+  }
+
+  test("no match raises typed not-found (exit 201)") {
+    val dir = tmpWith("a.csv")
+    val e = intercept[DatasetNotFoundException] {
+      catalog.select(dir.toString, "zzz", MatchMode.Exact)
+    }
+    assert(e.exitCode == 201)
+    val e2 = intercept[DatasetNotFoundException] {
+      catalog.list("/definitely/not/a/dir").toSeq
+    }
+    assert(e2.exitCode == 201)
+  }
+
+  test("invalid regex raises typed pattern error (exit 203)") {
+    val dir = tmpWith("a.csv")
+    val e = intercept[InvalidPatternException] {
+      catalog.select(dir.toString, "[unclosed", MatchMode.Regex)
+    }
+    assert(e.exitCode == 203)
+  }
+
+  test("sizes are reported") {
+    val dir = tmpWith("x.bin")
+    val ref = catalog.select(dir.toString, "x.bin", MatchMode.Exact).head
+    assert(ref.sizeBytes == "content of x.bin".length)
+    assert(!ref.isDirectory)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DatasetIOSpec extends SparkTestBase {
+
+  private def io = new DatasetIO(spark)
+
+  private def nation = spark.read.parquet(s"$sf001/nation.parquet")
+
+  test("parquet/csv/json write-read roundtrips preserve data") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val src = nation
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      val path = s"file:$tmp/nation_rt.$fmt"
+      io.write(src, path)
+      val back = io.read(path, schema =
+        if (fmt == "parquet") None else Some(src.schema))
+      assert(back.count() == src.count(), s"format $fmt")
+      assert(
+        back.agg(sum("n_nationkey")).head.getLong(0) ==
+          src.agg(sum("n_nationkey")).head.getLong(0), s"format $fmt")
+    }
+  }
+
+  test("readMatched unions all regex matches in one scan") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    io.write(nation.where(col("n_nationkey") < 10), s"file:$tmp/part_a.parquet")
+    io.write(nation.where(col("n_nationkey") >= 10), s"file:$tmp/part_b.parquet")
+    io.write(nation.limit(1), s"file:$tmp/other.parquet")
+    val all = io.readMatched(s"file:$tmp", "^part_", MatchMode.Regex)
+    assert(all.count() == nation.count())
+  }
+
+  test("move renames on same fs and enumerates multi-match destinations") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val dst = Files.createTempDirectory("graft_io_dst_").toString
+    io.write(nation, s"file:$tmp/mv_1.parquet")
+    io.write(nation, s"file:$tmp/mv_2.parquet")
+    val moved = io.move(s"file:$tmp", "^mv_", MatchMode.Regex,
+      s"file:$dst", destName = Some("moved.parquet"))
+    assert(moved.map(p => PathUtil.baseName(p._2)) ==
+      Seq("moved_1.parquet", "moved_2.parquet"))
+    // sources gone, destinations readable
+    intercept[DatasetNotFoundException] {
+      io.catalog.select(s"file:$tmp", "^mv_", MatchMode.Regex)
+    }
+    assert(io.read(moved.head._2).count() == nation.count())
+  }
+
+  test("move without explicit destination keeps source names") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val dst = Files.createTempDirectory("graft_io_dst_").toString
+    io.write(nation, s"file:$tmp/keepname.parquet")
+    val moved = io.move(s"file:$tmp", "keepname.parquet", MatchMode.Exact,
+      s"file:$dst")
+    assert(PathUtil.baseName(moved.head._2) == "keepname.parquet")
+  }
+
+  test("remove deletes only matched datasets") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    io.write(nation, s"file:$tmp/rm_me.parquet")
+    io.write(nation, s"file:$tmp/keep_me.parquet")
+    val removed = io.remove(s"file:$tmp", "^rm_", MatchMode.Regex)
+    assert(removed.size == 1)
+    val left = io.catalog.select(s"file:$tmp", ".*", MatchMode.Regex)
+    assert(left.map(_.name) == Seq("keep_me.parquet"))
+  }
+
+  test("format inferred from extension") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    io.write(nation, s"file:$tmp/n.csv")
+    // header=true default for csv: reading with schema gives same rows
+    val back = io.read(s"file:$tmp/n.csv", schema = Some(nation.schema))
+    assert(back.count() == nation.count())
+  }
+}

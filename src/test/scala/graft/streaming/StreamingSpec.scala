@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkTestBase
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def ev(user: Long, minutes: Long, tpe: String = "click",
+      value: Double = 1.0): StreamEvent =
+    StreamEvent(user, ts(minutes), tpe, value)
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("windowed aggregation with watermark over a memory stream") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val agg = StreamingOps.windowedCounts(
+      input.toDF(), watermarkDelay = "10 minutes", windowLen = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    try {
+      input.addData(
+        ev(1, 5), ev(1, 10), ev(2, 20, "view"),
+        ev(1, 65), ev(2, 70, "view", 2.5))
+      runToCompletion(q)
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        (0L, "click", 2L, 2.0),
+        (0L, "view", 1L, 1.0),
+        (60L, "click", 1L, 1.0),
+        (60L, "view", 1L, 2.5)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions after the watermark passes") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val sessions = StreamingOps.sessionize(
+      input.toDS(), gapMs = 30 * 60000L, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: burst at minutes 0-10; user 2: single event
+      input.addData(ev(1, 1000), ev(1, 1010), ev(2, 1005))
+      runToCompletion(q)
+      // advance event time far past gap+watermark so sessions time out
+      input.addData(ev(9, 1600))
+      runToCompletion(q)
+      // one more batch so the timeout fires after the watermark update
+      input.addData(ev(9, 1601))
+      runToCompletion(q)
+
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byUser = rows.groupBy(_._1)
+      assert(byUser.contains(1L), s"got: ${rows.mkString(", ")}")
+      val s1 = byUser(1L).head
+      assert(s1._2 == 2 && s1._3 == 1000 * 60000L && s1._4 == 1010 * 60000L)
+      val s2 = byUser(2L).head
+      assert(s2._2 == 1)
+    } finally q.stop()
+  }
+
+  test("mid-batch gap splits into two sessions (batch path within state fn)") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val sessions = StreamingOps.sessionize(
+      input.toDS(), gapMs = 10 * 60000L, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions2").outputMode("append").start()
+    try {
+      // both events in ONE batch, 60 min apart -> first session closes inline
+      input.addData(ev(1, 1000), ev(1, 1060))
+      runToCompletion(q)
+      val rows = spark.table("sessions2").collect()
+      assert(rows.length == 1) // first session emitted; second still open
+      assert(rows.head.getLong(2) == 1000 * 60000L &&
+        rows.head.getLong(3) == 1000 * 60000L)
+    } finally q.stop()
+  }
+}
