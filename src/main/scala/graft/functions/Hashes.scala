@@ -24,18 +24,23 @@ object Hashes {
   def hash60(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 15), 16, 10).cast("long")
 
-  /** Value 0..15 of the k-th (1-based) hex digit of md5(x).
-    * DuckDB: `strpos('0123456789abcdef', substr(md5(x),k,1)) - 1`.
+  /** Value 0..15 of the k-th (1-based) digit of a hex string.
+    * DuckDB: `strpos('0123456789abcdef', substr(hex,k,1)) - 1`.
     */
-  def md5Nibble(c: Column, k: Int): Column =
-    instr(lit("0123456789abcdef"), substring(md5(c), k, 1)) - 1
+  def hexNibble(hexStr: Column, k: Int): Column =
+    instr(lit("0123456789abcdef"), substring(hexStr, k, 1)) - 1
 
-  /** Bit b (0..3) of the k-th (1-based) md5 hex digit — building block
-    * for SimHash's per-bit sign aggregation.
+  /** Bit b (0..3) of the k-th (1-based) hex digit — building block for
+    * SimHash's per-bit sign aggregation.
     * DuckDB: `(strpos(...)-1) // 2^b % 2`.
     */
+  def hexNibbleBit(hexStr: Column, k: Int, b: Int): Column =
+    (hexNibble(hexStr, k) / lit(1 << b)).cast("int") % 2
+
+  /** Same over md5(x) directly. */
+  def md5Nibble(c: Column, k: Int): Column = hexNibble(md5(c), k)
   def md5NibbleBit(c: Column, k: Int, b: Int): Column =
-    (md5Nibble(c, k) / lit(1 << b)).cast("int") % 2
+    hexNibbleBit(md5(c), k, b)
 
   /** Deterministic pseudo-uniform double in [-1, 1) derived from a
     * string key — used for LSH hyperplane components so Spark and the

@@ -31,36 +31,75 @@ object Dedup {
         min(col(idCol)).cast("long").as(s"kept_$idCol"),
         count(lit(1)).as("n_copies"))
 
-  /** Per-seed MinHash values computed WITHOUT any shuffle: an array fold
-    * over the shingle set per row (`array_min` over md5 prefixes; fixed
-    * width hex ⇒ lexicographic min == numeric min).
+  /** MinHash family: ONE strong base hash per shingle (codegen'd
+    * xxhash64, folded to 30 bits), then a universal affine family
+    * h_i(x) = (a_i·x + b_i) mod p over prime p = 2^31−1 for the
+    * per-seed hashes — 24× cheaper than hashing each shingle per seed.
+    * p must sit just above the 30-bit hash domain so the mod actually
+    * wraps (a 61-bit modulus with a·x+b < 2^61 would make every h_i
+    * monotonic in x — all seeds would pick the same min shingle).
+    * Candidate generation only: final pairs always pass the exact
+    * shingle-Jaccard verify, so the family needs to be deterministic,
+    * not cross-engine.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Seq[Column] =
+  private val MersennePrime31 = (1L << 31) - 1
+  private[operators] val affineParams: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(64)(
+      (rnd.nextLong().abs % (MersennePrime31 - 1) + 1,
+        rnd.nextLong().abs % MersennePrime31))
+  }
+
+  /** Per-seed min-hash aggregates over an exploded (id, h) stream.
+    * Plain `min` aggregates: whole-stage-codegen'd, map-side partials,
+    * one small shuffle of (id × numHashes) partial states.
+    * a·h+b < 2^61 + 2^31 — no long overflow before the mod.
+    */
+  def minhashAggs(h: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes <= affineParams.size)
     (0 until numHashes).map { seed =>
-      array_min(transform(shingles, x => Hashes.hexHash(x, seed)))
-        .as(s"mh_$seed")
+      val (a, b) = affineParams(seed)
+      min((lit(a) * h + lit(b)) % MersennePrime31).as(s"mh_$seed")
     }
+  }
+
+  /** MinHash signatures via explode → hash-aggregate. The shingle
+    * EXPRESSION is exploded directly (one-step Generate): naming it in
+    * an intermediate projection would let `InferFiltersFromGenerate`
+    * derive `size(shingles)>0 AND isnotnull(shingles)` from the
+    * attribute and push the whole (interpreted, non-CSE'd) shingle tree
+    * into a pre-shuffle Filter — measured 20× slower than the Generate
+    * itself. The aggregate is plain codegen'd `min`s with map-side
+    * partials: only (id × numHashes) partial states shuffle.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      id: Column,
+      shingles: Column,
+      numHashes: Int): DataFrame = {
+    val aggs = minhashAggs(col("h"), numHashes)
+    df.select(id.as("id"), explode(shingles).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(1L << 30)).as("h"))
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH candidate pairs: band the signature (`bands` bands of
     * `rowsPerBand` hashes), explode to (band, key), self-join within
     * (band, key) buckets only. `maxBucket` (optional) drops degenerate
     * buckets — the production skew guard for adversarial corpora; off by
     * default so results stay exactly reproducible.
-    *
-    * Input must carry columns `id` and `shingles`.
     */
   def lshCandidates(
-      docs: DataFrame,
+      df: DataFrame,
+      id: Column,
+      shingles: Column,
       bands: Int,
       rowsPerBand: Int,
       maxBucket: Option[Int] = None): DataFrame = {
-    // Shingle-less docs (shorter than the shingle width) have no
-    // signature; without this filter they'd all collide in one
-    // null-key bucket.
-    val withSig = docs
-      .where(size(col("shingles")) > 0)
-      .select(
-        col("id") +: minhashSignature(col("shingles"), bands * rowsPerBand): _*)
+    // Shingle-less docs (shorter than the shingle width) simply vanish
+    // at the explode — they can never reach a Jaccard threshold anyway.
+    val withSig = minhashSignatures(df, id, shingles, bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
@@ -97,11 +136,12 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.6,
       maxBucket: Option[Int] = None): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("id"),
+    val base = graft.SparkUtil.ensureParallelism(df)
+    val shingleExpr =
       Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
-        .as("shingles"))
-    val candidates = lshCandidates(docs, bands, rowsPerBand, maxBucket)
+    val candidates =
+      lshCandidates(base, col(idCol), shingleExpr, bands, rowsPerBand, maxBucket)
+    val docs = base.select(col(idCol).as("id"), shingleExpr.as("shingles"))
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates
@@ -118,36 +158,36 @@ object Dedup {
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
   }
 
-  /** SimHash: 16-bit signature from per-shingle md5 bits, aggregated by
-    * sign. Near-identical docs collapse to the same (or 1-2 bit distant)
-    * signature; computed entirely as per-row array folds — zero shuffle.
-    * Bit k of the signature is set when Σ_shingles (2·bit_k(md5) − 1) > 0.
-    */
-  def simhash16(shingles: Column): Column = {
-    val bitSums = (0 until 16).map { k =>
-      val hexPos = 1 + k / 4 // 1-based hex digit index in md5
-      val bit = k % 4
-      aggregate(
-        shingles,
-        lit(0),
-        (acc, x) => acc + (Hashes.md5NibbleBit(x, hexPos, bit) * 2 - 1))
-    }
-    bitSums.zipWithIndex
-      .map { case (s, k) => when(s > 0, lit(1 << k)).otherwise(lit(0)) }
-      .reduce(_ + _)
-  }
-
-  /** SimHash dedup view over (id, text): per-doc signature, ready to be
-    * grouped/banded by signature for candidate generation.
+  /** SimHash dedup view over (id, text): 16-bit per-doc signature, set
+    * bit k when Σ_shingles (2·bit_k(md5) − 1) > 0. Same explode →
+    * codegen'd sum-aggregate shape as MinHash (md5 computed once per
+    * shingle; the Aggregate boundary stops projection re-inlining).
+    * `explode_outer` keeps shingle-less docs with signature 0, matching
+    * the SQL oracle's empty-list semantics.
     */
   def simhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleWidth: Int = 3): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("id"),
-      simhash16(
-        Texts.wordShingles(Texts.words(col(textCol)), shingleWidth))
-        .as("simhash"))
+      shingleWidth: Int = 3): DataFrame = {
+    val shingleExpr =
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+    val perShingle = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).cast("long").as("id"),
+        explode_outer(shingleExpr).as("sh"))
+      .select(col("id"), md5(col("sh")).as("m"))
+    val bitSums = (0 until 16).map { k =>
+      sum(Hashes.hexNibbleBit(col("m"), 1 + k / 4, k % 4) * 2 - 1)
+        .as(s"bs_$k")
+    }
+    perShingle
+      .groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("id"),
+        (0 until 16)
+          .map(k => when(col(s"bs_$k") > 0, lit(1 << k)).otherwise(lit(0)))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
 }

@@ -58,9 +58,25 @@ object Similarity {
         .reduce(_ + _)
     }
     vecs.select(
-      col("id"), col("v"),
+      col("id"), col("v"), col("nrm"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
   }
+
+  /** Scan-side projection: double vector + its norm, computed exactly
+    * once per vector (the norm is reused across every candidate pair).
+    */
+  private def prepVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(df).select(
+      col(idCol).cast("long").as("id"),
+      Vectors.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+  /** cos(a,b) from a precomputed-norm pair — the same
+    * dot/(|a|·|b|) arithmetic as [[Vectors.cosine]], with the norms
+    * computed once at the scan instead of once per pair.
+    */
+  private def cosWithNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
+    Vectors.dot(va, vb) / (na * nb)
 
   /** Embedding near-dup pairs: same (band, bucket) in at least one band
     * AND exact cosine >= threshold. Output: (id_a, id_b, cos_sim).
@@ -73,18 +89,17 @@ object Similarity {
       bands: Int = 2,
       bitsPerBand: Int = 4,
       threshold: Double = 0.35): DataFrame = {
-    val vecs = df.select(
-      col(idCol).cast("long").as("id"),
-      Vectors.asDouble(col(vecCol)).as("v"))
+    val vecs = prepVecs(df, idCol, vecCol)
     val banded = withBuckets(vecs, dim, bands, bitsPerBand)
-    val a = banded.select(
-      col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(
-      col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+        cosWithNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b"))
+          .as("cos"))
       .where(col("cos") >= threshold)
       .groupBy("id_a", "id_b") // a pair can collide in several bands
       .agg(Numerics.fix4(max(col("cos"))).as("cos_sim"))
@@ -102,15 +117,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).cast("long").as("query_id"),
-      Vectors.asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(
-      col(idCol).cast("long").as("neighbor_id"),
-      Vectors.asDouble(col(vecCol)).as("cv"))
+    val q = broadcast(prepVecs(queries, idCol, vecCol).select(
+      col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val c = prepVecs(corpus, idCol, vecCol).select(
+      col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
     topK(scored, k)
   }
 
@@ -128,19 +141,16 @@ object Similarity {
       k: Int,
       bands: Int = 2,
       bitsPerBand: Int = 4): DataFrame = {
-    def prep(df: DataFrame) = df.select(
-      col(idCol).cast("long").as("id"),
-      Vectors.asDouble(col(vecCol)).as("v"))
-    val qb = withBuckets(prep(queries), dim, bands, bitsPerBand)
+    val qb = withBuckets(prepVecs(queries, idCol, vecCol), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
-        col("id").as("query_id"), col("v").as("qv"))
-    val cb = withBuckets(prep(corpus), dim, bands, bitsPerBand)
+        col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cb = withBuckets(prepVecs(corpus, idCol, vecCol), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
-        col("id").as("neighbor_id"), col("v").as("cv"))
+        col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = qb.join(cb, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos")).as("cos"))
     topK(scored, k)

@@ -100,7 +100,8 @@ object TextAnalysis {
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
     val all = when(size(ws) >= n, grams).otherwise(array())
-    df.select(explode(all).as("gram"))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(explode(all).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram").asc)
