@@ -38,7 +38,14 @@ object Similarity {
   def hyperplane(p: Int, dim: Int): Column =
     typedLit(hyperplaneValues(p, dim))
 
-  /** Sign bit of v · H_p (1 when positive, else 0). */
+  /** Sign bit of v · H_p (1 when positive, else 0). Deliberately the
+    * HOF fold, NOT the unrolled dot: all `bands × bitsPerBand` plane
+    * dots land in one generated method, and unrolling 8 × 64 terms
+    * blows past Janino's 64 KB method limit — the whole stage then
+    * falls back to interpreted mode, which is far slower than 8 HOF
+    * folds per row. Plane bits are per-ROW work (the cheap side);
+    * only per-PAIR math (cosine) merits unrolling.
+    */
   def planeBit(v: Column, p: Int, dim: Int): Column =
     when(Vectors.dot(v, hyperplane(p, dim)) > 0, lit(1)).otherwise(lit(0))
 
@@ -65,18 +72,23 @@ object Similarity {
   /** Scan-side projection: double vector + its norm, computed exactly
     * once per vector (the norm is reused across every candidate pair).
     */
-  private def prepVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def prepVecs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int): DataFrame =
     graft.SparkUtil.ensureParallelism(df).select(
       col(idCol).cast("long").as("id"),
       Vectors.asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("nrm", Vectors.normUnrolled(col("v"), dim))
 
   /** cos(a,b) from a precomputed-norm pair — the same
     * dot/(|a|·|b|) arithmetic as [[Vectors.cosine]], with the norms
     * computed once at the scan instead of once per pair.
     */
-  private def cosWithNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
-    Vectors.dot(va, vb) / (na * nb)
+  private def cosWithNorms(
+      va: Column, vb: Column, na: Column, nb: Column, dim: Int): Column =
+    Vectors.dotUnrolled(va, vb, dim) / (na * nb)
 
   /** Embedding near-dup pairs: same (band, bucket) in at least one band
     * AND exact cosine >= threshold. Output: (id_a, id_b, cos_sim).
@@ -89,20 +101,28 @@ object Similarity {
       bands: Int = 2,
       bitsPerBand: Int = 4,
       threshold: Double = 0.35): DataFrame = {
-    val vecs = prepVecs(df, idCol, vecCol)
+    val vecs = prepVecs(df, idCol, vecCol, dim)
     val banded = withBuckets(vecs, dim, bands, bitsPerBand)
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = banded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    // The threshold is applied AFTER the per-pair aggregate, not on the
+    // projected cos: a filter there gets pushed into the join condition,
+    // duplicating the 64-term dot into the same generated method as the
+    // projection — past Janino's 64 KB limit, collapsing the stage to
+    // interpreted mode. cos is band-independent, so max(cos) = cos and
+    // the post-agg filter is exactly equivalent (and not pushable).
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosWithNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b"))
+        cosWithNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b"), dim)
           .as("cos"))
-      .where(col("cos") >= threshold)
       .groupBy("id_a", "id_b") // a pair can collide in several bands
-      .agg(Numerics.fix4(max(col("cos"))).as("cos_sim"))
+      .agg(max(col("cos")).as("max_cos"))
+      .where(col("max_cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        Numerics.fix4(col("max_cos")).as("cos_sim"))
   }
 
   /** Brute-force exact top-k: the small query set is broadcast against
@@ -116,14 +136,15 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
+      dim: Int,
       k: Int): DataFrame = {
-    val q = broadcast(prepVecs(queries, idCol, vecCol).select(
+    val q = broadcast(prepVecs(queries, idCol, vecCol, dim).select(
       col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
-    val c = prepVecs(corpus, idCol, vecCol).select(
+    val c = prepVecs(corpus, idCol, vecCol, dim).select(
       col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn"), dim).as("cos"))
     topK(scored, k)
   }
 
@@ -141,16 +162,16 @@ object Similarity {
       k: Int,
       bands: Int = 2,
       bitsPerBand: Int = 4): DataFrame = {
-    val qb = withBuckets(prepVecs(queries, idCol, vecCol), dim, bands, bitsPerBand)
+    val qb = withBuckets(prepVecs(queries, idCol, vecCol, dim), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
         col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cb = withBuckets(prepVecs(corpus, idCol, vecCol), dim, bands, bitsPerBand)
+    val cb = withBuckets(prepVecs(corpus, idCol, vecCol, dim), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
         col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = qb.join(cb, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn"), dim).as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos")).as("cos"))
     topK(scored, k)
