@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Numerics
+import graft.operators.{Sampling, Temporal}
+
+/** Extended surface beyond the blueprint contract (SURVEY.md §2.4):
+  * time-series joins, curation sampling, rolling windows, exact
+  * percentiles, and JSON property extraction — the operations a
+  * training-data pipeline asks for next once the §2.1-§2.3 set exists.
+  * All oracles follow §5: identical column names/ORDER BY, integer or
+  * fixN outputs for cross-engine exactness.
+  */
+object ExtendedQueries {
+
+  /** events projected to the shared epoch-ms convention (exact: the
+    * nanos long is integer-divided, and the DuckDB oracle does the same
+    * with epoch_ns // 1e6).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("props"), expr("ts DIV 1000000").as("ms"))
+
+  private val evCte =
+    """e AS (SELECT event_id, user_id, event_type, value, props,
+      |            epoch_ns(ts) // 1000000 AS ms FROM events)""".stripMargin
+
+  // ---- q33: as-of join (last error at or before each click) ----
+
+  val q33 = Q(
+    "q33_asof_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      Temporal.asofLastBefore(
+          left = e.where(col("event_type") === "click"),
+          right = e.where(col("event_type") === "error"),
+          keyCol = "user_id", tsCol = "ms", idCol = "event_id")
+        .withColumnRenamed("asof_ts", "last_error_ms")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH $evCte,
+      c AS (SELECT * FROM e WHERE event_type = 'click'),
+      x AS (SELECT * FROM e WHERE event_type = 'error')
+      SELECT c.event_id, c.user_id, c.ms, max(x.ms) AS last_error_ms
+      FROM c LEFT JOIN x
+        ON c.user_id = x.user_id AND x.ms <= c.ms
+      GROUP BY 1, 2, 3
+      ORDER BY c.event_id"""))
+
+  // ---- q34: bucketed range join (clicks inside 30-min error windows) ----
+
+  private val HalfHourMs = 1800000L
+
+  val q34 = Q(
+    "q34_range_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val errorWindows = e.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ms").as("start_ms"),
+          (col("ms") + HalfHourMs).as("end_ms"))
+      Temporal.rangeJoinBucketed(
+          points = clicks, intervals = errorWindows,
+          keyCol = "user_id", pointTs = "ms",
+          intervalStart = "start_ms", intervalEnd = "end_ms",
+          pointId = "event_id", intervalId = "error_id",
+          bucketWidth = HalfHourMs)
+        .groupBy("error_id")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          min(col("event_id")).as("first_click_id"))
+        .orderBy("error_id")
+    },
+    Some(s"""
+      WITH $evCte,
+      c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+      x AS (SELECT event_id AS error_id, user_id, ms AS start_ms,
+                   ms + $HalfHourMs AS end_ms
+            FROM e WHERE event_type = 'error')
+      SELECT x.error_id,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             min(c.event_id) AS first_click_id
+      FROM c JOIN x
+        ON c.user_id = x.user_id
+       AND c.ms >= x.start_ms AND c.ms < x.end_ms
+      GROUP BY 1
+      ORDER BY error_id"""))
+
+  // ---- q35: keep-latest dedup (CDC-style: newest row per key) ----
+
+  val q35 = Q(
+    "q35_dedup_latest",
+    (s, dir) =>
+      // ONE hash aggregate (map-side partials), not a window over a
+      // per-key sort: max(struct) picks (ms, event_id)-lexicographic
+      // max — deterministic under ties and shuffle-order independent.
+      ev(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ms"), col("event_id"))).as("m"))
+        .select(
+          col("user_id"), col("event_type"),
+          col("m.ms").as("last_ms"),
+          col("m.event_id").as("last_event_id"))
+        .orderBy("user_id", "event_type"),
+    Some(s"""
+      WITH $evCte
+      SELECT user_id, event_type, ms AS last_ms, event_id AS last_event_id
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ms DESC, event_id DESC) = 1
+      ORDER BY user_id, event_type"""))
+
+  // ---- q36: deterministic stratified sampling ----
+
+  private val SampleRates = Seq("click" -> 50, "view" -> 20, "error" -> 500)
+
+  val q36 = Q(
+    "q36_stratified_sample",
+    (s, dir) =>
+      Sampling.stratifiedByHash(
+          ev(s, dir), "event_id", "event_type",
+          SampleRates.toMap, defaultPermille = 100)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type"),
+    Some {
+      val cases = SampleRates
+        .map { case (t, p) => s"WHEN '$t' THEN $p" }.mkString(" ")
+      s"""
+      WITH $evCte
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_sampled,
+             min(event_id) AS min_id,
+             max(event_id) AS max_id
+      FROM e
+      WHERE ('0x' || substr(md5('0|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000 < CASE event_type $cases ELSE 100 END
+      GROUP BY 1
+      ORDER BY event_type"""
+    })
+
+  // ---- q37: rolling window aggregate (3-order moving sum, exact cents) ----
+
+  val q37 = Q(
+    "q37_rolling_agg",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(floor(col("o_totalprice") * 100.0 + 0.5)).over(w)
+            .cast("long").as("sum3_cents"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sum3_cents,
+             CAST(count(*)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_in_frame
+      FROM orders ORDER BY o_orderkey"""))
+
+  // ---- q38: exact percentiles per group ----
+
+  val q38 = Q(
+    "q38_percentiles",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Numerics.fix4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          Numerics.fix4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag,
+             ${Numerics.sqlFix("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+             ${Numerics.sqlFix("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+
+  // ---- q40: JSON property extraction + aggregation ----
+
+  val q40 = Q(
+    "q40_json_extract",
+    (s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some(s"""
+      WITH $evCte
+      SELECT event_type,
+             CAST(sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT)
+               AS BIGINT) AS sum_k,
+             max(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) AS max_k,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1 ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40)
+}

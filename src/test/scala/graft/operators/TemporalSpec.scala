@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TemporalSpec extends SparkTestBase {
+
+  private def df(rows: (Long, Long, Long)*) = // (id, key, ts)
+    spark.createDataFrame(rows).toDF("event_id", "user_id", "ms")
+
+  test("asof join picks the last right row at or before each left ts") {
+    val left = df((10L, 1L, 100L), (11L, 1L, 200L), (12L, 2L, 50L))
+    val right = df((90L, 1L, 100L), (91L, 1L, 150L), (92L, 3L, 10L))
+    val out = Temporal
+      .asofLastBefore(left, right, "user_id", "ms", "event_id")
+      .orderBy("event_id").collect()
+    // left 10 @100: right @100 matches inclusively
+    assert(out(0).getLong(3) == 100L)
+    // left 11 @200: latest right is @150
+    assert(out(1).getLong(3) == 150L)
+    // left 12: no right rows for user 2 -> null
+    assert(out(2).isNullAt(3))
+  }
+
+  test("range join: inclusive start, exclusive end, key-scoped") {
+    val points = df((1L, 1L, 100L), (2L, 1L, 199L), (3L, 1L, 200L),
+      (4L, 2L, 150L))
+    val intervals = spark.createDataFrame(Seq(
+      (50L, 1L, 100L, 200L), // [100, 200) for user 1
+      (51L, 2L, 0L, 100L) // misses point 4 (ts 150)
+    )).toDF("error_id", "user_id", "start_ms", "end_ms")
+    val out = Temporal.rangeJoinBucketed(
+      points, intervals, "user_id", "ms", "start_ms", "end_ms",
+      "event_id", "error_id", bucketWidth = 100L)
+    assert(out.select("event_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L)) // 3 excluded (end-exclusive), 4 wrong interval
+  }
+
+  test("range join finds matches across a bucket boundary") {
+    // interval [150, 250) spans buckets 1 and 2 at width 100
+    val points = df((1L, 1L, 249L), (2L, 1L, 250L))
+    val intervals = spark.createDataFrame(Seq((50L, 1L, 150L, 250L)))
+      .toDF("error_id", "user_id", "start_ms", "end_ms")
+    val out = Temporal.rangeJoinBucketed(
+      points, intervals, "user_id", "ms", "start_ms", "end_ms",
+      "event_id", "error_id", bucketWidth = 100L)
+    assert(out.select("event_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  test("range join plan is an equi-join — no nested-loop expansion") {
+    val points = df((1L, 1L, 100L))
+    val intervals = spark.createDataFrame(Seq((50L, 1L, 100L, 200L)))
+      .toDF("error_id", "user_id", "start_ms", "end_ms")
+    val plan = Temporal.rangeJoinBucketed(
+      points, intervals, "user_id", "ms", "start_ms", "end_ms",
+      "event_id", "error_id", bucketWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("stratified hash sample is deterministic and rate-ordered") {
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "keep_half" else "keep_few"))
+    val df = spark.createDataFrame(rows).toDF("event_id", "event_type")
+    def run() = Sampling
+      .stratifiedByHash(df, "event_id", "event_type",
+        Map("keep_half" -> 500, "keep_few" -> 20), defaultPermille = 0)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a == run()) // deterministic
+    assert(a("keep_half") > 400 && a("keep_half") < 600)
+    assert(a.getOrElse("keep_few", 0L) < 60)
+  }
+}
