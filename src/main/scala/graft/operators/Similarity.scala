@@ -177,6 +177,79 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic IVF centroid c, same md5 derivation as the
+    * hyperplanes but under an "ivf-" key, so the DuckDB oracle
+    * re-derives identical centroids in SQL. Deliberately NOT
+    * normalized: cell assignment is argmax of the raw dot, computed as
+    * the same sequential fold in both engines — bit-identical, so both
+    * engines agree on every assignment (a driver-side norm would
+    * introduce engine-specific arithmetic).
+    */
+  def ivfCentroidValues(c: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = digest.digest(s"ivf-$c-$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      BigInt(hex, 16).toDouble / 5.76460752303423488e17 - 1.0
+    }
+  }
+
+  /** Array of the vector's dot product with each centroid (HOF folds —
+    * per-ROW work, see [[planeBit]] for why not unrolled).
+    */
+  private def ivfDots(v: Column, nCells: Int, dim: Int): Column =
+    array((0 until nCells).map(c =>
+      Vectors.dot(v, typedLit(ivfCentroidValues(c, dim)))): _*)
+
+  /** 1-based cell id: position of the max dot (ties -> lowest cell,
+    * identically in DuckDB's list_position).
+    */
+  private def cellOf(dots: Column): Column =
+    array_position(dots, array_max(dots))
+
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path:
+    * every corpus vector is assigned to its nearest of `nCells`
+    * deterministic centroids (one cell each); each query probes its
+    * `nProbe` best cells; candidates come from an equi-join on the cell
+    * id — the canonical billions-of-vectors layout where a query scans
+    * only ~nProbe/nCells of the corpus. Exact cosine ranks candidates.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    require(nProbe == 2, "oracle transcription covers nProbe = 2")
+    val cb = prepVecs(corpus, idCol, vecCol, dim)
+      .withColumn("cell", cellOf(ivfDots(col("v"), nCells, dim)))
+      .select(col("cell"), col("id").as("neighbor_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    // second-best cell: mask the winner at -inf and take argmax again
+    val qd = prepVecs(queries, idCol, vecCol, dim)
+      .withColumn("dots", ivfDots(col("v"), nCells, dim))
+      .withColumn("p1", cellOf(col("dots")))
+      .withColumn("masked",
+        transform(sequence(lit(1), lit(nCells)),
+          i => when(i === col("p1"), lit(-9e99))
+            .otherwise(element_at(col("dots"), i))))
+      .withColumn("p2", cellOf(col("masked")))
+    val qb = qd
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(array(col("p1"), col("p2"))).as("cell"))
+    val scored = qb.join(cb, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn"), dim).as("cos"))
+      .groupBy("query_id", "neighbor_id") // p1/p2 cells are distinct, but stay safe
+      .agg(max(col("cos")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Rank (cos desc, neighbor asc) per query and keep the top k. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")

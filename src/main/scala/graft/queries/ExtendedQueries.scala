@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Numerics
-import graft.operators.{Sampling, Temporal}
+import graft.operators.{Sampling, Similarity, Temporal}
 
 /** Extended surface beyond the blueprint contract (SURVEY.md §2.4):
   * time-series joins, curation sampling, rolling windows, exact
@@ -196,6 +196,59 @@ object ExtendedQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
+  // ---- q39: IVF (inverted-file) ANN top-k ----
+
+  /** DuckDB list literal for centroid c — same md5 derivation as
+    * [[Similarity.ivfCentroidValues]], re-derived in SQL.
+    */
+  private def centroidSql(c: Int): String =
+    s"[('0x'||substr(md5('ivf-$c-'||i),1,15))::BIGINT" +
+      s"/576460752303423488.0 - 1.0 for i in generate_series(0,63)]"
+
+  val q39 = Q(
+    "q39_ann_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+          dim = 64, k = 3, nCells = 8, nProbe = 2)
+        .orderBy("query_id", "nn_rank")
+    },
+    Some {
+      val dots = (0 until 8)
+        .map(c => s"list_dot_product(v, ${centroidSql(c)})")
+        .mkString("[", ",\n            ", "]")
+      val cos = "list_dot_product(qv, cv) / " +
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d AS (SELECT vec_id, v, $dots AS dl FROM e),
+      a AS (SELECT vec_id, v, dl,
+                   list_position(dl, list_max(dl)) AS p1 FROM d),
+      qm AS (SELECT *, [CASE WHEN i = p1 THEN -9e99 ELSE dl[i] END
+                        for i in generate_series(1, 8)] AS dl2
+             FROM a WHERE vec_id < 10),
+      q2 AS (SELECT vec_id, v, p1,
+                    list_position(dl2, list_max(dl2)) AS p2 FROM qm),
+      corp AS (SELECT vec_id AS neighbor_id, v AS cv, p1 AS cell FROM a),
+      qq AS (SELECT vec_id AS query_id, v AS qv,
+                    unnest([p1, p2]) AS cell FROM q2),
+      scored AS (
+        SELECT query_id, neighbor_id, max($cos) AS cos
+        FROM qq JOIN corp USING (cell)
+        WHERE query_id != neighbor_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS nn_rank,
+               ${Numerics.sqlFix("cos", 4)} AS cos_sim
+        FROM scored)
+      SELECT query_id, neighbor_id, nn_rank, cos_sim
+      FROM ranked WHERE nn_rank <= 3
+      ORDER BY query_id, nn_rank"""
+    })
+
   // ---- q40: JSON property extraction + aggregation ----
 
   val q40 = Q(
@@ -219,5 +272,5 @@ object ExtendedQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM e GROUP BY 1 ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q40)
+  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q39, q40)
 }

@@ -46,6 +46,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(!keys.contains((0L, 3L)))
   }
 
+  test("IVF: colinear vectors share a cell, so the neighbor is found") {
+    val topk = Similarity.ivfTopK(
+      vecs.where("vec_id = 0"), vecs, "vec_id", "embedding",
+      dim = 4, k = 2, nCells = 4, nProbe = 2)
+      .collect()
+    // vec 1 is ~colinear with vec 0: identical centroid dots up to ulp,
+    // so it lands in the same cell and must rank first.
+    assert(topk.nonEmpty)
+    assert(topk.head.getLong(1) == 1L)
+    assert(topk.head.getInt(2) == 1)
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplaneValues(3, 8) == Similarity.hyperplaneValues(3, 8))
     val v = Similarity.hyperplaneValues(0, 64)
