@@ -50,6 +50,21 @@ object StreamingOps {
         col("n_events"),
         col("value_sum"))
 
+  /** Streaming exact dedup: keep the first occurrence of each digest.
+    * `dropDuplicates` over (digest) with a watermark bounds state the
+    * way production streaming dedup must — old digests age out once
+    * the watermark passes, so state is O(recent window), not O(stream).
+    */
+  def dedupByDigest(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest", md5(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Stateful sessionization: a session closes when no event arrives
     * for `gapMs` past the watermark. Emits one row per closed session.
     */

@@ -76,6 +76,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per digest within watermark") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    // event_type doubles as the "text" being deduped
+    val dedup = StreamingOps.dedupByDigest(
+      input.toDF(), textCol = "event_type", tsCol = "ts",
+      watermarkDelay = "5 minutes")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, 1000, "Alpha Doc"), ev(2, 1001, "  alpha doc  "), // dup after norm
+        ev(3, 1002, "beta doc"))
+      runToCompletion(q)
+      val texts = spark.table("dedup").collect().map(_.getString(2))
+      assert(texts.length == 2, s"got: ${texts.mkString("|")}")
+      assert(texts.map(_.trim.toLowerCase).toSet
+        == Set("alpha doc", "beta doc"))
+    } finally q.stop()
+  }
+
   test("mid-batch gap splits into two sessions (batch path within state fn)") {
     val ss = spark
     import ss.implicits._
