@@ -92,6 +92,13 @@ object Similarity {
 
   /** Embedding near-dup pairs: same (band, bucket) in at least one band
     * AND exact cosine >= threshold. Output: (id_a, id_b, cos_sim).
+    *
+    * Scale note: within-bucket pair count grows as n²/2^bitsPerBand, so
+    * bitsPerBand must grow with log2(n) to hold per-bucket work constant
+    * (measured: 20k vectors at 4 bits = 84 s, at 8 bits = 12 s).
+    * `maxBucket` is the skew guard for degenerate corpora (e.g. a
+    * constant embedding): buckets past the cap are dropped rather than
+    * enumerated; off by default so results stay exactly reproducible.
     */
   def embeddingNearDup(
       df: DataFrame,
@@ -100,9 +107,17 @@ object Similarity {
       dim: Int,
       bands: Int = 2,
       bitsPerBand: Int = 4,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35,
+      maxBucket: Option[Int] = None): DataFrame = {
     val vecs = prepVecs(df, idCol, vecCol, dim)
-    val banded = withBuckets(vecs, dim, bands, bitsPerBand)
+    val banded0 = withBuckets(vecs, dim, bands, bitsPerBand)
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val sizes = banded0.groupBy("band", "bucket").count()
+          .where(col("count") <= cap).drop("count")
+        banded0.join(sizes, Seq("band", "bucket"))
+      case None => banded0
+    }
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = banded.select(col("band"), col("bucket"),
