@@ -158,6 +158,74 @@ object Dedup {
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * verified near-dup pair graph, labels = min reachable id. Every doc
+    * gets a cluster (singletons keep their own id) — the step a real
+    * dedup pipeline runs after pair generation to pick one canonical
+    * doc per cluster.
+    *
+    * Iterative min-label propagation (the GraphX/GraphFrames CC shape):
+    * each round is two hash joins + a min-aggregate; rounds needed =
+    * graph diameter (near-dup clusters are near-cliques, so 1-2). The
+    * fixpoint check is a cheap monotone sum aggregate — an action per
+    * round, never a data collect. `maxIter` bounds adversarial chains.
+    */
+  def dupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.6,
+      maxIter: Int = 10): DataFrame = {
+    val pairs = minhashNearDup(
+      df, idCol, textCol, shingleWidth, bands, rowsPerBand, threshold)
+      .select(col("id_a"), col("id_b"))
+    // Persist per round (the GraphFrames CC pattern): without it the
+    // lineage of round n references round n-1 twice, and the whole LSH
+    // pipeline would re-execute a combinatorial number of times.
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .withColumnRenamed("id_a", "src")
+      .withColumnRenamed("id_b", "dst")
+      .persist()
+    var labels = df
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    var checksum = Long.MaxValue
+    while (!converged && iter < maxIter) {
+      // neighbor's label flows along each edge; keep the min seen
+      val msgs = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionAll(msgs)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"))
+        .persist()
+      // monotone-decreasing checksum: unchanged sum == fixpoint
+      val sum = next.agg(org.apache.spark.sql.functions.sum("label"))
+        .head.getLong(0)
+      converged = sum == checksum
+      checksum = sum
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    // Truncate the iterative lineage so callers neither recompute the
+    // loop nor depend on the persisted intermediates we now release.
+    val out = labels
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
   /** SimHash dedup view over (id, text): 16-bit per-doc signature, set
     * bit k when Σ_shingles (2·bit_k(md5) − 1) > 0. Same explode →
     * codegen'd sum-aggregate shape as MinHash (md5 computed once per

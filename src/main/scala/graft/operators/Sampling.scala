@@ -31,4 +31,21 @@ object Sampling {
     df.where(
       pmod(Hashes.hash60(col(idCol).cast("string"), seed), lit(1000)) < rate)
   }
+
+  /** Deterministic train/val/test assignment: the md5 permille of the
+    * id decides the split, so membership is stable under reshuffling,
+    * re-partitioning and incremental reruns — the property a training
+    * pipeline needs so examples never migrate between splits. A pure
+    * (map-side) column expression.
+    */
+  def splitColumn(
+      id: Column,
+      trainPermille: Int = 800,
+      valPermille: Int = 100,
+      seed: Int = 0): Column = {
+    val h = pmod(Hashes.hash60(id.cast("string"), seed), lit(1000))
+    when(h < trainPermille, lit("train"))
+      .when(h < trainPermille + valPermille, lit("val"))
+      .otherwise(lit("test"))
+  }
 }

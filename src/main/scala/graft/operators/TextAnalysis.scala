@@ -87,6 +87,33 @@ object TextAnalysis {
       array_max(hashed).as("gram_max_hash"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing word n-grams
+    * with a (small) probe set — the pre-training hygiene pass that
+    * keeps eval benchmarks out of the training set. The probe set's
+    * distinct n-grams are broadcast; the corpus streams through one
+    * explode + broadcast-hash semi-structure + per-doc count. Work is
+    * O(corpus n-grams), never corpus × probe.
+    *
+    * Output: (idCol, n_shared_grams) for docs with at least one hit.
+    */
+  def contamination(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val grams = Texts.wordShingles(Texts.words(col(textCol)), n)
+    val probeGrams = probe
+      .select(explode(grams).as("gram"))
+      .distinct()
+    val corpusGrams = graft.SparkUtil.ensureParallelism(corpus)
+      .select(col(idCol), explode(grams).as("gram"))
+    corpusGrams
+      .join(broadcast(probeGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams")) // corpus grams are distinct per doc
+  }
+
   /** Corpus-level top n-gram statistics (duplicates counted): one
     * explode + one hash aggregation with map-side partials.
     */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Numerics
-import graft.operators.{Sampling, Similarity, Temporal}
+import graft.operators.{Dedup, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Extended surface beyond the blueprint contract (SURVEY.md §2.4):
   * time-series joins, curation sampling, rolling windows, exact
@@ -272,5 +272,76 @@ object ExtendedQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM e GROUP BY 1 ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q33, q34, q35, q36, q37, q38, q39, q40)
+  // ---- q41: duplicate-cluster resolution (connected components) ----
+
+  val q41 = Q(
+    "q41_dup_clusters",
+    (s, dir) =>
+      Dedup.dupClusters(Tables(s, dir, "documents"), "doc_id", "text",
+          shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH RECURSIVE
+      p AS (SELECT doc_a, doc_b FROM (${PipelineQueries.jaccardPairsSql(3, 0.6)})),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION ALL
+                SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      SELECT a AS doc_id, min(b) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
+  // ---- q42: deterministic train/val/test split ----
+
+  val q42 = Q(
+    "q42_dataset_split",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.splitColumn(col("doc_id"), 800, 100).as("split"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split"),
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CASE WHEN h < 800 THEN 'train'
+                    WHEN h < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                  % 1000 AS h
+              FROM documents))
+      SELECT split, CAST(count(*) AS BIGINT) AS n,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM s GROUP BY 1 ORDER BY split"""))
+
+  // ---- q43: benchmark decontamination (n-gram overlap vs probe set) ----
+
+  val q43 = Q(
+    "q43_contamination",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      TextAnalysis.contamination(
+          corpus = d.where(col("doc_id") >= 10),
+          probe = d.where(col("doc_id") < 10),
+          idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${PipelineQueries.wordsCte},
+      g AS (SELECT doc_id, ${PipelineQueries.shingleExpr(8)} AS gs FROM w),
+      pg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id < 10),
+      cg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id >= 10)
+      SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM cg JOIN pg USING (gram)
+      GROUP BY 1 ORDER BY doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

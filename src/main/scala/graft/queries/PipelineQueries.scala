@@ -25,17 +25,17 @@ object PipelineQueries {
   // ---- shared DuckDB fragments (kept in lockstep with graft.functions) ----
 
   /** words CTE: doc_id, ws (whitespace tokens of normalized text). */
-  private val wordsCte =
+  private[queries] val wordsCte =
     """w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
       |      FROM documents)""".stripMargin
 
   /** distinct n-word shingle list expression over `ws`. */
-  private def shingleExpr(n: Int): String = {
+  private[queries] def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(k => s"ws[i+$k]").mkString("||' '||")
     s"list_distinct([$parts for i in generate_series(1, len(ws)-${n - 1})])"
   }
 
-  private def jaccardPairsSql(n: Int, threshold: Double): String =
+  private[queries] def jaccardPairsSql(n: Int, threshold: Double): String =
     s"""
       WITH $wordsCte,
       sh AS (SELECT doc_id, ${shingleExpr(n)} AS sh FROM w),

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+
+  private def docsDF(rows: (Long, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  test("dupClusters: chain of near-dups collapses to one cluster") {
+    // 1~2 differ in the last word, 2~3 in the first: each pair's
+    // shingle-Jaccard is ~0.73 (>= 0.7), while 1~3 differ in both ends
+    // (~0.53 < 0.7) — so only transitive closure links 1 and 3.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi"
+    val docs = docsDF(
+      (1L, s"$base omicron"),
+      (2L, s"$base pi"),
+      (3L, s"rho ${base.stripPrefix("alpha ")} pi"),
+      (4L, "completely different words about spark shuffles and joins here"),
+      (5L, "another unrelated document mentioning windows and aggregates today"))
+    val out = Dedup.dupClusters(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(4L) == 4L && out(5L) == 5L) // singletons keep their id
+    // transitivity: 3 joins the cluster through 2 even though (1,3) is
+    // below threshold
+    assert(out(3L) == 1L)
+  }
+
+  test("dupClusters: every input id appears exactly once") {
+    val docs = docsDF((1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "even doc words repeated here all same body"
+          else s"odd doc $i unique content number ${i * 7} differs")): _*)
+    val out = Dedup.dupClusters(docs, "doc_id", "text")
+    assert(out.count() == 20)
+    assert(out.select("doc_id").distinct().count() == 20)
+    // all even docs identical -> one cluster rooted at 2
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (2L to 20L by 2).foreach(i => assert(m(i) == 2L))
+  }
+
+  test("splitColumn is deterministic, complete and respects rates") {
+    val df = spark.range(0, 5000).toDF("id")
+      .select(col("id"), Sampling.splitColumn(col("id"), 800, 100).as("split"))
+    val counts = df.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(counts("train") > 3800 && counts("train") < 4200)
+    assert(counts("val") > 350 && counts("val") < 650)
+    assert(counts("test") > 350 && counts("test") < 650)
+    // stability: same assignment on re-evaluation over different partitioning
+    val again = spark.range(0, 5000).toDF("id").repartition(7)
+      .select(col("id"), Sampling.splitColumn(col("id"), 800, 100).as("split"))
+    assert(df.except(again).count() == 0)
+  }
+
+  test("contamination counts shared distinct n-grams per corpus doc") {
+    val probe = docsDF((1L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = docsDF(
+      (10L, "the quick brown fox jumps over a sleeping cat today"), // shares 3-grams
+      (11L, "nothing in common with that sentence at all here"))
+    val out = TextAnalysis.contamination(corpus, probe, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the quick brown", "quick brown fox", "brown fox jumps",
+    // "fox jumps over" = 4 shared trigrams
+    assert(out(10L) == 4L)
+    assert(!out.contains(11L))
+  }
+
+  test("contamination plan broadcasts the probe side") {
+    val probe = docsDF((1L, "a b c d e"))
+    val corpus = docsDF((2L, "a b c x y"))
+    val plan = TextAnalysis.contamination(corpus, probe, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
