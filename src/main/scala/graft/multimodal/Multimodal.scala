@@ -38,6 +38,33 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("media"),
       lit("text/plain").as("mime"))
 
+  /** Ingest raw media objects from a directory via Spark's binaryFile
+    * source — the real multimodal ingestion path (each file becomes one
+    * row of path/length/bytes, read distributed, partition-sized by
+    * `spark.sql.files.maxPartitionBytes`). Ids are derived from the
+    * file name digits (or a hash when none), mime from the extension.
+    */
+  def readBinaryDir(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String = "*"): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val digits = regexp_extract(col("path"), "(\\d+)[^/\\d]*$", 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        when(digits =!= "", digits.cast("long"))
+          .otherwise(xxhash64(col("path"))).as("doc_id"),
+        col("content").as("media"),
+        when(ext === "png", "image/png")
+          .when(ext === "jpg" || ext === "jpeg", "image/jpeg")
+          .when(ext === "wav", "audio/wav")
+          .when(ext === "mp4", "video/mp4")
+          .when(ext === "txt", "text/plain")
+          .otherwise(concat(lit("application/"), ext)).as("mime"))
+  }
+
   /** ======== STUB ========
     * A real deployment would decode `media` here (image dims, audio
     * duration, frame samples) inside this same mapPartitions pass.

@@ -127,6 +127,8 @@ final class DatasetIO(spark: SparkSession) {
     val name = PathUtil.baseName(path).toLowerCase
     if (name.endsWith(".csv")) "csv"
     else if (name.endsWith(".json") || name.endsWith(".jsonl")) "json"
+    else if (name.endsWith(".orc")) "orc"
+    else if (name.endsWith(".txt")) "text"
     else "parquet"
   }
 

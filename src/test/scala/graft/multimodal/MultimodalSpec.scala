@@ -6,6 +6,34 @@ import graft.SparkTestBase
 
 class MultimodalSpec extends SparkTestBase {
 
+  test("readBinaryDir ingests raw files with derived id and mime") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "img_0042.png").toPath,
+        Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "clip_7.wav").toPath,
+        "RIFFdata".getBytes("UTF-8"))
+      val rows = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Array[Byte]](1).length, r.getString(2))).toMap
+      assert(rows(42L) == (4, "image/png"))
+      assert(rows(7L) == (8, "audio/wav"))
+
+      // the ingested records feed the same feature pass
+      val feats = Multimodal.extractFeatures(
+        Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+          .as[MediaRecord])
+        .collect().map(f => f.doc_id -> f.header_hex).toMap
+      assert(feats(42L) == "89504E47") // PNG magic
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("packText + extractFeatures: deterministic byte-level features") {
     val ss = spark
     import ss.implicits._
