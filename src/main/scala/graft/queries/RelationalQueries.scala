@@ -238,6 +238,54 @@ object RelationalQueries {
         WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       ORDER BY c_custkey"""))
 
+  val q44 = Q(
+    "q44_semi_join",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  val q45 = Q(
+    "q45_set_ops",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val finished = t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select("o_custkey").distinct()
+      def counted(op: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted("except", urgent.except(finished))
+        .unionAll(counted("intersect", urgent.intersect(finished)))
+        .unionAll(counted("union", urgent.union(finished).distinct()))
+        .orderBy("op")
+    },
+    Some(s"""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+      b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT 'intersect', CAST(count(*) AS BIGINT)
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT 'union', CAST(count(*) AS BIGINT)
+        FROM (SELECT * FROM a UNION SELECT * FROM b)
+      ORDER BY op"""))
+
   val q13 = Q(
     "q13_pivot",
     (s, dir) =>
@@ -334,5 +382,5 @@ object RelationalQueries {
       ORDER BY user_id, session_seq"""))
 
   val all: Seq[Q] =
-    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19)
+    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19, q44, q45)
 }
