@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 object SparkUtil {
 
@@ -13,5 +14,31 @@ object SparkUtil {
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Skew-salted inner equi-join: the skewed (large) side gets a
+    * deterministic salt in [0, saltFactor) per row, the other side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows now spread over `saltFactor`
+    * reducers instead of one straggler. Result is EXACTLY the plain
+    * inner join's. Use when a handful of keys dominate and AQE's
+    * skew-join splitting isn't available (e.g. disabled, or the skew
+    * sits in a single shuffle block).
+    *
+    * `skewed` carries `skewedKey`; `other` carries `otherKey`.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      skewedKey: Column,
+      otherKey: Column,
+      saltFactor: Int): DataFrame = {
+    val s = skewed.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val o = other.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    s.join(o, skewedKey === otherKey && s("_salt") === o("_salt"))
+      .drop("_salt")
   }
 }

@@ -328,16 +328,16 @@ object ExtendedQueries {
     (s, dir) => {
       val d = Tables(s, dir, "documents")
       TextAnalysis.contamination(
-          corpus = d.where(col("doc_id") >= 10),
-          probe = d.where(col("doc_id") < 10),
+          corpus = d.where(col("doc_id") >= 20),
+          probe = d.where(col("doc_id") < 20),
           idCol = "doc_id", textCol = "text", n = 8)
         .orderBy("doc_id")
     },
     Some(s"""
       WITH ${PipelineQueries.wordsCte},
       g AS (SELECT doc_id, ${PipelineQueries.shingleExpr(8)} AS gs FROM w),
-      pg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id < 10),
-      cg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id >= 10)
+      pg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id < 20),
+      cg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id >= 20)
       SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
       FROM cg JOIN pg USING (gram)
       GROUP BY 1 ORDER BY doc_id"""))

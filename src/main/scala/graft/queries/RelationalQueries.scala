@@ -286,6 +286,29 @@ object RelationalQueries {
         FROM (SELECT * FROM a UNION SELECT * FROM b)
       ORDER BY op"""))
 
+  val q46 = Q(
+    "q46_salted_join",
+    (s, dir) =>
+      // Same semantics as q07, executed through the skew-salting path:
+      // the fact side salted 8 ways, the other side replicated per
+      // salt — proof the salting utility preserves exact join results.
+      graft.SparkUtil.saltedJoin(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          col("l_orderkey"), col("o_orderkey"), saltFactor = 8)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(
+          Numerics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("order_month"),
+    Some(s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             ${Numerics.sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+      ORDER BY order_month"""))
+
   val q13 = Q(
     "q13_pivot",
     (s, dir) =>
@@ -382,5 +405,5 @@ object RelationalQueries {
       ORDER BY user_id, session_seq"""))
 
   val all: Seq[Q] =
-    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19, q44, q45)
+    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19, q44, q45, q46)
 }
