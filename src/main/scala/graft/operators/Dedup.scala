@@ -190,8 +190,11 @@ object Dedup {
       .withColumnRenamed("id_a", "src")
       .withColumnRenamed("id_b", "dst")
       .persist()
-    var labels = df
-      .select(col(idCol).cast("long").as("id"))
+    // Iterate ONLY over nodes that appear in some pair — at corpus
+    // scale the paired subgraph is orders of magnitude smaller than the
+    // corpus, and every other doc is trivially its own singleton
+    // cluster (joined back in at the end).
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
     var converged = false
@@ -208,18 +211,22 @@ object Dedup {
         .agg(min(col("label")).as("label"))
         .persist()
       // monotone-decreasing checksum: unchanged sum == fixpoint
-      val sum = next.agg(org.apache.spark.sql.functions.sum("label"))
-        .head.getLong(0)
+      // (null when the pair graph is empty -> 0, converges in 2 rounds)
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum("label")).head
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = sum == checksum
       checksum = sum
       labels.unpersist()
       labels = next
       iter += 1
     }
-    // Truncate the iterative lineage so callers neither recompute the
-    // loop nor depend on the persisted intermediates we now release.
-    val out = labels
-      .select(col("id").as(idCol), col("label").as("cluster_id"))
+    // Singletons rejoin here; truncate the iterative lineage so callers
+    // neither recompute the loop nor depend on the persisted
+    // intermediates we now release.
+    val out = df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
       .localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()

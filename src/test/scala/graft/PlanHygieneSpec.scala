@@ -71,6 +71,26 @@ class PlanHygieneSpec extends SparkTestBase {
     }
   }
 
+  test("as-of join plan is a single window pass — no join operator") {
+    val plan = planOf("q33_asof_join")
+    assert(plan.contains("Window"), "asof should be a window")
+    assert(!plan.contains("Join"), s"asof must not join: ${plan.take(500)}")
+  }
+
+  test("event scans push the event_type filter into parquet") {
+    val plan = planOf("q33_asof_join")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)") ||
+      plan.contains("EqualTo(event_type"),
+      "event_type filter did not reach the scan")
+  }
+
+  test("salted join spreads without changing join type to nested-loop") {
+    val plan = planOf("q46_salted_join")
+    assert(plan.contains("Join"))
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
