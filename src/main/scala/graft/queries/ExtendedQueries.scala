@@ -342,6 +342,23 @@ object ExtendedQueries {
       FROM cg JOIN pg USING (gram)
       GROUP BY 1 ORDER BY doc_id"""))
 
+  // ---- q47: approximate distinct (HLL++) ----
+  // No DuckDB oracle: HLL sketch values are engine-specific, so the
+  // driver records the weaker rows-only check; the 2%-error contract
+  // vs exact distinct is asserted in ScalaTest instead (CurationSpec).
+
+  val q47 = Q(
+    "q47_approx_distinct",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02)
+            .as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    None)
+
   val all: Seq[Q] =
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47)
 }

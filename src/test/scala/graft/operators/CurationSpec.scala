@@ -70,6 +70,15 @@ class CurationSpec extends SparkTestBase {
     assert(!out.contains(11L))
   }
 
+  test("approx_count_distinct stays within the configured error bound") {
+    val df = spark.range(0, 100000)
+      .select((col("id") % 9973).as("user_id")) // 9973 distinct
+    val approx = df.agg(
+      approx_count_distinct(col("user_id"), rsd = 0.02)).head.getLong(0)
+    assert(math.abs(approx - 9973.0) / 9973.0 < 0.05,
+      s"approx=$approx vs exact=9973")
+  }
+
   test("contamination plan broadcasts the probe side") {
     val probe = docsDF((1L, "a b c d e"))
     val corpus = docsDF((2L, "a b c x y"))
