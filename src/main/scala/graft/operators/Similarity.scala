@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftFunctions
 import graft.functions.{Numerics, Vectors}
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -38,16 +39,15 @@ object Similarity {
   def hyperplane(p: Int, dim: Int): Column =
     typedLit(hyperplaneValues(p, dim))
 
-  /** Sign bit of v · H_p (1 when positive, else 0). Deliberately the
-    * HOF fold, NOT the unrolled dot: all `bands × bitsPerBand` plane
-    * dots land in one generated method, and unrolling 8 × 64 terms
-    * blows past Janino's 64 KB method limit — the whole stage then
-    * falls back to interpreted mode, which is far slower than 8 HOF
-    * folds per row. Plane bits are per-ROW work (the cheap side);
-    * only per-PAIR math (cosine) merits unrolling.
+  /** Sign bit of v · H_p (1 when positive, else 0), via the native
+    * [[graft.functions.expressions.VecDot]] expression: one codegen'd
+    * loop per plane, so all `bands × bitsPerBand` dots stay inside
+    * whole-stage codegen without the method-size blowup that unrolled
+    * per-element products hit (Janino's 64 KB ceiling).
     */
   def planeBit(v: Column, p: Int, dim: Int): Column =
-    when(Vectors.dot(v, hyperplane(p, dim)) > 0, lit(1)).otherwise(lit(0))
+    when(GraftFunctions.vecDot(v, hyperplane(p, dim)) > 0, lit(1))
+      .otherwise(lit(0))
 
   /** Add per-band LSH buckets: `bands` bands of `bitsPerBand` sign bits
     * each, packed to an int. Input needs `id` and `v` (array<double>);
@@ -72,23 +72,22 @@ object Similarity {
   /** Scan-side projection: double vector + its norm, computed exactly
     * once per vector (the norm is reused across every candidate pair).
     */
-  private def prepVecs(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      dim: Int): DataFrame =
+  private def prepVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     graft.SparkUtil.ensureParallelism(df).select(
       col(idCol).cast("long").as("id"),
       Vectors.asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", Vectors.normUnrolled(col("v"), dim))
+      .withColumn("nrm",
+        sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+  }
 
   /** cos(a,b) from a precomputed-norm pair — the same
     * dot/(|a|·|b|) arithmetic as [[Vectors.cosine]], with the norms
     * computed once at the scan instead of once per pair.
     */
   private def cosWithNorms(
-      va: Column, vb: Column, na: Column, nb: Column, dim: Int): Column =
-    Vectors.dotUnrolled(va, vb, dim) / (na * nb)
+      va: Column, vb: Column, na: Column, nb: Column): Column =
+    GraftFunctions.vecDot(va, vb) / (na * nb)
 
   /** Embedding near-dup pairs: same (band, bucket) in at least one band
     * AND exact cosine >= threshold. Output: (id_a, id_b, cos_sim).
@@ -109,7 +108,7 @@ object Similarity {
       bitsPerBand: Int = 4,
       threshold: Double = 0.35,
       maxBucket: Option[Int] = None): DataFrame = {
-    val vecs = prepVecs(df, idCol, vecCol, dim)
+    val vecs = prepVecs(df, idCol, vecCol)
     val banded0 = withBuckets(vecs, dim, bands, bitsPerBand)
     val banded = maxBucket match {
       case Some(cap) =>
@@ -131,7 +130,7 @@ object Similarity {
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosWithNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b"), dim)
+        cosWithNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b"))
           .as("cos"))
       .groupBy("id_a", "id_b") // a pair can collide in several bands
       .agg(max(col("cos")).as("max_cos"))
@@ -151,15 +150,14 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      dim: Int,
       k: Int): DataFrame = {
-    val q = broadcast(prepVecs(queries, idCol, vecCol, dim).select(
+    val q = broadcast(prepVecs(queries, idCol, vecCol).select(
       col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
-    val c = prepVecs(corpus, idCol, vecCol, dim).select(
+    val c = prepVecs(corpus, idCol, vecCol).select(
       col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn"), dim).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
     topK(scored, k)
   }
 
@@ -177,16 +175,16 @@ object Similarity {
       k: Int,
       bands: Int = 2,
       bitsPerBand: Int = 4): DataFrame = {
-    val qb = withBuckets(prepVecs(queries, idCol, vecCol, dim), dim, bands, bitsPerBand)
+    val qb = withBuckets(prepVecs(queries, idCol, vecCol), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
         col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cb = withBuckets(prepVecs(corpus, idCol, vecCol, dim), dim, bands, bitsPerBand)
+    val cb = withBuckets(prepVecs(corpus, idCol, vecCol), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
         col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = qb.join(cb, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn"), dim).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos")).as("cos"))
     topK(scored, k)
@@ -214,7 +212,7 @@ object Similarity {
     */
   private def ivfDots(v: Column, nCells: Int, dim: Int): Column =
     array((0 until nCells).map(c =>
-      Vectors.dot(v, typedLit(ivfCentroidValues(c, dim)))): _*)
+      GraftFunctions.vecDot(v, typedLit(ivfCentroidValues(c, dim)))): _*)
 
   /** 1-based cell id: position of the max dot (ties -> lowest cell,
     * identically in DuckDB's list_position).
@@ -239,12 +237,12 @@ object Similarity {
       nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
     require(nProbe == 2, "oracle transcription covers nProbe = 2")
-    val cb = prepVecs(corpus, idCol, vecCol, dim)
+    val cb = prepVecs(corpus, idCol, vecCol)
       .withColumn("cell", cellOf(ivfDots(col("v"), nCells, dim)))
       .select(col("cell"), col("id").as("neighbor_id"),
         col("v").as("cv"), col("nrm").as("cn"))
     // second-best cell: mask the winner at -inf and take argmax again
-    val qd = prepVecs(queries, idCol, vecCol, dim)
+    val qd = prepVecs(queries, idCol, vecCol)
       .withColumn("dots", ivfDots(col("v"), nCells, dim))
       .withColumn("p1", cellOf(col("dots")))
       .withColumn("masked",
@@ -259,7 +257,7 @@ object Similarity {
     val scored = qb.join(cb, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn"), dim).as("cos"))
+        cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
       .groupBy("query_id", "neighbor_id") // p1/p2 cells are distinct, but stay safe
       .agg(max(col("cos")).as("cos"))
     topK(scored, k)

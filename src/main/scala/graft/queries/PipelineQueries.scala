@@ -163,7 +163,7 @@ object PipelineQueries {
     (s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(
-          e.where(col("vec_id") < 10), e, "vec_id", "embedding", dim = 64, k = 5)
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "nn_rank")
     },
     Some(s"""

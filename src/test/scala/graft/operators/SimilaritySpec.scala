@@ -15,7 +15,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("brute-force top-k ranks by exact cosine") {
     val out = Similarity.bruteForceTopK(
-      vecs.where("vec_id = 0"), vecs, "vec_id", "embedding", dim = 4, k = 4)
+      vecs.where("vec_id = 0"), vecs, "vec_id", "embedding", k = 4)
       .orderBy("nn_rank").collect()
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L, 3L))
     assert(out.head.getDouble(3) > 0.999) // cos(0,1)
