@@ -50,6 +50,34 @@ object StreamingOps {
         col("n_events"),
         col("value_sum"))
 
+  /** Watermarked stream-stream interval join: each left event pairs
+    * with right events of the same key whose timestamp falls in
+    * [left.ts, left.ts + windowMs). Both sides carry watermarks so the
+    * join state is bounded — Spark drops buffered rows once the
+    * watermark passes the interval bound, the required shape for an
+    * unbounded 100 TB/day stream.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+      col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(
+      col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+      col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"))
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each digest.
     * `dropDuplicates` over (digest) with a watermark bounds state the
     * way production streaming dedup must — old digests age out once

@@ -76,6 +76,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val errors = MemoryStream[StreamEvent]
+    val clicks = MemoryStream[StreamEvent]
+    val joined = StreamingOps.intervalJoin(
+      errors.toDF(), clicks.toDF(), keyCol = "user_id", tsCol = "ts",
+      windowMs = 30 * 60000L, watermarkDelay = "1 minute")
+    val q = joined.writeStream.format("memory")
+      .queryName("ij").outputMode("append").start()
+    try {
+      errors.addData(ev(1, 1000, "error"), ev(2, 1000, "error"))
+      clicks.addData(
+        ev(1, 1010, "click"), // inside user 1's window
+        ev(1, 1040, "click"), // outside (>= +30min)
+        ev(2, 999, "click")) // before the window
+      runToCompletion(q)
+      val rows = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(4).getTime / 60000))
+      assert(rows.toSeq == Seq((1L, 1010L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per digest within watermark") {
     val ss = spark
     import ss.implicits._
