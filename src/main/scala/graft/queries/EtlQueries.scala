@@ -133,5 +133,31 @@ object EtlQueries {
              CAST(count(*) AS BIGINT) AS total_rows
       FROM nation"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18)
+  val q48 = Q(
+    "q48_partition_pruning",
+    (s, dir) => {
+      val io = new DatasetIO(s)
+      val tmp = Files.createTempDirectory("graft_part_").toString
+      io.write(io.read(s"$dir/orders.parquet"), s"file:$tmp/orders_part",
+        partitionBy = Seq("o_orderstatus"))
+      // the filter prunes to ONE partition directory (PartitionFilters
+      // in the scan — asserted in PlanHygieneSpec)
+      io.read(s"file:$tmp/orders_part")
+        .where(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          Numerics.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS order_cnt,
+             ${Numerics.sqlMoneySum("o_totalprice")} AS total_price
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48)
 }

@@ -63,16 +63,57 @@ final class DatasetIO(spark: SparkSession) {
     reader.load(matches.map(_.path): _*)
   }
 
-  /** Persist a DataFrame to `path` (the upload blueprint). */
+  /** Persist a DataFrame to `path` (the upload blueprint).
+    * `partitionBy` lays the dataset out as one directory per value
+    * combination — the object-store layout that lets later scans prune
+    * whole partitions (PartitionFilters) instead of reading bytes.
+    */
   def write(
       df: DataFrame,
       path: String,
       format: Option[String] = None,
       saveMode: String = "overwrite",
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): Unit = {
     val fmt = format.getOrElse(inferFormat(path))
-    df.write.format(fmt).options(defaultOptions(fmt) ++ options)
-      .mode(saveMode).save(path)
+    var w = df.write.format(fmt).options(defaultOptions(fmt) ++ options)
+      .mode(saveMode)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+
+  /** Compact a dataset's small files: rewrite with `repartition` sized
+    * by the data's actual bytes / `targetBytesPerFile` — the
+    * maintenance op every object-store table needs once streaming or
+    * many-task writes fragment it (each S3 GET/LIST costs latency and
+    * money; scans want ~128 MB objects). Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(
+      path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      format: Option[String] = None): (Int, Int) = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    def dataFiles() = {
+      val it = fs.listFiles(p, /*recursive=*/ true)
+      var files = List.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) files ::= f
+      }
+      files
+    }
+    val before = dataFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytesPerFile).toInt)
+    val df = read(path, format)
+    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    write(df.repartition(nFiles), tmp.toString, format)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (before.size, dataFiles().size)
   }
 
   /** Move datasets matching `pattern` from `srcDir` to `dstDir`,

@@ -91,6 +91,14 @@ class PlanHygieneSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"))
   }
 
+  test("q48 prunes partitions at the scan") {
+    val plan = planOf("q48_partition_pruning")
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderstatus"),
+      s"no partition filter in scan: $scanLine")
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

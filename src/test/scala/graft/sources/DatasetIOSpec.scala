@@ -27,6 +27,30 @@ class DatasetIOSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned write lays out one directory per value") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    io.write(nation, s"file:$tmp/nation_part",
+      partitionBy = Seq("n_regionkey"))
+    val dirs = new java.io.File(s"$tmp/nation_part").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("n_regionkey=")))
+    assert(dirs.length == nation.select("n_regionkey").distinct().count())
+    // roundtrip intact (partition col restored from the path)
+    val back = io.read(s"file:$tmp/nation_part")
+    assert(back.count() == nation.count())
+  }
+
+  test("compact merges small files and preserves data") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val path = s"file:$tmp/frag.parquet"
+    // fragment: 25 rows over ~12 files
+    io.write(nation.repartition(12), path)
+    val (before, after) = io.compact(path, targetBytesPerFile = 64L * 1024 * 1024)
+    assert(before >= 10, s"expected fragmented input, got $before files")
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    assert(io.read(path).count() == nation.count())
+  }
+
   test("readMatched unions all regex matches in one scan") {
     val tmp = Files.createTempDirectory("graft_io_").toString
     io.write(nation.where(col("n_nationkey") < 10), s"file:$tmp/part_a.parquet")
