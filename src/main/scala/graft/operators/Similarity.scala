@@ -71,6 +71,9 @@ object Similarity {
 
   /** Scan-side projection: double vector + its norm, computed exactly
     * once per vector (the norm is reused across every candidate pair).
+    * Zero-norm (empty or all-zero) vectors are excluded — cosine is
+    * undefined for them, and under ANSI mode the division would throw
+    * at runtime instead of yielding a quiet NaN.
     */
   private def prepVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
@@ -79,6 +82,7 @@ object Similarity {
       Vectors.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm",
         sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
   }
 
   /** cos(a,b) from a precomputed-norm pair — the same

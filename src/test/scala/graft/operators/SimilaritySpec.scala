@@ -58,6 +58,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(topk.head.getInt(2) == 1)
   }
 
+  test("zero-norm vectors are excluded instead of crashing ANSI division") {
+    val withZero = spark.createDataFrame(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)), // zero vector: cosine undefined
+      (3L, Seq.empty[Float]), // empty vector
+      (4L, Seq(0.9f, 0.1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.ivfTopK(
+      withZero.where("vec_id = 1"), withZero, "vec_id", "embedding",
+      dim = 4, k = 3, nCells = 4, nProbe = 2).collect()
+    assert(topk.map(_.getLong(1)).toSet == Set(4L)) // 2 and 3 excluded
+    assert(Similarity.embeddingNearDup(
+      withZero, "vec_id", "embedding", dim = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 4L)))
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplaneValues(3, 8) == Similarity.hyperplaneValues(3, 8))
     val v = Similarity.hyperplaneValues(0, 64)
