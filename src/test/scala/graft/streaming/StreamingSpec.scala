@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.SparkTestBase
@@ -120,6 +121,50 @@ class StreamingSpec extends SparkTestBase {
       assert(texts.length == 2, s"got: ${texts.mkString("|")}")
       assert(texts.map(_.trim.toLowerCase).toSet
         == Set("alpha doc", "beta doc"))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch operator on the same events") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    // deterministic multi-user event set: bursts split by >30min gaps
+    val events = Seq(
+      ev(1, 100), ev(1, 110), ev(1, 125), // session A (3 events)
+      ev(1, 200), ev(1, 205), // session B (2)
+      ev(2, 100), // session C (1)
+      ev(2, 180), ev(2, 199)) // session D (2)
+    val gapMs = 30 * 60000L
+
+    // batch reference
+    val batchDf = events.toDF()
+      .select(col("user_id"), (col("ts").cast("long") * 1000).as("ms"),
+        monotonically_increasing_id().as("tie"))
+    val batch = graft.operators.Sessionize(
+      batchDf, "user_id", "ms", "tie", gapMs)
+      .select("user_id", "n_events", "start_ms", "end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // streaming: same events + a far-future sentinel to advance the
+    // watermark past every session's timeout
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionize(
+      input.toDS(), gapMs, watermarkDelay = "1 minute")
+      .writeStream.format("memory")
+      .queryName("parity").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      runToCompletion(q)
+      input.addData(ev(9999, 100000))
+      runToCompletion(q)
+      input.addData(ev(9999, 100001))
+      runToCompletion(q)
+      val streamed = spark.table("parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 9999L).toSet
+      assert(streamed == batch,
+        s"streaming $streamed != batch $batch")
     } finally q.stop()
   }
 
