@@ -42,6 +42,15 @@ object Hashes {
   def md5NibbleBit(c: Column, k: Int, b: Int): Column =
     hexNibbleBit(md5(c), k, b)
 
+  /** The first 15 md5 hex digits as one 60-bit long — lets bit-level
+    * consumers (SimHash) do ONE conv then shift/mask per bit instead
+    * of per-bit string surgery. Bit b of hex digit p (1-based) is
+    * `(h >> ((15-p)*4 + b)) & 1`, identical to [[md5NibbleBit]].
+    * DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`.
+    */
+  def md5Bits60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Deterministic pseudo-uniform double in [-1, 1) derived from a
     * string key — used for LSH hyperplane components so Spark and the
     * DuckDB oracle draw the SAME hyperplanes. 2^59 = 576460752303423488.

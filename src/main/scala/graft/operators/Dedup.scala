@@ -250,10 +250,13 @@ object Dedup {
     val perShingle = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol).cast("long").as("id"),
         explode_outer(shingleExpr).as("sh"))
-      .select(col("id"), md5(col("sh")).as("m"))
+      .select(col("id"), Hashes.md5Bits60(col("sh")).as("h"))
+    // sig bit k = bit (k%4) of md5 hex digit (1+k/4); over the 60-bit
+    // numeric form that's one shift+mask per bit instead of per-bit
+    // string surgery (substring+instr) — ~3× less per-shingle work.
     val bitSums = (0 until 16).map { k =>
-      sum(Hashes.hexNibbleBit(col("m"), 1 + k / 4, k % 4) * 2 - 1)
-        .as(s"bs_$k")
+      val shift = (14 - k / 4) * 4 + k % 4
+      sum(shiftright(col("h"), shift).bitwiseAND(1) * 2 - 1).as(s"bs_$k")
     }
     perShingle
       .groupBy("id")

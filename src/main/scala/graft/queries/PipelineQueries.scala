@@ -110,11 +110,12 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
     Some {
+      // bit k of the signature = bit ((14-k/4)*4 + k%4) of the 60-bit
+      // numeric md5 prefix — same derivation as Hashes.md5Bits60
       val terms = (0 until 16).map { k =>
-        val pos = 1 + k / 4
-        val pow = 1 << (k % 4)
-        s"""(CASE WHEN list_sum([2*(((strpos('0123456789abcdef',
-           substr(md5(x), $pos, 1))-1)//$pow)%2)-1 for x in sh]) > 0
+        val shift = (14 - k / 4) * 4 + k % 4
+        s"""(CASE WHEN list_sum([2*((('0x'||substr(md5(x),1,15))::BIGINT
+           >> $shift) & 1)-1 for x in sh]) > 0
            THEN ${1 << k} ELSE 0 END)"""
       }.mkString(" + ")
       s"""
