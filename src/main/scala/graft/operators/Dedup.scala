@@ -84,6 +84,26 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (id, band, key) band signature rows — the joinable LSH form shared
+    * by full and incremental candidate generation.
+    */
+  def bandedSignatures(
+      df: DataFrame,
+      id: Column,
+      shingles: Column,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    // Shingle-less docs (shorter than the shingle width) simply vanish
+    // at the explode — they can never reach a Jaccard threshold anyway.
+    val withSig = minhashSignatures(df, id, shingles, bands * rowsPerBand)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+    }
+    withSig
+      .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
+
   /** LSH candidate pairs: band the signature (`bands` bands of
     * `rowsPerBand` hashes), explode to (band, key), self-join within
     * (band, key) buckets only. `maxBucket` (optional) drops degenerate
@@ -97,15 +117,7 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       maxBucket: Option[Int] = None): DataFrame = {
-    // Shingle-less docs (shorter than the shingle width) simply vanish
-    // at the explode — they can never reach a Jaccard threshold anyway.
-    val withSig = minhashSignatures(df, id, shingles, bands * rowsPerBand)
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-    }
-    val banded0 = withSig
-      .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val banded0 = bandedSignatures(df, id, shingles, bands, rowsPerBand)
     val banded = maxBucket match {
       case Some(cap) =>
         // One extra aggregation to measure buckets; giant buckets are
@@ -155,6 +167,55 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
+        Numerics.fix4(col("jaccard")).as("jaccard_sim"))
+  }
+
+  /** Incremental near-dedup: find near-dup pairs TOUCHING a fresh batch
+    * — fresh×base and fresh×fresh, never base×base. The daily-ingest
+    * shape: with |fresh| << |base|, candidate generation probes the
+    * (cached or stored) base band signatures with only the fresh side,
+    * so per-batch cost is O(fresh × bucket), not O(corpus²).
+    * Output matches [[minhashNearDup]] restricted to pairs with at
+    * least one fresh member: (id_a, id_b, jaccard_sim), id_a < id_b.
+    * Ids must be unique across base ∪ fresh.
+    */
+  def incrementalNearDup(
+      base: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val shingleExpr =
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+    val freshP = graft.SparkUtil.ensureParallelism(fresh)
+    val baseP = graft.SparkUtil.ensureParallelism(base)
+    val fb = bandedSignatures(
+      freshP, col(idCol), shingleExpr, bands, rowsPerBand)
+    val allB = bandedSignatures(
+        baseP, col(idCol), shingleExpr, bands, rowsPerBand)
+      .unionAll(fb)
+    val candidates = fb.select(col("band"), col("key"), col("id").as("id_f"))
+      .join(allB.select(col("band"), col("key"), col("id").as("id_o")),
+        Seq("band", "key"))
+      .where(col("id_f") =!= col("id_o"))
+      .select(
+        least(col("id_f"), col("id_o")).as("id_a"),
+        greatest(col("id_f"), col("id_o")).as("id_b"))
+      .distinct()
+    val docs = baseP.unionAll(freshP)
+      .select(col(idCol).as("id"), shingleExpr.as("shingles"))
+    val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Texts.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
   }
 

@@ -342,6 +342,27 @@ object PipelineQueries {
              sha256(text) AS content_sha
       FROM documents ORDER BY doc_id"""))
 
+  // ---- q49: incremental near-dedup (fresh batch vs existing corpus) ----
+
+  val q49 = Q(
+    "q49_dedup_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDup(
+          base = d.where(col("doc_id") % 10 =!= 0),
+          fresh = d.where(col("doc_id") % 10 === 0),
+          "doc_id", "text",
+          shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      SELECT doc_a, doc_b, jaccard_sim
+      FROM (${jaccardPairsSql(3, 0.6)})
+      WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49)
 }

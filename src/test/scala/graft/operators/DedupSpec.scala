@@ -58,6 +58,23 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("incremental near-dedup reports only pairs touching the fresh batch") {
+    // 1≈4 (base×base dup), 2≈6 (fresh×base), 6≈7 (fresh×fresh)
+    val base = docsDF(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a completely different set of words describing spark joins in detail"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val fresh = docsDF(
+      (6L, "a completely different set of words describing spark joins in detail"),
+      (7L, "a completely different set of words describing spark joins in depth"))
+    val pairs = Dedup.incrementalNearDup(base, fresh, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 6L))) // fresh vs base
+    assert(pairs.contains((6L, 7L))) // fresh vs fresh
+    assert(!pairs.contains((1L, 4L)), "base-only pair must not be probed")
+  }
+
   test("documents shorter than the shingle width produce no candidates") {
     val tiny = docsDF((1L, "one two"), (2L, "one two"), (3L, "x"))
     assert(Dedup.minhashNearDup(tiny, "doc_id", "text").count() == 0)
