@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology: one untimed warm-up run per query (whole-stage-codegen
+  * compilation + JIT dominate single cold runs in one JVM — measured
+  * 3.5× swing round 2), then min of N timed runs. The headline `value`
+  * and `queries` are the warm minimums — regressions in them are
+  * attributable to plan/data changes, not machine state. The cold
+  * first-run times are reported alongside (`cold_total` /
+  * `queries_cold`) since cold compile cost is real too.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val timedRuns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,20 +26,26 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest SF: JVM/JIT, parquet reader and
-    // shuffle paths are shared across queries — measure steady state,
-    // not one-time process startup folded into whichever query runs
-    // first.
+    // Process-level warmup: JVM, parquet reader and shuffle paths.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val cold = time(fn) // first run: codegen compile + cache misses
+      val warm = (1 to timedRuns).map(_ => time(fn)).min
+      name -> (cold, warm)
+    }
+    def j(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = results.values.map(_._1).sum
+    val warmTotal = results.values.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${j(_._2)},"cold_total":$coldTotal,"queries_cold":${j(_._1)},"runs":$timedRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,10 +10,21 @@ object SparkUtil {
     * and would serialize the whole stage on one core; at production
     * scale scans already exceed the target and this is a no-op (no
     * shuffle inserted).
+    *
+    * Plan-free guard: logical-plan size statistics (file-index byte
+    * sums — already computed at analysis) against the scan packer's
+    * `files.maxPartitionBytes`. Inputs big enough that the scan itself
+    * yields >= target partitions are left untouched; touching `.rdd`
+    * here would force eager physical planning of the whole query on
+    * every operator entry (and throw on streaming inputs).
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.isStreaming) return df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val perPartition = sess.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    if (bytes < BigInt(target) * perPartition) df.repartition(target) else df
   }
 
   /** Skew-salted inner equi-join: the skewed (large) side gets a

@@ -1,7 +1,5 @@
 package graft.multimodal
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -75,23 +73,39 @@ object Multimodal {
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
 
-  /** Per-partition feature extraction over the binary column. One pass,
-    * one MessageDigest per record, no shuffle.
+  /** Deterministic byte-level features as pure Column expressions —
+    * `byte_len`/`header_hex`/`content_sha` are exactly the codegen'd
+    * `length`/`hex(substring)`/`sha2` built-ins, so they stay inside
+    * whole-stage codegen with no typed pass and no per-record
+    * MessageDigest allocation.
+    */
+  def deterministicFeatures(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col("media")).cast("long").as("byte_len"),
+      upper(hex(substring(col("media"), 1, 4))).as("header_hex"),
+      sha2(col("media"), 256).as("content_sha"))
+
+  /** Full feature extraction: deterministic features via the codegen'd
+    * Columns above; ONLY the (stubbed) codec runs in the typed
+    * per-partition pass, so the decode's cost never taxes the real
+    * features.
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      it.map { r =>
-        val sha = MessageDigest.getInstance("SHA-256").digest(r.media)
-        val header = r.media.take(4).map(b => f"$b%02X").mkString
-        MediaFeatures(
-          doc_id = r.doc_id,
-          byte_len = r.media.length.toLong,
-          header_hex = header,
-          content_sha = sha.map(b => f"$b%02x").mkString,
-          width = decodeDimensionsStub(r.media)._1,
-          height = decodeDimensionsStub(r.media)._2)
+    ds.toDF()
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("byte_len"),
+        upper(hex(substring(col("media"), 1, 4))).as("header_hex"),
+        sha2(col("media"), 256).as("content_sha"),
+        col("media"))
+      .as[(Long, Long, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, len, hdr, sha, media) =>
+          val (w, h) = decodeDimensionsStub(media)
+          MediaFeatures(id, len, hdr, sha, w, h)
+        }
       }
-    }
   }
 }

@@ -170,14 +170,98 @@ object Dedup {
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
   }
 
-  /** Incremental near-dedup: find near-dup pairs TOUCHING a fresh batch
-    * — fresh×base and fresh×fresh, never base×base. The daily-ingest
-    * shape: with |fresh| << |base|, candidate generation probes the
-    * (cached or stored) base band signatures with only the fresh side,
-    * so per-batch cost is O(fresh × bucket), not O(corpus²).
-    * Output matches [[minhashNearDup]] restricted to pairs with at
+  /** Precompute the (id, band, key) band signatures for a corpus — the
+    * state a production incremental pipeline PERSISTS between batches
+    * (write this DataFrame out once; per batch, read it back and append
+    * [[IncrementalDedup.freshSignatures]]).
+    */
+  def bandSignaturesFor(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3): DataFrame =
+    bandedSignatures(
+      graft.SparkUtil.ensureParallelism(df),
+      col(idCol),
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth),
+      bands, rowsPerBand)
+
+  /** One incremental batch's output: verified near-dup `pairs` touching
+    * the fresh batch, plus the fresh batch's band `freshSignatures` —
+    * append the latter to the stored base signatures so the NEXT batch
+    * never re-signatures this one.
+    */
+  final case class IncrementalDedup(pairs: DataFrame, freshSignatures: DataFrame)
+
+  /** Incremental near-dedup against PRECOMPUTED base band signatures:
+    * fresh×base and fresh×fresh, never base×base — and, critically,
+    * never re-signaturing the base. Per-batch work is O(fresh) signature
+    * computation + one probe join against the stored signatures + exact
+    * verification of the candidate pairs only (`baseDocs` text is
+    * shingled ONLY for ids that appear in some candidate pair, via a
+    * semi join — at 100 TB the base scan streams but the expensive
+    * shingle+Jaccard math touches candidates alone).
+    *
+    * Output pairs match [[minhashNearDup]] restricted to pairs with at
     * least one fresh member: (id_a, id_b, jaccard_sim), id_a < id_b.
     * Ids must be unique across base ∪ fresh.
+    */
+  def incrementalNearDupFromSignatures(
+      baseSignatures: DataFrame,
+      baseDocs: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.6): IncrementalDedup = {
+    val shingleExpr =
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+    val freshP = graft.SparkUtil.ensureParallelism(fresh)
+    val fb = bandedSignatures(
+      freshP, col(idCol), shingleExpr, bands, rowsPerBand)
+    val allB = baseSignatures.select("id", "band", "key").unionAll(fb)
+    val candidates = fb.select(col("band"), col("key"), col("id").as("id_f"))
+      .join(allB.select(col("band"), col("key"), col("id").as("id_o")),
+        Seq("band", "key"))
+      .where(col("id_f") =!= col("id_o"))
+      .select(
+        least(col("id_f"), col("id_o")).as("id_a"),
+        greatest(col("id_f"), col("id_o")).as("id_b"))
+      .distinct()
+    // Verify only candidates: semi-join the text sources down to ids
+    // that appear in some pair BEFORE shingling, so the interpreted
+    // shingle tree runs on candidate rows, not the whole corpus.
+    val candIds = candidates.select(col("id_a").as("cid"))
+      .unionAll(candidates.select(col("id_b").as("cid")))
+      .distinct()
+    val allDocs = baseDocs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .unionAll(freshP.select(col(idCol).as("id"), col(textCol).as("t")))
+    val needed = allDocs
+      .join(candIds, allDocs("id") === candIds("cid"), "left_semi")
+      .select(col("id"),
+        Texts.wordShingles(Texts.words(col("t")), shingleWidth).as("shingles"))
+    val shA = needed.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = needed.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val pairs = candidates
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Texts.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        Numerics.fix4(col("jaccard")).as("jaccard_sim"))
+    IncrementalDedup(pairs, fb)
+  }
+
+  /** Incremental near-dedup, end-to-end convenience: signatures the
+    * base in-line (first batch / no stored state yet). Steady-state
+    * pipelines should persist [[bandSignaturesFor]] output once and
+    * call [[incrementalNearDupFromSignatures]] per batch instead —
+    * that path never recomputes base signatures.
     */
   def incrementalNearDup(
       base: DataFrame,
@@ -187,49 +271,96 @@ object Dedup {
       shingleWidth: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    val shingleExpr =
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
-    val freshP = graft.SparkUtil.ensureParallelism(fresh)
-    val baseP = graft.SparkUtil.ensureParallelism(base)
-    val fb = bandedSignatures(
-      freshP, col(idCol), shingleExpr, bands, rowsPerBand)
-    val allB = bandedSignatures(
-        baseP, col(idCol), shingleExpr, bands, rowsPerBand)
-      .unionAll(fb)
-    val candidates = fb.select(col("band"), col("key"), col("id").as("id_f"))
-      .join(allB.select(col("band"), col("key"), col("id").as("id_o")),
-        Seq("band", "key"))
-      .where(col("id_f") =!= col("id_o"))
-      .select(
-        least(col("id_f"), col("id_o")).as("id_a"),
-        greatest(col("id_f"), col("id_o")).as("id_b"))
-      .distinct()
-    val docs = baseP.unionAll(freshP)
-      .select(col(idCol).as("id"), shingleExpr.as("shingles"))
-    val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    candidates
-      .join(shA, "id_a")
-      .join(shB, "id_b")
-      .select(col("id_a"), col("id_b"),
-        Texts.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        Numerics.fix4(col("jaccard")).as("jaccard_sim"))
+      threshold: Double = 0.6): DataFrame =
+    incrementalNearDupFromSignatures(
+      bandSignaturesFor(base, idCol, textCol, shingleWidth, bands, rowsPerBand),
+      base, fresh, idCol, textCol, shingleWidth, bands, rowsPerBand,
+      threshold).pairs
+
+  /** Connected components over a VERIFIED pair graph: every id in
+    * `allIds` gets a cluster label = min reachable id (singletons keep
+    * their own id). Takes the pairs as an input DataFrame so a pipeline
+    * that already materialized [[minhashNearDup]] output (or stored it
+    * as a table) resolves clusters without re-running the LSH pipeline.
+    *
+    * Iterative min-label propagation (the GraphX/GraphFrames CC shape)
+    * over ONLY the paired subgraph — at corpus scale orders of
+    * magnitude smaller than the corpus; every unpaired doc is trivially
+    * its own singleton (joined back in at the end). Each round is one
+    * hash join + a min-aggregate; rounds needed = graph diameter
+    * (near-dup clusters are near-cliques, so 1-2).
+    *
+    * Fault tolerance at 100 TB: when the SparkContext has a checkpoint
+    * dir configured, each round is RELIABLY checkpointed (survives
+    * executor loss — never `localCheckpoint`, whose blocks die with
+    * their executor); otherwise rounds are persisted and remain
+    * lineage-recoverable. The fixpoint signal is an exact changed-label
+    * count (no overflow-prone checksum arithmetic), and exhausting
+    * `maxIter` without convergence THROWS instead of silently returning
+    * wrong clusters.
+    */
+  def clustersFromPairs(
+      allIds: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sc = allIds.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.persist()
+    val sym = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+    // Self-loop edges make each round a SINGLE join + aggregate that
+    // references the previous labels exactly once: min-over-neighbors
+    // includes the node's own label via its self-loop. (Referencing
+    // labels twice — own ∪ messages — doubles the logical plan per
+    // round: exponential tree growth that OOMs plan stringification on
+    // long chains even when every round's data is persisted.)
+    val edges = materialize(
+      sym.unionAll(sym.select(col("src"))
+        .distinct().select(col("src"), col("src").as("dst"))))
+    var labels = materialize(
+      edges.where(col("src") === col("dst"))
+        .select(col("src").as("id"), col("src").as("label")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = materialize(
+        edges.join(labels.select(col("id").as("src"), col("label")), "src")
+          .groupBy(col("dst"))
+          .agg(
+            min(col("label")).as("label"),
+            // the self-loop carries the node's own previous label, so
+            // the round result itself answers "did anything change"
+            min(when(col("src") === col("dst"), col("label")))
+              .as("prev_label"))
+          .select(col("dst").as("id"), col("label"), col("prev_label")))
+      // exact fixpoint: #nodes whose label still dropped this round
+      val changed = next.where(col("label") < col("prev_label")).count()
+      converged = changed == 0L
+      if (!reliable) labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersFromPairs did not converge in $maxIter rounds — the " +
+          "duplicate graph's diameter exceeds maxIter; raise maxIter")
+    // Singletons rejoin here. The final labels stay materialized (tiny:
+    // one row per PAIRED doc); with a checkpoint dir they are reliable
+    // files and the persisted rounds have been released eagerly.
+    allIds.select(col(idCol).cast("long").as("id"))
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
-  /** Duplicate-cluster resolution: connected components over the
-    * verified near-dup pair graph, labels = min reachable id. Every doc
-    * gets a cluster (singletons keep their own id) — the step a real
-    * dedup pipeline runs after pair generation to pick one canonical
-    * doc per cluster.
-    *
-    * Iterative min-label propagation (the GraphX/GraphFrames CC shape):
-    * each round is two hash joins + a min-aggregate; rounds needed =
-    * graph diameter (near-dup clusters are near-cliques, so 1-2). The
-    * fixpoint check is a cheap monotone sum aggregate — an action per
-    * round, never a data collect. `maxIter` bounds adversarial chains.
+  /** Duplicate-cluster resolution end-to-end: LSH near-dup pairs (run
+    * once — [[clustersFromPairs]] materializes them as its edge set)
+    * then connected components. Pipelines that already stored verified
+    * pairs should call [[clustersFromPairs]] directly.
     */
   def dupClusters(
       df: DataFrame,
@@ -239,59 +370,11 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 3,
       threshold: Double = 0.6,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val pairs = minhashNearDup(
       df, idCol, textCol, shingleWidth, bands, rowsPerBand, threshold)
       .select(col("id_a"), col("id_b"))
-    // Persist per round (the GraphFrames CC pattern): without it the
-    // lineage of round n references round n-1 twice, and the whole LSH
-    // pipeline would re-execute a combinatorial number of times.
-    val edges = pairs
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .withColumnRenamed("id_a", "src")
-      .withColumnRenamed("id_b", "dst")
-      .persist()
-    // Iterate ONLY over nodes that appear in some pair — at corpus
-    // scale the paired subgraph is orders of magnitude smaller than the
-    // corpus, and every other doc is trivially its own singleton
-    // cluster (joined back in at the end).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
-    var converged = false
-    var iter = 0
-    var checksum = Long.MaxValue
-    while (!converged && iter < maxIter) {
-      // neighbor's label flows along each edge; keep the min seen
-      val msgs = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
-        .unionAll(msgs)
-        .groupBy("id")
-        .agg(min(col("label")).as("label"))
-        .persist()
-      // monotone-decreasing checksum: unchanged sum == fixpoint
-      // (null when the pair graph is empty -> 0, converges in 2 rounds)
-      val sumRow = next.agg(org.apache.spark.sql.functions.sum("label")).head
-      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      converged = sum == checksum
-      checksum = sum
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    // Singletons rejoin here; truncate the iterative lineage so callers
-    // neither recompute the loop nor depend on the persisted
-    // intermediates we now release.
-    val out = df.select(col(idCol).cast("long").as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("label"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
+    clustersFromPairs(df.select(col(idCol)), idCol, pairs, maxIter)
   }
 
   /** SimHash dedup view over (id, text): 16-bit per-doc signature, set

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{MediaRecord, Multimodal}
+import graft.multimodal.Multimodal
 import graft.functions.Numerics
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
@@ -327,14 +327,12 @@ object PipelineQueries {
 
   val q32 = Q(
     "q32_multimodal_meta",
-    (s, dir) => {
-      import s.implicits._
-      val packed = Multimodal.packText(docs(s, dir), "doc_id", "text")
-        .as[MediaRecord]
-      Multimodal.extractFeatures(packed)
-        .select("doc_id", "byte_len", "header_hex", "content_sha")
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      // pure codegen'd Column features — the typed decode pass
+      // (extractFeatures, stubbed codec) is exercised in MultimodalSpec
+      Multimodal.deterministicFeatures(
+          Multimodal.packText(docs(s, dir), "doc_id", "text"))
+        .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -42,6 +42,34 @@ class CurationSpec extends SparkTestBase {
     (2L to 20L by 2).foreach(i => assert(m(i) == 2L))
   }
 
+  test("clustersFromPairs resolves components from a stored pair table") {
+    val ss = spark
+    import ss.implicits._
+    val ids = spark.range(1, 8).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clustersFromPairs(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("clustersFromPairs throws instead of silently returning " +
+      "non-converged clusters") {
+    val ss = spark
+    import ss.implicits._
+    val ids = spark.range(1, 13).toDF("doc_id")
+    // a 12-node chain: diameter 11, min label walks one hop per round
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    // and with enough rounds the same chain fully collapses
+    val ok = Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
   test("splitColumn is deterministic, complete and respects rates") {
     val df = spark.range(0, 5000).toDF("id")
       .select(col("id"), Sampling.splitColumn(col("id"), 800, 100).as("split"))

@@ -75,6 +75,54 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)), "base-only pair must not be probed")
   }
 
+  test("precomputed-signature incremental path: same pairs, and the base " +
+      "text never reaches a signature aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_").toString
+    docsDF(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a completely different set of words describing spark joins in detail"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .write.parquet(s"file:$tmp/base_docs")
+    docsDF(
+      (6L, "a completely different set of words describing spark joins in detail"),
+      (7L, "a completely different set of words describing spark joins in depth"))
+      .write.parquet(s"file:$tmp/fresh_docs")
+    val baseDocs = spark.read.parquet(s"file:$tmp/base_docs")
+    val fresh = spark.read.parquet(s"file:$tmp/fresh_docs")
+    // the persisted state a steady-state pipeline would store between
+    // batches: base band signatures written once, read back per batch
+    Dedup.bandSignaturesFor(baseDocs, "doc_id", "text")
+      .write.parquet(s"file:$tmp/base_sigs")
+    val baseSigs = spark.read.parquet(s"file:$tmp/base_sigs")
+
+    val res = Dedup.incrementalNearDupFromSignatures(
+      baseSigs, baseDocs, fresh, "doc_id", "text", threshold = 0.5)
+    val got = res.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 6L), (2L, 7L), (6L, 7L)))
+    // fresh signatures are appendable state: same shape as the store
+    assert(res.freshSignatures.columns.toSeq == Seq("id", "band", "key"))
+    assert(res.freshSignatures.select("id").distinct().count() == 2)
+
+    // plan assert: every minhash-signature aggregate reads ONLY the
+    // fresh scan — the base text is never re-signatured
+    val sigAggs = res.pairs.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.name.startsWith("mh_")) => a
+    }
+    assert(sigAggs.nonEmpty, "expected a signature aggregate in the plan")
+    sigAggs.foreach { a =>
+      val roots = a.collect { case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(roots.nonEmpty && roots.forall(_.contains("fresh_docs")),
+        s"signature aggregate reads non-fresh inputs: $roots")
+    }
+  }
+
   test("documents shorter than the shingle width produce no candidates") {
     val tiny = docsDF((1L, "one two"), (2L, "one two"), (3L, "x"))
     assert(Dedup.minhashNearDup(tiny, "doc_id", "text").count() == 0)
