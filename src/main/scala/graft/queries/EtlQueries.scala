@@ -16,6 +16,24 @@ import graft.sources.{DatasetCatalog, DatasetIO, MatchMode}
   */
 object EtlQueries {
 
+  /** One per-JVM scratch root for the write-path queries, removed on
+    * JVM exit — repeated Bench/Verify invocations reuse it instead of
+    * leaking a fresh temp dir per run.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root.toFile)))
+    root
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(scratchRoot, prefix).toString
+
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_name", StringType),
@@ -59,7 +77,7 @@ object EtlQueries {
     "q03_read_csv_roundtrip",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = Files.createTempDirectory("graft_csv_").toString
+      val tmp = scratch("csv")
       val csvPath = s"file:$tmp/customer.csv"
       io.write(io.read(s"$dir/customer.parquet"), csvPath)
       io.read(csvPath, schema = Some(customerSchema))
@@ -96,8 +114,8 @@ object EtlQueries {
     "q17_move_dataset",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmpA = Files.createTempDirectory("graft_mv_a_").toString
-      val tmpB = Files.createTempDirectory("graft_mv_b_").toString
+      val tmpA = scratch("mv_a")
+      val tmpB = scratch("mv_b")
       io.write(io.read(s"$dir/nation.parquet"), s"file:$tmpA/nation_copy.parquet")
       io.move(s"file:$tmpA", "nation_copy.parquet", MatchMode.Exact,
         s"file:$tmpB", destName = Some("nation_moved.parquet"))
@@ -116,7 +134,7 @@ object EtlQueries {
     "q18_remove_matched",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = Files.createTempDirectory("graft_rm_").toString
+      val tmp = scratch("rm")
       io.write(io.read(s"$dir/nation.parquet"), s"file:$tmp/keep_nation.parquet")
       io.write(io.read(s"$dir/region.parquet"), s"file:$tmp/rm_region.parquet")
       io.write(io.read(s"$dir/region.parquet"), s"file:$tmp/rm_region2.parquet")
@@ -137,7 +155,7 @@ object EtlQueries {
     "q48_partition_pruning",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = Files.createTempDirectory("graft_part_").toString
+      val tmp = scratch("part")
       io.write(io.read(s"$dir/orders.parquet"), s"file:$tmp/orders_part",
         partitionBy = Seq("o_orderstatus"))
       // the filter prunes to ONE partition directory (PartitionFilters
@@ -159,5 +177,32 @@ object EtlQueries {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48)
+  /** Recursive glob selection over a nested tree — the reference
+    * upload's recursive two-star `{folder}` walk (upload_file.py:174-182):
+    * lay customer
+    * out as one directory per segment, then select only the BUILDING
+    * subtree's data files with a `seg=B*&#47;*.parquet` glob and read
+    * them as one scan. Leaf files carry no partition column, so the
+    * aggregate proves the selection picked exactly that subtree.
+    */
+  val q50 = Q(
+    "q50_glob_select_tree",
+    (s, dir) => {
+      val io = new DatasetIO(s)
+      val tmp = scratch("glob")
+      io.write(io.read(s"$dir/customer.parquet"), s"file:$tmp/ctree",
+        partitionBy = Seq("c_mktsegment"))
+      io.readMatched(s"file:$tmp/ctree", "c_mktsegment=B*/*.parquet",
+          MatchMode.Glob, recursive = true)
+        .agg(
+          count(lit(1)).as("cust_cnt"),
+          Numerics.moneySum(col("c_acctbal")).as("acctbal_sum"))
+    },
+    Some(s"""
+      SELECT CAST(count(*) AS BIGINT) AS cust_cnt,
+             ${Numerics.sqlMoneySum("c_acctbal")} AS acctbal_sum
+      FROM customer
+      WHERE c_mktsegment LIKE 'B%'"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50)
 }

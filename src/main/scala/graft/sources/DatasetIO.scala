@@ -44,10 +44,13 @@ final class DatasetIO(spark: SparkSession) {
     reader.load(path)
   }
 
-  /** Select by exact name or regex under `dir` and read all matches as
-    * one DataFrame (a multi-path scan — one Spark job, not a
-    * per-file loop). The matched files must share a schema, as the
-    * reference's multi-download shares one destination naming scheme.
+  /** Select by exact name, regex or glob under `dir` and read all
+    * matches as one DataFrame (a multi-path scan — one Spark job, not a
+    * per-file loop). With `recursive = true` patterns match
+    * dir-relative paths across the whole tree (`**&#47;*.csv`-style),
+    * the upload blueprint's recursive selection. The matched files must
+    * share a schema, as the reference's multi-download shares one
+    * destination naming scheme.
     */
   def readMatched(
       dir: String,
@@ -55,8 +58,11 @@ final class DatasetIO(spark: SparkSession) {
       mode: MatchMode,
       format: Option[String] = None,
       schema: Option[StructType] = None,
-      options: Map[String, String] = Map.empty): DataFrame = {
-    val matches = catalog.select(dir, pattern, mode)
+      options: Map[String, String] = Map.empty,
+      recursive: Boolean = false): DataFrame = {
+    val matches =
+      if (recursive) catalog.selectRecursive(dir, pattern, mode)
+      else catalog.select(dir, pattern, mode)
     val fmt = format.getOrElse(inferFormat(matches.head.path))
     var reader = spark.read.format(fmt).options(defaultOptions(fmt) ++ options)
     schema.foreach(s => reader = reader.schema(s))
@@ -88,6 +94,14 @@ final class DatasetIO(spark: SparkSession) {
     * many-task writes fragment it (each S3 GET/LIST costs latency and
     * money; scans want ~128 MB objects). Returns (filesBefore,
     * filesAfter).
+    *
+    * A partitioned layout (`col=value` directories) is detected and
+    * REAPPLIED — the rewrite repartitions by the partition columns (one
+    * file per partition value per task) and writes with the same
+    * `partitionBy`, so later scans keep partition pruning. The swap is
+    * rename-aside (original → `.<name>_compact_old`, tmp → original,
+    * delete old): no window where the dataset exists only under a tmp
+    * name, and a crash mid-swap leaves the data recoverable.
     */
   def compact(
       path: String,
@@ -95,7 +109,7 @@ final class DatasetIO(spark: SparkSession) {
       format: Option[String] = None): (Int, Int) = {
     val p = new Path(path)
     val fs = fsFor(p)
-    def dataFiles() = {
+    def dataFiles() = graft.sources.GraftException.translatingAuth(s"compact $path") {
       val it = fs.listFiles(p, /*recursive=*/ true)
       var files = List.empty[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
@@ -108,11 +122,29 @@ final class DatasetIO(spark: SparkSession) {
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(
       totalBytes.toDouble / targetBytesPerFile).toInt)
+    // partition columns, from the `col=value` dir components between the
+    // dataset root and any data file (hive layout is uniform)
+    val partCols: Seq[String] = before.headOption.toSeq.flatMap { f =>
+      Iterator.iterate(f.getPath.getParent)(_.getParent)
+        .takeWhile(d => d != null && d != p)
+        .map(_.getName).toSeq.reverse
+        .filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))
+    }
     val df = read(path, format)
+    val rewritten =
+      if (partCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
-    write(df.repartition(nFiles), tmp.toString, format)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val old = new Path(p.getParent, s".${p.getName}_compact_old")
+    write(rewritten, tmp.toString, format, partitionBy = partCols)
+    graft.sources.GraftException.translatingAuth(s"compact $path") {
+      fs.delete(old, true) // stale leftover from an earlier crash
+      fs.rename(p, old)
+      fs.rename(tmp, p)
+      fs.delete(old, true)
+    }
     (before.size, dataFiles().size)
   }
 
@@ -134,19 +166,23 @@ final class DatasetIO(spark: SparkSession) {
     val multi = matches.size > 1
     val dstRoot = new Path(dstDir)
     val dstFs = fsFor(dstRoot)
-    if (!dstFs.exists(dstRoot)) dstFs.mkdirs(dstRoot)
+    graft.sources.GraftException.translatingAuth(s"move to $dstDir") {
+      if (!dstFs.exists(dstRoot)) dstFs.mkdirs(dstRoot)
+    }
     matches.zipWithIndex.map { case (ref, i) =>
       val name = PathUtil.destinationName(
         ref.path, destName, if (multi) Some(i + 1) else None)
       val src = new Path(ref.path)
       val dst = new Path(dstRoot, name)
-      val srcFs = fsFor(src)
-      val sameFs = srcFs.getUri == dstFs.getUri
-      val renamed = sameFs && srcFs.rename(src, dst)
-      if (!renamed) {
-        // Cross-filesystem (e.g. file:// -> s3a://): copy then delete.
-        FileUtil.copy(srcFs, src, dstFs, dst, /*deleteSource=*/ true,
-          /*overwrite=*/ true, hadoopConf)
+      graft.sources.GraftException.translatingAuth(s"move ${ref.path}") {
+        val srcFs = fsFor(src)
+        val sameFs = srcFs.getUri == dstFs.getUri
+        val renamed = sameFs && srcFs.rename(src, dst)
+        if (!renamed) {
+          // Cross-filesystem (e.g. file:// -> s3a://): copy then delete.
+          FileUtil.copy(srcFs, src, dstFs, dst, /*deleteSource=*/ true,
+            /*overwrite=*/ true, hadoopConf)
+        }
       }
       ref.path -> dst.toString
     }
@@ -159,7 +195,9 @@ final class DatasetIO(spark: SparkSession) {
     val matches = catalog.select(dir, pattern, mode)
     matches.map { ref =>
       val p = new Path(ref.path)
-      fsFor(p).delete(p, /*recursive=*/ true)
+      graft.sources.GraftException.translatingAuth(s"remove ${ref.path}") {
+        fsFor(p).delete(p, /*recursive=*/ true)
+      }
       ref.path
     }
   }

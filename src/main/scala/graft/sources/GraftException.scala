@@ -18,6 +18,22 @@ object GraftException {
   val ExitFileNotFound = 201
   val ExitInvalidCredentials = 202
   val ExitInvalidRegex = 203
+
+  /** Run a filesystem operation, translating the auth failures the
+    * Hadoop clients raise (S3A surfaces HTTP 403 as
+    * `java.nio.file.AccessDeniedException`; HDFS raises
+    * `AccessControlException`) into the typed exit-202 failure — the
+    * analog of the reference's credential-error mapping
+    * (move_file.py:143-151).
+    */
+  private[sources] def translatingAuth[T](context: String)(body: => T): T =
+    try body
+    catch {
+      case e: java.nio.file.AccessDeniedException =>
+        throw InvalidCredentialsException(context, e)
+      case e: org.apache.hadoop.security.AccessControlException =>
+        throw InvalidCredentialsException(context, e)
+    }
 }
 
 /** No object/dataset matched the requested name or pattern (exit 201). */

@@ -68,6 +68,33 @@ object PathUtil {
       case None => baseName(sourcePath)
     }
 
+  /** Translate a shell-style glob to an anchored regex over '/'-
+    * separated relative paths: `*` and `?` stay within one path
+    * segment, `**` crosses segments, and a leading-or-mid `**&#47;`
+    * also matches zero directories (so `**&#47;*.csv` matches both
+    * `a.csv` and `sub/a.csv`) — the semantics of the reference
+    * upload's recursive two-star `{folder}` walk (upload_file.py:174-182).
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if glob.startsWith("**/", i) =>
+          sb.append("(?:.*/)?"); i += 2
+        case '*' if glob.startsWith("**", i) =>
+          sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 =>
+          sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append("$").toString
+  }
+
   /** Full destination path: folder + resolved destination name. */
   def destinationPath(
       destFolder: String,

@@ -4,20 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Credential/config injection — the Spark-native analog of the
   * reference's env-var seeding (`set_environment_variables`,
-  * download_file.py:60-71) and client config
-  * (`connect_to_s3`, download_file.py:74-85).
+  * download_file.py:60-71), client config (`connect_to_s3`,
+  * download_file.py:74-85), and the upload blueprint's object-level
+  * `extra_args` (SSE/ACL, upload_file.py:197-214).
   *
   * On a cluster the same DataFrame code drives `s3a://` URIs; locally it
-  * drives `file://`. Credentials land in the Hadoop configuration that
+  * drives `file://`. Everything lands in the Hadoop configuration that
   * every executor's S3A filesystem client reads, so nothing here is
-  * driver-local state.
+  * driver-local state. Object-write settings map to the public S3A
+  * keys: `fs.s3a.server-side-encryption-algorithm` /
+  * `fs.s3a.server-side-encryption.key` (SSE-S3 "AES256" or "SSE-KMS" +
+  * key ARN) and `fs.s3a.acl.default` (canned ACL applied to every
+  * object the connector writes).
   */
 final case class S3Config(
     accessKeyId: Option[String] = None,
     secretAccessKey: Option[String] = None,
+    sessionToken: Option[String] = None,
     region: Option[String] = None,
     endpoint: Option[String] = None,
-    pathStyleAccess: Boolean = false)
+    pathStyleAccess: Boolean = false,
+    sseAlgorithm: Option[String] = None,
+    sseKey: Option[String] = None,
+    cannedAcl: Option[String] = None)
 
 object S3Config {
 
@@ -26,6 +35,7 @@ object S3Config {
     S3Config(
       accessKeyId = env.get("AWS_ACCESS_KEY_ID"),
       secretAccessKey = env.get("AWS_SECRET_ACCESS_KEY"),
+      sessionToken = env.get("AWS_SESSION_TOKEN"),
       region = env.get("AWS_DEFAULT_REGION"))
 
   /** Apply the config to the session's Hadoop conf (the S3A client's
@@ -37,8 +47,13 @@ object S3Config {
     val hc = spark.sparkContext.hadoopConfiguration
     cfg.accessKeyId.foreach(hc.set("fs.s3a.access.key", _))
     cfg.secretAccessKey.foreach(hc.set("fs.s3a.secret.key", _))
+    cfg.sessionToken.foreach(hc.set("fs.s3a.session.token", _))
     cfg.region.foreach(hc.set("fs.s3a.endpoint.region", _))
     cfg.endpoint.foreach(hc.set("fs.s3a.endpoint", _))
     if (cfg.pathStyleAccess) hc.set("fs.s3a.path.style.access", "true")
+    cfg.sseAlgorithm.foreach(
+      hc.set("fs.s3a.server-side-encryption-algorithm", _))
+    cfg.sseKey.foreach(hc.set("fs.s3a.server-side-encryption.key", _))
+    cfg.cannedAcl.foreach(hc.set("fs.s3a.acl.default", _))
   }
 }

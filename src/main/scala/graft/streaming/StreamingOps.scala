@@ -125,8 +125,11 @@ object StreamingOps {
         val ms = e.ts.getTime
         cur match {
           case Some(s) if ms - s.end_ms <= gapMs =>
-            cur = Some(s.copy(
+            // min() keeps batch parity for late-but-within-watermark
+            // events that precede the session's current start
+            cur = Some(SessionState(
               n_events = s.n_events + 1,
+              start_ms = math.min(s.start_ms, ms),
               end_ms = math.max(s.end_ms, ms)))
           case Some(s) =>
             closed ::= SessionOut(userId, s.n_events, s.start_ms, s.end_ms)

@@ -57,6 +57,45 @@ class DatasetCatalogSpec extends SparkTestBase {
     assert(e.exitCode == 203)
   }
 
+  test("recursive glob selects across the tree (upload parity)") {
+    val dir = Files.createTempDirectory("graft_cat_r_")
+    Files.createDirectories(dir.resolve("sub/inner"))
+    Files.writeString(dir.resolve("root.csv"), "r")
+    Files.writeString(dir.resolve("sub").resolve("a.csv"), "a")
+    Files.writeString(dir.resolve("sub/inner").resolve("b.csv"), "b")
+    Files.writeString(dir.resolve("sub/inner").resolve("c.json"), "c")
+    // `**/` also matches zero directories, like the reference's
+    // recursive upload walk
+    val sel = catalog.selectRecursive(dir.toString, "**/*.csv", MatchMode.Glob)
+    assert(sel.map(_.name) == Seq("root.csv", "sub/a.csv", "sub/inner/b.csv"))
+    // single-star globs stay within one path segment
+    val one = catalog.selectRecursive(dir.toString, "sub/*.csv", MatchMode.Glob)
+    assert(one.map(_.name) == Seq("sub/a.csv"))
+    // regex selection over relative paths works recursively too
+    val re = catalog.selectRecursive(dir.toString, "inner/", MatchMode.Regex)
+    assert(re.map(_.name) == Seq("sub/inner/b.csv", "sub/inner/c.json"))
+  }
+
+  test("glob mode selects in flat listings too") {
+    val dir = tmpWith("a.csv", "b.csv", "c.json")
+    val sel = catalog.select(dir.toString, "*.csv", MatchMode.Glob)
+    assert(sel.map(_.name) == Seq("a.csv", "b.csv"))
+  }
+
+  test("filesystem auth failures raise typed invalid-credentials (exit 202)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.deny.impl", classOf[DenyFileSystem].getName)
+    val e = intercept[InvalidCredentialsException] {
+      catalog.list("deny://bucket/data").toSeq
+    }
+    assert(e.exitCode == 202)
+    // the same failure surfaces through selection (and thus IO ops)
+    val e2 = intercept[InvalidCredentialsException] {
+      catalog.selectRecursive("deny://bucket/data", "**", MatchMode.Glob)
+    }
+    assert(e2.exitCode == 202)
+  }
+
   test("sizes are reported") {
     val dir = tmpWith("x.bin")
     val ref = catalog.select(dir.toString, "x.bin", MatchMode.Exact).head

@@ -51,6 +51,37 @@ class DatasetIOSpec extends SparkTestBase {
     assert(io.read(path).count() == nation.count())
   }
 
+  test("compact preserves a partitioned layout and stays prunable") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val path = s"file:$tmp/nation_part"
+    // fragment each partition: 5 region dirs × several files
+    io.write(nation.repartition(6), path, partitionBy = Seq("n_regionkey"))
+    val (before, after) = io.compact(path, targetBytesPerFile = 64L * 1024 * 1024)
+    assert(after < before, s"no compaction: $before -> $after")
+    // layout still hive-partitioned: col=value dirs survive the rewrite
+    val dirs = new java.io.File(s"$tmp/nation_part").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 5 && dirs.forall(_.startsWith("n_regionkey=")),
+      s"partition dirs lost: ${dirs.mkString(",")}")
+    // no hidden tmp/old leftovers
+    assert(new java.io.File(tmp).listFiles().map(_.getName).toSet
+      == Set("nation_part"))
+    // data intact and the scan still prunes partitions
+    val back = io.read(path).where(col("n_regionkey") === 2)
+    assert(back.count() == nation.where(col("n_regionkey") === 2).count())
+    val scanLine = back.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("n_regionkey"), s"pruning lost: $scanLine")
+  }
+
+  test("readMatched recursive glob selects across a partitioned tree") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    io.write(nation, s"file:$tmp/tree", partitionBy = Seq("n_regionkey"))
+    val sel = io.readMatched(s"file:$tmp/tree", "n_regionkey=2/*.parquet",
+      MatchMode.Glob, recursive = true)
+    assert(sel.count() == nation.where(col("n_regionkey") === 2).count())
+  }
+
   test("readMatched unions all regex matches in one scan") {
     val tmp = Files.createTempDirectory("graft_io_").toString
     io.write(nation.where(col("n_nationkey") < 10), s"file:$tmp/part_a.parquet")

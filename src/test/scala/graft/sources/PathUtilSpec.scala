@@ -60,4 +60,20 @@ class PathUtilSpec extends AnyFunSuite {
     for (f <- samples(seg, 50); n <- samples(seg, 10))
       assert(PathUtil.baseName(s"$f/$n") == n)
   }
+
+  test("globToRegex: * stays in-segment, ** crosses, **/ matches zero dirs") {
+    def m(glob: String, s: String): Boolean =
+      s.matches(PathUtil.globToRegex(glob))
+    assert(m("*.csv", "a.csv"))
+    assert(!m("*.csv", "sub/a.csv")) // single star stops at '/'
+    assert(m("**/*.csv", "a.csv")) // zero directories
+    assert(m("**/*.csv", "sub/inner/a.csv"))
+    assert(!m("**/*.csv", "sub/a.json"))
+    assert(m("sub/**", "sub/x/y/z.bin"))
+    assert(m("data_?.csv", "data_1.csv"))
+    assert(!m("data_?.csv", "data_12.csv"))
+    // regex metachars in literals are escaped, not interpreted
+    assert(m("a+b(1).csv", "a+b(1).csv"))
+    assert(!m("a+b(1).csv", "aab1.csv"))
+  }
 }

@@ -168,6 +168,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("out-of-order event within the gap extends the session backwards") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val sessions = StreamingOps.sessionize(
+      input.toDS(), gapMs = 30 * 60000L, watermarkDelay = "2 hours")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_ooo").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000))
+      runToCompletion(q)
+      // late but within the generous watermark: 10 min BEFORE the
+      // session start — batch Sessionize would take min(ts)
+      input.addData(ev(1, 990))
+      runToCompletion(q)
+      // advance watermark far past the timeout so the session closes
+      input.addData(ev(9, 3000))
+      runToCompletion(q)
+      input.addData(ev(9, 3001))
+      runToCompletion(q)
+      val rows = spark.table("sessions_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 1L)
+      assert(rows.length == 1, s"got: ${rows.mkString(", ")}")
+      assert(rows.head == ((1L, 2L, 990 * 60000L, 1000 * 60000L)),
+        s"start_ms must move back to the out-of-order event: ${rows.head}")
+    } finally q.stop()
+  }
+
   test("mid-batch gap splits into two sessions (batch path within state fn)") {
     val ss = spark
     import ss.implicits._
