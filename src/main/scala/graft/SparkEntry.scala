@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EtlQueries, ExtendedQueries, PipelineQueries, Q, RelationalQueries}
+import graft.queries.{EtlQueries, ExtendedQueries, PipelineQueries, Q, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (grading inventory)
   * and §7 (build plan). One `queries` entry per implemented operator;
@@ -14,7 +14,7 @@ object SparkEntry {
   /** Every graded operator (SURVEY.md §2.1-§2.3). */
   val registry: Seq[Q] =
     EtlQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
-      ExtendedQueries.all
+      ExtendedQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way star join + aggregate (TPC-H Q5-flavored; SURVEY.md §2.2 #16).

@@ -16,23 +16,7 @@ import graft.sources.{DatasetCatalog, DatasetIO, MatchMode}
   */
 object EtlQueries {
 
-  /** One per-JVM scratch root for the write-path queries, removed on
-    * JVM exit — repeated Bench/Verify invocations reuse it instead of
-    * leaking a fresh temp dir per run.
-    */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val root = Files.createTempDirectory("graft_scratch_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root.toFile)))
-    root
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
-  }
-
-  private def scratch(prefix: String): String =
-    Files.createTempDirectory(scratchRoot, prefix).toString
+  private def scratch(prefix: String): String = Scratch.dir(prefix)
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),

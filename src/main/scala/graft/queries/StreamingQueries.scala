@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{StreamEvent, StreamingOps}
+
+/** Driver-visible differential checks for the streaming operators
+  * (SURVEY.md §2.4 #58): the streaming path runs through a REAL
+  * micro-batch execution (file source → stateful operator → memory
+  * sink) and its output is hash-compared against the batch
+  * gaps-and-islands oracle — streaming correctness is no longer
+  * asserted only by in-suite tests.
+  */
+object StreamingQueries {
+
+  /** events.parquet physical schema, ts as nanos-long (TESTDATA.md). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val GapMs = 1800000L
+
+  /** Streaming stateful sessionization over the events table. Sentinel
+    * far-future events appended in later micro-batches advance the
+    * watermark so every real session times out and emits (the standard
+    * way to drain a bounded stream through an event-time-timeout
+    * operator); sentinels are filtered from the result. `session_seq`
+    * is derived from emitted session start order, making the output
+    * directly comparable to the batch oracle of q19.
+    */
+  val q51 = Q(
+    "q51_stream_sessionize_parity",
+    (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val watch = Scratch.dir("stream_events")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$watch/events_000.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val evs = s.readStream.schema(eventsSchema).parquet(watch)
+        .select(col("user_id"),
+          timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+          col("event_type"), col("value"))
+        .as[StreamEvent]
+      val qn = s"q51_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = StreamingOps.sessionize(evs, GapMs, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      def sentinel(tsNs: Long, id: Long): Unit =
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(watch)
+      try {
+        q.processAllAvailable()
+        // two extra micro-batches: the first advances the watermark far
+        // past every timeout, the second triggers the timeout emission
+        sentinel(4000000000000000000L, -1L)
+        q.processAllAvailable()
+        sentinel(4000000001000000000L, -2L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .where(col("user_id") >= 0)
+        .withColumn("session_seq",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("start_ms")).cast("long"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_ms"), col("end_ms"),
+          (col("end_ms") - col("start_ms")).as("duration_ms"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+      marked AS (
+        SELECT user_id, ms, event_id,
+               CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > $GapMs
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      numbered AS (
+        SELECT user_id, ms,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(ms) AS start_ms, max(ms) AS end_ms,
+             max(ms) - min(ms) AS duration_ms
+      FROM numbered
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  val all: Seq[Q] = Seq(q51)
+}
