@@ -32,6 +32,25 @@ object Sampling {
       pmod(Hashes.hash60(col(idCol).cast("string"), seed), lit(1000)) < rate)
   }
 
+  /** Keep at most `k` rows per key, deterministically ordered by
+    * (orderCol, tieCol) — the per-domain/per-user cap a web-scale
+    * curation pipeline applies so no single source dominates training
+    * data. One shuffle by key + one window pass (rows sort within their
+    * key's partition; no global sort).
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(orderCol), col(tieCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Deterministic train/val/test assignment: the md5 permille of the
     * id decides the split, so membership is stable under reshuffling,
     * re-partitioning and incremental reruns — the property a training

@@ -114,6 +114,90 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams")) // corpus grams are distinct per doc
   }
 
+  /** TF-IDF top-k terms per document. Distributed shape: one explode →
+    * (doc, term) count aggregate (map-side partials) → document
+    * frequency from a second aggregate over the SAME (doc, term) rows
+    * (no second pass over text) → equi-join by term (fact-fact shuffle;
+    * the term dictionary is far smaller than the corpus) → 1-row doc
+    * count broadcast → per-doc top-k window. Deterministic: ties break
+    * by term ascending; idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.SparkUtil.ensureParallelism(df)
+    val tf = base
+      .select(col(idCol).as("id"), explode(Texts.words(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .join(broadcast(nDocs)) // 1-row broadcast, like the scalar subquery
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+      .where(col("term_rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("term_rank"),
+        col("tf"), col("df"),
+        Numerics.fix4(col("tfidf")).as("tfidf_score"))
+  }
+
+  /** Within-document n-gram repetition: share of duplicate n-grams —
+    * the boilerplate/spam signal production quality filters cut on.
+    * Exact integer counts; the ratio is one integer division.
+    */
+  def repetitionRatio(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val total = greatest(size(ws) - (n - 1), lit(0)).cast("long")
+    val distinctG = size(Texts.wordShingles(ws, n)).cast("long")
+    df.select(
+      col(idCol),
+      total.as("n_grams"),
+      distinctG.as("n_distinct_grams"),
+      Numerics.fix4(
+        when(total > 0,
+          lit(1.0) - distinctG.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0))).as("repetition_ratio"))
+  }
+
+  /** Email pattern shared with the oracle (RE2-safe: no backrefs or
+    * lookaround, so Java and DuckDB agree on every match).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (ids, phone-ish numbers) — unambiguous greedy
+    * match, identical across engines.
+    */
+  val LongNumberPattern = "[0-9]{9,}"
+
+  /** PII scrubbing: replace emails / long digit runs with typed
+    * placeholders, reporting per-doc match counts. Pure codegen'd
+    * regexp expressions — map-side only, no shuffle; the shape a
+    * redaction pass over 100 TB needs (each task streams its split).
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+      LongNumberPattern, "[NUM]")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumberPattern), lit(0)))
+        .cast("long").as("n_long_numbers"),
+      scrubbed.as("text_scrubbed"))
+  }
+
   /** Corpus-level top n-gram statistics (duplicates counted): one
     * explode + one hash aggregation with map-side partials.
     */

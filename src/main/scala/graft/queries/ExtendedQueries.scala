@@ -372,6 +372,34 @@ object ExtendedQueries {
              TRUE AS hll_within_bound
       FROM e GROUP BY 1 ORDER BY event_type"""))
 
+  // ---- q56: per-key cap (keep first k events per user) ----
+
+  val q56 = Q(
+    "q56_cap_per_key",
+    (s, dir) =>
+      Sampling.capPerKey(ev(s, dir), "user_id", "ms", "event_id", k = 5)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(floor(col("value") * 100.0 + 0.5)).cast("long")
+            .as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type"),
+    Some(s"""
+      WITH $evCte,
+      capped AS (
+        SELECT * FROM e
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ms, event_id) <= 5)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+             min(event_id) AS min_id,
+             max(event_id) AS max_id
+      FROM capped GROUP BY 1 ORDER BY event_type"""))
+
   val all: Seq[Q] =
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47)
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56)
 }

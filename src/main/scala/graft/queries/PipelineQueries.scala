@@ -361,6 +361,91 @@ object PipelineQueries {
       WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
       ORDER BY doc_a, doc_b"""))
 
+  // ---- q53: TF-IDF top terms per document ----
+
+  val q53 = Q(
+    "q53_tfidf_topterms",
+    (s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "term_rank"),
+    Some(s"""
+      WITH $wordsCte,
+      t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf, df,
+               tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY s DESC, term ASC) AS INT) AS term_rank,
+               tf, df, ${Numerics.sqlFix("s", 4)} AS tfidf_score
+        FROM scored)
+      SELECT doc_id, term, term_rank, tf, df, tfidf_score
+      FROM ranked WHERE term_rank <= 3
+      ORDER BY doc_id, term_rank"""))
+
+  // ---- q54: within-doc n-gram repetition ratio ----
+
+  val q54 = Q(
+    "q54_repetition_ratio",
+    (s, dir) =>
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $wordsCte,
+      m AS (SELECT doc_id,
+              CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_grams,
+              CAST(len(${shingleExpr(3)}) AS BIGINT) AS n_distinct_grams
+            FROM w)
+      SELECT doc_id, n_grams, n_distinct_grams,
+             ${Numerics.sqlFix(
+               "CASE WHEN n_grams > 0 THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams ELSE 0.0 END",
+               4)} AS repetition_ratio
+      FROM m ORDER BY doc_id"""))
+
+  // ---- q55: PII scrubbing (emails + long digit runs) ----
+
+  /** The source docs carry no planted PII, so the query splices a
+    * synthetic email + id number into each text before scrubbing — the
+    * oracle does the identical splice, and the md5 of the scrubbed text
+    * verifies every replacement byte-for-byte.
+    */
+  val q55 = Q(
+    "q55_pii_scrub",
+    (s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com id 1234567890123")).as("text"))
+      TextAnalysis.scrubPii(withPii, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_long_numbers"),
+          md5(col("text_scrubbed")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+                 '@example.com id 1234567890123' AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.LongNumberPattern}')) AS BIGINT)
+               AS n_long_numbers,
+             md5(regexp_replace(regexp_replace(text,
+               '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+               '${TextAnalysis.LongNumberPattern}', '[NUM]', 'g'))
+               AS scrubbed_md5
+      FROM p ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
+    q53, q54, q55)
 }

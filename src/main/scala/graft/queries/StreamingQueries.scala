@@ -100,5 +100,49 @@ object StreamingQueries {
       GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq"""))
 
-  val all: Seq[Q] = Seq(q51)
+  /** Streaming windowed aggregation parity: the same tumbling-window
+    * counts/sums declared over the unbounded source, run in Complete
+    * mode (every result row re-emitted per batch — no watermark drain
+    * needed) and hash-compared against the batch SQL. `value` is
+    * pre-scaled to integral cents so sums are order-independent exact.
+    */
+  val q52 = Q(
+    "q52_stream_window_parity",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val watch = Scratch.dir("stream_win")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$watch/events_000.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val evs = s.readStream.schema(eventsSchema).parquet(watch)
+        .select(
+          timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+          col("event_type"),
+          floor(col("value") * 100.0 + 0.5).as("value"))
+      val qn = s"q52_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = StreamingOps.windowedCounts(
+          evs, watermarkDelay = "10 minutes", windowLen = "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          col("value_sum").cast("long").as("value_cents"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, value,
+               epoch_ns(ts) // 1000000 AS ms FROM events)
+      SELECT (ms // 3600000) * 3600000 AS window_start_ms,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM e GROUP BY 1, 2
+      ORDER BY window_start_ms, event_type"""))
+
+  val all: Seq[Q] = Seq(q51, q52)
 }

@@ -16,9 +16,10 @@ class PlanHygieneSpec extends SparkTestBase {
   }
 
   // Queries whose *kernel* is broadcast-nested-loop by design:
-  // q15 broadcasts a 1-row scalar aggregate; q25 broadcasts the small
-  // query set against the streamed corpus.
-  private val bnljByDesign = Set("q15_scalar_subquery", "q25_ann_bruteforce")
+  // q15/q53 broadcast a 1-row scalar aggregate; q25 broadcasts the
+  // small query set against the streamed corpus.
+  private val bnljByDesign =
+    Set("q15_scalar_subquery", "q25_ann_bruteforce", "q53_tfidf_topterms")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

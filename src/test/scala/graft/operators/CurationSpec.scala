@@ -85,6 +85,20 @@ class CurationSpec extends SparkTestBase {
     assert(df.except(again).count() == 0)
   }
 
+  test("capPerKey keeps the first k rows per key deterministically") {
+    val ss = spark
+    import ss.implicits._
+    val rows = for (u <- 1L to 3L; i <- 1L to 10L)
+      yield (u, 1000L + i, u * 100 + i)
+    val df = rows.toDF("user_id", "ms", "event_id").repartition(7)
+    val out = Sampling.capPerKey(df, "user_id", "ms", "event_id", k = 4)
+    assert(out.count() == 12)
+    val kept = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // exactly the 4 earliest events of each user survive
+    assert(kept == (for (u <- 1L to 3L; i <- 1L to 4L)
+      yield (u, u * 100 + i)).toSet)
+  }
+
   test("contamination counts shared distinct n-grams per corpus doc") {
     val probe = docsDF((1L, "the quick brown fox jumps over the lazy dog"))
     val corpus = docsDF(

@@ -50,6 +50,50 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(0).getString(2).length == 15)
   }
 
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val df = docsDF(
+      (1L, "common common common rare"),
+      (2L, "common words here today"),
+      (3L, "common words again now"))
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
+    // doc 1: "rare" (df=1) outranks "common" (df=3) despite tf 1 vs 3?
+    // tf=3 * idf(df=3) vs tf=1 * idf(df=1): 3*(ln(4/4)+1)=3 vs
+    // 1*(ln(4/2)+1)=1.69 -> common first, rare second
+    assert(out((1L, 1)) == "common")
+    assert(out((1L, 2)) == "rare")
+    // docs 2,3: all terms tf=1; df=1 terms (unique words) outrank
+    // "common"/"words" (higher df); ties break alphabetically
+    assert(out((2L, 1)) == "here")
+    assert(out((2L, 2)) == "today")
+  }
+
+  test("repetitionRatio flags boilerplate, zero for short docs") {
+    val df = docsDF(
+      (1L, "spam spam spam spam spam spam"), // 4 trigrams, 1 distinct
+      (2L, "all words here are different today"), // 4 trigrams, all distinct
+      (3L, "too short")) // no trigram
+    val out = TextAnalysis.repetitionRatio(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 1L, 0.75)))
+    assert(out(2L) == ((4L, 4L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("scrubPii redacts emails and long digit runs, counts matches") {
+    val df = docsDF(
+      (1L, "mail me at jane.doe+x@corp.example.org or 123456789012"),
+      (2L, "no pii here, just 1234 and a short text"))
+    val out = TextAnalysis.scrubPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(out(1L)._3 == "mail me at [EMAIL] or [NUM]")
+    assert(out(2L) == ((0L, 0L, "no pii here, just 1234 and a short text")))
+  }
+
   test("topNgrams counts duplicate occurrences and breaks ties alphabetically") {
     val df = docsDF(
       (1L, "a b c a b c"), // "a b c" x2ish
