@@ -198,6 +198,41 @@ object TextAnalysis {
       scrubbed.as("text_scrubbed"))
   }
 
+  /** Split each document into fixed-size token windows with overlap —
+    * the chunking pass that turns long documents into training-sized
+    * examples. One transform + explode (no shuffle): chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens); the final chunk may be
+    * short but is never empty; stride = chunkTokens − overlap.
+    * Output: (idCol, chunk_seq, chunk_text, chunk_tokens).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val ws = Texts.words(col(textCol))
+    // number of chunks = ceil(max(n - overlap, 1) / stride)
+    val n = size(ws)
+    val nChunks = ceil((greatest(n - overlap, lit(1))).cast("double") / stride)
+      .cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => struct(
+        (i + 1).cast("long").as("chunk_seq"),
+        concat_ws(" ", slice(ws, i * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(n - i * stride, lit(chunkTokens)).cast("long")
+          .as("chunk_tokens")))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_seq"), col("c.chunk_text"),
+        col("c.chunk_tokens"))
+  }
+
   /** Corpus-level top n-gram statistics (duplicates counted): one
     * explode + one hash aggregation with map-side partials.
     */

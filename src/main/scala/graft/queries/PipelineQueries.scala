@@ -445,7 +445,37 @@ object PipelineQueries {
                AS scrubbed_md5
       FROM p ORDER BY doc_id"""))
 
+  // ---- q57: document chunking (token windows with overlap) ----
+
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+  private val ChunkStride = ChunkTokens - ChunkOverlap
+
+  val q57 = Q(
+    "q57_chunk_documents",
+    (s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+          chunkTokens = ChunkTokens, overlap = ChunkOverlap)
+        .orderBy("doc_id", "chunk_seq"),
+    Some(s"""
+      WITH $wordsCte,
+      c AS (SELECT doc_id, ws, len(ws) AS n,
+              CAST(ceil(CAST(greatest(len(ws) - $ChunkOverlap, 1) AS DOUBLE)
+                / $ChunkStride) AS INT) AS n_chunks
+            FROM w),
+      x AS (SELECT doc_id, ws, n,
+              unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM c)
+      SELECT doc_id,
+             CAST(i + 1 AS BIGINT) AS chunk_seq,
+             array_to_string(
+               ws[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkTokens], ' ')
+               AS chunk_text,
+             CAST(least(n - i*$ChunkStride, $ChunkTokens) AS BIGINT)
+               AS chunk_tokens
+      FROM x ORDER BY doc_id, chunk_seq"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55)
+    q53, q54, q55, q57)
 }

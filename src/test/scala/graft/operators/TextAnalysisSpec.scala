@@ -94,6 +94,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) == ((0L, 0L, "no pii here, just 1234 and a short text")))
   }
 
+  test("chunkDocuments windows tokens with overlap, covers every token") {
+    // 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 1,4,7:
+    // ceil((10-1)/3) = 3 chunks cover every token with no redundant tail
+    val df = docsDF((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "solo"))
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(out.keys.count(_._1 == 1L) == 3)
+    assert(out((1L, 1L)) == (("t1 t2 t3 t4", 4L)))
+    assert(out((1L, 2L)) == (("t4 t5 t6 t7", 4L)))
+    assert(out((1L, 3L)) == (("t7 t8 t9 t10", 4L)))
+    assert(out((2L, 1L)) == (("solo", 1L)))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(out((1L, 1L))._1.split(" ").last == out((1L, 2L))._1.split(" ").head)
+  }
+
+  test("scrubPii is map-side only: no shuffle in the plan") {
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+    val plan = TextAnalysis.scrubPii(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle: $plan")
+  }
+
   test("topNgrams counts duplicate occurrences and breaks ties alphabetically") {
     val df = docsDF(
       (1L, "a b c a b c"), // "a b c" x2ish
