@@ -153,6 +153,16 @@ object Dedup {
       Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
     val candidates =
       lshCandidates(base, col(idCol), shingleExpr, bands, rowsPerBand, maxBucket)
+    // Verify joins shingle the full corpus once, map-side, in the same
+    // stage as the join shuffle — ONE pass over the text. (An explicit
+    // candidate-id semi-join before shingling was measured SLOWER here:
+    // it re-executes the candidate pipeline and shuffles the raw text
+    // an extra time; with sparse duplicates the Spark-native answer is
+    // the runtime bloom filter — `spark.sql.optimizer.runtime
+    // .bloomFilter.enabled` — which prunes the docs side map-side with
+    // no extra shuffle. The incremental path keeps the semi-join
+    // because its base side has no signatures to re-derive candidates
+    // from.)
     val docs = base.select(col(idCol).as("id"), shingleExpr.as("shingles"))
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
