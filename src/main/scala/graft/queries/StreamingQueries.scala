@@ -144,5 +144,42 @@ object StreamingQueries {
       FROM e GROUP BY 1, 2
       ORDER BY window_start_ms, event_type"""))
 
-  val all: Seq[Q] = Seq(q51, q52)
+  /** Streaming exact dedup parity: the documents table is fed through
+    * the stream TWICE (two files), so every digest arrives duplicated;
+    * `dropDuplicatesWithinWatermark` must emit exactly one row per
+    * digest. The ordered digest column is hash-compared against batch
+    * DISTINCT — any duplicate or dropped digest fails the row/hash
+    * match.
+    */
+  val q58 = Q(
+    "q58_stream_dedup_parity",
+    (s, dir) => {
+      val watch = Scratch.dir("stream_dedup")
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$watch/docs_a.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        Paths.get(s"$watch/docs_b.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val stream = s.readStream.schema(docsSchema).parquet(watch)
+        .select(col("doc_id"), col("text"),
+          // synthetic event time, offset well past epoch 0 so the
+          // initial watermark never classifies the first ids as late
+          timestamp_millis(col("doc_id") + 1000000000L).as("ts"))
+      val qn = s"q58_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = StreamingOps.dedupByDigest(stream, "text", "ts",
+          watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select(col("digest")).orderBy("digest")
+    },
+    Some("""
+      SELECT DISTINCT md5(lower(trim(text))) AS digest
+      FROM documents ORDER BY digest"""))
+
+  val all: Seq[Q] = Seq(q51, q52, q58)
 }
