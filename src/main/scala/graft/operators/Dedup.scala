@@ -231,8 +231,15 @@ object Dedup {
     val shingleExpr =
       Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
     val freshP = graft.SparkUtil.ensureParallelism(fresh)
+    // Both intermediates are persisted: they are referenced several
+    // times downstream (candidates: probe side + both verify joins;
+    // fresh signatures: candidate generation + the returned state), and
+    // each plan reference would otherwise clone the whole signature
+    // pipeline — tiny tables ((id,band,key) / id pairs), standard
+    // iterative-operator caching. The caller can release them by
+    // unpersisting the returned freshSignatures/pairs.
     val fb = bandedSignatures(
-      freshP, col(idCol), shingleExpr, bands, rowsPerBand)
+      freshP, col(idCol), shingleExpr, bands, rowsPerBand).persist()
     val allB = baseSignatures.select("id", "band", "key").unionAll(fb)
     val candidates = fb.select(col("band"), col("key"), col("id").as("id_f"))
       .join(allB.select(col("band"), col("key"), col("id").as("id_o")),
@@ -242,6 +249,7 @@ object Dedup {
         least(col("id_f"), col("id_o")).as("id_a"),
         greatest(col("id_f"), col("id_o")).as("id_b"))
       .distinct()
+      .persist()
     // Verify only candidates: semi-join the text sources down to ids
     // that appear in some pair BEFORE shingling, so the interpreted
     // shingle tree runs on candidate rows, not the whole corpus.
