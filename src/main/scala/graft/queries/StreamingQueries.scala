@@ -181,5 +181,53 @@ object StreamingQueries {
       SELECT DISTINCT md5(lower(trim(text))) AS digest
       FROM documents ORDER BY digest"""))
 
-  val all: Seq[Q] = Seq(q51, q52, q58)
+  /** Stream-stream interval join parity: errors join clicks of the
+    * same user within [error_ts, error_ts + 30 min), both sides
+    * watermarked (inner joins emit on arrival; the watermark only
+    * bounds state). Pair multiplicities are aggregated so the output
+    * is deterministic, then hash-compared against the batch SQL.
+    */
+  val q59 = Q(
+    "q59_stream_interval_join_parity",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val watch = Scratch.dir("stream_ij")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$watch/events_000.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      def side(tpe: String) =
+        s.readStream.schema(eventsSchema).parquet(watch)
+          .where(col("event_type") === tpe)
+          .select(col("user_id"),
+            timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+            col("event_type"))
+      val joined = StreamingOps.intervalJoin(
+        side("error"), side("click"),
+        keyCol = "user_id", tsCol = "ts",
+        windowMs = GapMs, watermarkDelay = "1 hour")
+      val qn = s"q59_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .groupBy(col("l_key").as("user_id"),
+          unix_millis(col("l_ts")).as("error_ms"),
+          unix_millis(col("r_ts")).as("click_ms"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id", "error_ms", "click_ms")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms
+        FROM events)
+      SELECT l.user_id, l.ms AS error_ms, r.ms AS click_ms,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM (SELECT * FROM e WHERE event_type = 'error') l
+      JOIN (SELECT * FROM e WHERE event_type = 'click') r
+        ON l.user_id = r.user_id
+       AND r.ms >= l.ms AND r.ms < l.ms + $GapMs
+      GROUP BY 1, 2, 3
+      ORDER BY l.user_id, error_ms, click_ms"""))
+
+  val all: Seq[Q] = Seq(q51, q52, q58, q59)
 }

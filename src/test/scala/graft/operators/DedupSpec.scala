@@ -107,17 +107,41 @@ class DedupSpec extends SparkTestBase {
     assert(res.freshSignatures.select("id").distinct().count() == 2)
 
     // plan assert: every minhash-signature aggregate reads ONLY the
-    // fresh scan — the base text is never re-signatured
-    val sigAggs = res.pairs.queryExecution.optimizedPlan.collect {
+    // fresh scan — the base text is never re-signatured. The operator
+    // persists its intermediates, so aggregates can sit arbitrarily
+    // deep inside cached plans: expand recursively through
+    // InMemoryTableScan/AQE wrappers.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => expand(a.inputPlan)
+        case t: InMemoryTableScanExec => t +: expand(t.relation.cachedPlan)
+        case n => Seq(n)
+      }
+    val lp = res.pairs.queryExecution.optimizedPlan
+    val logicalAggScans = lp.collect {
       case a: Aggregate
-          if a.aggregateExpressions.exists(_.name.startsWith("mh_")) => a
+          if a.aggregateExpressions.exists(_.name.startsWith("mh_")) =>
+        a.collect { case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+        }.flatten
     }
-    assert(sigAggs.nonEmpty, "expected a signature aggregate in the plan")
-    sigAggs.foreach { a =>
-      val roots = a.collect { case l: LogicalRelation =>
-        l.relation.asInstanceOf[HadoopFsRelation]
-          .location.rootPaths.map(_.toString)
-      }.flatten
+    val cachedAggScans = lp.collect { case i: InMemoryRelation => i }
+      .flatMap(i => expand(i.cachedPlan))
+      .collect {
+        case a: HashAggregateExec
+            if a.output.exists(_.name.startsWith("mh_")) =>
+          expand(a).collect { case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toString)
+          }.flatten
+      }
+    val allAggScans = logicalAggScans ++ cachedAggScans
+    assert(allAggScans.nonEmpty, "expected a signature aggregate in the plan")
+    allAggScans.foreach { roots =>
       assert(roots.nonEmpty && roots.forall(_.contains("fresh_docs")),
         s"signature aggregate reads non-fresh inputs: $roots")
     }
