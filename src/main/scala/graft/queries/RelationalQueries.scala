@@ -404,6 +404,68 @@ object RelationalQueries {
       GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq"""))
 
+  // ---- q60: left outer join (null-extended fact side) ----
+
+  val q60 = Q(
+    "q60_left_outer_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_custs_without_orders"))
+        .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_custs_without_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY c_mktsegment"""))
+
+  // ---- q61: full outer join (null extension on BOTH sides) ----
+
+  /** Per-nation supplier vs customer aggregates where each side covers
+    * only SOME nations (acctbal filters), so the full outer join
+    * null-extends in both directions.
+    */
+  val q61 = Q(
+    "q61_full_outer_join",
+    (s, dir) => {
+      val supp = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      val cust = t(s, dir, "customer")
+        .where(col("c_acctbal") < -900)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      supp.join(cust, col("nk_s") === col("nk_c"), "full_outer")
+        .select(
+          coalesce(col("nk_s"), col("nk_c")).cast("long").as("nationkey"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          (col("nk_s").isNull || col("nk_c").isNull).as("one_sided"))
+        .orderBy("nationkey")
+    },
+    Some("""
+      WITH s AS (SELECT s_nationkey AS nk_s, CAST(count(*) AS BIGINT) AS n_supp
+                 FROM supplier WHERE s_acctbal > 9000 GROUP BY 1),
+      c AS (SELECT c_nationkey AS nk_c, CAST(count(*) AS BIGINT) AS n_cust
+            FROM customer WHERE c_acctbal < -900 GROUP BY 1)
+      SELECT CAST(coalesce(nk_s, nk_c) AS BIGINT) AS nationkey,
+             coalesce(n_supp, 0) AS n_supp,
+             coalesce(n_cust, 0) AS n_cust,
+             (nk_s IS NULL OR nk_c IS NULL) AS one_sided
+      FROM s FULL JOIN c ON nk_s = nk_c
+      ORDER BY nationkey"""))
+
   val all: Seq[Q] =
-    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19, q44, q45, q46)
+    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
+      q44, q45, q46, q60, q61)
 }
