@@ -431,18 +431,19 @@ object RelationalQueries {
   // ---- q61: full outer join (null extension on BOTH sides) ----
 
   /** Per-nation supplier vs customer aggregates where each side covers
-    * only SOME nations (acctbal filters), so the full outer join
+    * only SOME nations (even keys vs multiples of 3 — deterministic
+    * partial overlap at EVERY scale factor), so the full outer join
     * null-extends in both directions.
     */
   val q61 = Q(
     "q61_full_outer_join",
     (s, dir) => {
       val supp = t(s, dir, "supplier")
-        .where(col("s_acctbal") > 9000)
+        .where(col("s_nationkey") % 2 === 0)
         .groupBy(col("s_nationkey").as("nk_s"))
         .agg(count(lit(1)).as("n_supp"))
       val cust = t(s, dir, "customer")
-        .where(col("c_acctbal") < -900)
+        .where(col("c_nationkey") % 3 === 0)
         .groupBy(col("c_nationkey").as("nk_c"))
         .agg(count(lit(1)).as("n_cust"))
       supp.join(cust, col("nk_s") === col("nk_c"), "full_outer")
@@ -455,9 +456,9 @@ object RelationalQueries {
     },
     Some("""
       WITH s AS (SELECT s_nationkey AS nk_s, CAST(count(*) AS BIGINT) AS n_supp
-                 FROM supplier WHERE s_acctbal > 9000 GROUP BY 1),
+                 FROM supplier WHERE s_nationkey % 2 = 0 GROUP BY 1),
       c AS (SELECT c_nationkey AS nk_c, CAST(count(*) AS BIGINT) AS n_cust
-            FROM customer WHERE c_acctbal < -900 GROUP BY 1)
+            FROM customer WHERE c_nationkey % 3 = 0 GROUP BY 1)
       SELECT CAST(coalesce(nk_s, nk_c) AS BIGINT) AS nationkey,
              coalesce(n_supp, 0) AS n_supp,
              coalesce(n_cust, 0) AS n_cust,
