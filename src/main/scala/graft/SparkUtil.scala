@@ -24,7 +24,14 @@ object SparkUtil {
     val target = sess.sparkContext.defaultParallelism
     val perPartition = sess.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes
-    if (bytes < BigInt(target) * perPartition) df.repartition(target) else df
+    // Unknown statistics surface as Long.MaxValue — treat as "protect
+    // the expensive stage" and repartition (AQE coalesces any excess);
+    // skipping would serialize exactly the degenerate single-partition
+    // sources this guard exists for.
+    val unknown = bytes >= BigInt(Long.MaxValue)
+    if (unknown || bytes < BigInt(target) * perPartition)
+      df.repartition(target)
+    else df
   }
 
   /** Skew-salted inner equi-join: the skewed (large) side gets a

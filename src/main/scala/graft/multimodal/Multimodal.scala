@@ -73,18 +73,22 @@ object Multimodal {
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
 
-  /** Deterministic byte-level features as pure Column expressions —
-    * `byte_len`/`header_hex`/`content_sha` are exactly the codegen'd
-    * `length`/`hex(substring)`/`sha2` built-ins, so they stay inside
-    * whole-stage codegen with no typed pass and no per-record
-    * MessageDigest allocation.
+  /** The deterministic byte-level feature expressions — exactly the
+    * codegen'd `length`/`hex(substring)`/`sha2` built-ins, shared by
+    * [[deterministicFeatures]] and [[extractFeatures]] so the two can
+    * never drift.
+    */
+  private val featureColumns = Seq(
+    length(col("media")).cast("long").as("byte_len"),
+    upper(hex(substring(col("media"), 1, 4))).as("header_hex"),
+    sha2(col("media"), 256).as("content_sha"))
+
+  /** Deterministic byte-level features as pure Column expressions:
+    * whole-stage codegen, no typed pass, no per-record MessageDigest
+    * allocation.
     */
   def deterministicFeatures(df: DataFrame): DataFrame =
-    df.select(
-      col("doc_id"),
-      length(col("media")).cast("long").as("byte_len"),
-      upper(hex(substring(col("media"), 1, 4))).as("header_hex"),
-      sha2(col("media"), 256).as("content_sha"))
+    df.select(col("doc_id") +: featureColumns: _*)
 
   /** Full feature extraction: deterministic features via the codegen'd
     * Columns above; ONLY the (stubbed) codec runs in the typed
@@ -94,12 +98,7 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.toDF()
-      .select(
-        col("doc_id"),
-        length(col("media")).cast("long").as("byte_len"),
-        upper(hex(substring(col("media"), 1, 4))).as("header_hex"),
-        sha2(col("media"), 256).as("content_sha"),
-        col("media"))
+      .select(col("doc_id") +: featureColumns :+ col("media"): _*)
       .as[(Long, Long, String, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, len, hdr, sha, media) =>

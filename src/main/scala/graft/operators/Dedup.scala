@@ -201,9 +201,20 @@ object Dedup {
   /** One incremental batch's output: verified near-dup `pairs` touching
     * the fresh batch, plus the fresh batch's band `freshSignatures` —
     * append the latter to the stored base signatures so the NEXT batch
-    * never re-signatures this one.
+    * never re-signatures this one. The operator persists two small
+    * intermediates (fresh signatures, candidate pairs); call
+    * [[release]] once the batch's outputs are materialized.
     */
-  final case class IncrementalDedup(pairs: DataFrame, freshSignatures: DataFrame)
+  final class IncrementalDedup private[operators] (
+      val pairs: DataFrame,
+      val freshSignatures: DataFrame,
+      candidates: DataFrame) {
+    /** Unpersist the operator's cached intermediates. */
+    def release(): Unit = {
+      candidates.unpersist()
+      freshSignatures.unpersist()
+    }
+  }
 
   /** Incremental near-dedup against PRECOMPUTED base band signatures:
     * fresh×base and fresh×fresh, never base×base — and, critically,
@@ -236,8 +247,7 @@ object Dedup {
     // fresh signatures: candidate generation + the returned state), and
     // each plan reference would otherwise clone the whole signature
     // pipeline — tiny tables ((id,band,key) / id pairs), standard
-    // iterative-operator caching. The caller can release them by
-    // unpersisting the returned freshSignatures/pairs.
+    // iterative-operator caching. Released via IncrementalDedup.release().
     val fb = bandedSignatures(
       freshP, col(idCol), shingleExpr, bands, rowsPerBand).persist()
     val allB = baseSignatures.select("id", "band", "key").unionAll(fb)
@@ -272,7 +282,7 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
-    IncrementalDedup(pairs, fb)
+    new IncrementalDedup(pairs, fb, candidates)
   }
 
   /** Incremental near-dedup, end-to-end convenience: signatures the
@@ -362,13 +372,18 @@ object Dedup {
       labels = next
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      if (!reliable) { labels.unpersist(); edges.unpersist() }
       throw new IllegalStateException(
         s"clustersFromPairs did not converge in $maxIter rounds — the " +
           "duplicate graph's diameter exceeds maxIter; raise maxIter")
-    // Singletons rejoin here. The final labels stay materialized (tiny:
-    // one row per PAIRED doc); with a checkpoint dir they are reliable
-    // files and the persisted rounds have been released eagerly.
+    }
+    // Singletons rejoin here. Only the final labels stay materialized
+    // (tiny: one row per PAIRED doc) — the edge set is released; a
+    // labels cache loss recomputes through the (unpersisted) edges
+    // lineage, slower but correct. With a checkpoint dir both are
+    // reliable files and the persisted rounds were released eagerly.
+    if (!reliable) edges.unpersist()
     allIds.select(col(idCol).cast("long").as("id"))
       .join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id").as(idCol),

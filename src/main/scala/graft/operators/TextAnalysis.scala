@@ -135,12 +135,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    // rank on the fix4-ROUNDED score: a raw-double order could flip on
+    // last-ulp ln() differences across engines/libms; rounded ties
+    // break by term, deterministic everywhere
     val w = Window.partitionBy("id")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(docFreq, "term")
       .join(broadcast(nDocs)) // 1-row broadcast, like the scalar subquery
-      .withColumn("tfidf",
-        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("tfidf", Numerics.fix4(
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)))
       .withColumn("term_rank", row_number().over(w).cast("int"))
       .where(col("term_rank") <= k)
       .select(col("id").as(idCol), col("term"), col("term_rank"),

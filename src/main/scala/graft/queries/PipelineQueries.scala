@@ -383,7 +383,8 @@ object PipelineQueries {
       ranked AS (
         SELECT doc_id, term,
                CAST(row_number() OVER (PARTITION BY doc_id
-                 ORDER BY s DESC, term ASC) AS INT) AS term_rank,
+                 ORDER BY ${Numerics.sqlFix("s", 4)} DESC, term ASC)
+                 AS INT) AS term_rank,
                tf, df, ${Numerics.sqlFix("s", 4)} AS tfidf_score
         FROM scored)
       SELECT doc_id, term, term_rank, tf, df, tfidf_score

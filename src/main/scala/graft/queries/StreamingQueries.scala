@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,11 +10,11 @@ import org.apache.spark.sql.types._
 import graft.streaming.{StreamEvent, StreamingOps}
 
 /** Driver-visible differential checks for the streaming operators
-  * (SURVEY.md §2.4 #58): the streaming path runs through a REAL
-  * micro-batch execution (file source → stateful operator → memory
-  * sink) and its output is hash-compared against the batch
-  * gaps-and-islands oracle — streaming correctness is no longer
-  * asserted only by in-suite tests.
+  * (SURVEY.md §2.4 #58/#59/#65/#66): each streaming path runs through a
+  * REAL micro-batch execution (file source → stateful operator →
+  * memory sink) and its output is hash-compared against the batch SQL
+  * equivalent — streaming correctness is never asserted only by
+  * in-suite tests.
   */
 object StreamingQueries {
 
@@ -28,6 +29,38 @@ object StreamingQueries {
 
   private val GapMs = 1800000L
 
+  /** Copy the source files into a scratch dir the file stream watches. */
+  private def watchDirWith(dir: String, files: (String, String)*): String = {
+    val watch = Scratch.dir("stream")
+    files.foreach { case (src, dst) =>
+      Files.copy(Paths.get(s"$dir/$src"), Paths.get(s"$watch/$dst"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    watch
+  }
+
+  /** Run a streaming DataFrame to a memory sink and return the sink
+    * table. Fixed per-query sink names (dropped before reuse) cap the
+    * driver-side memory at one result set per query across repeated
+    * Bench/Verify invocations. `extraBatches` actions each trigger one
+    * more micro-batch (the sentinel/watermark drain protocol).
+    */
+  private def drainToTable(
+      s: SparkSession,
+      name: String,
+      out: DataFrame,
+      mode: String,
+      extraBatches: Seq[() => Unit] = Nil): DataFrame = {
+    s.catalog.dropTempView(name): Unit
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+      extraBatches.foreach { f => f(); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** Streaming stateful sessionization over the events table. Sentinel
     * far-future events appended in later micro-batches advance the
     * watermark so every real session times out and emits (the standard
@@ -41,33 +74,24 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val watch = Scratch.dir("stream_events")
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$watch/events_000.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(eventsSchema).parquet(watch)
         .select(col("user_id"),
           timestamp_millis(expr("ts DIV 1000000")).as("ts"),
           col("event_type"), col("value"))
         .as[StreamEvent]
-      val qn = s"q51_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = StreamingOps.sessionize(evs, GapMs, watermarkDelay = "0 seconds")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      def sentinel(tsNs: Long, id: Long): Unit =
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
         Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("append").parquet(watch)
-      try {
-        q.processAllAvailable()
-        // two extra micro-batches: the first advances the watermark far
-        // past every timeout, the second triggers the timeout emission
-        sentinel(4000000000000000000L, -1L)
-        q.processAllAvailable()
-        sentinel(4000000001000000000L, -2L)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(qn)
+      // two extra micro-batches: the first advances the watermark far
+      // past every timeout, the second triggers the timeout emission
+      drainToTable(s, "q51_mem",
+        StreamingOps.sessionize(evs, GapMs, watermarkDelay = "0 seconds")
+          .toDF(),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
         .where(col("user_id") >= 0)
         .withColumn("session_seq",
           row_number().over(
@@ -110,22 +134,16 @@ object StreamingQueries {
     "q52_stream_window_parity",
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val watch = Scratch.dir("stream_win")
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$watch/events_000.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(eventsSchema).parquet(watch)
         .select(
           timestamp_millis(expr("ts DIV 1000000")).as("ts"),
           col("event_type"),
           floor(col("value") * 100.0 + 0.5).as("value"))
-      val qn = s"q52_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = StreamingOps.windowedCounts(
-          evs, watermarkDelay = "10 minutes", windowLen = "1 hour")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(qn)
+      drainToTable(s, "q52_mem",
+        StreamingOps.windowedCounts(
+          evs, watermarkDelay = "10 minutes", windowLen = "1 hour"),
+        "complete")
         .select(
           unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n_events"),
@@ -154,13 +172,9 @@ object StreamingQueries {
   val q58 = Q(
     "q58_stream_dedup_parity",
     (s, dir) => {
-      val watch = Scratch.dir("stream_dedup")
-      Files.copy(Paths.get(s"$dir/documents.parquet"),
-        Paths.get(s"$watch/docs_a.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.copy(Paths.get(s"$dir/documents.parquet"),
-        Paths.get(s"$watch/docs_b.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val watch = watchDirWith(dir,
+        "documents.parquet" -> "docs_a.parquet",
+        "documents.parquet" -> "docs_b.parquet")
       val docsSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -169,13 +183,11 @@ object StreamingQueries {
           // synthetic event time, offset well past epoch 0 so the
           // initial watermark never classifies the first ids as late
           timestamp_millis(col("doc_id") + 1000000000L).as("ts"))
-      val qn = s"q58_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = StreamingOps.dedupByDigest(stream, "text", "ts",
-          watermarkDelay = "1 hour")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(qn).select(col("digest")).orderBy("digest")
+      drainToTable(s, "q58_mem",
+        StreamingOps.dedupByDigest(stream, "text", "ts",
+          watermarkDelay = "1 hour"),
+        "append")
+        .select(col("digest")).orderBy("digest")
     },
     Some("""
       SELECT DISTINCT md5(lower(trim(text))) AS digest
@@ -191,25 +203,19 @@ object StreamingQueries {
     "q59_stream_interval_join_parity",
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val watch = Scratch.dir("stream_ij")
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$watch/events_000.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
       def side(tpe: String) =
         s.readStream.schema(eventsSchema).parquet(watch)
           .where(col("event_type") === tpe)
           .select(col("user_id"),
             timestamp_millis(expr("ts DIV 1000000")).as("ts"),
             col("event_type"))
-      val joined = StreamingOps.intervalJoin(
-        side("error"), side("click"),
-        keyCol = "user_id", tsCol = "ts",
-        windowMs = GapMs, watermarkDelay = "1 hour")
-      val qn = s"q59_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(qn)
+      drainToTable(s, "q59_mem",
+        StreamingOps.intervalJoin(
+          side("error"), side("click"),
+          keyCol = "user_id", tsCol = "ts",
+          windowMs = GapMs, watermarkDelay = "1 hour"),
+        "append")
         .groupBy(col("l_key").as("user_id"),
           unix_millis(col("l_ts")).as("error_ms"),
           unix_millis(col("r_ts")).as("click_ms"))

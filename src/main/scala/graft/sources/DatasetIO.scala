@@ -107,8 +107,9 @@ final class DatasetIO(spark: SparkSession) {
       path: String,
       targetBytesPerFile: Long = 128L * 1024 * 1024,
       format: Option[String] = None): (Int, Int) = {
-    val p = new Path(path)
-    val fs = fsFor(p)
+    val p0 = new Path(path)
+    val fs = fsFor(p0)
+    val p = fs.makeQualified(p0) // listed statuses come back qualified
     def dataFiles() = graft.sources.GraftException.translatingAuth(s"compact $path") {
       val it = fs.listFiles(p, /*recursive=*/ true)
       var files = List.empty[org.apache.hadoop.fs.LocatedFileStatus]
@@ -139,10 +140,19 @@ final class DatasetIO(spark: SparkSession) {
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
     val old = new Path(p.getParent, s".${p.getName}_compact_old")
     write(rewritten, tmp.toString, format, partitionBy = partCols)
+    // Hadoop rename reports most failures by RETURNING FALSE, not
+    // throwing — check every step so a failed swap errors instead of
+    // silently nesting tmp inside the dataset.
     graft.sources.GraftException.translatingAuth(s"compact $path") {
       fs.delete(old, true) // stale leftover from an earlier crash
-      fs.rename(p, old)
-      fs.rename(tmp, p)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(
+          s"compact: failed to move $p aside to $old; dataset unchanged")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p) // roll back the aside move
+        throw new java.io.IOException(
+          s"compact: failed to move $tmp into place; original restored")
+      }
       fs.delete(old, true)
     }
     (before.size, dataFiles().size)

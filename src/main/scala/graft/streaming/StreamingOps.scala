@@ -109,6 +109,17 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout())(updateSession(gapMs))
   }
 
+  /** Merge the batch's events with the held session by INTERVAL
+    * gaps-and-islands: sort (state interval + event points) by start,
+    * merge any item within gapMs of the running island, close every
+    * island but the last (a later island's existence proves a > gap
+    * separation, exactly the batch operator's closing rule). This
+    * keeps batch parity for out-of-order events wherever parity is
+    * achievable: a late event within gap of the session extends it
+    * (possibly backwards); a late event more than gap BEFORE the
+    * session start becomes its own earlier island and closes
+    * immediately, instead of being wrongly merged.
+    */
   private def updateSession(gapMs: Long)(
       userId: Long,
       events: Iterator[StreamEvent],
@@ -118,31 +129,36 @@ object StreamingOps {
       state.remove()
       Iterator(SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
     } else {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val ms = e.ts.getTime
-        cur match {
-          case Some(s) if ms - s.end_ms <= gapMs =>
-            // min() keeps batch parity for late-but-within-watermark
-            // events that precede the session's current start
-            cur = Some(SessionState(
-              n_events = s.n_events + 1,
-              start_ms = math.min(s.start_ms, ms),
-              end_ms = math.max(s.end_ms, ms)))
-          case Some(s) =>
-            closed ::= SessionOut(userId, s.n_events, s.start_ms, s.end_ms)
-            cur = Some(SessionState(1L, ms, ms))
-          case None =>
-            cur = Some(SessionState(1L, ms, ms))
+      val items = (state.getOption.toList.map(s =>
+          SessionState(s.n_events, s.start_ms, s.end_ms)) ++
+        events.map(e => SessionState(1L, e.ts.getTime, e.ts.getTime)))
+        .sortBy(s => (s.start_ms, s.end_ms))
+      var islands = List.empty[SessionState]
+      items.foreach { it =>
+        islands match {
+          case head :: rest if it.start_ms - head.end_ms <= gapMs =>
+            islands = SessionState(
+              head.n_events + it.n_events,
+              head.start_ms,
+              math.max(head.end_ms, it.end_ms)) :: rest
+          case _ => islands = it :: islands
         }
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.end_ms + gapMs)
+      val ordered = islands.reverse
+      // An already-expired last island (its timeout would precede the
+      // watermark — setTimeoutTimestamp would reject it) closes now.
+      val lastExpired = ordered.lastOption.exists(
+        _.end_ms + gapMs <= state.getCurrentWatermarkMs())
+      val (closed, open) =
+        if (lastExpired) (ordered, None) else (ordered.dropRight(1), ordered.lastOption)
+      open match {
+        case Some(last) =>
+          state.update(last)
+          state.setTimeoutTimestamp(last.end_ms + gapMs)
+        case None => if (state.exists) state.remove()
       }
-      closed.reverseIterator
+      closed.iterator
+        .map(s => SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
     }
   }
 }

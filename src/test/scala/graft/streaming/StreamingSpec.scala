@@ -198,6 +198,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("out-of-order event beyond the gap before start closes separately") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val sessions = StreamingOps.sessionize(
+      input.toDS(), gapMs = 30 * 60000L, watermarkDelay = "4 hours")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_ooo2").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000))
+      runToCompletion(q)
+      // 100 min BEFORE the session start, > gap: batch semantics say
+      // this is its own earlier session — it must NOT merge
+      input.addData(ev(1, 900))
+      runToCompletion(q)
+      input.addData(ev(9, 4000))
+      runToCompletion(q)
+      input.addData(ev(9, 4001))
+      runToCompletion(q)
+      val rows = spark.table("sessions_ooo2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 1L).toSet
+      assert(rows == Set(
+        (1L, 1L, 900 * 60000L, 900 * 60000L),
+        (1L, 1L, 1000 * 60000L, 1000 * 60000L)), s"got: $rows")
+    } finally q.stop()
+  }
+
   test("mid-batch gap splits into two sessions (batch path within state fn)") {
     val ss = spark
     import ss.implicits._
