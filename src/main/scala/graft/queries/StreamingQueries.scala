@@ -52,12 +52,21 @@ object StreamingQueries {
       mode: String,
       extraBatches: Seq[() => Unit] = Nil): DataFrame = {
     s.catalog.dropTempView(name): Unit
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
+    // Stateful micro-batches pay a per-state-store-partition overhead
+    // EVERY batch; at parity-check scale 32 partitions of tiny state
+    // dominate runtime, so the drain runs with a small fixed count
+    // (captured by the query at start; restored after). A production
+    // deployment sizes this to its real state volume instead.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      q.processAllAvailable()
-      extraBatches.foreach { f => f(); q.processAllAvailable() }
-    } finally q.stop()
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try {
+        q.processAllAvailable()
+        extraBatches.foreach { f => f(); q.processAllAvailable() }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
