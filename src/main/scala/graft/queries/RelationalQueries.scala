@@ -466,7 +466,31 @@ object RelationalQueries {
       FROM s FULL JOIN c ON nk_s = nk_c
       ORDER BY nationkey"""))
 
+  // ---- q62: cube (all grouping-set combinations) ----
+
+  val q62 = Q(
+    "q62_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          Numerics.moneySum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status_grp"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio_grp"),
+          col("sum_price"), col("cnt"))
+        .orderBy("status_grp", "prio_grp"),
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status_grp,
+             coalesce(o_orderpriority, 'ALL') AS prio_grp,
+             ${Numerics.sqlMoneySum("o_totalprice")} AS sum_price,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status_grp, prio_grp"""))
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
-      q44, q45, q46, q60, q61)
+      q44, q45, q46, q60, q61, q62)
 }
