@@ -400,6 +400,39 @@ object ExtendedQueries {
              max(event_id) AS max_id
       FROM capped GROUP BY 1 ORDER BY event_type"""))
 
+  // ---- q63: approximate percentile vs exact rank bounds ----
+  // Like q47, the sketch value itself is engine-specific, so the
+  // DIFFERENTIAL contract is oracle-checked: approx_percentile with
+  // accuracy A guarantees rank error <= 1/A, so the approximate median
+  // must land between the exact 0.5∓2/A quantiles (computed by BOTH
+  // engines); the boolean hash-compares against TRUE. Deterministic
+  // for fixed input.
+
+  val q63 = Q(
+    "q63_approx_percentile_bound",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Numerics.fix4(expr("percentile(l_extendedprice, 0.5)"))
+            .as("p50_exact"),
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.498)").as("lo"),
+          expr("percentile(l_extendedprice, 0.502)").as("hi"))
+        .select(
+          col("l_returnflag"), col("p50_exact"), col("n"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi"))
+            .as("approx_within_rank_bound"))
+        .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag,
+             ${Numerics.sqlFix("quantile_cont(l_extendedprice, 0.5)", 4)}
+               AS p50_exact,
+             CAST(count(*) AS BIGINT) AS n,
+             TRUE AS approx_within_rank_bound
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+
   val all: Seq[Q] =
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56)
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56, q63)
 }
