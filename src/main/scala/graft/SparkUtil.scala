@@ -24,14 +24,13 @@ object SparkUtil {
     val target = sess.sparkContext.defaultParallelism
     val perPartition = sess.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes
-    // Unknown statistics surface as Long.MaxValue — treat as "protect
-    // the expensive stage" and repartition (AQE coalesces any excess);
-    // skipping would serialize exactly the degenerate single-partition
-    // sources this guard exists for.
-    val unknown = bytes >= BigInt(Long.MaxValue)
-    if (unknown || bytes < BigInt(target) * perPartition)
-      df.repartition(target)
-    else df
+    // Only a CONFIDENTLY-small estimate triggers the repartition.
+    // sizeInBytes >= Long.MaxValue means unknown OR a huge multiplied
+    // join estimate — forcing such an input into defaultParallelism
+    // partitions could build terabyte partitions, far worse than the
+    // under-parallelism this guard prevents; unknown-stats sources
+    // (e.g. RDD-backed) should pre-repartition explicitly.
+    if (bytes < BigInt(target) * perPartition) df.repartition(target) else df
   }
 
   /** Skew-salted inner equi-join: the skewed (large) side gets a

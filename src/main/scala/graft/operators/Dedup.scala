@@ -286,10 +286,13 @@ object Dedup {
   }
 
   /** Incremental near-dedup, end-to-end convenience: signatures the
-    * base in-line (first batch / no stored state yet). Steady-state
-    * pipelines should persist [[bandSignaturesFor]] output once and
-    * call [[incrementalNearDupFromSignatures]] per batch instead —
-    * that path never recomputes base signatures.
+    * base in-line (first batch / no stored state yet). NOTE: this
+    * wrapper discards the [[IncrementalDedup]] handle, so the
+    * operator's two small persisted intermediates stay cached for the
+    * session. Steady-state pipelines should persist
+    * [[bandSignaturesFor]] output once and call
+    * [[incrementalNearDupFromSignatures]] per batch instead — that
+    * path never recomputes base signatures AND exposes `release()`.
     */
   def incrementalNearDup(
       base: DataFrame,

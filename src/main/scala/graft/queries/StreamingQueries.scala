@@ -56,7 +56,10 @@ object StreamingQueries {
     // EVERY batch; at parity-check scale 32 partitions of tiny state
     // dominate runtime, so the drain runs with a small fixed count
     // (captured by the query at start; restored after). A production
-    // deployment sizes this to its real state volume instead.
+    // deployment sizes this to its real state volume instead. Assumes
+    // the driver-contract execution model: queries run one at a time
+    // per session (fixed sink names would collide under concurrent
+    // invocation of the SAME query).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {

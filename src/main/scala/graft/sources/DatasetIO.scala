@@ -149,9 +149,11 @@ final class DatasetIO(spark: SparkSession) {
         throw new java.io.IOException(
           s"compact: failed to move $p aside to $old; dataset unchanged")
       if (!fs.rename(tmp, p)) {
-        fs.rename(old, p) // roll back the aside move
+        val restored = fs.rename(old, p) // roll back the aside move
         throw new java.io.IOException(
-          s"compact: failed to move $tmp into place; original restored")
+          s"compact: failed to move $tmp into place; original " +
+            (if (restored) s"restored at $p"
+             else s"NOT restored — data is at $old"))
       }
       fs.delete(old, true)
     }

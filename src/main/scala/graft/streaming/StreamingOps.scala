@@ -93,8 +93,10 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("digest")
 
-  /** Stateful sessionization: a session closes when no event arrives
-    * for `gapMs` past the watermark. Emits one row per closed session.
+  /** Stateful sessionization: a session closes when the WATERMARK
+    * passes its end + gap. Emits one row per closed session, in exact
+    * agreement with the batch gaps-and-islands operator over every
+    * admissible (non-late) event ordering.
     */
   def sessionize(
       events: Dataset[StreamEvent],
@@ -109,56 +111,45 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout())(updateSession(gapMs))
   }
 
-  /** Merge the batch's events with the held session by INTERVAL
-    * gaps-and-islands: sort (state interval + event points) by start,
-    * merge any item within gapMs of the running island, close every
-    * island but the last (a later island's existence proves a > gap
-    * separation, exactly the batch operator's closing rule). This
-    * keeps batch parity for out-of-order events wherever parity is
-    * achievable: a late event within gap of the session extends it
-    * (possibly backwards); a late event more than gap BEFORE the
-    * session start becomes its own earlier island and closes
-    * immediately, instead of being wrongly merged.
+  /** Merge the batch's events with ALL held session islands by
+    * interval gaps-and-islands, then emit ONLY islands the watermark
+    * has sealed (end + gap <= watermark): any event that could still
+    * extend or bridge such an island would have ts <= watermark, i.e.
+    * be late and dropped, so sealed islands are exactly the sessions
+    * batch semantics would produce. Unsealed islands — including
+    * earlier ones that a future in-watermark event might yet bridge —
+    * stay in state (a Seq, not a single interval; holding one interval
+    * would force early emission that a bridging event later falsifies).
+    * The timeout re-arms at the earliest unsealed island's deadline.
     */
   private def updateSession(gapMs: Long)(
       userId: Long,
       events: Iterator[StreamEvent],
-      state: GroupState[SessionState]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator(SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
-    } else {
-      val items = (state.getOption.toList.map(s =>
-          SessionState(s.n_events, s.start_ms, s.end_ms)) ++
-        events.map(e => SessionState(1L, e.ts.getTime, e.ts.getTime)))
-        .sortBy(s => (s.start_ms, s.end_ms))
-      var islands = List.empty[SessionState]
-      items.foreach { it =>
-        islands match {
-          case head :: rest if it.start_ms - head.end_ms <= gapMs =>
-            islands = SessionState(
-              head.n_events + it.n_events,
-              head.start_ms,
-              math.max(head.end_ms, it.end_ms)) :: rest
-          case _ => islands = it :: islands
-        }
+      state: GroupState[Seq[SessionState]]): Iterator[SessionOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    val held = state.getOption.getOrElse(Seq.empty)
+    val items = (held ++ events.map(e =>
+        SessionState(1L, e.ts.getTime, e.ts.getTime)))
+      .sortBy(s => (s.start_ms, s.end_ms))
+    var islands = List.empty[SessionState]
+    items.foreach { it =>
+      islands match {
+        case head :: rest if it.start_ms - head.end_ms <= gapMs =>
+          islands = SessionState(
+            head.n_events + it.n_events,
+            head.start_ms,
+            math.max(head.end_ms, it.end_ms)) :: rest
+        case _ => islands = it :: islands
       }
-      val ordered = islands.reverse
-      // An already-expired last island (its timeout would precede the
-      // watermark — setTimeoutTimestamp would reject it) closes now.
-      val lastExpired = ordered.lastOption.exists(
-        _.end_ms + gapMs <= state.getCurrentWatermarkMs())
-      val (closed, open) =
-        if (lastExpired) (ordered, None) else (ordered.dropRight(1), ordered.lastOption)
-      open match {
-        case Some(last) =>
-          state.update(last)
-          state.setTimeoutTimestamp(last.end_ms + gapMs)
-        case None => if (state.exists) state.remove()
-      }
-      closed.iterator
-        .map(s => SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
     }
+    val (closed, open) = islands.reverse.partition(_.end_ms + gapMs <= wm)
+    if (open.isEmpty) { if (state.exists) state.remove() }
+    else {
+      state.update(open)
+      // earliest deadline; > wm by construction of `open`
+      state.setTimeoutTimestamp(open.map(_.end_ms).min + gapMs)
+    }
+    closed.iterator
+      .map(s => SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
   }
 }

@@ -145,6 +145,12 @@ class DedupSpec extends SparkTestBase {
       assert(roots.nonEmpty && roots.forall(_.contains("fresh_docs")),
         s"signature aggregate reads non-fresh inputs: $roots")
     }
+
+    // release() frees the operator's persisted intermediates
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    res.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore
+      || cachedBefore == 0, "release() must unpersist cached intermediates")
   }
 
   test("documents shorter than the shingle width produce no candidates") {

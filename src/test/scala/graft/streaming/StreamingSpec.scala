@@ -237,13 +237,49 @@ class StreamingSpec extends SparkTestBase {
     val q = sessions.writeStream.format("memory")
       .queryName("sessions2").outputMode("append").start()
     try {
-      // both events in ONE batch, 60 min apart -> first session closes inline
+      // both events in ONE batch, 60 min apart -> two islands; neither
+      // emits until the watermark seals it (an in-watermark event could
+      // still extend the first)
       input.addData(ev(1, 1000), ev(1, 1060))
       runToCompletion(q)
+      // watermark (1060 - 1min) seals island(1000) on the next batch
+      input.addData(ev(9, 1061))
+      runToCompletion(q)
       val rows = spark.table("sessions2").collect()
-      assert(rows.length == 1) // first session emitted; second still open
+        .filter(_.getLong(0) == 1L)
+      assert(rows.length == 1, s"got ${rows.length} rows")
       assert(rows.head.getLong(2) == 1000 * 60000L &&
         rows.head.getLong(3) == 1000 * 60000L)
+    } finally q.stop()
+  }
+
+  test("in-watermark event bridges two held islands into one session") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val sessions = StreamingOps.sessionize(
+      input.toDS(), gapMs = 10 * 60000L, watermarkDelay = "4 hours")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_bridge").outputMode("append").start()
+    try {
+      // 18 min apart: > gap, two separate islands — both HELD (the
+      // generous watermark means a bridging event is still admissible)
+      input.addData(ev(1, 1000), ev(1, 1018))
+      runToCompletion(q)
+      // the bridge: within gap of both islands -> one merged session
+      input.addData(ev(1, 1009))
+      runToCompletion(q)
+      // drain: advance watermark far past the merged session's deadline
+      input.addData(ev(9, 2000))
+      runToCompletion(q)
+      input.addData(ev(9, 2001))
+      runToCompletion(q)
+      val rows = spark.table("sessions_bridge").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 1L)
+      assert(rows.toSeq == Seq((1L, 3L, 1000 * 60000L, 1018 * 60000L)),
+        s"expected ONE bridged session, got: ${rows.mkString(", ")}")
     } finally q.stop()
   }
 }
