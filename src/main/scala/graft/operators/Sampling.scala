@@ -32,6 +32,15 @@ object Sampling {
       pmod(Hashes.hash60(col(idCol).cast("string"), seed), lit(1000)) < rate)
   }
 
+  /** Deterministic training-order shuffle: global order by the
+    * md5-derived hash of the id (tie-broken by id) — reproducible
+    * across runs, engines and cluster sizes, unlike `orderBy(rand())`.
+    * The sort is a range-partitioned distributed sort; downstream
+    * sharded writes preserve the order per shard.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Int = 0): DataFrame =
+    df.orderBy(Hashes.hash60(col(idCol).cast("string"), seed), col(idCol))
+
   /** Keep at most `k` rows per key, deterministically ordered by
     * (orderCol, tieCol) — the per-domain/per-user cap a web-scale
     * curation pipeline applies so no single source dominates training

@@ -433,6 +433,33 @@ object ExtendedQueries {
              TRUE AS approx_within_rank_bound
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
+  // ---- q64: deterministic training-order shuffle ----
+
+  val q64 = Q(
+    "q64_deterministic_shuffle",
+    (s, dir) => {
+      // top-k FIRST (orderBy+limit = distributed TakeOrderedAndProject);
+      // the rank window then runs over just the k surviving rows —
+      // never a global single-partition sort
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(
+          graft.functions.Hashes.hash60(col("doc_id").cast("string"), 0),
+          col("doc_id"))
+      Sampling.deterministicShuffle(
+          Tables(s, dir, "documents").select("doc_id"), "doc_id")
+        .limit(20)
+        .withColumn("position", row_number().over(w).cast("long"))
+        .orderBy("position")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+               doc_id) AS BIGINT) AS position
+      FROM documents
+      ORDER BY position LIMIT 20"""))
+
   val all: Seq[Q] =
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56, q63)
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
+      q63, q64)
 }

@@ -15,11 +15,11 @@ class DatasetIOSpec extends SparkTestBase {
   test("parquet/csv/json write-read roundtrips preserve data") {
     val tmp = Files.createTempDirectory("graft_io_").toString
     val src = nation
-    for (fmt <- Seq("parquet", "csv", "json")) {
+    for (fmt <- Seq("parquet", "orc", "csv", "json")) {
       val path = s"file:$tmp/nation_rt.$fmt"
       io.write(src, path)
       val back = io.read(path, schema =
-        if (fmt == "parquet") None else Some(src.schema))
+        if (fmt == "parquet" || fmt == "orc") None else Some(src.schema))
       assert(back.count() == src.count(), s"format $fmt")
       assert(
         back.agg(sum("n_nationkey")).head.getLong(0) ==
