@@ -240,29 +240,36 @@ object Similarity {
       k: Int,
       nCells: Int = 8,
       nProbe: Int = 2): DataFrame = {
-    require(nProbe == 2, "oracle transcription covers nProbe = 2")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells=$nCells], got $nProbe")
     val cb = prepVecs(corpus, idCol, vecCol)
       .withColumn("cell", cellOf(ivfDots(col("v"), nCells, dim)))
       .select(col("cell"), col("id").as("neighbor_id"),
         col("v").as("cv"), col("nrm").as("cn"))
-    // second-best cell: mask the winner at -inf and take argmax again
-    val qd = prepVecs(queries, idCol, vecCol)
-      .withColumn("dots", ivfDots(col("v"), nCells, dim))
-      .withColumn("p1", cellOf(col("dots")))
-      .withColumn("masked",
+    // i-th best cell: mask the previous winner at -inf and take argmax
+    // again — nProbe successive (argmax, mask) steps, each a pure
+    // per-row Column expression (no shuffle, no sort), with the same
+    // ties-to-lowest-cell rule at every step as the oracle's
+    // list_position. m0 is the raw dots array; p_i = argmax(m_{i-1}).
+    val qd0 = prepVecs(queries, idCol, vecCol)
+      .withColumn("m0", ivfDots(col("v"), nCells, dim))
+    val qd = (1 to nProbe).foldLeft(qd0) { (df, i) =>
+      val withP = df.withColumn(s"p$i", cellOf(col(s"m${i - 1}")))
+      if (i == nProbe) withP // last probe needs no further masking
+      else withP.withColumn(s"m$i",
         transform(sequence(lit(1), lit(nCells)),
-          i => when(i === col("p1"), lit(-9e99))
-            .otherwise(element_at(col("dots"), i))))
-      .withColumn("p2", cellOf(col("masked")))
+          j => when(j === col(s"p$i"), lit(-9e99))
+            .otherwise(element_at(col(s"m${i - 1}"), j))))
+    }
     val qb = qd
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(array(col("p1"), col("p2"))).as("cell"))
+        explode(array((1 to nProbe).map(i => col(s"p$i")): _*)).as("cell"))
     val scored = qb.join(cb, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
-      .groupBy("query_id", "neighbor_id") // p1/p2 cells are distinct, but stay safe
+      .groupBy("query_id", "neighbor_id") // probe cells are distinct, but stay safe
       .agg(max(col("cos")).as("cos"))
     topK(scored, k)
   }

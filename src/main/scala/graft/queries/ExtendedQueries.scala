@@ -205,34 +205,48 @@ object ExtendedQueries {
     s"[('0x'||substr(md5('ivf-$c-'||i),1,15))::BIGINT" +
       s"/576460752303423488.0 - 1.0 for i in generate_series(0,63)]"
 
-  val q39 = Q(
-    "q39_ann_ivf",
-    (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      Similarity.ivfTopK(
-          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
-          dim = 64, k = 3, nCells = 8, nProbe = 2)
-        .orderBy("query_id", "nn_rank")
-    },
-    Some {
-      val dots = (0 until 8)
-        .map(c => s"list_dot_product(v, ${centroidSql(c)})")
-        .mkString("[", ",\n            ", "]")
-      val cos = "list_dot_product(qv, cv) / " +
-        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
-      s"""
+  /** Spark side of the IVF top-k queries (shared by q39/q65). */
+  private def ivfQuery(nProbe: Int)(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.ivfTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        dim = 64, k = 3, nCells = 8, nProbe = nProbe)
+      .orderBy("query_id", "nn_rank")
+  }
+
+  /** Parameterized DuckDB transcription of [[Similarity.ivfTopK]]:
+    * m0 is the raw centroid-dots list; probe i comes from masking the
+    * previous winner at -9e99 and re-taking list_position(argmax) —
+    * the identical (argmax, mask) chain the Spark side folds, for any
+    * `nProbe` in [1, nCells].
+    */
+  private def ivfOracleSql(nCells: Int, nProbe: Int, k: Int): String = {
+    val dots = (0 until nCells)
+      .map(c => s"list_dot_product(v, ${centroidSql(c)})")
+      .mkString("[", ",\n            ", "]")
+    val cos = "list_dot_product(qv, cv) / " +
+      "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+    // per extra probe i: mask probe i-1's winner, argmax again
+    val chain = (2 to nProbe).map { i =>
+      s"""b${i - 1} AS (SELECT *,
+                   [CASE WHEN j = p${i - 1} THEN -9e99 ELSE m${i - 2}[j] END
+                    for j in generate_series(1, $nCells)] AS m${i - 1}
+             FROM q${i - 1}),
+      q$i AS (SELECT *, list_position(m${i - 1}, list_max(m${i - 1})) AS p$i
+             FROM b${i - 1}),"""
+    }.mkString("\n      ")
+    val probes = (1 to nProbe).map(i => s"p$i").mkString("[", ", ", "]")
+    s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      d AS (SELECT vec_id, v, $dots AS dl FROM e),
-      a AS (SELECT vec_id, v, dl,
-                   list_position(dl, list_max(dl)) AS p1 FROM d),
-      qm AS (SELECT *, [CASE WHEN i = p1 THEN -9e99 ELSE dl[i] END
-                        for i in generate_series(1, 8)] AS dl2
-             FROM a WHERE vec_id < 10),
-      q2 AS (SELECT vec_id, v, p1,
-                    list_position(dl2, list_max(dl2)) AS p2 FROM qm),
-      corp AS (SELECT vec_id AS neighbor_id, v AS cv, p1 AS cell FROM a),
+      d AS (SELECT vec_id, v, $dots AS m0 FROM e),
+      a1 AS (SELECT vec_id, v, m0,
+                    list_position(m0, list_max(m0)) AS p1 FROM d),
+      corp AS (SELECT vec_id AS neighbor_id, v AS cv, p1 AS cell FROM a1),
+      q1 AS (SELECT * FROM a1 WHERE vec_id < 10),
+      $chain
       qq AS (SELECT vec_id AS query_id, v AS qv,
-                    unnest([p1, p2]) AS cell FROM q2),
+                    unnest($probes) AS cell FROM q$nProbe),
       scored AS (
         SELECT query_id, neighbor_id, max($cos) AS cos
         FROM qq JOIN corp USING (cell)
@@ -245,9 +259,24 @@ object ExtendedQueries {
                ${Numerics.sqlFix("cos", 4)} AS cos_sim
         FROM scored)
       SELECT query_id, neighbor_id, nn_rank, cos_sim
-      FROM ranked WHERE nn_rank <= 3
+      FROM ranked WHERE nn_rank <= $k
       ORDER BY query_id, nn_rank"""
-    })
+  }
+
+  val q39 = Q(
+    "q39_ann_ivf",
+    ivfQuery(nProbe = 2),
+    Some(ivfOracleSql(nCells = 8, nProbe = 2, k = 3)))
+
+  // ---- q65: IVF at nProbe=3 — the tunable-recall path (more probed
+  // cells = more candidates = recall closer to brute force, at
+  // proportionally more candidate work; SimilaritySpec asserts the
+  // recall-vs-brute-force monotonicity) ----
+
+  val q65 = Q(
+    "q65_ann_ivf_probe3",
+    ivfQuery(nProbe = 3),
+    Some(ivfOracleSql(nCells = 8, nProbe = 3, k = 3)))
 
   // ---- q40: JSON property extraction + aggregation ----
 
@@ -461,5 +490,5 @@ object ExtendedQueries {
 
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64)
+      q63, q64, q65)
 }

@@ -75,6 +75,40 @@ class SimilaritySpec extends SparkTestBase {
       == Set((1L, 4L)))
   }
 
+  test("IVF nProbe is general: recall grows monotonically to brute force") {
+    val e = graft.Tables(spark, sf001, "embeddings")
+    val q = e.where("vec_id < 10")
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3))
+    def recall(nProbe: Int): Double = {
+      val ivf = resultSet(Similarity.ivfTopK(
+        q, e, "vec_id", "embedding", dim = 64, k = 3,
+        nCells = 8, nProbe = nProbe))
+      ivf.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val r3 = recall(3)
+    // more probed cells can only ADD candidates: recall is monotone,
+    // and probing every cell IS the exhaustive scan
+    assert(r1 <= r2 && r2 <= r3, s"recall not monotone: $r1, $r2, $r3")
+    assert(r3 > 0.5, s"nProbe=3 recall unreasonably low: $r3")
+    assert(recall(8) == 1.0, "probing all cells must equal brute force")
+  }
+
+  test("IVF rejects nProbe outside [1, nCells]") {
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+        dim = 4, k = 2, nCells = 4, nProbe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+        dim = 4, k = 2, nCells = 4, nProbe = 5)
+    }
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplaneValues(3, 8) == Similarity.hyperplaneValues(3, 8))
     val v = Similarity.hyperplaneValues(0, 64)
