@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One opaque media object: bytes + typed metadata. At 100 TB the
@@ -39,23 +39,27 @@ object Multimodal {
   /** Ingest raw media objects from a directory via Spark's binaryFile
     * source — the real multimodal ingestion path (each file becomes one
     * row of path/length/bytes, read distributed, partition-sized by
-    * `spark.sql.files.maxPartitionBytes`). Ids are derived from the
-    * file name digits (or a hash when none), mime from the extension.
+    * `spark.sql.files.maxPartitionBytes`). Ids default to
+    * `xxhash64(path)` — collision-free across directories, unlike
+    * name-digit schemes where `a1.png` and `b1.png` would collide; pass
+    * `idFromPath` (e.g. the digit extractor) when file names carry a
+    * caller-guaranteed-unique id. Mime comes from the extension.
     */
   def readBinaryDir(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      glob: String = "*"): DataFrame = {
+      glob: String = "*",
+      idFromPath: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        p => xxhash64(p)): DataFrame = {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
-    val digits = regexp_extract(col("path"), "(\\d+)[^/\\d]*$", 1)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        when(digits =!= "", digits.cast("long"))
-          .otherwise(xxhash64(col("path"))).as("doc_id"),
+        idFromPath(col("path")).cast("long").as("doc_id"),
         col("content").as("media"),
         when(ext === "png", "image/png")
+          .when(ext === "gif", "image/gif")
           .when(ext === "jpg" || ext === "jpeg", "image/jpeg")
           .when(ext === "wav", "audio/wav")
           .when(ext === "mp4", "video/mp4")
@@ -63,12 +67,61 @@ object Multimodal {
           .otherwise(concat(lit("application/"), ext)).as("mime"))
   }
 
+  /** Trailing-digit id extractor for [[readBinaryDir]] — the legacy
+    * naming scheme (`img_0042.png` -> 42). Only safe when the caller
+    * guarantees digit uniqueness across the whole tree.
+    */
+  def digitId(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val digits = regexp_extract(path, "(\\d+)[^/\\d]*$", 1)
+    when(digits =!= "", digits.cast("long")).otherwise(xxhash64(path))
+  }
+
+  // ---- header-format dimension decode: pure byte arithmetic ----
+  // PNG and GIF store dimensions at fixed header offsets, so decode is
+  // `substring`/`conv` Column expressions — whole-stage codegen'd, no
+  // codec library, no typed pass. (1-indexed byte positions.)
+
+  /** PNG signature (8 bytes) + room for the IHDR dims at bytes 17-24. */
+  private def isPng(media: Column): Column =
+    length(media) >= 24 &&
+      hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
+
+  /** GIF87a/GIF89a signature + room for the 4 dim bytes at 7-10. */
+  private def isGif(media: Column): Column =
+    length(media) >= 10 &&
+      hex(substring(media, 1, 6)).isin("474946383761", "474946383961")
+
+  /** Big-endian u32 at byte `pos` (PNG IHDR ints; spec caps at 2^31-1,
+    * so the int cast is safe for any standards-conforming file).
+    */
+  private def beU32(media: Column, pos: Int): Column =
+    conv(hex(substring(media, pos, 4)), 16, 10).cast("int")
+
+  /** Little-endian u16 at byte `pos` (GIF logical-screen dims). */
+  private def leU16(media: Column, pos: Int): Column =
+    (conv(hex(substring(media, pos, 1)), 16, 10).cast("int") +
+      conv(hex(substring(media, pos + 1, 1)), 16, 10).cast("int") * 256)
+
+  /** Decoded pixel width: PNG IHDR bytes 17-20 (big-endian), GIF bytes
+    * 7-8 (little-endian); null for formats that need a real codec.
+    */
+  def mediaWidth(media: Column): Column =
+    when(isPng(media), beU32(media, 17))
+      .when(isGif(media), leU16(media, 7))
+      .otherwise(lit(null).cast("int"))
+
+  /** Decoded pixel height: PNG IHDR bytes 21-24, GIF bytes 9-10. */
+  def mediaHeight(media: Column): Column =
+    when(isPng(media), beU32(media, 21))
+      .when(isGif(media), leU16(media, 9))
+      .otherwise(lit(null).cast("int"))
+
   /** ======== STUB ========
-    * A real deployment would decode `media` here (image dims, audio
-    * duration, frame samples) inside this same mapPartitions pass.
-    * The codec call is stubbed to None; everything else — the typed
-    * Dataset plumbing, per-partition batching, deterministic byte-level
-    * features — is real and tested.
+    * Codec-requiring formats only (JPEG entropy-coded segments, audio
+    * duration, video frames): a real deployment would decode them here,
+    * inside the same mapPartitions pass. Headered formats (PNG/GIF)
+    * never reach this — [[mediaWidth]]/[[mediaHeight]] parse them as
+    * codegen'd byte arithmetic above.
     */
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
@@ -90,20 +143,24 @@ object Multimodal {
   def deterministicFeatures(df: DataFrame): DataFrame =
     df.select(col("doc_id") +: featureColumns: _*)
 
-  /** Full feature extraction: deterministic features via the codegen'd
-    * Columns above; ONLY the (stubbed) codec runs in the typed
-    * per-partition pass, so the decode's cost never taxes the real
-    * features.
+  /** Full feature extraction: deterministic features AND the PNG/GIF
+    * dimension decode via the codegen'd Columns above; ONLY the
+    * (stubbed) codec for non-headered formats runs in the typed
+    * per-partition pass, so its cost never taxes the real features.
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.toDF()
-      .select(col("doc_id") +: featureColumns :+ col("media"): _*)
-      .as[(Long, Long, String, String, Array[Byte])]
+      .select((col("doc_id") +: featureColumns) ++ Seq(
+        mediaWidth(col("media")).as("hdr_w"),
+        mediaHeight(col("media")).as("hdr_h"),
+        col("media")): _*)
+      .as[(Long, Long, String, String, Option[Int], Option[Int], Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, len, hdr, sha, media) =>
-          val (w, h) = decodeDimensionsStub(media)
-          MediaFeatures(id, len, hdr, sha, w, h)
+        it.map { case (id, len, hdr, sha, w, h, media) =>
+          val (dw, dh) =
+            if (w.isDefined) (w, h) else decodeDimensionsStub(media)
+          MediaFeatures(id, len, hdr, sha, dw, dh)
         }
       }
   }
