@@ -39,19 +39,27 @@ object Bench {
       val warm = (1 to timedRuns).map(_ => time(fn)).min
       name -> (cold, warm)
     }
+    // 3 decimals = ms resolution, 6+ chars shorter per value than a raw
+    // double; Locale.ROOT so the decimal point never becomes a comma.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def j(sel: ((Double, Double)) => Double) = results
-      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }
       .mkString("{", ",", "}")
     val coldTotal = results.values.map(_._1).sum
     val warmTotal = results.values.map(_._2).sum
-    // Two lines, cold detail FIRST and the warm headline LAST: the
-    // driver tail-captures stdout, so a truncation can only cost the
-    // auxiliary cold dict, never the headline warm totals (round 3 lost
-    // the warm dict exactly this way when both shared one giant line).
+    // Auxiliary detail FIRST, compact headline LAST: the driver
+    // tail-captures a few KB of stdout, so everything rides on the
+    // FINAL line alone staying short. Round 3 lost the warm dict to a
+    // shared giant line; round 4's two-line split still lost the parse
+    // because full-precision doubles pushed the last line past the tail
+    // budget. Hence the 3-decimal rounding on the headline line.
     println(
       s"""{"aux":"cold_detail","cold_total":$coldTotal,"queries_cold":${j(_._1)},"runs":$timedRuns,"sf":"$sfDir"}""")
-    println(
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${j(_._2)},"cold_total":$coldTotal,"runs":$timedRuns,"sf":"$sfDir"}""")
+    val headline =
+      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${j(_._2)},"cold_total":${fmt(coldTotal)},"runs":$timedRuns,"sf":"$sfDir"}"""
+    println(s"""{"aux":"headline_len","chars":${headline.length}}""")
+    println(headline)
     spark.stop()
   }
 }

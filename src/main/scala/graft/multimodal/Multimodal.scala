@@ -91,11 +91,15 @@ object Multimodal {
     length(media) >= 10 &&
       hex(substring(media, 1, 6)).isin("474946383761", "474946383961")
 
-  /** Big-endian u32 at byte `pos` (PNG IHDR ints; spec caps at 2^31-1,
-    * so the int cast is safe for any standards-conforming file).
+  /** Big-endian u32 at byte `pos` (PNG IHDR ints). The PNG spec caps
+    * dimensions at 2^31-1, but a corrupt/hostile header can claim more
+    * and Spark 4's ANSI cast would fail the whole job on overflow — so
+    * read as long (any u32 fits) and null out out-of-spec values.
     */
-  private def beU32(media: Column, pos: Int): Column =
-    conv(hex(substring(media, pos, 4)), 16, 10).cast("int")
+  private def beU32(media: Column, pos: Int): Column = {
+    val v = conv(hex(substring(media, pos, 4)), 16, 10).cast("long")
+    when(v <= Int.MaxValue, v.cast("int")) // else null (malformed header)
+  }
 
   /** Little-endian u16 at byte `pos` (GIF logical-screen dims). */
   private def leU16(media: Column, pos: Int): Column =
@@ -158,9 +162,12 @@ object Multimodal {
       .as[(Long, Long, String, String, Option[Int], Option[Int], Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, len, hdr, sha, w, h, media) =>
-          val (dw, dh) =
-            if (w.isDefined) (w, h) else decodeDimensionsStub(media)
-          MediaFeatures(id, len, hdr, sha, dw, dh)
+          // the codec stub runs only for non-headered formats; a headered
+          // file with one malformed field keeps the field that parsed
+          val (sw, sh) =
+            if (w.isDefined || h.isDefined) (None, None)
+            else decodeDimensionsStub(media)
+          MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh))
         }
       }
   }

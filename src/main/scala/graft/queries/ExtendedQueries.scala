@@ -488,7 +488,52 @@ object ExtendedQueries {
       FROM documents
       ORDER BY position LIMIT 20"""))
 
+  // ---- q66: DECIMAL-typed money aggregation ----
+  // Proves the engine's exact-decimal path end-to-end: build a true
+  // decimal(12,2) column (exact integer-cents construction — never a
+  // double→decimal rounding cast, whose half-cases differ across
+  // engines), round-trip it through parquet's DECIMAL logical type,
+  // and aggregate with native decimal sums. Complements the
+  // floor-cents-on-double path in [[graft.functions.Numerics]]: a user
+  // with decimal parquet columns exercises Spark's decimal codegen, not
+  // the double kernels.
+
+  val q66 = Q(
+    "q66_decimal_agg",
+    (s, dir) => {
+      val tmp = Scratch.dir("dec")
+      val path = s"file:$tmp/lineitem_dec.parquet"
+      // exact: integral cents (floor(x*100+0.5), the shared fix2
+      // convention) scaled by the exact decimal literal 0.01
+      val priceDec =
+        (floor(col("l_extendedprice") * 100.0 + 0.5).cast("decimal(14,0)") *
+          lit("0.01").cast("decimal(3,2)")).cast("decimal(12,2)")
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), priceDec.as("price_dec"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("price_dec")).cast("decimal(18,2)").as("price_sum"),
+          max(col("price_dec")).as("price_max"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             CAST(sum(price_dec) AS DECIMAL(18,2)) AS price_sum,
+             max(price_dec) AS price_max,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT l_returnflag,
+               CAST(CAST(floor(l_extendedprice*100.0 + 0.5) AS DECIMAL(14,0))
+                    * CAST('0.01' AS DECIMAL(3,2)) AS DECIMAL(12,2))
+                 AS price_dec
+        FROM lineitem)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65)
+      q63, q64, q65, q66)
 }

@@ -490,7 +490,49 @@ object RelationalQueries {
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY status_grp, prio_grp"""))
 
+  // ---- q67: rank + lag windows (beyond q09's row_number) ----
+  // Two windows over one partition pass: rank() ordered by the value
+  // alone (ties share a rank — deterministic because it depends only on
+  // values), lag()/row_number() over the tie-broken total order (lag
+  // needs an unambiguous predecessor). Catalyst evaluates both in a
+  // single Window node per sort order; same shuffle by c_mktsegment.
+
+  val q67 = Q(
+    "q67_window_rank_lag",
+    (s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_mktsegment"), col("c_custkey"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("acct_cents"))
+      val wRank = Window.partitionBy("c_mktsegment")
+        .orderBy(col("acct_cents").desc)
+      val wSeq = Window.partitionBy("c_mktsegment")
+        .orderBy(col("acct_cents").desc, col("c_custkey").asc)
+      base
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("acct_cents"),
+          rank().over(wRank).as("bal_rank"),
+          lag(col("acct_cents"), 1).over(wSeq).as("prev_cents"),
+          row_number().over(wSeq).as("rn"))
+        .where(col("rn") <= 8)
+        .orderBy("c_mktsegment", "rn")
+    },
+    Some(s"""
+      SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, acct_cents,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                 ORDER BY acct_cents DESC) AS INT) AS bal_rank,
+               lag(acct_cents, 1) OVER (PARTITION BY c_mktsegment
+                 ORDER BY acct_cents DESC, c_custkey ASC) AS prev_cents,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY acct_cents DESC, c_custkey ASC) AS INT) AS rn
+        FROM (
+          SELECT c_mktsegment, c_custkey,
+                 CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) AS acct_cents
+          FROM customer))
+      WHERE rn <= 8
+      ORDER BY c_mktsegment, rn"""))
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
-      q44, q45, q46, q60, q61, q62)
+      q44, q45, q46, q60, q61, q62, q67)
 }

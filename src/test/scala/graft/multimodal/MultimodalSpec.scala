@@ -17,7 +17,9 @@ class MultimodalSpec extends SparkTestBase {
       java.nio.file.Files.write(
         new java.io.File(dir, "clip_7.wav").toPath,
         "RIFFdata".getBytes("UTF-8"))
-      val rows = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+      // legacy digit-id scheme, opted into explicitly
+      val rows = Multimodal.readBinaryDir(
+        spark, dir.getAbsolutePath, idFromPath = Multimodal.digitId)
         .collect().map(r => r.getLong(0) ->
           (r.getAs[Array[Byte]](1).length, r.getString(2))).toMap
       assert(rows(42L) == (4, "image/png"))
@@ -25,10 +27,27 @@ class MultimodalSpec extends SparkTestBase {
 
       // the ingested records feed the same feature pass
       val feats = Multimodal.extractFeatures(
-        Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+        Multimodal.readBinaryDir(
+          spark, dir.getAbsolutePath, idFromPath = Multimodal.digitId)
           .as[MediaRecord])
         .collect().map(f => f.doc_id -> f.header_hex).toMap
       assert(feats(42L) == "89504E47") // PNG magic
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("readBinaryDir default ids are path hashes: same digits never collide") {
+    val dir = java.nio.file.Files.createTempDirectory("media_ids").toFile
+    try {
+      // identical trailing digits — the digit scheme would collide on 1
+      java.nio.file.Files.write(
+        new java.io.File(dir, "a1.png").toPath, Array[Byte](1, 2))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "b1.png").toPath, Array[Byte](3, 4))
+      val ids = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.size == 2) // xxhash64(path) keeps them distinct
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }
@@ -67,5 +86,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(back.schema("media").dataType.typeName == "binary")
     val feats = Multimodal.extractFeatures(back.as[MediaRecord]).head()
     assert(feats.byte_len == 7L)
+  }
+
+  test("PNG/GIF header decode yields dimensions; malformed headers yield null") {
+    val ss = spark
+    import ss.implicits._
+    // minimal PNG prefix: 8-byte signature, IHDR length+type, then
+    // width 640 / height 480 as big-endian u32 at bytes 17-24
+    val png = Array[Int](
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',     // IHDR chunk head
+      0x00, 0x00, 0x02, 0x80,                          // width  = 640
+      0x00, 0x00, 0x01, 0xE0                           // height = 480
+    ).map(_.toByte)
+    // GIF89a header: width 320 / height 200 little-endian u16 at 7-10
+    val gif = Array[Int](
+      'G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, // width  = 320
+      0xC8, 0x00  // height = 200
+    ).map(_.toByte)
+    // hostile PNG: width field 0xFFFFFFFF overflows int — must be null,
+    // not an ANSI CAST_OVERFLOW job failure
+    val badPng = png.clone()
+    (16 until 20).foreach(i => badPng(i) = 0xFF.toByte)
+    val jpeg = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+
+    val recs = Seq(
+      MediaRecord(1L, png, "image/png"),
+      MediaRecord(2L, gif, "image/gif"),
+      MediaRecord(3L, badPng, "image/png"),
+      MediaRecord(4L, jpeg, "image/jpeg"))
+    val feats = Multimodal.extractFeatures(recs.toDS())
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    assert(feats(1L) == (Some(640), Some(480)))
+    assert(feats(2L) == (Some(320), Some(200)))
+    assert(feats(3L) == (None, Some(480))) // width malformed, height fine
+    assert(feats(4L) == (None, None)) // codec-needing format stays stubbed
   }
 }
