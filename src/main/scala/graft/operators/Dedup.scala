@@ -180,6 +180,47 @@ object Dedup {
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
   }
 
+  /** Fuzzy-match near-dup with an edit-distance cap: the MinHash-LSH
+    * candidate pipeline of [[minhashNearDup]] (same recall argument —
+    * candidates cover every pair at or above the Jaccard threshold),
+    * verified by BOTH exact shingle-set Jaccard >= `threshold` AND
+    * `levenshtein(text_a, text_b) <= maxDist`. Levenshtein is
+    * O(|a|·|b|) per pair, so it runs LAST, on Jaccard-verified pairs
+    * only — at 100 TB the quadratic kernel touches a vanishing
+    * fraction of the corpus while the cheap set math prunes first.
+    * Output: (id_a, id_b, edit_dist), id_a < id_b.
+    */
+  def editDistanceNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.6,
+      maxDist: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val base = graft.SparkUtil.ensureParallelism(df)
+    val shingleExpr =
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+    val candidates =
+      lshCandidates(base, col(idCol), shingleExpr, bands, rowsPerBand, maxBucket)
+    val docs = base.select(
+      col(idCol).as("id"), col(textCol).as("txt"), shingleExpr.as("shingles"))
+    val a = docs.select(
+      col("id").as("id_a"), col("txt").as("txt_a"), col("shingles").as("sh_a"))
+    val b = docs.select(
+      col("id").as("id_b"), col("txt").as("txt_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .where(Texts.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(
+        col("id_a"), col("id_b"),
+        levenshtein(col("txt_a"), col("txt_b")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   /** Precompute the (id, band, key) band signatures for a corpus — the
     * state a production incremental pipeline PERSISTS between batches
     * (write this DataFrame out once; per batch, read it back and append

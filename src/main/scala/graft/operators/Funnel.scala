@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event log: how many users reach each
+  * stage of a conversion path, where stage i+1 counts only events
+  * STRICTLY AFTER the user's stage-i time (first-touch attribution).
+  *
+  * Distributed shape: one filtered aggregate per stage plus an
+  * equi-join on the user key against the previous stage's (user, time)
+  * rows — each stage scans only its own event type's rows, every
+  * shuffle is keyed by the user column, and per-stage state is
+  * O(users reaching the stage), never O(events). Later stages shrink
+  * monotonically; AQE coalesces their partitions at runtime.
+  */
+object Funnel {
+
+  /** Per-stage reach: (stage, users_reached, sum_lag), one row per
+    * stage. `stage` is `"<i>_<name>"` (ordinal prefix keeps the output
+    * sortable), `users_reached` counts users with a valid ordered path
+    * to the stage, and `sum_lag` totals (stage time − previous stage
+    * time) over those users — exact integers in the input's time unit,
+    * so cross-engine compares need no float tolerance.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t"))
+    val firstRow = first.agg(
+      lit(s"1_${stages.head}").as("stage"),
+      count(lit(1)).as("users_reached"),
+      lit(0L).as("sum_lag"))
+    val (rows, _) = stages.zipWithIndex.tail
+      .foldLeft((Seq(firstRow), first)) { case ((acc, prev), (stage, i)) =>
+        val cur = events.where(col(typeCol) === stage)
+          .join(prev.select(col(userCol), col("t").as("t_prev")), Seq(userCol))
+          .where(col(tsCol) > col("t_prev"))
+          .groupBy(col(userCol), col("t_prev")) // t_prev is unique per user
+          .agg(min(col(tsCol)).as("t"))
+        val row = cur.agg(
+          lit(s"${i + 1}_$stage").as("stage"),
+          count(lit(1)).as("users_reached"),
+          coalesce(sum(col("t") - col("t_prev")), lit(0L)).as("sum_lag"))
+        (acc :+ row, cur.select(col(userCol), col("t")))
+      }
+    rows.reduce(_.union(_))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Numerics
-import graft.operators.{Dedup, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Extended surface beyond the blueprint contract (SURVEY.md §2.4):
   * time-series joins, curation sampling, rolling windows, exact
@@ -533,7 +533,39 @@ object ExtendedQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // ---- q69: ordered event funnel (view → click → purchase) ----
+
+  val q69 = Q(
+    "q69_event_funnel",
+    (s, dir) =>
+      Funnel.funnel(
+          ev(s, dir), "user_id", "event_type", "ms",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage"),
+    Some(s"""
+      WITH $evCte,
+      s1 AS (SELECT user_id, min(ms) AS t FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, s1.t AS t_prev, min(ms) AS t
+             FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE event_type = 'click' AND ms > s1.t
+             GROUP BY e.user_id, s1.t),
+      s3 AS (SELECT e.user_id, s2.t AS t_prev, min(ms) AS t
+             FROM e JOIN s2 ON e.user_id = s2.user_id
+             WHERE event_type = 'purchase' AND ms > s2.t
+             GROUP BY e.user_id, s2.t)
+      SELECT * FROM (
+        SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users_reached,
+               CAST(0 AS BIGINT) AS sum_lag FROM s1
+        UNION ALL
+        SELECT '2_click', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT '3_purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s3)
+      ORDER BY stage"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65, q66)
+      q63, q64, q65, q66, q69)
 }

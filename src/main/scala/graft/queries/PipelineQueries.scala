@@ -476,7 +476,38 @@ object PipelineQueries {
                AS chunk_tokens
       FROM x ORDER BY doc_id, chunk_seq"""))
 
+  // ---- q68: fuzzy dedup — edit-distance cap on LSH-verified pairs ----
+  // maxDist=6 keeps the planted 4-edit near-dups and drops the one
+  // 8-edit pair the Jaccard gate alone admits: the cap demonstrably
+  // refines, not rubber-stamps, the q21 pair set.
+
+  val q68 = Q(
+    "q68_edit_distance_dedup",
+    (s, dir) =>
+      Dedup.editDistanceNearDup(docs(s, dir), "doc_id", "text",
+          shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6,
+          maxDist = 6)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $wordsCte,
+      t AS (SELECT doc_id, text FROM documents),
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b FROM p WHERE j >= 0.6)
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist
+      FROM v JOIN t ta ON ta.doc_id = doc_a
+             JOIN t tb ON tb.doc_id = doc_b
+      WHERE levenshtein(ta.text, tb.text) <= 6
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55, q57)
+    q53, q54, q55, q57, q68)
 }

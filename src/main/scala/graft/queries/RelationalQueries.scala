@@ -532,7 +532,53 @@ object RelationalQueries {
       WHERE rn <= 8
       ORDER BY c_mktsegment, rn"""))
 
+  // ---- q70: ntile + percent_rank distribution summary ----
+  // Quartile buckets per segment with each bucket's count, bounds and
+  // top percent_rank. percent_rank over the tie-broken total order is
+  // (row_number-1)/(n-1) in both engines — an exact integer ratio, and
+  // fix4 guards the representation anyway.
+
+  val q70 = Q(
+    "q70_window_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("acct_cents").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("acct_cents"))
+        .select(
+          col("c_mktsegment"), col("acct_cents"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+          count(lit(1)).as("n"),
+          min("acct_cents").as("min_cents"),
+          max("acct_cents").as("max_cents"),
+          Numerics.fix4(max(col("pr"))).as("max_pr"))
+        .orderBy("c_mktsegment", "quartile")
+    },
+    Some(s"""
+      SELECT c_mktsegment, quartile,
+             CAST(count(*) AS BIGINT) AS n,
+             min(acct_cents) AS min_cents,
+             max(acct_cents) AS max_cents,
+             ${Numerics.sqlFix("max(pr)", 4)} AS max_pr
+      FROM (
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) AS acct_cents,
+               CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                 ORDER BY CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) DESC,
+                          c_custkey ASC) AS INT) AS quartile,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                 ORDER BY CAST(floor(c_acctbal*100.0 + 0.5) AS BIGINT) DESC,
+                          c_custkey ASC) AS pr
+        FROM customer)
+      GROUP BY c_mktsegment, quartile
+      ORDER BY c_mktsegment, quartile"""))
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
-      q44, q45, q46, q60, q61, q62, q67)
+      q44, q45, q46, q60, q61, q62, q67, q70)
 }

@@ -102,12 +102,29 @@ final class DatasetIO(spark: SparkSession) {
     * rename-aside (original → `.<name>_compact_old`, tmp → original,
     * delete old): no window where the dataset exists only under a tmp
     * name, and a crash mid-swap leaves the data recoverable.
+    *
+    * ATOMICITY BOUNDARY: the swap's safety rests on the filesystem's
+    * `rename` being an O(1) metadata move (HDFS, file://, ABFS). On
+    * S3-style object stores rename is COPY+DELETE — a crash mid-swap
+    * can leave a partially-copied dataset, and readers can observe the
+    * half-renamed state. Production compaction there belongs to a table
+    * format whose commit is a pointer swap (Iceberg/Delta/Hudi), so
+    * compact REFUSES object-store schemes unless the caller passes
+    * `allowNonAtomicSwap = true` and accepts the crash window.
     */
   def compact(
       path: String,
       targetBytesPerFile: Long = 128L * 1024 * 1024,
-      format: Option[String] = None): (Int, Int) = {
+      format: Option[String] = None,
+      allowNonAtomicSwap: Boolean = false): (Int, Int) = {
     val p0 = new Path(path)
+    val scheme = Option(p0.toUri.getScheme).getOrElse("file").toLowerCase
+    if (DatasetIO.nonAtomicRenameSchemes(scheme) && !allowNonAtomicSwap)
+      throw new IllegalArgumentException(
+        s"compact: $scheme:// rename is copy+delete, not atomic — a crash " +
+          "mid-swap can corrupt the dataset. Use a table format with " +
+          "pointer-swap commits (Iceberg/Delta/Hudi) for object-store " +
+          "compaction, or pass allowNonAtomicSwap=true to accept the risk.")
     val fs = fsFor(p0)
     val p = fs.makeQualified(p0) // listed statuses come back qualified
     def dataFiles() = graft.sources.GraftException.translatingAuth(s"compact $path") {
@@ -227,4 +244,17 @@ final class DatasetIO(spark: SparkSession) {
     case "csv" => Map("header" -> "true")
     case _ => Map.empty
   }
+}
+
+object DatasetIO {
+
+  /** URI schemes whose Hadoop `rename` is a data copy, not an atomic
+    * metadata move: the S3 connectors, Google Cloud Storage, Aliyun
+    * OSS, and the flat (non-hierarchical-namespace) Azure blob
+    * connector. [[DatasetIO.compact]]'s rename-aside swap is unsafe
+    * there — checked by scheme string so the gate fires before any
+    * connector class (which may not be on the classpath) is loaded.
+    */
+  val nonAtomicRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs")
 }

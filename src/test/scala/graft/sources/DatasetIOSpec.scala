@@ -51,6 +51,22 @@ class DatasetIOSpec extends SparkTestBase {
     assert(io.read(path).count() == nation.count())
   }
 
+  test("compact refuses object-store schemes whose rename is not atomic") {
+    // scheme gate fires before any FS client is created — no S3
+    // connector on the classpath, and none needed
+    val e = intercept[IllegalArgumentException] {
+      io.compact("s3a://bucket/dataset")
+    }
+    assert(e.getMessage.contains("not atomic"))
+    assert(e.getMessage.contains("allowNonAtomicSwap"))
+    // with the override the gate passes; failure then comes from the
+    // (absent) s3a connector itself, not the gate
+    val e2 = intercept[RuntimeException] {
+      io.compact("s3a://bucket/dataset", allowNonAtomicSwap = true)
+    }
+    assert(!e2.isInstanceOf[IllegalArgumentException])
+  }
+
   test("compact preserves a partitioned layout and stays prunable") {
     val tmp = Files.createTempDirectory("graft_io_").toString
     val path = s"file:$tmp/nation_part"
