@@ -28,15 +28,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Process-level warmup: JVM, parquet reader and shuffle paths.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // A throwing query must NOT bench as a ~0 s "win": record the error
+    // per query (first occurrence), emit the map in the headline JSON,
+    // and exit nonzero so a regression that breaks a query fails the
+    // bench run instead of flattering it.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def time(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count(): Unit }
+      catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse(""))
+            .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(120)
+          if (!errors.contains(name)) errors(name) = msg
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val cold = time(fn) // first run: codegen compile + cache misses
-      val warm = (1 to timedRuns).map(_ => time(fn)).min
+      val cold = time(name, fn) // first run: codegen compile + cache misses
+      val warm = (1 to timedRuns).map(_ => time(name, fn)).min
       name -> (cold, warm)
     }
     // 3 decimals = ms resolution, 6+ chars shorter per value than a raw
@@ -56,10 +70,14 @@ object Bench {
     // budget. Hence the 3-decimal rounding on the headline line.
     println(
       s"""{"aux":"cold_detail","cold_total":$coldTotal,"queries_cold":${j(_._1)},"runs":$timedRuns,"sf":"$sfDir"}""")
+    // errors is {} on a healthy run — a few bytes on the headline line.
+    val errJson = errors
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val headline =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${j(_._2)},"cold_total":${fmt(coldTotal)},"runs":$timedRuns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${j(_._2)},"cold_total":${fmt(coldTotal)},"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(s"""{"aux":"headline_len","chars":${headline.length}}""")
     println(headline)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

@@ -22,8 +22,10 @@ final case class MediaFeatures(
     height: Option[Int])
 
 /** Multimodal-column plumbing: schema, partitioning, and the
-  * per-partition decode pass are real; only the media decode itself is
-  * STUBBED (no image/audio codecs in this environment).
+  * per-partition decode pass are real, and so is dimension decode for
+  * every headered image format (PNG/GIF as codegen'd Columns, JPEG via
+  * a SOF marker scan); only codec-requiring decode (audio duration,
+  * video frames) is STUBBED — no codecs in this environment.
   */
 object Multimodal {
 
@@ -120,15 +122,68 @@ object Multimodal {
       .when(isGif(media), leU16(media, 9))
       .otherwise(lit(null).cast("int"))
 
+  /** JPEG dimensions via a bounded SOF marker scan — pure byte logic,
+    * no codec. A JPEG is SOI (FFD8) followed by segments of
+    * [FF, marker, u16 big-endian length, payload]; the frame header
+    * SOFn (FFC0-FFCF minus DHT FFC4 / JPG FFC8 / DAC FFCC) carries
+    * [u8 precision, u16 height, u16 width] at payload offsets 0-4
+    * (ISO/IEC 10918-1 B.2.2). The scan walks segment lengths — it never
+    * touches entropy-coded data — so EXIF/JFIF APPn blobs of any size
+    * are skipped in O(#segments). Returns (None, None) for truncated,
+    * desynced, or non-JPEG bytes rather than throwing: at 100 TB some
+    * inputs WILL be corrupt, and one bad object must not fail the job.
+    */
+  private[multimodal] def decodeJpegDims(
+      media: Array[Byte]): (Option[Int], Option[Int]) = {
+    def u8(i: Int): Int = media(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val n = media.length
+    if (n < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return (None, None)
+    var i = 2
+    var guard = 0 // hostile input: a segment loop must stay bounded
+    while (i + 1 < n && guard < 4096) {
+      guard += 1
+      if (u8(i) != 0xFF) return (None, None) // desynced — not at a marker
+      var m = u8(i + 1)
+      while (m == 0xFF && i + 2 < n) { i += 1; m = u8(i + 1) } // fill bytes
+      m match {
+        case 0xD8 | 0x01 => i += 2 // SOI / TEM: standalone, no length
+        case x if x >= 0xD0 && x <= 0xD7 => i += 2 // RSTn: no length
+        case 0xD9 | 0xDA => return (None, None) // EOI / scan data, no SOF
+        case x if x >= 0xC0 && x <= 0xCF && x != 0xC4 && x != 0xC8 && x != 0xCC =>
+          if (i + 8 >= n) return (None, None) // truncated frame header
+          val h = u16(i + 5)
+          val w = u16(i + 7)
+          return (if (w > 0) Some(w) else None, if (h > 0) Some(h) else None)
+        case _ =>
+          if (i + 3 >= n) return (None, None) // truncated segment length
+          val len = u16(i + 2)
+          if (len < 2) return (None, None) // length includes itself: >= 2
+          i += 2 + len
+      }
+    }
+    (None, None)
+  }
+
   /** ======== STUB ========
-    * Codec-requiring formats only (JPEG entropy-coded segments, audio
-    * duration, video frames): a real deployment would decode them here,
-    * inside the same mapPartitions pass. Headered formats (PNG/GIF)
-    * never reach this — [[mediaWidth]]/[[mediaHeight]] parse them as
-    * codegen'd byte arithmetic above.
+    * Codec-requiring formats only (audio duration, video frames): a
+    * real deployment would decode them here, inside the same
+    * mapPartitions pass. Headered formats never reach this —
+    * PNG/GIF parse as codegen'd byte arithmetic in
+    * [[mediaWidth]]/[[mediaHeight]], JPEG via [[decodeJpegDims]]'s
+    * marker scan.
     */
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
+
+  /** Typed-pass dimension dispatch for formats the codegen'd header
+    * Columns don't cover: JPEG gets the real marker scan; everything
+    * else falls to the declared codec stub.
+    */
+  private def decodeDimensions(media: Array[Byte]): (Option[Int], Option[Int]) =
+    if (media.length >= 2 && (media(0) & 0xFF) == 0xFF &&
+      (media(1) & 0xFF) == 0xD8) decodeJpegDims(media)
+    else decodeDimensionsStub(media)
 
   /** The deterministic byte-level feature expressions — exactly the
     * codegen'd `length`/`hex(substring)`/`sha2` built-ins, shared by
@@ -162,11 +217,12 @@ object Multimodal {
       .as[(Long, Long, String, String, Option[Int], Option[Int], Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, len, hdr, sha, w, h, media) =>
-          // the codec stub runs only for non-headered formats; a headered
-          // file with one malformed field keeps the field that parsed
+          // the typed decode runs only for non-headered formats (JPEG
+          // marker scan, codec stub for the rest); a headered file with
+          // one malformed field keeps the field that parsed
           val (sw, sh) =
             if (w.isDefined || h.isDefined) (None, None)
-            else decodeDimensionsStub(media)
+            else decodeDimensions(media)
           MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh))
         }
       }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Ordered-funnel analysis over an event log: how many users reach each
   * stage of a conversion path, where stage i+1 counts only events
@@ -30,9 +31,17 @@ object Funnel {
       tsCol: String,
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // Each stage's (user, t) frame feeds BOTH its summary row and the
+    // next stage's join — and the union's branch i embeds the full
+    // lineage of stages 1..i-1, so without a persist the events scan
+    // and early-stage aggregates recompute O(k²/2) times for a k-stage
+    // funnel. The frames are tiny (O(users reaching the stage), two
+    // columns), so MEMORY_AND_DISK caching costs nothing next to the
+    // events scans it saves.
     val first = events.where(col(typeCol) === stages.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val firstRow = first.agg(
       lit(s"1_${stages.head}").as("stage"),
       count(lit(1)).as("users_reached"),
@@ -44,6 +53,7 @@ object Funnel {
           .where(col(tsCol) > col("t_prev"))
           .groupBy(col(userCol), col("t_prev")) // t_prev is unique per user
           .agg(min(col(tsCol)).as("t"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val row = cur.agg(
           lit(s"${i + 1}_$stage").as("stage"),
           count(lit(1)).as("users_reached"),

@@ -256,4 +256,78 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("gram").asc)
       .limit(topK)
   }
+
+  /** Bounded-memory frequent-candidate counter: the Misra-Gries
+    * "frequent" algorithm (Misra & Gries 1982; the space-saving family).
+    * At most `capacity` counters; a full table absorbs an unseen token
+    * by decrementing every counter (amortized O(1) — each decrement
+    * cancels one earlier increment). Guarantee: any token whose true
+    * frequency exceeds N/(capacity+1) of the N offered tokens is still
+    * in the table at the end.
+    */
+  private final class MisraGries(capacity: Int) {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    def offer(t: String): Unit = counts.get(t) match {
+      case Some(c) => counts(t) = c + 1
+      case None if counts.size < capacity => counts(t) = 1L
+      case None =>
+        for (k <- counts.keys.toArray) {
+          val v = counts(k)
+          if (v == 1L) counts.remove(k) else counts(k) = v - 1
+        }
+    }
+  }
+
+  /** Grouped approximate top-k terms: per-partition Misra-Gries
+    * candidate sketches, then an EXACT recount of the candidate union.
+    *
+    * The scale shape is what matters: a naive grouped top-k shuffles
+    * the full distinct (group, term) space — at corpus scale that is
+    * the vocabulary times the group count. Phase 1 instead keeps at
+    * most `capacity` counters per group per input partition and emits
+    * only the surviving candidate terms, so the shuffle carries
+    * O(groups x capacity x partitions) rows regardless of vocabulary
+    * size. Phase 2 recounts ONLY the candidates (broadcast join on the
+    * tiny candidate set, aggregate over few distinct keys) — output
+    * counts are exact, and the output top-k equals the true top-k
+    * whenever every true top-k term survives some partition's sketch,
+    * which Misra-Gries guarantees for terms with partition frequency
+    * above N_p/(capacity+1). Ties break deterministically: freq desc,
+    * term asc.
+    */
+  def approxTopTerms(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int,
+      capacity: Int = 2048): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val tokens = graft.SparkUtil.ensureParallelism(df)
+      .select(
+        col(groupCol).cast("string").as("g"),
+        explode(Texts.words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val candidates = tokens.as[(String, String)]
+      .mapPartitions { it =>
+        val perGroup = scala.collection.mutable.HashMap.empty[String, MisraGries]
+        it.foreach { case (g, t) =>
+          perGroup.getOrElseUpdate(g, new MisraGries(capacity)).offer(t)
+        }
+        perGroup.iterator.flatMap { case (g, mg) =>
+          mg.counts.keysIterator.map(t => (g, t))
+        }
+      }
+      .toDF("g", "term")
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("freq").desc, col("term").asc)
+    tokens
+      .join(broadcast(candidates), Seq("g", "term")) // candidate filter
+      .groupBy("g", "term")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("g").as(groupCol), col("term"), col("freq"), col("rk"))
+  }
 }

@@ -507,7 +507,80 @@ object PipelineQueries {
       WHERE levenshtein(ta.text, tb.text) <= 6
       ORDER BY doc_a, doc_b"""))
 
+  // ---- q71: media dimension decode end-to-end (.png/.gif/.jpg files) ----
+
+  /** Fixture files planted with known dimensions; the query must derive
+    * them back from raw bytes — PNG/GIF via the codegen'd header
+    * Columns, JPEG via the SOF marker scan in the typed pass.
+    */
+  private val mediaFixtures: Seq[(String, Array[Byte])] = {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes( // 8-byte signature + IHDR head + 640x480 (BE u32s)
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x02, 0x80, 0x00, 0x00, 0x01, 0xE0)
+    // GIF89a, 320x200 (LE u16s)
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xC8, 0x00)
+    // SOI + 16-byte JFIF APP0 the scan must skip + SOF0 240x320
+    val jpeg = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++
+      Array.fill[Byte](14)(0) ++
+      bytes(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0xF0, 0x01, 0x40)
+    Seq("img_1.png" -> png, "img_2.gif" -> gif, "img_3.jpg" -> jpeg)
+  }
+
+  val q71 = Q(
+    "q71_media_dimensions",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir("q71_media_")
+      mediaFixtures.foreach { case (name, bs) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(mdir, name), bs): Unit
+      }
+      Multimodal.extractFeatures(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord])
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+    // the oracle states the PLANTED ground truth; Spark must recover it
+    // from the bytes alone
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(24 AS BIGINT),
+         CAST(640 AS INTEGER), CAST(480 AS INTEGER)),
+        (2, 10, 320, 200),
+        (3, 29, 320, 240))
+        AS t(doc_id, byte_len, width, height)
+      ORDER BY doc_id"""))
+
+  // ---- q72: grouped approximate top-k terms (candidate-pruned) ----
+
+  val q72 = Q(
+    "q72_approx_top_terms",
+    (s, dir) =>
+      // Misra-Gries candidates + exact recount: the oracle is the exact
+      // grouped top-k; equality holds because every true top-5 term
+      // clears the sketch's N_p/(capacity+1) survival bound by orders
+      // of magnitude (TextAnalysisSpec proves containment under a
+      // deliberately tiny capacity)
+      TextAnalysis.approxTopTerms(docs(s, dir), "lang", "text", k = 5)
+        .orderBy("lang", "rk"),
+    Some("""
+      WITH w AS (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      tok AS (SELECT lang, unnest(ws) AS term FROM w),
+      c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS freq
+            FROM tok WHERE term <> '' GROUP BY 1, 2),
+      r AS (SELECT lang, term, freq,
+                   CAST(row_number() OVER (
+                     PARTITION BY lang ORDER BY freq DESC, term ASC) AS INT)
+                     AS rk
+            FROM c)
+      SELECT lang, term, freq, rk FROM r WHERE rk <= 5
+      ORDER BY lang, rk"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55, q57, q68)
+    q53, q54, q55, q57, q68, q71, q72)
 }

@@ -190,12 +190,50 @@ final class DatasetIO(spark: SparkSession) {
       pattern: String,
       mode: MatchMode,
       dstDir: String,
-      destName: Option[String] = None): Seq[(String, String)] = {
-    val matches = catalog.select(srcDir, pattern, mode)
+      destName: Option[String] = None,
+      recursive: Boolean = false): Seq[(String, String)] =
+    transfer(srcDir, pattern, mode, dstDir, destName, recursive,
+      deleteSource = true)
+
+  /** Copy datasets matching `pattern` from `srcDir` to `dstDir` —
+    * source-preserving transfer, the shared core of the download
+    * (bucket → local, download_file.py:231-246) and upload
+    * (local → bucket, upload_file.py:197-217) blueprints. Destination
+    * naming/enumeration as [[move]]. Returns (source, destination)
+    * path pairs.
+    */
+  def copy(
+      srcDir: String,
+      pattern: String,
+      mode: MatchMode,
+      dstDir: String,
+      destName: Option[String] = None,
+      recursive: Boolean = false): Seq[(String, String)] =
+    transfer(srcDir, pattern, mode, dstDir, destName, recursive,
+      deleteSource = false)
+
+  /** With `recursive = true`, selection ranges over the whole tree with
+    * dir-relative names — the S3 key-space semantics of the reference's
+    * prefix listing (no delimiter, so every key under the prefix is a
+    * candidate; download_file.py:167-216) — and multi-match
+    * destinations flatten to enumerated base names, as the reference's
+    * destination naming does.
+    */
+  private def transfer(
+      srcDir: String,
+      pattern: String,
+      mode: MatchMode,
+      dstDir: String,
+      destName: Option[String],
+      recursive: Boolean,
+      deleteSource: Boolean): Seq[(String, String)] = {
+    val matches =
+      if (recursive) catalog.selectRecursive(srcDir, pattern, mode)
+      else catalog.select(srcDir, pattern, mode)
     val multi = matches.size > 1
     val dstRoot = new Path(dstDir)
     val dstFs = fsFor(dstRoot)
-    graft.sources.GraftException.translatingAuth(s"move to $dstDir") {
+    graft.sources.GraftException.translatingAuth(s"transfer to $dstDir") {
       if (!dstFs.exists(dstRoot)) dstFs.mkdirs(dstRoot)
     }
     matches.zipWithIndex.map { case (ref, i) =>
@@ -203,13 +241,14 @@ final class DatasetIO(spark: SparkSession) {
         ref.path, destName, if (multi) Some(i + 1) else None)
       val src = new Path(ref.path)
       val dst = new Path(dstRoot, name)
-      graft.sources.GraftException.translatingAuth(s"move ${ref.path}") {
+      graft.sources.GraftException.translatingAuth(s"transfer ${ref.path}") {
         val srcFs = fsFor(src)
         val sameFs = srcFs.getUri == dstFs.getUri
-        val renamed = sameFs && srcFs.rename(src, dst)
+        // rename is only a fast path when the source goes away
+        val renamed = deleteSource && sameFs && srcFs.rename(src, dst)
         if (!renamed) {
-          // Cross-filesystem (e.g. file:// -> s3a://): copy then delete.
-          FileUtil.copy(srcFs, src, dstFs, dst, /*deleteSource=*/ true,
+          // Cross-filesystem (e.g. file:// -> s3a://): stream the bytes.
+          FileUtil.copy(srcFs, src, dstFs, dst, deleteSource,
             /*overwrite=*/ true, hadoopConf)
         }
       }
@@ -220,8 +259,14 @@ final class DatasetIO(spark: SparkSession) {
   /** Delete datasets matching `pattern` under `dir` (the remove
     * blueprint). Returns the deleted paths.
     */
-  def remove(dir: String, pattern: String, mode: MatchMode): Seq[String] = {
-    val matches = catalog.select(dir, pattern, mode)
+  def remove(
+      dir: String,
+      pattern: String,
+      mode: MatchMode,
+      recursive: Boolean = false): Seq[String] = {
+    val matches =
+      if (recursive) catalog.selectRecursive(dir, pattern, mode)
+      else catalog.select(dir, pattern, mode)
     matches.map { ref =>
       val p = new Path(ref.path)
       graft.sources.GraftException.translatingAuth(s"remove ${ref.path}") {

@@ -26,7 +26,14 @@ final case class S3Config(
     pathStyleAccess: Boolean = false,
     sseAlgorithm: Option[String] = None,
     sseKey: Option[String] = None,
-    cannedAcl: Option[String] = None)
+    cannedAcl: Option[String] = None,
+    // Transfer tuning — the `boto3.s3.transfer.TransferConfig` analog
+    // (upload_file.py:209). These govern real S3 write throughput:
+    // part size for multipart uploads, buffered (async) upload, and the
+    // HTTP connection pool each executor's S3A client may open.
+    multipartSizeBytes: Option[Long] = None,
+    fastUpload: Option[Boolean] = None,
+    maxConnections: Option[Int] = None)
 
 object S3Config {
 
@@ -55,5 +62,10 @@ object S3Config {
       hc.set("fs.s3a.server-side-encryption-algorithm", _))
     cfg.sseKey.foreach(hc.set("fs.s3a.server-side-encryption.key", _))
     cfg.cannedAcl.foreach(hc.set("fs.s3a.acl.default", _))
+    cfg.multipartSizeBytes.foreach(v =>
+      hc.set("fs.s3a.multipart.size", v.toString))
+    cfg.fastUpload.foreach(v => hc.set("fs.s3a.fast.upload", v.toString))
+    cfg.maxConnections.foreach(v =>
+      hc.set("fs.s3a.connection.maximum", v.toString))
   }
 }

@@ -109,6 +109,8 @@ class MultimodalSpec extends SparkTestBase {
     // not an ANSI CAST_OVERFLOW job failure
     val badPng = png.clone()
     (16 until 20).foreach(i => badPng(i) = 0xFF.toByte)
+    // JPEG with a zero-length APP0 segment: malformed (length includes
+    // itself, so must be >= 2) — the marker scan bails to null
     val jpeg = Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0, 0, 0,
       0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
 
@@ -122,6 +124,56 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(1L) == (Some(640), Some(480)))
     assert(feats(2L) == (Some(320), Some(200)))
     assert(feats(3L) == (None, Some(480))) // width malformed, height fine
-    assert(feats(4L) == (None, None)) // codec-needing format stays stubbed
+    assert(feats(4L) == (None, None)) // malformed segment length
+  }
+
+  /** A structurally valid JPEG prefix: SOI, the given leading segments,
+    * then a frame header of `kind` (0xC0 baseline / 0xC2 progressive)
+    * with the given dims. Only the bytes the scan reads are emitted.
+    */
+  private def jpegBytes(
+      w: Int, h: Int, kind: Int = 0xC0,
+      leading: Seq[Array[Int]] = Nil): Array[Byte] = {
+    val sof = Array(0xFF, kind, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF)
+    (Array(0xFF, 0xD8) ++ leading.flatten ++ sof).map(_.toByte)
+  }
+
+  /** APPn segment of `payload` bytes (length field covers itself). */
+  private def appSeg(marker: Int, payload: Int): Array[Int] =
+    Array(0xFF, marker, ((payload + 2) >> 8) & 0xFF, (payload + 2) & 0xFF) ++
+      Array.fill(payload)(0)
+
+  test("JPEG SOF marker scan decodes dimensions without a codec") {
+    val ss = spark
+    import ss.implicits._
+    val jfif = appSeg(0xE0, 14) // typical JFIF APP0
+    val exif = appSeg(0xE1, 256) // a large EXIF blob the scan must skip
+    val recs = Seq(
+      // baseline SOF0 behind JFIF + EXIF + a quantization table
+      MediaRecord(1L, jpegBytes(320, 240,
+        leading = Seq(jfif, exif, appSeg(0xDB, 65))), "image/jpeg"),
+      // progressive SOF2, bare
+      MediaRecord(2L, jpegBytes(1920, 1080, kind = 0xC2), "image/jpeg"),
+      // fill bytes (repeated 0xFF) before the frame marker are legal
+      MediaRecord(3L, (Array(0xFF, 0xD8, 0xFF).map(_.toByte) ++
+        jpegBytes(64, 32).drop(2)), "image/jpeg"),
+      // DHT (0xC4) is NOT a frame header — must be skipped, then SOF0 read
+      MediaRecord(4L, jpegBytes(800, 600,
+        leading = Seq(appSeg(0xC4, 29))), "image/jpeg"),
+      // truncated: EXIF length points past the end of the buffer
+      MediaRecord(5L, Array(0xFF, 0xD8, 0xFF, 0xE1, 0x7F, 0xFF, 0, 0)
+        .map(_.toByte), "image/jpeg"),
+      // scan data (SOS) before any SOF: malformed
+      MediaRecord(6L, Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0, 0, 0, 0)
+        .map(_.toByte), "image/jpeg"))
+    val feats = Multimodal.extractFeatures(recs.toDS())
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    assert(feats(1L) == (Some(320), Some(240)))
+    assert(feats(2L) == (Some(1920), Some(1080)))
+    assert(feats(3L) == (Some(64), Some(32)))
+    assert(feats(4L) == (Some(800), Some(600)))
+    assert(feats(5L) == (None, None))
+    assert(feats(6L) == (None, None))
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class TextAnalysisSpec extends SparkTestBase {
@@ -125,5 +127,53 @@ class TextAnalysisSpec extends SparkTestBase {
     val out = TextAnalysis.topNgrams(df, "text", n = 3, topK = 3).collect()
     assert(out.head.getString(0) == "a b c")
     assert(out.head.getLong(1) == 3) // twice in doc1? "a b c","b c a","c a b","a b c" + doc2 "a b c"
+  }
+
+  test("approxTopTerms: heavy hitters survive a tiny sketch, counts exact") {
+    val ss = spark
+    import ss.implicits._
+    // two groups, skewed: the true top terms dwarf the noise, so they
+    // must survive even a capacity-2 Misra-Gries sketch; the noise
+    // terms (singletons) may or may not — the exact recount decides
+    val rows =
+      Seq.fill(50)(("en", "apple")) ++ Seq.fill(30)(("en", "banana")) ++
+        (1 to 20).map(i => ("en", s"noise$i")) ++
+        Seq.fill(40)(("de", "zug")) ++ Seq.fill(25)(("de", "berg")) ++
+        (1 to 15).map(i => ("de", s"rausch$i"))
+    val df = rows.map { case (g, t) => (g, t) }
+      .toDF("lang", "text")
+      .repartition(4) // force multiple independent partition sketches
+    val out = TextAnalysis
+      .approxTopTerms(df, "lang", "text", k = 2, capacity = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(("en", 1)) == (("apple", 50L))) // exact counts, not estimates
+    assert(out(("en", 2)) == (("banana", 30L)))
+    assert(out(("de", 1)) == (("zug", 40L)))
+    assert(out(("de", 2)) == (("berg", 25L)))
+    assert(out.size == 4)
+  }
+
+  test("approxTopTerms equals the exact grouped top-k at default capacity") {
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+    val approx = TextAnalysis.approxTopTerms(df, "lang", "text", k = 3)
+      .orderBy("lang", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // exact reference computed the brute-force way
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("freq").desc, col("term").asc)
+    val exact = df
+      .select(col("lang"),
+        explode(graft.functions.Texts.words(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .orderBy("lang", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(approx.sameElements(exact))
   }
 }

@@ -27,7 +27,10 @@ class S3ConfigSpec extends SparkTestBase {
       pathStyleAccess = true,
       sseAlgorithm = Some("SSE-KMS"),
       sseKey = Some("arn:aws:kms:us-east-2:111:key/abc"),
-      cannedAcl = Some("BucketOwnerFullControl")))
+      cannedAcl = Some("BucketOwnerFullControl"),
+      multipartSizeBytes = Some(64L * 1024 * 1024),
+      fastUpload = Some(true),
+      maxConnections = Some(96)))
     val hc = spark.sparkContext.hadoopConfiguration
     assert(hc.get("fs.s3a.access.key") == "AKIATEST")
     assert(hc.get("fs.s3a.secret.key") == "secret")
@@ -41,6 +44,11 @@ class S3ConfigSpec extends SparkTestBase {
     assert(hc.get("fs.s3a.server-side-encryption.key")
       == "arn:aws:kms:us-east-2:111:key/abc")
     assert(hc.get("fs.s3a.acl.default") == "BucketOwnerFullControl")
+    // the TransferConfig analog (upload_file.py:209): multipart part
+    // size, buffered upload, connection pool
+    assert(hc.get("fs.s3a.multipart.size") == (64L * 1024 * 1024).toString)
+    assert(hc.get("fs.s3a.fast.upload") == "true")
+    assert(hc.get("fs.s3a.connection.maximum") == "96")
     // the session's derived conf (what executors' S3A clients read)
     // sees the same values
     assert(spark.sessionState.newHadoopConf()
