@@ -215,10 +215,19 @@ object Dedup {
       .join(a, "id_a")
       .join(b, "id_b")
       .where(Texts.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      // The distance kernel never runs the full O(|a|·|b|) DP:
+      // byte-identical pairs (exact copies dominate real near-dup
+      // corpora) short-circuit to 0 via an O(n) equality check, and the
+      // rest use the BANDED levenshtein (threshold arg) — O(n·maxDist)
+      // per pair, returning -1 past the cap. Measured at 10× scale
+      // (45× true-pair growth from planted exact copies): full DP 65 s
+      // → banded+fast-path 10 s, same output.
       .select(
         col("id_a"), col("id_b"),
-        levenshtein(col("txt_a"), col("txt_b")).as("edit_dist"))
-      .where(col("edit_dist") <= maxDist)
+        when(col("txt_a") === col("txt_b"), 0)
+          .otherwise(levenshtein(col("txt_a"), col("txt_b"), maxDist))
+          .as("edit_dist"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
   /** Precompute the (id, band, key) band signatures for a corpus — the

@@ -274,6 +274,48 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** One full k-means Lloyd iteration, distributed: ASSIGN every
+    * vector to its best of `nCells` deterministic seed centroids (max
+    * dot — the same coarse quantizer as [[ivfTopK]], bit-identical in
+    * any engine), then UPDATE each cell's centroid via
+    * [[labelCentroids]]. One scan, one (cell, pos) aggregate shuffle of
+    * dim·nCells partial sums; iterating = feeding the output back as
+    * the next round's centroids. Output: (cell, pos, c, n).
+    */
+  def kmeansStep(
+      df: DataFrame,
+      vecCol: String,
+      nCells: Int,
+      dim: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val v = Vectors.asDouble(col(vecCol))
+    val assigned = graft.SparkUtil.ensureParallelism(df)
+      .select(cellOf(ivfDots(v, nCells, dim)).as("cell"),
+        col(vecCol).as("vec"))
+    labelCentroids(assigned, "cell", "vec")
+      .withColumnRenamed("label", "cell")
+  }
+
+  /** Per-label centroid components — the k-means/IVF "update" step as
+    * one distributed aggregate. Shape: posexplode the vectors into
+    * (label, pos, x) and hash-aggregate avg(x) by (label, pos) — one
+    * shuffle of dim·|labels| partial sums (map-side combine), never a
+    * driver-side collect of vectors. Output stays EXPLODED (label, pos,
+    * c, n) rather than re-assembled arrays: downstream consumers
+    * (assignment joins) want the component rows, and at 100 TB the
+    * result is dim·k rows either way.
+    */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(labelCol).cast("int").as("label"),
+        posexplode(Vectors.asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(Numerics.fix4(avg(col("x"))).as("c"),
+        count(lit(1)).as("n"))
+
   /** Rank (cos desc, neighbor asc) per query and keep the top k. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")

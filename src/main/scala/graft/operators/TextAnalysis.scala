@@ -62,6 +62,54 @@ object TextAnalysis {
       Numerics.fix4(score).as("quality_score"))
   }
 
+  /** Curation filter cascade (Gopher-style rule stack) as ONE
+    * aggregate: per-doc rule booleans are computed inline from
+    * codegen'd array folds, and every cumulative stage count is a
+    * conditional sum in the SAME single-pass aggregation — one scan,
+    * one 1-row reduce, regardless of rule count. The report row per
+    * stage is exploded from that single row. All rule inputs are exact
+    * integer ratios (token counts, char counts), so the booleans are
+    * bit-identical in any engine — threshold ties are not a float
+    * hazard.
+    *
+    * Output: (stage, rule, n_pass) with stage 0 = unfiltered input and
+    * stage k = docs surviving rules 1..k.
+    */
+  def filterCascade(df: DataFrame, textCol: String): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val nTok = size(ws).cast("double")
+    val avgLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      .cast("double") / nTok
+    val distinctRatio = size(array_distinct(ws)).cast("double") / nTok
+    val stopRatio =
+      Texts.vocabHits(ws, StopwordProfiles.head._2).cast("double") / nTok
+    val rules: Seq[(String, Column)] = Seq(
+      "min_tokens" -> (size(ws) >= 30),
+      "mean_word_len" -> (avgLen >= 3.0 && avgLen <= 12.0),
+      "distinct_ratio" -> (distinctRatio >= 0.3),
+      "stopword_presence" -> (stopRatio >= 0.01))
+    val cumulative = rules
+      .scanLeft(lit(true): Column) { case (acc, (_, r)) => acc && r }
+      .drop(1)
+    val stageSums = cumulative.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"s$i")
+    }
+    val one = graft.SparkUtil.ensureParallelism(df)
+      .agg(count(lit(1)).as("n_docs"), stageSums: _*)
+    val stageRows =
+      struct(lit(0).as("stage"), lit("input").as("rule"),
+        col("n_docs").as("n_pass")) +:
+        rules.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(i + 1).as("stage"), lit(name).as("rule"),
+            col(s"s$i").as("n_pass"))
+        }
+    one
+      .select(explode(array(stageRows: _*)).as("st"))
+      .select(col("st.stage").as("stage"), col("st.rule").as("rule"),
+        col("st.n_pass").as("n_pass"))
+      .orderBy("stage")
+  }
+
   /** Whitespace token count + a BPE-ish regex token count
     * (letter runs | digit runs | single punctuation).
     */

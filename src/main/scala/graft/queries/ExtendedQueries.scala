@@ -565,7 +565,37 @@ object ExtendedQueries {
                CAST(coalesce(sum(t - t_prev), 0) AS BIGINT) FROM s3)
       ORDER BY stage"""))
 
+  // ---- q79: one distributed k-means Lloyd iteration ----
+  // Assignment (max dot against the 8 deterministic seed centroids —
+  // the q39 coarse quantizer, bit-identical in DuckDB) + centroid
+  // update (per-(cell, pos) average) in one pass. Iterating feeds the
+  // output back as the next round's centroids.
+
+  val q79 = Q(
+    "q79_kmeans_step",
+    (s, dir) =>
+      Similarity.kmeansStep(
+          Tables(s, dir, "embeddings"), "embedding", nCells = 8, dim = 64)
+        .orderBy("cell", "pos"),
+    Some {
+      val dots = (0 until 8)
+        .map(c => s"list_dot_product(v, ${centroidSql(c)})")
+        .mkString("[", ",\n            ", "]")
+      s"""
+      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      d AS (SELECT v, $dots AS m0 FROM e),
+      a AS (SELECT v, list_position(m0, list_max(m0)) AS cell FROM d),
+      x AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                   unnest(v) AS x
+            FROM a)
+      SELECT CAST(cell AS INTEGER) AS cell, CAST(pos AS INTEGER) AS pos,
+             ${Numerics.sqlFix("avg(x)", 4)} AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY cell, pos
+      ORDER BY cell, pos"""
+    })
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65, q66, q69)
+      q63, q64, q65, q66, q69, q79)
 }

@@ -580,7 +580,86 @@ object PipelineQueries {
       SELECT lang, term, freq, rk FROM r WHERE rk <= 5
       ORDER BY lang, rk"""))
 
+  // ---- q75: per-label vector centroids (the k-means update step) ----
+
+  val q75 = Q(
+    "q75_label_centroids",
+    (s, dir) =>
+      Similarity.labelCentroids(embs(s, dir), "label", "embedding")
+        .orderBy("label", "pos"),
+    Some(s"""
+      WITH e AS (SELECT label,
+                        generate_subscripts(embedding, 1) - 1 AS pos,
+                        CAST(unnest(embedding) AS DOUBLE) AS x
+                 FROM embeddings)
+      SELECT CAST(label AS INTEGER) AS label, CAST(pos AS INTEGER) AS pos,
+             ${Numerics.sqlFix("avg(x)", 4)} AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY label, pos
+      ORDER BY label, pos"""))
+
+  // ---- q76: curation filter cascade (Gopher-style rule funnel) ----
+
+  val q76 = Q(
+    "q76_filter_cascade",
+    (s, dir) => TextAnalysis.filterCascade(docs(s, dir), "text"),
+    Some("""
+      WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      m AS (SELECT len(ws) AS ntok,
+                   list_sum(list_transform(ws, t -> len(t))) * 1.0
+                     / len(ws) AS mwl,
+                   len(list_distinct(ws)) * 1.0 / len(ws) AS dr,
+                   len(list_filter(ws, t -> t IN
+                     ('the','a','of','and','to','in','is'))) * 1.0
+                     / len(ws) AS sr
+            FROM w),
+      f AS (SELECT ntok >= 30 AS r1,
+                   mwl >= 3.0 AND mwl <= 12.0 AS r2,
+                   dr >= 0.3 AS r3,
+                   sr >= 0.01 AS r4
+            FROM m),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(count_if(r1) AS BIGINT) AS s1,
+                   CAST(count_if(r1 AND r2) AS BIGINT) AS s2,
+                   CAST(count_if(r1 AND r2 AND r3) AS BIGINT) AS s3,
+                   CAST(count_if(r1 AND r2 AND r3 AND r4) AS BIGINT) AS s4
+            FROM f)
+      SELECT CAST(0 AS INTEGER) AS stage, 'input' AS rule, n0 AS n_pass FROM a
+      UNION ALL SELECT 1, 'min_tokens', s1 FROM a
+      UNION ALL SELECT 2, 'mean_word_len', s2 FROM a
+      UNION ALL SELECT 3, 'distinct_ratio', s3 FROM a
+      UNION ALL SELECT 4, 'stopword_presence', s4 FROM a
+      ORDER BY stage"""))
+
+  // ---- q77: embedding L2-norm histogram (array-fold analytics) ----
+  // The norm is a strictly sequential left fold over the array in BOTH
+  // engines (Spark `aggregate`, DuckDB `list_sum(list_transform(...))`
+  // over doubles in list order), so the bucket edges are not a float
+  // hazard: identical inputs, identical operation order, identical
+  // IEEE result.
+
+  val q77 = Q(
+    "q77_norm_histogram",
+    (s, dir) =>
+      graft.SparkUtil.ensureParallelism(embs(s, dir))
+        .select(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("nrm"))
+        .select(least(floor(col("nrm") * 4.0), lit(19.0))
+          .cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    Some("""
+      WITH n AS (SELECT sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings)
+      SELECT CAST(least(floor(nrm * 4.0), 19.0) AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM n GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55, q57, q68, q71, q72)
+    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77)
 }

@@ -578,7 +578,79 @@ object RelationalQueries {
       GROUP BY c_mktsegment, quartile
       ORDER BY c_mktsegment, quartile"""))
 
+  // ---- q73: arbitrary grouping sets (beyond rollup/cube lattices) ----
+  // ((status,prio),(prio),()) is NOT a rollup prefix chain and not the
+  // full cube — it exercises the general Expand-based grouping-set
+  // path: one scan, one Expand (3 replicas), one hash aggregate. At
+  // scale the Expand multiplies shuffle volume by the set count, which
+  // is why the set list is explicit rather than a cube over k columns.
+
+  val q73 = Q(
+    "q73_grouping_sets",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(
+            Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")),
+            Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          Numerics.moneySum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status_grp"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio_grp"),
+          col("sum_price"), col("cnt"))
+        .orderBy("status_grp", "prio_grp")
+    },
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status_grp,
+             coalesce(o_orderpriority, 'ALL') AS prio_grp,
+             ${Numerics.sqlMoneySum("o_totalprice")} AS sum_price,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY status_grp, prio_grp"""))
+
+  // ---- q74: value-range window frame (trailing 1h per user) ----
+  // RANGE frame over epoch-ms, unlike q37's ROWS frame: the frame is
+  // defined by the ORDER-BY value, so peers (same user, same ms) are
+  // all included and the result is order-insensitive — no tie-break
+  // column needed for determinism. One shuffle by user_id; the frame
+  // scan is a sliding two-pointer per partition, O(n) not O(n·frame).
+
+  val q74 = Q(
+    "q74_range_frame_window",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          col("event_id"), col("user_id"),
+          expr("ts DIV 1000000").as("ms"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("val_cents"))
+        .select(
+          col("event_id"), col("user_id"), col("ms"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("val_cents")).over(w).as("cents_1h"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ms,
+                        CAST(floor(value*100.0 + 0.5) AS BIGINT) AS val_cents
+                 FROM events)
+      SELECT event_id, user_id, ms,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_1h,
+             CAST(sum(val_cents) OVER (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cents_1h
+      FROM e ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
-      q44, q45, q46, q60, q61, q62, q67, q70)
+      q44, q45, q46, q60, q61, q62, q67, q70, q73, q74)
 }

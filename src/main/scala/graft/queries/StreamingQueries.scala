@@ -247,5 +247,37 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY l.user_id, error_ms, click_ms"""))
 
-  val all: Seq[Q] = Seq(q51, q52, q58, q59)
+  /** Stream-static enrichment parity: the events stream micro-batch
+    * joins the STATIC customer dimension (broadcast — the stream side
+    * is never shuffled), then aggregates per (segment, event_type) in
+    * Complete mode. Hash-compared against the batch join+aggregate.
+    */
+  val q78 = Q(
+    "q78_stream_static_join_parity",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(eventsSchema).parquet(watch)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("val_cents"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      drainToTable(s, "q78_mem",
+        StreamingOps.enrich(evs, dim, "user_id", "c_custkey")
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("val_cents")).as("cents")),
+        "complete")
+        .orderBy("c_mktsegment", "event_type")
+    },
+    Some("""
+      SELECT c_mktsegment, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2
+      ORDER BY c_mktsegment, event_type"""))
+
+  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78)
 }

@@ -50,6 +50,21 @@ object StreamingOps {
         col("n_events"),
         col("value_sum"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * hash-joins a STATIC dimension DataFrame — the standard "enrich
+    * events with reference data" shape. Stateless (no watermark
+    * required; the static side is re-plannable per batch, so a dim
+    * refresh is picked up on the next micro-batch) and broadcast by
+    * design: the stream side is never shuffled, which is the only
+    * sane plan when the stream is 100 TB/day and the dim is MBs.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
+
   /** Watermarked stream-stream interval join: each left event pairs
     * with right events of the same key whose timestamp falls in
     * [left.ts, left.ts + windowMs). Both sides carry watermarks so the

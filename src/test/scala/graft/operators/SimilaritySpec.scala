@@ -116,4 +116,43 @@ class SimilaritySpec extends SparkTestBase {
     // pseudo-uniform: mean near 0
     assert(math.abs(v.sum / v.size) < 0.2)
   }
+
+  test("kmeansStep assigns to the max-dot centroid and averages per cell") {
+    val out = Similarity.kmeansStep(vecs, "embedding", nCells = 2, dim = 4)
+      .orderBy("cell", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // expected assignment recomputed independently from the public
+    // centroid derivation
+    val cents = (0 until 2).map(c => Similarity.ivfCentroidValues(c, 4))
+    val data = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0.999f, 0.04f, 0f, 0f),
+      Seq(0f, 1f, 0f, 0f), Seq(-1f, 0f, 0f, 0f), Seq(0.7f, 0.7f, 0f, 0f))
+    def cellOf(v: Seq[Float]): Int = {
+      val dots = cents.map(c => v.zip(c).map { case (x, y) => x.toDouble * y }.sum)
+      dots.indexOf(dots.max) + 1
+    }
+    val byCell = data.groupBy(cellOf)
+    // counts per cell match the independent assignment
+    val nByCell = out.groupBy(_._1).map { case (c, rs) => c -> rs.head._4 }
+    assert(nByCell == byCell.map { case (c, vs) => c -> vs.size.toLong })
+    // one centroid component spot-checked exactly
+    val c0 = byCell(out.head._1)
+    val exp0 = math.floor(
+      c0.map(_.head.toDouble).sum / c0.size * 10000 + 0.5) / 10000
+    assert(out.head._2 == 0 && math.abs(out.head._3 - exp0) < 1e-12)
+  }
+
+  test("labelCentroids averages componentwise per label") {
+    val labeled = spark.createDataFrame(Seq(
+      (0, Seq(1f, 0f, 2f, 0f)),
+      (0, Seq(3f, 0f, 0f, 0f)),
+      (1, Seq(0f, -1f, 0f, 1f))
+    )).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(labeled, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0, 0, 2.0, 2L), (0, 1, 0.0, 2L), (0, 2, 1.0, 2L), (0, 3, 0.0, 2L),
+      (1, 0, 0.0, 1L), (1, 1, -1.0, 1L), (1, 2, 0.0, 1L), (1, 3, 1.0, 1L)))
+  }
 }

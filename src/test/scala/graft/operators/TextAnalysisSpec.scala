@@ -176,4 +176,25 @@ class TextAnalysisSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
     assert(approx.sameElements(exact))
   }
+
+  test("filterCascade drops each crafted failure at its own stage") {
+    val ss = spark
+    import ss.implicits._
+    val good = (1 to 30).map(i => s"word$i").mkString(" ") +
+      " the the the the the" // 35 tokens, stopwords present, diverse
+    val tooShort = "the cat" // fails min_tokens
+    val longWords = (1 to 35).map(i => "x" * 20 + i).mkString(" ") // fails mean_word_len
+    val repetitive = Seq.fill(40)("the").mkString(" ") // fails distinct_ratio
+    val noStopwords = (1 to 35).map(i => s"token$i").mkString(" ") // fails stopword_presence
+    val df = Seq(good, tooShort, longWords, repetitive, noStopwords)
+      .toDF("text")
+    val out = TextAnalysis.filterCascade(df, "text")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0, "input", 5L),
+      (1, "min_tokens", 4L),
+      (2, "mean_word_len", 3L),
+      (3, "distinct_ratio", 2L),
+      (4, "stopword_presence", 1L)))
+  }
 }

@@ -282,4 +282,26 @@ class StreamingSpec extends SparkTestBase {
         s"expected ONE bridged session, got: ${rows.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("stream-static enrich joins each micro-batch against the dim") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val input = MemoryStream[StreamEvent]
+    val out = StreamingOps.enrich(input.toDF(), dim, "user_id", "uid")
+      .select(col("user_id"), col("tier"), col("value"))
+    val q = out.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(ev(1, 10, value = 1.5), ev(3, 11, value = 9.0))
+      runToCompletion(q)
+      input.addData(ev(2, 12, value = 2.5))
+      runToCompletion(q)
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted
+      // user 3 has no dim row -> dropped by the inner join
+      assert(rows.toSeq == Seq((1L, "gold", 1.5), (2L, "silver", 2.5)))
+    } finally q.stop()
+  }
 }
