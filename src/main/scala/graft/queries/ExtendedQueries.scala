@@ -595,7 +595,72 @@ object ExtendedQueries {
       ORDER BY cell, pos"""
     })
 
+  // ---- q80: retention cohorts (classic product-analytics rollup) ----
+  // (user, day) distinct → per-user first day → join back → count per
+  // (cohort, offset). Both aggregates and the join share the user_id
+  // key, so at scale AQE coalesces to two shuffles of (user, day)
+  // pairs; the output is days² rows regardless of event volume.
+
+  val q80 = Q(
+    "q80_retention_cohorts",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts DIV 86400000000000").cast("long").as("day"))
+        .distinct()
+      val c = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(c, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT user_id,
+                        epoch_ns(ts) // 86400000000000 AS day
+                 FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+      SELECT cohort_day, day - cohort_day AS day_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset"""))
+
+  // ---- q82: the SQL front-end over the injected native expression ----
+  // The whole path a spark.sql(...) user of the library takes:
+  // `graft_vec_dot` resolves through the session function registry
+  // (GraftExtensions / GraftFunctions.register), plans as the
+  // codegen'd VecDot Catalyst expression, and the centroid ships as a
+  // 64-double array literal in the SQL text itself.
+
+  val q82 = Q(
+    "q82_sql_vecdot",
+    (s, dir) => {
+      graft.GraftFunctions.register(s)
+      Tables(s, dir, "embeddings")
+        .createOrReplaceTempView("graft_q82_embeddings")
+      val c0 = Similarity.ivfCentroidValues(0, 64)
+        .map(d => s"CAST($d AS DOUBLE)").mkString("array(", ", ", ")")
+      // NOT Numerics.sqlFix here: in SPARK SQL text a `10000.0` literal
+      // parses as DECIMAL and drags the division into decimal math
+      // (object dtype downstream); the D-suffixed literals keep the
+      // whole fix4 pipeline in doubles, matching the Column-API fix4.
+      s.sql(s"""
+        SELECT vec_id,
+               floor(graft_vec_dot(CAST(embedding AS ARRAY<DOUBLE>), $c0)
+                     * 10000.0D + 0.5D) / 10000.0D AS dot0
+        FROM graft_q82_embeddings
+        ORDER BY vec_id""")
+    },
+    Some(s"""
+      SELECT vec_id,
+             ${Numerics.sqlFix(
+               s"list_dot_product(embedding::DOUBLE[], ${centroidSql(0)})",
+               4)} AS dot0
+      FROM embeddings
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65, q66, q69, q79)
+      q63, q64, q65, q66, q69, q79, q80, q82)
 }

@@ -650,7 +650,86 @@ object RelationalQueries {
                AS cents_1h
       FROM e ORDER BY event_id"""))
 
+  // ---- q81: correlated EXISTS / NOT EXISTS through the SQL front-end ----
+  // Unlike q12/q44 (DataFrame-API anti/semi joins), this exercises the
+  // parser + RewritePredicateSubquery decorrelation: both correlated
+  // subqueries rewrite to one semi and one anti hash join on
+  // o_custkey — no per-row subquery execution, no nested loop.
+
+  val q81 = Q(
+    "q81_exists_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_q81_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_q81_orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM graft_q81_customer c
+        WHERE EXISTS (SELECT 1 FROM graft_q81_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM graft_q81_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  // ---- q83: bucketed co-located fact-fact join, end-to-end ----
+  // Both facts are written bucketBy(8) + sortBy on the join key, so
+  // the sort-merge join (forced via merge hints — at test SF the
+  // optimizer would broadcast instead) consumes the bucket layout
+  // directly: ZERO Exchange and ZERO Sort in the plan
+  // (PlanHygieneSpec asserts it). At 100 TB this is THE recurring
+  // fact-fact join shape: pay the shuffle once at write time, never
+  // again per query.
+
+  val q83 = Q(
+    "q83_bucketed_join",
+    (s, dir) => {
+      // External-table paths under the per-JVM scratch root: a fresh
+      // dir per invocation, so repeated runs (bench warm-ups) and
+      // OTHER JVMs sharing the cwd's spark-warehouse never collide on
+      // a leftover table location.
+      val base = Scratch.dir("q83_")
+      s.sql("DROP TABLE IF EXISTS graft_q83_orders")
+      s.sql("DROP TABLE IF EXISTS graft_q83_lineitem")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.option("path", s"$base/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_q83_orders")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.option("path", s"$base/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_q83_lineitem")
+      s.table("graft_q83_orders").hint("merge")
+        .join(s.table("graft_q83_lineitem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          Numerics.moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""
+      SELECT o_orderstatus,
+             ${Numerics.sqlMoneySum("l_extendedprice")} AS sum_price,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+      ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
-      q44, q45, q46, q60, q61, q62, q67, q70, q73, q74)
+      q44, q45, q46, q60, q61, q62, q67, q70, q73, q74, q81, q83)
 }

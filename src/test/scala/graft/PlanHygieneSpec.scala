@@ -100,6 +100,18 @@ class PlanHygieneSpec extends SparkTestBase {
       s"no partition filter in scan: $scanLine")
   }
 
+  test("q83 bucketed join: no shuffle below the join (buckets co-locate)") {
+    val plan = planOf("q83_bucketed_join")
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join should sort-merge: ${plan.take(800)}")
+    // an unbucketed plan needs 4 Exchanges (both join inputs + the
+    // aggregate + the output sort); the bucketed layout eliminates the
+    // two join-input shuffles
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected only agg+sort Exchanges, found $exchanges:\n${plan.take(1500)}")
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
