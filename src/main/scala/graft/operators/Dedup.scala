@@ -463,6 +463,47 @@ object Dedup {
     clustersFromPairs(df.select(col(idCol)), idCol, pairs, maxIter)
   }
 
+  /** SimHash radius retrieval: all pairs within `maxHamming` bits of
+    * each other's [[simhashSignatures]] signature — EXACT, not
+    * approximate: the 16-bit signature splits into 4 nibble bands, and
+    * by pigeonhole any pair differing in ≤3 bits agrees on at least
+    * one whole band, so the band equi-join (ONE shuffle by
+    * (band, key)) misses nothing for maxHamming ≤ 3; bit_count(xor)
+    * verifies the exact distance within buckets. Scale note: band
+    * width must grow with log2(n) to keep Σ bucket² flat (same sizing
+    * law as the MinHash bands, SURVEY §6) — widen the signature before
+    * widening the corpus. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 1,
+      shingleWidth: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 nibble bands guarantee exactness only for maxHamming in [0,3], got $maxHamming")
+    val sigs = simhashSignatures(df, idCol, textCol, shingleWidth)
+    val banded = sigs.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 4 * b).bitwiseAND(0xF).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct() // a pair can match on several bands
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** SimHash dedup view over (id, text): 16-bit per-doc signature, set
     * bit k when Σ_shingles (2·bit_k(md5) − 1) > 0. Same explode →
     * codegen'd sum-aggregate shape as MinHash (md5 computed once per

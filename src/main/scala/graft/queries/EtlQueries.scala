@@ -188,5 +188,45 @@ object EtlQueries {
       FROM customer
       WHERE c_mktsegment LIKE 'B%'"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50)
+  // ---- q85: schema-evolution ingestion (union-by-name) ----
+  // Two parquet drops with DIFFERENT column subsets (the real shape of
+  // a long-lived landing zone: producers add/drop columns over time)
+  // are read separately and merged by COLUMN NAME with missing columns
+  // null-filled — order-insensitive, unlike positional union. The
+  // aggregate proves both the row routing and the null-fill.
+
+  val q85 = Q(
+    "q85_union_by_name",
+    (s, dir) => {
+      val base = scratch("q85_union")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.where(col("l_partkey") % 2 === 0)
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").parquet(s"$base/drop_a")
+      li.where(col("l_partkey") % 2 === 1)
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$base/drop_b")
+      s.read.parquet(s"$base/drop_a")
+        .unionByName(
+          s.read.parquet(s"$base/drop_b"), allowMissingColumns = true)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("n_qty"),
+          count(col("l_extendedprice")).as("n_price"),
+          Numerics.moneySum(col("l_quantity")).as("sum_qty"),
+          Numerics.moneySum(col("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN l_partkey % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_qty,
+             CAST(count(CASE WHEN l_partkey % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_price,
+             ${Numerics.sqlMoneySum("CASE WHEN l_partkey % 2 = 0 THEN l_quantity END")}
+               AS sum_qty,
+             ${Numerics.sqlMoneySum("CASE WHEN l_partkey % 2 = 1 THEN l_extendedprice END")}
+               AS sum_price
+      FROM lineitem"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85)
 }

@@ -659,7 +659,37 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n
       FROM n GROUP BY 1 ORDER BY bucket"""))
 
+  // ---- q84: simhash radius retrieval (completes the q22 story) ----
+  // Banded search is EXACT here, not approximate: ≤1 differing bit
+  // must leave ≥3 of the 4 nibble bands identical, so the oracle is
+  // the full all-pairs hamming scan and the hash must match it.
+
+  val q84 = Q(
+    "q84_simhash_radius",
+    (s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 1)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+    Some {
+      val terms = (0 until 16).map { k =>
+        val shift = (14 - k / 4) * 4 + k % 4
+        s"""(CASE WHEN list_sum([2*((('0x'||substr(md5(x),1,15))::BIGINT
+           >> $shift) & 1)-1 for x in sh]) > 0
+           THEN ${1 << k} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      sig AS (SELECT doc_id, CAST($terms AS INT) AS simhash FROM sh)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77)
+    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84)
 }

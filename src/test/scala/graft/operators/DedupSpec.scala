@@ -157,4 +157,28 @@ class DedupSpec extends SparkTestBase {
     val tiny = docsDF((1L, "one two"), (2L, "one two"), (3L, "x"))
     assert(Dedup.minhashNearDup(tiny, "doc_id", "text").count() == 0)
   }
+
+  test("simhash radius search equals the brute-force all-pairs scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+    for (r <- Seq(0, 3)) { // both ends of the pigeonhole guarantee
+      val banded = Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = r)
+        .orderBy("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+      val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      val a = sigs.select(col("id").as("id_a"), col("simhash").as("sa"))
+      val b = sigs.select(col("id").as("id_b"), col("simhash").as("sb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+        .where(col("h") <= r)
+        .orderBy("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+      assert(banded.sameElements(brute),
+        s"radius $r: banded ${banded.length} pairs vs brute ${brute.length}")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = 4)
+    }
+  }
 }
