@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Numerics
-import graft.operators.{ChangeCapture, Dedup, Funnel, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.operators.{ChangeCapture, Dedup, Funnel, Profile, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Extended surface beyond the blueprint contract (SURVEY.md §2.4):
   * time-series joins, curation sampling, rolling windows, exact
@@ -799,7 +799,86 @@ object ExtendedQueries {
       GROUP BY e.event_type
       ORDER BY e.event_type"""))
 
+  // ---- q89: group-wise linear regression from sufficient statistics ----
+  // Distributed OLS with NO iterative solver: Σx, Σy, Σxy, Σx², n per
+  // group are exact integer sums (map-side combine, one shuffle), and
+  // slope/intercept come from the closed form in double — identical
+  // longs → identical doubles in any engine. Long-range check: day and
+  // cents magnitudes keep every sum under 2^53, so the long→double
+  // conversions are exact; the n·Σxy products are computed IN double
+  // to dodge 64-bit overflow at extreme group sizes.
+
+  val q89 = Q(
+    "q89_group_regression",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_type"),
+        expr("ts DIV 86400000000000").cast("long").as("x"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("y"))
+      e.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx")))
+        .withColumn("icept",
+          (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+        .select(col("event_type"), col("n"),
+          Numerics.fix4(col("slope")).as("slope_cents_per_day"),
+          Numerics.fix4(col("icept")).as("icept_cents"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+                        epoch_ns(ts) // 86400000000000 AS x,
+                        CAST(floor(value*100.0 + 0.5) AS BIGINT) AS y
+                 FROM events),
+      m AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*y) AS BIGINT) AS sxy,
+                   CAST(sum(x*x) AS BIGINT) AS sxx
+            FROM e GROUP BY 1),
+      r AS (SELECT *,
+                   (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                     / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                     AS slope
+            FROM m)
+      SELECT event_type, n,
+             ${Numerics.sqlFix("slope", 4)} AS slope_cents_per_day,
+             ${Numerics.sqlFix(
+               "(CAST(sy AS DOUBLE) - slope*sx)/n", 4)} AS icept_cents
+      FROM r ORDER BY event_type"""))
+
+  // ---- q90: table profiling (per-column nulls/distincts/min/max) ----
+
+  val q90 = Q(
+    "q90_profile_table",
+    (s, dir) =>
+      Profile.table(Tables(s, dir, "orders"),
+        Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")),
+    Some {
+      val cols =
+        Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_value,
+               CAST(max($c) AS VARCHAR) AS max_value
+            FROM orders"""
+      }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY col_name")
+    })
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88)
+      q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90)
 }
