@@ -32,6 +32,21 @@ object Sampling {
       pmod(Hashes.hash60(col(idCol).cast("string"), seed), lit(1000)) < rate)
   }
 
+  /** Importance (weighted) sampling — the data-mixing primitive: keep
+    * each row with probability `weight` ∈ [0, 1] (floored to permille),
+    * decided by the id's hash so the sample is reproducible across
+    * runs, engines and cluster sizes. Pure map-side filter; the weight
+    * may be any deterministic Column (source quality, mixture rate).
+    */
+  def weightedByHash(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      seed: Int = 0): DataFrame =
+    df.where(
+      pmod(Hashes.hash60(col(idCol).cast("string"), seed), lit(1000))
+        < floor(weight * 1000.0))
+
   /** Deterministic training-order shuffle: global order by the
     * md5-derived hash of the id (tie-broken by id) — reproducible
     * across runs, engines and cluster sizes, unlike `orderBy(rand())`.

@@ -878,7 +878,117 @@ object ExtendedQueries {
       }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY col_name")
     })
 
+  // ---- q91: importance-weighted sampling (data-mixing primitive) ----
+  // Weight = min(n_chars/1000, 1): longer docs are kept at higher
+  // rates — the "upsample high-quality sources" move. The keep decision
+  // is the id's hash against the FLOORED permille weight, so the
+  // sample is identical in any engine (the weight is an integer-derived
+  // double, the hash a shared md5 derivation). Map-side only.
+
+  val q91 = Q(
+    "q91_weighted_sample",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val weight = least(
+        col("n_chars").cast("double") / 1000.0, lit(1.0))
+      Sampling.weightedByHash(docs, "doc_id", weight)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").as("chars_kept"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH k AS (SELECT * FROM documents
+        WHERE ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                % 1000
+              < floor(least(CAST(n_chars AS DOUBLE)/CAST(1000 AS DOUBLE),
+                            CAST(1 AS DOUBLE)) * CAST(1000 AS DOUBLE)))
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars_kept
+      FROM k GROUP BY 1 ORDER BY lang"""))
+
+  // ---- q92: correlation matrix from exact integer moments ----
+  // All pairwise Pearson correlations of three lineitem measures in
+  // ONE aggregation pass: every Σ is an exact integer sum (qty,
+  // whole-dollar price, basis-point discount keep Σv² under 2^63 to
+  // ~1e8 rows; widen to decimal past that), and the closed form runs
+  // in double — identical longs → identical doubles → identical corr
+  // in any engine. The 3 output rows explode from the single moments
+  // row, same one-pass shape as the filter cascade.
+
+  val q92 = Q(
+    "q92_correlation_matrix",
+    (s, dir) => {
+      val e = Tables(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("y"),
+        floor(col("l_discount") * 10000.0 + 0.5).cast("long").as("z"))
+      val m = e.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def corr(sa: String, sb: String, saa: String, sbb: String,
+          sab: String) = {
+        val n = col("n").cast("double")
+        (n * col(sab) - col(sa).cast("double") * col(sb)) /
+          sqrt((n * col(saa) - col(sa).cast("double") * col(sa)) *
+            (n * col(sbb) - col(sb).cast("double") * col(sb)))
+      }
+      val rows = Seq(
+        ("qty_price", corr("sx", "sy", "sxx", "syy", "sxy")),
+        ("qty_discount", corr("sx", "sz", "sxx", "szz", "sxz")),
+        ("price_discount", corr("sy", "sz", "syy", "szz", "syz")))
+        .map { case (name, c) =>
+          struct(lit(name).as("pair"), col("n"),
+            Numerics.fix4(c).as("corr"))
+        }
+      m.select(explode(array(rows: _*)).as("r"))
+        .select("r.*")
+        .orderBy("pair")
+    },
+    Some {
+      val corrSql = (sa: String, sb: String, saa: String, sbb: String,
+          sab: String) =>
+        s"""(CAST(n AS DOUBLE)*$sab - CAST($sa AS DOUBLE)*$sb)
+           / sqrt((CAST(n AS DOUBLE)*$saa - CAST($sa AS DOUBLE)*$sa)
+                  * (CAST(n AS DOUBLE)*$sbb - CAST($sb AS DOUBLE)*$sb))"""
+      s"""
+      WITH e AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y,
+                        CAST(floor(l_discount*10000.0 + 0.5) AS BIGINT) AS z
+                 FROM lineitem),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(z) AS BIGINT) AS sz,
+                   CAST(sum(x*x) AS BIGINT) AS sxx,
+                   CAST(sum(y*y) AS BIGINT) AS syy,
+                   CAST(sum(z*z) AS BIGINT) AS szz,
+                   CAST(sum(x*y) AS BIGINT) AS sxy,
+                   CAST(sum(x*z) AS BIGINT) AS sxz,
+                   CAST(sum(y*z) AS BIGINT) AS syz
+            FROM e)
+      SELECT pair, n, corr FROM (
+        SELECT 'qty_price' AS pair, n,
+               ${Numerics.sqlFix(corrSql("sx", "sy", "sxx", "syy", "sxy"), 4)}
+                 AS corr FROM m
+        UNION ALL
+        SELECT 'qty_discount', n,
+               ${Numerics.sqlFix(corrSql("sx", "sz", "sxx", "szz", "sxz"), 4)}
+          FROM m
+        UNION ALL
+        SELECT 'price_discount', n,
+               ${Numerics.sqlFix(corrSql("sy", "sz", "syy", "szz", "syz"), 4)}
+          FROM m)
+      ORDER BY pair"""
+    })
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
-      q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90)
+      q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
+      q91, q92)
 }

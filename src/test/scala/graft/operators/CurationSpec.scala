@@ -128,4 +128,16 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("weightedByHash: 0 keeps nothing, 1 keeps all, rate ≈ weight") {
+    val df = spark.range(0, 4000).toDF("id")
+    assert(Sampling.weightedByHash(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedByHash(df, "id", lit(1.0)).count() == 4000)
+    val half = Sampling.weightedByHash(df, "id", lit(0.5)).count()
+    assert(half > 1800 && half < 2200, s"~half expected, got $half")
+    // membership is monotone in the weight: a row kept at 0.3 is kept at 0.7
+    val low = Sampling.weightedByHash(df, "id", lit(0.3))
+    val high = Sampling.weightedByHash(df, "id", lit(0.7))
+    assert(low.except(high).count() == 0)
+  }
 }
