@@ -112,6 +112,19 @@ class PlanHygieneSpec extends SparkTestBase {
       s"expected only agg+sort Exchanges, found $exchanges:\n${plan.take(1500)}")
   }
 
+  test("q86 CDC merge windows only the changelog, never the base") {
+    val plan = planOf("q86_cdc_merge")
+    // the changelog's latest-per-key window appears once per consumer
+    // (anti-join key list + upserts) — never a third time for the base
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows <= 2,
+      s"expected ≤2 Window nodes (changelog lineage only), found $windows")
+    // and the rank-limit pushdown prunes to 1 row/key BEFORE each
+    // shuffle, so the duplicated lineage moves ≤|keys| rows, not |changes|
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-limit pushdown (WindowGroupLimit) missing from the plan")
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -139,5 +139,9 @@ class CurationSpec extends SparkTestBase {
     val low = Sampling.weightedByHash(df, "id", lit(0.3))
     val high = Sampling.weightedByHash(df, "id", lit(0.7))
     assert(low.except(high).count() == 0)
+    // and the sample itself is map-side only — no shuffle in the plan
+    val plan = Sampling.weightedByHash(df, "id", lit(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n${plan.take(600)}")
   }
 }
