@@ -19,13 +19,15 @@ final case class MediaFeatures(
     header_hex: String,
     content_sha: String,
     width: Option[Int],
-    height: Option[Int])
+    height: Option[Int],
+    duration_ms: Option[Long])
 
 /** Multimodal-column plumbing: schema, partitioning, and the
-  * per-partition decode pass are real, and so is dimension decode for
-  * every headered image format (PNG/GIF as codegen'd Columns, JPEG via
-  * a SOF marker scan); only codec-requiring decode (audio duration,
-  * video frames) is STUBBED — no codecs in this environment.
+  * per-partition decode pass are real, and so is metadata decode for
+  * every headered format (PNG/GIF as codegen'd Columns, JPEG via a
+  * SOF marker scan, WAV duration via a RIFF chunk walk); only
+  * codec-requiring decode (compressed audio, video frames) is
+  * STUBBED — no codecs in this environment.
   */
 object Multimodal {
 
@@ -165,13 +167,56 @@ object Multimodal {
     (None, None)
   }
 
+  /** WAV (RIFF) duration via a bounded chunk walk — pure byte logic,
+    * no codec: RIFF is [4-byte id][LE u32 size][payload] chunks after
+    * the 12-byte RIFF/WAVE preamble; the `fmt ` chunk carries the
+    * byte rate at payload offset 8-11 and the `data` chunk's size is
+    * the payload byte count, so duration_ms = dataSize·1000/byteRate.
+    * Tolerates extra chunks (LIST, fact) in any order; returns None on
+    * truncated/desynced/zero-rate input instead of throwing — at
+    * 100 TB some objects WILL be corrupt.
+    */
+  private[multimodal] def decodeWavDurationMs(
+      media: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = media(i) & 0xFF
+    def leU32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      new String(media.slice(i, i + 4), "US-ASCII")
+    val n = media.length
+    if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var byteRate = 0L
+    var dataSize = -1L
+    var guard = 0
+    while (i + 8 <= n && guard < 4096 && (byteRate == 0 || dataSize < 0)) {
+      guard += 1
+      val id = tag(i)
+      val size = leU32(i + 4)
+      if (id == "fmt " && i + 20 <= n) byteRate = leU32(i + 16)
+      if (id == "data") dataSize = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (size < 0 || size > n) return None // hostile size field
+    }
+    if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000 / byteRate)
+    else None
+  }
+
+  private def isRiffWave(media: Array[Byte]): Boolean =
+    media.length >= 12 &&
+      (media(0) & 0xFF) == 'R' && (media(1) & 0xFF) == 'I' &&
+      (media(2) & 0xFF) == 'F' && (media(3) & 0xFF) == 'F' &&
+      (media(8) & 0xFF) == 'W' && (media(9) & 0xFF) == 'A' &&
+      (media(10) & 0xFF) == 'V' && (media(11) & 0xFF) == 'E'
+
   /** ======== STUB ========
-    * Codec-requiring formats only (audio duration, video frames): a
-    * real deployment would decode them here, inside the same
-    * mapPartitions pass. Headered formats never reach this —
+    * Codec-requiring formats only (compressed audio duration, video
+    * frames): a real deployment would decode them here, inside the
+    * same mapPartitions pass. Headered formats never reach this —
     * PNG/GIF parse as codegen'd byte arithmetic in
     * [[mediaWidth]]/[[mediaHeight]], JPEG via [[decodeJpegDims]]'s
-    * marker scan.
+    * marker scan, WAV via [[decodeWavDurationMs]]'s chunk walk.
     */
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
@@ -218,12 +263,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, len, hdr, sha, w, h, media) =>
           // the typed decode runs only for non-headered formats (JPEG
-          // marker scan, codec stub for the rest); a headered file with
-          // one malformed field keeps the field that parsed
+          // marker scan, WAV chunk walk, codec stub for the rest); a
+          // headered file with one malformed field keeps what parsed
           val (sw, sh) =
             if (w.isDefined || h.isDefined) (None, None)
             else decodeDimensions(media)
-          MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh))
+          val dur =
+            if (isRiffWave(media)) decodeWavDurationMs(media) else None
+          MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh), dur)
         }
       }
   }

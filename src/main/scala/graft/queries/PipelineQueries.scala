@@ -525,7 +525,22 @@ object PipelineQueries {
     val jpeg = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++
       Array.fill[Byte](14)(0) ++
       bytes(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0xF0, 0x01, 0x40)
-    Seq("img_1.png" -> png, "img_2.gif" -> gif, "img_3.jpg" -> jpeg)
+    // canonical PCM WAV: byteRate 16000 B/s, 4000 data bytes -> 250 ms
+    val wav = {
+      def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 24) & 0xFF).toByte)
+      def le16(v: Int) = Array[Byte]((v & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte)
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + 4000) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(4000) ++
+        Array.fill[Byte](4000)(0)
+    }
+    Seq("img_1.png" -> png, "img_2.gif" -> gif, "img_3.jpg" -> jpeg,
+      "clip_4.wav" -> wav)
   }
 
   val q71 = Q(
@@ -540,7 +555,8 @@ object PipelineQueries {
       Multimodal.extractFeatures(
           Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
             .as[graft.multimodal.MediaRecord])
-        .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("duration_ms"))
         .orderBy("doc_id")
     },
     // the oracle states the PLANTED ground truth; Spark must recover it
@@ -548,10 +564,12 @@ object PipelineQueries {
     Some("""
       SELECT * FROM (VALUES
         (CAST(1 AS BIGINT), CAST(24 AS BIGINT),
-         CAST(640 AS INTEGER), CAST(480 AS INTEGER)),
-        (2, 10, 320, 200),
-        (3, 29, 320, 240))
-        AS t(doc_id, byte_len, width, height)
+         CAST(640 AS INTEGER), CAST(480 AS INTEGER),
+         CAST(NULL AS BIGINT)),
+        (2, 10, 320, 200, NULL),
+        (3, 29, 320, 240, NULL),
+        (4, 4044, NULL, NULL, 250))
+        AS t(doc_id, byte_len, width, height, duration_ms)
       ORDER BY doc_id"""))
 
   // ---- q72: grouped approximate top-k terms (candidate-pruned) ----

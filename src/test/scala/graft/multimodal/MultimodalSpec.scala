@@ -176,4 +176,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(5L) == (None, None))
     assert(feats(6L) == (None, None))
   }
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** PCM WAV with the given byte rate and data size (data present). */
+  private def wavBytes(
+      byteRate: Int, dataSize: Int,
+      extraChunk: Option[(String, Int)] = None): Array[Byte] = {
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(byteRate) ++ le16(2) ++ le16(16)
+    val extra = extraChunk.map { case (id, n) =>
+      ascii(id) ++ le32(n) ++ Array.fill[Byte](n)(0)
+    }.getOrElse(Array.emptyByteArray)
+    val data = ascii("data") ++ le32(dataSize) ++
+      Array.fill[Byte](dataSize)(0)
+    val body = ascii("WAVE") ++ fmt ++ extra ++ data
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("WAV duration decodes from the RIFF chunk walk, codec-free") {
+    val ss = spark
+    import ss.implicits._
+    val recs = Seq(
+      // 16000 B/s, 4000 bytes -> 250 ms
+      MediaRecord(1L, wavBytes(16000, 4000), "audio/wav"),
+      // a LIST metadata chunk between fmt and data must be skipped
+      MediaRecord(2L, wavBytes(32000, 8000,
+        extraChunk = Some(("LIST", 26))), "audio/wav"),
+      // zero byte rate: malformed -> no duration, no division error
+      MediaRecord(3L, wavBytes(0, 4000), "audio/wav"),
+      // truncated: data size field points past the end of the buffer
+      MediaRecord(4L, wavBytes(16000, 100).dropRight(90), "audio/wav"))
+    val feats = Multimodal.extractFeatures(recs.toDS())
+      .collect().map(f => f.doc_id -> f.duration_ms).toMap
+    assert(feats(1L) == Some(250L))
+    assert(feats(2L) == Some(250L)) // 8000/32000 s
+    assert(feats(3L).isEmpty)
+    assert(feats(4L).isEmpty)
+    // and images don't get durations
+    val png = Array[Int](0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val img = Multimodal.extractFeatures(
+      Seq(MediaRecord(9L, png, "image/png")).toDS()).head()
+    assert(img.duration_ms.isEmpty)
+  }
 }
