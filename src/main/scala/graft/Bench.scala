@@ -57,24 +57,46 @@ object Bench {
     // double; Locale.ROOT so the decimal point never becomes a comma.
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // Headline values get 2 decimals (centisecond — plenty for warm
+    // minimums that the judge reads at 0.1 s granularity): every byte
+    // on the final line competes with the tail budget.
+    def fmt2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     def j(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }
+      .mkString("{", ",", "}")
+    // Headline keys are the "qNN" prefix alone (the full names live on
+    // the aux lines and in SparkEntry) — 12 bytes per query instead of
+    // ~32, so 120+ queries fit a 2 KB stdout tail. Falls back to the
+    // full name if a prefix ever collides.
+    val shortNames: Map[String, String] = {
+      val pref = results.keys.map(n => n -> n.takeWhile(_ != '_')).toMap
+      val dup = pref.values.groupBy(identity).collect {
+        case (p, vs) if vs.size > 1 => p
+      }.toSet
+      pref.map { case (n, p) => n -> (if (dup(p)) n else p) }
+    }
+    def jShort(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + shortNames(k) + "\":" + fmt2(sel(v)) }
       .mkString("{", ",", "}")
     val coldTotal = results.values.map(_._1).sum
     val warmTotal = results.values.map(_._2).sum
     // Auxiliary detail FIRST, compact headline LAST: the driver
-    // tail-captures a few KB of stdout, so everything rides on the
-    // FINAL line alone staying short. Round 3 lost the warm dict to a
-    // shared giant line; round 4's two-line split still lost the parse
-    // because full-precision doubles pushed the last line past the tail
-    // budget. Hence the 3-decimal rounding on the headline line.
+    // tail-captures ~2 KB of stdout, so everything rides on the FINAL
+    // line alone staying short. Round 3 lost the warm dict to a shared
+    // giant line; round 4's two-line split still lost the parse to
+    // full-precision doubles; round 6's 92 full-name keys overflowed
+    // the tail again — hence short keys + 2 decimals on the headline.
     println(
       s"""{"aux":"cold_detail","cold_total":$coldTotal,"queries_cold":${j(_._1)},"runs":$timedRuns,"sf":"$sfDir"}""")
+    println(
+      s"""{"aux":"warm_detail","warm_total":$warmTotal,"queries_warm":${j(_._2)},"runs":$timedRuns,"sf":"$sfDir"}""")
     // errors is {} on a healthy run — a few bytes on the headline line.
     val errJson = errors
-      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"${shortNames.getOrElse(k, k)}\":\"$v\"" }
+      .mkString("{", ",", "}")
     val headline =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${j(_._2)},"cold_total":${fmt(coldTotal)},"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(warmTotal)},"unit":"sec","queries":${jShort(_._2)},"cold_total":${fmt2(coldTotal)},"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(s"""{"aux":"headline_len","chars":${headline.length}}""")
     println(headline)
     spark.stop()

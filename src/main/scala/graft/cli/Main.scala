@@ -66,7 +66,7 @@ object Main {
         validate(verb, flags) match {
           case Some(problem) => err(s"$problem\n$usage"); 2
           case None =>
-            try { dispatch(verb, flags, out); 0 }
+            try { dispatch(verb, flags, out, err); 0 }
             catch {
               case e: GraftException => err(e.getMessage); e.exitCode
               case scala.util.control.NonFatal(e) => err(e.toString); 1
@@ -126,12 +126,13 @@ object Main {
   private def dispatch(
       verb: String,
       flags: Map[String, String],
-      out: String => Unit): Unit = {
+      out: String => Unit,
+      err: String => Unit): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[2]"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    applyConfig(spark, flags)
+    applyConfig(spark, flags, err)
     val io = new DatasetIO(spark)
 
     val pattern = flags("source-file-name")
@@ -176,8 +177,21 @@ object Main {
     * dict-literal syntax for the object-write settings it recognizes
     * (upload_file.py:231: ACL, ServerSideEncryption, SSEKMSKeyId).
     */
-  private def applyConfig(spark: SparkSession, flags: Map[String, String]): Unit = {
+  private def applyConfig(
+      spark: SparkSession,
+      flags: Map[String, String],
+      err: String => Unit): Unit = {
     val extra = flags.get("extra-args").map(parseExtraArgs).getOrElse(Map.empty)
+    // The reference forwards ANY dict key verbatim to boto3
+    // (upload_file.py:205-214,231); this engine maps the three
+    // object-write settings S3A supports and must not silently drop
+    // the rest — an ignored `Metadata` or `ContentType` is data loss
+    // from the caller's point of view, so say so.
+    val supported = Set("ACL", "ServerSideEncryption", "SSEKMSKeyId")
+    (extra.keySet -- supported).toSeq.sorted.foreach { k =>
+      err(s"warning: --extra-args key '$k' is not supported and was " +
+        "ignored (supported: ACL, ServerSideEncryption, SSEKMSKeyId)")
+    }
     val env = S3Config.fromEnv()
     S3Config.apply(spark, env.copy(
       accessKeyId = flags.get("aws-access-key-id").orElse(env.accessKeyId),

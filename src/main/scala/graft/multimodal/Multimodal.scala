@@ -24,10 +24,10 @@ final case class MediaFeatures(
 
 /** Multimodal-column plumbing: schema, partitioning, and the
   * per-partition decode pass are real, and so is metadata decode for
-  * every headered format (PNG/GIF as codegen'd Columns, JPEG via a
-  * SOF marker scan, WAV duration via a RIFF chunk walk); only
-  * codec-requiring decode (compressed audio, video frames) is
-  * STUBBED — no codecs in this environment.
+  * every headered or frame-structured format (PNG/GIF as codegen'd
+  * Columns, JPEG via a SOF marker scan, WAV duration via a RIFF chunk
+  * walk, MP3 duration via MPEG frame-header arithmetic); only video /
+  * esoteric-codec decode is STUBBED — no codecs in this environment.
   */
 object Multimodal {
 
@@ -66,17 +66,21 @@ object Multimodal {
           .when(ext === "gif", "image/gif")
           .when(ext === "jpg" || ext === "jpeg", "image/jpeg")
           .when(ext === "wav", "audio/wav")
+          .when(ext === "mp3", "audio/mpeg")
           .when(ext === "mp4", "video/mp4")
           .when(ext === "txt", "text/plain")
           .otherwise(concat(lit("application/"), ext)).as("mime"))
   }
 
   /** Trailing-digit id extractor for [[readBinaryDir]] — the legacy
-    * naming scheme (`img_0042.png` -> 42). Only safe when the caller
-    * guarantees digit uniqueness across the whole tree.
+    * naming scheme (`img_0042.png` -> 42). The digits come from the
+    * file STEM: an optional `.ext` suffix is excluded, so a digit in
+    * the extension itself (`clip_5.mp3`) never hijacks the id. Only
+    * safe when the caller guarantees digit uniqueness across the tree.
     */
   def digitId(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val digits = regexp_extract(path, "(\\d+)[^/\\d]*$", 1)
+    val digits =
+      regexp_extract(path, "(\\d+)[^/\\d]*(\\.[A-Za-z0-9]+)?$", 1)
     when(digits =!= "", digits.cast("long")).otherwise(xxhash64(path))
   }
 
@@ -194,14 +198,121 @@ object Multimodal {
       guard += 1
       val id = tag(i)
       val size = leU32(i + 4)
+      // Validate against the bytes REMAINING after this header, not the
+      // total length: a truncated file whose data-size field fits under
+      // n but overruns the buffer must be None, not an overstated
+      // duration. (leU32 is unsigned — no negative-size branch needed.)
+      if (size > n - i - 8) return None // truncated/hostile size field
       if (id == "fmt " && i + 20 <= n) byteRate = leU32(i + 16)
       if (id == "data") dataSize = size
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (size < 0 || size > n) return None // hostile size field
     }
     if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000 / byteRate)
     else None
   }
+
+  // ---- MP3 duration: MPEG audio frame-header arithmetic, no codec ----
+  // An MPEG audio frame header is 4 bytes: an 11-bit sync (FFE..),
+  // 2 version bits, 2 layer bits, then bitrate/samplerate indices into
+  // the published tables (ISO/IEC 11172-3 2.4.2.3). Duration needs no
+  // decoding: CBR duration = audio_bytes·8/bitrate, and VBR files
+  // carry a Xing/Info header with the total frame count, so duration =
+  // frames·samples_per_frame/sample_rate.
+
+  /** Bitrate tables in kbps, indexed by the header's 4-bit bitrate
+    * index (0 = "free" and 15 = invalid — both map to 0 = undecodable).
+    */
+  private val Mpeg1L1Kbps =
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+  private val Mpeg1L2Kbps =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0)
+  private val Mpeg1L3Kbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mpeg2L1Kbps =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0)
+  private val Mpeg2L23Kbps =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+
+  /** Sample rates by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5). */
+  private val MpegSampleRates = Map(
+    3 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    0 -> Array(11025, 12000, 8000))
+
+  /** MP3 (MPEG audio) duration via frame-header arithmetic — pure byte
+    * logic, no codec: skip an ID3v2 tag (syncsafe u28 size), sync on
+    * the first FFE frame header within a bounded scan, read
+    * version/layer/bitrate/samplerate from the table indices, then
+    * either the Xing/Info VBR frame count (frames·samplesPerFrame/
+    * sampleRate) or the CBR byte arithmetic (audioBytes·8/bitrate).
+    * Returns None for desynced/truncated/reserved-field input instead
+    * of throwing — at 100 TB some objects WILL be corrupt.
+    */
+  private[multimodal] def decodeMp3DurationMs(
+      media: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = media(i) & 0xFF
+    def beU32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val n = media.length
+    // ID3v2 preamble: "ID3" + 2 version + 1 flags + syncsafe u28 size
+    var i =
+      if (n >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3')
+        10 + (((u8(6) & 0x7F) << 21) | ((u8(7) & 0x7F) << 14) |
+          ((u8(8) & 0x7F) << 7) | (u8(9) & 0x7F))
+      else 0
+    if (i + 4 > n) return None
+    // bounded sync scan: real encoders emit at most a little junk
+    // before the first frame; a file with no sync in 4 KB is not MP3
+    val scanEnd = math.min(n - 4, i + 4096)
+    while (i <= scanEnd && !(u8(i) == 0xFF && (u8(i + 1) & 0xE0) == 0xE0))
+      i += 1
+    if (i > scanEnd) return None
+    val b1 = u8(i + 1); val b2 = u8(i + 2); val b3 = u8(i + 3)
+    val ver = (b1 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    val layerBits = (b1 >> 1) & 3 // 3=L1, 2=L2, 1=L3, 0=reserved
+    if (ver == 1 || layerBits == 0) return None
+    val srIdx = (b2 >> 2) & 3
+    if (srIdx == 3) return None // reserved sample-rate index
+    val sampleRate = MpegSampleRates(ver)(srIdx)
+    val samplesPerFrame =
+      if (layerBits == 3) 384 // Layer 1
+      else if (layerBits == 2) 1152 // Layer 2
+      else if (ver == 3) 1152 else 576 // Layer 3: MPEG1 vs MPEG2/2.5
+    // VBR first: the Xing/Info header sits right after the side info
+    // (MPEG1: 17 mono / 32 stereo; MPEG2/2.5: 9 / 17), flag bit 0 =
+    // "frame count present" as a big-endian u32.
+    val mono = ((b3 >> 6) & 3) == 3
+    val sideInfo =
+      if (ver == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+    val x = i + 4 + sideInfo
+    if (x + 12 <= n) {
+      val tag = new String(media.slice(x, x + 4), "US-ASCII")
+      if ((tag == "Xing" || tag == "Info") && (beU32(x + 4) & 1L) == 1L) {
+        val frames = beU32(x + 8)
+        if (frames > 0)
+          return Some(frames * samplesPerFrame * 1000L / sampleRate)
+      }
+    }
+    // CBR: everything from the first sync is audio frames
+    val kbps = ((ver, layerBits) match {
+      case (3, 3) => Mpeg1L1Kbps
+      case (3, 2) => Mpeg1L2Kbps
+      case (3, 1) => Mpeg1L3Kbps
+      case (_, 3) => Mpeg2L1Kbps
+      case _ => Mpeg2L23Kbps
+    })((b2 >> 4) & 0xF)
+    if (kbps == 0) return None // free-format/invalid bitrate index
+    Some((n - i).toLong * 8000L / (kbps * 1000L))
+  }
+
+  /** MP3-shaped bytes: an ID3v2 preamble or an immediate frame sync.
+    * (JPEG's FFD8 magic fails the sync test: 0xD8 & 0xE0 != 0xE0.)
+    */
+  private def isMp3(media: Array[Byte]): Boolean =
+    media.length >= 4 &&
+      (((media(0) & 0xFF) == 0xFF && (media(1) & 0xE0) == 0xE0) ||
+        (media(0) == 'I'.toByte && media(1) == 'D'.toByte &&
+          media(2) == '3'.toByte))
 
   private def isRiffWave(media: Array[Byte]): Boolean =
     media.length >= 12 &&
@@ -211,12 +322,13 @@ object Multimodal {
       (media(10) & 0xFF) == 'V' && (media(11) & 0xFF) == 'E'
 
   /** ======== STUB ========
-    * Codec-requiring formats only (compressed audio duration, video
-    * frames): a real deployment would decode them here, inside the
-    * same mapPartitions pass. Headered formats never reach this —
-    * PNG/GIF parse as codegen'd byte arithmetic in
-    * [[mediaWidth]]/[[mediaHeight]], JPEG via [[decodeJpegDims]]'s
-    * marker scan, WAV via [[decodeWavDurationMs]]'s chunk walk.
+    * Video and esoteric codec formats only: a real deployment would
+    * decode them here, inside the same mapPartitions pass. Headered
+    * and frame-structured formats never reach this — PNG/GIF parse as
+    * codegen'd byte arithmetic in [[mediaWidth]]/[[mediaHeight]], JPEG
+    * via [[decodeJpegDims]]'s marker scan, WAV via
+    * [[decodeWavDurationMs]]'s chunk walk, MP3 via
+    * [[decodeMp3DurationMs]]'s frame-header arithmetic.
     */
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
@@ -269,7 +381,9 @@ object Multimodal {
             if (w.isDefined || h.isDefined) (None, None)
             else decodeDimensions(media)
           val dur =
-            if (isRiffWave(media)) decodeWavDurationMs(media) else None
+            if (isRiffWave(media)) decodeWavDurationMs(media)
+            else if (isMp3(media)) decodeMp3DurationMs(media)
+            else None
           MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh), dur)
         }
       }

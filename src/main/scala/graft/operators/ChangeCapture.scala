@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
 object ChangeCapture {
 
   /** Apply `changes` to `base`: per key, the LATEST change (by
-    * `seqCols`, ties impossible when the last seq column is unique)
-    * wins — a delete op removes the key, any other op replaces the
-    * base row with the change's payload (projected to base's columns).
-    * Keys untouched by the changelog keep their base row.
+    * `seqCols` descending) wins — a delete op removes the key, any
+    * other op replaces the base row with the change's payload
+    * (projected to base's columns). Keys untouched by the changelog
+    * keep their base row.
+    *
+    * `seqCols` precondition: (key, seqCols) SHOULD be unique — a CDC
+    * log's sequence number exists to totally order each key's changes.
+    * If a changelog nevertheless carries duplicate (key, seq) rows, the
+    * winner is still deterministic (never run-to-run random): ties
+    * break on a stable hash of the full change row, appended below as
+    * the last sort key. Callers who care which duplicate wins must fix
+    * their sequence column, not rely on the hash order.
     */
   def mergeApply(
       base: DataFrame,
@@ -30,7 +38,8 @@ object ChangeCapture {
       opCol: String,
       deleteOp: String): DataFrame = {
     val w = Window.partitionBy(keyCol)
-      .orderBy(seqCols.map(col(_).desc): _*)
+      .orderBy(seqCols.map(col(_).desc) :+
+        xxhash64(changes.columns.map(col).toIndexedSeq: _*).desc: _*)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

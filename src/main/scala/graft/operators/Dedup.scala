@@ -214,7 +214,12 @@ object Dedup {
     candidates
       .join(a, "id_a")
       .join(b, "id_b")
-      .where(Texts.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      // Length gate first: |len(a) − len(b)| > maxDist already implies
+      // dist > maxDist (each edit changes length by at most 1), and
+      // length() is O(1) on UTF8String — candidates that can't pass
+      // never reach the O(n) set math or the DP kernel.
+      .where(abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist &&
+        Texts.jaccard(col("sh_a"), col("sh_b")) >= threshold)
       // The distance kernel never runs the full O(|a|·|b|) DP:
       // byte-identical pairs (exact copies dominate real near-dup
       // corpora) short-circuit to 0 via an O(n) equality check, and the
@@ -227,7 +232,13 @@ object Dedup {
         when(col("txt_a") === col("txt_b"), 0)
           .otherwise(levenshtein(col("txt_a"), col("txt_b"), maxDist))
           .as("edit_dist"))
-      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      // ONE conjunct on the aliased kernel: predicate pushdown inlines
+      // the alias into the Filter per occurrence, so `>= 0 AND
+      // <= maxDist` ran the whole when/levenshtein expression TWICE per
+      // candidate row (measured +77% warm at sf0.1, round 6). The
+      // banded kernel already returns -1 past the cap, so >= 0 alone is
+      // the exact same predicate at half the cost.
+      .where(col("edit_dist") >= 0)
   }
 
   /** Precompute the (id, band, key) band signatures for a corpus — the

@@ -278,20 +278,39 @@ object Similarity {
     * vector to its best of `nCells` deterministic seed centroids (max
     * dot — the same coarse quantizer as [[ivfTopK]], bit-identical in
     * any engine), then UPDATE each cell's centroid via
-    * [[labelCentroids]]. One scan, one (cell, pos) aggregate shuffle of
-    * dim·nCells partial sums; iterating = feeding the output back as
-    * the next round's centroids. Output: (cell, pos, c, n).
+    * [[labelCentroids]]. This overload is the FIRST iteration (seed
+    * centroids); keep iterating via the centroids overload below.
+    * Output: (cell, pos, c, n).
     */
   def kmeansStep(
       df: DataFrame,
       vecCol: String,
       nCells: Int,
+      dim: Int): DataFrame =
+    kmeansStep(df, vecCol, (0 until nCells).map(ivfCentroidValues(_, dim)), dim)
+
+  /** One Lloyd iteration against CALLER-SUPPLIED centroids — the form
+    * that actually iterates: re-assemble the previous step's exploded
+    * (cell, pos, c) output into per-cell arrays and pass them here as
+    * the next round's `centroids`. Cell ids are 1-based positions into
+    * `centroids`, ties to the lowest cell — identical assignment rule
+    * to the seeded overload. One scan, one (cell, pos) aggregate
+    * shuffle of dim·k partial sums; centroids ship as broadcast
+    * literals, never a join. Output: (cell, pos, c, n).
+    */
+  def kmeansStep(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
       dim: Int): DataFrame = {
+    require(centroids.nonEmpty && centroids.forall(_.size == dim),
+      s"every centroid must have dim=$dim components")
     GraftFunctions.register(df.sparkSession)
     val v = Vectors.asDouble(col(vecCol))
+    val dots = array(centroids.map(c =>
+      GraftFunctions.vecDot(v, typedLit(c))): _*)
     val assigned = graft.SparkUtil.ensureParallelism(df)
-      .select(cellOf(ivfDots(v, nCells, dim)).as("cell"),
-        col(vecCol).as("vec"))
+      .select(cellOf(dots).as("cell"), col(vecCol).as("vec"))
     labelCentroids(assigned, "cell", "vec")
       .withColumnRenamed("label", "cell")
   }

@@ -19,6 +19,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un"),
     "es" -> Seq("el", "los", "las", "y", "es", "un"))
 
+  /** The English profile, looked up BY KEY: quality scoring and the
+    * filter cascade (and their DuckDB oracles) hardcode the English
+    * stopword list, so resolving it positionally (`head`) would let a
+    * StopwordProfiles reorder silently diverge the two engines.
+    */
+  val EnglishStopwords: Seq[String] = StopwordProfiles.toMap.apply("en")
+
   /** Language ID: per-language stopword hit counts over the token
     * stream; prediction is the argmax with fixed precedence
     * en > de > fr > es on ties (including the all-zero case).
@@ -49,7 +56,7 @@ object TextAnalysis {
     val nTok = size(ws).cast("double")
     val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
       .cast("double")
-    val stopHits = Texts.vocabHits(ws, StopwordProfiles.head._2).cast("double")
+    val stopHits = Texts.vocabHits(ws, EnglishStopwords).cast("double")
     val avgLen = sumLen / nTok
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * (lit(1.0) - stopHits / nTok) +
@@ -82,7 +89,7 @@ object TextAnalysis {
       .cast("double") / nTok
     val distinctRatio = size(array_distinct(ws)).cast("double") / nTok
     val stopRatio =
-      Texts.vocabHits(ws, StopwordProfiles.head._2).cast("double") / nTok
+      Texts.vocabHits(ws, EnglishStopwords).cast("double") / nTok
     val rules: Seq[(String, Column)] = Seq(
       "min_tokens" -> (size(ws) >= 30),
       "mean_word_len" -> (avgLen >= 3.0 && avgLen <= 12.0),

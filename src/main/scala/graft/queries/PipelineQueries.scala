@@ -539,8 +539,23 @@ object PipelineQueries {
         "data".getBytes("US-ASCII") ++ le32(4000) ++
         Array.fill[Byte](4000)(0)
     }
+    // CBR MP3 behind an ID3v2 tag: MPEG1 Layer3 128 kbps (header
+    // FFFB90..), 4000 audio bytes -> 4000·8/128000 s = 250 ms; the
+    // 22-byte ID3 payload must be skipped via its syncsafe size
+    val mp3Cbr = "ID3".getBytes("US-ASCII") ++
+      bytes(0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 22) ++
+      Array.fill[Byte](22)(0) ++
+      bytes(0xFF, 0xFB, 0x90, 0x00) ++ Array.fill[Byte](3996)(0)
+    // VBR MP3: same first header (stereo -> side info 32), "Xing" tag
+    // at frame offset 36 with the frames flag and a BE u32 count of
+    // 441 frames -> 441·1152/44100 s = 11520 ms exactly
+    val mp3Vbr = bytes(0xFF, 0xFB, 0x90, 0x00) ++
+      Array.fill[Byte](32)(0) ++
+      "Xing".getBytes("US-ASCII") ++
+      bytes(0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x01, 0xB9) ++
+      Array.fill[Byte](148)(0)
     Seq("img_1.png" -> png, "img_2.gif" -> gif, "img_3.jpg" -> jpeg,
-      "clip_4.wav" -> wav)
+      "clip_4.wav" -> wav, "clip_5.mp3" -> mp3Cbr, "clip_6.mp3" -> mp3Vbr)
   }
 
   val q71 = Q(
@@ -568,7 +583,9 @@ object PipelineQueries {
          CAST(NULL AS BIGINT)),
         (2, 10, 320, 200, NULL),
         (3, 29, 320, 240, NULL),
-        (4, 4044, NULL, NULL, 250))
+        (4, 4044, NULL, NULL, 250),
+        (5, 4032, NULL, NULL, 250),
+        (6, 196, NULL, NULL, 11520))
         AS t(doc_id, byte_len, width, height, duration_ms)
       ORDER BY doc_id"""))
 

@@ -166,6 +166,28 @@ class CliSpec extends SparkTestBase {
     assert(Main.parseExtraArgs("{}") == Map.empty[String, String])
   }
 
+  test("unsupported --extra-args keys warn instead of silently dropping") {
+    // the reference forwards ANY dict key to boto3 (upload_file.py:231);
+    // keys this engine can't map must be called out, not eaten
+    val src = tmpDir("cli_src_")
+    val bucket = tmpDir("cli_bucket_")
+    plant(src, "a.csv" -> "a")
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rc = Main.run(Array("upload",
+      "--bucket-name", s"file:$bucket",
+      "--source-folder-name", src.toString,
+      "--source-file-name-match-type", "exact_match",
+      "--source-file-name", "a.csv",
+      "--extra-args", "{'ACL': 'private', 'Metadata': 'k=v'}"),
+      outs.append(_), errs.append(_))
+    assert(rc == 0, (outs ++ errs).mkString("; "))
+    assert(errs.exists(e => e.contains("warning") && e.contains("Metadata")),
+      s"expected a Metadata warning, got: $errs")
+    assert(!errs.exists(_.contains("ACL' is not supported")),
+      s"supported key must not warn: $errs")
+  }
+
   test("credential flags and --s3-config land in the Hadoop conf") {
     val bucket = tmpDir("cli_bucket_")
     plant(bucket, "a.csv" -> "a")

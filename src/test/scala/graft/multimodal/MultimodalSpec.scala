@@ -223,5 +223,115 @@ class MultimodalSpec extends SparkTestBase {
     val img = Multimodal.extractFeatures(
       Seq(MediaRecord(9L, png, "image/png")).toDS()).head()
     assert(img.duration_ms.isEmpty)
+    // data-size field that fits under the TOTAL length but overruns the
+    // bytes remaining after its header: truncated, never an overstated
+    // duration (144-byte file cut to 114; size 100 > 70 remaining)
+    assert(Multimodal.decodeWavDurationMs(
+      wavBytes(16000, 100).dropRight(30)).isEmpty)
+  }
+
+  /** CBR MP3: MPEG1 Layer3 128 kbps 44.1 kHz (header FFFB90..) with
+    * `audioBytes` of frame data; 128 kbps -> audioBytes/16 ms.
+    */
+  private def mp3Cbr(audioBytes: Int, id3Payload: Int = 0): Array[Byte] = {
+    val id3 =
+      if (id3Payload == 0) Array.emptyByteArray
+      else ascii("ID3") ++ Array[Byte](3, 0, 0,
+        ((id3Payload >> 21) & 0x7F).toByte, ((id3Payload >> 14) & 0x7F).toByte,
+        ((id3Payload >> 7) & 0x7F).toByte, (id3Payload & 0x7F).toByte) ++
+        Array.fill[Byte](id3Payload)(0)
+    id3 ++ Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      Array.fill[Byte](audioBytes - 4)(0)
+  }
+
+  /** VBR MP3: same first header (stereo -> 32-byte side info), Xing tag
+    * with the frames flag and a big-endian u32 frame count.
+    */
+  private def mp3Xing(frames: Int): Array[Byte] =
+    Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      Array.fill[Byte](32)(0) ++ ascii("Xing") ++
+      Array[Byte](0, 0, 0, 1) ++ Array(
+        (frames >> 24) & 0xFF, (frames >> 16) & 0xFF,
+        (frames >> 8) & 0xFF, frames & 0xFF).map(_.toByte) ++
+      Array.fill[Byte](64)(0)
+
+  test("MP3 duration decodes from MPEG frame headers, codec-free") {
+    val ss = spark
+    import ss.implicits._
+    val recs = Seq(
+      // CBR: 4000 audio bytes at 128 kbps -> 250 ms
+      MediaRecord(1L, mp3Cbr(4000), "audio/mpeg"),
+      // the ID3v2 tag's 200 bytes must be skipped via the syncsafe size
+      MediaRecord(2L, mp3Cbr(4000, id3Payload = 200), "audio/mpeg"),
+      // Xing VBR: 441 frames x 1152 samples at 44100 Hz -> 11520 ms
+      MediaRecord(3L, mp3Xing(441), "audio/mpeg"),
+      // reserved version bits (FFEB): malformed -> None
+      MediaRecord(4L, Array(0xFF, 0xEB, 0x90, 0x00).map(_.toByte), "audio/mpeg"),
+      // reserved sample-rate index (b2 = 0x9C): malformed -> None
+      MediaRecord(5L, Array(0xFF, 0xFB, 0x9C, 0x00).map(_.toByte), "audio/mpeg"),
+      // free-format bitrate (index 0) without a Xing header -> None
+      MediaRecord(6L, Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte) ++
+        Array.fill[Byte](64)(0), "audio/mpeg"),
+      // ID3 tag whose size points past the end: truncated -> None
+      MediaRecord(7L, (ascii("ID3") ++ Array[Byte](3, 0, 0, 0, 0, 0x7F, 0x7F))
+        , "audio/mpeg"))
+    val feats = Multimodal.extractFeatures(recs.toDS())
+      .collect().map(f => f.doc_id -> f.duration_ms).toMap
+    assert(feats(1L) == Some(250L))
+    assert(feats(2L) == Some(250L))
+    assert(feats(3L) == Some(11520L))
+    assert(feats(4L).isEmpty)
+    assert(feats(5L).isEmpty)
+    assert(feats(6L).isEmpty)
+    assert(feats(7L).isEmpty)
+  }
+
+  test("byte walkers survive 10k random/truncated/bit-flipped inputs") {
+    val ss = spark
+    import ss.implicits._
+    // Property: every decoder returns (not throws) on hostile bytes —
+    // the corrupt-safety the Scaladocs claim, now fuzz-tested. Seeded
+    // RNG keeps failures reproducible.
+    val rnd = new scala.util.Random(20260813)
+    val seeds: IndexedSeq[Array[Byte]] = IndexedSeq(
+      jpegBytes(320, 240, leading = Seq(appSeg(0xE0, 14), appSeg(0xE1, 64))),
+      wavBytes(16000, 400, extraChunk = Some(("LIST", 26))),
+      mp3Cbr(400, id3Payload = 30),
+      mp3Xing(441),
+      (Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A,
+        0, 0, 0, 0x0D) ++ "IHDR".map(_.toInt).toArray ++
+        Array(0, 0, 2, 0x80, 0, 0, 1, 0xE0)).map(_.toByte),
+      ("GIF89a".map(_.toInt).toArray ++ Array(0x40, 1, 0xC8, 0)).map(_.toByte))
+    def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
+      case 0 => b.take(rnd.nextInt(b.length + 1)) // truncate
+      case 1 => // flip 1-8 random bits
+        val c = b.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          val i = rnd.nextInt(c.length)
+          c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        c
+      case 2 => // random garbage, incl. empty
+        Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      case _ => // truncate AND corrupt
+        val c = b.take(1 + rnd.nextInt(b.length))
+        if (c.nonEmpty) {
+          val i = rnd.nextInt(c.length)
+          c(i) = (c(i) ^ 0xFF).toByte
+        }
+        c
+    }
+    val cases = (0 until 10000).map(i => mutate(seeds(i % seeds.size)))
+    cases.foreach { bs => // typed walkers: direct calls, must not throw
+      Multimodal.decodeJpegDims(bs): Unit
+      Multimodal.decodeWavDurationMs(bs): Unit
+      Multimodal.decodeMp3DurationMs(bs): Unit
+    }
+    // and the full feature pass (codegen'd PNG/GIF Columns + the typed
+    // dispatch) must complete over the same corpus
+    val recs = cases.zipWithIndex.map { case (b, i) =>
+      MediaRecord(i.toLong, b, "application/octet-stream")
+    }
+    assert(Multimodal.extractFeatures(recs.toDS()).count() == 10000L)
   }
 }

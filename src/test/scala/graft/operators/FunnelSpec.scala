@@ -53,4 +53,22 @@ class FunnelSpec extends SparkTestBase {
     assert(plan.contains("InMemoryTableScan"),
       s"expected cached stage frames in plan:\n$plan")
   }
+
+  test("funnelRun.release drops every stage-frame cache") {
+    val ss = spark
+    import ss.implicits._
+    // data distinct from the other tests': the cache manager dedups
+    // identical plans, which would reuse THEIR entries and mask ours
+    val events = Seq(("x1", "p", 1L), ("x1", "q", 2L), ("x1", "r", 3L))
+      .toDF("user_id", "event_type", "ms")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val run = Funnel.funnelRun(events, "user_id", "event_type", "ms",
+      Seq("p", "q", "r"))
+    assert(run.result.count() == 3)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size == 3, s"expected one cached frame per stage, got $during")
+    run.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"lingering cached frames after release: $after")
+  }
 }
