@@ -31,6 +31,36 @@ object Dedup {
         min(col(idCol)).cast("long").as(s"kept_$idCol"),
         count(lit(1)).as("n_copies"))
 
+  /** Chunk-level exact dedup — the paragraph-dedup pass (CCNet/Dolma
+    * shape) where duplication lives INSIDE and ACROSS documents:
+    * boilerplate headers, licenses, navigation text. Input is the
+    * chunk stream ([[TextAnalysis.chunkDocuments]] output or any
+    * (id, seq, text) rows); every chunk is digested and deduped by ONE
+    * hash-partitioned aggregate with map-side partials — O(chunks)
+    * shuffle of (digest, id, seq), the same 100 TB shape as [[exact]].
+    * Keeper is the lexicographic min (id, seq) struct, so any engine
+    * picks the same survivor. Output: (chunk_digest, kept_<id>,
+    * kept_<seq>, n_copies).
+    */
+  def chunkExact(
+      chunks: DataFrame,
+      idCol: String,
+      seqCol: String,
+      textCol: String): DataFrame =
+    chunks
+      .select(
+        md5(col(textCol)).as("chunk_digest"),
+        struct(
+          col(idCol).cast("long").as("i"),
+          col(seqCol).cast("long").as("s")).as("k"))
+      .groupBy("chunk_digest")
+      .agg(min(col("k")).as("keep"), count(lit(1)).as("n_copies"))
+      .select(
+        col("chunk_digest"),
+        col("keep.i").as(s"kept_$idCol"),
+        col("keep.s").as(s"kept_$seqCol"),
+        col("n_copies"))
+
   /** MinHash family: ONE strong base hash per shingle (codegen'd
     * xxhash64, folded to 30 bits), then a universal affine family
     * h_i(x) = (a_i·x + b_i) mod p over prime p = 2^31−1 for the

@@ -40,4 +40,36 @@ object Profile {
       .select("p.*")
       .orderBy("col_name")
   }
+
+  /** Winsorized (clipped) robust stats per group — outlier-tolerant
+    * aggregate profiling: per-group exact `lo`/`hi` percentile bounds,
+    * then the mean of values clipped into [lo_v, hi_v]. Two passes by
+    * construction (a percentile needs the full distribution before any
+    * value can clip): pass 1 reduces to one tiny row per group, which
+    * BROADCASTS back onto the scan for pass 2 — the big table streams
+    * twice, shuffles only aggregate partials, and nothing ever sorts
+    * globally. Output: (groupCol, lo_v, hi_v, winsorized_mean, n).
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val bounds = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(groupCol)
+      .agg(
+        expr(s"percentile($valCol, $lo)").as("lo_v"),
+        expr(s"percentile($valCol, $hi)").as("hi_v"))
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(groupCol)
+      .agg(
+        graft.functions.Numerics.fix4(first(col("lo_v"))).as("lo_v"),
+        graft.functions.Numerics.fix4(first(col("hi_v"))).as("hi_v"),
+        graft.functions.Numerics.fix4(
+          avg(least(greatest(col(valCol), col("lo_v")), col("hi_v"))))
+          .as("winsorized_mean"),
+        count(lit(1)).as("n"))
+  }
 }

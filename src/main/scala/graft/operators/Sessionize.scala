@@ -39,4 +39,47 @@ object Sessionize {
         max(col(tsMsCol)).as("end_ms"))
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
+
+  /** Top-N ordered k-prefix event paths — sequence mining lite: each
+    * user's first `k` events (by time, tie-broken deterministically)
+    * join into a `>`-separated path string; paths rank by user count.
+    *
+    * Scale shape: one shuffle by user for the window rank (Spark's
+    * WindowGroupLimit pushes the rank<=k filter below the sort, so
+    * per-user state is O(k), not O(events)); the path aggregate reuses
+    * the same user partitioning (no second exchange under AQE); the
+    * final path count aggregates ≤ one row per user with map-side
+    * partials. No collect, no global sort before the bounded top-N.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      k: Int,
+      topN: Int): DataFrame = {
+    require(k > 0 && topN > 0, "need k > 0 and topN > 0")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val ranked = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    // collect_list order is partition-dependent; sorting the (rn, type)
+    // structs makes the path deterministic on any cluster layout
+    val paths = ranked
+      .groupBy(col(userCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(
+              collect_list(struct(col("rn"), col(typeCol).as("t")))),
+            s => s.getField("t")),
+          ">").as("path"))
+    paths
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
 }

@@ -88,4 +88,35 @@ object Temporal {
       .select(col(pointId), p(keyCol), col(pointTs),
         col(intervalId), col(intervalStart))
   }
+
+  /** Sliding-window distinct-key count per time unit — "7-day active
+    * users" and its relatives. Each distinct (unit, key) row
+    * CONTRIBUTES to the `window` units [unit, unit + window): an
+    * explode to the contributed units plus one count-distinct
+    * aggregate. That is the scale-safe plan: shuffle volume is a flat
+    * window× the deduped (unit, key) stream, hash-partitioned by unit
+    * — never a unit-range join (BroadcastNestedLoopJoin at scale) and
+    * never a per-unit rescan. Output covers only units present in the
+    * input: (unitCol, outCol).
+    */
+  def slidingDistinctCount(
+      df: DataFrame,
+      unitCol: String,
+      keyCol: String,
+      window: Int,
+      outCol: String): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val du = df
+      .select(col(unitCol).cast("long").as("u"), col(keyCol).as("k"))
+      .distinct()
+    val units = du.select(col("u").as(unitCol)).distinct()
+    val contrib = du.select(
+      explode(sequence(col("u"), col("u") + (window - 1))).as("w"),
+      col("k"))
+    contrib
+      .groupBy(col("w"))
+      .agg(countDistinct(col("k")).as(outCol))
+      .join(units, col("w") === col(unitCol))
+      .select(col(unitCol), col(outCol))
+  }
 }

@@ -385,4 +385,23 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select(col("g").as(groupCol), col("term"), col("freq"), col("rk"))
   }
+
+  /** Document-frequency histogram — the vocabulary-pruning diagnostic:
+    * for each df value, how many distinct terms appear in exactly df
+    * documents (hapax legomena live at df = 1). Two hash aggregates
+    * over the exploded distinct-(term, doc) stream, both with map-side
+    * partials; output is at most |distinct df values| rows, so the
+    * second shuffle is tiny at any corpus size.
+    */
+  def dfHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(df)
+      .select(
+        col(idCol),
+        explode(array_distinct(Texts.words(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .groupBy("df")
+      .agg(count(lit(1)).as("n_terms"))
+      .orderBy("df")
 }

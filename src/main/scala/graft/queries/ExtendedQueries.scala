@@ -987,8 +987,87 @@ object ExtendedQueries {
       ORDER BY pair"""
     })
 
+  // ---- q94: top ordered event paths (sequence mining lite) ----
+  // Per user: the first-5-events path by (ts, event_id); then paths
+  // rank by user count. One user-keyed window (WindowGroupLimit keeps
+  // per-user state O(k)), the path aggregate reuses the partitioning,
+  // and only the bounded top-10 ever sorts.
+
+  val q94 = Q(
+    "q94_top_event_paths",
+    (s, dir) =>
+      graft.operators.Sessionize.topPaths(
+        Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", k = 5, topN = 10),
+    Some("""
+      WITH r AS (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rn
+                 FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path
+      ORDER BY n_users DESC, path LIMIT 10"""))
+
+  // ---- q95: trailing 7-day distinct active users per day ----
+  // Window-distinct has no native relational form (count distinct over
+  // a frame); the scale-safe plan is contribution-explode: each
+  // distinct (day, user) feeds the 7 window-days it belongs to, then
+  // one count-distinct aggregate — an equi-shuffle of a flat 7x the
+  // deduped stream, never a day-range join (BNLJ) or per-day rescan.
+
+  val q95 = Q(
+    "q95_sliding_active_users",
+    (s, dir) =>
+      Temporal.slidingDistinctCount(
+          Tables.events(s, dir).select(
+            expr("ts DIV 86400000000000").cast("long").as("day"),
+            col("user_id")),
+          "day", "user_id", window = 7, outCol = "active_users_7d")
+        .orderBy("day"),
+    Some("""
+      WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+                         user_id
+                  FROM events),
+      c AS (SELECT day + i AS w_day, user_id
+            FROM du CROSS JOIN range(7) t(i)),
+      a AS (SELECT w_day, count(DISTINCT user_id) AS au FROM c GROUP BY 1)
+      SELECT CAST(d.day AS BIGINT) AS day,
+             CAST(a.au AS BIGINT) AS active_users_7d
+      FROM (SELECT DISTINCT day FROM du) d JOIN a ON a.w_day = d.day
+      ORDER BY day"""))
+
+  // ---- q96: winsorized robust stats per group ----
+  // Exact p05/p95 bounds reduce to one row per group and BROADCAST
+  // back onto the scan for the clipped mean — the two-pass shape a
+  // percentile forces, with no global sort and no second shuffle of
+  // the fact table.
+
+  val q96 = Q(
+    "q96_winsorized_stats",
+    (s, dir) =>
+      Profile.winsorizedStats(
+          Tables(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          lo = 0.05, hi = 0.95)
+        .orderBy("o_orderpriority"),
+    Some(s"""
+      WITH b AS (SELECT o_orderpriority,
+                        quantile_cont(o_totalprice, 0.05) AS lo_v,
+                        quantile_cont(o_totalprice, 0.95) AS hi_v
+                 FROM orders GROUP BY 1)
+      SELECT o.o_orderpriority,
+             ${Numerics.sqlFix("any_value(b.lo_v)", 4)} AS lo_v,
+             ${Numerics.sqlFix("any_value(b.hi_v)", 4)} AS hi_v,
+             ${Numerics.sqlFix(
+      "avg(least(greatest(o.o_totalprice, b.lo_v), b.hi_v))", 4)}
+               AS winsorized_mean,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN b USING (o_orderpriority)
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92)
+      q91, q92, q94, q95, q96)
 }

@@ -724,7 +724,63 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b"""
     })
 
+  // ---- q93: chunk-level exact dedup (the paragraph-dedup pass) ----
+  // Composes q57's chunking with q20's digest-aggregate shape: one
+  // Generate, one hash-partitioned aggregate keyed by chunk digest;
+  // overlapping near-dup docs share byte-identical chunks, which is
+  // exactly what this pass removes at scale.
+
+  val q93 = Q(
+    "q93_chunk_dedup",
+    (s, dir) =>
+      Dedup.chunkExact(
+          TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+            chunkTokens = ChunkTokens, overlap = ChunkOverlap),
+          "doc_id", "chunk_seq", "chunk_text")
+        .orderBy("kept_doc_id", "kept_chunk_seq"),
+    Some(s"""
+      WITH $wordsCte,
+      c AS (SELECT doc_id, ws, len(ws) AS n,
+              CAST(ceil(CAST(greatest(len(ws) - $ChunkOverlap, 1) AS DOUBLE)
+                / $ChunkStride) AS INT) AS n_chunks
+            FROM w),
+      x AS (SELECT doc_id, ws, n,
+              unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM c),
+      ch AS (SELECT doc_id, i + 1 AS chunk_seq,
+               array_to_string(
+                 ws[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkTokens], ' ')
+                 AS chunk_text
+             FROM x),
+      d AS (SELECT md5(chunk_text) AS chunk_digest, doc_id, chunk_seq
+            FROM ch),
+      r AS (SELECT chunk_digest, doc_id, chunk_seq,
+                   row_number() OVER (PARTITION BY chunk_digest
+                     ORDER BY doc_id, chunk_seq) AS rn,
+                   count(*) OVER (PARTITION BY chunk_digest) AS n_copies
+            FROM d)
+      SELECT chunk_digest,
+             CAST(doc_id AS BIGINT) AS kept_doc_id,
+             CAST(chunk_seq AS BIGINT) AS kept_chunk_seq,
+             CAST(n_copies AS BIGINT) AS n_copies
+      FROM r WHERE rn = 1
+      ORDER BY kept_doc_id, kept_chunk_seq"""))
+
+  // ---- q97: term document-frequency histogram ----
+
+  val q97 = Q(
+    "q97_df_histogram",
+    (s, dir) =>
+      TextAnalysis.dfHistogram(docs(s, dir), "doc_id", "text"),
+    Some(s"""
+      WITH $wordsCte,
+      tok AS (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM w),
+      d AS (SELECT term, count(*) AS df FROM tok WHERE term <> ''
+            GROUP BY 1)
+      SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_terms
+      FROM d GROUP BY df ORDER BY df"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84)
+    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97)
 }

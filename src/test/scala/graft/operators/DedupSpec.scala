@@ -181,4 +181,24 @@ class DedupSpec extends SparkTestBase {
       Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = 4)
     }
   }
+
+  test("chunkExact keeps the lexicographic-min (id, seq) per digest") {
+    val ss = spark
+    import ss.implicits._
+    val chunks = Seq(
+      (2L, 1L, "shared boilerplate"),
+      (1L, 3L, "shared boilerplate"), // same digest, smaller doc wins
+      (1L, 1L, "unique one"),
+      (3L, 2L, "shared boilerplate"),
+      (3L, 1L, "another unique")
+    ).toDF("doc_id", "chunk_seq", "chunk_text")
+    val out = Dedup.chunkExact(chunks, "doc_id", "chunk_seq", "chunk_text")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 3L, 3L), // boilerplate: kept (1,3), 3 copies
+      (1L, 1L, 1L),
+      (3L, 1L, 1L)))
+  }
 }

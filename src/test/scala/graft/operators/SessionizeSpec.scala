@@ -34,4 +34,37 @@ class SessionizeSpec extends SparkTestBase {
     val out = Sessionize(events, "user_id", "ms", "event_id", 10L).collect()
     assert(out.length == 1 && out.head.getLong(2) == 3)
   }
+
+  test("topPaths: first-k path per user, deterministic ties, top-N order") {
+    val ss = spark
+    import ss.implicits._
+    // rows NOT in time order; u2 has two events at t=2 tie-broken by id
+    val events = Seq(
+      (1L, "u1", 3L, "c"), (2L, "u1", 1L, "a"), (3L, "u1", 2L, "b"),
+      (4L, "u1", 9L, "d"), // 4th event: beyond k=3, must not appear
+      (6L, "u2", 2L, "b"), (5L, "u2", 2L, "a"), (7L, "u2", 1L, "a"),
+      (8L, "u3", 1L, "a"), (9L, "u3", 2L, "b"), (10L, "u3", 3L, "c"),
+      (11L, "u4", 5L, "x") // short history: 1-event path
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Sessionize
+      .topPaths(events, "user_id", "ts", "event_id", "event_type",
+        k = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // u1: a>b>c (d is 4th); u2: a@1 then a@2(id5) before b@2(id6) = a>a>b;
+    // u3: a>b>c; u4: x
+    assert(out === Array(("a>b>c", 2L), ("a>a>b", 1L), ("x", 1L)))
+  }
+
+  test("topPaths honors topN with the n_users-then-path tiebreak") {
+    val ss = spark
+    import ss.implicits._
+    val events = Seq(
+      (1L, "u1", 1L, "p"), (2L, "u2", 1L, "q"), (3L, "u3", 1L, "r")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Sessionize
+      .topPaths(events, "user_id", "ts", "event_id", "event_type",
+        k = 2, topN = 2)
+      .collect().map(_.getString(0))
+    assert(out === Array("p", "q")) // equal counts: path ascending wins
+  }
 }

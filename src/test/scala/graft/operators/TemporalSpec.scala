@@ -75,4 +75,25 @@ class TemporalSpec extends SparkTestBase {
     assert(a("keep_half") > 400 && a("keep_half") < 600)
     assert(a.getOrElse("keep_few", 0L) < 60)
   }
+
+  test("slidingDistinctCount equals the brute-force window count") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (4L, "c"), (4L, "a"), (7L, "d"),
+      (1L, "a") // duplicate (unit, key) must not double-count
+    ).toDF("day", "user")
+    val out = Temporal
+      .slidingDistinctCount(rows, "day", "user", window = 3,
+        outCol = "active")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the distinct (day,user) set, window [d-2, d]
+    val du = Set((1L, "a"), (1L, "b"), (2L, "a"), (4L, "c"), (4L, "a"),
+      (7L, "d"))
+    val expected = du.map(_._1).map { d =>
+      d -> du.filter(p => p._1 >= d - 2 && p._1 <= d).map(_._2).size.toLong
+    }.toMap
+    assert(out === expected)
+    assert(out(1L) == 2L && out(2L) == 2L && out(4L) == 2L && out(7L) == 1L)
+  }
 }

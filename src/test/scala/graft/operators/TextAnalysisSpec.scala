@@ -197,4 +197,18 @@ class TextAnalysisSpec extends SparkTestBase {
       (3, "distinct_ratio", 2L),
       (4, "stopword_presence", 1L)))
   }
+
+  test("dfHistogram counts terms by document frequency") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"), // within-doc repeats count once
+      (2L, "alpha beta"),
+      (3L, "alpha")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dfHistogram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // df=1: gamma; df=2: beta; df=3: alpha
+    assert(out === Array(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
