@@ -335,6 +335,43 @@ object Similarity {
       .agg(Numerics.fix4(avg(col("x"))).as("c"),
         count(lit(1)).as("n"))
 
+  /** Scalar (per-dimension min-max) int8 quantization error — the
+    * audit an embedding-compression rollout runs before switching a
+    * 100 TB vector store to 8-bit codes: quantize every component to
+    * its dimension's 256-step grid, dequantize, and report each
+    * vector's max/avg absolute reconstruction error.
+    *
+    * Scale shape: the per-dimension bounds reduce to `dim` rows and
+    * BROADCAST back onto the posexploded component stream; one
+    * vector-keyed aggregate ends the job. All quantization arithmetic
+    * is exact-double ((x−mn)·255/(mx−mn), floor(·+0.5)) so any engine
+    * derives identical integer codes; only the error AVERAGE needs the
+    * fix4 rounding (float sum order). Output: (idCol, max_abs_err,
+    * avg_abs_err, n_dims).
+    */
+  def quantizationError(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val ex = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(Vectors.asDouble(col(vecCol))).as(Seq("pos", "x")))
+    val bounds = ex.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") > col("mn"),
+      floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5))
+      .otherwise(lit(0.0)) // constant dimension: code 0, dequant = mn
+    ex.join(broadcast(bounds), "pos")
+      .select(col(idCol),
+        abs(col("x") -
+          (col("mn") + code * (col("mx") - col("mn")) / 255)).as("err"))
+      .groupBy(idCol)
+      .agg(
+        Numerics.fix4(max(col("err"))).as("max_abs_err"),
+        Numerics.fix4(avg(col("err"))).as("avg_abs_err"),
+        count(lit(1)).as("n_dims"))
+  }
+
   /** Rank (cos desc, neighbor asc) per query and keep the top k. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")

@@ -169,6 +169,84 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams")) // corpus grams are distinct per doc
   }
 
+  /** Fuzzy benchmark decontamination — the per-example decision
+    * [[contamination]]'s absolute count can't make: for each
+    * (corpus doc, probe doc) pair, the FRACTION of the probe's n-gram
+    * set present in the corpus doc; pairs at or above `minOverlap` are
+    * contamination hits ("this train doc leaks that benchmark item").
+    * The fraction is compared on its fix4-rounded value so the
+    * threshold never flips on cross-engine float noise.
+    *
+    * Scale shape: benchmark suites are MBs while the corpus is the
+    * 100 TB side, so the probe gram set (with its per-probe sizes)
+    * BROADCASTS; the corpus streams through one explode + equi-join +
+    * (doc, probe)-keyed aggregate — no corpus shuffle at all before
+    * the tiny hit aggregate. Output: (idCol, probe_id, overlap_frac).
+    */
+  def fuzzyContamination(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Double): DataFrame = {
+    val grams = Texts.wordShingles(Texts.words(col(textCol)), n)
+    val probeGrams = probe
+      .select(col(idCol).cast("long").as("probe_id"), explode(grams).as("gram"))
+    val probeSizes = probeGrams.groupBy("probe_id")
+      .agg(count(lit(1)).as("n_probe_grams")) // grams are distinct per doc
+    val corpusGrams = graft.SparkUtil.ensureParallelism(corpus)
+      .select(col(idCol), explode(grams).as("gram"))
+    corpusGrams
+      .join(broadcast(probeGrams), "gram")
+      .groupBy(col(idCol), col("probe_id"))
+      .agg(count(lit(1)).as("shared")) // distinct grams both sides → |∩|
+      .join(broadcast(probeSizes), "probe_id")
+      .select(col(idCol), col("probe_id"),
+        Numerics.fix4(col("shared").cast("double") / col("n_probe_grams"))
+          .as("overlap_frac"))
+      .where(col("overlap_frac") >= minOverlap)
+  }
+
+  /** Bigram language-model negative log-likelihood per document — the
+    * perplexity-proxy quality score (CCNet-style LM filtering without
+    * a neural LM): score(doc) = avg over its bigram OCCURRENCES of
+    * −ln p(w2|w1), with p estimated from the corpus itself as
+    * count(w1 w2) / count(w1 ·). High scores = improbable word
+    * sequences = low-quality or out-of-domain text.
+    *
+    * Scale shape: the bigram stream is one Generate over the token
+    * arrays (the expression is exploded directly — never a named
+    * column, see [[Dedup.minhashSignatures]]); the count tables reduce
+    * to the vocabulary² and vocabulary sizes and BROADCAST back onto
+    * the same stream; one final doc-keyed aggregate. The LM table is
+    * exactly what a production scorer would broadcast.
+    * Output: (idCol, n_bigrams, avg_nll).
+    */
+  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val bigramExpr = transform(
+      sequence(lit(1), size(ws) - 1),
+      i => struct(
+        element_at(ws, i).as("w1"),
+        element_at(ws, i + 1).as("w2")))
+    def stream(src: DataFrame): DataFrame = src
+      .where(size(ws) >= 2) // sequence(1, 0) would be empty anyway; keep ANSI happy
+      .select(col(idCol), explode(bigramExpr).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val b = stream(graft.SparkUtil.ensureParallelism(df))
+    val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    b.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        Numerics.fix4(
+          avg(log(col("c1").cast("double")) - log(col("c2").cast("double"))))
+          .as("avg_nll"))
+  }
+
   /** TF-IDF top-k terms per document. Distributed shape: one explode →
     * (doc, term) count aggregate (map-side partials) → document
     * frequency from a second aggregate over the SAME (doc, term) rows

@@ -780,7 +780,90 @@ object PipelineQueries {
       SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_terms
       FROM d GROUP BY df ORDER BY df"""))
 
+  // ---- q98: fuzzy decontamination (per-pair n-gram overlap) ----
+  // q43 answers "how many probe grams does this doc share"; q98 makes
+  // the per-example decision: which (train doc, benchmark item) pairs
+  // exceed an overlap FRACTION of the benchmark item's gram set. Probe
+  // side broadcasts; both engines threshold the fix4-rounded fraction.
+
+  val q98 = Q(
+    "q98_fuzzy_decontamination",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.fuzzyContamination(
+          corpus = d.where(col("doc_id") >= 20),
+          probe = d.where(col("doc_id") < 20),
+          idCol = "doc_id", textCol = "text", n = 8, minOverlap = 0.2)
+        .orderBy("doc_id", "probe_id")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      g AS (SELECT doc_id, ${shingleExpr(8)} AS gs FROM w),
+      pg AS (SELECT doc_id AS probe_id, unnest(gs) AS gram FROM g
+             WHERE doc_id < 20),
+      pn AS (SELECT probe_id, count(*) AS n_pg FROM pg GROUP BY 1),
+      cg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id >= 20),
+      j AS (SELECT cg.doc_id, pg.probe_id, count(*) AS shared
+            FROM cg JOIN pg USING (gram) GROUP BY 1, 2),
+      f AS (SELECT j.doc_id, j.probe_id,
+                   ${Numerics.sqlFix("CAST(shared AS DOUBLE) / n_pg", 4)}
+                     AS overlap_frac
+            FROM j JOIN pn USING (probe_id))
+      SELECT doc_id, CAST(probe_id AS BIGINT) AS probe_id, overlap_frac
+      FROM f WHERE overlap_frac >= 0.2
+      ORDER BY doc_id, probe_id"""))
+
+  // ---- q99: bigram LM negative log-likelihood (perplexity proxy) ----
+
+  val q99 = Q(
+    "q99_bigram_logloss",
+    (s, dir) =>
+      TextAnalysis.bigramLogLoss(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $wordsCte,
+      x AS (SELECT doc_id, ws,
+              unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM w),
+      b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM x),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             ${Numerics.sqlFix(
+      "avg(ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))", 4)}
+               AS avg_nll
+      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- q100: int8 embedding-quantization reconstruction error ----
+
+  val q100 = Q(
+    "q100_quantization_error",
+    (s, dir) =>
+      Similarity.quantizationError(embs(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id"),
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                        generate_subscripts(embedding, 1) - 1 AS pos,
+                        CAST(unnest(embedding) AS DOUBLE) AS x
+                 FROM embeddings),
+      bo AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+      q AS (SELECT vec_id, x, mn, mx,
+                   CASE WHEN mx > mn
+                     THEN floor((x - mn) / (mx - mn) * 255 + 0.5)
+                     ELSE 0.0 END AS code
+            FROM e JOIN bo USING (pos)),
+      d AS (SELECT vec_id,
+                   abs(x - (mn + code * (mx - mn) / 255)) AS err
+            FROM q)
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             ${Numerics.sqlFix("max(err)", 4)} AS max_abs_err,
+             ${Numerics.sqlFix("avg(err)", 4)} AS avg_abs_err,
+             CAST(count(*) AS BIGINT) AS n_dims
+      FROM d GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
-    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97)
+    q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
+    q99, q100)
 }

@@ -155,4 +155,22 @@ class SimilaritySpec extends SparkTestBase {
       (0, 0, 2.0, 2L), (0, 1, 0.0, 2L), (0, 2, 1.0, 2L), (0, 3, 0.0, 2L),
       (1, 0, 0.0, 1L), (1, 1, -1.0, 1L), (1, 2, 0.0, 1L), (1, 3, 1.0, 1L)))
   }
+
+  test("quantizationError: exact codes, zero error at grid points") {
+    val ss = spark
+    import ss.implicits._
+    // dim 0 spans [0,1]; dim 1 is constant (degenerate -> zero error)
+    val vecs = Seq(
+      (1L, Seq(0.0, 7.0)), (2L, Seq(1.0, 7.0)), (3L, Seq(0.3, 7.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizationError(vecs, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((0.0, 0.0, 2L))) // min of the range: exact
+    assert(out(2L) == ((0.0, 0.0, 2L))) // max of the range: exact
+    // 0.3*255 = 76.5 -> code 77 -> dequant 77/255 = 0.30196..: err .00196,
+    // fix4 0.002; avg over (0.002, 0) halves it -> 0.001
+    assert(out(3L) == ((0.002, 0.001, 2L)))
+  }
 }

@@ -211,4 +211,36 @@ class TextAnalysisSpec extends SparkTestBase {
     // df=1: gamma; df=2: beta; df=3: alpha
     assert(out === Array(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("fuzzyContamination reports the per-pair probe-gram fraction") {
+    val ss = spark
+    import ss.implicits._
+    // probe 1: tokens a..f -> 3-grams {abc,bcd,cde,def} (4 grams)
+    val probe = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c d x x"), // shares abc,bcd -> 2/4 = 0.5
+      (11L, "a b c x x x"), // shares abc -> 1/4 = 0.25
+      (12L, "z z z z z z")  // shares nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .fuzzyContamination(corpus, probe, "doc_id", "text",
+        n = 3, minOverlap = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out === Array((10L, 1L, 0.5))) // 0.25 fails the threshold
+  }
+
+  test("bigramLogLoss scores improbable sequences higher") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogLoss(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // c(a,*)=3; p(b|a)=2/3 -> nll=ln(3/2)=0.4055; p(c|a)=1/3 -> ln(3)=1.0986
+    assert(out(1L) == (1L, 0.4055))
+    assert(out(2L) == (1L, 0.4055))
+    assert(out(3L) == (1L, 1.0986))
+  }
 }
