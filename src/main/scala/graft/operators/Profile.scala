@@ -72,4 +72,127 @@ object Profile {
           .as("winsorized_mean"),
         count(lit(1)).as("n"))
   }
+
+  /** MAD (median absolute deviation) outlier counts per group — the
+    * robust cousin of z-score flagging: med = median(x), mad =
+    * median(|x − med|), outlier when |x − med| > k·1.4826·mad (1.4826
+    * scales MAD to σ under normality). Three streaming passes by
+    * construction (each median needs the previous one); every pass
+    * reduces to one row per group that BROADCASTS onto the next scan —
+    * no global sort, no shuffle of the fact table.
+    * Output: (groupCol, med, mad, n_outliers, n).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val base = graft.SparkUtil.ensureParallelism(df)
+    // med and mad are fix4-ROUNDED before the outlier comparison: the
+    // two engines' quantile interpolation arithmetic can differ in the
+    // last ulp, and a raw-double threshold would flip borderline rows
+    val med = base.groupBy(groupCol)
+      .agg(graft.functions.Numerics.fix4(
+        expr(s"percentile($valCol, 0.5)")).as("med"))
+    val withMed = base.join(broadcast(med), groupCol)
+    val mad = withMed
+      .groupBy(groupCol)
+      .agg(graft.functions.Numerics.fix4(
+        expr(s"percentile(abs($valCol - med), 0.5)")).as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col(valCol) - col("med")) >
+          lit(k) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
+  /** PSI (population stability index) drift between two snapshots of
+    * the same column — the ML-ops gate for "did this feature's
+    * distribution move": bucket `b` by EQUI-WIDTH bins over snapshot
+    * A's [min, max] (exact data values — deliberately not quantile
+    * bounds, whose interpolation arithmetic differs across engines at
+    * the last ulp and could flip a bucket), Laplace-smooth the
+    * proportions, contribution = (pB − pA)·ln(pB/pA); PSI = Σ.
+    * Out-of-range B values clamp into the edge buckets. Both inputs
+    * reduce map-side to `buckets` rows; only those tiny aggregates
+    * shuffle. Output: (bucket, n_a, n_b, psi_contrib) — PSI is the
+    * contrib sum.
+    */
+  def psiDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val bounds = graft.SparkUtil.ensureParallelism(a)
+      .agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    def bucketed(df: DataFrame, tag: String): DataFrame =
+      df.join(broadcast(bounds))
+        .select(
+          when(col("mx") > col("mn"),
+            least(
+              greatest(
+                floor((col(valCol) - col("mn")) * buckets /
+                  (col("mx") - col("mn"))).cast("int"),
+                lit(0)),
+              lit(buckets - 1)))
+            .otherwise(lit(0)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"n_$tag"))
+    val allBuckets = a.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val counts = allBuckets
+      .join(bucketed(a, "a"), Seq("bucket"), "left")
+      .join(bucketed(b, "b"), Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // Laplace smoothing keeps empty buckets finite AND deterministic;
+    // totals ride a 1-row broadcast (the scalar-subquery shape), never
+    // a global window
+    val totals = counts.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    counts.join(broadcast(totals))
+      .withColumn("pa",
+        (col("n_a") + 1).cast("double") / (col("ta") + buckets))
+      .withColumn("pb",
+        (col("n_b") + 1).cast("double") / (col("tb") + buckets))
+      .select(
+        col("bucket"), col("n_a"), col("n_b"),
+        graft.functions.Numerics.fix4(
+          (col("pb") - col("pa")) * log(col("pb") / col("pa")))
+          .as("psi_contrib"))
+  }
+
+  /** Join-key skew profiler — the diagnostic that decides whether a
+    * key needs salting before a 100 TB join: per-key counts, then the
+    * `topN` heaviest keys with their share of all rows. One
+    * hash-partitioned count aggregate (map-side partials) followed by
+    * a bounded TakeOrderedAndProject over the key-count table — the
+    * fact table never sorts; the rank window runs over the topN
+    * surviving rows only. Output: (rank, key, n_rows, share).
+    */
+  def keySkew(
+      df: DataFrame,
+      keyCol: String,
+      topN: Int = 5): DataFrame = {
+    val counts = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("total"))
+    counts.join(broadcast(total))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topN)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key").asc)).as("rank"),
+        col("key"), col("n_rows"),
+        graft.functions.Numerics.fix4(
+          col("n_rows").cast("double") / col("total")).as("share"))
+  }
 }

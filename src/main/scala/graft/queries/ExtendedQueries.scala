@@ -1066,8 +1066,109 @@ object ExtendedQueries {
       FROM orders o JOIN b USING (o_orderpriority)
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  // ---- q101: MAD (median-absolute-deviation) outliers per group ----
+  // The robust complement of q88's z-score: both medians reduce to one
+  // broadcast row per group; the threshold compares on fix4-ROUNDED
+  // med/mad so quantile-interpolation ulp differences between engines
+  // can't flip a borderline row.
+
+  val q101 = Q(
+    "q101_mad_outliers",
+    (s, dir) =>
+      Profile.madOutliers(
+          Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          k = 3.0)
+        .orderBy("l_returnflag"),
+    Some(s"""
+      WITH m AS (SELECT l_returnflag,
+                        ${Numerics.sqlFix(
+      "quantile_cont(l_extendedprice, 0.5)", 4)} AS med
+                 FROM lineitem GROUP BY 1),
+      d AS (SELECT l.l_returnflag, l.l_extendedprice, m.med
+            FROM lineitem l JOIN m USING (l_returnflag)),
+      md AS (SELECT l_returnflag,
+                    ${Numerics.sqlFix(
+      "quantile_cont(abs(l_extendedprice - med), 0.5)", 4)} AS mad
+             FROM d GROUP BY 1)
+      SELECT d.l_returnflag,
+             any_value(d.med) AS med,
+             any_value(md.mad) AS mad,
+             CAST(sum(CASE WHEN abs(d.l_extendedprice - d.med)
+               > 3.0 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d JOIN md USING (l_returnflag)
+      GROUP BY 1 ORDER BY l_returnflag"""))
+
+  // ---- q102: PSI distribution drift between two snapshots ----
+  // Equi-width buckets over snapshot A's exact [min, max] (exact data
+  // values, deliberately not interpolated quantiles), Laplace-smoothed
+  // proportions. The even/odd order-key split stands in for "last
+  // week's drop vs this week's".
+
+  val q102 = Q(
+    "q102_psi_drift",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      Profile.psiDrift(
+          a = o.where(col("o_orderkey") % 2 === 0),
+          b = o.where(col("o_orderkey") % 2 === 1),
+          valCol = "o_totalprice", buckets = 10)
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH sa AS (SELECT o_totalprice AS v FROM orders
+                  WHERE o_orderkey % 2 = 0),
+      sb AS (SELECT o_totalprice AS v FROM orders
+             WHERE o_orderkey % 2 = 1),
+      bo AS (SELECT min(v) AS mn, max(v) AS mx FROM sa),
+      ba AS (SELECT least(greatest(
+               CAST(floor((v - mn) * 10 / (mx - mn)) AS INT), 0), 9)
+               AS bucket FROM sa, bo),
+      bb AS (SELECT least(greatest(
+               CAST(floor((v - mn) * 10 / (mx - mn)) AS INT), 0), 9)
+               AS bucket FROM sb, bo),
+      ca AS (SELECT bucket, count(*) AS n_a FROM ba GROUP BY 1),
+      cb AS (SELECT bucket, count(*) AS n_b FROM bb GROUP BY 1),
+      g AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+      c AS (SELECT g.bucket,
+                   coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+      pp AS (SELECT bucket, n_a, n_b,
+                    (n_a + 1.0) / (ta + 10) AS pa,
+                    (n_b + 1.0) / (tb + 10) AS pb
+             FROM c, t)
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             ${Numerics.sqlFix("(pb - pa) * ln(pb / pa)", 4)}
+               AS psi_contrib
+      FROM pp ORDER BY bucket"""))
+
+  // ---- q103: join-key skew profiler ----
+
+  val q103 = Q(
+    "q103_key_skew",
+    (s, dir) =>
+      Profile.keySkew(Tables(s, dir, "orders"), "o_custkey", topN = 5)
+        .orderBy("rank"),
+    Some(s"""
+      WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+                        count(*) AS n_rows
+                 FROM orders GROUP BY 1),
+      t AS (SELECT sum(n_rows) AS total FROM c),
+      r AS (SELECT key, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC, key ASC)
+                     AS rank
+            FROM c)
+      SELECT CAST(rank AS INTEGER) AS rank, key,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             ${Numerics.sqlFix("CAST(n_rows AS DOUBLE) / total", 4)}
+               AS share
+      FROM r, t WHERE rank <= 5 ORDER BY rank"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92, q94, q95, q96)
+      q91, q92, q94, q95, q96, q101, q102, q103)
 }

@@ -17,9 +17,12 @@ class PlanHygieneSpec extends SparkTestBase {
 
   // Queries whose *kernel* is broadcast-nested-loop by design:
   // q15/q53 broadcast a 1-row scalar aggregate; q25 broadcasts the
-  // small query set against the streamed corpus.
+  // small query set against the streamed corpus; q102/q103 broadcast
+  // 1-row min-max bounds / total-count scalars (and q102's other BNLJ
+  // input is the `buckets`-row bucket table).
   private val bnljByDesign =
-    Set("q15_scalar_subquery", "q25_ann_bruteforce", "q53_tfidf_topterms")
+    Set("q15_scalar_subquery", "q25_ann_bruteforce", "q53_tfidf_topterms",
+      "q102_psi_drift", "q103_key_skew")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

@@ -40,4 +40,43 @@ class ProfileSpec extends SparkTestBase {
     assert(out.getAs[Double]("winsorized_mean") == 4.0)
     assert(out.getAs[Long]("n") == 12L)
   }
+
+  test("madOutliers flags only deviations beyond k*1.4826*mad") {
+    val ss = spark
+    import ss.implicits._
+    // med=4, deviations sorted 0,1,1,2,2,3,96 -> mad=2, threshold 8.8956
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0)
+      .map(v => ("g", v)).toDF("grp", "v")
+    val out = Profile.madOutliers(df, "grp", "v", k = 3.0).collect().head
+    assert(out.getAs[Double]("med") == 4.0)
+    assert(out.getAs[Double]("mad") == 2.0)
+    assert(out.getAs[Long]("n_outliers") == 1L) // only the 100
+    assert(out.getAs[Long]("n") == 7L)
+  }
+
+  test("psiDrift: zero for identical snapshots, positive for a shift") {
+    val ss = spark
+    import ss.implicits._
+    val a = (0 to 9).map(v => Tuple1(v.toDouble)).toDF("v")
+    val same = Profile.psiDrift(a, a, "v", buckets = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(same.keySet == (0 to 9).toSet)
+    assert(same.values.forall(_ == 0.0))
+    val shifted = Seq.fill(10)(Tuple1(9.0)).toDF("v")
+    val drift = Profile.psiDrift(a, shifted, "v", buckets = 10)
+      .collect().map(_.getDouble(3)).sum
+    assert(drift > 0.5, s"expected strong drift, got $drift")
+  }
+
+  test("keySkew ranks heavy keys with deterministic tie-break") {
+    val ss = spark
+    import ss.implicits._
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .map(Tuple1(_)).toDF("k")
+    val out = Profile.keySkew(df, "k", topN = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      (1, "a", 4L, 0.5), (2, "b", 2L, 0.25), (3, "c", 1L, 0.125)))
+  }
 }
