@@ -169,6 +169,61 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams")) // corpus grams are distinct per doc
   }
 
+  /** BM25 retrieval top-k — the lexical selection primitive a
+    * quality-targeted data pipeline runs ("find the k corpus docs most
+    * relevant to each probe query"): Lucene-smoothed
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), per-term contribution
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), summed over the
+    * query's distinct terms.
+    *
+    * Scale shape: the corpus reduces ONCE to (doc, term, tf) + (doc,
+    * dl) aggregates (map-side partials; dl = Σ tf needs no second text
+    * pass); the query term list and the 1-row (N, avgdl) scalar
+    * BROADCAST onto it; df joins by term (dictionary-sized); the final
+    * per-(query, doc) sum and top-k window shuffle only matching
+    * postings. Ranking compares the fix4-ROUNDED score (doc id breaks
+    * ties) so last-ulp ln() differences across engines can't reorder.
+    * Output: (query_id, idCol, bm25_rank, score).
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // (query_id, query_text)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.SparkUtil.ensureParallelism(df)
+    val tf = base
+      .select(col(idCol), explode(Texts.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = queries.select(
+      col("query_id"),
+      explode(array_distinct(Texts.words(col("query_text")))).as("term"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .join(broadcast(scalars))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(Numerics.fix4(sum(contrib)).as("score"))
+      .withColumn("bm25_rank", row_number().over(w).cast("int"))
+      .where(col("bm25_rank") <= k)
+      .select(col("query_id"), col(idCol), col("bm25_rank"), col("score"))
+  }
+
   /** Fuzzy benchmark decontamination — the per-example decision
     * [[contamination]]'s absolute count can't make: for each
     * (corpus doc, probe doc) pair, the FRACTION of the probe's n-gram

@@ -862,8 +862,66 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_dims
       FROM d GROUP BY vec_id ORDER BY vec_id"""))
 
+  // ---- q104: BM25 retrieval top-k for a probe query set ----
+  // The quality-targeted selection primitive. Oracle note: every
+  // constant is kept in DOUBLE arithmetic on both sides (a bare
+  // DuckDB decimal literal would drag the math into DECIMAL), and
+  // operation ORDER matches the Column expression exactly so both
+  // engines round identically; ranking compares the fix4 score.
+
+  private val Bm25Queries = Seq(
+    (1L, "spark window agg"),
+    (2L, "fast filter scan"),
+    (3L, "customer join query"))
+
+  val q104 = Q(
+    "q104_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.bm25TopK(
+          docs(s, dir), "doc_id", "text",
+          Bm25Queries.toDF("query_id", "query_text"), k = 5)
+        .orderBy("query_id", "bm25_rank")
+    },
+    Some {
+      val qvals = Bm25Queries
+        .flatMap { case (id, text) =>
+          text.split("\\s+").distinct.map(t => s"(CAST($id AS BIGINT), '$t')")
+        }
+        .mkString(", ")
+      s"""
+      WITH $wordsCte,
+      tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY 1),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+      sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+             FROM dl),
+      q AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+      s AS (SELECT q.query_id, tf.doc_id,
+                   ${Numerics.sqlFix(
+        "sum(ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) " +
+          "/ (CAST(df AS DOUBLE) + 0.5)) " +
+          "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))", 4)}
+                     AS score
+            FROM tf JOIN q USING (term) JOIN dfq USING (term)
+                 JOIN dl USING (doc_id) CROSS JOIN sc
+            GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS INT) AS bm25_rank,
+                   score
+            FROM s)
+      SELECT query_id, doc_id, bm25_rank, score
+      FROM r WHERE bm25_rank <= 5
+      ORDER BY query_id, bm25_rank"""
+    })
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100)
+    q99, q100, q104)
 }

@@ -243,4 +243,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) == (1L, 0.4055))
     assert(out(3L) == (1L, 1.0986))
   }
+
+  test("bm25TopK: hand-checked scores, rank ties break by doc id") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val queries = Seq((10L, "x"), (20L, "z")).toDF("query_id", "query_text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // query x: df=2, N=2, avgdl=2 -> idf=ln(1.2); tf=1, dl=2 ->
+    // contribution idf*2.2/2.2 = ln(1.2) = 0.18232 -> 0.1823; equal
+    // scores rank by doc id. query z: df=1 -> idf=ln(2) -> 0.6931.
+    assert(out === Array(
+      (10L, 1L, 1, 0.1823), (10L, 2L, 2, 0.1823),
+      (20L, 2L, 1, 0.6931)))
+  }
 }
