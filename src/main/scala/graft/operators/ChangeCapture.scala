@@ -50,4 +50,75 @@ object ChangeCapture {
       .select(base.columns.map(col).toIndexedSeq: _*)
     untouched.unionByName(upserts)
   }
+
+  /** Out-of-order-safe (versioned) MERGE: like [[mergeApply]], but the
+    * base snapshot CARRIES its own `seqCols` and a change only wins
+    * when it is strictly NEWER than the stored row — stale upserts AND
+    * stale deletes are no-ops.
+    *
+    * Split-invariance (apply(b2) ∘ apply(b1) = apply(b1 ∪ b2) for ANY
+    * batch split/order) needs the snapshot to REMEMBER deletions:
+    * pass `tombstoneCol` (a boolean column the base carries) and a
+    * winning delete KEEPS the key as a tombstoned row (resurrectable
+    * only by a strictly newer upsert) — the Cassandra/Delta retention
+    * model; readers filter `!tombstone`. Without it, a hard delete
+    * erases the key's version and a LATER-ARRIVING stale upsert would
+    * re-insert it — so the no-tombstone mode is split-invariant only
+    * while deletes are each key's final change.
+    *
+    * Scale shape: one window shuffle of the changelog by key (small,
+    * recent side), then ONE full-outer hash join with the base on the
+    * merge key — the base streams through exactly once, no base-side
+    * window. Output schema = base schema.
+    */
+  def mergeApplyVersioned(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCols: Seq[String],
+      opCol: String,
+      deleteOp: String,
+      tombstoneCol: Option[String] = None): DataFrame = {
+    tombstoneCol.foreach(tc => require(base.columns.contains(tc),
+      s"base must carry the tombstone column '$tc'"))
+    val payloadCols = base.columns
+      .filter(c => c != keyCol && !tombstoneCol.contains(c))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(seqCols.map(col(_).desc) :+
+        xxhash64(changes.columns.map(col).toIndexedSeq: _*).desc: _*)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(
+        (keyCol +: seqCols).map(c => col(c).as(s"__c_$c")) ++
+          Seq(col(opCol).as("__c_op")) ++
+          payloadCols.filterNot(seqCols.contains)
+            .map(c => col(c).as(s"__p_$c")): _*)
+    // change is newer <=> its seq tuple sorts strictly above the base's
+    // (struct comparison = lexicographic on seqCols, null-safe via the
+    // outer-join null checks below)
+    val changeSeq = struct(seqCols.map(c => col(s"__c_$c")): _*)
+    val baseSeq = struct(seqCols.map(col): _*)
+    val joined = base.join(
+      latest, col(keyCol) === col(s"__c_$keyCol"), "full_outer")
+    val changeWins =
+      col(s"__c_$keyCol").isNotNull &&
+        (col(keyCol).isNull || changeSeq > baseSeq)
+    val isDelete = col("__c_op") === deleteOp
+    val merged = tombstoneCol match {
+      case None =>
+        joined
+          .where(!(changeWins && isDelete)) // winning delete drops the key
+          .where(col(keyCol).isNotNull || !isDelete) // insert-delete: no row
+      case Some(_) => joined // every key keeps a row; deletes tombstone it
+    }
+    merged.select(base.columns.map { c =>
+      val fromChange =
+        if (c == keyCol) col(s"__c_$keyCol")
+        else if (seqCols.contains(c)) col(s"__c_$c")
+        else if (tombstoneCol.contains(c)) isDelete
+        else col(s"__p_$c")
+      when(changeWins, fromChange).otherwise(col(c)).as(c)
+    }.toIndexedSeq: _*)
+  }
 }

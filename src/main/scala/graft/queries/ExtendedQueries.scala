@@ -987,6 +987,57 @@ object ExtendedQueries {
       ORDER BY pair"""
     })
 
+  // ---- q105: versioned (out-of-order-safe) CDC merge ----
+  // The base snapshot carries its own sequence columns and a change
+  // wins only when STRICTLY newer — stale upserts AND stale deletes
+  // are no-ops, so changelog batches can replay in any order. The
+  // mid-range base timestamp makes roughly half the changelog stale:
+  // all four paths (untouched, stale-drop, newer upsert, newer delete)
+  // appear in the output.
+
+  val q105 = Q(
+    "q105_cdc_merge_versioned",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = ev.select(col("user_id")).distinct()
+        .where(col("user_id") % 2 === 0)
+        .withColumn("val_cents", lit(0L))
+        .withColumn("ms", lit(1705400000000L))
+        .withColumn("event_id", lit(0L))
+      val changes = ev
+        .where(col("event_id") % 97 === 0)
+        .select(
+          col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("val_cents"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          expr("ts DIV 1000000").as("ms"),
+          col("event_id"))
+      ChangeCapture
+        .mergeApplyVersioned(base, changes, "user_id",
+          Seq("ms", "event_id"), "op", deleteOp = "D")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms,
+                        CAST(floor(value*100.0 + 0.5) AS BIGINT) AS val_cents,
+                        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                          AS op
+                 FROM events WHERE event_id % 97 = 0),
+      base AS (SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS val_cents,
+                      CAST(1705400000000 AS BIGINT) AS ms,
+                      CAST(0 AS BIGINT) AS event_id
+               FROM events WHERE user_id % 2 = 0),
+      u AS (SELECT user_id, val_cents, ms, event_id,
+                   0 AS is_change, CAST(NULL AS VARCHAR) AS op FROM base
+            UNION ALL
+            SELECT user_id, val_cents, ms, event_id, 1, op FROM e),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ms DESC, event_id DESC, is_change ASC) AS rn
+            FROM u)
+      SELECT user_id, val_cents, ms, event_id
+      FROM r WHERE rn = 1 AND (is_change = 0 OR op <> 'D')
+      ORDER BY user_id"""))
+
   // ---- q94: top ordered event paths (sequence mining lite) ----
   // Per user: the first-5-events path by (ts, event_id); then paths
   // rank by user count. One user-keyed window (WindowGroupLimit keeps
@@ -1170,5 +1221,5 @@ object ExtendedQueries {
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92, q94, q95, q96, q101, q102, q103)
+      q91, q92, q94, q95, q96, q101, q102, q103, q105)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class ChangeCaptureSpec extends SparkTestBase {
@@ -34,5 +36,71 @@ class ChangeCaptureSpec extends SparkTestBase {
       .mergeApply(base, changes, "k", Seq("seq"), "op", deleteOp = "D")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 10L)))
+  }
+
+  test("mergeApplyVersioned: stale changes are no-ops, order-free") {
+    val ss = spark
+    import ss.implicits._
+    // base rows carry seq (ms, cid); changes arrive out of order
+    val base = Seq(
+      (1L, 100L, 10L, 0L), // will get a NEWER upsert
+      (2L, 200L, 10L, 0L), // will get a STALE upsert (no-op)
+      (3L, 300L, 10L, 0L), // will get a NEWER delete (drops)
+      (4L, 400L, 10L, 0L), // will get a STALE delete (no-op)
+      (5L, 500L, 10L, 0L)  // untouched
+    ).toDF("k", "v", "ms", "cid")
+    val changes = Seq(
+      (1L, 111L, 20L, 1L, "U"),
+      (2L, 222L, 5L, 2L, "U"),
+      (3L, 0L, 20L, 3L, "D"),
+      (4L, 0L, 5L, 4L, "D"),
+      (6L, 666L, 20L, 6L, "U"), // insert (no base row)
+      (7L, 0L, 20L, 7L, "D"),   // delete of absent key: no row
+      // same key twice: only the latest change competes
+      (1L, 999L, 15L, 8L, "U")
+    ).toDF("k", "v", "ms", "cid", "op")
+    val out = ChangeCapture
+      .mergeApplyVersioned(base, changes, "k", Seq("ms", "cid"), "op", "D")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out === Set(
+      (1L, 111L, 20L), // newest change (ms 20) won, not the ms-15 one
+      (2L, 200L, 10L), // stale upsert ignored
+      (4L, 400L, 10L), // stale delete ignored
+      (5L, 500L, 10L), // untouched
+      (6L, 666L, 20L)  // inserted
+    )) // 3 deleted, 7 never existed
+  }
+
+  test("mergeApplyVersioned with tombstones is split-invariant in any batch order") {
+    val ss = spark
+    import ss.implicits._
+    val base = Seq((1L, 100L, 10L, 0L, false), (2L, 200L, 10L, 0L, false))
+      .toDF("k", "v", "ms", "cid", "dead")
+    val b1 = Seq((1L, 111L, 30L, 1L, "U"), (2L, 0L, 25L, 2L, "D"))
+      .toDF("k", "v", "ms", "cid", "op")
+    val b2 = Seq((1L, 999L, 20L, 3L, "U"), (2L, 222L, 15L, 4L, "U"))
+      .toDF("k", "v", "ms", "cid", "op")
+    def m(b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      ChangeCapture.mergeApplyVersioned(b, c, "k", Seq("ms", "cid"), "op", "D",
+        tombstoneCol = Some("dead"))
+    def live(df: org.apache.spark.sql.DataFrame) = df.where(!col("dead"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val together = m(base, b1.unionByName(b2))
+    val reversed = m(m(base, b2), b1)
+    val ordered = m(m(base, b1), b2)
+    // k2's ms-25 delete tombstones it; the ms-15 upsert is stale in
+    // EVERY replay order (without the tombstone, applying the delete
+    // batch first would forget k2's version and the stale upsert
+    // would wrongly re-insert it — the documented caveat)
+    assert(live(together) === Set((1L, 111L)))
+    assert(live(reversed) === Set((1L, 111L)))
+    assert(live(ordered) === Set((1L, 111L)))
+    // the tombstone row itself survives, carrying the delete's seq
+    val k2 = ordered.where(col("k") === 2).collect().head
+    assert(k2.getBoolean(4) && k2.getLong(2) == 25L)
+    // and a strictly newer upsert resurrects
+    val b3 = Seq((2L, 333L, 40L, 5L, "U")).toDF("k", "v", "ms", "cid", "op")
+    assert(live(m(ordered, b3)) === Set((1L, 111L), (2L, 333L)))
   }
 }
