@@ -304,4 +304,48 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.toSeq == Seq((1L, "gold", 1.5), (2L, "silver", 2.5)))
     } finally q.stop()
   }
+
+  test("streaming MERGE: foreachBatch + versioned merge absorbs out-of-order batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    // the production CDC-ingestion pattern: each micro-batch folds into
+    // the snapshot via the versioned merge; tombstones make the result
+    // independent of how the changelog was split into batches
+    val input = MemoryStream[(Long, Long, Long, Long, String)]
+    var state = Seq((1L, 100L, 10L, 0L, false), (2L, 200L, 10L, 0L, false))
+      .toDF("k", "v", "ms", "cid", "dead")
+    val q = input.toDF()
+      .toDF("k", "v", "ms", "cid", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val next = graft.operators.ChangeCapture.mergeApplyVersioned(
+            state, batch, "k", Seq("ms", "cid"), "op", "D",
+            tombstoneCol = Some("dead"))
+          // a real pipeline writes the snapshot table here; the test
+          // materializes it so the next batch merges against data, not
+          // an ever-growing lazy plan
+          state = next.collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getBoolean(4)))
+            .toDF("k", "v", "ms", "cid", "dead")
+        }
+      }
+      .start()
+    try {
+      // batch 1: the NEWER changes arrive first
+      input.addData((1L, 111L, 30L, 1L, "U"), (2L, 0L, 25L, 2L, "D"))
+      q.processAllAvailable()
+      // batch 2: stale stragglers — must all be no-ops
+      input.addData((1L, 999L, 20L, 3L, "U"), (2L, 222L, 15L, 4L, "U"))
+      q.processAllAvailable()
+      // batch 3: a genuinely newer upsert resurrects the deleted key
+      input.addData((2L, 333L, 40L, 5L, "U"))
+      q.processAllAvailable()
+      val live = state.where(!col("dead"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(live === Set((1L, 111L), (2L, 333L)))
+    } finally q.stop()
+  }
 }
