@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a pair/edge list — the structural companion to
+  * [[Dedup.clustersFromPairs]]: connected components say WHICH docs
+  * group together; triangle density says how CLIQUE-LIKE the groups
+  * are (true duplicate clusters are near-cliques, chains of borderline
+  * matches are not).
+  */
+object Graphs {
+
+  /** A triangle census plus the handle releasing the internally cached
+    * edge list (see [[Funnel.FunnelRun]] for the same pattern).
+    */
+  final class TriangleRun private[operators] (
+      val result: DataFrame,
+      edges: DataFrame) {
+    /** Unpersist the cached edge list (call after materializing). */
+    def release(): Unit = { edges.unpersist(): Unit }
+  }
+
+  /** Exact triangle census (edge count, total length-2 path count, and
+    * triangle count — the global clustering coefficient is
+    * 3·n_triangles/n_wedges) over an undirected simple graph given as
+    * (id_a, id_b) pairs.
+    *
+    * The deduped edge list is PERSISTED inside the operator: the plan
+    * references it six times (degrees, orientation, both wedge legs,
+    * closure, counts), and each reference would otherwise re-execute
+    * the caller's whole pair-generation lineage — measured 4.9 s → 1 s
+    * on the near-dup graph at sf0.1. Edges are one row per pair
+    * (tiny); sessions running many censuses use [[triangleRun]] and
+    * `release()` after materializing.
+    *
+    * Scale shape — the classic degree-oriented algorithm: orient every
+    * edge from its (degree, id)-smaller endpoint to the larger, so
+    * wedges are enumerated at each triangle's UNIQUE lowest-degree
+    * apex. That caps per-node wedge fan-out at the graph's degeneracy
+    * (out-degree ≤ O(√edges) on any graph), the bound that makes
+    * hub-heavy graphs tractable — an id-oriented join would enumerate
+    * deg² wedges at every hub. Three equi-joins, all hash-partitioned;
+    * the final counts are 1-row aggregates.
+    * Output: one row (n_edges, n_wedges, n_triangles).
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    triangleRun(pairs, aCol, bCol).result
+
+  /** [[triangleStats]] with the cache-release handle. */
+  def triangleRun(
+      pairs: DataFrame, aCol: String, bCol: String): TriangleRun = {
+    val e = graft.SparkUtil.ensureParallelism(pairs)
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // oriented wedges: both legs point OUT of the apex — each triangle
+    // closes exactly ONE of these (at its unique (deg,id)-lowest apex)
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .where(col("x") < col("y"))
+      .select("x", "y")
+    val closing = oriented.select(
+      least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // n_wedges is the TOTAL length-2 path count Σ deg·(deg−1)/2 (the
+    // clustering-coefficient denominator), straight off the degree
+    // table — not the (smaller) oriented wedge set above
+    val wedgeTotal = deg.agg(
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges")) // exact longs
+    val result = e.agg(count(lit(1)).as("n_edges"))
+      .join(broadcast(wedgeTotal))
+      .join(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
+    new TriangleRun(result, e)
+  }
+}

@@ -920,8 +920,52 @@ object PipelineQueries {
       ORDER BY query_id, bm25_rank"""
     })
 
+  // ---- q106: triangle census of the near-dup graph ----
+  // CC (q41) says which docs group; triangle density says how
+  // clique-like the groups are. Edges = the q84 simhash-radius pairs;
+  // the count uses the degree-oriented algorithm (wedges enumerate at
+  // each triangle's unique lowest-degree apex).
+
+  val q106 = Q(
+    "q106_triangle_census",
+    (s, dir) =>
+      graft.operators.Graphs.triangleStats(
+        Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 1),
+        "id_a", "id_b"),
+    Some {
+      val terms = (0 until 16).map { k =>
+        val shift = (14 - k / 4) * 4 + k % 4
+        s"""(CASE WHEN list_sum([2*((('0x'||substr(md5(x),1,15))::BIGINT
+           >> $shift) & 1)-1 for x in sh]) > 0
+           THEN ${1 << k} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      sig AS (SELECT doc_id, CAST($terms AS INT) AS simhash FROM sh),
+      e AS (SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+      d AS (SELECT n, count(*) AS deg FROM
+              (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+            GROUP BY 1),
+      o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                     THEN e.a ELSE e.b END AS u,
+                   CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                     THEN e.b ELSE e.a END AS v
+            FROM e JOIN d da ON da.n = e.a JOIN d db ON db.n = e.b),
+      wd AS (SELECT o1.u, o1.v AS x, o2.v AS y
+             FROM o o1 JOIN o o2 USING (u) WHERE o1.v < o2.v),
+      c AS (SELECT least(u, v) AS x, greatest(u, v) AS y FROM o)
+      SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+             CAST((SELECT sum((deg * (deg - 1)) // 2) FROM d) AS BIGINT)
+               AS n_wedges,
+             CAST((SELECT count(*) FROM wd JOIN c USING (x, y)) AS BIGINT)
+               AS n_triangles"""
+    })
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104)
+    q99, q100, q104, q106)
 }

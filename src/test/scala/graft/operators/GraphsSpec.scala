@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class GraphsSpec extends SparkTestBase {
+
+  test("triangleStats: K4 has 6 edges, 12 wedges, 4 triangles") {
+    val ss = spark
+    import ss.implicits._
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong)).toDF("id_a", "id_b")
+    val out = Graphs.triangleStats(k4, "id_a", "id_b").collect().head
+    // every node has degree 3 -> wedges = 4 * C(3,2) = 12; K4 holds 4 triangles
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((6L, 12L, 4L)))
+  }
+
+  test("triangleStats: a path has a wedge but no triangle; dups/self-loops drop") {
+    val ss = spark
+    import ss.implicits._
+    val path = Seq(
+      (1L, 2L), (2L, 3L),
+      (2L, 3L), // duplicate edge must not double-count
+      (3L, 3L)  // self loop must be ignored
+    ).toDF("id_a", "id_b")
+    val out = Graphs.triangleStats(path, "id_a", "id_b").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((2L, 1L, 0L)))
+  }
+
+  test("triangleRun.release drops the cached edge list") {
+    val ss = spark
+    import ss.implicits._
+    val edges = Seq((11L, 12L), (12L, 13L), (11L, 13L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val run = Graphs.triangleRun(edges, "id_a", "id_b")
+    val r = run.result.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 1L)))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size == 1)
+    run.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+}
