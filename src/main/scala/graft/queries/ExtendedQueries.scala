@@ -1038,6 +1038,52 @@ object ExtendedQueries {
       FROM r WHERE rn = 1 AND (is_change = 0 OR op <> 'D')
       ORDER BY user_id"""))
 
+  // ---- q107: A/B experiment readout (Welch t from exact moments) ----
+  // Randomization unit = user (metric aggregated per user BEFORE the
+  // variant stats, the correct unit of analysis); all sufficient
+  // statistics are exact longs so both engines compute the identical
+  // t statistic.
+
+  val q107 = Q(
+    "q107_ab_welch_ttest",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+        .select((col("user_id") % 2).cast("string").as("variant"),
+          col("cents"))
+      graft.operators.Experiments.welchTTest(perUser, "variant", "cents")
+    },
+    Some(s"""
+      WITH p AS (SELECT user_id,
+                        CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+                          AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+      s AS (SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x*x) AS BIGINT) AS sxx
+            FROM p GROUP BY 1),
+      a AS (SELECT * FROM s ORDER BY v ASC LIMIT 1),
+      b AS (SELECT * FROM s ORDER BY v DESC LIMIT 1),
+      m AS (SELECT a.n AS n_a, b.n AS n_b,
+                   CAST(a.sx AS DOUBLE) / a.n AS ma,
+                   CAST(b.sx AS DOUBLE) / b.n AS mb,
+                   (CAST(a.sxx AS DOUBLE)
+                     - a.n * ((CAST(a.sx AS DOUBLE) / a.n)
+                       * (CAST(a.sx AS DOUBLE) / a.n))) / (a.n - 1) AS va,
+                   (CAST(b.sxx AS DOUBLE)
+                     - b.n * ((CAST(b.sx AS DOUBLE) / b.n)
+                       * (CAST(b.sx AS DOUBLE) / b.n))) / (b.n - 1) AS vb
+            FROM a, b)
+      SELECT n_a, n_b,
+             ${Numerics.sqlFix("ma", 4)} AS mean_a,
+             ${Numerics.sqlFix("mb", 4)} AS mean_b,
+             ${Numerics.sqlFix("(ma - mb) / sqrt(va / n_a + vb / n_b)", 4)}
+               AS t_stat
+      FROM m"""))
+
   // ---- q94: top ordered event paths (sequence mining lite) ----
   // Per user: the first-5-events path by (ts, event_id); then paths
   // rank by user count. One user-keyed window (WindowGroupLimit keeps
@@ -1221,5 +1267,5 @@ object ExtendedQueries {
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92, q94, q95, q96, q101, q102, q103, q105)
+      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107)
 }
