@@ -279,5 +279,47 @@ object StreamingQueries {
       GROUP BY 1, 2
       ORDER BY c_mktsegment, event_type"""))
 
-  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78)
+  /** Streaming windowed distinct-user parity: dedup (window, user)
+    * with watermark-bounded state, then the windowed count — TWO
+    * chained stateful operators in append mode, so each hourly window
+    * emits exactly once when the watermark seals it. Far-future
+    * sentinel batches advance the watermark to drain the bounded
+    * stream; sentinel windows are filtered out of the compared rows.
+    */
+  val q108 = Q(
+    "q108_stream_distinct_users_parity",
+    (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(eventsSchema).parquet(watch)
+        .select(
+          timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+          col("user_id"))
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q108_mem",
+        StreamingOps.windowedDistinctUsers(
+          evs, watermarkDelay = "10 minutes", windowLen = "1 hour"),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("n_users"))
+        .where(col("window_start_ms") < 3000000000000L) // drop sentinels
+        .orderBy("window_start_ms")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT
+                   (epoch_ns(ts) // 1000000 // 3600000) * 3600000
+                     AS window_start_ms,
+                   user_id
+                 FROM events)
+      SELECT window_start_ms, CAST(count(*) AS BIGINT) AS n_users
+      FROM e GROUP BY 1
+      ORDER BY window_start_ms"""))
+
+  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78, q108)
 }

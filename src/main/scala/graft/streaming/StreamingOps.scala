@@ -50,6 +50,30 @@ object StreamingOps {
         col("n_events"),
         col("value_sum"))
 
+  /** Windowed distinct-user count — streaming "hourly unique users":
+    * dedup (window, user) with watermark-bounded state, then the
+    * windowed count. TWO chained stateful operators (dedup → agg),
+    * both watermark-bounded, append mode — each window emits exactly
+    * once when the watermark seals it, and dedup state for sealed
+    * windows is dropped, so state is O(users per open window), never
+    * O(stream). The streaming form of the batch contribution-explode
+    * distinct (q95's 1-window special case).
+    */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      // the window struct inherits the event-time marker; the raw ts
+      // must NOT ride along (two event-time columns fail the query)
+      .select(window(col(tsCol), windowLen).as("win"), col("user_id"))
+      .dropDuplicatesWithinWatermark("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("win.start").as("window_start"), col("n_users"))
+
   /** Stream-static enrichment join: each micro-batch of the stream
     * hash-joins a STATIC dimension DataFrame — the standard "enrich
     * events with reference data" shape. Stateless (no watermark

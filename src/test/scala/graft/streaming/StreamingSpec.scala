@@ -348,4 +348,29 @@ class StreamingSpec extends SparkTestBase {
       assert(live === Set((1L, 111L), (2L, 333L)))
     } finally q.stop()
   }
+
+  test("windowed distinct users dedups within the window, append mode") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.windowedDistinctUsers(
+        input.toDF(), watermarkDelay = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("wdu").outputMode("append")
+      .start()
+    try {
+      // u1 twice in hour 0 (counts once); u2 once; hour 1: u1 only
+      input.addData(ev(1, 5), ev(1, 40), ev(2, 20), ev(1, 70))
+      q.processAllAvailable()
+      // watermark advance drains the sealed windows
+      input.addData(ev(99, 100000))
+      q.processAllAvailable()
+      input.addData(ev(98, 100100))
+      q.processAllAvailable()
+      val rows = spark.table("wdu").collect()
+        .map(r => r.getTimestamp(0).getTime / 60000 -> r.getLong(1))
+        .filter(_._1 < 50000).toMap
+      assert(rows == Map(0L -> 2L, 60L -> 1L))
+    } finally q.stop()
+  }
 }
