@@ -169,6 +169,32 @@ object Profile {
           .as("psi_contrib"))
   }
 
+  /** Referential-integrity audit — the FK gate an ingestion pipeline
+    * runs before publishing a snapshot: for each declared (child,
+    * childKey, parent, parentKey) relation, how many child rows exist
+    * and how many are ORPHANS (no matching parent key). Each relation
+    * is one left-anti join against the parent's DISTINCT keys — the
+    * parent reduces to its key set before the join (at 100 TB the
+    * dedup is the cheap side; null child keys count as orphans, the
+    * strict reading). Output: (fk_name, n_child_rows, n_orphans).
+    */
+  def fkAudit(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty, "need at least one relation to audit")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val keys = parent.select(col(parentKey).as("__pk")).distinct()
+      val c = graft.SparkUtil.ensureParallelism(child)
+        .select(col(childKey).as("__ck"))
+      val orphans = c.join(keys, col("__ck") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      c.agg(count(lit(1)).as("n_child_rows"))
+        .join(broadcast(orphans))
+        .select(lit(name).as("fk_name"), col("n_child_rows"),
+          col("n_orphans"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Join-key skew profiler — the diagnostic that decides whether a
     * key needs salting before a 100 TB join: per-key counts, then the
     * `topN` heaviest keys with their share of all rows. One

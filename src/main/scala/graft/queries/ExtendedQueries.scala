@@ -1084,6 +1084,60 @@ object ExtendedQueries {
                AS t_stat
       FROM m"""))
 
+  // ---- q109: referential-integrity (FK orphan) audit ----
+  // Three healthy relations plus one deliberately broken one (parent
+  // restricted to every 7th customer) prove the gate both passes clean
+  // data and counts real orphans.
+
+  val q109 = Q(
+    "q109_fk_audit",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val or = Tables(s, dir, "orders")
+      val cu = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      Profile.fkAudit(Seq(
+          ("lineitem->orders", li, "l_orderkey", or, "o_orderkey"),
+          ("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+          ("orders->customer", or, "o_custkey", cu, "c_custkey"),
+          ("orders->customer_mod7", or, "o_custkey",
+            cu.where(col("c_custkey") % 7 === 0), "c_custkey")))
+        .orderBy("fk_name")
+    },
+    Some("""
+      WITH rel AS (
+        SELECT 'lineitem->orders' AS fk_name,
+               (SELECT count(*) FROM lineitem) AS n_child_rows,
+               (SELECT count(*) FROM lineitem l
+                LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+                  ON l.l_orderkey = p.pk
+                WHERE p.pk IS NULL) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+                  ON l.l_suppkey = p.pk
+                WHERE p.pk IS NULL)
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+                  ON o.o_custkey = p.pk
+                WHERE p.pk IS NULL)
+        UNION ALL
+        SELECT 'orders->customer_mod7',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer
+                           WHERE c_custkey % 7 = 0) p
+                  ON o.o_custkey = p.pk
+                WHERE p.pk IS NULL))
+      SELECT fk_name, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+             CAST(n_orphans AS BIGINT) AS n_orphans
+      FROM rel ORDER BY fk_name"""))
+
   // ---- q94: top ordered event paths (sequence mining lite) ----
   // Per user: the first-5-events path by (ts, event_id); then paths
   // rank by user count. One user-keyed window (WindowGroupLimit keeps
@@ -1267,5 +1321,5 @@ object ExtendedQueries {
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107)
+      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109)
 }

@@ -79,4 +79,16 @@ class ProfileSpec extends SparkTestBase {
     assert(out === Array(
       (1, "a", 4L, 0.5), (2, "b", 2L, 0.25), (3, "c", 1L, 0.125)))
   }
+
+  test("fkAudit counts orphans per declared relation, nulls strict") {
+    val ss = spark
+    import ss.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk") // 9 is orphaned; null counts as orphan (strict)
+    val out = Profile.fkAudit(Seq(("c->p", child, "fk", parent, "pk")))
+      .collect().head
+    assert((out.getString(0), out.getLong(1), out.getLong(2))
+      == (("c->p", 4L, 2L)))
+  }
 }
