@@ -519,6 +519,34 @@ object TextAnalysis {
       .select(col("g").as(groupCol), col("term"), col("freq"), col("rk"))
   }
 
+  /** Per-group category-distribution entropy — the corpus-diversity
+    * diagnostic ("how language-diverse is each source?"): for each
+    * group, Shannon entropy −Σ p·ln p over the category proportions,
+    * plus the category count and row count. Two hash aggregates: the
+    * (group, category) counts reduce first (map-side partials), then
+    * the per-group totals broadcast back onto that tiny table for the
+    * entropy sum — the big table is scanned exactly once.
+    * Output: (groupCol, n_rows, n_categories, entropy).
+    */
+  def categoryEntropy(
+      df: DataFrame,
+      groupCol: String,
+      categoryCol: String): DataFrame = {
+    val counts = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(groupCol), col(categoryCol))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(groupCol)
+      .agg(sum(col("c")).as("n"))
+    counts.join(broadcast(totals), groupCol)
+      .select(col(groupCol), col("c"), col("n"),
+        (col("c").cast("double") / col("n")).as("p"))
+      .groupBy(groupCol)
+      .agg(
+        first(col("n")).as("n_rows"),
+        count(lit(1)).as("n_categories"),
+        Numerics.fix4(-sum(col("p") * log(col("p")))).as("entropy"))
+  }
+
   /** Document-frequency histogram — the vocabulary-pruning diagnostic:
     * for each df value, how many distinct terms appear in exactly df
     * documents (hapax legomena live at df = 1). Two hash aggregates

@@ -964,8 +964,29 @@ object PipelineQueries {
                AS n_triangles"""
     })
 
+  // ---- q110: per-source language-distribution entropy ----
+
+  val q110 = Q(
+    "q110_source_entropy",
+    (s, dir) =>
+      TextAnalysis.categoryEntropy(docs(s, dir), "source", "lang")
+        .orderBy("source"),
+    Some(s"""
+      WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1, 2),
+      t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM c GROUP BY 1),
+      p AS (SELECT c.source, CAST(c.c AS DOUBLE) / t.n AS p, t.n
+            FROM c JOIN t USING (source))
+      SELECT source,
+             CAST(any_value(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             ${Numerics.sqlFix("-sum(p * ln(p))", 4)} AS entropy
+      FROM p GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104, q106)
+    q99, q100, q104, q106, q110)
 }

@@ -260,4 +260,21 @@ class TextAnalysisSpec extends SparkTestBase {
       (10L, 1L, 1, 0.1823), (10L, 2L, 2, 0.1823),
       (20L, 2L, 1, 0.6931)))
   }
+
+  test("categoryEntropy: uniform maxes, constant zeroes") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      ("s1", "en"), ("s1", "de"), ("s1", "fr"), ("s1", "es"), // uniform 4
+      ("s2", "en"), ("s2", "en"), ("s2", "en"),               // constant
+      ("s3", "en"), ("s3", "en"), ("s3", "de"), ("s3", "de")  // uniform 2
+    ).toDF("source", "lang")
+    val out = TextAnalysis.categoryEntropy(df, "source", "lang")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("s1") == ((4L, 4L, 1.3863))) // ln 4
+    assert(out("s2") == ((3L, 1L, 0.0)))    // -1*ln(1) = 0 (fix4 of -0.0)
+    assert(out("s3") == ((4L, 2L, 0.6931))) // ln 2
+  }
 }
