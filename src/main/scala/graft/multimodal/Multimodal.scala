@@ -26,8 +26,9 @@ final case class MediaFeatures(
   * per-partition decode pass are real, and so is metadata decode for
   * every headered or frame-structured format (PNG/GIF as codegen'd
   * Columns, JPEG via a SOF marker scan, WAV duration via a RIFF chunk
-  * walk, MP3 duration via MPEG frame-header arithmetic); only video /
-  * esoteric-codec decode is STUBBED — no codecs in this environment.
+  * walk, MP3 duration via MPEG frame-header arithmetic, MP4 duration +
+  * dimensions via an ISO-BMFF box walk); only compressed-payload
+  * decode is STUBBED — no codecs in this environment.
   */
 object Multimodal {
 
@@ -73,14 +74,16 @@ object Multimodal {
   }
 
   /** Trailing-digit id extractor for [[readBinaryDir]] — the legacy
-    * naming scheme (`img_0042.png` -> 42). The digits come from the
-    * file STEM: an optional `.ext` suffix is excluded, so a digit in
-    * the extension itself (`clip_5.mp3`) never hijacks the id. Only
-    * safe when the caller guarantees digit uniqueness across the tree.
+    * naming scheme (`img_0042.png` -> 42). The extension is STRIPPED
+    * before extraction, so a digit in the extension itself never
+    * hijacks the id — neither for digit-bearing stems (`clip_5.mp3`)
+    * nor digit-less ones (`song.mp3`, which falls through to the
+    * xxhash64 fallback). Only safe when the caller guarantees digit
+    * uniqueness across the tree.
     */
   def digitId(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val digits =
-      regexp_extract(path, "(\\d+)[^/\\d]*(\\.[A-Za-z0-9]+)?$", 1)
+    val stem = regexp_replace(path, "\\.[A-Za-z0-9]+$", "")
+    val digits = regexp_extract(stem, "(\\d+)[^/\\d]*$", 1)
     when(digits =!= "", digits.cast("long")).otherwise(xxhash64(path))
   }
 
@@ -302,7 +305,14 @@ object Multimodal {
       case _ => Mpeg2L23Kbps
     })((b2 >> 4) & 0xF)
     if (kbps == 0) return None // free-format/invalid bitrate index
-    Some((n - i).toLong * 8000L / (kbps * 1000L))
+    // Trailing metadata is NOT audio: an ID3v1 tag is a fixed 128-byte
+    // "TAG"-prefixed trailer — include it in the byte count and every
+    // tagged CBR file overstates duration (~8 ms at 128 kbps).
+    val end =
+      if (n - i > 128 && u8(n - 128) == 'T' && u8(n - 127) == 'A' &&
+        u8(n - 126) == 'G') n - 128
+      else n
+    Some((end - i).toLong * 8000L / (kbps * 1000L))
   }
 
   /** MP3-shaped bytes: an ID3v2 preamble or an immediate frame sync.
@@ -314,6 +324,97 @@ object Multimodal {
         (media(0) == 'I'.toByte && media(1) == 'D'.toByte &&
           media(2) == '3'.toByte))
 
+  // ---- MP4 (ISO-BMFF) metadata: a bounded box walk, no codec ----
+  // An ISO-BMFF file is a sequence of boxes [u32 size][4-char type]
+  // [payload]; size==1 switches to a following u64 largesize, size==0
+  // means "to end of enclosing box" (ISO/IEC 14496-12 4.2). moov and
+  // trak are pure containers, so the walk recurses into them; mvhd
+  // carries the movie timescale + duration, tkhd carries the 16.16
+  // fixed-point presentation width/height (zero on audio tracks). The
+  // same bounded-walk discipline as the RIFF code above: sizes are
+  // validated against the bytes REMAINING in the enclosing box, and
+  // any malformed size yields None rather than a throw or overstated
+  // metadata — at 100 TB some objects WILL be corrupt.
+
+  /** (width, height, duration_ms) from moov/mvhd/tkhd; all None on
+    * truncated, desynced, or non-BMFF bytes.
+    */
+  private[multimodal] def decodeMp4Meta(
+      media: Array[Byte]): (Option[Int], Option[Int], Option[Long]) = {
+    val n = media.length
+    def u8(i: Int): Int = media(i) & 0xFF
+    def beU32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def beU64(i: Int): Long = (beU32(i) << 32) | beU32(i + 4)
+    def tag(i: Int): String = new String(media.slice(i, i + 4), "US-ASCII")
+    var durationMs: Option[Long] = None
+    var width: Option[Int] = None
+    var height: Option[Int] = None
+    var guard = 0 // hostile input: the box loop must stay bounded
+    // walk boxes in [start, end); false = malformed (abort the decode)
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      var i = start
+      while (i + 8 <= end && guard < 4096) {
+        guard += 1
+        val size32 = beU32(i)
+        val id = tag(i + 4)
+        var header = 8
+        var size: Long = size32
+        if (size32 == 1L) { // u64 largesize follows the type
+          if (i + 16 > end) return false
+          size = beU64(i + 8)
+          header = 16
+        } else if (size32 == 0L) size = (end - i).toLong // to end of box
+        if (size < header || size > (end - i).toLong) return false
+        val payload = i + header
+        val pend = i + size.toInt
+        id match {
+          case "moov" | "trak" =>
+            if (depth < 4 && !walk(payload, pend, depth + 1)) return false
+          case "mvhd" if pend - payload >= 20 =>
+            // v0: ver+flags, creation u32, modification u32,
+            //     timescale u32 (+12), duration u32 (+16)
+            // v1: ver+flags, creation u64, modification u64,
+            //     timescale u32 (+20), duration u64 (+24)
+            val ver = u8(payload)
+            if (ver == 0) {
+              val ts = beU32(payload + 12)
+              if (ts > 0) durationMs = Some(beU32(payload + 16) * 1000L / ts)
+            } else if (ver == 1 && pend - payload >= 32) {
+              val ts = beU32(payload + 20)
+              if (ts > 0) durationMs = Some(beU64(payload + 24) * 1000L / ts)
+            }
+          case "tkhd" =>
+            // width/height are 16.16 fixed at payload end: v0 +76/+80
+            // (84-byte payload), v1 +88/+92 (96-byte payload); audio
+            // tracks carry zeros — keep the first non-zero (video)
+            val ver = u8(payload)
+            val off =
+              if (ver == 0 && pend - payload >= 84) 76
+              else if (ver == 1 && pend - payload >= 96) 88
+              else -1
+            if (off >= 0 && width.isEmpty) {
+              val w = (beU32(payload + off) >> 16).toInt
+              val h = (beU32(payload + off + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
+            }
+          case _ => () // mdat/ftyp/leaf boxes: skip over
+        }
+        i = pend
+      }
+      true
+    }
+    if (n < 12 || tag(4) != "ftyp") (None, None, None)
+    else if (!walk(0, n, 0)) (None, None, None)
+    else (width, height, durationMs)
+  }
+
+  /** ISO-BMFF-shaped bytes: a leading ftyp box. */
+  private def isMp4(media: Array[Byte]): Boolean =
+    media.length >= 12 &&
+      media(4) == 'f'.toByte && media(5) == 't'.toByte &&
+      media(6) == 'y'.toByte && media(7) == 'p'.toByte
+
   private def isRiffWave(media: Array[Byte]): Boolean =
     media.length >= 12 &&
       (media(0) & 0xFF) == 'R' && (media(1) & 0xFF) == 'I' &&
@@ -322,13 +423,14 @@ object Multimodal {
       (media(10) & 0xFF) == 'V' && (media(11) & 0xFF) == 'E'
 
   /** ======== STUB ========
-    * Video and esoteric codec formats only: a real deployment would
-    * decode them here, inside the same mapPartitions pass. Headered
-    * and frame-structured formats never reach this — PNG/GIF parse as
-    * codegen'd byte arithmetic in [[mediaWidth]]/[[mediaHeight]], JPEG
-    * via [[decodeJpegDims]]'s marker scan, WAV via
-    * [[decodeWavDurationMs]]'s chunk walk, MP3 via
-    * [[decodeMp3DurationMs]]'s frame-header arithmetic.
+    * Compressed-payload decode ONLY (pixel/sample data of esoteric
+    * codecs): a real deployment would decode it here, inside the same
+    * mapPartitions pass. Every structured metadata format is real —
+    * PNG/GIF parse as codegen'd byte arithmetic in
+    * [[mediaWidth]]/[[mediaHeight]], JPEG via [[decodeJpegDims]]'s
+    * marker scan, WAV via [[decodeWavDurationMs]]'s chunk walk, MP3
+    * via [[decodeMp3DurationMs]]'s frame-header arithmetic, MP4 via
+    * [[decodeMp4Meta]]'s ISO-BMFF box walk.
     */
   private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
@@ -375,16 +477,23 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, len, hdr, sha, w, h, media) =>
           // the typed decode runs only for non-headered formats (JPEG
-          // marker scan, WAV chunk walk, codec stub for the rest); a
-          // headered file with one malformed field keeps what parsed
-          val (sw, sh) =
-            if (w.isDefined || h.isDefined) (None, None)
-            else decodeDimensions(media)
-          val dur =
-            if (isRiffWave(media)) decodeWavDurationMs(media)
-            else if (isMp3(media)) decodeMp3DurationMs(media)
-            else None
-          MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh), dur)
+          // marker scan, WAV chunk walk, MP4 box walk, codec stub for
+          // the rest); a headered file with one malformed field keeps
+          // what parsed
+          if (isMp4(media)) {
+            // dims and duration come from ONE box walk
+            val (mw, mh, md) = decodeMp4Meta(media)
+            MediaFeatures(id, len, hdr, sha, mw, mh, md)
+          } else {
+            val (sw, sh) =
+              if (w.isDefined || h.isDefined) (None, None)
+              else decodeDimensions(media)
+            val dur =
+              if (isRiffWave(media)) decodeWavDurationMs(media)
+              else if (isMp3(media)) decodeMp3DurationMs(media)
+              else None
+            MediaFeatures(id, len, hdr, sha, w.orElse(sw), h.orElse(sh), dur)
+          }
         }
       }
   }

@@ -50,8 +50,14 @@ object Graphs {
   /** [[triangleStats]] with the cache-release handle. */
   def triangleRun(
       pairs: DataFrame, aCol: String, bCol: String): TriangleRun = {
+    // Normalize orientation BEFORE distinct: the graph is undirected, so
+    // an input carrying both (a,b) and (b,a) is ONE edge — without the
+    // least/greatest fold it would survive distinct() twice, doubling
+    // degrees and corrupting every count downstream.
     val e = graft.SparkUtil.ensureParallelism(pairs)
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(col(aCol).cast("long").as("a0"), col(bCol).cast("long").as("b0"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

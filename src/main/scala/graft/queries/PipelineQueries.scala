@@ -554,8 +554,26 @@ object PipelineQueries {
       "Xing".getBytes("US-ASCII") ++
       bytes(0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x01, 0xB9) ++
       Array.fill[Byte](148)(0)
+    // MP4 (ISO-BMFF): ftyp + moov{mvhd v0 (timescale 90000, duration
+    // 270000 -> 3000 ms), trak{tkhd v0 (1920x1080 as 16.16 fixed)}};
+    // the box walk must recover dims + duration from bytes alone
+    val mp4 = {
+      def be32(v: Long) = Array[Byte](((v >> 24) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        (v & 0xFF).toByte)
+      def box(tp: String, payload: Array[Byte]) =
+        be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200))
+      val mvhd = box("mvhd", bytes(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(90000) ++ be32(270000) ++ Array.fill[Byte](80)(0))
+      val tkhd = box("tkhd", bytes(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(270000) ++ Array.fill[Byte](52)(0) ++
+        be32(1920L << 16) ++ be32(1080L << 16))
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
     Seq("img_1.png" -> png, "img_2.gif" -> gif, "img_3.jpg" -> jpeg,
-      "clip_4.wav" -> wav, "clip_5.mp3" -> mp3Cbr, "clip_6.mp3" -> mp3Vbr)
+      "clip_4.wav" -> wav, "clip_5.mp3" -> mp3Cbr, "clip_6.mp3" -> mp3Vbr,
+      "vid_7.mp4" -> mp4)
   }
 
   val q71 = Q(
@@ -585,7 +603,8 @@ object PipelineQueries {
         (3, 29, 320, 240, NULL),
         (4, 4044, NULL, NULL, 250),
         (5, 4032, NULL, NULL, 250),
-        (6, 196, NULL, NULL, 11520))
+        (6, 196, NULL, NULL, 11520),
+        (7, 232, 1920, 1080, 3000))
         AS t(doc_id, byte_len, width, height, duration_ms)
       ORDER BY doc_id"""))
 

@@ -286,6 +286,95 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(7L).isEmpty)
   }
 
+  test("digitId never reads the extension: digit-less stems hash, not collide") {
+    val dir = java.nio.file.Files.createTempDirectory("media_noext").toFile
+    try {
+      // stems carry NO digits; the only digit is in ".mp3" — the legacy
+      // scheme must fall back to xxhash64, never extract the '3'
+      java.nio.file.Files.write(
+        new java.io.File(dir, "song.mp3").toPath, Array[Byte](1))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "track.mp3").toPath, Array[Byte](2))
+      val ids = Multimodal.readBinaryDir(
+        spark, dir.getAbsolutePath, idFromPath = Multimodal.digitId)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.size == 2) // distinct hashes — no shared id 3
+      assert(!ids.contains(3L))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("MP3 CBR duration excludes a trailing ID3v1 TAG block") {
+    // 4000 audio bytes at 128 kbps = 250 ms; the 128-byte ID3v1 trailer
+    // is metadata, not audio — counting it would read 258 ms
+    val tagged = mp3Cbr(4000) ++ ascii("TAG") ++ Array.fill[Byte](125)(0)
+    assert(Multimodal.decodeMp3DurationMs(tagged) == Some(250L))
+    assert(Multimodal.decodeMp3DurationMs(mp3Cbr(4000)) == Some(250L))
+  }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
+  private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ ascii(tp) ++ payload
+
+  /** Minimal ISO-BMFF: ftyp + moov{mvhd, trak{tkhd}} with the given
+    * movie timescale/duration and 16.16 fixed track dims (0 = audio).
+    */
+  private def mp4Bytes(
+      w: Int, h: Int, timescale: Int, duration: Long,
+      v1: Boolean = false): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", ascii("isom") ++ be32(0x200))
+    val mvhd =
+      if (v1) mp4Box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale.toLong) ++ be64(duration) ++ Array.fill[Byte](80)(0))
+      else mp4Box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale.toLong) ++ be32(duration) ++ Array.fill[Byte](80)(0))
+    val tkhd =
+      if (v1) mp4Box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(1) ++ be32(0) ++ be64(duration) ++ Array.fill[Byte](52)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+      else mp4Box("tkhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(duration) ++ Array.fill[Byte](52)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    ftyp ++ mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+  }
+
+  test("MP4 metadata decodes from the ISO-BMFF box walk, codec-free") {
+    val ss = spark
+    import ss.implicits._
+    // a moov carried under a u64 largesize header (size32 == 1)
+    val large = {
+      val plain = mp4Bytes(320, 240, 1000, 2000)
+      val ftypLen = 16
+      val moov = plain.drop(ftypLen)
+      plain.take(ftypLen) ++ be32(1L) ++ ascii("moov") ++
+        be64(moov.length + 8L) ++ moov.drop(8)
+    }
+    val recs = Seq(
+      // v0 boxes: 90000-tick timescale, 270000 ticks -> 3000 ms
+      MediaRecord(1L, mp4Bytes(1920, 1080, 90000, 270000), "video/mp4"),
+      // v1 (64-bit) mvhd/tkhd variant
+      MediaRecord(2L, mp4Bytes(640, 360, 1000, 12345, v1 = true), "video/mp4"),
+      // audio-only: tkhd dims are zero -> no dimensions, duration kept
+      MediaRecord(3L, mp4Bytes(0, 0, 600, 1800), "video/mp4"),
+      MediaRecord(4L, large, "video/mp4"),
+      // box size overruns the enclosing box: malformed -> all None
+      MediaRecord(5L, mp4Bytes(320, 240, 1000, 2000).dropRight(40), "video/mp4"),
+      // no leading ftyp: not BMFF
+      MediaRecord(6L, Array.fill[Byte](32)(0), "video/mp4"))
+    val feats = Multimodal.extractFeatures(recs.toDS())
+      .collect().map(f => f.doc_id -> (f.width, f.height, f.duration_ms)).toMap
+    assert(feats(1L) == (Some(1920), Some(1080), Some(3000L)))
+    assert(feats(2L) == (Some(640), Some(360), Some(12345L)))
+    assert(feats(3L) == (None, None, Some(3000L)))
+    assert(feats(4L) == (Some(320), Some(240), Some(2000L)))
+    assert(feats(5L) == (None, None, None))
+    assert(feats(6L) == (None, None, None))
+  }
+
   test("byte walkers survive 10k random/truncated/bit-flipped inputs") {
     val ss = spark
     import ss.implicits._
@@ -298,6 +387,8 @@ class MultimodalSpec extends SparkTestBase {
       wavBytes(16000, 400, extraChunk = Some(("LIST", 26))),
       mp3Cbr(400, id3Payload = 30),
       mp3Xing(441),
+      mp4Bytes(1920, 1080, 90000, 270000),
+      mp4Bytes(640, 360, 1000, 12345, v1 = true),
       (Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A,
         0, 0, 0, 0x0D) ++ "IHDR".map(_.toInt).toArray ++
         Array(0, 0, 2, 0x80, 0, 0, 1, 0xE0)).map(_.toByte),
@@ -326,6 +417,7 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodeJpegDims(bs): Unit
       Multimodal.decodeWavDurationMs(bs): Unit
       Multimodal.decodeMp3DurationMs(bs): Unit
+      Multimodal.decodeMp4Meta(bs): Unit
     }
     // and the full feature pass (codegen'd PNG/GIF Columns + the typed
     // dispatch) must complete over the same corpus

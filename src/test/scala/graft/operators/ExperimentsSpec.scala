@@ -16,4 +16,32 @@ class ExperimentsSpec extends SparkTestBase {
     assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
     assert(r.getDouble(4) == -2.5981)
   }
+
+  test("welchTTest: three variants FAIL instead of silently dropping one") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("variant", "x")
+    val e = intercept[Exception] {
+      Experiments.welchTTest(df, "variant", "x").collect()
+    }
+    // the raise_error message survives Spark's exception wrapping
+    assert(e.getMessage.contains("exactly 2 variants") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly 2 variants")))
+  }
+
+  test("welchTTest: sum of squares survives Long-overflow-scale metrics") {
+    val ss = spark
+    import ss.implicits._
+    // Σx² reaches 1.9e20 >> Long.MAX (9.2e18): a long accumulator
+    // overflows (ANSI: job failure), the decimal accumulator must not.
+    // Values are chosen so every double step is exact: both variances
+    // are 2·(3.1e9)², so t = (3.1e9 − 9.3e9)/(3.1e9·√2) = −√2 -> −1.4142
+    val df = Seq(
+      ("a", 0L), ("a", 6200000000L),
+      ("b", 6200000000L), ("b", 12400000000L)).toDF("variant", "x")
+    val r = Experiments.welchTTest(df, "variant", "x").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.1e9 && r.getDouble(3) == 9.3e9)
+    assert(r.getDouble(4) == -1.4142)
+  }
 }

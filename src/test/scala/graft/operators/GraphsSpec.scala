@@ -27,6 +27,20 @@ class GraphsSpec extends SparkTestBase {
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((2L, 1L, 0L)))
   }
 
+  test("triangleStats: reversed duplicates (a,b)+(b,a) count as one edge") {
+    val ss = spark
+    import ss.implicits._
+    // a triangle listed in BOTH orientations: still 3 edges, 3 wedges,
+    // 1 triangle — without least/greatest normalization distinct() would
+    // keep 6 rows and double every degree
+    val both = Seq(
+      (1L, 2L), (2L, 1L),
+      (2L, 3L), (3L, 2L),
+      (1L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val out = Graphs.triangleStats(both, "id_a", "id_b").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((3L, 3L, 1L)))
+  }
+
   test("triangleRun.release drops the cached edge list") {
     val ss = spark
     import ss.implicits._
