@@ -61,6 +61,59 @@ object Dedup {
         col("keep.s").as(s"kept_$seqCol"),
         col("n_copies"))
 
+  /** Maximal duplicated substring spans — the variable-length
+    * substring-dedup pass of an LLM curation pipeline: every maximal
+    * character span whose EVERY width-`k` gram occurs at least twice
+    * in the corpus (inside or across documents), reported when at
+    * least `minSpan` chars long. Unlike [[chunkExact]]'s fixed chunks,
+    * spans start and end anywhere: runs of consecutive duplicated
+    * gram start positions assemble into maximal spans via the
+    * gaps-and-islands fold (pos − row_number per doc).
+    *
+    * Scale shape: one Generate of start positions per doc (the
+    * sequence expression is exploded directly — see
+    * [[minhashSignatures]] for the InferFiltersFromGenerate trap),
+    * each gram digested to 128 bits so the corpus-wide frequency
+    * aggregate and the join back shuffle 16-byte keys, never k-char
+    * strings. The >=2 filter runs as a hash aggregate with map-side
+    * partials; re-attaching it to positions is an equi-join (AQE
+    * skew-safe where a collect_list of positions per gram would
+    * hot-spot on boilerplate grams); the island fold is one per-doc
+    * window. Everything is linear in total characters.
+    * Output: (doc_id, span_start 1-based, span_len).
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minSpan: Int): DataFrame = {
+    require(k >= 1 && minSpan >= k, "need k >= 1 and minSpan >= k")
+    // the length guard also keeps Spark's sequence() ascending: with
+    // len < k the stop would fall below the start and sequence REVERSES
+    // rather than returning empty
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .where(length(col("text")) >= k)
+    val grams = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("text").substr(col("pos"), lit(k))).as("g"))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(dupG, "g")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + k).cast("long").as("span_len"))
+      .where(col("span_len") >= minSpan)
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
   /** MinHash family: ONE strong base hash per shingle (codegen'd
     * xxhash64, folded to 30 bits), then a universal affine family
     * h_i(x) = (a_i·x + b_i) mod p over prime p = 2^31−1 for the

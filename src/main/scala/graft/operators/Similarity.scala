@@ -315,6 +315,33 @@ object Similarity {
       .withColumnRenamed("label", "cell")
   }
 
+  /** Re-assemble a [[kmeansStep]] output into the next iteration's
+    * centroid arrays — the driver side of the Lloyd loop. The input is
+    * the ALREADY-AGGREGATED (cell, pos, c) table — k·dim rows, a few KB
+    * at ANY corpus scale — and the next assignment pass needs those
+    * values as broadcast literals, so materializing them on the driver
+    * is the canonical iterative-ML shape, not a data-sized collect.
+    * Cells that lost every vector keep `fallback(cell)` (0-based) — the
+    * standard empty-cluster rule (e.g. pass the previous round's
+    * centroids).
+    */
+  def assembleCentroids(
+      stepOut: DataFrame,
+      nCells: Int,
+      dim: Int,
+      fallback: Int => Seq[Double]): Seq[Seq[Double]] = {
+    val got = stepOut.select(
+        col("cell").cast("int"), col("pos").cast("int"), col("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    got.valuesIterator.foreach(v => require(v.size == dim,
+      s"centroid has ${v.size} components, expected $dim"))
+    (1 to nCells).map(c => got.getOrElse(c, fallback(c - 1)))
+  }
+
   /** Per-label centroid components — the k-means/IVF "update" step as
     * one distributed aggregate. Shape: posexplode the vectors into
     * (label, pos, x) and hash-aggregate avg(x) by (label, pos) — one

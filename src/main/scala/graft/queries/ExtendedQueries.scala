@@ -595,6 +595,64 @@ object ExtendedQueries {
       ORDER BY cell, pos"""
     })
 
+  // ---- q111: the Lloyd loop actually iterating (two chained steps) ----
+  // Step 1 assigns against the seed centroids and aggregates new ones;
+  // assembleCentroids brings the k·dim aggregate (a few KB at any
+  // scale) to the driver as the next round's broadcast literals —
+  // the canonical iterative-ML driver shape; step 2 re-assigns against
+  // the UPDATED centroids. The oracle re-derives both assignments in
+  // SQL, including the empty-cell fallback to the seed centroid. The
+  // fix4 rounding on step-1 centroids is what makes the chain
+  // cross-engine exact: both engines hand step 2 bit-identical arrays.
+
+  val q111 = Q(
+    "q111_kmeans_iterate",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val step1 = Similarity.kmeansStep(emb, "embedding", nCells = 8, dim = 64)
+      val cents = Similarity.assembleCentroids(step1, nCells = 8, dim = 64,
+        fallback = Similarity.ivfCentroidValues(_, 64))
+      Similarity.kmeansStep(emb, "embedding", cents, dim = 64)
+        .orderBy("cell", "pos")
+    },
+    Some {
+      val dots = (0 until 8)
+        .map(c => s"list_dot_product(v, ${centroidSql(c)})")
+        .mkString("[", ",\n            ", "]")
+      val seeds = (0 until 8)
+        .map(c => s"SELECT ${c + 1} AS cell, ${centroidSql(c)} AS sv")
+        .mkString("\n              UNION ALL ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d1 AS (SELECT vec_id, v, $dots AS m0 FROM e),
+      a1 AS (SELECT vec_id, v, list_position(m0, list_max(m0)) AS cell
+             FROM d1),
+      x1 AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                    unnest(v) AS x
+             FROM a1),
+      c1 AS (SELECT cell, pos, ${Numerics.sqlFix("avg(x)", 4)} AS c
+             FROM x1 GROUP BY 1, 2),
+      cent1 AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+      seeds AS ($seeds),
+      cent AS (SELECT s.cell, coalesce(c.cv, s.sv) AS cv
+               FROM seeds s LEFT JOIN cent1 c USING (cell)),
+      d2 AS (SELECT e.vec_id, e.v, t.cell,
+                    list_dot_product(e.v, t.cv) AS dot
+             FROM e CROSS JOIN cent t),
+      a2 AS (SELECT vec_id, v, cell FROM (
+               SELECT vec_id, v, cell, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+               FROM d2) WHERE rn = 1),
+      x2 AS (SELECT cell, generate_subscripts(v, 1) - 1 AS pos,
+                    unnest(v) AS x
+             FROM a2)
+      SELECT CAST(cell AS INTEGER) AS cell, CAST(pos AS INTEGER) AS pos,
+             ${Numerics.sqlFix("avg(x)", 4)} AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x2 GROUP BY cell, pos
+      ORDER BY cell, pos"""
+    })
+
   // ---- q80: retention cohorts (classic product-analytics rollup) ----
   // (user, day) distinct → per-user first day → join back → count per
   // (cohort, offset). Both aggregates and the join share the user_id
@@ -1321,5 +1379,5 @@ object ExtendedQueries {
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109)
+      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111)
 }

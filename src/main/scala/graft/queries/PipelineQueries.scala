@@ -785,6 +785,39 @@ object PipelineQueries {
       FROM r WHERE rn = 1
       ORDER BY kept_doc_id, kept_chunk_seq"""))
 
+  // ---- q112: maximal duplicated substring spans ----
+  // The variable-length sibling of q93: chunk dedup catches aligned
+  // paragraphs, this catches repeated substrings starting ANYWHERE —
+  // the near-dup corpus shares long prefixes/suffixes that fixed
+  // chunks split. k-gram digests count corpus-wide; runs of adjacent
+  // duplicated positions fold into maximal spans (gaps-and-islands).
+
+  val q112 = Q(
+    "q112_duplicated_spans",
+    (s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+          k = 30, minSpan = 60)
+        .orderBy("doc_id", "span_start"),
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents
+                 WHERE length(text) >= 30),
+      p AS (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 29)) AS pos
+            FROM d),
+      g AS (SELECT doc_id, pos, md5(substr(text, pos, 30)) AS gd FROM p),
+      c AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+      dup AS (SELECT doc_id, pos FROM g JOIN c USING (gd)),
+      i AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                     PARTITION BY doc_id ORDER BY pos) AS island
+            FROM dup)
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) - min(pos) + 30 AS BIGINT) AS span_len
+      FROM i GROUP BY doc_id, island
+      HAVING CAST(max(pos) - min(pos) + 30 AS BIGINT) >= 60
+      ORDER BY doc_id, span_start"""))
+
   // ---- q97: term document-frequency histogram ----
 
   val q97 = Q(
@@ -1007,5 +1040,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104, q106, q110)
+    q99, q100, q104, q106, q110, q112)
 }

@@ -201,4 +201,48 @@ class DedupSpec extends SparkTestBase {
       (1L, 1L, 1L),
       (3L, 1L, 1L)))
   }
+
+  test("duplicatedSpans finds maximal cross-doc and in-doc repeated spans") {
+    val ss = spark
+    import ss.implicits._
+    val k = 20
+    val shared = "the quick brown fox jumps over the lazy dog again and then " +
+      "the license text follows" // 84 chars, embedded at different offsets
+    val inner = "0123456789abcdefghij0123456789ABCDEFGHIJ" // 40 chars
+    val docsIn = Seq(
+      (1L, "alpha beta gamma delta " + shared + " epsilon zeta"),
+      (2L, "one two three " + shared + " four five six seven eight"),
+      (3L, "completely unrelated content with no repeats whatsoever here"),
+      // the same 40-char block twice INSIDE one doc
+      (4L, "<<" + inner + " unrelated middle padding " + inner + ">>"))
+    val out = Dedup.duplicatedSpans(docsIn.toDF("doc_id", "text"),
+        "doc_id", "text", k = k, minSpan = 40)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force recompute: corpus-wide gram counts -> duplicated
+    // positions -> islands -> maximal spans
+    val gramCount = docsIn.flatMap { case (_, t) =>
+      (0 to t.length - k).map(i => t.substring(i, i + k))
+    }.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val expected = docsIn.flatMap { case (id, t) =>
+      val dupPos = (0 to t.length - k)
+        .filter(i => gramCount(t.substring(i, i + k)) >= 2)
+      val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }
+      islands.reverse.map(run =>
+        (id, run.min + 1L, (run.max - run.min + k).toLong))
+        .filter(_._3 >= 40)
+    }.sortBy(s => (s._1, s._2))
+    assert(out.toSeq == expected)
+    // sanity on the scenario itself: docs 1+2 carry exactly the shared
+    // span, doc 3 nothing, doc 4 its two internal repeats
+    assert(expected.count(_._1 == 3L) == 0)
+    assert(expected.count(_._1 == 4L) == 2)
+    // both contexts surround `shared` with a space, so the maximal span
+    // extends past the planted text by those matching chars
+    assert(expected.filter(_._1 <= 2L).forall(_._3 >= shared.length.toLong))
+  }
 }

@@ -142,6 +142,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head._2 == 0 && math.abs(out.head._3 - exp0) < 1e-12)
   }
 
+  test("assembleCentroids rebuilds arrays and falls back on empty cells") {
+    // step output covering cell 2 only (cell 1 lost all vectors)
+    val step = spark.createDataFrame(Seq(
+      (2, 1, 0.5, 3L), (2, 0, -0.25, 3L) // pos out of order on purpose
+    )).toDF("cell", "pos", "c", "n")
+    val cents = Similarity.assembleCentroids(step, nCells = 2, dim = 2,
+      fallback = c => Seq(c.toDouble, c.toDouble))
+    assert(cents == Seq(Seq(0.0, 0.0), Seq(-0.25, 0.5)))
+  }
+
+  test("a second Lloyd iteration against updated centroids converges assignment") {
+    // iteration 1 from seeds, re-assemble, iteration 2 from the update:
+    // the chain the q111 oracle re-derives in SQL
+    val s1 = Similarity.kmeansStep(vecs, "embedding", nCells = 2, dim = 4)
+    val cents = Similarity.assembleCentroids(s1, nCells = 2, dim = 4,
+      fallback = Similarity.ivfCentroidValues(_, 4))
+    val s2 = Similarity.kmeansStep(vecs, "embedding", cents, dim = 4)
+      .orderBy("cell", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // every occupied cell carries 4 component rows; counts cover all 5
+    assert(s2.groupBy(_._1).forall { case (_, rs) => rs.length == 4 })
+    assert(s2.filter(_._2 == 0).map(_._4).sum == 5L)
+    // independent recompute: assign each vector to max-dot updated centroid
+    val data = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0.999f, 0.04f, 0f, 0f),
+      Seq(0f, 1f, 0f, 0f), Seq(-1f, 0f, 0f, 0f), Seq(0.7f, 0.7f, 0f, 0f))
+    def cellOf(v: Seq[Float]): Int = {
+      val dots = cents.map(c => v.zip(c).map { case (x, y) => x.toDouble * y }.sum)
+      dots.indexOf(dots.max) + 1
+    }
+    val nByCell = data.groupBy(cellOf).map { case (c, vs) => c -> vs.size.toLong }
+    assert(s2.groupBy(_._1).map { case (c, rs) => c -> rs.head._4 } == nByCell)
+  }
+
   test("labelCentroids averages componentwise per label") {
     val labeled = spark.createDataFrame(Seq(
       (0, Seq(1f, 0f, 2f, 0f)),
