@@ -172,27 +172,54 @@ object Profile {
   /** Referential-integrity audit — the FK gate an ingestion pipeline
     * runs before publishing a snapshot: for each declared (child,
     * childKey, parent, parentKey) relation, how many child rows exist
-    * and how many are ORPHANS (no matching parent key). Each relation
-    * is one left-anti join against the parent's DISTINCT keys — the
-    * parent reduces to its key set before the join (at 100 TB the
-    * dedup is the cheap side; null child keys count as orphans, the
-    * strict reading). Output: (fk_name, n_child_rows, n_orphans).
+    * and how many are ORPHANS (no matching parent key). Null child
+    * keys count as orphans, the strict reading.
+    *
+    * Scale shape — one scan per DISTINCT child table: relations are
+    * grouped by semantically-equal child plans, the group's key
+    * columns unpivot through ONE posexplode (R rows per child row for
+    * R same-child relations), and every parent's distinct key set —
+    * the cheap side at 100 TB — joins that single stream tagged by
+    * relation index (left join; a null hit is the anti-join "orphan").
+    * Auditing R relations over one giant child costs one pass of the
+    * child, not R. Keys compare as canonical strings so heterogeneous
+    * key columns can share the unpivot array — lossless for the
+    * integer/string keys FKs are made of.
+    * Output: (fk_name, n_child_rows, n_orphans).
     */
   def fkAudit(
       relations: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(relations.nonEmpty, "need at least one relation to audit")
-    relations.map { case (name, child, childKey, parent, parentKey) =>
-      val keys = parent.select(col(parentKey).as("__pk")).distinct()
-      val c = graft.SparkUtil.ensureParallelism(child)
-        .select(col(childKey).as("__ck"))
-      val orphans = c.join(keys, col("__ck") === col("__pk"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      c.agg(count(lit(1)).as("n_child_rows"))
-        .join(broadcast(orphans))
-        .select(lit(name).as("fk_name"), col("n_child_rows"),
-          col("n_orphans"))
-    }.reduce(_.unionByName(_))
+    // group by semantically-equal child plans, preserving declaration
+    // order (the same table declared twice = one scan)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.Buffer[
+        (String, DataFrame, String, DataFrame, String)]]
+    relations.zipWithIndex.foreach { case (rel, i) =>
+      val key = groups.keys.find(j => relations(j)._2.sameSemantics(rel._2))
+        .getOrElse(i)
+      groups.getOrElseUpdate(
+        key, scala.collection.mutable.Buffer.empty) += rel
+    }
+    groups.values.map { rels =>
+      val ex = graft.SparkUtil.ensureParallelism(rels.head._2)
+        .select(posexplode(
+          array(rels.map(r => col(r._3).cast("string")).toSeq: _*))
+          .as(Seq("__idx", "__ck")))
+      val pks = rels.zipWithIndex.map { case ((_, _, _, parent, pkCol), j) =>
+        parent.select(lit(j).as("__idx"),
+          col(pkCol).cast("string").as("__ck")).distinct()
+      }.reduceLeft(_.unionByName(_))
+        .withColumn("__hit", lit(1))
+      val names = array(rels.map(r => lit(r._1)).toSeq: _*)
+      ex.join(pks, Seq("__idx", "__ck"), "left_outer")
+        .groupBy("__idx")
+        .agg(count(lit(1)).as("n_child_rows"),
+          count(when(col("__hit").isNull, 1)).as("n_orphans"))
+        .select(element_at(names, col("__idx") + 1).as("fk_name"),
+          col("n_child_rows"), col("n_orphans"))
+    }.reduceLeft(_.unionByName(_))
   }
 
   /** Join-key skew profiler — the diagnostic that decides whether a

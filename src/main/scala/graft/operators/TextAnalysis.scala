@@ -179,11 +179,13 @@ object TextAnalysis {
     * Scale shape: the corpus reduces ONCE to (doc, term, tf) + (doc,
     * dl) aggregates (map-side partials; dl = Σ tf needs no second text
     * pass); the query term list and the 1-row (N, avgdl) scalar
-    * BROADCAST onto it; df joins by term (dictionary-sized); the final
-    * per-(query, doc) sum and top-k window shuffle only matching
-    * postings. Ranking compares the fix4-ROUNDED score (doc id breaks
-    * ties) so last-ulp ln() differences across engines can't reorder.
-    * Output: (query_id, idCol, bm25_rank, score).
+    * BROADCAST onto it; df aggregates over the PROBE-FILTERED postings
+    * and the dl table semi-joins to candidate docs, so no
+    * whole-vocabulary or whole-corpus side table ever shuffles into
+    * the score join; the final per-(query, doc) sum and top-k window
+    * shuffle only matching postings. Ranking compares the fix4-ROUNDED
+    * score (doc id breaks ties) so last-ulp ln() differences across
+    * engines can't reorder. Output: (query_id, idCol, bm25_rank, score).
     */
   def bm25TopK(
       df: DataFrame,
@@ -200,22 +202,33 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scalars = dl.agg(
-      count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
     val qterms = queries.select(
       col("query_id"),
       explode(array_distinct(Texts.words(col("query_text")))).as("term"))
+    // Whole-vocabulary stats never shuffle: postings are probe-filtered
+    // FIRST (broadcast of the distinct query terms), df aggregates over
+    // that filtered stream — identical values for every surviving term
+    // — and the per-doc length table semi-joins down to candidate docs
+    // before the score join. Only the 1-row (N, avgdl) scalar still
+    // reads the full dl aggregate (it IS a global statistic), and the
+    // tf exchange is reused across both consumers.
+    val qset = qterms.select("term").distinct()
+    val postings = tf.join(broadcast(qset), "term")
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val cand = postings.select(col(idCol)).distinct()
+    val dlJ = dl.join(cand, Seq(idCol), "left_semi")
+    val scalars = dl.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val contrib = idf * col("tf") * (k1 + 1) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
-    tf.join(broadcast(qterms), "term")
+    postings.join(broadcast(qterms), "term")
       .join(dfreq, "term")
-      .join(dl, idCol)
+      .join(dlJ, idCol)
       .join(broadcast(scalars))
       .groupBy(col("query_id"), col(idCol))
       .agg(Numerics.fix4(sum(contrib)).as("score"))

@@ -91,4 +91,27 @@ class ProfileSpec extends SparkTestBase {
     assert((out.getString(0), out.getLong(1), out.getLong(2))
       == (("c->p", 4L, 2L)))
   }
+
+  test("fkAudit shares one child scan across same-child relations") {
+    val ss = spark
+    import ss.implicits._
+    val p1 = Seq(10L, 20L).toDF("pk1")
+    val p2 = Seq("x", "y").toDF("pk2")
+    val child = Seq((10L, "x"), (10L, "z"), (99L, "y"))
+      .toDF("k1", "k2") // one orphan per relation
+    val audit = Profile.fkAudit(Seq(
+      ("c->p1", child, "k1", p1, "pk1"),
+      ("c->p2", child, "k2", p2, "pk2")))
+    val got = audit.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("c->p1" -> ((3L, 1L)), "c->p2" -> ((3L, 1L))))
+    // the child appears ONCE in the physical plan: both relations ride
+    // the same unpivoted scan (3 LocalTableScans total: child, p1, p2).
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // scans in the final plan only.
+    val plan = audit.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans == 3, s"expected 3 scans (child shared), got $scans")
+  }
 }
