@@ -48,10 +48,28 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Variance work (SURVEY §6): SPARK_GRAFT_BENCH_FILTER=q21,q41
+    // restricts the run to the named query prefixes for targeted
+    // multi-run spreads without paying for the whole surface.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      filter.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+    }
+    val results = selected.map { case (name, fn) =>
       val cold = time(name, fn) // first run: codegen compile + cache misses
-      val warm = (1 to timedRuns).map(_ => time(name, fn)).min
-      name -> (cold, warm)
+      val runs = (1 to timedRuns).map(_ => time(name, fn))
+      name -> (cold, runs.min, runs)
+    }
+    // Per-run spreads on demand (SPARK_GRAFT_BENCH_DETAIL=1): the
+    // variance investigations need every timed run, not just the min.
+    if (sys.env.get("SPARK_GRAFT_BENCH_DETAIL").contains("1")) {
+      val d = results.map { case (k, v) =>
+        s"\"" + k + "\":[" + v._3.map(r =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)))
+          .mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"aux":"runs_detail","runs":$d}""")
     }
     // 3 decimals = ms resolution, 6+ chars shorter per value than a raw
     // double; Locale.ROOT so the decimal point never becomes a comma.
@@ -62,7 +80,7 @@ object Bench {
     // on the final line competes with the tail budget.
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    def j(sel: ((Double, Double)) => Double) = results
+    def j(sel: ((Double, Double, IndexedSeq[Double])) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }
       .mkString("{", ",", "}")
     // Headline keys are the "qNN" prefix alone (the full names live on
@@ -76,7 +94,7 @@ object Bench {
       }.toSet
       pref.map { case (n, p) => n -> (if (dup(p)) n else p) }
     }
-    def jShort(sel: ((Double, Double)) => Double) = results
+    def jShort(sel: ((Double, Double, IndexedSeq[Double])) => Double) = results
       .map { case (k, v) => s"\"" + shortNames(k) + "\":" + fmt2(sel(v)) }
       .mkString("{", ",", "}")
     val coldTotal = results.values.map(_._1).sum
