@@ -21,6 +21,88 @@ object Graphs {
     def release(): Unit = { edges.unpersist(): Unit }
   }
 
+  /** [[pagerank]] plus the handle releasing the internally cached
+    * degree-annotated edge list.
+    */
+  final class PagerankRun private[operators] (
+      val result: DataFrame,
+      edges: DataFrame) {
+    /** Unpersist the cached edge list (call after materializing). */
+    def release(): Unit = { edges.unpersist(): Unit }
+  }
+
+  /** PageRank over an undirected simple graph given as (a, b) pairs —
+    * the centrality readout of the near-dup graph (a high-rank doc is
+    * the "canonical" member of a big duplicate neighborhood). Fixed
+    * `iters` power iterations, damping 0.85.
+    *
+    * Exactness discipline: each iteration's ranks are fix4-ROUNDED, so
+    * every engine hands the next iteration bit-identical inputs — the
+    * per-iteration float-sum noise (~1e-16, from inflow summation
+    * order) can never compound across iterations. In the SYMMETRIZED
+    * graph every edge-set node has degree >= 1, so there is no dangling
+    * mass anywhere; nodes absent from the edge set take the
+    * teleport-only fixed point (1 − damping).
+    *
+    * Scale shape: degree-annotated edges persist once (released via the
+    * run handle); each iteration is ONE hash join (edges ⋈ ranks on
+    * src) + one dst-keyed sum — the ranks table is referenced exactly
+    * once per iteration, so the logical plan grows linearly in `iters`
+    * (see [[graft.operators.Dedup.clustersFromPairs]] for why that
+    * matters). Output: (idCol, rank) for EVERY id in `allIds`.
+    */
+  def pagerank(
+      allIds: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val run = pagerankRun(allIds, idCol, pairs, aCol, bCol, iters, damping)
+    run.result
+  }
+
+  /** [[pagerank]] with the cache-release handle. */
+  def pagerankRun(
+      allIds: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int = 3,
+      damping: Double = 0.85): PagerankRun = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = graft.SparkUtil.ensureParallelism(pairs)
+      .select(col(aCol).cast("long").as("a0"), col(bCol).cast("long").as("b0"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = sym.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("rank"))
+    (1 to iters).foreach { _ =>
+      ranks = edges
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("inflow"))
+        .select(col("dst").as("id"),
+          graft.functions.Numerics.fix4(
+            lit(1 - damping) + lit(damping) * col("inflow")).as("rank"))
+    }
+    val result = allIds.select(col(idCol).cast("long").as(idCol))
+      .join(ranks.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.Numerics.fix4(
+          coalesce(col("rank"), lit(1 - damping))).as("rank"))
+    new PagerankRun(result, edges)
+  }
+
   /** Exact triangle census (edge count, total length-2 path count, and
     * triangle count — the global clustering coefficient is
     * 3·n_triangles/n_wedges) over an undirected simple graph given as

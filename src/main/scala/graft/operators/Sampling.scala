@@ -75,6 +75,91 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Concatenation-packing boundary map — the sequence bookkeeping of
+    * LLM pretraining packing: documents are laid out in the
+    * deterministic [[deterministicShuffle]] order and cut into fixed
+    * `seqLen`-token training sequences, documents crossing sequence
+    * boundaries (GPT-style concatenation). For each doc: its global
+    * start offset in the token stream, the first and last sequence
+    * index it touches, and how many sequences it spans. `tokensCol` is
+    * any caller-supplied exact count (word tokens, chars, BPE counts).
+    *
+    * Scale shape — a DISTRIBUTED prefix sum, never a single-partition
+    * window: rows range-partition by the order key, each partition
+    * cumsums locally (one window keyed by the physical partition id),
+    * and the per-partition totals — ONE row per partition — prefix-sum
+    * on the driver-sized side and broadcast back. The output is
+    * independent of where the sampled range bounds fall, so the
+    * sequence map is reproducible across runs, engines and cluster
+    * sizes. Output: (idCol, n_tokens, start_offset, first_seq,
+    * last_seq, n_seqs).
+    */
+  def packingMap(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      seed: Int = 0): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val parts = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
+        Hashes.hash60(col(idCol).cast("string"), seed).as("__ord"))
+      .where(col("n_tokens") > 0)
+      .repartitionByRange(col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__ord"), col(idCol))
+    val local = parts.withColumn("__e", sum(col("n_tokens")).over(wLoc))
+    val wPre = org.apache.spark.sql.expressions.Window
+      .orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // one row per partition: the global window here is over ~#partitions
+    // rows, not data
+    val prefix = local.groupBy("__pid").agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__pre", coalesce(sum(col("__tot")).over(wPre), lit(0L)))
+      .select(col("__pid"), col("__pre"))
+    local.join(broadcast(prefix), "__pid")
+      .select(col(idCol), col("n_tokens"),
+        (col("__e") + col("__pre") - col("n_tokens")).as("start_offset"),
+        (col("__e") + col("__pre")).as("__end"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset DIV ${seqLen}L").as("first_seq"),
+        expr(s"(__end - 1) DIV ${seqLen}L").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** Temperature-based mixture reweighting — the sampling-weight table
+    * a multi-source training mix is built from: per-group counts c_g
+    * flatten through w_g = c_g^α / Σ c^α (α < 1 upweights small
+    * sources — the multilingual "temperature sampling" rule), and
+    * `sampling_factor` = w_g·N/c_g is the per-group up/down-sampling
+    * rate that realizes the mix. α = 0.5 computes via sqrt (correctly
+    * rounded per IEEE 754, so cross-engine exact); other α use pow.
+    * One count aggregate to |groups| rows; everything after is
+    * group-table-sized. Output: (groupCol, n_docs, weight,
+    * sampling_factor).
+    */
+  def mixtureWeights(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val powed =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), alpha)
+    val t = counts.withColumn("__w", powed)
+    val tot = t.agg(sum(col("__w")).as("__tw"), sum(col("n_docs")).as("__tn"))
+    t.join(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        graft.functions.Numerics.fix4(col("__w") / col("__tw")).as("weight"),
+        graft.functions.Numerics.fix4(
+          col("__w") / col("__tw") * col("__tn") / col("n_docs"))
+          .as("sampling_factor"))
+  }
+
   /** Deterministic train/val/test assignment: the md5 permille of the
     * id decides the split, so membership is stable under reshuffling,
     * re-partitioning and incremental reruns — the property a training

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.functions.Numerics
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operators (SURVEY.md §2.3) over the `documents`
   * and `embeddings` tables. Every oracle either replays the identical
@@ -1016,6 +1016,112 @@ object PipelineQueries {
                AS n_triangles"""
     })
 
+  // ---- q113: concatenation-packing sequence-boundary map ----
+  // Docs lie in the deterministic q64 shuffle order, the token stream
+  // cuts at 2048-token boundaries (docs cross boundaries, GPT-style);
+  // the map gives each doc its offset and sequence span. The Spark
+  // side is a distributed prefix sum (range partition + local window
+  // + broadcast partition prefixes) whose output is partition-count
+  // independent — which is exactly what the single-window oracle
+  // checks.
+
+  val q113 = Q(
+    "q113_packing_map",
+    (s, dir) =>
+      Sampling.packingMap(docs(s, dir), "doc_id", "n_chars", seqLen = 2048)
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+                        ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                          AS ord
+                 FROM documents WHERE n_chars > 0),
+      c AS (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY ord, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+            FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(e - n_tokens AS BIGINT) AS start_offset,
+             CAST((e - n_tokens) // 2048 AS BIGINT) AS first_seq,
+             CAST((e - 1) // 2048 AS BIGINT) AS last_seq,
+             CAST((e - 1) // 2048 - (e - n_tokens) // 2048 + 1 AS BIGINT)
+               AS n_seqs
+      FROM c ORDER BY doc_id"""))
+
+  // ---- q114: temperature-based source mixture reweighting ----
+  // The alpha=0.5 temperature rule (sqrt counts, renormalized) that
+  // multilingual/multi-source training mixes use to upweight small
+  // sources; sampling_factor is the realized per-source rate. sqrt is
+  // IEEE-correctly-rounded, so both engines derive identical weights
+  // before the fix4 rounding.
+
+  val q114 = Q(
+    "q114_mixture_weights",
+    (s, dir) =>
+      Sampling.mixtureWeights(docs(s, dir), "source", alpha = 0.5)
+        .orderBy("source"),
+    Some(s"""
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+      t AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+      s AS (SELECT CAST(sum(w) AS DOUBLE) AS tw,
+                   CAST(sum(n_docs) AS BIGINT) AS tn
+            FROM t)
+      SELECT source, n_docs,
+             ${Numerics.sqlFix("w / tw", 4)} AS weight,
+             ${Numerics.sqlFix("w / tw * tn / n_docs", 4)} AS sampling_factor
+      FROM t, s ORDER BY source"""))
+
+  // ---- q115: PageRank centrality of the near-dup graph ----
+  // Same simhash pair source as q106; three fix4-stabilized power
+  // iterations (each iteration's rounding hands both engines
+  // bit-identical inputs for the next); singleton docs take the
+  // teleport-only fixed point.
+
+  val q115 = Q(
+    "q115_pagerank",
+    (s, dir) =>
+      graft.operators.Graphs.pagerank(
+          docs(s, dir), "doc_id",
+          Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 1),
+          "id_a", "id_b", iters = 3)
+        .orderBy("doc_id"),
+    Some {
+      val terms = (0 until 16).map { k =>
+        val shift = (14 - k / 4) * 4 + k % 4
+        s"""(CASE WHEN list_sum([2*((('0x'||substr(md5(x),1,15))::BIGINT
+           >> $shift) & 1)-1 for x in sh]) > 0
+           THEN ${1 << k} ELSE 0 END)"""
+      }.mkString(" + ")
+      val tele = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+      val damp = "CAST(0.85 AS DOUBLE)"
+      def iterCte(prev: String, cur: String) =
+        s"""$cur AS (SELECT s.dst AS id,
+                   ${Numerics.sqlFix(
+          s"$tele + $damp * sum(p.r / dg.outdeg)", 4)} AS r
+             FROM sym s JOIN dg ON dg.src = s.src
+                  JOIN $prev p ON p.id = s.src
+             GROUP BY s.dst)"""
+      s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      sig AS (SELECT doc_id, CAST($terms AS INT) AS simhash FROM sh),
+      e AS (SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+      sym AS (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             FROM sym GROUP BY 1),
+      r0 AS (SELECT src AS id, CAST(1 AS DOUBLE) AS r FROM dg),
+      ${iterCte("r0", "r1")},
+      ${iterCte("r1", "r2")},
+      ${iterCte("r2", "r3")}
+      SELECT d.doc_id,
+             coalesce(r3.r, ${Numerics.sqlFix(tele, 4)}) AS rank
+      FROM documents d LEFT JOIN r3 ON r3.id = d.doc_id
+      ORDER BY d.doc_id"""
+    })
+
   // ---- q110: per-source language-distribution entropy ----
 
   val q110 = Q(
@@ -1040,5 +1146,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104, q106, q110, q112)
+    q99, q100, q104, q106, q110, q112, q113, q114, q115)
 }

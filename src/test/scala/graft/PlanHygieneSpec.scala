@@ -23,7 +23,9 @@ class PlanHygieneSpec extends SparkTestBase {
   private val bnljByDesign =
     Set("q15_scalar_subquery", "q25_ann_bruteforce", "q53_tfidf_topterms",
       "q102_psi_drift", "q103_key_skew", "q104_bm25_topk",
-      "q106_triangle_census", "q109_fk_audit")
+      "q106_triangle_census", "q109_fk_audit",
+      // group-table-sized × 1-row broadcast scalar attach
+      "q114_mixture_weights")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

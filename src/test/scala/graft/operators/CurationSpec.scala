@@ -144,4 +144,83 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling shuffled:\n${plan.take(600)}")
   }
+
+  test("packingMap: contiguous offsets, correct spans, partition-independent") {
+    val ss = spark
+    import ss.implicits._
+    val docsIn = (1L to 40L).map(i => (i, 100L + i * 37 % 900))
+      .toDF("doc_id", "n_tok")
+    val out = Sampling.packingMap(docsIn, "doc_id", "n_tok", seqLen = 512)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 40)
+    // offsets tile the stream with no gaps or overlaps in layout order
+    val byOff = out.sortBy(_._3)
+    byOff.sliding(2).foreach { case Array(p, n) =>
+      assert(p._3 + p._2 == n._3, s"gap between $p and $n")
+    }
+    assert(byOff.head._3 == 0L)
+    // spans recompute from the offsets
+    out.foreach { case (_, n, start, first, last, nSeqs) =>
+      assert(first == start / 512)
+      assert(last == (start + n - 1) / 512)
+      assert(nSeqs == last - first + 1)
+    }
+    // the distributed prefix sum is partition-count independent
+    val re = Sampling.packingMap(docsIn.repartition(7), "doc_id", "n_tok",
+        seqLen = 512)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.map(t => t._1 -> t._3).toMap == re)
+  }
+
+  test("mixtureWeights: sqrt temperature upweights small sources") {
+    val ss = spark
+    import ss.implicits._
+    // counts 100 / 400: sqrt -> 10/20 -> weights 1/3, 2/3;
+    // factors (1/3)*500/100 = 1.6667 and (2/3)*500/400 = 0.8333
+    val df = ((1 to 100).map(i => (i, "small")) ++
+      (1 to 400).map(i => (i + 100, "big"))).toDF("id", "src")
+    val out = Sampling.mixtureWeights(df, "src", alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out("small") == ((100L, 0.3333, 1.6667)))
+    assert(out("big") == ((400L, 0.6667, 0.8333)))
+  }
+
+  test("pagerank: star + ring match a reference recompute; isolates take the floor") {
+    val ss = spark
+    import ss.implicits._
+    // star (hub 1 - leaves 2,3,4) + ring (5-6-7-5), node 9 isolated;
+    // one reversed duplicate to exercise orientation normalization
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val run = graft.operators.Graphs.pagerankRun(
+      ids, "doc_id", pairs, "id_a", "id_b", iters = 3)
+    val out = run.result.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    // reference recompute with the same per-iteration fix4 discipline
+    def fix4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L), 5L -> Seq(6L, 7L), 6L -> Seq(5L, 7L), 7L -> Seq(6L, 5L))
+    var r = adj.keys.map(_ -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      r = adj.keys.map { v =>
+        val inflow = adj.collect {
+          case (u, outs) if outs.contains(v) => r(u) / outs.size
+        }.sum
+        v -> fix4(1 - 0.85 + 0.85 * inflow)
+      }.toMap
+    }
+    adj.keys.foreach(v => assert(out(v) == r(v), s"node $v"))
+    assert(out(9L) == 0.15) // isolated: teleport-only fixed point
+    assert(out(1L) > out(2L)) // the hub outranks its leaves
+    run.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
