@@ -121,4 +121,41 @@ object ChangeCapture {
       when(changeWins, fromChange).otherwise(col(c)).as(c)
     }.toIndexedSeq: _*)
   }
+
+  /** Keyed snapshot diff — the data-diff gate run before publishing a
+    * regenerated table ("what actually changed vs the last snapshot?"):
+    * per-key fingerprints of the compared columns, ONE full-outer join
+    * on the key, and a 4-row status rollup
+    * (added / removed / changed / unchanged).
+    *
+    * Fingerprints are md5 over '|'-joined column strings with nulls
+    * encoded as a SOH (\\u0001) sentinel (DuckDB: chr(1)), so null vs
+    * empty-string never collide and both engines derive the identical
+    * digest. Callers compare
+    * string/integer columns (floating-point columns would need a
+    * canonical formatting contract first). Both snapshots reduce to
+    * (key, 16-byte fingerprint) before the join — the 100 TB shape:
+    * the join ships digests, never row payloads.
+    * Output: (status, n).
+    */
+  def snapshotDiff(
+      base: DataFrame,
+      next: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one column to compare")
+    def fp(df: DataFrame, out: String) =
+      graft.SparkUtil.ensureParallelism(df).select(
+        col(keyCol).as("__k"),
+        md5(concat_ws("|", compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0001"))): _*)).as(out))
+    fp(base, "__fb").join(fp(next, "__fn"), Seq("__k"), "full_outer")
+      .select(
+        when(col("__fb").isNull, "added")
+          .when(col("__fn").isNull, "removed")
+          .when(col("__fb") === col("__fn"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -292,6 +292,49 @@ object TextAnalysis {
     * exactly what a production scorer would broadcast.
     * Output: (idCol, n_bigrams, avg_nll).
     */
+  /** Top-k PMI collocations — the phrase-mining pass that surfaces
+    * multiword expressions ("new york", "machine learning") worth
+    * treating as units: pointwise mutual information
+    * PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over adjacent-word bigrams,
+    * with positional marginals (c_a = bigrams starting with a, c_b =
+    * bigrams ending with b) and a `minCount` noise floor. All counts
+    * are exact longs, so both engines derive the identical double
+    * before the fix4 ranking value; ties break on the bigram text.
+    *
+    * Scale shape: one bigram Generate feeding three hash aggregates
+    * (map-side partials); the marginal joins are keyed by the terms
+    * themselves, N is a 1-row broadcast, and only the bounded top-k
+    * ever sorts (TakeOrderedAndProject). Output: (w1, w2, c_ab, pmi).
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    val ws = Texts.words(col(textCol))
+    val bigramExpr = transform(
+      sequence(lit(1), size(ws) - 1),
+      i => struct(
+        element_at(ws, i).as("w1"),
+        element_at(ws, i + 1).as("w2")))
+    val b = graft.SparkUtil.ensureParallelism(df)
+      .where(size(ws) >= 2)
+      .select(explode(bigramExpr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val l = b.groupBy("w1").agg(count(lit(1)).as("c_a"))
+    val r = b.groupBy("w2").agg(count(lit(1)).as("c_b"))
+    val n = b.agg(count(lit(1)).as("n_bigrams"))
+    c2.join(l, "w1").join(r, "w2").join(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        Numerics.fix4(log(
+          col("c_ab").cast("double") * col("n_bigrams") /
+            (col("c_a").cast("double") * col("c_b")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   def bigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = Texts.words(col(textCol))
     val bigramExpr = transform(

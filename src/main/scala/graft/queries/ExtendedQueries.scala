@@ -1142,6 +1142,59 @@ object ExtendedQueries {
                AS t_stat
       FROM m"""))
 
+  // ---- q117: keyed snapshot diff (data-diff gate) ----
+  // "next" is a deterministic mutation of orders (drop every 97th key,
+  // flip status on every 13th, add every 101st under a shifted key),
+  // so both engines can derive the identical added/removed/changed/
+  // unchanged rollup from first principles. Compared columns are
+  // string/integer only — exact cross-engine stringification.
+
+  val q117 = Q(
+    "q117_snapshot_diff",
+    (s, dir) => {
+      val base = Tables(s, dir, "orders")
+      val next = base
+        .where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(base.where(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.ChangeCapture.snapshotDiff(base, next, "o_orderkey",
+          Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH nx AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS s,
+               o_custkey AS c, o_orderpriority AS p
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_custkey,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0),
+      bf AS (SELECT o_orderkey AS k,
+                    md5(coalesce(CAST(o_orderstatus AS VARCHAR), chr(1))
+                        || '|' || coalesce(CAST(o_custkey AS VARCHAR), chr(1))
+                        || '|' ||
+                        coalesce(CAST(o_orderpriority AS VARCHAR), chr(1)))
+                      AS fp
+             FROM orders),
+      nf AS (SELECT k,
+                    md5(coalesce(CAST(s AS VARCHAR), chr(1)) || '|' ||
+                        coalesce(CAST(c AS VARCHAR), chr(1)) || '|' ||
+                        coalesce(CAST(p AS VARCHAR), chr(1))) AS fp
+             FROM nx)
+      SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT CASE WHEN bf.k IS NULL THEN 'added'
+                    WHEN nf.k IS NULL THEN 'removed'
+                    WHEN bf.fp = nf.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM bf FULL OUTER JOIN nf ON bf.k = nf.k) t
+      GROUP BY 1 ORDER BY status"""))
+
   // ---- q109: referential-integrity (FK orphan) audit ----
   // Three healthy relations plus one deliberately broken one (parent
   // restricted to every 7th customer) prove the gate both passes clean
@@ -1379,5 +1432,6 @@ object ExtendedQueries {
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
-      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111)
+      q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
+      q117)
 }

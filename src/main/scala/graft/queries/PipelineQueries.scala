@@ -1122,6 +1122,32 @@ object PipelineQueries {
       ORDER BY d.doc_id"""
     })
 
+  // ---- q116: top-k PMI collocations (phrase mining) ----
+  // All counts exact longs; the PMI double derives identically in both
+  // engines before the fix4 ranking value, and ties break on the
+  // bigram text so the LIMIT is deterministic.
+
+  val q116 = Q(
+    "q116_pmi_collocations",
+    (s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5, k = 20),
+    Some(s"""
+      WITH $wordsCte,
+      x AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM w),
+      b AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM x),
+      c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+             FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+      l AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM b GROUP BY 1),
+      r AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_b FROM b GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM b)
+      SELECT w1, w2, c_ab,
+             ${Numerics.sqlFix(
+        "ln(CAST(c_ab AS DOUBLE) * n_bigrams / (CAST(c_a AS DOUBLE) * c_b))",
+        4)} AS pmi
+      FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+      ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
   // ---- q110: per-source language-distribution entropy ----
 
   val q110 = Q(
@@ -1146,5 +1172,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104, q106, q110, q112, q113, q114, q115)
+    q99, q100, q104, q106, q110, q112, q113, q114, q115, q116)
 }

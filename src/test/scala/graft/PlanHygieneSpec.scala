@@ -25,7 +25,7 @@ class PlanHygieneSpec extends SparkTestBase {
       "q102_psi_drift", "q103_key_skew", "q104_bm25_topk",
       "q106_triangle_census", "q109_fk_audit",
       // group-table-sized × 1-row broadcast scalar attach
-      "q114_mixture_weights")
+      "q114_mixture_weights", "q116_pmi_collocations")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

@@ -103,4 +103,19 @@ class ChangeCaptureSpec extends SparkTestBase {
     val b3 = Seq((2L, 333L, 40L, 5L, "U")).toDF("k", "v", "ms", "cid", "op")
     assert(live(m(ordered, b3)) === Set((1L, 111L), (2L, 333L)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; null != empty") {
+    val ss = spark
+    import ss.implicits._
+    val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (5L, None)).toDF("k", "v")
+    val next = Seq((2L, Some("b")), (3L, Some("c")), (4L, Some("d")),
+      (5L, Some(""))).toDF("k", "v")
+    val out = ChangeCapture.snapshotDiff(base, next, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // key 1 removed, 2 unchanged, 3 null->c changed, 4 added,
+    // 5 null->"" must be CHANGED (the sentinel keeps them distinct)
+    assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 1L))
+  }
 }

@@ -282,6 +282,27 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("pmiCollocations: hand-checked PMI, min-count floor, deterministic ties") {
+    val ss = spark
+    import ss.implicits._
+    // bigrams: (x,y)x3, (x,z)x1, (w,z)x1; N=5; c_a: x=4,w=1; c_b: y=3,z=2
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z"),
+      (5L, "w z")).toDF("doc_id", "text")
+    val all = TextAnalysis.pmiCollocations(docs, "text", minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // ln(1*5/(1*2))=0.9163 > ln(3*5/(4*3))=0.2231 > ln(1*5/(4*2))=-0.47
+    assert(all.toSeq == Seq(
+      ("w", "z", 1L, 0.9163),
+      ("x", "y", 3L, 0.2231),
+      ("x", "z", 1L, -0.47)))
+    // the count floor prunes singleton bigrams
+    val floored = TextAnalysis.pmiCollocations(docs, "text", minCount = 2,
+      k = 10).collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "y")))
+  }
+
   test("categoryEntropy: uniform maxes, constant zeroes") {
     val ss = spark
     import ss.implicits._
