@@ -138,6 +138,52 @@ object ChangeCapture {
     * the join ships digests, never row payloads.
     * Output: (status, n).
     */
+  /** SCD type-2 history build — turn an upsert changelog into the
+    * warehouse dimension shape (one row per key-version with
+    * `valid_from` / `valid_to` / `is_current`): consecutive changes
+    * that don't alter the tracked attributes collapse into one
+    * version, then validity intervals chain each version to the next.
+    *
+    * Determinism: versions order by (`tsCol`, `tieCol`) — the tie
+    * column (a unique event/sequence id) makes same-timestamp changes
+    * reproducible in any engine. No-change detection compares the
+    * tracked attributes null-safely via the same SOH-sentinel
+    * fingerprint as [[snapshotDiff]].
+    *
+    * Scale shape: ONE shuffle of the changelog by key; both windows
+    * (the lag that marks changes, the lead that chains intervals)
+    * share the (key, ts, tie) sort, so Spark plans a single Exchange +
+    * Sort with two Window operators on top. Output is linear in the
+    * number of genuine attribute changes, never in changelog volume.
+    * `is_current` is an int (1/0), not boolean, for cross-engine
+    * column compares. Output: (keyCol, attrCols…, valid_from,
+    * valid_to NULLABLE, is_current).
+    */
+  def scd2(
+      changelog: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val fp = md5(concat_ws("|", attrCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0001"))): _*))
+    val marked = graft.SparkUtil.ensureParallelism(changelog)
+      .withColumn("__fp", fp)
+      .withColumn("__changed",
+        lag(col("__fp"), 1).over(w).isNull ||
+          lag(col("__fp"), 1).over(w) =!= col("__fp"))
+    marked.where(col("__changed"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(
+        (col(keyCol) +: attrCols.map(col)) ++ Seq(
+          col(tsCol).as("valid_from"),
+          col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current")
+        ): _*)
+  }
+
   def snapshotDiff(
       base: DataFrame,
       next: DataFrame,

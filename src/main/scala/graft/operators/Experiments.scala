@@ -68,4 +68,81 @@ object Experiments {
       Numerics.fix4(mean("b")).as("mean_b"),
       Numerics.fix4(t).as("t_stat"))
   }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric companion
+    * to [[welchTTest]] for skewed metrics (revenue, latency) where a
+    * mean-based test misleads. Average ranks with exact tie handling,
+    * computed via the HISTOGRAM trick: rows reduce to one row per
+    * distinct metric value first, so no row-level global sort ever
+    * happens — the only ordered pass runs over the distinct-value
+    * table (|V| rows; for integer metrics |V| ≪ N at any scale).
+    *
+    * All rank sums stay in doubled-integer space (`2·R` is an exact
+    * long even with .5 average ranks), so U and the tie-corrected
+    * normal approximation
+    * z = (U_a − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − ΣT/(n(n−1))))
+    * with ΣT = Σ(t³−t) over tie groups derive bit-identically in any
+    * engine from six integers. Variant A = lexicographically smaller
+    * label; exactly two variants enforced like [[welchTTest]].
+    *
+    * Scale shape: one hash aggregate by (value) with map-side combine,
+    * one |V|-bounded cumulative window, one 2-row rollup. Output:
+    * 1 row (n_a, n_b, u_a, z_stat).
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      variantCol: String,
+      metricCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.SparkUtil.ensureParallelism(df)
+      .select(col(variantCol).cast("string").as("v"),
+        col(metricCol).cast("long").as("x"))
+    // variant-A label = lexicographic min: a 1-row broadcast attach,
+    // same determinism contract as welchTTest's min/max struct pivot
+    val lab = rows.agg(min(col("v")).as("va"),
+      countDistinct(col("v")).as("n_variants"))
+    // histogram: one row per distinct metric value, with the tie size
+    // and how many of the ties belong to variant A
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val g = rows.join(broadcast(lab))
+      .groupBy("x")
+      .agg(
+        count(lit(1)).as("t"),
+        count(when(col("v") === col("va"), 1)).as("ta"),
+        first(col("va")).as("va"),
+        first(col("n_variants")).as("n_variants"))
+    // |V|-bounded cumulative pass: group average rank doubled is
+    // 2·cum − t + 1 (an exact long); decimal(38,0) accumulators keep
+    // rank sums and Σ(t³−t) exact far past Long range
+    val cum = sum(col("t"))
+      .over(Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val m = g.withColumn("cum", cum)
+      .agg(
+        sum(col("ta")).as("n_a"),
+        sum(col("t")).as("n"),
+        sum(dec(col("ta")) *
+          (dec(col("cum")) * 2 - dec(col("t")) + 1)).as("r2a"),
+        sum((dec(col("t")) * dec(col("t")) - 1) * dec(col("t")))
+          .as("ties"),
+        first(col("va")).as("va"),
+        first(col("n_variants")).as("n_variants"))
+    val nA = col("n_a").cast("double")
+    val nB = (col("n") - col("n_a")).cast("double")
+    val n = col("n").cast("double")
+    // U doubled stays exact: U2 = 2R_a − n_a(n_a+1)
+    val u2 = col("r2a").cast("double") - nA * (nA + 1)
+    val variance = nA * nB / 12.0 *
+      ((n + 1) - col("ties").cast("double") / (n * (n - 1)))
+    val guard = when(col("n_variants") === 2, lit(1)).otherwise(
+      raise_error(concat(
+        lit("mannWhitneyU requires exactly 2 variants, got "),
+        col("n_variants").cast("string"))))
+    m.select(
+      (col("n_a") * guard).as("n_a"),
+      (col("n") - col("n_a")).as("n_b"),
+      Numerics.fix4(u2 / 2.0).as("u_a"),
+      Numerics.fix4((u2 - nA * nB) / (sqrt(variance) * 2.0))
+        .as("z_stat"))
+  }
 }

@@ -1195,6 +1195,86 @@ object ExtendedQueries {
         FROM bf FULL OUTER JOIN nf ON bf.k = nf.k) t
       GROUP BY 1 ORDER BY status"""))
 
+  // ---- q118: SCD type-2 history build ----
+  // The events log as a per-user status changelog: consecutive
+  // same-type events collapse into one version, versions chain into
+  // valid_from/valid_to intervals, the open interval is current.
+  // (ms, event_id) ordering makes same-millisecond changes
+  // deterministic in both engines.
+
+  val q118 = Q(
+    "q118_scd2_history",
+    (s, dir) =>
+      ChangeCapture.scd2(ev(s, dir), "user_id", "ms", "event_id",
+          Seq("event_type"))
+        .orderBy("user_id", "valid_from", "event_type"),
+    Some(s"""
+      WITH $evCte,
+      m AS (SELECT user_id, event_type, event_id, ms,
+                   lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ms, event_id) AS pt
+            FROM e),
+      v AS (SELECT user_id, event_type, ms AS valid_from,
+                   lead(ms) OVER
+                     (PARTITION BY user_id ORDER BY ms, event_id)
+                     AS valid_to
+            FROM m WHERE pt IS NULL OR pt <> event_type)
+      SELECT user_id, event_type, valid_from, valid_to,
+             CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM v
+      ORDER BY user_id, valid_from, event_type"""))
+
+  // ---- q119: Mann-Whitney U (rank-sum) A/B readout ----
+  // Same randomization unit as q107 (per-user cents, variant =
+  // user_id % 2) but the nonparametric decision: average ranks with
+  // exact tie handling via the distinct-value histogram, so no
+  // row-level global sort exists at any scale.
+
+  val q119 = Q(
+    "q119_mann_whitney",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+        .select((col("user_id") % 2).cast("string").as("variant"),
+          col("cents"))
+      graft.operators.Experiments.mannWhitneyU(perUser, "variant", "cents")
+    },
+    Some(s"""
+      WITH p AS (SELECT user_id,
+                        CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+                          AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+      r AS (SELECT CAST(user_id % 2 AS VARCHAR) AS v, x FROM p),
+      lab AS (SELECT min(v) AS va FROM r),
+      g AS (SELECT x, CAST(count(*) AS BIGINT) AS t,
+                   CAST(count(*) FILTER (WHERE v = va) AS BIGINT) AS ta
+            FROM r, lab GROUP BY 1),
+      c AS (SELECT *, CAST(sum(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+            FROM g),
+      m AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+                   CAST(sum(t) AS BIGINT) AS n,
+                   CAST(sum(ta * (2*cum - t + 1)) AS DOUBLE) AS r2a,
+                   CAST(sum((t*t - 1) * t) AS DOUBLE) AS ties
+            FROM c),
+      d AS (SELECT n_a, n,
+                   CAST(n_a AS DOUBLE) AS nad,
+                   CAST(n - n_a AS DOUBLE) AS nbd,
+                   CAST(n AS DOUBLE) AS nd,
+                   r2a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)
+                     AS u2,
+                   ties
+            FROM m)
+      SELECT n_a, n - n_a AS n_b,
+             ${Numerics.sqlFix("u2 / 2.0", 4)} AS u_a,
+             ${Numerics.sqlFix(
+        "(u2 - nad * nbd) / (2.0 * sqrt(nad * nbd / 12.0 * " +
+          "((nd + 1) - ties / (nd * (nd - 1)))))", 4)} AS z_stat
+      FROM d"""))
+
   // ---- q109: referential-integrity (FK orphan) audit ----
   // Three healthy relations plus one deliberately broken one (parent
   // restricted to every 7th customer) prove the gate both passes clean
@@ -1433,5 +1513,5 @@ object ExtendedQueries {
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
-      q117)
+      q117, q118, q119)
 }

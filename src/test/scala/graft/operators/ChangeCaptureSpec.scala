@@ -118,4 +118,32 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
       "unchanged" -> 1L))
   }
+
+  test("scd2 collapses no-change runs and chains validity intervals") {
+    val ss = spark
+    import ss.implicits._
+    val log = Seq(
+      // key 1: A A B A -> three versions (the second A is a no-change)
+      (1L, 1L, 1L, Some("A")), (1L, 2L, 2L, Some("A")),
+      (1L, 3L, 3L, Some("B")), (1L, 4L, 4L, Some("A")),
+      // key 2: single change -> one open version
+      (2L, 5L, 5L, Some("X")),
+      // key 3: same-timestamp changes order by the tie column
+      (3L, 7L, 6L, Some("P")), (3L, 7L, 7L, Some("Q")),
+      // key 4: null -> "" is a GENUINE change (sentinel keeps them apart)
+      (4L, 1L, 8L, None), (4L, 2L, 9L, Some(""))
+    ).toDF("k", "ts", "id", "status")
+    val out = ChangeCapture.scd2(log, "k", "ts", "id", Seq("status"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    assert(out == Set(
+      (1L, Some("A"), 1L, 3L, 0), (1L, Some("B"), 3L, 4L, 0),
+      (1L, Some("A"), 4L, -1L, 1),
+      (2L, Some("X"), 5L, -1L, 1),
+      (3L, Some("P"), 7L, 7L, 0), (3L, Some("Q"), 7L, -1L, 1),
+      (4L, None, 1L, 2L, 0), (4L, Some(""), 2L, -1L, 1)))
+  }
 }
