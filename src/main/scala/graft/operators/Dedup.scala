@@ -167,6 +167,68 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Prefix-filtered set-similarity join (AllPairs/PPJoin family) —
+    * the EXACT-recall alternative to LSH for word-set Jaccard ≥
+    * `threshold`: under a global token order, two sets with Jaccard ≥ θ
+    * MUST share a token inside their (len − ⌈θ·len⌉ + 1)-prefixes
+    * (pigeonhole on the smallest common token), so joining prefixes by
+    * token finds every qualifying pair — no LSH false negatives, no
+    * probabilistic tuning.
+    *
+    * The global order is (document frequency ASC, token ASC): each
+    * doc's RAREST tokens form its prefix, so candidate buckets are
+    * df-bounded and stopword-sized buckets never form. A length
+    * pre-filter (min/max ≥ θ, division form — double division is
+    * monotone, so the bound can never reject a pair the verify would
+    * keep) prunes before the exact-intersection verify. ⌈len·θ⌉ on
+    * doubles is conservative at representation boundaries (rounds the
+    * product down ⇒ longer prefix), so recall stays exact.
+    *
+    * Scale shape: token stream → two window passes (per-doc length,
+    * per-token df — both single key shuffles), prefix self-join by
+    * token, then an intersection count keyed by the pair. Work is
+    * Σ prefix-bucket², never n²; the corpus token stream is read, not
+    * shuffled, in the verify (it joins by id against the bounded
+    * candidate set). Output: (id_a, id_b, jaccard_sim), a < b.
+    */
+  def prefixFilterJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Texts.wordShingles(
+          Texts.words(col(textCol)), shingleWidth))).as("tok"))
+    val pref = toks
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("tok")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("tdf"), col("tok"))))
+      .where(col("rn") <= col("len") - ceil(col("len") * threshold) + 1)
+      .select(col("id"), col("tok"), col("len"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .where(least(col("a.len"), col("b.len")).cast("double") /
+        greatest(col("a.len"), col("b.len")) >= threshold)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .distinct()
+    cand
+      .join(toks.as("x"), col("x.id") === col("ia"))
+      .join(toks.as("y"),
+        col("y.id") === col("ib") && col("y.tok") === col("x.tok"))
+      .groupBy("ia", "ib", "la", "lb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("la") + col("lb") - col("inter")))
+      .where(col("j") >= threshold)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        Numerics.fix4(col("j")).as("jaccard_sim"))
+  }
+
   /** (id, band, key) band signature rows — the joinable LSH form shared
     * by full and incremental candidate generation.
     */

@@ -1148,6 +1148,23 @@ object PipelineQueries {
       FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
       ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
 
+  // ---- q120: prefix-filtered Jaccard join (exact-recall PPJoin) ----
+  // Same pair semantics as q23 (bigram-set Jaccard >= 0.6) but found
+  // by prefix filtering instead of MinHash-LSH: the oracle is the
+  // identical exact all-pairs SQL, and because prefix filtering has
+  // guaranteed recall, any pair LSH banding could theoretically miss
+  // would show up here as an oracle diff.
+
+  val q120 = Q(
+    "q120_prefix_jaccard_join",
+    (s, dir) =>
+      Dedup.prefixFilterJaccard(docs(s, dir), "doc_id", "text",
+          shingleWidth = 2, threshold = 0.6)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+    Some(jaccardPairsSql(2, 0.6)))
+
   // ---- q110: per-source language-distribution entropy ----
 
   val q110 = Q(
@@ -1172,5 +1189,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104, q106, q110, q112, q113, q114, q115, q116)
+    q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120)
 }

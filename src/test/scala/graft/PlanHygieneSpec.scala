@@ -25,7 +25,8 @@ class PlanHygieneSpec extends SparkTestBase {
       "q102_psi_drift", "q103_key_skew", "q104_bm25_topk",
       "q106_triangle_census", "q109_fk_audit",
       // group-table-sized × 1-row broadcast scalar attach
-      "q114_mixture_weights", "q116_pmi_collocations")
+      "q114_mixture_weights", "q116_pmi_collocations",
+      "q119_mann_whitney")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

@@ -245,4 +245,37 @@ class DedupSpec extends SparkTestBase {
     // extends past the planted text by those matching chars
     assert(expected.filter(_._1 <= 2L).forall(_._3 >= shared.length.toLong))
   }
+
+  test("prefixFilterJaccard equals the brute-force all-pairs scan") {
+    val ss = spark
+    import ss.implicits._
+    // word sets with controlled overlap, including a pair exactly at
+    // the threshold (3 shared of 6 union = 0.5) and a hub word ("the")
+    // present everywhere that must never by itself create output
+    val docsIn = Seq(
+      (1L, "the red fox jumps high"),
+      (2L, "the red fox jumps far"),   // j(1,2) = 4/6 = 0.6667
+      (3L, "the red fox sleeps"),      // j(1,3) = 3/6 = 0.5 boundary
+      (4L, "the blue whale swims deep"),
+      (5L, "the blue whale swims deep"), // exact dup of 4: j = 1
+      (6L, "a completely different document entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .prefixFilterJaccard(docsIn, "doc_id", "text",
+        shingleWidth = 1, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val sets = docsIn.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a) | sets(b)).size if j >= 0.5
+    } yield (a, b, math.floor(j * 10000 + 0.5) / 10000)).toSet
+    assert(out == expected)
+    assert(expected.contains((1L, 3L, 0.5)))    // boundary pair kept
+    assert(expected.contains((4L, 5L, 1.0)))
+    assert(!expected.exists(p => p._1 == 6L || p._2 == 6L))
+  }
 }
