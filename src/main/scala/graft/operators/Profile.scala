@@ -222,6 +222,72 @@ object Profile {
     }.reduceLeft(_.unionByName(_))
   }
 
+  /** Join-key discovery — the joinability profile run over a lake of
+    * unlabeled tables to find FK-like relationships: for each declared
+    * candidate (child column → parent column) pair, the distinct-value
+    * CONTAINMENT |child ∩ parent| / |child| (the asymmetric Jaccard
+    * that ranks key candidates in data-discovery systems). A
+    * containment near 1 with a plausible cardinality ratio is a join
+    * edge; a low containment kills the candidate.
+    *
+    * Scale shape — same single-scan grouping as [[fkAudit]]: candidates
+    * sharing a child plan unpivot through ONE posexplode, reduce to
+    * DISTINCT (candidate, value) pairs immediately (the 100 TB move:
+    * distinct-of-keys is orders smaller than the table), then ONE
+    * full-outer join against the union of parent distinct-key sets —
+    * child cardinality, parent cardinality, and the intersection all
+    * fall out of a single aggregate over the joined stream, so no
+    * second count-attach join exists to degenerate. Values compare
+    * as canonical strings so heterogeneous key columns share one
+    * stream. NULL child keys count in the denominator but never
+    * intersect; NULL parent keys are dropped (count(DISTINCT)
+    * semantics). Output: (pair_name, n_child_distinct,
+    * n_parent_distinct, n_inter, containment), ranked
+    * containment-first.
+    */
+  def joinKeyDiscovery(
+      candidates: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate pair")
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.Buffer[
+        (String, DataFrame, String, DataFrame, String)]]
+    candidates.zipWithIndex.foreach { case (cand, i) =>
+      val key = groups.keys
+        .find(j => candidates(j)._2.sameSemantics(cand._2))
+        .getOrElse(i)
+      groups.getOrElseUpdate(
+        key, scala.collection.mutable.Buffer.empty) += cand
+    }
+    groups.values.map { cands =>
+      val childDistinct = graft.SparkUtil.ensureParallelism(cands.head._2)
+        .select(posexplode(
+          array(cands.map(c => col(c._3).cast("string")).toSeq: _*))
+          .as(Seq("__idx", "__v")))
+        .distinct()
+        .withColumn("__c", lit(1))
+      val parents = cands.zipWithIndex.map {
+        case ((_, _, _, parent, pCol), j) =>
+          parent.where(col(pCol).isNotNull)
+            .select(lit(j).as("__idx"),
+              col(pCol).cast("string").as("__v")).distinct()
+      }.reduceLeft(_.unionByName(_))
+        .withColumn("__p", lit(1))
+      val names = array(cands.map(c => lit(c._1)).toSeq: _*)
+      childDistinct.join(parents, Seq("__idx", "__v"), "full_outer")
+        .groupBy("__idx")
+        .agg(count(col("__c")).as("n_child_distinct"),
+          count(col("__p")).as("n_parent_distinct"),
+          count(when(col("__c").isNotNull && col("__p").isNotNull, 1))
+            .as("n_inter"))
+        .select(element_at(names, col("__idx") + 1).as("pair_name"),
+          col("n_child_distinct"), col("n_parent_distinct"),
+          col("n_inter"),
+          graft.functions.Numerics.fix4(col("n_inter").cast("double") /
+            col("n_child_distinct")).as("containment"))
+    }.reduceLeft(_.unionByName(_))
+  }
+
   /** Join-key skew profiler — the diagnostic that decides whether a
     * key needs salting before a 100 TB join: per-key counts, then the
     * `topN` heaviest keys with their share of all rows. One

@@ -1195,6 +1195,97 @@ object ExtendedQueries {
         FROM bf FULL OUTER JOIN nf ON bf.k = nf.k) t
       GROUP BY 1 ORDER BY status"""))
 
+  // ---- q121: join-key discovery (containment profiling) ----
+  // Six candidate edges over five tables: four true FKs (containment
+  // 1), one near-FK (events.user_id ⊂ customer keys except id 0), one
+  // wrong guess (order custkeys vs supplier keys) that must rank last.
+  // Candidates sharing a child table cost ONE scan of it.
+
+  private def jkBlock(
+      name: String, childT: String, childC: String,
+      parentT: String, parentC: String): String = s"""
+      SELECT '$name' AS pair_name,
+             CAST(count(*) AS BIGINT) AS n_child_distinct,
+             (SELECT CAST(count(DISTINCT $parentC) AS BIGINT)
+              FROM $parentT) AS n_parent_distinct,
+             CAST(count(p.__v) AS BIGINT) AS n_inter,
+             ${Numerics.sqlFix(
+      "CAST(count(p.__v) AS DOUBLE) / count(*)", 4)} AS containment
+      FROM (SELECT DISTINCT CAST($childC AS VARCHAR) AS __v
+            FROM $childT) c
+      LEFT JOIN (SELECT DISTINCT CAST($parentC AS VARCHAR) AS __v
+                 FROM $parentT) p ON c.__v = p.__v"""
+
+  val q121 = Q(
+    "q121_join_discovery",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      Profile.joinKeyDiscovery(Seq(
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", ord, "o_orderkey"),
+          ("lineitem.l_partkey->part.p_partkey",
+            li, "l_partkey", Tables(s, dir, "part"), "p_partkey"),
+          ("lineitem.l_suppkey->supplier.s_suppkey",
+            li, "l_suppkey", Tables(s, dir, "supplier"), "s_suppkey"),
+          ("orders.o_custkey->customer.c_custkey",
+            ord, "o_custkey", Tables(s, dir, "customer"), "c_custkey"),
+          ("orders.o_custkey->supplier.s_suppkey",
+            ord, "o_custkey", Tables(s, dir, "supplier"), "s_suppkey"),
+          ("events.user_id->customer.c_custkey",
+            Tables.events(s, dir), "user_id",
+            Tables(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("containment").desc, col("pair_name"))
+    },
+    Some(s"""
+      SELECT * FROM (
+      ${Seq(
+      jkBlock("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      jkBlock("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      jkBlock("lineitem.l_suppkey->supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      jkBlock("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      jkBlock("orders.o_custkey->supplier.s_suppkey",
+        "orders", "o_custkey", "supplier", "s_suppkey"),
+      jkBlock("events.user_id->customer.c_custkey",
+        "events", "user_id", "customer", "c_custkey")).mkString(
+      "\n      UNION ALL\n")}
+      ) t ORDER BY containment DESC, pair_name"""))
+
+  // ---- q122: Z-order (Morton) clustering locality readout ----
+  // (l_partkey, l_suppkey) on a 256×256 grid, z-range split into 32
+  // file-sized slices: every slice's bounding rectangle stays bounded
+  // on BOTH dimensions — the zone-map pruning a single-column sort
+  // cannot give. Pure integer bit math, exact in both engines.
+
+  val q122 = Q(
+    "q122_zorder_layout",
+    (s, dir) =>
+      graft.operators.Layout.zorderStats(
+          Tables(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          bits = 8, buckets = 32)
+        .orderBy("bucket"),
+    Some {
+      val zTerms = (0 until 8).map(i =>
+        s"(((gx >> $i) & 1) << ${2 * i + 1}) | (((gy >> $i) & 1) << ${2 * i})")
+        .mkString(" | ")
+      s"""
+      WITH b AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                        min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+                 FROM lineitem),
+      g AS (SELECT ((l_partkey - mnx) * 256) // (mxx - mnx + 1) AS gx,
+                   ((l_suppkey - mny) * 256) // (mxy - mny + 1) AS gy
+            FROM lineitem, b),
+      z AS (SELECT gx, gy, ($zTerms) AS zv FROM g)
+      SELECT zv // 2048 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             min(gx) AS min_gx, max(gx) AS max_gx,
+             min(gy) AS min_gy, max(gy) AS max_gy
+      FROM z GROUP BY 1 ORDER BY bucket"""
+    })
+
   // ---- q118: SCD type-2 history build ----
   // The events log as a per-user status changelog: consecutive
   // same-type events collapse into one version, versions chain into
@@ -1513,5 +1604,5 @@ object ExtendedQueries {
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
-      q117, q118, q119)
+      q117, q118, q119, q121, q122)
 }

@@ -26,7 +26,7 @@ class PlanHygieneSpec extends SparkTestBase {
       "q106_triangle_census", "q109_fk_audit",
       // group-table-sized × 1-row broadcast scalar attach
       "q114_mixture_weights", "q116_pmi_collocations",
-      "q119_mann_whitney")
+      "q119_mann_whitney", "q122_zorder_layout")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

@@ -114,4 +114,26 @@ class ProfileSpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
     assert(scans == 3, s"expected 3 scans (child shared), got $scans")
   }
+
+  test("joinKeyDiscovery ranks candidates by distinct-value containment") {
+    val ss = spark
+    import ss.implicits._
+    // child distincts {1,2,3,null}; full FK to p1, partial to p2 —
+    // dup child rows must not inflate the distinct counts, and the
+    // null child value counts in the denominator but never intersects
+    val child = Seq(1L, 2L, 2L, 3L).map(Option(_))
+      .appended(None).toDF("k")
+    val p1 = Seq(1L, 2L, 3L, 9L).toDF("pk")
+    val p2 = Seq(2L, 3L).toDF("pk")
+    val out = Profile.joinKeyDiscovery(Seq(
+        ("c->p1", child, "k", p1, "pk"),
+        ("c->p2", child, "k", p2, "pk")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(out == Set(
+      ("c->p1", 4L, 4L, 3L, 0.75),
+      ("c->p2", 4L, 2L, 2L, 0.5)))
+  }
 }
