@@ -184,49 +184,105 @@ object Dedup {
     * doubles is conservative at representation boundaries (rounds the
     * product down ⇒ longer prefix), so recall stays exact.
     *
+    * The prefix join also carries PPJoin's POSITIONAL filter: a match
+    * at (1-based) global-order positions (pa, pb) bounds the overlap
+    * by 1 + min(la − pa, lb − pb) — valid at the pair's FIRST matching
+    * token because any earlier common token would sit earlier in BOTH
+    * sorted sets (same global order) and so inside both prefixes,
+    * contradicting "first" — and a pair survives if ANY of its
+    * matching rows passes, so the first-match bound is always applied
+    * and recall stays exact. The required-overlap threshold
+    * ⌈θ/(1+θ)·(la+lb)⌉ takes a 1e-9 slack before ceil so a
+    * representation error in the product can only LOOSEN the filter
+    * (θ=0.6 ⇒ factor 0.375 is exactly representable anyway). On a
+    * template-heavy corpus (shared boilerplate makes even the rarest
+    * prefix tokens common) this cuts candidates several-fold where the
+    * df-order alone saturates.
+    *
     * Scale shape: token stream → two window passes (per-doc length,
-    * per-token df — both single key shuffles), prefix self-join by
-    * token, then an intersection count keyed by the pair. Work is
-    * Σ prefix-bucket², never n²; the corpus token stream is read, not
-    * shuffled, in the verify (it joins by id against the bounded
-    * candidate set). Output: (id_a, id_b, jaccard_sim), a < b.
+    * per-token df — both single key shuffles) into a PERSISTED prefix
+    * table (the self-join references it twice and exchange reuse does
+    * NOT cover the window subtree — unpersisted, the whole
+    * text→shingle→window pipeline re-executes per side, measured 4×
+    * the query), prefix self-join by token, then a per-pair verify
+    * over PERSISTED packed per-doc token-hash arrays:
+    * |a∩b| via `array_intersect` on xxhash64'd shingles (longs — a
+    * string-array intersect measured ~10× slower at 2.4M pairs) and
+    * J = inter / (la + lb − inter), so no union pass. Hashing is safe
+    * for the exact-result claim to ~1e-12: a false merge needs an
+    * xxhash64 collision WITHIN one compared pair's ≤10³-token union,
+    * P ≈ Σ_pairs |union|²/2⁶⁴. Work is Σ prefix-bucket², never n².
+    * Output: (id_a, id_b, jaccard_sim), a < b.
     */
   def prefixFilterJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleWidth: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    prefixFilterJaccardRun(df, idCol, textCol, shingleWidth, threshold).result
+
+  /** [[prefixFilterJaccard]] plus the handle releasing the internally
+    * cached prefix and token-hash-array tables.
+    */
+  final class PrefixJoinRun private[operators] (
+      val result: DataFrame,
+      pref: DataFrame,
+      hdocs: DataFrame) {
+    /** Unpersist the cached prefix/array tables (call after materializing). */
+    def release(): Unit = { pref.unpersist(); hdocs.unpersist(): Unit }
+  }
+
+  def prefixFilterJaccardRun(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int,
+      threshold: Double): PrefixJoinRun = {
     import org.apache.spark.sql.expressions.Window
-    val toks = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(Texts.wordShingles(
-          Texts.words(col(textCol)), shingleWidth))).as("tok"))
+    val base = graft.SparkUtil.ensureParallelism(df)
+    val shingleExpr = array_distinct(
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth))
+    val toks = base
+      .select(col(idCol).as("id"), explode(shingleExpr).as("tok"))
     val pref = toks
       .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("tdf", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("tdf"), col("tok"))))
       .where(col("rn") <= col("len") - ceil(col("len") * threshold) + 1)
-      .select(col("id"), col("tok"), col("len"))
+      .select(col("id"), col("tok"), col("len"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // required overlap for Jaccard >= θ: ⌈θ/(1+θ)·(la+lb)⌉
+    val alpha = ceil(
+      (col("a.len") + col("b.len")) * lit(threshold / (1.0 + threshold)) -
+        lit(1e-9))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .where(least(col("a.len"), col("b.len")).cast("double") /
-        greatest(col("a.len"), col("b.len")) >= threshold)
-      .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        col("a.len").as("la"), col("b.len").as("lb"))
+        greatest(col("a.len"), col("b.len")) >= threshold &&
+        lit(1) + least(col("a.len") - col("a.rn"),
+          col("b.len") - col("b.rn")) >= alpha)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
-      .join(toks.as("x"), col("x.id") === col("ia"))
-      .join(toks.as("y"),
-        col("y.id") === col("ib") && col("y.tok") === col("x.tok"))
-      .groupBy("ia", "ib", "la", "lb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("j", col("inter").cast("double") /
-        (col("la") + col("lb") - col("inter")))
+    val hdocs = toks
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("len"), collect_list(col("h")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = cand
+      .join(hdocs.select(col("id").as("id_a"), col("len").as("la"),
+        col("sh").as("sh_a")), "id_a")
+      .join(hdocs.select(col("id").as("id_b"), col("len").as("lb"),
+        col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("la") + col("lb") - col("inter"))).as("j"))
       .where(col("j") >= threshold)
-      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+      .select(col("id_a"), col("id_b"),
         Numerics.fix4(col("j")).as("jaccard_sim"))
+    new PrefixJoinRun(result, pref, hdocs)
   }
 
   /** (id, band, key) band signature rows — the joinable LSH form shared
