@@ -145,4 +145,126 @@ object Experiments {
       Numerics.fix4((u2 - nA * nB) / (sqrt(variance) * 2.0))
         .as("z_stat"))
   }
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    * industry-standard variance-reduction adjustment: regress the
+    * experiment metric y on a pre-period covariate x (pooled
+    * θ = Cov(x,y)/Var(x)), analyze ŷ = y − θ·(x − x̄) instead of y.
+    * Same treatment-effect estimate, Var shrunk by the squared
+    * correlation — detectable effects shrink by √(1−ρ²) with zero
+    * extra traffic.
+    *
+    * Input: one row per unit with exact-integer `preCol` x and
+    * `metricCol` y (cents/counts; caller fixes the unit).
+    * `variantCol` exactly two values, A = lexicographic min.
+    *
+    * Scale shape: ONE hash aggregate by variant reduces everything to
+    * 2 rows of (n, Σx, Σy, Σx², Σy², Σxy) — products in
+    * decimal(38,0) so ~1e6-cent units over ~1e9 rows never overflow —
+    * then a 1-row min/max-struct pivot; θ, the adjusted means, the
+    * adjusted-variance Welch t and the realized variance-reduction
+    * ratio are closed-form doubles on those 12 integers, identical in
+    * any engine. Output: 1 row (n_a, n_b, theta, mean_adj_a,
+    * mean_adj_b, t_cuped, var_reduction).
+    */
+  def cuped(
+      df: DataFrame,
+      variantCol: String,
+      preCol: String,
+      metricCol: String): DataFrame = {
+    val xd = col("x").cast("decimal(18,0)")
+    val yd = col("y").cast("decimal(18,0)")
+    val m = graft.SparkUtil.ensureParallelism(df)
+      .select(col(variantCol).cast("string").as("v"),
+        col(preCol).cast("long").as("x"),
+        col(metricCol).cast("long").as("y"))
+      .groupBy("v")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
+        sum(xd * yd).as("sxy"))
+    val one = m.agg(
+      min(struct(col("v"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"))).as("a"),
+      max(struct(col("v"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"))).as("b"),
+      count(lit(1)).as("n_variants"))
+    def d(s: String, f: String) = col(s + "." + f).cast("double")
+    // pooled sums (exact in double far below 2^53 after the decimal
+    // accumulation; the casts happen once, the arithmetic is ordered
+    // identically in the oracle transcription)
+    val n = d("a", "n") + d("b", "n")
+    val sx = d("a", "sx") + d("b", "sx")
+    val sy = d("a", "sy") + d("b", "sy")
+    val sxx = d("a", "sxx") + d("b", "sxx")
+    val syy = d("a", "syy") + d("b", "syy")
+    val sxy = d("a", "sxy") + d("b", "sxy")
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val rho2 = ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+      ((sxx - sx * sx / n) * (syy - sy * sy / n))
+    val xbar = sx / n
+    def meanAdj(s: String) =
+      d(s, "sy") / d(s, "n") - theta * (d(s, "sx") / d(s, "n") - xbar)
+    // per-variant adjusted variance:
+    // (Syy − n·ȳ² − 2θ(Sxy − n·x̄ȳ) + θ²(Sxx − n·x̄²)) / (n − 1)
+    def varAdj(s: String) = {
+      val nn = d(s, "n")
+      val mx = d(s, "sx") / nn
+      val my = d(s, "sy") / nn
+      ((d(s, "syy") - nn * (my * my)) -
+        theta * 2 * (d(s, "sxy") - nn * (mx * my)) +
+        theta * theta * (d(s, "sxx") - nn * (mx * mx))) / (nn - 1)
+    }
+    val t = (meanAdj("a") - meanAdj("b")) /
+      sqrt(varAdj("a") / d("a", "n") + varAdj("b") / d("b", "n"))
+    val guard = when(col("n_variants") === 2, lit(1)).otherwise(
+      raise_error(concat(
+        lit("cuped requires exactly 2 variants, got "),
+        col("n_variants").cast("string"))))
+    one.select(
+      (col("a.n") * guard).as("n_a"),
+      col("b.n").as("n_b"),
+      Numerics.fix4(theta).as("theta"),
+      Numerics.fix4(meanAdj("a")).as("mean_adj_a"),
+      Numerics.fix4(meanAdj("b")).as("mean_adj_b"),
+      Numerics.fix4(t).as("t_cuped"),
+      Numerics.fix4(rho2).as("var_reduction"))
+  }
+
+  /** Pearson chi-square test of independence over two categorical
+    * columns (variant × outcome — the guardrail test for conversion
+    * tables and sample-ratio-mismatch checks).
+    *
+    * Scale shape: ONE hash aggregate collapses the input to the
+    * contingency cells (r·c rows — dozens); row/column totals are
+    * windows over that tiny cell table, never a second scan; the
+    * statistic is one more cell-table aggregate. χ² = Σ (O−E)²/E with
+    * E = rowTot·colTot/N in doubles over exact long counts.
+    * Output: 1 row (n, dof, chi2).
+    */
+  def chiSquareIndependence(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = graft.SparkUtil.ensureParallelism(df)
+      .select(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .groupBy("r", "c")
+      .agg(count(lit(1)).as("o"))
+    val withTot = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy("r")))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy("c")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    val od = col("o").cast("double")
+    withTot.agg(
+      sum(col("o")).as("n_rows"),
+      ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1))
+        .as("dof"),
+      sum((od - e) * (od - e) / e).as("chi2_raw"))
+      .select(col("n_rows").as("n"), col("dof"),
+        Numerics.fix4(col("chi2_raw")).as("chi2"))
+  }
 }

@@ -1286,6 +1286,119 @@ object ExtendedQueries {
       FROM z GROUP BY 1 ORDER BY bucket"""
     })
 
+  // ---- q123: CUPED variance-reduced A/B readout ----
+  // Pre-period covariate x = user's even-event cents, experiment
+  // metric y = odd-event cents: both track per-user activity scale,
+  // so θ lands far from 0 and the variance-reduction ratio is a real
+  // readout, not noise. All moments exact longs; every double op is
+  // transcribed in the identical order in the oracle.
+
+  val q123 = Q(
+    "q123_cuped_ab",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("event_id") % 2 === 0,
+            floor(col("value") * 100.0 + 0.5).cast("long"))), lit(0L))
+            .as("pre_cents"),
+          coalesce(sum(when(col("event_id") % 2 =!= 0,
+            floor(col("value") * 100.0 + 0.5).cast("long"))), lit(0L))
+            .as("cents"))
+        .select((col("user_id") % 2).cast("string").as("variant"),
+          col("pre_cents"), col("cents"))
+      graft.operators.Experiments.cuped(
+        perUser, "variant", "pre_cents", "cents")
+    },
+    Some(s"""
+      WITH p AS (SELECT user_id,
+          CAST(coalesce(sum(CASE WHEN event_id % 2 = 0
+            THEN CAST(floor(value*100.0 + 0.5) AS BIGINT) END), 0)
+            AS BIGINT) AS x,
+          CAST(coalesce(sum(CASE WHEN event_id % 2 <> 0
+            THEN CAST(floor(value*100.0 + 0.5) AS BIGINT) END), 0)
+            AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      s AS (SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x*x) AS BIGINT) AS sxx,
+          CAST(sum(y*y) AS BIGINT) AS syy,
+          CAST(sum(x*y) AS BIGINT) AS sxy
+        FROM p GROUP BY 1),
+      a AS (SELECT * FROM s ORDER BY v ASC LIMIT 1),
+      b AS (SELECT * FROM s ORDER BY v DESC LIMIT 1),
+      m AS (SELECT a.n AS na_l, b.n AS nb_l,
+          CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) AS n,
+          CAST(a.sx AS DOUBLE) + CAST(b.sx AS DOUBLE) AS sx,
+          CAST(a.sy AS DOUBLE) + CAST(b.sy AS DOUBLE) AS sy,
+          CAST(a.sxx AS DOUBLE) + CAST(b.sxx AS DOUBLE) AS sxx,
+          CAST(a.syy AS DOUBLE) + CAST(b.syy AS DOUBLE) AS syy,
+          CAST(a.sxy AS DOUBLE) + CAST(b.sxy AS DOUBLE) AS sxy,
+          CAST(a.n AS DOUBLE) AS an, CAST(a.sx AS DOUBLE) AS asx,
+          CAST(a.sy AS DOUBLE) AS asy, CAST(a.sxx AS DOUBLE) AS asxx,
+          CAST(a.syy AS DOUBLE) AS asyy, CAST(a.sxy AS DOUBLE) AS asxy,
+          CAST(b.n AS DOUBLE) AS bn, CAST(b.sx AS DOUBLE) AS bsx,
+          CAST(b.sy AS DOUBLE) AS bsy, CAST(b.sxx AS DOUBLE) AS bsxx,
+          CAST(b.syy AS DOUBLE) AS bsyy, CAST(b.sxy AS DOUBLE) AS bsxy
+        FROM a, b),
+      t AS (SELECT na_l, nb_l, n, sx, an, asx, asy, bn, bsx, bsy,
+          asxx, asyy, asxy, bsxx, bsyy, bsxy,
+          (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+          ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+            ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2
+        FROM m),
+      f AS (SELECT na_l, nb_l, theta, rho2,
+          asy / an - theta * (asx / an - sx / n) AS ma,
+          bsy / bn - theta * (bsx / bn - sx / n) AS mb,
+          ((asyy - an * ((asy / an) * (asy / an))) -
+            theta * 2 * (asxy - an * ((asx / an) * (asy / an))) +
+            theta * theta * (asxx - an * ((asx / an) * (asx / an))))
+            / (an - 1) AS va,
+          ((bsyy - bn * ((bsy / bn) * (bsy / bn))) -
+            theta * 2 * (bsxy - bn * ((bsx / bn) * (bsy / bn))) +
+            theta * theta * (bsxx - bn * ((bsx / bn) * (bsx / bn))))
+            / (bn - 1) AS vb,
+          an, bn
+        FROM t)
+      SELECT na_l AS n_a, nb_l AS n_b,
+             ${Numerics.sqlFix("theta", 4)} AS theta,
+             ${Numerics.sqlFix("ma", 4)} AS mean_adj_a,
+             ${Numerics.sqlFix("mb", 4)} AS mean_adj_b,
+             ${Numerics.sqlFix(
+        "(ma - mb) / sqrt(va / an + vb / bn)", 4)} AS t_cuped,
+             ${Numerics.sqlFix("rho2", 4)} AS var_reduction
+      FROM f"""))
+
+  // ---- q124: chi-square independence (variant x event type) ----
+
+  val q124 = Q(
+    "q124_chi_square",
+    (s, dir) =>
+      graft.operators.Experiments.chiSquareIndependence(
+        Tables.events(s, dir)
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("event_type")),
+        "variant", "event_type"),
+    Some(s"""
+      WITH cells AS (SELECT CAST(user_id % 2 AS VARCHAR) AS r,
+          event_type AS c, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT o,
+          CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+          CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS ct,
+          CAST(sum(o) OVER () AS BIGINT) AS n,
+          r, c
+        FROM cells)
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+               AS BIGINT) AS dof,
+             ${Numerics.sqlFix(
+        "sum((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) * " +
+          "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n) / " +
+          "(CAST(rt AS DOUBLE) * ct / n))", 4)} AS chi2
+      FROM t"""))
+
   // ---- q118: SCD type-2 history build ----
   // The events log as a per-user status changelog: consecutive
   // same-type events collapse into one version, versions chain into
@@ -1604,5 +1717,5 @@ object ExtendedQueries {
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
-      q117, q118, q119, q121, q122)
+      q117, q118, q119, q121, q122, q123, q124)
 }

@@ -71,4 +71,56 @@ class ExperimentsSpec extends SparkTestBase {
     assert(e.getMessage.contains("exactly 2 variants") ||
       Option(e.getCause).exists(_.getMessage.contains("exactly 2 variants")))
   }
+
+  test("cuped: hand-checked theta, adjusted means, t, variance reduction") {
+    val ss = spark
+    import ss.implicits._
+    // a: (x,y) = (1,2),(2,4); b: (3,7),(4,9)
+    // pooled: n=4 sx=10 sy=22 sxx=30 syy=150 sxy=67
+    // θ = (67−55)/(30−25) = 2.4; ρ² = 12²/(5·29) = 144/145 -> 0.9931
+    // x̄ = 2.5; m_a = 3 − 2.4·(1.5−2.5) = 5.4; m_b = 8 − 2.4·1 = 5.6
+    // v_a = v_b = 2 − 4.8 + 2.88 = 0.08
+    // t = −0.2/√(0.04+0.04) = −0.70710.. -> −0.7071
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 3L, 7L),
+      ("b", 4L, 9L)).toDF("variant", "x", "y")
+    val r = Experiments.cuped(df, "variant", "x", "y").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.4)
+    assert(r.getDouble(3) == 5.4 && r.getDouble(4) == 5.6)
+    assert(r.getDouble(5) == -0.7071)
+    assert(r.getDouble(6) == 0.9931)
+  }
+
+  test("cuped: three variants FAIL instead of silently dropping one") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("a", 1L, 1L), ("b", 2L, 2L), ("c", 3L, 3L))
+      .toDF("variant", "x", "y")
+    val e = intercept[Exception] {
+      Experiments.cuped(df, "variant", "x", "y").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 variants") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly 2 variants")))
+  }
+
+  test("chiSquareIndependence: hand-checked 2x2 and independent table") {
+    val ss = spark
+    import ss.implicits._
+    // 2×2: a:(x 10, y 20), b:(x 20, y 10); all E = 15
+    // χ² = 4·25/15 = 6.6667, dof = 1
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = Experiments
+      .chiSquareIndependence(rows.toDF("v", "c"), "v", "c")
+      .collect().head
+    assert(r.getLong(0) == 60L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 6.6667)
+    // perfectly proportional table -> χ² = 0 exactly
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r2 = Experiments
+      .chiSquareIndependence(ind.toDF("v", "c"), "v", "c")
+      .collect().head
+    assert(r2.getLong(0) == 45L && r2.getDouble(2) == 0.0)
+  }
 }
