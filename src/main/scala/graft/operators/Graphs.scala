@@ -174,4 +174,100 @@ object Graphs {
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
     new TriangleRun(result, e)
   }
+
+  /** [[kcoreDegrees]] plus the handle releasing the internally cached
+    * final edge set.
+    */
+  final class KcoreRun private[operators] (
+      val result: DataFrame,
+      edges: DataFrame) {
+    /** Unpersist the cached k-core edge list (call after materializing). */
+    def release(): Unit = { edges.unpersist(): Unit }
+  }
+
+  /** k-core decomposition — the maximal subgraph in which every node
+    * has degree ≥ k, found by iterated peeling of sub-k nodes. On a
+    * near-dup graph the k-core separates DENSE duplication (template
+    * families, boilerplate farms — what you delete wholesale) from
+    * incidental pairwise matches; it is also the standard first cut
+    * for community cores and spam-cluster mining.
+    *
+    * Iteration state is the SYMMETRIC alive-edge set, and each round
+    * is two count-windows (per-src, per-dst degree) plus one filter —
+    * the state is referenced exactly ONCE per round, so the logical
+    * plan grows linearly in rounds (see [[graft.operators.Dedup
+    * .clustersFromPairs]] for why a twice-referenced state is
+    * exponential). Removing every edge whose endpoint is sub-k this
+    * round peels exactly the nodes a per-node formulation would peel
+    * (the edge set is symmetric, so src-degree = dst-degree = the
+    * node's degree), and the k-core fixpoint is unique regardless of
+    * peeling order. Each round persists its (shrinking) edge set and
+    * releases the previous one; convergence = edge count unchanged.
+    *
+    * Scale shape: per round, two hash-partition window passes over the
+    * current edge set — no joins, no broadcast, skew-free (a hub's
+    * edges land in one partition only if a single node's degree
+    * approaches partition size — at that density the graph itself is
+    * the problem). Rounds are bounded by the peel depth (≤ graph
+    * degeneracy ordering length, ~10-20 on real near-dup graphs);
+    * `maxIter` guards pathological chains and THROWS rather than
+    * returning a non-core.
+    *
+    * Output: (idCol, core_degree) for every surviving node.
+    */
+  def kcoreDegrees(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxIter: Int = 50): DataFrame = {
+    val run = kcoreDegreesRun(pairs, aCol, bCol, k, maxIter)
+    run.result
+  }
+
+  def kcoreDegreesRun(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxIter: Int = 50): KcoreRun = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    // same undirected-simple-graph hygiene as triangleRun: normalize
+    // orientation, drop self-loops, dedup, THEN symmetrize
+    val e = graft.SparkUtil.ensureParallelism(pairs)
+      .select(col(aCol).cast("long").as("a0"), col(bCol).cast("long").as("b0"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    var alive = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var n = alive.count()
+    var iter = 0
+    var converged = n == 0L
+    while (!converged && iter < maxIter) {
+      val next = alive
+        .withColumn("sd", count(lit(1)).over(Window.partitionBy("src")))
+        .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
+        .where(col("sd") >= k && col("dd") >= k)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n2 = next.count()
+      if (n2 == n) { next.unpersist(); converged = true }
+      else { alive.unpersist(); alive = next; n = n2; converged = n == 0L }
+      iter += 1
+    }
+    if (!converged) {
+      alive.unpersist()
+      throw new IllegalStateException(
+        s"kcoreDegrees did not converge in $maxIter rounds — peel depth " +
+          "exceeds maxIter; raise maxIter")
+    }
+    val result = alive.groupBy(col("src"))
+      .agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+    new KcoreRun(result, alive)
+  }
 }

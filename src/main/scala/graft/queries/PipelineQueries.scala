@@ -1016,6 +1016,52 @@ object PipelineQueries {
                AS n_triangles"""
     })
 
+  // ---- q125: k-core of the near-dup graph ----
+  // k=2 over the simhash radius-1 graph: the 2-core keeps only nodes
+  // inside cycles/cliques of duplication (template families), peeling
+  // pendant chains and isolated pairs. The oracle chains 18 idempotent
+  // peel steps — the measured peel depth is 2 at sf0.01 and 12 at
+  // sf0.1, and a step past the fixpoint is the identity, so any chain
+  // >= the true depth yields THE k-core (which is unique and
+  // order-independent).
+
+  val q125 = Q(
+    "q125_kcore",
+    (s, dir) =>
+      graft.operators.Graphs.kcoreDegrees(
+          Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 1),
+          "id_a", "id_b", k = 2)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id"),
+    Some {
+      val terms = (0 until 16).map { k =>
+        val shift = (14 - k / 4) * 4 + k % 4
+        s"""(CASE WHEN list_sum([2*((('0x'||substr(md5(x),1,15))::BIGINT
+           >> $shift) & 1)-1 for x in sh]) > 0
+           THEN ${1 << k} ELSE 0 END)"""
+      }.mkString(" + ")
+      def peel(prev: String, cur: String) =
+        s"""$cur AS (SELECT src, dst FROM (
+             SELECT src, dst,
+               count(*) OVER (PARTITION BY src) AS sd,
+               count(*) OVER (PARTITION BY dst) AS dd
+             FROM $prev) WHERE sd >= 2 AND dd >= 2)"""
+      val chain = (1 to 18)
+        .map(i => peel(s"s${i - 1}", s"s$i")).mkString(",\n      ")
+      s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      sig AS (SELECT doc_id, CAST($terms AS INT) AS simhash FROM sh),
+      e AS (SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+      s0 AS (SELECT a AS src, b AS dst FROM e
+             UNION ALL SELECT b, a FROM e),
+      $chain
+      SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+      FROM s18 GROUP BY 1 ORDER BY doc_id"""
+    })
+
   // ---- q113: concatenation-packing sequence-boundary map ----
   // Docs lie in the deterministic q64 shuffle order, the token stream
   // cuts at 2048-token boundaries (docs cross boundaries, GPT-style);
@@ -1189,5 +1235,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
-    q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120)
+    q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
+    q125)
 }

@@ -53,4 +53,44 @@ class GraphsSpec extends SparkTestBase {
     run.release()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("kcoreDegrees: pendant chain peels in cascade, triangle survives") {
+    val ss = spark
+    import ss.implicits._
+    // triangle {1,2,3} + chain 3-4-5: round 1 peels 5 (deg 1), round 2
+    // peels 4 (its degree DROPS to 1 only after 5 dies) — the cascade
+    // a one-shot degree filter would miss
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Graphs.kcoreDegrees(edges, "id_a", "id_b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcoreDegrees: K4 is its own 3-core; path's 2-core is empty") {
+    val ss = spark
+    import ss.implicits._
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toDF("id_a", "id_b")
+    val core3 = Graphs.kcoreDegrees(k4, "id_a", "id_b", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core3 == (1L to 4L).map((_, 3L)).toSet)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graphs.kcoreDegrees(path, "id_a", "id_b", k = 2).count() == 0L)
+  }
+
+  test("kcoreDegrees: reversed duplicate edges count once; release cleans") {
+    val ss = spark
+    import ss.implicits._
+    // (21,22)+(22,21) is ONE edge: with double-counting node 21/22
+    // would fake degree 2 and the pair would survive k=2
+    val edges = Seq((21L, 22L), (22L, 21L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val run = Graphs.kcoreDegreesRun(edges, "id_a", "id_b", k = 2)
+    assert(run.result.count() == 0L)
+    run.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
