@@ -409,4 +409,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("nn_rank"),
         Numerics.fix4(col("cos")).as("cos_sim"))
   }
+
+  /** Recall@k audit — the approximation-quality readout every ANN
+    * index needs before it replaces brute force in production: per
+    * query, how much of the EXACT top-k (`truth`, e.g.
+    * [[bruteForceTopK]]) the approximate result (`approx`, e.g.
+    * [[lshTopK]] or [[ivfTopK]]) recovered. Run on a sampled query
+    * set, this is the operator that tunes bands/bits/nProbe
+    * empirically instead of by folklore.
+    *
+    * Scale shape: one equi-join on (query, neighbor) — both inputs
+    * are already top-k-bounded (|queries|·k rows), so the audit costs
+    * nothing next to the searches it measures. Output: (query_id,
+    * n_true, n_hit, recall), recall = n_hit / n_true.
+    */
+  def recallAtK(
+      truth: DataFrame,
+      approx: DataFrame,
+      queryCol: String,
+      neighborCol: String): DataFrame = {
+    val t = truth.select(col(queryCol).as("query_id"),
+      col(neighborCol).as("neighbor_id"))
+    val a = approx.select(col(queryCol).as("query_id"),
+      col(neighborCol).as("neighbor_id"))
+      .withColumn("__hit", lit(1))
+    t.join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        Numerics.fix4(col("n_hit").cast("double") / col("n_true"))
+          .as("recall"))
+  }
 }

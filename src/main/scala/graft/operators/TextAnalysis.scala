@@ -622,4 +622,48 @@ object TextAnalysis {
       .groupBy("df")
       .agg(count(lit(1)).as("n_terms"))
       .orderBy("df")
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 + a second signal, or any N rankers): each source
+    * contributes 1/(rrfK + rank) and documents re-rank on the summed
+    * score. Rank-based, so incomparable raw scores fuse without
+    * calibration.
+    *
+    * Cross-engine determinism: the fused ranking orders on the
+    * fix4-ROUNDED score with an id tiebreak, so float-sum noise can
+    * never flip a rank; with ≤ 2 sources the raw sum itself is
+    * order-exact anyway (IEEE addition is commutative), and each term
+    * 1/(rrfK + r) is one correctly-rounded division in both engines.
+    *
+    * Scale shape: each input is already top-k-bounded per query, so
+    * the union + one (query, doc) hash aggregate + one per-query
+    * window over ≤ N·k rows cost nothing next to the searches
+    * themselves. Output: (query_id, doc_id, rrf_rank, rrf_score),
+    * `topK` rows per query.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      topK: Int,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking")
+    val unioned = rankings
+      .map(r => r.select(col(queryCol).as("query_id"),
+        col(docCol).as("doc_id"), col(rankCol).cast("long").as("rank")))
+      .reduceLeft(_.unionAll(_))
+    unioned
+      .groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("score"))
+      .select(col("query_id"), col("doc_id"),
+        Numerics.fix4(col("score")).as("rrf_score"))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("doc_id").asc)))
+      .where(col("rrf_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf_rank"),
+        col("rrf_score"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1016,6 +1017,153 @@ object PipelineQueries {
                AS n_triangles"""
     })
 
+  // ---- q127: reciprocal-rank fusion (BM25 + term overlap) ----
+  // Hybrid retrieval: the q104 BM25 ranking (top 10) fused with a
+  // distinct-term-overlap ranking via RRF (k=60), top 5 out. Both
+  // source rankings and the fusion are re-derived in SQL; ranks
+  // compare on fix4-rounded scores with id tiebreaks at every stage,
+  // so no float ordering ambiguity exists anywhere.
+
+  val q127 = Q(
+    "q127_rrf_fusion",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val queries = Bm25Queries.toDF("query_id", "query_text")
+      val bm25 = TextAnalysis.bm25TopK(d, "doc_id", "text", queries, k = 10)
+        .select(col("query_id"), col("doc_id"),
+          col("bm25_rank").as("rank"))
+      val qterms = queries.select(col("query_id"),
+        explode(array_distinct(graft.functions.Texts.words(
+          col("query_text")))).as("term"))
+      val overlap = d
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.Texts.words(col("text")))).as("term"))
+        .join(broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("ov").desc, col("doc_id").asc)))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq(bm25, overlap),
+          "query_id", "doc_id", "rank", topK = 5)
+        .orderBy("query_id", "rrf_rank")
+    },
+    Some {
+      val qvals = Bm25Queries
+        .flatMap { case (id, text) =>
+          text.split("\\s+").distinct.map(t => s"(CAST($id AS BIGINT), '$t')")
+        }
+        .mkString(", ")
+      s"""
+      WITH $wordsCte,
+      tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY 1),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+      sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+             FROM dl),
+      q AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+      s AS (SELECT q.query_id, tf.doc_id,
+                   ${Numerics.sqlFix(
+        "sum(ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) " +
+          "/ (CAST(df AS DOUBLE) + 0.5)) " +
+          "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))", 4)}
+                     AS score
+            FROM tf JOIN q USING (term) JOIN dfq USING (term)
+                 JOIN dl USING (doc_id) CROSS JOIN sc
+            GROUP BY 1, 2),
+      bm AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rnk
+             FROM s),
+      ov AS (SELECT q.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS ov
+             FROM (SELECT DISTINCT doc_id, term FROM tok) dt
+             JOIN q ON q.term = dt.term
+             GROUP BY 1, 2),
+      ovr AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ov DESC, doc_id ASC) AS rnk
+              FROM ov),
+      u AS (SELECT query_id, doc_id, rnk FROM bm WHERE rnk <= 10
+            UNION ALL
+            SELECT query_id, doc_id, rnk FROM ovr WHERE rnk <= 10),
+      f AS (SELECT query_id, doc_id,
+                   ${Numerics.sqlFix(
+        "sum(CAST(1 AS DOUBLE) / (60 + rnk))", 4)} AS rrf_score
+            FROM u GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, rrf_score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf_score DESC, doc_id ASC) AS INT)
+                     AS rrf_rank
+            FROM f)
+      SELECT query_id, doc_id, rrf_rank, rrf_score
+      FROM r WHERE rrf_rank <= 5
+      ORDER BY query_id, rrf_rank"""
+    })
+
+  // ---- q126: ANN recall@k audit (LSH vs exact brute force) ----
+  // The index-quality readout: same query set, same k, the LSH result
+  // scored against the exact top-5. Both sub-searches are the already
+  // oracle-gated q25/q26 pipelines, so the audit's correctness rides
+  // on composing their CTE chains and counting id overlaps.
+
+  val q126 = Q(
+    "q126_ann_recall",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(
+            e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5),
+          Similarity.lshTopK(
+            e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+            dim = 64, k = 5, bands = 2, bitsPerBand = 4),
+          "query_id", "neighbor_id")
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH ${planeBitsSql(2, 4)},
+      tscored AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos
+        FROM (SELECT * FROM e WHERE vec_id < 10) a
+        JOIN e c ON a.vec_id != c.vec_id),
+      truth AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM tscored) WHERE rnk <= 5),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM (SELECT * FROM sig WHERE vec_id < 10) q
+        JOIN sig c
+          ON q.vec_id != c.vec_id AND (q.k0 = c.k0 OR q.k1 = c.k1)),
+      ascored AS (
+        SELECT cand.query_id, cand.neighbor_id, $cosSql AS cos
+        FROM cand
+        JOIN (SELECT vec_id, v FROM e) a ON a.vec_id = cand.query_id
+        JOIN (SELECT vec_id, v FROM e) c ON c.vec_id = cand.neighbor_id),
+      approx AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM ascored) WHERE rnk <= 5)
+      SELECT t.query_id,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+             ${Numerics.sqlFix(
+        "CAST(count(a.neighbor_id) AS DOUBLE) / count(*)", 4)} AS recall
+      FROM truth t
+      LEFT JOIN approx a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY 1 ORDER BY 1"""))
+
   // ---- q125: k-core of the near-dup graph ----
   // k=2 over the simhash radius-1 graph: the 2-core keeps only nodes
   // inside cycles/cliques of duplication (template families), peeling
@@ -1236,5 +1384,5 @@ object PipelineQueries {
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125)
+    q125, q126, q127)
 }

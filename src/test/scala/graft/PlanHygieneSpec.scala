@@ -26,7 +26,11 @@ class PlanHygieneSpec extends SparkTestBase {
       "q106_triangle_census", "q109_fk_audit",
       // group-table-sized × 1-row broadcast scalar attach
       "q114_mixture_weights", "q116_pmi_collocations",
-      "q119_mann_whitney", "q122_zorder_layout")
+      "q119_mann_whitney", "q122_zorder_layout",
+      // compose whitelisted kernels: q126 runs the q25 brute-force
+      // truth search; q127 runs the q104 BM25 scorer (1-row corpus
+      // stats broadcast against the postings stream)
+      "q126_ann_recall", "q127_rrf_fusion")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

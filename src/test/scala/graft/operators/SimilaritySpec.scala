@@ -207,4 +207,21 @@ class SimilaritySpec extends SparkTestBase {
     // fix4 0.002; avg over (0.002, 0) halves it -> 0.001
     assert(out(3L) == ((0.002, 0.001, 2L)))
   }
+
+  test("recallAtK: per-query hit ratio, zero-recall query kept") {
+    val ss = spark
+    import ss.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    // query 1 recovers 2 of 3; query 2's approx found only wrong ids —
+    // it must still appear, with recall 0, not vanish from the audit
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(truth, approx, "query_id", "neighbor_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667)))
+    assert(out(2L) == ((1L, 0L, 0.0)))
+  }
 }

@@ -319,4 +319,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("s2") == ((3L, 1L, 0.0)))    // -1*ln(1) = 0 (fix4 of -0.0)
     assert(out("s3") == ((4L, 2L, 0.6931))) // ln 2
   }
+
+  test("rrfFuse: doc in both rankings outranks either single-source doc") {
+    val ss = spark
+    import ss.implicits._
+    val a = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q", "d", "r")
+    val b = Seq((1L, 102L, 1), (1L, 103L, 2)).toDF("q", "d", "r")
+    // d102: 1/62 + 1/61 = .0325; d101: 1/61 = .0164; d103: 1/62 = .0161
+    val out = TextAnalysis.rrfFuse(Seq(a, b), "q", "d", "r", topK = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set((102L, 1, 0.0325), (101L, 2, 0.0164),
+      (103L, 3, 0.0161)))
+  }
 }
