@@ -16,11 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NOT silently vanish from the driver's
+    // correctness artifact (round 8: 17 erroring queries were simply
+    // absent) — collect every failure into errors.json alongside the
+    // results, and print a loud end-of-run summary.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(800)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED — $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +45,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size}/${SparkEntry.queries.size} queries " +
+          s"FAILED: ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

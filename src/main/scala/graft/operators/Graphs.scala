@@ -180,9 +180,11 @@ object Graphs {
     */
   final class KcoreRun private[operators] (
       val result: DataFrame,
-      edges: DataFrame) {
-    /** Unpersist the cached k-core edge list (call after materializing). */
-    def release(): Unit = { edges.unpersist(): Unit }
+      cleanup: () => Unit) {
+    /** Release the run's scratch edge state (call after materializing
+      * `result` — the result reads from it).
+      */
+    def release(): Unit = cleanup()
   }
 
   /** k-core decomposition — the maximal subgraph in which every node
@@ -192,24 +194,23 @@ object Graphs {
     * incidental pairwise matches; it is also the standard first cut
     * for community cores and spam-cluster mining.
     *
-    * Iteration state is the SYMMETRIC alive-edge set, and each round
-    * is two count-windows (per-src, per-dst degree) plus one filter —
-    * the state is referenced exactly ONCE per round, so the logical
-    * plan grows linearly in rounds (see [[graft.operators.Dedup
-    * .clustersFromPairs]] for why a twice-referenced state is
-    * exponential). Removing every edge whose endpoint is sub-k this
-    * round peels exactly the nodes a per-node formulation would peel
-    * (the edge set is symmetric, so src-degree = dst-degree = the
-    * node's degree), and the k-core fixpoint is unique regardless of
-    * peeling order. Each round persists its (shrinking) edge set and
-    * releases the previous one; convergence = edge count unchanged.
+    * Iteration state is the SYMMETRIC alive-edge set with TRUNCATED
+    * lineage every round: a reliable `checkpoint()` when the context
+    * has a checkpoint dir, else a scratch-parquet round-trip. Round 8's
+    * window-based loop relied on `persist()` alone — each round's plan
+    * still chained on the previous round's, and the measured round cost
+    * climbed 0.9 s → 28.7 s by round 11 (driver-side plan/GC growth;
+    * ~369 s total at sf0.1, enough to heartbeat-kill a bench JVM). A
+    * flat file-scan plan per round makes round cost constant.
     *
-    * Scale shape: per round, two hash-partition window passes over the
-    * current edge set — no joins, no broadcast, skew-free (a hub's
-    * edges land in one partition only if a single node's degree
-    * approaches partition size — at that density the graph itself is
-    * the problem). Rounds are bounded by the peel depth (≤ graph
-    * degeneracy ordering length, ~10-20 on real near-dup graphs);
+    * Each round peels the currently-sub-k nodes: one partial-agg degree
+    * count over the symmetric edges (src-count = node degree), filter
+    * `deg < k` — a tiny, shrinking node set — then two anti-joins
+    * remove their edges. The sub-k set is an aggregate output, so AQE
+    * sizes it at runtime and broadcasts the anti-joins; the edge set
+    * itself is never shuffled. The k-core fixpoint is unique regardless
+    * of peeling order; convergence = no sub-k nodes remain. Rounds are
+    * bounded by the peel depth (~10-20 on real near-dup graphs);
     * `maxIter` guards pathological chains and THROWS rather than
     * returning a non-core.
     *
@@ -231,8 +232,40 @@ object Graphs {
       bCol: String,
       k: Int,
       maxIter: Int = 50): KcoreRun = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val scratch =
+      if (reliable) None
+      else Some(java.nio.file.Files.createTempDirectory("graft_kcore_"))
+    // callers using kcoreDegrees() never release(); don't leak scratch
+    // past the JVM
+    scratch.foreach { root =>
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+          f.delete(): Unit
+        }
+        rec(root.toFile)
+      }))
+    }
+    var round = 0
+    def materialize(df: DataFrame): DataFrame = {
+      round += 1
+      if (reliable) df.checkpoint()
+      else {
+        val p = s"${scratch.get}/round_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    }
+    def cleanup(): Unit = scratch.foreach { root =>
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(root.toFile)
+    }
     // same undirected-simple-graph hygiene as triangleRun: normalize
     // orientation, drop self-loops, dedup, THEN symmetrize
     val e = graft.SparkUtil.ensureParallelism(pairs)
@@ -241,26 +274,26 @@ object Graphs {
         greatest(col("a0"), col("b0")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-    var alive = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var n = alive.count()
+    var alive = materialize(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"))))
     var iter = 0
-    var converged = n == 0L
+    var converged = false
     while (!converged && iter < maxIter) {
-      val next = alive
-        .withColumn("sd", count(lit(1)).over(Window.partitionBy("src")))
-        .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
-        .where(col("sd") >= k && col("dd") >= k)
-        .select(col("src"), col("dst"))
+      // persisted so its two anti-join references don't recount degrees
+      val bad = alive.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") < k)
+        .select(col("src").as("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n2 = next.count()
-      if (n2 == n) { next.unpersist(); converged = true }
-      else { alive.unpersist(); alive = next; n = n2; converged = n == 0L }
+      if (bad.count() == 0L) converged = true
+      else alive = materialize(
+        alive.join(bad, col("src") === col("node"), "left_anti")
+          .join(bad, col("dst") === col("node"), "left_anti"))
+      bad.unpersist()
       iter += 1
     }
     if (!converged) {
-      alive.unpersist()
+      cleanup()
       throw new IllegalStateException(
         s"kcoreDegrees did not converge in $maxIter rounds — peel depth " +
           "exceeds maxIter; raise maxIter")
@@ -268,6 +301,6 @@ object Graphs {
     val result = alive.groupBy(col("src"))
       .agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("node"), col("core_degree"))
-    new KcoreRun(result, alive)
+    new KcoreRun(result, () => cleanup())
   }
 }

@@ -18,14 +18,65 @@ import graft.streaming.{StreamEvent, StreamingOps}
   */
 object StreamingQueries {
 
-  /** events.parquet physical schema, ts as nanos-long (TESTDATA.md). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The events file-stream needs an explicit user schema, and the
+    * testdata's `ts` has shipped as both INT64 TIMESTAMP(NANOS) (read
+    * as raw nanos longs) and TIMESTAMP(MICROS) `timestamp_ntz` across
+    * generations — so the schema, the ms-normalizer, and the sentinel
+    * literal writer dispatch TOGETHER on the encoding actually present
+    * (detected from a batch footer read, mirroring
+    * [[graft.Tables.events]]). A wrong branch here is worse than an
+    * error — micros loaded through a LongType schema silently compress
+    * event time 1000x — so construction also runs a span canary: the
+    * normalized ms min/max must land inside [2000, 2100), which any
+    * 1000x unit drift misses by three orders of magnitude.
+    */
+  private final case class EventsEncoding(
+      schema: StructType, tsIsLong: Boolean) {
+
+    /** `ts` normalized to a millisecond-precision event-time column
+      * (exact integer floor in both branches, matching the oracle's
+      * `epoch_ns(ts) // 1000000`).
+      */
+    def tsMs: org.apache.spark.sql.Column =
+      if (tsIsLong) timestamp_millis(expr("ts DIV 1000000"))
+      else timestamp_millis(unix_millis(col("ts").cast(TimestampType)))
+
+    /** A `ts` literal (given epoch-nanos) in the physical encoding, so
+      * sentinel files parse under the same user schema as the data.
+      */
+    def tsLit(tsNs: Long): org.apache.spark.sql.Column =
+      if (tsIsLong) lit(tsNs)
+      else timestamp_micros(lit(tsNs / 1000L)).cast(schema("ts").dataType)
+  }
+
+  private val encodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EventsEncoding]()
+
+  private def eventsEncoding(s: SparkSession, dir: String): EventsEncoding =
+    encodingCache.computeIfAbsent(dir, { _ =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val tsType = batch.schema("ts").dataType
+      val enc = EventsEncoding(
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", tsType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType))),
+        tsIsLong = tsType == LongType)
+      val span = batch.select(unix_millis(enc.tsMs).as("ms"))
+        .agg(min(col("ms")).as("lo"), max(col("ms")).as("hi")).head()
+      val (lo, hi) = (span.getLong(0), span.getLong(1))
+      require(
+        lo >= graft.Tables.MsLow && hi < graft.Tables.MsHigh,
+        s"events.ts normalized span [$lo, $hi] ms is outside " +
+          s"[${graft.Tables.MsLow}, ${graft.Tables.MsHigh}) — " +
+          "encoding drift (unit mismatch) in the streaming schema branch")
+      enc
+    })
 
   private val GapMs = 1800000L
 
@@ -85,16 +136,16 @@ object StreamingQueries {
     "q51_stream_sessionize_parity",
     (s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val enc = eventsEncoding(s, dir)
       val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
-      val evs = s.readStream.schema(eventsSchema).parquet(watch)
-        .select(col("user_id"),
-          timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(col("user_id"), enc.tsMs.as("ts"),
           col("event_type"), col("value"))
         .as[StreamEvent]
       def sentinel(tsNs: Long, id: Long): () => Unit = () =>
         Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
           .write.mode("append").parquet(watch)
       // two extra micro-batches: the first advances the watermark far
       // past every timeout, the second triggers the timeout emission
@@ -145,11 +196,11 @@ object StreamingQueries {
   val q52 = Q(
     "q52_stream_window_parity",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val enc = eventsEncoding(s, dir)
       val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
-      val evs = s.readStream.schema(eventsSchema).parquet(watch)
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(
-          timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+          enc.tsMs.as("ts"),
           col("event_type"),
           floor(col("value") * 100.0 + 0.5).as("value"))
       drainToTable(s, "q52_mem",
@@ -214,14 +265,12 @@ object StreamingQueries {
   val q59 = Q(
     "q59_stream_interval_join_parity",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val enc = eventsEncoding(s, dir)
       val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
       def side(tpe: String) =
-        s.readStream.schema(eventsSchema).parquet(watch)
+        s.readStream.schema(enc.schema).parquet(watch)
           .where(col("event_type") === tpe)
-          .select(col("user_id"),
-            timestamp_millis(expr("ts DIV 1000000")).as("ts"),
-            col("event_type"))
+          .select(col("user_id"), enc.tsMs.as("ts"), col("event_type"))
       drainToTable(s, "q59_mem",
         StreamingOps.intervalJoin(
           side("error"), side("click"),
@@ -255,9 +304,9 @@ object StreamingQueries {
   val q78 = Q(
     "q78_stream_static_join_parity",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val enc = eventsEncoding(s, dir)
       val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
-      val evs = s.readStream.schema(eventsSchema).parquet(watch)
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(col("user_id"), col("event_type"),
           floor(col("value") * 100.0 + 0.5).cast("long").as("val_cents"))
       val dim = s.read.parquet(s"$dir/customer.parquet")
@@ -290,15 +339,14 @@ object StreamingQueries {
     "q108_stream_distinct_users_parity",
     (s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val enc = eventsEncoding(s, dir)
       val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
-      val evs = s.readStream.schema(eventsSchema).parquet(watch)
-        .select(
-          timestamp_millis(expr("ts DIV 1000000")).as("ts"),
-          col("user_id"))
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(enc.tsMs.as("ts"), col("user_id"))
       def sentinel(tsNs: Long, id: Long): () => Unit = () =>
         Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
           .write.mode("append").parquet(watch)
       drainToTable(s, "q108_mem",
         StreamingOps.windowedDistinctUsers(
