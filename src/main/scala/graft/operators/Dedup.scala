@@ -219,8 +219,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleWidth: Int,
-      threshold: Double): DataFrame =
-    prefixFilterJaccardRun(df, idCol, textCol, shingleWidth, threshold).result
+      threshold: Double,
+      maxCandidatePairs: Option[Long] = Some(50000000L)): DataFrame =
+    prefixFilterJaccardRun(
+      df, idCol, textCol, shingleWidth, threshold, maxCandidatePairs).result
 
   /** [[prefixFilterJaccard]] plus the handle releasing the internally
     * cached prefix and token-hash-array tables.
@@ -233,12 +235,27 @@ object Dedup {
     def release(): Unit = { pref.unpersist(); hdocs.unpersist(): Unit }
   }
 
+  /** `maxCandidatePairs`: the self-detonation guard. Exact-recall
+    * prefix joins CANNOT drop oversized buckets (unlike LSH's
+    * `maxBucket` — dropping a prefix bucket here loses pairs), so on a
+    * template-degenerate corpus (shared boilerplate makes even the
+    * rarest prefix tokens common) the only honest behaviors are
+    * running the blow-up or refusing. The guard measures the exact
+    * candidate volume Σ bucket·(bucket−1)/2 with one aggregate over
+    * the (already persisted) prefix table — paid once, before any
+    * join — and THROWS past the cap, naming [[minhashNearDup]] as the
+    * scale path. Measured detonation this guards: 227× time ratio at a
+    * 10× scale-up (1.85 s → 420 s) when prefix buckets reached
+    * cluster size (Σ bucket² ≈ all-pairs/5). `None` disables (audit
+    * runs on samples that accept the quadratic cost).
+    */
   def prefixFilterJaccardRun(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleWidth: Int,
-      threshold: Double): PrefixJoinRun = {
+      threshold: Double,
+      maxCandidatePairs: Option[Long] = Some(50000000L)): PrefixJoinRun = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.SparkUtil.ensureParallelism(df)
     val shingleExpr = array_distinct(
@@ -253,6 +270,23 @@ object Dedup {
       .where(col("rn") <= col("len") - ceil(col("len") * threshold) + 1)
       .select(col("id"), col("tok"), col("len"), col("rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    maxCandidatePairs.foreach { cap =>
+      val volume = Option(
+        pref.groupBy("tok").agg(count(lit(1)).as("b"))
+          .agg(sum(expr("b * (b - 1) div 2")).as("p"))
+          .head().getAs[java.lang.Long]("p"))
+        .map(_.longValue()).getOrElse(0L)
+      if (volume > cap) {
+        pref.unpersist()
+        throw new IllegalStateException(
+          s"prefixFilterJaccard would enumerate $volume candidate pairs " +
+            s"(> maxCandidatePairs=$cap): the corpus is template-" +
+            "degenerate (prefix buckets are cluster-sized). Use the LSH " +
+            "path (minhashNearDup) at this scale, run the exact join on " +
+            "a sample, or raise/disable maxCandidatePairs to accept the " +
+            "quadratic cost.")
+      }
+    }
     // required overlap for Jaccard >= θ: ⌈θ/(1+θ)·(la+lb)⌉
     val alpha = ceil(
       (col("a.len") + col("b.len")) * lit(threshold / (1.0 + threshold)) -

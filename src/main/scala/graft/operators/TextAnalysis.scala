@@ -666,4 +666,126 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("rrf_rank"),
         col("rrf_score"))
   }
+
+  /** BPE merge induction — the first `iters` merge decisions of a
+    * byte-pair-encoding tokenizer trainer, with each iteration's top-k
+    * pair table as the audit trail. This is the distributed half of
+    * tokenizer training: everything corpus-sized happens in one scan +
+    * hash aggregate (word frequencies), and every subsequent iteration
+    * runs on the VOCABULARY-sized word-frequency table — the classic
+    * trainer compression that makes BPE tractable at 100 TB (corpus
+    * scans don't repeat per merge; a vocabulary is millions of rows,
+    * not trillions).
+    *
+    * Representation: symbols are single chars; iteration i's winning
+    * pair is replaced by the placeholder char chr(i) (left-to-right
+    * non-overlapping, exactly Java's/DuckDB's `replace`), so adjacent-
+    * pair enumeration stays `substring(word, i, 2)` every round —
+    * codegen-friendly and line-for-line oracle-transcribable.
+    * Placeholders expand back to readable symbol strings in the
+    * output. Control chars chr(1..iters) must be absent from the
+    * corpus (they are stripped by normalization in any sane pipeline;
+    * the operator asserts iters < 32 keeps placeholders in the C0
+    * range).
+    *
+    * Determinism: exact long pair counts; the winner (and the top-k
+    * ordering) tie-breaks on the pair string, so both engines pick
+    * identical merges. The per-iteration winner is collected to the
+    * driver — a BPE merge TABLE is driver-state by nature (it is the
+    * tokenizer artifact being built), and it is `iters` rows, not data.
+    *
+    * Output: (iter, symbol_a, symbol_b, pair_count) — top-k pairs per
+    * iteration, ordered (iter, pair_count DESC, symbol_a, symbol_b).
+    */
+  def bpeMergeSteps(
+      df: DataFrame,
+      textCol: String,
+      iters: Int = 2,
+      topK: Int = 10): DataFrame = {
+    require(iters >= 1 && iters < 32, "iters must be in [1, 32)")
+    val spark = df.sparkSession
+    val wf0 = df
+      .select(explode(Texts.words(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairCounts(wf: DataFrame): DataFrame = wf
+      .where(length(col("word")) >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"),
+        col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+    var expansions = Map.empty[Char, String]
+    def expand(sym: String): String =
+      sym.flatMap(ch => expansions.getOrElse(ch, ch.toString))
+    var wf = wf0
+    val rows = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to iters).foreach { it =>
+      val top = pairCounts(wf)
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(topK).collect()
+      rows ++= top.map { r =>
+        val p = r.getString(0)
+        (it, expand(p.substring(0, 1)), expand(p.substring(1, 2)),
+          r.getLong(1))
+      }
+      if (it < iters && top.nonEmpty) {
+        val best = top.head.getString(0)
+        expansions += (it.toChar -> expand(best))
+        wf = wf.withColumn("word",
+          call_function("replace",
+            col("word"), lit(best), lit(it.toChar.toString)))
+      }
+    }
+    wf0.unpersist()
+    import spark.implicits._
+    rows.result()
+      .toDF("iter", "symbol_a", "symbol_b", "pair_count")
+      .orderBy(col("iter"), col("pair_count").desc,
+        col("symbol_a"), col("symbol_b"))
+  }
+
+  /** Bloom-prefiltered exact decontamination — remove every corpus doc
+    * whose normalized-text digest appears in the probe/benchmark set,
+    * EXACTLY, while keeping the bulk of the corpus out of the anti-join
+    * entirely. A Bloom filter over the probe digests (driver-built —
+    * the probe is an eval set, small by nature) broadcast to the scan
+    * splits the corpus: bloom-NEGATIVE rows are definitely clean (no
+    * false negatives) and ship straight to the output with zero
+    * shuffle; only the ~fpp·corpus + true-hit rows proceed to the
+    * exact anti-join confirm. At 100 TB this is the difference between
+    * shuffling everything and shuffling ~1%: the join only ever sees
+    * bloom survivors, and the result is bit-identical to the exact
+    * anti-join (the bloom can only over-approximate the contaminated
+    * set, and the join removes the false positives).
+    *
+    * The membership probe is a Scala closure over the broadcast sketch
+    * (one hash per row) — the lone non-codegen step, deliberately
+    * cheaper than the shuffle it avoids.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val digest = md5(Texts.normText(col(textCol)))
+    val probeDigests = probe.select(digest.as("digest")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(probeDigests.count(), 1L)
+    val bloom = probeDigests.stat.bloomFilter("digest", n, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((d: String) => d != null && bloomB.value.mightContainString(d))
+    val tagged = corpus.withColumn("__digest", digest)
+    val clean = tagged.where(!mightContain(col("__digest")))
+    val confirmed = tagged.where(mightContain(col("__digest")))
+      .join(probeDigests.withColumnRenamed("digest", "__digest"),
+        Seq("__digest"), "left_anti")
+    val out = clean.unionByName(confirmed).drop("__digest")
+    probeDigests.unpersist()
+    out
+  }
 }

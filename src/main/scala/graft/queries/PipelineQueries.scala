@@ -574,7 +574,12 @@ object PipelineQueries {
     }
     Seq("img_1.png" -> png, "img_2.gif" -> gif, "img_3.jpg" -> jpeg,
       "clip_4.wav" -> wav, "clip_5.mp3" -> mp3Cbr, "clip_6.mp3" -> mp3Vbr,
-      "vid_7.mp4" -> mp4)
+      "vid_7.mp4" -> mp4,
+      // truncated moov: the declared box size overruns EOF, so the
+      // bounded walk must reject the WHOLE decode (all nulls) — even
+      // though the intact mvhd sits before the cut, partial metadata
+      // from a desynced file is overstated metadata
+      "vid_8.mp4" -> mp4.dropRight(40))
   }
 
   val q71 = Q(
@@ -605,7 +610,8 @@ object PipelineQueries {
         (4, 4044, NULL, NULL, 250),
         (5, 4032, NULL, NULL, 250),
         (6, 196, NULL, NULL, 11520),
-        (7, 232, 1920, 1080, 3000))
+        (7, 232, 1920, 1080, 3000),
+        (8, 192, NULL, NULL, NULL))
         AS t(doc_id, byte_len, width, height, duration_ms)
       ORDER BY doc_id"""))
 
@@ -1380,9 +1386,76 @@ object PipelineQueries {
       FROM p GROUP BY source
       ORDER BY source"""))
 
+  // ---- q128: BPE merge induction (tokenizer-trainer steps) ----
+  // Two merge iterations over the word-frequency table: iteration 1's
+  // winning pair is replaced by chr(1) (left-to-right non-overlapping
+  // `replace` in BOTH engines), iteration 2 recounts. Exact long
+  // counts + pair-string tie-breaks make the merge decisions and both
+  // top-10 tables engine-identical; placeholders expand back to
+  // readable symbols in the output.
+
+  val q128 = Q(
+    "q128_bpe_merges",
+    (s, dir) =>
+      TextAnalysis.bpeMergeSteps(docs(s, dir), "text", iters = 2, topK = 10),
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT unnest(ws) AS word FROM w),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM occ WHERE len(word) >= 2 GROUP BY 1),
+      x1 AS (SELECT word, freq, unnest(range(1, len(word))) AS i FROM wf),
+      p1 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x1 GROUP BY 1),
+      b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      t1 AS (SELECT 1 AS iter, pair, cnt FROM p1
+             ORDER BY cnt DESC, pair LIMIT 10),
+      w2 AS (SELECT replace(word, (SELECT pair FROM b1), chr(1)) AS word,
+                    freq
+             FROM wf),
+      x2 AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+             FROM w2 WHERE len(word) >= 2),
+      p2 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x2 GROUP BY 1),
+      t2 AS (SELECT 2 AS iter, pair, cnt FROM p2
+             ORDER BY cnt DESC, pair LIMIT 10),
+      u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+      SELECT iter,
+             replace(substr(pair, 1, 1), chr(1),
+                     (SELECT pair FROM b1)) AS symbol_a,
+             replace(substr(pair, 2, 1), chr(1),
+                     (SELECT pair FROM b1)) AS symbol_b,
+             cnt AS pair_count
+      FROM u
+      ORDER BY iter, pair_count DESC, symbol_a, symbol_b"""))
+
+  // ---- q129: bloom-prefiltered exact decontamination ----
+  // Same probe/corpus split as q43; the result is REQUIRED to equal
+  // the plain exact anti-join (the oracle), which is exactly the
+  // operator's guarantee: the bloom only routes rows, never decides.
+
+  val q129 = Q(
+    "q129_bloom_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bloomDecontaminate(
+          corpus = d.where(col("doc_id") >= 20),
+          probe = d.where(col("doc_id") < 20),
+          textCol = "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 20
+        AND md5(lower(trim(text))) NOT IN
+          (SELECT md5(lower(trim(text))) FROM documents WHERE doc_id < 20)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125, q126, q127)
+    q125, q126, q127, q128, q129)
 }

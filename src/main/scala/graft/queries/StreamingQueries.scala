@@ -369,5 +369,61 @@ object StreamingQueries {
       FROM e GROUP BY 1
       ORDER BY window_start_ms"""))
 
-  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78, q108)
+  /** Stream-stream LEFT OUTER interval join parity: q59's join shape,
+    * but every error with NO click in its window must also emit — with
+    * null click time — and it may only do so once the watermark proves
+    * no in-watermark click can still land in the window. Sentinels must
+    * therefore survive the event-type pre-filter (they advance the
+    * watermark through BOTH filtered sides); they are excluded from
+    * the compared rows by key sign. The batch oracle is the plain LEFT
+    * JOIN, with NULLS FIRST pinned so both engines order null click
+    * times identically.
+    */
+  val q130 = Q(
+    "q130_stream_leftouter_join_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      def side(tpe: String) =
+        s.readStream.schema(enc.schema).parquet(watch)
+          .where(col("event_type") === tpe ||
+            col("event_type") === "sentinel")
+          .select(col("user_id"), enc.tsMs.as("ts"), col("event_type"))
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q130_mem",
+        StreamingOps.intervalJoin(
+          side("error"), side("click"),
+          keyCol = "user_id", tsCol = "ts",
+          windowMs = GapMs, watermarkDelay = "0 seconds",
+          joinType = "left_outer"),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .where(col("l_key") >= 0 && col("l_type") === "error" &&
+          (col("r_type").isNull || col("r_type") === "click"))
+        .groupBy(col("l_key").as("user_id"),
+          unix_millis(col("l_ts")).as("error_ms"),
+          unix_millis(col("r_ts")).as("click_ms"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id", "error_ms", "click_ms")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms
+        FROM events)
+      SELECT l.user_id, l.ms AS error_ms, r.ms AS click_ms,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM (SELECT * FROM e WHERE event_type = 'error') l
+      LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') r
+        ON l.user_id = r.user_id
+       AND r.ms >= l.ms AND r.ms < l.ms + $GapMs
+      GROUP BY 1, 2, 3
+      ORDER BY l.user_id, error_ms, click_ms NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78, q108, q130)
 }

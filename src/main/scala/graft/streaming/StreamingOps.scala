@@ -96,13 +96,22 @@ object StreamingOps {
     * watermark passes the interval bound, the required shape for an
     * unbounded 100 TB/day stream.
     */
+  /** `joinType` "inner" (default) or "left_outer": the outer form
+    * additionally emits each unmatched left event with null right
+    * columns once the watermark passes its interval bound — the
+    * streaming shape of "errors with no follow-up click", and it is
+    * precisely why both watermarks are REQUIRED here (an unmatched row
+    * is only provably unmatched when no in-watermark right event can
+    * still land in its window).
+    */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
       windowMs: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(
       col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
       col("event_type").as("l_type"))
@@ -114,7 +123,8 @@ object StreamingOps {
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"))
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"),
+      joinType)
   }
 
   /** Streaming exact dedup: keep the first occurrence of each digest.

@@ -278,4 +278,38 @@ class DedupSpec extends SparkTestBase {
     assert(expected.contains((4L, 5L, 1.0)))
     assert(!expected.exists(p => p._1 == 6L || p._2 == 6L))
   }
+
+  test("prefixFilterJaccard guard refuses template-degenerate corpora") {
+    val ss = spark
+    import ss.implicits._
+    // a boilerplate farm: every doc is the same template with one
+    // varying word, so every prefix token is shared corpus-wide and
+    // the candidate volume is all-pairs (40*39/2 = 780)
+    val template = (1 to 40)
+      .map(i => (i.toLong, s"shared legal boilerplate header text v$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterJaccard(template, "doc_id", "text",
+        shingleWidth = 1, threshold = 0.5,
+        maxCandidatePairs = Some(100L)).count()
+    }
+    assert(e.getMessage.contains("maxCandidatePairs"))
+    assert(e.getMessage.contains("minhashNearDup"))
+    // below the cap the SAME corpus still computes, and exactly: recall
+    // is preserved — the guard refuses or runs, it never drops pairs
+    val out = Dedup.prefixFilterJaccard(template, "doc_id", "text",
+        shingleWidth = 1, threshold = 0.5,
+        maxCandidatePairs = Some(5000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val sets = template.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a) | sets(b)).size if j >= 0.5
+    } yield (a, b, math.floor(j * 10000 + 0.5) / 10000)).toSet
+    assert(out == expected)
+    assert(expected.size == 40 * 39 / 2) // every pair shares 5 of 7
+  }
 }

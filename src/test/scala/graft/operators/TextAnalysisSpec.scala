@@ -333,4 +333,53 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Set((102L, 1, 0.0325), (101L, 2, 0.0164),
       (103L, 3, 0.0161)))
   }
+
+  test("bpeMergeSteps: hand-checked merges, placeholder expands back") {
+    // words: aa (freq 2), ab (1), aab (1)
+    // iter 1 pairs: aa -> 2+1=3, ab -> 1+1=2; winner "aa"
+    // after merge: <1> (len 1, dropped), ab, <1>b
+    // iter 2 pairs: ab -> 1, <1>b -> 1
+    val df = docsDF((1L, "aa ab"), (2L, "aab aa"))
+    val out = TextAnalysis.bpeMergeSteps(df, "text", iters = 2, topK = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1, "a", "a", 3L),
+      (1, "a", "b", 2L),
+      (2, "a", "b", 1L),
+      (2, "aa", "b", 1L)), s"got $out")
+  }
+
+  test("bpeMergeSteps: merge is left-to-right non-overlapping") {
+    // "aaa" (freq 1): pairs aa counted at i=1 and i=2 -> count 2; the
+    // merge rewrites to <1>a (NOT a<1>), so iter 2 sees pair <1>a
+    val df = docsDF((1L, "aaa"))
+    val out = TextAnalysis.bpeMergeSteps(df, "text", iters = 2, topK = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1, "a", "a", 2L),
+      (2, "aa", "a", 1L)), s"got $out")
+  }
+
+  test("bloomDecontaminate equals the exact anti-join, even at high fpp") {
+    val ss = spark
+    import ss.implicits._
+    val corpus = docsDF(
+      (20L, "alpha beta"), (21L, "gamma delta"), (22L, "ALPHA BETA  "),
+      (23L, "unique text one"), (24L, "unique text two"))
+    val probe = docsDF((1L, "alpha beta"), (2L, "epsilon zeta"))
+    def ids(fpp: Double): Seq[Long] =
+      TextAnalysis.bloomDecontaminate(corpus, probe, "text", fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 20 and 22 normalize to the probe's "alpha beta" digest -> removed
+    val expected = Seq(21L, 23L, 24L)
+    assert(ids(0.01) == expected)
+    // a near-saturated bloom routes (almost) everything through the
+    // exact confirm — the RESULT must not change: the bloom only
+    // routes rows, never decides
+    assert(ids(0.5) == expected)
+  }
 }

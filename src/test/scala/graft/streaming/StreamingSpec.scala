@@ -101,6 +101,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("interval join left_outer emits unmatched rows once the watermark seals them") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val errors = MemoryStream[StreamEvent]
+    val clicks = MemoryStream[StreamEvent]
+    val joined = StreamingOps.intervalJoin(
+      errors.toDF(), clicks.toDF(), keyCol = "user_id", tsCol = "ts",
+      windowMs = 30 * 60000L, watermarkDelay = "1 minute",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("loj").outputMode("append").start()
+    try {
+      errors.addData(ev(1, 1000, "error"), ev(2, 1000, "error"))
+      clicks.addData(ev(1, 1010, "click"))
+      runToCompletion(q)
+      // user 2's null row may only emit after the watermark (min over
+      // BOTH streams) proves no click can still land in its window
+      errors.addData(ev(9, 5000, "error"))
+      clicks.addData(ev(9, 5000, "click"))
+      runToCompletion(q)
+      errors.addData(ev(9, 5001, "error"))
+      clicks.addData(ev(9, 5001, "click"))
+      runToCompletion(q)
+      val rows = spark.table("loj").collect()
+        .filter(r => r.getLong(0) <= 2L)
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(4)) None else Some(r.getTimestamp(4).getTime / 60000)))
+        .toSet
+      assert(rows == Set((1L, Some(1010L)), (2L, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per digest within watermark") {
     val ss = spark
     import ss.implicits._
