@@ -415,6 +415,63 @@ object Dedup {
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
   }
 
+  /** MinHash calibration audit — the honesty instrument for the
+    * ESTIMATOR itself (the companion to q126's ANN recall audit): for
+    * every verified near-dup pair, the k-seed minhash estimate of
+    * Jaccard (fraction of seeds whose min-shingle-hash agrees) next to
+    * the exact set Jaccard and the absolute error. This is the
+    * measured number that justifies a (bands, rowsPerBand) choice at
+    * scale — E[est] = J per seed, so the audit's error distribution is
+    * the banding model's input, observed on the real corpus instead of
+    * assumed.
+    *
+    * The audit family is [[graft.functions.Hashes.hexHash]] (md5-
+    * prefix, seed-prefixed) rather than the xxhash64 affine family the
+    * candidate generator uses: fixed-width hex minima compare
+    * lexicographically == numerically, and DuckDB computes the
+    * bit-identical value — so the estimate itself is oracle-checkable,
+    * which an engine-specific hash can never be.
+    *
+    * est = matches/k is exact in 4 decimals for k ≤ 16 (1/16 =
+    * 0.0625), and `abs_err` derives from the two ALREADY-fix4'd output
+    * columns, so every emitted value is engine-exact. One extra
+    * signature aggregate (k string-mins over the shingle stream) + two
+    * hash joins against the (output-bound) pair set.
+    */
+  def minhashCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.6,
+      numHashes: Int = 16): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 64, "numHashes in [1, 64]")
+    val base = graft.SparkUtil.ensureParallelism(df)
+    val shingleExpr =
+      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+    val pairs = minhashNearDup(df, idCol, textCol, shingleWidth,
+      threshold = threshold)
+    val aggs = (0 until numHashes)
+      .map(i => min(graft.functions.Hashes.hexHash(col("sh"), i)).as(s"m$i"))
+    val sigs = base
+      .select(col(idCol).as("id"), explode(shingleExpr).as("sh"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    def side(tag: String) = sigs.select(
+      col("id").as(s"id_$tag") +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"${tag}_m$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(side("a"), "id_a")
+      .join(side("b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        col("jaccard_sim").as("exact_sim"),
+        Numerics.fix4(matches.cast("double") / numHashes).as("est_sim"))
+      .withColumn("abs_err",
+        Numerics.fix4(abs(col("exact_sim") - col("est_sim"))))
+  }
+
   /** Fuzzy-match near-dup with an edit-distance cap: the MinHash-LSH
     * candidate pipeline of [[minhashNearDup]] (same recall argument —
     * candidates cover every pair at or above the Jaccard threshold),

@@ -1453,9 +1453,95 @@ object PipelineQueries {
           (SELECT md5(lower(trim(text))) FROM documents WHERE doc_id < 20)
       ORDER BY doc_id"""))
 
+  // ---- q131: MinHash calibration audit (est vs exact Jaccard) ----
+  // The estimator-honesty companion to q126's ANN recall audit: the
+  // md5-family minhash estimate is itself oracle-replicated, so the
+  // error column is engine-exact, not asserted.
+
+  val q131 = Q(
+    "q131_minhash_calibration",
+    (s, dir) =>
+      Dedup.minhashCalibration(docs(s, dir), "doc_id", "text",
+          shingleWidth = 3, threshold = 0.6, numHashes = 16)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+    Some {
+      val minCols = (0 until 16)
+        .map(i => s"list_min([substr(md5('$i|'||x),1,15) for x in sh]) AS m$i")
+        .mkString(",\n             ")
+      val matchSum = (0 until 16)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      sig AS (SELECT doc_id,
+             $minCols
+             FROM sh),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b, ${Numerics.sqlFix("j", 4)} AS exact_sim
+            FROM p WHERE j >= 0.6),
+      c AS (SELECT doc_a, doc_b, exact_sim,
+                   ${Numerics.sqlFix(
+        s"CAST($matchSum AS DOUBLE) / 16.0", 4)} AS est_sim
+            FROM v JOIN sig sa ON sa.doc_id = doc_a
+                   JOIN sig sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b, exact_sim, est_sim,
+             ${Numerics.sqlFix("abs(exact_sim - est_sim)", 4)} AS abs_err
+      FROM c ORDER BY doc_a, doc_b"""
+    })
+
+  // ---- q133: cross-source duplication matrix ----
+  // Data-governance readout over the near-dup graph: which source
+  // pairs share content, how much, and how similar. Mean similarity
+  // sums fix4-scaled exact longs (order-independent) before the one
+  // float division.
+
+  val q133 = Q(
+    "q133_source_dup_matrix",
+    (s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
+          shingleWidth = 3, threshold = 0.6)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("s_a")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("s_b")),
+          "id_b")
+        .select(least(col("s_a"), col("s_b")).as("source_a"),
+          greatest(col("s_a"), col("s_b")).as("source_b"),
+          floor(col("jaccard_sim") * 10000 + 0.5).cast("long").as("jc"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          Numerics.fix4(sum(col("jc")).cast("double") /
+            (count(lit(1)) * 10000.0)).as("mean_sim"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b, ${Numerics.sqlFix("j", 4)} AS js
+            FROM p WHERE j >= 0.6),
+      m AS (SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(floor(js * 10000 + 0.5) AS BIGINT) AS jc
+            FROM v JOIN documents da ON da.doc_id = doc_a
+                   JOIN documents db ON db.doc_id = doc_b)
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             ${Numerics.sqlFix(
+      "CAST(sum(jc) AS DOUBLE) / (count(*) * 10000.0)", 4)} AS mean_sim
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125, q126, q127, q128, q129)
+    q125, q126, q127, q128, q129, q131, q133)
 }

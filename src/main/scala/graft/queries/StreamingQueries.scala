@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.streaming.{StreamEvent, StreamingOps}
+import graft.streaming.{CapEvent, StreamEvent, StreamingOps}
 
 /** Driver-visible differential checks for the streaming operators
   * (SURVEY.md §2.4 #58/#59/#65/#66): each streaming path runs through a
@@ -425,5 +425,50 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY l.user_id, error_ms, click_ms NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78, q108, q130)
+  /** Streaming per-key cap parity: each user's first 3 events by
+    * (event time, event_id) — the streaming form of q56's batch
+    * row_number cap, emitted only as the watermark seals each event
+    * (so the pick is deterministic under every admissible arrival
+    * order, exactly the batch semantics). Sentinels advance the
+    * watermark to drain; the batch oracle is the plain windowed
+    * row_number ≤ 3.
+    */
+  val q132 = Q(
+    "q132_stream_per_key_cap_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(col("user_id").as("key"), enc.tsMs.as("ts"),
+          col("event_id").as("tie"))
+        .as[CapEvent]
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q132_mem",
+        StreamingOps.perKeyCapByEventTime(
+          evs, cap = 3, watermarkDelay = "0 seconds").toDF(),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .where(col("key") >= 0)
+        .select(col("key").as("user_id"), col("seq"), col("ms"),
+          col("tie").as("event_id"))
+        .orderBy("user_id", "seq")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_ns(ts) // 1000000 AS ms FROM events),
+      r AS (SELECT user_id, ms, event_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id ORDER BY ms, event_id)
+                     AS BIGINT) AS seq
+            FROM e)
+      SELECT user_id, seq, ms, event_id FROM r WHERE seq <= 3
+      ORDER BY user_id, seq"""))
+
+  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78, q108, q130, q132)
 }

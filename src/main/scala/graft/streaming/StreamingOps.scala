@@ -22,6 +22,17 @@ final case class SessionOut(
     start_ms: Long,
     end_ms: Long)
 
+/** Input to the per-key cap: event time + a tiebreaker id. */
+final case class CapEvent(key: Long, ts: java.sql.Timestamp, tie: Long)
+
+/** One capped emission: the seq-th event of its key by (ms, tie). */
+final case class CapOut(key: Long, seq: Long, ms: Long, tie: Long)
+
+/** Per-key cap state: emitted count + the ≤(cap−emitted) smallest
+  * still-unsealed events — O(cap) per key, never O(stream).
+  */
+final case class CapState(emitted: Long, pending: Seq[(Long, Long)])
+
 /** Mutable-in-state session accumulator. */
 final case class SessionState(n_events: Long, start_ms: Long, end_ms: Long)
 
@@ -158,6 +169,58 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(updateSession(gapMs))
+  }
+
+  /** Streaming per-key cap BY EVENT TIME: emit each key's first `cap`
+    * events in (event-time, tie) order — the streaming form of the
+    * batch per-key cap (q56's row_number ≤ N), not an arrival-order
+    * rate limiter. An event may only be emitted once the watermark
+    * passes its timestamp (any earlier event still admissible would
+    * outrank it), so emissions are deterministic under every
+    * admissible arrival order.
+    *
+    * State is O(cap) per key, NOT O(buffered stream): of the unsealed
+    * events only the (cap − emitted) smallest can ever be emitted —
+    * every future emission picks minima from pending ∪ future, and a
+    * kept event outranks everything truncated — so the buffer prunes
+    * to that bound each batch. A capped-out key keeps a 1-record
+    * tombstone (emitted = cap, empty buffer): dropping it would let a
+    * late burst restart the count. The timeout re-arms at the earliest
+    * pending event's seal time.
+    */
+  def perKeyCapByEventTime(
+      events: Dataset[CapEvent],
+      cap: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[CapOut] = {
+    require(cap >= 1, "cap must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(updateCap(cap))
+  }
+
+  private def updateCap(cap: Int)(
+      key: Long,
+      events: Iterator[CapEvent],
+      state: GroupState[CapState]): Iterator[CapOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    val st = state.getOption.getOrElse(CapState(0L, Nil))
+    if (st.emitted >= cap) { state.update(st); return Iterator.empty }
+    val all = st.pending ++ events.map(e => (e.ts.getTime, e.tie))
+    val (sealed0, open) = all.partition(_._1 <= wm)
+    val emit = sealed0.sorted.take(cap - st.emitted.toInt)
+    val emitted = st.emitted + emit.size
+    val keep =
+      if (emitted >= cap) Nil
+      else open.sorted.take(cap - emitted.toInt)
+    state.update(CapState(emitted, keep))
+    if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).min)
+    emit.iterator.zipWithIndex.map { case ((ms, tie), i) =>
+      CapOut(key, st.emitted + i + 1, ms, tie)
+    }
   }
 
   /** Merge the batch's events with ALL held session islands by

@@ -312,4 +312,32 @@ class DedupSpec extends SparkTestBase {
     assert(out == expected)
     assert(expected.size == 40 * 39 / 2) // every pair shares 5 of 7
   }
+
+  test("minhashCalibration: exact dups estimate 1.0; err is |exact-est|") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),    // j(1,3) = 4/6 = 0.6667
+      (4L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(df, "doc_id", "text",
+        shingleWidth = 1, threshold = 0.5, numHashes = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val byPair = rows.map(t => (t._1, t._2) -> t).toMap
+    // identical shingle sets agree on EVERY seed's min: est 1, err 0
+    assert(byPair((1L, 2L)) == ((1L, 2L, 1.0, 1.0, 0.0)))
+    // every estimate is a multiple of 1/16 in [0,1], and abs_err is
+    // exactly the fix4'd |exact - est| of the output columns
+    rows.foreach { case (_, _, exact, est, err) =>
+      val sixteenths = est * 16
+      assert(sixteenths == math.floor(sixteenths) && est >= 0 && est <= 1)
+      assert(err == math.floor(math.abs(exact - est) * 10000 + 0.5) / 10000)
+    }
+    assert(byPair.contains((1L, 3L)) && byPair.contains((2L, 3L)))
+    assert(!rows.exists(t => t._1 == 4L || t._2 == 4L))
+  }
 }

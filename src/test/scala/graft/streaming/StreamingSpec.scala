@@ -134,6 +134,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("per-key cap emits the first N by event time, sealed by watermark") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[CapEvent]
+    val q = StreamingOps.perKeyCapByEventTime(
+        input.toDS(), cap = 2, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("cap").outputMode("append")
+      .start()
+    def ce(key: Long, minutes: Long, tie: Long) =
+      CapEvent(key, ts(minutes), tie)
+    try {
+      // one batch, out of order: the cap must pick by EVENT time (the
+      // later-arriving minute-100 event outranks minute-110), emitting
+      // only what the advancing watermark has sealed — the trailing
+      // no-data micro-batch seals minutes 100/105 once wm reaches 109
+      input.addData(ce(1, 110, 1), ce(1, 100, 2), ce(1, 105, 3), ce(2, 100, 4))
+      runToCompletion(q)
+      // watermark advance seals everything -> first 2 per key emit
+      input.addData(ce(9, 5000, 5))
+      runToCompletion(q)
+      // a LATE third event for a capped-out key must not emit (state
+      // tombstone), and u9's own event emits once sealed
+      input.addData(ce(1, 120, 6), ce(9, 5002, 7))
+      runToCompletion(q)
+      input.addData(ce(9, 5003, 8))
+      runToCompletion(q)
+      val rows = spark.table("cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 <= 2L).toSet
+      assert(rows == Set(
+        (1L, 1L, 100 * 60000L, 2L),
+        (1L, 2L, 105 * 60000L, 3L),
+        (2L, 1L, 100 * 60000L, 4L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per digest within watermark") {
     val ss = spark
     import ss.implicits._
