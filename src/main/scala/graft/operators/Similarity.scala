@@ -211,6 +211,76 @@ object Similarity {
     }
   }
 
+  /** Deterministic PQ codebook centroid (subspace m, code c) — the
+    * "pq-" key keeps every subspace's codebook distinct while staying
+    * SQL-re-derivable like [[ivfCentroidValues]].
+    */
+  def pqCentroidValues(m: Int, c: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = digest.digest(s"pq-$m-$c-$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      BigInt(hex, 16).toDouble / 5.76460752303423488e17 - 1.0
+    }
+  }
+
+  /** Product-quantization codebook audit — the vector-COMPRESSION
+    * honesty instrument (q126 audits retrieval recall, this audits the
+    * storage side): each vector splits into `m` subvectors, each
+    * subvector quantizes to its NEAREST-BY-L2 of `nCodes` codebook
+    * centroids — scored as argmax(2·⟨s,c⟩ − ‖c‖²), which equals
+    * argmin ‖s−c‖² without touching the row-constant ‖s‖²; ties to
+    * the lowest code, identically in both engines — and the audit
+    * reports per (subspace, code) how many vectors landed there and
+    * the mean squared reconstruction error — the measured distortion
+    * that justifies an (m, nCodes) compression choice (64 doubles →
+    * m bytes per vector at nCodes ≤ 256).
+    *
+    * Exactness: per-row err² = ‖s‖² − score(code) evaluates in the
+    * identical op order in both engines (the centroid norms embed as
+    * shortest-roundtrip double literals), then errors are fix4-scaled
+    * to exact longs BEFORE the per-cell sum, so the mean is
+    * order-independent — never a float sum across rows.
+    *
+    * Scale shape: ONE corpus scan; each row emits its m (subspace,
+    * code, err) entries through one Generate, then a (subspace, code)
+    * hash aggregate of m·nCodes cells — map-side combined, no join
+    * anywhere. Output: m·nCodes-row table, data-size-independent.
+    */
+  def pqAudit(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      nCodes: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val sub = dim / m
+    GraftFunctions.register(df.sparkSession)
+    val v = Vectors.asDouble(col(vecCol))
+    val entries = array((0 until m).map { mi =>
+      val sv = slice(v, mi * sub + 1, sub)
+      val cents = (0 until nCodes).map(c => pqCentroidValues(mi, c, sub))
+      val scores = array(cents.map { c =>
+        val cnorm = c.map(x => x * x).sum
+        lit(2.0) * GraftFunctions.vecDot(sv, typedLit(c)) - lit(cnorm)
+      }: _*)
+      val code = array_position(scores, array_max(scores))
+      val err = GraftFunctions.vecDot(sv, sv) -
+        element_at(scores, code.cast("int"))
+      struct(lit(mi).as("subspace"), code.cast("int").as("code"),
+        err.as("err"))
+    }: _*)
+    graft.SparkUtil.ensureParallelism(df)
+      .select(explode(entries).as("e"))
+      .select(col("e.subspace"), col("e.code"),
+        floor(col("e.err") * 10000 + 0.5).cast("long").as("errq"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("errq")).as("errsum"))
+      .select(col("subspace"), col("code"), col("n_vecs"),
+        graft.functions.Numerics.fix4(col("errsum").cast("double") /
+          (col("n_vecs") * 10000.0)).as("mean_err2"))
+  }
+
   /** Array of the vector's dot product with each centroid (HOF folds —
     * per-ROW work, see [[planeBit]] for why not unrolled).
     */

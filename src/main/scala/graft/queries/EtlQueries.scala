@@ -2,9 +2,11 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Tables
 import graft.functions.Numerics
 import graft.sources.{DatasetCatalog, DatasetIO, MatchMode}
 
@@ -228,5 +230,62 @@ object EtlQueries {
                AS sum_price
       FROM lineitem"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85)
+  // ---- q134: multi-format roundtrip (csv / json+gzip / orc+zlib) ----
+  // The DataSource surface beyond parquet: the same typed slice writes
+  // through three formats (with a compression codec on each compressed
+  // path) and reads back under an explicit schema; per-format exact
+  // checksums (counts, integer products, cents, epoch-day sums) must
+  // all equal the parquet source's. Doubles survive the CSV text hop
+  // because Spark prints shortest-roundtrip representations; dates are
+  // the lossy-prone type, hence the explicit day_sum probe.
+
+  val q134 = Q(
+    "q134_format_roundtrip",
+    (s, dir) => {
+      val base = Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("ship_day"))
+      val out = scratch("q134_fmt_")
+      val schema = base.schema
+      def checks(fmt: String, wopts: Map[String, String]): DataFrame = {
+        val p = s"$out/$fmt"
+        base.write.mode("overwrite").options(wopts).format(fmt).save(p)
+        // the csv reader needs the SAME header option or it parses the
+        // header line as a (null-filled) data row
+        s.read.schema(schema).options(wopts.filter(_._1 == "header"))
+          .format(fmt).load(p)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey") * col("l_linenumber")).as("key_sum"),
+            sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+              .as("cents_sum"),
+            sum(datediff(col("ship_day"), to_date(lit("1970-01-01")))
+              .cast("long")).as("day_sum"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("key_sum"),
+            col("cents_sum"), col("day_sum"))
+      }
+      Seq(
+        checks("csv", Map("header" -> "true")),
+        checks("json", Map("compression" -> "gzip")),
+        checks("orc", Map("compression" -> "zlib")))
+        .reduceLeft(_.unionAll(_))
+        .orderBy("fmt")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents_sum,
+               CAST(sum(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+                 AS BIGINT) AS day_sum
+        FROM lineitem WHERE l_orderkey < 1000)
+      SELECT fmt, n_rows, key_sum, cents_sum, day_sum
+      FROM (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+      CROSS JOIN agg
+      ORDER BY fmt"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85, q134)
 }

@@ -1713,9 +1713,100 @@ object ExtendedQueries {
                AS share
       FROM r, t WHERE rank <= 5 ORDER BY rank"""))
 
+  // ---- q135: time-weighted average value per user (TWAP) ----
+  // Left-Riemann TWAP over [first, last]: each event's value holds
+  // until the next event; the last event carries zero weight (no
+  // terminal interval). Exact: integer cents × integer ms-deltas sum
+  // as longs (order-independent), ONE float division at the end.
+  // Single-event and all-same-instant users are degenerate (zero
+  // span) and excluded. One key shuffle; lead + the aggregate share
+  // the (user, ms, tie) sort.
+
+  val q135 = Q(
+    "q135_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ms"), col("event_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .withColumn("nxt", lead(col("ms"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ms")) - min(col("ms"))).as("span_ms"),
+          sum(when(col("nxt").isNotNull,
+            col("cents") * (col("nxt") - col("ms")))).as("wsum"))
+        .where(col("span_ms") > 0)
+        .select(col("user_id"), col("n_events"), col("span_ms"),
+          Numerics.fix4(col("wsum").cast("double") /
+            (col("span_ms") * 100.0)).as("twap"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH $evCte,
+      x AS (SELECT user_id, ms, event_id,
+                   CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+                   lead(ms) OVER (PARTITION BY user_id
+                     ORDER BY ms, event_id) AS nxt
+            FROM e),
+      g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+                   CAST(sum(CASE WHEN nxt IS NOT NULL
+                            THEN cents * (nxt - ms) END) AS BIGINT) AS wsum
+            FROM x GROUP BY 1)
+      SELECT user_id, n_events, span_ms,
+             ${Numerics.sqlFix(
+      "CAST(wsum AS DOUBLE) / (span_ms * 100.0)", 4)} AS twap
+      FROM g WHERE span_ms > 0
+      ORDER BY user_id"""))
+
+  // ---- q136: product-quantization codebook audit ----
+  // The vector-compression distortion readout: 64-dim embeddings split
+  // into 4 subspaces × 8 codes; per (subspace, code) the vector count
+  // and order-independent mean squared reconstruction error (per-row
+  // fix4-scaled longs before the sum). The oracle re-derives all 32
+  // codebook centroids, every assignment, and the same error algebra.
+
+  val q136 = Q(
+    "q136_pq_audit",
+    (s, dir) =>
+      Similarity.pqAudit(Tables(s, dir, "embeddings"), "embedding",
+          dim = 64, m = 4, nCodes = 8)
+        .orderBy("subspace", "code"),
+    Some {
+      def pqCentSql(mi: Int, c: Int) =
+        s"[('0x'||substr(md5('pq-$mi-$c-'||i),1,15))::BIGINT" +
+          s"/576460752303423488.0 - 1.0 for i in generate_series(0,15)]"
+      val blocks = (0 until 4).map { mi =>
+        val scores = (0 until 8)
+          .map { c =>
+            val cnorm = Similarity.pqCentroidValues(mi, c, 16)
+              .map(x => x * x).sum
+            s"2*list_dot_product(sv, ${pqCentSql(mi, c)}) - $cnorm"
+          }
+          .mkString("[", ",\n              ", "]")
+        s"""SELECT $mi AS subspace, sv, $scores AS sc
+            FROM (SELECT v[${mi * 16 + 1}:${(mi + 1) * 16}] AS sv FROM e)"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      s AS ($blocks),
+      a AS (SELECT subspace,
+                   list_position(sc, list_max(sc)) AS code,
+                   list_dot_product(sv, sv)
+                     - sc[list_position(sc, list_max(sc))] AS err
+            FROM s),
+      q AS (SELECT subspace, CAST(code AS INTEGER) AS code,
+                   CAST(floor(err*10000 + 0.5) AS BIGINT) AS errq
+            FROM a)
+      SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_vecs,
+             ${Numerics.sqlFix(
+        "CAST(sum(errq) AS DOUBLE) / (count(*) * 10000.0)", 4)} AS mean_err2
+      FROM q GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
-      q117, q118, q119, q121, q122, q123, q124)
+      q117, q118, q119, q121, q122, q123, q124, q135, q136)
 }

@@ -224,4 +224,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1L) == ((3L, 2L, 0.6667)))
     assert(out(2L) == ((1L, 0L, 0.0)))
   }
+
+  test("pqAudit: a vector sitting ON a codebook centroid has zero error") {
+    val ss = spark
+    import ss.implicits._
+    // embedding = [centroid(subspace 0, code 3) ++ centroid(1, code 1)]
+    val vec = (Similarity.pqCentroidValues(0, 2, 4) ++
+      Similarity.pqCentroidValues(1, 0, 4)).map(_.toFloat)
+    val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+    // float storage rounds the centroid components, so the error is
+    // ~float-epsilon²-sized, which fix4 flattens to exactly 0
+    val out = Similarity.pqAudit(df, "embedding", dim = 8, m = 2, nCodes = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set((0, 3, 1L, 0.0), (1, 1, 1L, 0.0)), s"got $out")
+  }
+
+  test("pqAudit assignment is argmin-L2; cell means match brute force") {
+    val ss = spark
+    import ss.implicits._
+    val dim = 8; val m = 2; val sub = 4; val nCodes = 4
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until dim).map(j => (((i * 31 + j * 7) % 17) - 8) / 8.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // Scala brute-force mirror: true argmin-L2 per subspace (ties low)
+    val cents = (0 until m).map(mi =>
+      (0 until nCodes).map(c => Similarity.pqCentroidValues(mi, c, sub)))
+    val expected = rows.flatMap { case (_, v) =>
+      (0 until m).map { mi =>
+        val s = v.slice(mi * sub, (mi + 1) * sub).map(_.toDouble)
+        val (err, code) = cents(mi).zipWithIndex.map { case (c, ci) =>
+          (s.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, ci + 1)
+        }.minBy { case (e, ci) => (e, ci) }
+        ((mi, code), err)
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.size.toLong, vs.map(_._2).sum / vs.size)
+    }
+    val got = Similarity.pqAudit(df, "embedding", dim, m, nCodes)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet, s"cells: ${got.keySet}")
+    expected.foreach { case (cell, (n, meanErr)) =>
+      val (gn, gm) = got(cell)
+      assert(gn == n, s"cell $cell count $gn != $n")
+      assert(math.abs(gm - meanErr) < 1.1e-4, s"cell $cell mean $gm vs $meanErr")
+    }
+  }
 }
