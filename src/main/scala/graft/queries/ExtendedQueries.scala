@@ -1804,9 +1804,87 @@ object ExtendedQueries {
       FROM q GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 
+  // ---- q137: recursive-CTE session walk (SQL front-end recursion) ----
+  // The linked-list recursion the RECURSIVE CTE engine exists for:
+  // each event's next-event edge (out-degree 1, so UNION ALL recursion
+  // is LINEAR — every event joins from its unique predecessor exactly
+  // once; total recursive rows = Σ min(session len, 20), never a path
+  // explosion). Walks each session start's chain while the gap stays
+  // under 30 min, capped at 20 hops so no engine depth limit is in
+  // play. Spark 4 and DuckDB run the IDENTICAL recursive SQL (only the
+  // events CTE differs by ts encoding).
+
+  private def walkBody(src: String): String =
+    s"""o AS (SELECT user_id, event_id, ms,
+                   lead(event_id) OVER w AS nxt_id,
+                   lead(ms) OVER w AS nxt_ms,
+                   lag(ms) OVER w AS prv_ms
+            FROM $src
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      walk(user_id, start_id, start_ms, cur_id, cur_ms, depth) AS (
+        SELECT user_id, event_id, ms, event_id, ms, 1
+        FROM o WHERE prv_ms IS NULL OR ms - prv_ms > 1800000
+        UNION ALL
+        SELECT w.user_id, w.start_id, w.start_ms, o.nxt_id, o.nxt_ms,
+               w.depth + 1
+        FROM walk w JOIN o ON o.user_id = w.user_id
+                          AND o.event_id = w.cur_id
+        WHERE o.nxt_ms IS NOT NULL AND o.nxt_ms - o.ms <= 1800000
+          AND w.depth < 20)
+      SELECT user_id, start_id AS start_event_id,
+             CAST(max(depth) AS BIGINT) AS n_events,
+             start_ms, max(cur_ms) AS end_ms
+      FROM walk
+      GROUP BY user_id, start_id, start_ms
+      ORDER BY user_id, start_ms, start_event_id"""
+
+  val q137 = Q(
+    "q137_recursive_session_walk",
+    (s, dir) => {
+      ev(s, dir).select("user_id", "event_id", "ms")
+        .createOrReplaceTempView("ev137")
+      s.sql("WITH RECURSIVE\n" + walkBody("ev137"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $evCte,
+      ${walkBody("e")}"""))
+
+  // ---- q138: VARIANT semi-structured ingestion (Spark 4 type path) ----
+  // parse_json ONCE into a VARIANT, then typed path extraction +
+  // missing-path probes + the discovered schema — the shredding
+  // pattern for semi-structured columns at scale (parse cost paid one
+  // time, every extraction reads the binary variant). The oracle
+  // re-derives the numbers from the raw JSON text and DECLARES the
+  // discovered-schema string (planted ground truth, q71-style).
+
+  val q138 = Q(
+    "q138_variant_extract",
+    (s, dir) => {
+      ev(s, dir).select("event_type", "props")
+        .createOrReplaceTempView("ev138")
+      s.sql("""
+        WITH v AS (SELECT event_type, parse_json(props) AS pv FROM ev138)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(variant_get(pv, '$.k', 'long')) AS BIGINT) AS sum_k,
+               CAST(count(try_variant_get(pv, '$.missing', 'long'))
+                 AS BIGINT) AS n_missing_path,
+               min(schema_of_variant(pv)) AS variant_schema
+        FROM v GROUP BY event_type ORDER BY event_type""")
+    },
+    Some(s"""
+      WITH $evCte
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((props::JSON ->> 'k')::BIGINT) AS BIGINT) AS sum_k,
+             CAST(0 AS BIGINT) AS n_missing_path,
+             'OBJECT<k: BIGINT>' AS variant_schema
+      FROM e GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
-      q117, q118, q119, q121, q122, q123, q124, q135, q136)
+      q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138)
 }
