@@ -1841,6 +1841,10 @@ object ExtendedQueries {
   val q137 = Q(
     "q137_recursive_session_walk",
     (s, dir) => {
+      // total recursive rows = Σ min(session len, 20) ≈ event count —
+      // linear, but Spark's safety default (1M rows) trips past ~1M
+      // events; size the guard to the workload instead of disabling it
+      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       ev(s, dir).select("user_id", "event_id", "ms")
         .createOrReplaceTempView("ev137")
       s.sql("WITH RECURSIVE\n" + walkBody("ev137"))
