@@ -470,5 +470,98 @@ object StreamingQueries {
       SELECT user_id, seq, ms, event_id FROM r WHERE seq <= 3
       ORDER BY user_id, seq"""))
 
-  val all: Seq[Q] = Seq(q51, q52, q58, q59, q78, q108, q130, q132)
+  /** SLIDING-window streaming aggregation parity (q52 is tumbling):
+    * 1-hour windows every 15 minutes, so each event lands in exactly 4
+    * overlapping windows. Complete mode — no drain protocol. The batch
+    * oracle derives the same 4 window starts per event (multiples of
+    * the slide covering the event) with a 4-row offset cross join.
+    */
+  val q139 = Q(
+    "q139_stream_sliding_window_parity",
+    (s, dir) => {
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(
+          enc.tsMs.as("ts"),
+          col("event_type"),
+          floor(col("value") * 100.0 + 0.5).as("value"))
+      drainToTable(s, "q139_mem",
+        StreamingOps.windowedCounts(
+          evs, watermarkDelay = "10 minutes", windowLen = "1 hour",
+          slide = Some("15 minutes")),
+        "complete")
+        .select(
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          col("value_sum").cast("long").as("value_cents"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, value,
+               epoch_ns(ts) // 1000000 AS ms FROM events),
+      x AS (SELECT (ms // 900000 - k) * 900000 AS window_start_ms,
+                   event_type, value
+            FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) g(k))
+      SELECT window_start_ms, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM x GROUP BY 1, 2
+      ORDER BY window_start_ms, event_type"""))
+
+  /** Native session_window parity: the ENGINE-provided stateful
+    * session operator (vs q51's flatMapGroupsWithState re-derivation)
+    * against the same batch gaps-and-islands oracle — two independent
+    * streaming implementations pinned to one ground truth. Append
+    * mode; sentinels advance the watermark to seal every session.
+    */
+  val q140 = Q(
+    "q140_stream_session_window_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(enc.tsMs.as("ts"), col("user_id"))
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q140_mem",
+        StreamingOps.sessionWindowCounts(
+          evs, GapMs, watermarkDelay = "0 seconds"),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events"))
+        .orderBy("user_id", "start_ms")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+      marked AS (
+        SELECT user_id, ms, event_id,
+               CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > $GapMs
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      numbered AS (
+        SELECT user_id, ms,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM marked)
+      SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM numbered
+      GROUP BY user_id, grp
+      ORDER BY user_id, start_ms"""))
+
+  val all: Seq[Q] =
+    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140)
 }

@@ -50,16 +50,45 @@ object StreamingOps {
       events: DataFrame,
       tsCol: String = "ts",
       watermarkDelay: String = "10 minutes",
-      windowLen: String = "1 hour"): DataFrame =
+      windowLen: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .groupBy(
+        slide.fold(window(col(tsCol), windowLen))(sl =>
+          window(col(tsCol), windowLen, sl)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"),
         col("n_events"),
         col("value_sum"))
+
+  /** Native session-window aggregation — Spark's built-in
+    * `session_window` stateful operator, the engine-provided
+    * alternative to [[sessionize]]'s flatMapGroupsWithState form.
+    * Emits (user, session start, last-event ms, n_events) per sealed
+    * session in append mode; `session_window.end` is last event + gap,
+    * so the gap is subtracted back out to report the final EVENT time
+    * (the batch gaps-and-islands convention).
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gapMs: Long,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        session_window(col(tsCol), s"$gapMs milliseconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        (unix_millis(col("session_window.end")) - gapMs).as("end_ms"),
+        col("n_events"))
 
   /** Windowed distinct-user count — streaming "hourly unique users":
     * dedup (window, user) with watermark-bounded state, then the
