@@ -677,21 +677,51 @@ object Dedup {
     * Fault tolerance at 100 TB: when the SparkContext has a checkpoint
     * dir configured, each round is RELIABLY checkpointed (survives
     * executor loss — never `localCheckpoint`, whose blocks die with
-    * their executor); otherwise rounds are persisted and remain
-    * lineage-recoverable. The fixpoint signal is an exact changed-label
-    * count (no overflow-prone checksum arithmetic), and exhausting
-    * `maxIter` without convergence THROWS instead of silently returning
-    * wrong clusters.
+    * their executor); otherwise rounds round-trip through scratch
+    * parquet, which equally truncates lineage (persist() does not:
+    * each round's plan would still chain the caller's whole pair
+    * pipeline, and a 20-round chain over a heavy LSH subtree OOMed a
+    * 1G JVM on plan bookkeeping alone). The fixpoint signal is an
+    * exact changed-label count (no overflow-prone checksum
+    * arithmetic), and exhausting `maxIter` without convergence THROWS
+    * instead of silently returning wrong clusters.
     */
   def clustersFromPairs(
       allIds: DataFrame,
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val sc = allIds.sparkSession.sparkContext
+    val spark = allIds.sparkSession
+    val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.persist()
+    // Round state gets FILE-TRUNCATED lineage, the same discipline as
+    // Graphs.kcoreDegreesRun: persist() keeps each round's PLAN chained
+    // on everything before it, and when the pair source is a heavy
+    // expression subtree (q141's 16-hyperplane LSH literals) a
+    // 20-round chain OOMed a 1G bench JVM on plan bookkeeping alone.
+    // A scratch-parquet round-trip makes every round a flat file scan.
+    val scratch =
+      if (reliable) None
+      else Some(java.nio.file.Files.createTempDirectory("graft_cc_"))
+    scratch.foreach { root =>
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+          f.delete(): Unit
+        }
+        rec(root.toFile)
+      }))
+    }
+    var round = 0
+    def materialize(df: DataFrame): DataFrame = {
+      round += 1
+      if (reliable) df.checkpoint()
+      else {
+        val p = s"${scratch.get}/round_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    }
     val sym = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"),
@@ -710,8 +740,21 @@ object Dedup {
         .select(col("src").as("id"), col("src").as("label")))
     var converged = false
     var iter = 0
+    // The loop's tables are PAIRED-SUBGRAPH-sized (orders of magnitude
+    // under the corpus), but every round schedules several jobs, so at
+    // default widths the fixed per-task cost dominates — scope the
+    // shuffle width to the edge count for the loop's duration
+    // (restored after), the same discipline as the streaming drain's
+    // state-store sizing. ~64k edges per partition keeps partitions
+    // MB-sized; a billion-edge pair set still gets thousands of tasks.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val edgeCount = edges.count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(prevShuffle.toLong,
+        edgeCount / 65536L + 1L)).toString)
+    try {
     while (!converged && iter < maxIter) {
-      val next = materialize(
+      val stepped = materialize(
         edges.join(labels.select(col("id").as("src"), col("label")), "src")
           .groupBy(col("dst"))
           .agg(
@@ -721,25 +764,44 @@ object Dedup {
             min(when(col("src") === col("dst"), col("label")))
               .as("prev_label"))
           .select(col("dst").as("id"), col("label"), col("prev_label")))
-      // exact fixpoint: #nodes whose label still dropped this round
-      val changed = next.where(col("label") < col("prev_label")).count()
+      // exact fixpoint: #nodes whose label still dropped this round.
+      // Valid regardless of the jump below: a no-change EDGE step means
+      // adjacent labels are pairwise equal, so each component is
+      // already uniform at its min.
+      val changed = stepped.where(col("label") < col("prev_label")).count()
       converged = changed == 0L
-      if (!reliable) labels.unpersist()
-      labels = next
+      labels =
+        if (converged) stepped
+        // pointer jump (label doubling): label := label(label).
+        // Labels only ever decrease toward the component min, and
+        // chasing one indirection ~doubles the propagated distance
+        // per round, so long-chain components converge in
+        // O(log diameter) rounds instead of O(diameter) — the regime
+        // the semantic CC (q141) lives in, where low-threshold
+        // components are paths, not cliques. The jump stays LAZY:
+        // `stepped` is already a flat file scan, so the self-join adds
+        // one constant level of lineage per round (no growth) and
+        // skips a second materialization round-trip. Every label value
+        // is a node id with its own row, so the lookup is total; the
+        // left join + coalesce only guards the stepped frontier.
+        else stepped
+          .join(
+            stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+            col("label") === col("jid"), "left")
+          .select(col("id"),
+            coalesce(col("jlabel"), col("label")).as("label"))
       iter += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     if (!converged) {
-      if (!reliable) { labels.unpersist(); edges.unpersist() }
       throw new IllegalStateException(
         s"clustersFromPairs did not converge in $maxIter rounds — the " +
           "duplicate graph's diameter exceeds maxIter; raise maxIter")
     }
-    // Singletons rejoin here. Only the final labels stay materialized
-    // (tiny: one row per PAIRED doc) — the edge set is released; a
-    // labels cache loss recomputes through the (unpersisted) edges
-    // lineage, slower but correct. With a checkpoint dir both are
-    // reliable files and the persisted rounds were released eagerly.
-    if (!reliable) edges.unpersist()
+    // Singletons rejoin here. Every round (including the final labels)
+    // is a flat file — scratch parquet for the JVM's life, or reliable
+    // checkpoint files — so the result below reads one small table,
+    // with no residual lineage into the caller's pair pipeline.
     allIds.select(col(idCol).cast("long").as("id"))
       .join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id").as(idCol),

@@ -1539,9 +1539,45 @@ object PipelineQueries {
       "CAST(sum(jc) AS DOUBLE) / (count(*) * 10000.0)", 4)} AS mean_sim
       FROM m GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---- q141: semantic (embedding-level) duplicate clusters ----
+  // The embedding companion to q41's text CC: hyperplane-LSH cosine
+  // pairs (q24's candidate shape) resolve into connected components —
+  // "semantic dedup" keeps one representative per meaning cluster even
+  // when the texts share no n-grams. Same scale shape as q41: banded
+  // candidates (never all-pairs) + the linear-plan CC loop.
+
+  val q141 = Q(
+    "q141_embedding_dup_clusters",
+    (s, dir) => {
+      val pairs = Similarity.embeddingNearDup(embs(s, dir), "vec_id",
+        "embedding", dim = 64, bands = 2, bitsPerBand = 4, threshold = 0.35)
+      // semantic components CHAIN (a low cosine threshold strings
+      // same-topic vectors into long paths), so the diameter bound is
+      // looser than near-clique text dups — give the CC loop headroom
+      Dedup.clustersFromPairs(
+          embs(s, dir).select(col("vec_id")), "vec_id", pairs, maxIter = 50)
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${planeBitsSql(2, 4)},
+      p AS (
+        SELECT a.vec_id AS va, c.vec_id AS vb
+        FROM sig a JOIN sig c
+          ON a.vec_id < c.vec_id AND (a.k0 = c.k0 OR a.k1 = c.k1)
+        WHERE $cosSql >= 0.35),
+      edges AS (SELECT va AS src, vb AS dst FROM p
+                UNION ALL
+                SELECT vb, va FROM p),
+      reach(a, b) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.b = ed.src)
+      SELECT a AS vec_id, min(b) AS cluster_id
+      FROM reach GROUP BY a ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125, q126, q127, q128, q129, q131, q133)
+    q125, q126, q127, q128, q129, q131, q133, q141)
 }

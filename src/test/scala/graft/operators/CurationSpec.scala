@@ -57,14 +57,16 @@ class CurationSpec extends SparkTestBase {
       "non-converged clusters") {
     val ss = spark
     import ss.implicits._
-    val ids = spark.range(1, 13).toDF("doc_id")
-    // a 12-node chain: diameter 11, min label walks one hop per round
-    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = spark.range(1, 201).toDF("doc_id")
+    // a 200-node chain: diameter 199; each round is one edge hop plus
+    // a pointer jump, so reach grows ~2^round — 3 rounds cover ~2^3
+    // hops, far short of the chain, and the guard must throw
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
       Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 3).collect()
     }
     assert(e.getMessage.contains("converge"))
-    // and with enough rounds the same chain fully collapses
+    // and with doubling reach, 20 rounds (2^20 >> 199) fully collapse it
     val ok = Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 20)
       .collect().map(r => r.getLong(1)).toSet
     assert(ok == Set(1L))
