@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.VecDot
+import graft.functions.expressions.{BloomContains, VecDot}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -31,9 +31,28 @@ object GraftFunctions {
       s"$VecDotName expects 2 arguments, got ${exprs.size}")
   }
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  val BloomContainsName = "graft_bloom_contains"
+
+  private val bloomContainsInfo = new ExpressionInfo(
+    classOf[BloomContains].getCanonicalName, null, BloomContainsName,
+    "_FUNC_(bloom, s) - membership probe of string s against a foldable " +
+      "binary serialized org.apache.spark.util.sketch.BloomFilter " +
+      "(codegen'd; compatible with DataFrameStatFunctions.bloomFilter).",
+    "")
+
+  private val bloomContainsBuilder: Seq[Expression] => Expression = {
+    case Seq(b, v) => BloomContains(b, v)
+    case exprs => throw new IllegalArgumentException(
+      s"$BloomContainsName expects 2 arguments, got ${exprs.size}")
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(BloomContainsName), bloomContainsInfo,
+        bloomContainsBuilder))
+  }
 
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit = {
@@ -42,12 +61,23 @@ object GraftFunctions {
       registry.registerFunction(
         FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder)
     }
+    if (!registry.functionExists(FunctionIdentifier(BloomContainsName))) {
+      registry.registerFunction(
+        FunctionIdentifier(BloomContainsName), bloomContainsInfo,
+        bloomContainsBuilder)
+    }
   }
 
   /** Column form; the owning session must have [[register]]ed (the
     * graft operators do this on entry).
     */
   def vecDot(a: Column, b: Column): Column = call_function(VecDotName, a, b)
+
+  /** Column form of the Bloom probe; `bloom` must be a foldable binary
+    * (`lit(filter-serialized-bytes)`). Null string probes yield null.
+    */
+  def bloomContains(bloom: Column, s: Column): Column =
+    call_function(BloomContainsName, bloom, s)
 }
 
 /** `spark.sql.extensions` hook. */

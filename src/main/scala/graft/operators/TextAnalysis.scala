@@ -761,9 +761,12 @@ object TextAnalysis {
     * anti-join (the bloom can only over-approximate the contaminated
     * set, and the join removes the false positives).
     *
-    * The membership probe is a Scala closure over the broadcast sketch
-    * (one hash per row) — the lone non-codegen step, deliberately
-    * cheaper than the shuffle it avoids.
+    * The membership probe is the codegen'd `graft_bloom_contains`
+    * expression (`functions/expressions/BloomContains.scala`): the
+    * driver-serialized sketch rides the plan as a foldable binary
+    * literal — the same shape Spark's runtime-filter rewrite emits for
+    * `BloomFilterMightContain` — so the corpus scan stays inside one
+    * WholeStageCodegen span (asserted by PlanHygieneSpec).
     */
   def bloomDecontaminate(
       corpus: DataFrame,
@@ -771,17 +774,23 @@ object TextAnalysis {
       textCol: String,
       fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
+    graft.GraftFunctions.register(spark)
     val digest = md5(Texts.normText(col(textCol)))
     val probeDigests = probe.select(digest.as("digest")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = math.max(probeDigests.count(), 1L)
     val bloom = probeDigests.stat.bloomFilter("digest", n, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((d: String) => d != null && bloomB.value.mightContainString(d))
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = coalesce(
+      graft.GraftFunctions.bloomContains(lit(bloomBytes), col("__digest")),
+      lit(false))
     val tagged = corpus.withColumn("__digest", digest)
-    val clean = tagged.where(!mightContain(col("__digest")))
-    val confirmed = tagged.where(mightContain(col("__digest")))
+    val clean = tagged.where(!mightContain)
+    val confirmed = tagged.where(mightContain)
       .join(probeDigests.withColumnRenamed("digest", "__digest"),
         Seq("__digest"), "left_anti")
     val out = clean.unionByName(confirmed).drop("__digest")

@@ -136,6 +136,14 @@ class PlanHygieneSpec extends SparkTestBase {
       "rank-limit pushdown (WindowGroupLimit) missing from the plan")
   }
 
+  test("q129 bloom probe is a codegen'd expression, not a Scala UDF") {
+    val plan = planOf("q129_bloom_decontaminate")
+    assert(!plan.contains("UDF("),
+      "bloom probe fell back to a Scala UDF (breaks whole-stage codegen)")
+    assert(plan.contains("graft_bloom_contains"),
+      s"expected the native bloom probe in the plan: ${plan.take(800)}")
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
