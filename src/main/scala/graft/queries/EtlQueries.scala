@@ -81,20 +81,42 @@ object EtlQueries {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
-  /** Listing + regex selection over the catalog. Weaker rows-only check
-    * (no SQL oracle can see the filesystem); ScalaTest covers the
-    * pagination/selection semantics.
+  /** Listing + regex selection over the catalog, hash-gated on CONTENT
+    * (VERDICT r9 item 4): a planted fixture tree with byte-exact raw
+    * files (sizes are deterministic — no parquet/compression metadata
+    * in the byte count) is listed recursively with a regex that must
+    * exclude the decoy, and the (relative name, size) rows compare
+    * against a DuckDB VALUES literal. Pagination over large prefixes
+    * stays ScalaTest-gated (DatasetCatalogSpec).
     */
   val q16 = Q(
     "q16_catalog_list",
     (s, dir) => {
+      val root = java.nio.file.Paths.get(scratch("cat"), "tree")
+      def plant(rel: String, n: Int): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, Array.fill[Byte](n)('x'.toByte)): Unit
+      }
+      plant("alpha.csv", 120)
+      plant("beta.csv", 64)
+      plant("data/gamma.csv", 2048)
+      plant("data/inner/delta.csv", 7)
+      plant("notes.txt", 33) // decoy: the regex must not select it
       val refs = new DatasetCatalog(s)
-        .select(dir, "\\.parquet$", MatchMode.Regex)
+        .selectRecursive(s"file:$root", "\\.csv$", MatchMode.Regex)
         .map(r => (r.name, r.sizeBytes))
       import s.implicits._
       refs.toDF("dataset_name", "size_bytes").orderBy("dataset_name")
     },
-    None)
+    Some("""
+      SELECT * FROM (VALUES
+        ('alpha.csv', CAST(120 AS BIGINT)),
+        ('beta.csv', CAST(64 AS BIGINT)),
+        ('data/gamma.csv', CAST(2048 AS BIGINT)),
+        ('data/inner/delta.csv', CAST(7 AS BIGINT)))
+        AS t(dataset_name, size_bytes)
+      ORDER BY dataset_name"""))
 
   val q17 = Q(
     "q17_move_dataset",
