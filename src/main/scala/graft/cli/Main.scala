@@ -44,7 +44,7 @@ object Main {
       |  download|upload|remove: --bucket-name BUCKET_OR_URI       (required)
       |  download|upload|move:   --destination-file-name NAME
       |                          --destination-folder-name FOLDER
-      |  upload:                 --extra-args "{'ACL': '...', 'ServerSideEncryption': '...'}"
+      |  upload:                 --extra-args "{'ACL': '...'}" or strict JSON '{"ACL": "..."}'
       |  move:                   --source-bucket-name / --destination-bucket-name
       |""".stripMargin
 
@@ -214,10 +214,56 @@ object Main {
     }
   }
 
-  /** Parse the reference's `--extra-args` dict literal, e.g.
-    * `{'ACL': 'public-read', 'ServerSideEncryption': 'AES256'}`.
+  /** Parse `--extra-args` STRICTLY as a flat string→string dict — the
+    * reference `literal_eval`s the argument (upload_file.py:231), so a
+    * malformed dict is an error there, never a silent partial parse.
+    * Both the reference's Python-literal quoting
+    * (`{'ACL': 'public-read'}`) and strict-JSON quoting
+    * (`{"ACL": "public-read"}`) are accepted; anything else —
+    * unquoted tokens, missing colons, nested values, trailing garbage —
+    * throws, matching the reference's ValueError behavior rather than
+    * the previous regex scrape that skipped what it didn't recognize.
     */
-  private[cli] def parseExtraArgs(s: String): Map[String, String] =
-    "'([^']+)'\\s*:\\s*'([^']*)'".r.findAllMatchIn(s)
-      .map(m => m.group(1) -> m.group(2)).toMap
+  private[cli] def parseExtraArgs(s: String): Map[String, String] = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"--extra-args must be a flat {'Key': 'value'} or " +
+        s"""{"Key": "value"} dict: $msg in '$s'""")
+    val t = s.trim
+    if (!t.startsWith("{") || !t.endsWith("}")) fail("not a dict literal")
+    val body = t.substring(1, t.length - 1)
+    val n = body.length
+    var i = 0
+    val out = Map.newBuilder[String, String]
+    def skipWs(): Unit = while (i < n && body(i).isWhitespace) i += 1
+    def parseString(what: String): String = {
+      skipWs()
+      if (i >= n || (body(i) != '\'' && body(i) != '"'))
+        fail(s"expected quoted $what at offset ${i + 1}")
+      val q = body(i)
+      i += 1
+      val sb = new StringBuilder
+      while (i < n && body(i) != q) {
+        if (body(i) == '\\' && i + 1 < n) { sb.append(body(i + 1)); i += 2 }
+        else { sb.append(body(i)); i += 1 }
+      }
+      if (i >= n) fail(s"unterminated $what string")
+      i += 1 // closing quote
+      sb.result()
+    }
+    skipWs()
+    while (i < n) {
+      val k = parseString("key")
+      skipWs()
+      if (i >= n || body(i) != ':') fail(s"expected ':' after key '$k'")
+      i += 1
+      out += (k -> parseString("value"))
+      skipWs()
+      if (i < n) {
+        if (body(i) != ',') fail(s"expected ',' at offset ${i + 1}")
+        i += 1
+        skipWs() // trailing comma (valid in a Python literal) ends the dict
+      }
+    }
+    out.result()
+  }
 }

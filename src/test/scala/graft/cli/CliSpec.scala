@@ -164,6 +164,43 @@ class CliSpec extends SparkTestBase {
       "{'ACL': 'public-read', 'ServerSideEncryption': 'AES256'}")
       == Map("ACL" -> "public-read", "ServerSideEncryption" -> "AES256"))
     assert(Main.parseExtraArgs("{}") == Map.empty[String, String])
+    // strict-JSON quoting is equally valid (round 10)
+    assert(Main.parseExtraArgs(
+      """{"ACL": "private", "SSEKMSKeyId": "k-1"}""")
+      == Map("ACL" -> "private", "SSEKMSKeyId" -> "k-1"))
+    // trailing comma is a valid Python literal
+    assert(Main.parseExtraArgs("{'ACL': 'private',}")
+      == Map("ACL" -> "private"))
+  }
+
+  test("malformed --extra-args throws instead of part-parsing") {
+    // the reference literal_eval's the argument: malformed input is an
+    // error, never a silent partial parse (upload_file.py:231)
+    for (bad <- Seq("ACL=private", "{'ACL': private}", "{'ACL' 'private'}",
+        "{'ACL': 'private' 'X': 'y'}", "{'ACL': 'private")) {
+      intercept[IllegalArgumentException](Main.parseExtraArgs(bad))
+    }
+  }
+
+  test("strict-JSON --extra-args upload lands SSE/ACL in the Hadoop conf") {
+    val src = tmpDir("cli_src_")
+    val bucket = tmpDir("cli_bucket_")
+    plant(src, "a.csv" -> "a")
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rc = Main.run(Array("upload",
+      "--bucket-name", s"file:$bucket",
+      "--source-folder-name", src.toString,
+      "--source-file-name-match-type", "exact_match",
+      "--source-file-name", "a.csv",
+      "--extra-args",
+      """{"ACL": "bucket-owner-full-control", "ServerSideEncryption": "aws:kms", "SSEKMSKeyId": "key-42"}"""),
+      outs.append(_), errs.append(_))
+    assert(rc == 0, (outs ++ errs).mkString("; "))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.acl.default") == "bucket-owner-full-control")
+    assert(hc.get("fs.s3a.server-side-encryption-algorithm") == "aws:kms")
+    assert(errs.isEmpty, s"no warnings expected: $errs")
   }
 
   test("unsupported --extra-args keys warn instead of silently dropping") {
