@@ -56,10 +56,44 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       filter.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
     }
-    val results = selected.map { case (name, fn) =>
+    val results0 = selected.map { case (name, fn) =>
       val cold = time(name, fn) // first run: codegen compile + cache misses
       val runs = (1 to timedRuns).map(_ => time(name, fn))
       name -> (cold, runs.min, runs)
+    }
+    // Outlier self-adjudication (VERDICT r9 item 2): a single snapshot
+    // pass under its own contention produced four false regressions in
+    // round 9. Any query whose warm min lands >2× its BASELINE.json pin
+    // (and >0.3 s above it — 2× of 0.05 s is noise, not signal) gets 3
+    // extra warm runs AFTER the full pass, when the machine is quiet.
+    // The headline carries the final minimum; `requeried` carries
+    // [snapshot, rerun] so both numbers are on the record.
+    val pins: Map[String, Double] = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File("BASELINE.json"))
+      val qs = root.path("pins").path("queries")
+      if (qs.isMissingNode) Map.empty
+      else {
+        val it = qs.properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next(); b += (e.getKey -> e.getValue.asDouble())
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val requeried = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    val results = results0.map { case (name, (cold, warm, runs)) =>
+      val short = name.takeWhile(_ != '_')
+      pins.get(short).orElse(pins.get(name)) match {
+        case Some(pin) if warm > 2 * pin && warm - pin > 0.3 &&
+            !errors.contains(name) =>
+          val rerun = (1 to 3).map(_ => time(name, selected(name))).min
+          requeried(name) = (warm, rerun)
+          name -> (cold, math.min(warm, rerun), runs)
+        case _ => name -> (cold, warm, runs)
+      }
     }
     // Per-run spreads on demand (SPARK_GRAFT_BENCH_DETAIL=1): the
     // variance investigations need every timed run, not just the min.
@@ -113,10 +147,28 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"\"${shortNames.getOrElse(k, k)}\":\"$v\"" }
       .mkString("{", ",", "}")
+    // [snapshot, rerun-min] per requeried query — {} on a healthy run
+    val reqJson = requeried
+      .map { case (k, (snap, rerun)) =>
+        s"\"${shortNames.getOrElse(k, k)}\":[${fmt2(snap)},${fmt2(rerun)}]"
+      }
+      .mkString("{", ",", "}")
     val headline =
-      s"""{"metric":"total","value":${fmt2(warmTotal)},"unit":"sec","queries":${jShort(_._2)},"cold_total":${fmt2(coldTotal)},"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(warmTotal)},"unit":"sec","queries":${jShort(_._2)},"cold_total":${fmt2(coldTotal)},"runs":$timedRuns,"errors":$errJson,"requeried":$reqJson,"sf":"$sfDir"}"""
     println(s"""{"aux":"headline_len","chars":${headline.length}}""")
     println(headline)
+    // Structured artifact on disk: every driver round to date recorded
+    // `parsed: null` (the stdout tail is log-prefixed), so downstream
+    // tooling re-extracts the map from the raw tail string. This file
+    // carries the same headline plus the full-name per-query detail.
+    val local =
+      s"""{"headline":$headline,
+         |"queries_warm_full":${j(_._2)},
+         |"queries_cold_full":${j(_._1)}}""".stripMargin.replace("\n", "")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      local.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
