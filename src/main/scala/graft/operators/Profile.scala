@@ -314,4 +314,102 @@ object Profile {
         graft.functions.Numerics.fix4(
           col("n_rows").cast("double") / col("total")).as("share"))
   }
+
+  /** Exact weighted median per group — the LOWER weighted median:
+    * smallest value v such that the cumulative weight of rows ≤ v
+    * reaches half the group's total weight (2·cumw ≥ totw in
+    * integers, so no float ever enters the comparison). The
+    * length-vs-importance question an unweighted percentile (q38)
+    * cannot answer: a corpus median where each doc counts by its
+    * token mass, a latency median weighted by request volume.
+    *
+    * One window shuffle by group (cumulative weight over the ordered
+    * values, ties broken by `idCol` for cross-engine determinism), one
+    * filter, one min-aggregate. No join; per-group state is the window
+    * sort only.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("v"), col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.select(
+        col(groupCol), col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("wt"), col(idCol))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(tot))
+      .where(col("cumw") * 2 >= col("totw"))
+      .groupBy(col(groupCol))
+      .agg(
+        min(col("v")).as("wmedian"),
+        max(col("totw")).as("total_weight"))
+  }
+
+  /** KMV (k-minimum-values) sketch overlap between groups — the
+    * scale path for "how much do these sources' DISTINCT contents
+    * overlap" when the exact intersection (q133) is too wide to
+    * shuffle. Each group keeps only its k lexicographically smallest
+    * md5 digests (the classic KMV sketch: fixed-width hex compares
+    * like its numeric value, Hashes.scala); for every group pair the
+    * union's k smallest digests are scanned for two-sided membership,
+    * giving the standard unbiased Jaccard estimate t/k. Deterministic
+    * by construction — same hash both engines — so the ESTIMATE
+    * itself is oracle-checkable, not just bounded.
+    *
+    * Cost: one digest pass over the data, one window per group
+    * (sketch build, k rows kept per group), then pair expansion over
+    * sketches only — p·k rows, independent of data size. Group count
+    * is assumed dashboard-sized (pairs enumerate); the sketch build
+    * dominates and is one shuffle.
+    */
+  def kmvOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val perGroup = Window.partitionBy("g").orderBy(col("digest"))
+    // the sketch: k smallest distinct digests per group
+    val sketch = df
+      .select(
+        col(groupCol).as("g"),
+        md5(graft.functions.Texts.normText(col(textCol))).as("digest"))
+      .distinct()
+      .withColumn("rn", row_number().over(perGroup))
+      .where(col("rn") <= k)
+      .select(col("g"), col("digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sketch.select(col("g").as("g_a")).distinct()
+      .join(sketch.select(col("g").as("g_b")).distinct(),
+        col("g_a") < col("g_b"))
+    // pair × sketch expansion: digests of either side, then the k
+    // smallest of the union with a two-sided presence count
+    val expanded = pairs.join(sketch, col("g") === col("g_a"))
+      .select(col("g_a"), col("g_b"), col("digest"))
+      .unionAll(pairs.join(sketch, col("g") === col("g_b"))
+        .select(col("g_a"), col("g_b"), col("digest")))
+    val perPair = Window.partitionBy("g_a", "g_b").orderBy(col("digest"))
+    expanded
+      .groupBy(col("g_a"), col("g_b"), col("digest"))
+      .agg(count(lit(1)).as("present_in"))
+      .withColumn("rn", row_number().over(perPair))
+      .where(col("rn") <= k)
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(
+        count(lit(1)).as("union_k"),
+        sum(when(col("present_in") === 2, 1L).otherwise(0L)).as("t"))
+      .select(
+        col("g_a"), col("g_b"), col("t"),
+        graft.functions.Numerics.fix4(
+          col("t").cast("double") / col("union_k").cast("double"))
+          .as("jaccard_est"))
+  }
 }

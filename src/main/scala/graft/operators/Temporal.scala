@@ -119,4 +119,100 @@ object Temporal {
       .join(units, col("w") === col(unitCol))
       .select(col(unitCol), col(outCol))
   }
+
+  /** Interval union per key (gaps-and-islands): merge overlapping or
+    * touching [start, end] intervals and report, per key, the merged
+    * island count, the total covered length, and the longest island.
+    * The canonical "how much wall-clock does this key's activity
+    * actually cover" curation question (dwell time, span coverage,
+    * sensor uptime) — a multiset of raw intervals double-counts every
+    * overlap.
+    *
+    * Implementation: ONE window pass per key ordered by (start, end) —
+    * an island opens where start > running-max(end) over all PRIOR
+    * rows; the island id is the running sum of those open flags; one
+    * aggregate per (key, island) then per key. One shuffle total
+    * (everything partitions by key), no join, no self-inequality —
+    * the 100 TB shape. Interval count per key is unbounded; nothing
+    * materializes per key beyond the window sort.
+    *
+    * Intervals are closed-closed: [1,5] and [5,9] merge ([1,5] and
+    * [6,9] do not). Rows with end < start are rejected loudly rather
+    * than silently swapped.
+    */
+  def intervalUnion(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val ordered = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol))
+    val prior = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val opens = when(
+      col(startCol) > max(col(endCol)).over(prior), 1L).otherwise(0L)
+    // first row per key has a null prior max → otherwise-branch 0, and
+    // the cumulative sum starts islands at 0
+    val islands = df
+      .select(col(keyCol), col(startCol), col(endCol))
+      .withColumn("island",
+        sum(opens).over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(
+        min(col(startCol)).as("i_start"),
+        max(col(endCol)).as("i_end"))
+    islands
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered"),
+        max(col("i_end") - col("i_start")).as("longest"))
+  }
+
+  /** Exponential time-decay average per key — the freshness-weighted
+    * feature ("recent behavior counts more") with decay a = 1/2 per
+    * step over the last `depth` events. Integer-exact by construction:
+    * values are quantized to cents and each term is cents·2^(depth-j)
+    * (j = 0 for the newest event), so the weighted sum and the weight
+    * sum are BIGINTs — no float accumulation order anywhere, and the
+    * single final division is one IEEE op both engines round
+    * identically.
+    *
+    * One window shuffle by key (rank the last `depth` events), one
+    * aggregate. `depth` is bounded (≤ 32: cents < 2^char, shifted sums
+    * must stay in int64), so per-key state is O(depth).
+    *
+    * Output per key: n_terms (events that contributed), decayed
+    * (SUM cents·2^(depth-j) / SUM 2^(depth-j) / 100 — the
+    * decay-weighted value in the original unit).
+    */
+  def decayAverage(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      depth: Int = 30): DataFrame = {
+    require(depth >= 1 && depth <= 32, "depth must be in [1, 32]")
+    val recency = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val cents = floor(col(valueCol) * 100.0 + 0.5).cast("long")
+    val j = row_number().over(recency) - 1 // 0 = newest
+    // the Scala shiftleft() helper takes a literal shift; the SQL form
+    // accepts a column expression
+    val weight = expr(s"shiftleft(CAST(1 AS BIGINT), $depth - j)")
+    df.select(col(keyCol), col(tsCol), col(idCol), cents.as("cents"))
+      .withColumn("j", j)
+      .where(col("j") < depth)
+      .withColumn("w", weight)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("cents") * col("w")).as("num"),
+        sum(col("w")).as("den"))
+      .select(
+        col(keyCol), col("n_terms"),
+        graft.functions.Numerics.fix4(
+          col("num").cast("double") / col("den").cast("double") / 100.0)
+          .as("decayed"))
+  }
 }

@@ -797,4 +797,64 @@ object TextAnalysis {
     probeDigests.unpersist()
     out
   }
+
+  /** Count-min sketch term-frequency estimation with an exact error
+    * audit. The sketch is `depth` rows of `width` counters; every token
+    * occurrence increments cell (r, hash_r(term) % width) for each row
+    * r, and a term's estimate is the MIN over its `depth` cells —
+    * always ≥ the true count (collisions only add). At 100 TB this is
+    * THE frequency structure: the shuffle is keyed by depth·width
+    * cells (constant, with map-side combine), never by the unbounded
+    * vocabulary — complementing Misra-Gries top-k (q72), which keeps
+    * heavy hitters but no queryable estimate for arbitrary terms.
+    *
+    * Hashing is the md5-derived [[Hashes.hash60]] both engines compute
+    * bit-identically, so the ESTIMATES are deterministic and
+    * oracle-checkable, not just bounded. The audit joins the top
+    * `topN` exact terms (deterministic ties: count desc, term asc)
+    * against their sketch estimates and reports the overestimate.
+    */
+  def cmsTermFrequency(
+      corpus: DataFrame,
+      textCol: String,
+      width: Int,
+      depth: Int = 4,
+      topN: Int = 20): DataFrame = {
+    require(width >= 2 && depth >= 1 && topN >= 1,
+      "cms needs width >= 2, depth >= 1, topN >= 1")
+    val terms = corpus
+      .select(explode(Texts.words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cellOf(r: Int) = Hashes.hash60(col("term"), r) % width
+    // the sketch proper: built straight off the token stream — the
+    // aggregate is keyed by (row, cell), depth·width counters total
+    val sketch = (0 until depth)
+      .map(r => terms.select(
+        lit(r).as("r"), cellOf(r).as("cell")))
+      .reduce(_ unionAll _)
+      .groupBy(col("r"), col("cell"))
+      .agg(count(lit(1)).as("cell_cnt"))
+    // audit side: exact counts exist at this scale; keep the topN via
+    // sort+limit (TakeOrderedAndProject — per-partition top-N then a
+    // driver merge of topN rows, never a single-partition window sort
+    // of the vocabulary)
+    val audited = terms.groupBy("term")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+      .limit(topN)
+    val probes = (0 until depth)
+      .map(r => audited.select(
+        col("term"), col("exact_cnt"), lit(r).as("r"), cellOf(r).as("cell")))
+      .reduce(_ unionAll _)
+    val out = probes
+      .join(sketch, Seq("r", "cell"))
+      .groupBy(col("term"))
+      .agg(
+        max(col("exact_cnt")).as("exact_cnt"),
+        min(col("cell_cnt")).as("est_cnt"))
+      .withColumn("over_est", col("est_cnt") - col("exact_cnt"))
+    terms.unpersist()
+    out
+  }
 }

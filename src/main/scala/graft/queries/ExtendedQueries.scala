@@ -1898,9 +1898,156 @@ object ExtendedQueries {
              'OBJECT<k: BIGINT>' AS variant_schema
       FROM e GROUP BY event_type ORDER BY event_type"""))
 
+  // ---- q142: interval union coverage per key (gaps-and-islands) ----
+  // Events become [ms, ms + cents·50] activity intervals; the operator
+  // merges overlaps per user in ONE window pass (no self-join) and
+  // reports island count / covered span / longest island. All-integer
+  // arithmetic end to end.
+
+  val q142 = Q(
+    "q142_interval_union",
+    (s, dir) => {
+      val iv = ev(s, dir).select(
+        col("user_id"),
+        col("ms").as("iv_start"),
+        (col("ms") +
+          floor(col("value") * 100.0 + 0.5).cast("long") * 50)
+          .as("iv_end"))
+      Temporal.intervalUnion(iv, "user_id", "iv_start", "iv_end")
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH $evCte,
+      iv AS (SELECT user_id, ms AS iv_start,
+                    ms + CAST(floor(value*100.0 + 0.5) AS BIGINT)*50
+                      AS iv_end
+             FROM e),
+      m AS (SELECT user_id, iv_start, iv_end,
+                   CASE WHEN iv_start > max(iv_end) OVER (
+                          PARTITION BY user_id ORDER BY iv_start, iv_end
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS opens
+            FROM iv),
+      isl AS (SELECT user_id, iv_start, iv_end,
+                     sum(opens) OVER (
+                       PARTITION BY user_id ORDER BY iv_start, iv_end
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM m),
+      g AS (SELECT user_id, island,
+                   min(iv_start) AS i_s, max(iv_end) AS i_e
+            FROM isl GROUP BY user_id, island)
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+             CAST(max(i_e - i_s) AS BIGINT) AS longest
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  // ---- q143: KMV sketch distinct-overlap between sources ----
+  // The sketch-based scale path for cross-source content overlap: k
+  // minimum md5 digests per source, pairwise two-sided membership in
+  // the union's k smallest → deterministic Jaccard ESTIMATE, exactly
+  // reproduced by the oracle (same hash in both engines).
+
+  private val kmvK = 128
+
+  val q143 = Q(
+    "q143_kmv_overlap",
+    (s, dir) =>
+      Profile.kmvOverlap(
+          Tables(s, dir, "documents"), "source", "text", kmvK)
+        .orderBy("g_a", "g_b"),
+    Some(s"""
+      WITH d AS (SELECT DISTINCT source AS g, md5(lower(trim(text))) AS digest
+                 FROM documents),
+      sk AS (SELECT g, digest FROM (
+               SELECT g, digest,
+                      row_number() OVER (PARTITION BY g ORDER BY digest)
+                        AS rn
+               FROM d) WHERE rn <= $kmvK),
+      gs AS (SELECT DISTINCT g FROM sk),
+      pr AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a, gs b WHERE a.g < b.g),
+      ex AS (SELECT g_a, g_b, digest FROM pr JOIN sk ON sk.g = pr.g_a
+             UNION ALL
+             SELECT g_a, g_b, digest FROM pr JOIN sk ON sk.g = pr.g_b),
+      dd AS (SELECT g_a, g_b, digest, count(*) AS present_in
+             FROM ex GROUP BY g_a, g_b, digest),
+      rk AS (SELECT g_a, g_b, present_in,
+                    row_number() OVER (PARTITION BY g_a, g_b
+                                       ORDER BY digest) AS rn
+             FROM dd)
+      SELECT g_a, g_b,
+             CAST(sum(CASE WHEN present_in = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS t,
+             ${Numerics.sqlFix(
+               "CAST(sum(CASE WHEN present_in = 2 THEN 1 ELSE 0 END) " +
+                 "AS DOUBLE)/CAST(count(*) AS DOUBLE)", 4)} AS jaccard_est
+      FROM rk WHERE rn <= $kmvK
+      GROUP BY g_a, g_b ORDER BY g_a, g_b"""))
+
+  // ---- q144: exact weighted median per group ----
+  // Weighted (lower) median of document length, each doc weighted by
+  // its token mass — all-integer cumulative-weight comparison.
+
+  val q144 = Q(
+    "q144_weighted_median",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("source"), col("n_chars"), col("doc_id"),
+        size(graft.functions.Texts.words(col("text"))).as("wt"))
+      Profile.weightedMedian(d, "source", "n_chars", "wt", "doc_id")
+        .orderBy("source")
+    },
+    Some(raw"""
+      WITH d AS (SELECT source, n_chars, doc_id,
+                        CAST(len(string_split_regex(lower(trim(text)),
+                          '\s+')) AS BIGINT) AS wt
+                 FROM documents),
+      c AS (SELECT source, n_chars AS v, wt, doc_id,
+                   sum(wt) OVER (PARTITION BY source
+                     ORDER BY n_chars, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cumw,
+                   sum(wt) OVER (PARTITION BY source) AS totw
+            FROM d)
+      SELECT source,
+             CAST(min(v) AS BIGINT) AS wmedian,
+             CAST(max(totw) AS BIGINT) AS total_weight
+      FROM c WHERE cumw*2 >= totw
+      GROUP BY source ORDER BY source"""))
+
+  // ---- q145: exponential time-decay average per user ----
+  // Freshness-weighted activity value (a = 1/2 per event step, last 30
+  // events). Integer-exact: cents · 2^(30-j) sums in int64; the single
+  // final division is one IEEE op.
+
+  val q145 = Q(
+    "q145_decay_average",
+    (s, dir) =>
+      Temporal.decayAverage(
+          ev(s, dir), "user_id", "ms", "event_id", "value", depth = 30)
+        .orderBy("user_id"),
+    Some(s"""
+      WITH $evCte,
+      r AS (SELECT user_id,
+                   CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ms DESC, event_id DESC) - 1 AS j
+            FROM e),
+      f AS (SELECT user_id, cents,
+                   (CAST(1 AS BIGINT) << (30 - j)) AS w
+            FROM r WHERE j < 30)
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             ${Numerics.sqlFix(
+               "CAST(sum(cents*w) AS DOUBLE)/CAST(sum(w) AS DOUBLE)/100.0",
+               4)} AS decayed
+      FROM f GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
-      q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138)
+      q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
+      q142, q143, q144, q145)
 }

@@ -1575,9 +1575,53 @@ object PipelineQueries {
       SELECT a AS vec_id, min(b) AS cluster_id
       FROM reach GROUP BY a ORDER BY vec_id"""))
 
+  // ---- q146: count-min sketch term frequencies + exact error audit ----
+  // The constant-memory frequency structure for unbounded vocabularies
+  // (shuffle keyed by depth·width cells, never by term), audited here
+  // against exact counts for the top-20 terms. Estimates are
+  // deterministic (md5-derived cell hashing both engines compute
+  // bit-identically), so est_cnt/over_est hash-match, not just bound.
+
+  private val cmsWidth = 1024
+  private val cmsDepth = 4
+  private val cmsTopN = 20
+
+  val q146 = Q(
+    "q146_cms_frequency",
+    (s, dir) =>
+      TextAnalysis.cmsTermFrequency(
+          Tables(s, dir, "documents"), "text",
+          width = cmsWidth, depth = cmsDepth, topN = cmsTopN)
+        .orderBy(col("exact_cnt").desc, col("term")),
+    Some(raw"""
+      WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)),
+                      '\s+')) AS term
+                    FROM documents),
+      t AS (SELECT term FROM toks WHERE len(term) > 0),
+      rs AS (SELECT unnest(range($cmsDepth)) AS r),
+      cells AS (SELECT r,
+                       ('0x' || substr(md5(CAST(r AS VARCHAR)||'|'||term),
+                         1, 15))::BIGINT % $cmsWidth AS cell
+                FROM t, rs),
+      sk AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS cell_cnt
+             FROM cells GROUP BY r, cell),
+      ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM t GROUP BY term
+             ORDER BY exact_cnt DESC, term LIMIT $cmsTopN),
+      pr AS (SELECT term, exact_cnt, r,
+                    ('0x' || substr(md5(CAST(r AS VARCHAR)||'|'||term),
+                      1, 15))::BIGINT % $cmsWidth AS cell
+             FROM ex, rs)
+      SELECT p.term,
+             max(p.exact_cnt) AS exact_cnt,
+             min(s.cell_cnt) AS est_cnt,
+             min(s.cell_cnt) - max(p.exact_cnt) AS over_est
+      FROM pr p JOIN sk s ON s.r = p.r AND s.cell = p.cell
+      GROUP BY p.term ORDER BY exact_cnt DESC, term"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125, q126, q127, q128, q129, q131, q133, q141)
+    q125, q126, q127, q128, q129, q131, q133, q141, q146)
 }

@@ -30,7 +30,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // compose whitelisted kernels: q126 runs the q25 brute-force
       // truth search; q127 runs the q104 BM25 scorer (1-row corpus
       // stats broadcast against the postings stream)
-      "q126_ann_recall", "q127_rrf_fusion")
+      "q126_ann_recall", "q127_rrf_fusion",
+      // group-list × group-list pair enumeration (dashboard-sized;
+      // the data-sized work is the sketch build, which joins by key)
+      "q143_kmv_overlap")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

@@ -136,4 +136,48 @@ class ProfileSpec extends SparkTestBase {
       ("c->p1", 4L, 4L, 3L, 0.75),
       ("c->p2", 4L, 2L, 2L, 0.5)))
   }
+
+  test("weightedMedian: lower median by cumulative weight, not row count") {
+    // group a: values 1(w=1), 2(w=1), 10(w=10): total 12, half 6 →
+    // first v with 2*cumw >= 12 is 10 (cum 1,2,12) — the row-count
+    // median (2) is wrong here
+    // group b: uniform weights reduce to the ordinary lower median
+    val df = spark.createDataFrame(Seq(
+      ("a", 1L, 1L, 100L), ("a", 2L, 1L, 101L), ("a", 10L, 10L, 102L),
+      ("b", 5L, 1L, 200L), ("b", 6L, 1L, 201L), ("b", 7L, 1L, 202L),
+      ("b", 8L, 1L, 203L)
+    )).toDF("g", "v", "wt", "id")
+    val out = Profile.weightedMedian(df, "g", "v", "wt", "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("a") == ((10L, 12L)))
+    // even count, uniform weights: 2*cumw(6)=4 >= 4 → lower median 6
+    assert(out("b") == ((6L, 4L)))
+  }
+
+  test("kmvOverlap: identical groups estimate 1.0, disjoint 0.0") {
+    val texts = (1 to 200).map(i => s"doc body number $i")
+    val rows =
+      texts.map(t => ("s1", t)) ++ texts.map(t => ("s2", t)) ++
+        (1 to 200).map(i => ("s3", s"other content $i"))
+    val df = spark.createDataFrame(rows).toDF("source", "text")
+    val out = Profile.kmvOverlap(df, "source", "text", k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("s1", "s2")) == ((64L, 1.0)))
+    assert(out(("s1", "s3")) == ((0L, 0.0)))
+    assert(out(("s2", "s3")) == ((0L, 0.0)))
+  }
+
+  test("kmvOverlap estimate tracks true Jaccard on a half-overlap") {
+    // s1 = 1..300, s2 = 151..450 → true Jaccard 150/450 = 0.333
+    val df = spark.createDataFrame(
+      (1 to 300).map(i => ("s1", s"shared text unit $i")) ++
+        (151 to 450).map(i => ("s2", s"shared text unit $i")))
+      .toDF("source", "text")
+    val est = Profile.kmvOverlap(df, "source", "text", k = 128)
+      .collect()(0).getDouble(3)
+    assert(est > 0.2 && est < 0.47, s"estimate $est too far from 0.333")
+  }
 }

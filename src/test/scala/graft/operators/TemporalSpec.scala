@@ -96,4 +96,64 @@ class TemporalSpec extends SparkTestBase {
     assert(out === expected)
     assert(out(1L) == 2L && out(2L) == 2L && out(4L) == 2L && out(7L) == 1L)
   }
+
+  test("intervalUnion merges overlapping and touching intervals per key") {
+    val iv = spark.createDataFrame(Seq(
+      // key 1: [0,10] [5,20] overlap; [20,30] touches (closed-closed);
+      // [50,60] is its own island
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 50L, 60L),
+      // key 2: nested interval swallowed entirely
+      (2L, 0L, 100L), (2L, 10L, 20L),
+      // key 3: single point interval
+      (3L, 7L, 7L)
+    )).toDF("user_id", "iv_start", "iv_end")
+    val out = Temporal.intervalUnion(iv, "user_id", "iv_start", "iv_end")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 40L, 30L))) // islands [0,30] + [50,60]
+    assert(out(2L) == ((1L, 100L, 100L)))
+    assert(out(3L) == ((1L, 0L, 0L)))
+  }
+
+  test("intervalUnion: an island reopens only past the running max end") {
+    // [0,100] then [10,20], [30,40]: naive lag-based gap detection
+    // (prev END, not running max) would wrongly open at [30,40]
+    val iv = spark.createDataFrame(Seq(
+      (1L, 0L, 100L), (1L, 10L, 20L), (1L, 30L, 40L), (1L, 150L, 160L)
+    )).toDF("k", "s", "e")
+    val out = Temporal.intervalUnion(iv, "k", "s", "e").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L) // [0,100] and [150,160]
+    assert(out(0).getLong(2) == 110L)
+  }
+
+  test("decayAverage halves weight per step and caps at depth") {
+    // user 1: values 2.00 (newest), 1.00, with depth 2:
+    // num = 200*2^2 + 100*2^1 = 1000, den = 4+2 = 6 →
+    // 1000/6/100 = 1.6666... → fix4 = 1.6667
+    val e = spark.createDataFrame(Seq(
+      (1L, 1L, 10L, 1.0), (2L, 1L, 20L, 2.0),
+      // user 2: three events but depth 2 keeps the newest two
+      (3L, 2L, 10L, 9.0), (4L, 2L, 20L, 1.0), (5L, 2L, 30L, 2.0)
+    )).toDF("event_id", "user_id", "ms", "value")
+    val out = Temporal
+      .decayAverage(e, "user_id", "ms", "event_id", "value", depth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((2L, 1.6667)))
+    // user 2: 200*4 + 100*2 = 1000 / 6 / 100 → same 1.6667; the 9.0
+    // event is older than depth and must NOT contribute
+    assert(out(2L) == ((2L, 1.6667)))
+  }
+
+  test("decayAverage ties break by event id, newest first") {
+    val e = spark.createDataFrame(Seq(
+      (1L, 1L, 10L, 1.0), (2L, 1L, 10L, 3.0) // same ts: id 2 is newer
+    )).toDF("event_id", "user_id", "ms", "value")
+    val out = Temporal
+      .decayAverage(e, "user_id", "ms", "event_id", "value", depth = 1)
+      .collect()
+    assert(out(0).getLong(1) == 1L) // only the newest survives depth 1
+    assert(out(0).getDouble(2) == 3.0)
+  }
 }

@@ -382,4 +382,45 @@ class TextAnalysisSpec extends SparkTestBase {
     // routes rows, never decides
     assert(ids(0.5) == expected)
   }
+
+  test("cmsTermFrequency: estimates never undercount; wide sketch exact") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha alpha alpha beta"),
+      (2L, "beta gamma alpha"),
+      (3L, "delta delta gamma alpha")
+    )).toDF("doc_id", "text")
+    val wide = TextAnalysis
+      .cmsTermFrequency(docs, "text", width = 4096, depth = 4, topN = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 5 distinct terms in 4096 cells: no collisions, estimate == exact
+    assert(wide("alpha") == ((5L, 5L, 0L)))
+    assert(wide("beta") == ((2L, 2L, 0L)))
+    assert(wide("delta") == ((2L, 2L, 0L)))
+    // a cramped sketch may overestimate but must NEVER undercount
+    val cramped = TextAnalysis
+      .cmsTermFrequency(docs, "text", width = 2, depth = 1, topN = 10)
+      .collect()
+    cramped.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)} undercounted: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // 2 cells for 10 term occurrences: the two cells must sum to 10,
+    // so some term is overestimated
+    assert(cramped.exists(_.getLong(3) > 0))
+  }
+
+  test("cmsTermFrequency topN keeps the most frequent terms, ties by term") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x x x y y z w")
+    )).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .cmsTermFrequency(docs, "text", width = 1024, depth = 2, topN = 2)
+      .orderBy(org.apache.spark.sql.functions.col("exact_cnt").desc,
+        org.apache.spark.sql.functions.col("term"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("x", "y"))
+  }
 }
