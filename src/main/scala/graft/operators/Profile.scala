@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the ANALYZE-style data-quality pass an
@@ -411,5 +411,108 @@ object Profile {
         graft.functions.Numerics.fix4(
           col("t").cast("double") / col("union_k").cast("double"))
           .as("jaccard_est"))
+  }
+
+  /** Join-size estimation from key-degree sampling — the pre-flight
+    * check that predicts |A ⋈ B| BEFORE paying for the join.
+    *
+    * |A ⋈_k B| = Σ_k a_k·b_k. A deterministic hash sample of the KEY
+    * DOMAIN (md5 prefix below `hexLt`, probability = hexLt/256)
+    * estimates the sum from sampled keys alone: Σ_sampled a_k·b_k ·
+    * (256/hexLt). Because the sample is keyed by a content hash, both
+    * engines (and repeated runs) select the same keys, so the estimate
+    * itself is exactly reproducible — the audit can hash-match, not
+    * just bound.
+    *
+    * Scale shape: two partial-agg degree counts (one per side), a join
+    * on the SAMPLED key set only (|keys|·p rows), and a scalar sum —
+    * no row-level join is ever executed. The `actual` column is the
+    * full degree-join sum, still key-grained (cheap next to the row
+    * join it predicts); at 100 TB run the estimate alone and skip it.
+    * This is how a pipeline decides a self-join on a skewed key would
+    * explode before it launches it.
+    */
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      hexLt: Int = 32): DataFrame = {
+    require(hexLt >= 1 && hexLt <= 255, "hexLt must be in [1, 255]")
+    // integral inverse-probability scale keeps est_rows an exact int64
+    require(256 % hexLt == 0, "hexLt must divide 256")
+    val hexLit = f"$hexLt%02x"
+    def degrees(df: DataFrame, key: String): DataFrame =
+      graft.SparkUtil.ensureParallelism(df)
+        .select(col(key).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("deg"))
+    val la = degrees(left, leftKey)
+    val rb = degrees(right, rightKey).withColumnRenamed("deg", "degb")
+    val joined = la.join(rb, "k")
+      .withColumn("prod", col("deg") * col("degb"))
+      .withColumn(
+        "sampled",
+        substring(md5(col("k").cast("string")), 1, 2) < lit(hexLit))
+    joined.agg(
+      count(lit(1)).as("n_join_keys"),
+      sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+      (coalesce(sum(when(col("sampled"), col("prod"))), lit(0L)) *
+        lit(256L / hexLt)).as("est_rows"),
+      sum(col("prod")).as("actual_rows"))
+      .select(
+        col("n_join_keys"), col("n_sampled"), col("est_rows"),
+        col("actual_rows"),
+        graft.functions.Numerics.fix4(
+          abs(col("est_rows") - col("actual_rows")).cast("double") /
+            col("actual_rows").cast("double")).as("rel_err"))
+  }
+
+  /** Source-concentration audit: per group, the Gini coefficient and
+    * top-unit share of an integer weight (token mass, bytes, rows)
+    * across units (sources, domains, shards).
+    *
+    * A training mix that looks diverse by source COUNT can still be
+    * one domain by token MASS — this is the one-pass readout that
+    * catches it. Gini over ascending-ranked integer weights:
+    * G = (2·Σ i·w_i − (n+1)·Σw) / (n·Σw), all-integer numerator, one
+    * final fixed-point division. Ties rank deterministically by
+    * (weight, unit) so both engines agree.
+    *
+    * Scale shape: one partial-agg shuffle to (group, unit) grain —
+    * billions of rows collapse to the unit cardinality — then a
+    * window over units-per-group (dashboard-sized) and a final
+    * per-group aggregate.
+    */
+  def giniConcentration(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUnit = graft.SparkUtil.ensureParallelism(df)
+      .withColumn("__w", weight)
+      .groupBy(col(groupCol).as("g"), col(unitCol).as("u"))
+      .agg(sum(col("__w")).as("w"))
+    val rank = Window.partitionBy("g").orderBy(col("w"), col("u"))
+    perUnit
+      .withColumn("i", row_number().over(rank).cast("long"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(col("w")).as("total_w"),
+        sum(col("i") * col("w")).as("iw"),
+        max(col("w")).as("max_w"))
+      .select(
+        col("g").as(groupCol),
+        col("n_units"),
+        col("total_w"),
+        graft.functions.Numerics.fix4(
+          (lit(2.0) * col("iw").cast("double") -
+            (col("n_units") + 1).cast("double") * col("total_w").cast("double")) /
+            (col("n_units").cast("double") * col("total_w").cast("double")))
+          .as("gini"),
+        graft.functions.Numerics.fix4(
+          col("max_w").cast("double") / col("total_w").cast("double"))
+          .as("top_share"))
   }
 }

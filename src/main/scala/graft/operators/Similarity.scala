@@ -178,20 +178,62 @@ object Similarity {
       dim: Int,
       k: Int,
       bands: Int = 2,
-      bitsPerBand: Int = 4): DataFrame = {
+      bitsPerBand: Int = 4): DataFrame =
+    topK(lshScored(queries, corpus, idCol, vecCol, dim, bands, bitsPerBand), k)
+
+  /** Shared LSH candidate scoring: exact cosine for every distinct
+    * (query, neighbor) pair that shares at least one (band, bucket).
+    */
+  private def lshScored(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int): DataFrame = {
     val qb = withBuckets(prepVecs(queries, idCol, vecCol), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
         col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cb = withBuckets(prepVecs(corpus, idCol, vecCol), dim, bands, bitsPerBand)
       .select(col("band"), col("bucket"),
         col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = qb.join(cb, Seq("band", "bucket"))
+    qb.join(cb, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosWithNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cos")).as("cos"))
-    topK(scored, k)
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose exact cosine lies in
+    * [lo, hi) — similar enough to be informative negatives, strictly
+    * below the near-duplicate band (>= hi) that would poison the
+    * batch with false negatives, and above the floor (< lo) where
+    * negatives are trivial and teach nothing.
+    *
+    * Scale shape: identical to [[lshTopK]] — candidates only from
+    * shared LSH (band, bucket) pairs, an equi-join shuffle, never
+    * n². The cosine band is applied to the exact score before
+    * ranking, so excluded near-dups never occupy top-k slots. The
+    * LSH bias toward similar pairs is exactly the bias this mining
+    * wants: the hard negatives ARE the bucket-mates.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      lo: Double,
+      hi: Double,
+      bands: Int = 2,
+      bitsPerBand: Int = 4): DataFrame = {
+    require(lo < hi, "lo must be < hi")
+    val scored = lshScored(queries, corpus, idCol, vecCol, dim, bands, bitsPerBand)
+    topK(scored.where(col("cos") >= lo && col("cos") < hi), k)
   }
 
   /** Deterministic IVF centroid c, same md5 derivation as the

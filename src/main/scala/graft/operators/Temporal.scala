@@ -215,4 +215,48 @@ object Temporal {
           col("num").cast("double") / col("den").cast("double") / 100.0)
           .as("decayed"))
   }
+
+  /** Last-touch conversion attribution: each conversion event is
+    * credited to the same key's most recent touch event at or before
+    * it, provided the touch is within `windowSpan` time units;
+    * conversions with no in-window touch come back unattributed
+    * (null touch columns, attributed = 0).
+    *
+    * Shape: ONE window pass over the unioned event stream — a
+    * running ignore-nulls `last` of the touch rows carried forward
+    * onto every row, then a filter to conversions. No self-join, so
+    * the classic correlated-subquery formulation (touch × conversion
+    * per key) never materializes; cost is the sessionization shuffle
+    * on the key, which at 100 TB is one partial-agg-friendly
+    * repartition by user.
+    */
+  def lastTouchAttribution(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      valueCol: String,
+      touchType: String,
+      convType: String,
+      windowSpan: Long): DataFrame = {
+    val run = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col(typeCol) === touchType
+    val withTouch = df
+      .select(col(keyCol), col(tsCol), col(idCol), col(typeCol),
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("value_cents"))
+      .withColumn("t_ts", last(when(isTouch, col(tsCol)), true).over(run))
+      .withColumn("t_id", last(when(isTouch, col(idCol)), true).over(run))
+    val inWindow =
+      col("t_ts").isNotNull && (col(tsCol) - col("t_ts")) <= windowSpan
+    withTouch
+      .where(col(typeCol) === convType)
+      .select(
+        col(idCol), col(keyCol), col(tsCol), col("value_cents"),
+        when(inWindow, col("t_id")).as("touch_id"),
+        when(inWindow, col(tsCol) - col("t_ts")).as("touch_age"),
+        when(inWindow, 1).otherwise(0).as("attributed"))
+  }
 }

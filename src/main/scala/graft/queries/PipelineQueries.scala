@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.functions.Numerics
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Profile, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operators (SURVEY.md §2.3) over the `documents`
   * and `embeddings` tables. Every oracle either replays the identical
@@ -1619,9 +1619,89 @@ object PipelineQueries {
       FROM pr p JOIN sk s ON s.r = p.r AND s.cell = p.cell
       GROUP BY p.term ORDER BY exact_cnt DESC, term"""))
 
+  // ---- q151: hard-negative mining ----
+  // Per probe, top-5 candidates with exact cosine in [0.1, 0.35) —
+  // informative contrastive negatives below q24's near-dup band
+  // (>= 0.35). Candidates come from the same LSH (band, bucket)
+  // equi-join as q26; the oracle replays the bucket join and band
+  // filter in SQL.
+
+  val q151 = Q(
+    "q151_hard_negatives",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+          dim = 64, k = 5, lo = 0.1, hi = 0.35,
+          bands = 2, bitsPerBand = 4)
+        .orderBy("query_id", "nn_rank")
+    },
+    Some(s"""
+      WITH ${planeBitsSql(2, 4)},
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM (SELECT * FROM sig WHERE vec_id < 10) q
+        JOIN sig c
+          ON q.vec_id != c.vec_id AND (q.k0 = c.k0 OR q.k1 = c.k1)),
+      scored AS (
+        SELECT query_id, neighbor_id, $cosSql AS cos
+        FROM cand
+        JOIN (SELECT vec_id, v FROM e) a ON a.vec_id = cand.query_id
+        JOIN (SELECT vec_id, v FROM e) c ON c.vec_id = cand.neighbor_id),
+      banded AS (SELECT * FROM scored WHERE cos >= 0.1 AND cos < 0.35),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS nn_rank,
+               ${Numerics.sqlFix("cos", 4)} AS cos_sim
+        FROM banded)
+      SELECT query_id, neighbor_id, nn_rank, cos_sim
+      FROM ranked WHERE nn_rank <= 5
+      ORDER BY query_id, nn_rank"""))
+
+  // ---- q152: source-concentration Gini audit ----
+  // Token mass per (lang, source): a mix that is diverse by source
+  // count can still be one domain by mass — Gini + top-share is the
+  // one-pass readout. All-integer numerator, fixed-point output.
+
+  val q152 = Q(
+    "q152_gini_source",
+    (s, dir) =>
+      Profile.giniConcentration(
+          Tables(s, dir, "documents"), "lang", "source",
+          size(graft.functions.Texts.words(col("text"))).cast("long"))
+        .orderBy("lang"),
+    Some(raw"""
+      WITH d AS (SELECT lang, source,
+                        CAST(len(string_split_regex(lower(trim(text)),
+                          '\s+')) AS BIGINT) AS wt
+                 FROM documents),
+      u AS (SELECT lang, source, CAST(sum(wt) AS BIGINT) AS w
+            FROM d GROUP BY lang, source),
+      r AS (SELECT lang, source, w,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY w, source) AS BIGINT) AS i
+            FROM u),
+      a AS (SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(w) AS BIGINT) AS total_w,
+                   CAST(sum(i*w) AS BIGINT) AS iw,
+                   CAST(max(w) AS BIGINT) AS max_w
+            FROM r GROUP BY lang)
+      SELECT lang, n_units, total_w,
+             ${Numerics.sqlFix(
+               "(2.0*CAST(iw AS DOUBLE) - CAST(n_units + 1 AS DOUBLE)" +
+                 "*CAST(total_w AS DOUBLE))" +
+                 "/(CAST(n_units AS DOUBLE)*CAST(total_w AS DOUBLE))", 4)}
+               AS gini,
+             ${Numerics.sqlFix(
+               "CAST(max_w AS DOUBLE)/CAST(total_w AS DOUBLE)", 4)}
+               AS top_share
+      FROM a ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125, q126, q127, q128, q129, q131, q133, q141, q146)
+    q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152)
 }

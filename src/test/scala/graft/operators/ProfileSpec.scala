@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class ProfileSpec extends SparkTestBase {
@@ -179,5 +181,42 @@ class ProfileSpec extends SparkTestBase {
     val est = Profile.kmvOverlap(df, "source", "text", k = 128)
       .collect()(0).getDouble(3)
     assert(est > 0.2 && est < 0.47, s"estimate $est too far from 0.333")
+  }
+
+  test("joinSizeEstimate: exact actual rows and deterministic sampling") {
+    val ss = spark
+    import ss.implicits._
+    val left = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k") // deg 1->3, 2->1, 3->2
+    val right = Seq(1L, 2L, 2L, 3L).toDF("k2") // deg 1->1, 2->2, 3->1
+    val r = Profile.joinSizeEstimate(left, right, "k", "k2", hexLt = 128)
+      .collect().head
+    assert(r.getAs[Long]("n_join_keys") == 3L)
+    assert(r.getAs[Long]("actual_rows") == 7L) // 3*1 + 1*2 + 2*1
+    // recompute the md5-prefix sample membership independently
+    def inSample(k: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) < 0x80
+    }
+    val prods = Map(1L -> 3L, 2L -> 2L, 3L -> 2L)
+    val est = 2L * prods.collect { case (k, p) if inSample(k) => p }.sum
+    assert(r.getAs[Long]("est_rows") == est)
+    assert(r.getAs[Long]("n_sampled") == prods.keys.count(inSample).toLong)
+  }
+
+  test("giniConcentration: zero for equal shares, 0.72 for a 97% monopoly") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      ("g", "s1", 25L), ("g", "s2", 25L), ("g", "s3", 25L), ("g", "s4", 25L),
+      ("h", "t1", 1L), ("h", "t2", 1L), ("h", "t3", 1L), ("h", "t4", 97L)
+    ).toDF("grp", "unit", "w")
+    val out = Profile.giniConcentration(df, "grp", "unit", col("w"))
+      .orderBy("grp").collect()
+    assert(out(0).getAs[Double]("gini") == 0.0)
+    assert(out(0).getAs[Double]("top_share") == 0.25)
+    // h ranks (1,1),(2,1),(3,1),(4,97): iw = 394, G = (788-500)/400
+    assert(out(1).getAs[Double]("gini") == 0.72)
+    assert(out(1).getAs[Double]("top_share") == 0.97)
   }
 }

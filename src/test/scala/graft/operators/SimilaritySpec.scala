@@ -274,4 +274,27 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(gm - meanErr) < 1.1e-4, s"cell $cell mean $gm vs $meanErr")
     }
   }
+
+  test("hardNegatives drops the near-dup band and re-ranks contiguously") {
+    val q = vecs.where("vec_id = 0")
+    val all = Similarity.lshTopK(
+      q, vecs, "vec_id", "embedding", dim = 4, k = 4,
+      bands = 2, bitsPerBand = 4).orderBy("nn_rank").collect()
+    val hn = Similarity.hardNegatives(
+      q, vecs, "vec_id", "embedding", dim = 4, k = 4,
+      lo = -2.0, hi = 0.99, bands = 2, bitsPerBand = 4)
+      .orderBy("nn_rank").collect()
+    // vec 1 (cos > 0.999) is in the near-dup band: excluded
+    assert(!hn.map(_.getLong(1)).contains(1L))
+    assert(hn.map(_.getLong(1)).toSeq ==
+      all.map(_.getLong(1)).filterNot(_ == 1L).toSeq)
+    assert(hn.map(_.getInt(2)).toSeq == (1 to hn.length).toSeq)
+    // the full band reproduces lshTopK exactly
+    val full = Similarity.hardNegatives(
+      q, vecs, "vec_id", "embedding", dim = 4, k = 4,
+      lo = -2.0, hi = 2.0, bands = 2, bitsPerBand = 4)
+      .orderBy("nn_rank").collect()
+    assert(full.map(r => (r.getLong(1), r.getInt(2))).toSeq ==
+      all.map(r => (r.getLong(1), r.getInt(2))).toSeq)
+  }
 }

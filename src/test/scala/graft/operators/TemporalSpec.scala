@@ -156,4 +156,44 @@ class TemporalSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 1L) // only the newest survives depth 1
     assert(out(0).getDouble(2) == 3.0)
   }
+
+  test("lastTouchAttribution credits the latest in-window touch only") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, 1L, 10L, "click", 0.0),
+      (2L, 1L, 15L, "purchase", 9.99),
+      (3L, 1L, 100L, "purchase", 5.0),
+      (4L, 2L, 20L, "click", 0.0),
+      (5L, 2L, 30L, "click", 0.0),
+      (6L, 2L, 35L, "purchase", 1.0),
+      (7L, 3L, 35L, "click", 0.0), // same-ms touch, smaller id: counts
+      (8L, 3L, 35L, "purchase", 2.0),
+      (9L, 4L, 5L, "purchase", 3.0) // never touched
+    ).toDF("event_id", "user_id", "ms", "event_type", "value")
+    val out = Temporal.lastTouchAttribution(
+        df, "user_id", "ms", "event_id", "event_type", "value",
+        touchType = "click", convType = "purchase", windowSpan = 50L)
+      .orderBy("event_id").collect()
+      .map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(r.fieldIndex("touch_id"))) -1L
+          else r.getAs[Long]("touch_id"),
+          if (r.isNullAt(r.fieldIndex("touch_age"))) -1L
+          else r.getAs[Long]("touch_age"),
+          r.getAs[Int]("attributed"))
+      }
+    assert(out.toSeq == Seq(
+      (2L, 1L, 5L, 1), // click id1, 5ms earlier
+      (3L, -1L, -1L, 0), // click too old (90 > 50)
+      (6L, 5L, 5L, 1), // LATEST click wins, not the first
+      (8L, 7L, 0L, 1), // same-ms click counts (id order)
+      (9L, -1L, -1L, 0))) // no touch at all
+    // cents are exact
+    val cents = Temporal.lastTouchAttribution(
+        df, "user_id", "ms", "event_id", "event_type", "value",
+        "click", "purchase", 50L)
+      .orderBy("event_id").collect().head.getAs[Long]("value_cents")
+    assert(cents == 999L)
+  }
 }
