@@ -68,7 +68,13 @@ object Bench {
     // extra warm runs AFTER the full pass, when the machine is quiet.
     // The headline carries the final minimum; `requeried` carries
     // [snapshot, rerun] so both numbers are on the record.
-    val pins: Map[String, Double] = try {
+    // Pins are sf0.1 warm minimums: adjudication is meaningful only on
+    // the standard full pass at that SF — a filtered variance run or a
+    // 10x/100x scale sweep would trip the >2x test on every query and
+    // pay 3 useless reruns each.
+    val adjudicate =
+      filter.isEmpty && new java.io.File(sfDir).getName == "sf0.1"
+    val pins: Map[String, Double] = if (!adjudicate) Map.empty else try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(new java.io.File("BASELINE.json"))
       val qs = root.path("pins").path("queries")

@@ -31,6 +31,19 @@ object Texts {
     array_distinct(when(size(ws) >= n, sh).otherwise(array()))
   }
 
+  /** n-word shingles WITH multiplicity (the term-frequency bag the
+    * sparse-cosine postings need; [[wordShingles]] is the distinct-set
+    * form Jaccard uses).
+    * DuckDB: `[ws[i]||' '||...||ws[i+n-1]
+    *   for i in generate_series(1, len(ws)-(n-1))]`.
+    */
+  def wordShingleBag(ws: Column, n: Int): Column = {
+    val sh = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    when(size(ws) >= n, sh).otherwise(array())
+  }
+
   /** Distinct character n-grams of the normalized text.
     * DuckDB: `list_distinct([t[i:i+n-1] for i in
     *   generate_series(1, len(t)-(n-1))])` (1-based inclusive slices).

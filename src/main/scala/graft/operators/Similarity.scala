@@ -206,6 +206,67 @@ object Similarity {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** Sparse-vector cosine similarity join via an inverted index — the
+    * posting-list formulation every text search engine uses, here as a
+    * batch pair join: docs become integer term-frequency vectors, the
+    * postings table joins to ITSELF on the term, and per-pair dot
+    * products accumulate as exact int64 sums (order-independent, so
+    * the score hash-matches across engines; a float-weighted variant
+    * would be shuffle-order-dependent). cos = dot / (‖a‖·‖b‖) with one
+    * final float op per pair.
+    *
+    * Scale shape: candidate work is Σ_term df², so the df cap IS the
+    * scale control — terms appearing in more than `dfCap` docs are
+    * stop-terms that would quadratically dominate postings and add
+    * mostly noise to cosine; dropping them (and df=1 terms, which
+    * cannot pair) bounds the join exactly the way search engines
+    * prune their longest posting lists. Norms are computed over the
+    * KEPT term space so cosine stays in [0, 1] by construction.
+    */
+  def sparseCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      dfCap: Int,
+      threshold: Double): DataFrame = {
+    require(dfCap >= 2, "dfCap must be >= 2")
+    require(shingleN >= 1, "shingleN must be >= 1")
+    // terms are n-word shingles WITH multiplicity: on small-vocabulary
+    // corpora single words are all stop-terms (every posting list is
+    // the whole corpus) while shingle frequency decays combinatorially
+    // — the same reason q21/q23 shingle before hashing
+    val tf = graft.SparkUtil.ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("doc"),
+        explode(graft.functions.Texts.wordShingleBag(
+          graft.functions.Texts.words(col(textCol)), shingleN)).as("term"))
+      .groupBy("doc", "term")
+      .agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy("term")
+      .agg(countDistinct(col("doc")).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select("term")
+    val postings = tf.join(broadcast(kept), "term")
+    val norms = postings.groupBy("doc")
+      .agg(sum(col("tf") * col("tf")).as("nsq"))
+    val dots = postings.select(col("term"), col("doc").as("doc_a"), col("tf").as("tf_a"))
+      .join(
+        postings.select(col("term"), col("doc").as("doc_b"), col("tf").as("tf_b")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("nsq").as("nsq_a")), "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("nsq").as("nsq_b")), "doc_b")
+      .withColumn("cos",
+        col("dot").cast("double") /
+          (sqrt(col("nsq_a").cast("double")) * sqrt(col("nsq_b").cast("double"))))
+      .where(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        Numerics.fix4(col("cos")).as("cos_sim"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors whose exact cosine lies in
     * [lo, hi) — similar enough to be informative negatives, strictly

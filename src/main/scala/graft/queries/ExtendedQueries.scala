@@ -2204,10 +2204,45 @@ object ExtendedQueries {
       FROM t WHERE event_type = 'purchase'
       ORDER BY event_id"""))
 
+  // ---- q155: market-basket co-occurrence mining ----
+  // Top part pairs by shared-order support with lift — exact integer
+  // supports, one final float division. Pair volume is per-basket
+  // lines² (small constants), never n²; the maxBasket guard refuses
+  // degenerate giant baskets loudly.
+
+  val q155 = Q(
+    "q155_cooccurrence",
+    (s, dir) =>
+      graft.operators.Baskets.cooccurrence(
+          Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          topK = 20),
+    Some(s"""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem),
+      n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS nb FROM b),
+      s AS (SELECT item, CAST(count(*) AS BIGINT) AS supp
+            FROM b GROUP BY item),
+      p AS (SELECT a.item AS item_a, b2.item AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_co
+            FROM b a JOIN b b2
+              ON a.basket = b2.basket AND a.item < b2.item
+            GROUP BY 1, 2)
+      SELECT item_a, item_b, n_co,
+             sa.supp AS supp_a, sb.supp AS supp_b,
+             ${Numerics.sqlFix(
+               "CAST(n_co AS DOUBLE)*CAST(nb AS DOUBLE)" +
+                 "/(CAST(sa.supp AS DOUBLE)*CAST(sb.supp AS DOUBLE))", 4)}
+               AS lift
+      FROM p
+      JOIN s sa ON sa.item = p.item_a
+      JOIN s sb ON sb.item = p.item_b
+      CROSS JOIN n
+      ORDER BY n_co DESC, item_a, item_b LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
-      q142, q143, q144, q145, q147, q148, q149, q150)
+      q142, q143, q144, q145, q147, q148, q149, q150, q155)
 }

@@ -1549,13 +1549,38 @@ object PipelineQueries {
   val q141 = Q(
     "q141_embedding_dup_clusters",
     (s, dir) => {
-      val pairs = Similarity.embeddingNearDup(embs(s, dir), "vec_id",
+      val e = embs(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      // Exact-replica collapse BEFORE the component loop: replicated
+      // corpora (the 100x sweep shape, and any real crawl) explode the
+      // near-dup pair set quadratically per replica group — measured
+      // 1288 s warm at 100x for the CC loop over the expanded graph.
+      // Identical non-zero vectors always share every LSH bucket and
+      // score cos = 1 >= threshold, so each replica group is
+      // intra-connected and components over DISTINCT vectors expand to
+      // exactly the same clusters (the group's min id is its
+      // representative, and the cluster's global min id is itself a
+      // representative). Zero-norm vectors never get edges (cosine is
+      // undefined; embeddingNearDup excludes them), so they must NOT
+      // collapse — each keeps a unique digest and stays a singleton.
+      val nonzero = exists(col("embedding"), x => x =!= lit(0.0f))
+      val keyed = e.withColumn("digest",
+        when(nonzero, md5(to_json(col("embedding"))))
+          .otherwise(concat(lit("z#"), col("vec_id").cast("string"))))
+      val reps = keyed.groupBy("digest").agg(min(col("vec_id")).as("rep"))
+      val mapping = keyed.join(reps, "digest")
+        .select(col("vec_id"), col("rep"))
+      val repVecs = e.join(reps.select(col("rep").as("vec_id")), "vec_id")
+      val pairs = Similarity.embeddingNearDup(repVecs, "vec_id",
         "embedding", dim = 64, bands = 2, bitsPerBand = 4, threshold = 0.35)
       // semantic components CHAIN (a low cosine threshold strings
       // same-topic vectors into long paths), so the diameter bound is
       // looser than near-clique text dups — give the CC loop headroom
-      Dedup.clustersFromPairs(
-          embs(s, dir).select(col("vec_id")), "vec_id", pairs, maxIter = 50)
+      val labels = Dedup.clustersFromPairs(
+        repVecs.select(col("vec_id")), "vec_id", pairs, maxIter = 50)
+      mapping
+        .join(labels.withColumnRenamed("vec_id", "rep"), "rep")
+        .select(col("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     },
     Some(s"""
@@ -1699,9 +1724,55 @@ object PipelineQueries {
                AS top_share
       FROM a ORDER BY lang"""))
 
+  // ---- q154: sparse-cosine similarity join via inverted index ----
+  // Integer shingle-TF vectors, postings self-join on the term, exact
+  // int64 dots — the search-engine formulation of text similarity
+  // (weighted, vs q23's set Jaccard). The df cap [2, 50] is the scale
+  // control: it prunes quadratic stop-term postings exactly as search
+  // engines prune their longest lists.
+
+  val q154 = Q(
+    "q154_sparse_cosine",
+    (s, dir) =>
+      Similarity.sparseCosinePairs(
+          docs(s, dir), "doc_id", "text",
+          shingleN = 3, dfCap = 50, threshold = 0.6)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id AS doc,
+                    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                            for i in generate_series(1, len(ws)-2)]) AS term
+             FROM w),
+      tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+             FROM sh GROUP BY doc, term),
+      kept AS (SELECT term FROM (
+                 SELECT term, count(DISTINCT doc) AS df
+                 FROM tf GROUP BY term)
+               WHERE df >= 2 AND df <= 50),
+      p AS (SELECT tf.doc, tf.term, tf.tf
+            FROM tf JOIN kept ON kept.term = tf.term),
+      nrm AS (SELECT doc, CAST(sum(tf*tf) AS BIGINT) AS nsq
+              FROM p GROUP BY doc),
+      d AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+            FROM p a JOIN p b ON a.term = b.term AND a.doc < b.doc
+            GROUP BY 1, 2),
+      sc AS (SELECT doc_a, doc_b,
+                    CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(na.nsq AS DOUBLE)) *
+                       sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+             FROM d
+             JOIN nrm na ON na.doc = d.doc_a
+             JOIN nrm nb ON nb.doc = d.doc_b)
+      SELECT doc_a, doc_b, ${Numerics.sqlFix("cos", 4)} AS cos_sim
+      FROM sc WHERE cos >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
-    q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152)
+    q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
+    q154)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.streaming.{CapEvent, StreamEvent, StreamingOps}
+import graft.streaming.{AttrEvent, CapEvent, StreamEvent, StreamingOps}
 
 /** Driver-visible differential checks for the streaming operators
   * (SURVEY.md §2.4 #58/#59/#65/#66): each streaming path runs through a
@@ -79,6 +79,11 @@ object StreamingQueries {
     })
 
   private val GapMs = 1800000L
+
+  /** Attribution window (2 days) — must match q150's batch constant so
+    * both parities pin to the same oracle.
+    */
+  private val AttrWindowMs = 172800000L
 
   /** Copy the source files into a scratch dir the file stream watches. */
   private def watchDirWith(dir: String, files: (String, String)*): String = {
@@ -562,6 +567,64 @@ object StreamingQueries {
       GROUP BY user_id, grp
       ORDER BY user_id, start_ms"""))
 
+  /** Streaming last-touch attribution parity: purchases credit the
+    * most recent in-window click per user, emitted as the watermark
+    * seals each purchase — the streaming form of q150, pinned to the
+    * SAME batch window-SQL oracle. Sentinels advance the watermark to
+    * drain every pending purchase.
+    */
+  val q153 = Q(
+    "q153_stream_attribution_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .where(col("event_type").isin("click", "purchase", "sentinel"))
+        .select(col("user_id"), enc.tsMs.as("ts"), col("event_id"),
+          col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .as[AttrEvent]
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q153_mem",
+        StreamingOps.lastTouchAttribution(
+          evs, touchType = "click", convType = "purchase",
+          windowMs = AttrWindowMs, watermarkDelay = "0 seconds").toDF(),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .where(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("value_cents"), col("touch_id"), col("touch_age"),
+          col("attributed"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_id, user_id, event_type, value,
+                        epoch_ns(ts) // 1000000 AS ms FROM events),
+      t AS (SELECT event_id, user_id, ms, event_type,
+                   CAST(floor(value*100.0 + 0.5) AS BIGINT) AS value_cents,
+                   last_value(CASE WHEN event_type = 'click' THEN ms END
+                     IGNORE NULLS) OVER w AS t_ts,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                     IGNORE NULLS) OVER w AS t_id
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ms, value_cents,
+             CASE WHEN t_ts IS NOT NULL AND ms - t_ts <= $AttrWindowMs
+                  THEN t_id END AS touch_id,
+             CASE WHEN t_ts IS NOT NULL AND ms - t_ts <= $AttrWindowMs
+                  THEN ms - t_ts END AS touch_age,
+             CASE WHEN t_ts IS NOT NULL AND ms - t_ts <= $AttrWindowMs
+                  THEN 1 ELSE 0 END AS attributed
+      FROM t WHERE event_type = 'purchase'
+      ORDER BY event_id"""))
+
   val all: Seq[Q] =
-    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140)
+    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153)
 }

@@ -36,6 +36,33 @@ final case class CapState(emitted: Long, pending: Seq[(Long, Long)])
 /** Mutable-in-state session accumulator. */
 final case class SessionState(n_events: Long, start_ms: Long, end_ms: Long)
 
+/** Input to streaming attribution: typed event with integer cents. */
+final case class AttrEvent(
+    user_id: Long,
+    ts: java.sql.Timestamp,
+    event_id: Long,
+    event_type: String,
+    cents: Long)
+
+/** One attributed (or expired-unattributed) conversion. */
+final case class AttrOut(
+    event_id: Long,
+    user_id: Long,
+    ms: Long,
+    value_cents: Long,
+    touch_id: Option[Long],
+    touch_age: Option[Long],
+    attributed: Int)
+
+/** Attribution state per key: in-window touches (ms, id) + pending
+  * conversions (ms, id, cents) the watermark has not yet sealed —
+  * O(touches within the window span + open conversions), never
+  * O(stream).
+  */
+final case class AttrState(
+    clicks: Seq[(Long, Long)],
+    purchases: Seq[(Long, Long, Long)])
+
 /** Structured Streaming variants of the batch operators: the same
   * transforms declared over an unbounded source. Watermarks bound
   * state; `flatMapGroupsWithState` holds one small state record per
@@ -250,6 +277,82 @@ object StreamingOps {
     emit.iterator.zipWithIndex.map { case ((ms, tie), i) =>
       CapOut(key, st.emitted + i + 1, ms, tie)
     }
+  }
+
+  /** Streaming last-touch attribution — the event-time form of
+    * [[graft.operators.Temporal.lastTouchAttribution]]: each
+    * conversion is credited to its key's most recent touch at or
+    * before it (order (ms, id)) within `windowMs`, emitted only once
+    * the watermark passes the conversion's event time — any
+    * still-possible touch that could change the credit would itself
+    * be late by then, so the emission is deterministic under every
+    * admissible arrival order, exactly the batch semantics.
+    *
+    * State per key is bounded: touches older than `watermark −
+    * windowMs` can no longer attribute any unsealed conversion and
+    * are dropped each batch; pending conversions drain as the
+    * watermark advances. The timeout re-arms at the earliest pending
+    * conversion (or the earliest touch's expiry) so quiescent keys
+    * still seal and release state.
+    */
+  def lastTouchAttribution(
+      events: Dataset[AttrEvent],
+      touchType: String,
+      convType: String,
+      windowMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        updateAttr(touchType, convType, windowMs))
+  }
+
+  private def updateAttr(
+      touchType: String, convType: String, windowMs: Long)(
+      userId: Long,
+      events: Iterator[AttrEvent],
+      state: GroupState[AttrState]): Iterator[AttrOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    val st = state.getOption.getOrElse(AttrState(Nil, Nil))
+    var clicks = st.clicks
+    var purchases = st.purchases
+    events.foreach { e =>
+      val ms = e.ts.getTime
+      if (e.event_type == touchType) clicks :+= ((ms, e.event_id))
+      else if (e.event_type == convType)
+        purchases :+= ((ms, e.event_id, e.cents))
+    }
+    val (sealedP, openP) = purchases.partition(_._1 <= wm)
+    val out = sealedP.sortBy(p => (p._1, p._2)).map {
+      case (pms, pid, cents) =>
+        // batch order is (ms, id): a touch at the conversion's own ms
+        // counts only if its id sorts before the conversion's
+        val cand = clicks.filter { case (cms, cid) =>
+          (cms < pms || (cms == pms && cid < pid)) && pms - cms <= windowMs
+        }
+        if (cand.isEmpty) AttrOut(pid, userId, pms, cents, None, None, 0)
+        else {
+          val (cms, cid) = cand.max // lexicographic (ms, id) = latest
+          AttrOut(pid, userId, pms, cents, Some(cid), Some(pms - cms), 1)
+        }
+    }
+    // a touch at ms <= wm - windowMs could only attribute conversions
+    // at ms <= wm, all of which just sealed above
+    val keepC = clicks.filter(_._1 > wm - windowMs)
+    if (openP.isEmpty && keepC.isEmpty) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(AttrState(keepC, openP))
+      val deadline =
+        if (openP.nonEmpty) openP.map(_._1).min
+        else keepC.map(_._1).min + windowMs
+      state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+    }
+    out.iterator
   }
 
   /** Merge the batch's events with ALL held session islands by

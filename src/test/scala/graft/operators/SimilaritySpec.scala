@@ -297,4 +297,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(full.map(r => (r.getLong(1), r.getInt(2))).toSeq ==
       all.map(r => (r.getLong(1), r.getInt(2))).toSeq)
   }
+
+  test("sparseCosinePairs: exact integer dots over the df-kept shingle space") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "w x y w x y"),
+      (2L, "w x y w x y"), // exact dup of 1
+      (3L, "w x y z z z"), // shares the wxy shingle
+      (4L, "z z z z") // shares only zzz with 3
+    ).toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(
+        docs, "doc_id", "text", shingleN = 3, dfCap = 50, threshold = 0.55)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // kept terms (df >= 2): "w x y"(3), "x y w"(2), "y w x"(2), "z z z"(2)
+    // d1 = d2 = (2,1,1,0) nsq 6; d3 = (1,0,0,1) nsq 2; d4 = (0,0,0,2) nsq 4
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1.0), // identical vectors
+      (1L, 3L, 0.5774), // 2 / sqrt(12)
+      (2L, 3L, 0.5774),
+      (3L, 4L, 0.7071))) // 2 / sqrt(8)
+    // d1-d4 share no kept term: the pair never materializes at all
+    assert(!out.exists(p => p._1 == 1L && p._2 == 4L))
+  }
 }

@@ -443,4 +443,55 @@ class StreamingSpec extends SparkTestBase {
       assert(rows == Map(0L -> 2L, 60L -> 1L))
     } finally q.stop()
   }
+
+  test("streaming attribution credits the latest in-window click at seal time") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[AttrEvent]
+    def ae(user: Long, minutes: Long, id: Long, tpe: String, cents: Long) =
+      AttrEvent(user, ts(minutes), id, tpe, cents)
+    val q = StreamingOps.lastTouchAttribution(
+        input.toDS(), touchType = "click", convType = "purchase",
+        windowMs = 1800000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      // batch 1: click@10 then purchases @20 and @60; wm reaches 50
+      input.addData(
+        ae(1, 10, 1, "click", 0),
+        ae(1, 20, 2, "purchase", 999),
+        ae(1, 60, 3, "purchase", 500))
+      runToCompletion(q)
+      // batch 2: a LATER click@55 (in window for both open purchases)
+      // plus an in-window purchase@56 and an untouched user
+      input.addData(
+        ae(1, 55, 4, "click", 0),
+        ae(1, 56, 5, "purchase", 100),
+        ae(2, 100, 6, "purchase", 300))
+      runToCompletion(q)
+      // far-future click advances the watermark and seals everything
+      input.addData(ae(9, 5000, 99, "click", 0))
+      runToCompletion(q)
+      input.addData(ae(9, 5100, 100, "click", 0))
+      runToCompletion(q)
+      val rows = spark.table("attr").collect()
+        .filter(_.getLong(1) <= 2L)
+        .map { r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4),
+            if (r.isNullAt(5)) -1L else r.getLong(5),
+            r.getInt(6))
+        }.toSet
+      assert(rows == Set(
+        // purchase@20: click@10, 10 min earlier
+        (2L, 1L, 20 * 60000L, 999L, 1L, 600000L, 1),
+        // purchase@60: click@55 wins over click@10 (older AND out of window)
+        (3L, 1L, 60 * 60000L, 500L, 4L, 300000L, 1),
+        // purchase@56: click@55, one minute earlier (cross-batch state)
+        (5L, 1L, 56 * 60000L, 100L, 4L, 60000L, 1),
+        // untouched user expires unattributed
+        (6L, 2L, 100 * 60000L, 300L, -1L, -1L, 0)), s"got $rows")
+    } finally q.stop()
+  }
 }
