@@ -34,13 +34,16 @@ object Baskets {
       .select(col(basketCol).cast("long").as("basket"),
         col(itemCol).cast("long").as("item"))
       .distinct()
-    val sizes = items.groupBy("basket").agg(count(lit(1)).as("bsz"))
-    val oversize = sizes.where(col("bsz") > maxBasket).limit(1).count()
-    require(oversize == 0L,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass over basket sizes answers both the guard and the
+    // basket count — a single driver action, not two
+    val stats = items.groupBy("basket").agg(count(lit(1)).as("bsz"))
+      .agg(max(col("bsz")).as("mx"), count(lit(1)).as("nb")).head()
+    require(stats.isNullAt(0) || stats.getLong(0) <= maxBasket,
       s"a basket exceeds maxBasket=$maxBasket items — its quadratic " +
         "pair expansion would dominate the join; raise the cap " +
         "deliberately or pre-filter the basket")
-    val nBaskets = items.select("basket").distinct().count()
+    val nBaskets = stats.getLong(1)
     val supports = items.groupBy("item").agg(count(lit(1)).as("supp"))
     val pairs = items.select(col("basket"), col("item").as("item_a"))
       .join(items.select(col("basket"), col("item").as("item_b")), "basket")
