@@ -515,4 +515,37 @@ object Profile {
           col("max_w").cast("double") / col("total_w").cast("double"))
           .as("top_share"))
   }
+
+  /** Functional-dependency audit — does column A determine column B?
+    * The schema-inference pass that discovers which "code" columns are
+    * genuinely derivable (and which only look derivable): for each
+    * candidate pair, count LHS groups, groups whose RHS is not unique
+    * (the violations), and the violated fraction.
+    *
+    * Scale shape: one countDistinct aggregate per pair at LHS-group
+    * grain — billions of rows collapse map-side to the LHS
+    * cardinality; pair results union into one small frame. Candidate
+    * pairs are assumed schema-sized (a profiler proposes dozens, not
+    * millions).
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val base = graft.SparkUtil.ensureParallelism(df)
+    pairs.map { case (lhs, rhs) =>
+      base.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violated"))
+        .select(
+          lit(lhs).as("lhs_col"),
+          lit(rhs).as("rhs_col"),
+          col("n_groups"),
+          col("n_violated"),
+          graft.functions.Numerics.fix4(
+            col("n_violated").cast("double") /
+              col("n_groups").cast("double")).as("violation_pct"),
+          when(col("n_violated") === 0L, 1).otherwise(0).as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
 }

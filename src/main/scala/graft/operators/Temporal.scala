@@ -259,4 +259,33 @@ object Temporal {
         when(inWindow, col(tsCol) - col("t_ts")).as("touch_age"),
         when(inWindow, 1).otherwise(0).as("attributed"))
   }
+
+  /** Forward-fill (LOCF) imputation per key: each null observation
+    * takes the key's most recent non-null value at or before it in
+    * (time, id) order; leading nulls (no prior observation) stay null.
+    * One ignore-nulls running `last` per key — the sensor-gap /
+    * missing-measurement repair pass, with an explicit `imputed` flag
+    * so downstream consumers can weight or exclude repaired rows.
+    *
+    * Scale shape: one window shuffle on the key; no self-join, no
+    * per-gap subquery. State within a partition is a single running
+    * value.
+    */
+  def forwardFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      value: Column): DataFrame = {
+    val run = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__raw", value)
+      .withColumn("filled", last(col("__raw"), ignoreNulls = true).over(run))
+      .select(
+        col(idCol), col(keyCol), col(tsCol),
+        col("filled"),
+        when(col("__raw").isNull && col("filled").isNotNull, 1)
+          .otherwise(0).as("imputed"))
+  }
 }

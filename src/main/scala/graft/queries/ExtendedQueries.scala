@@ -2239,10 +2239,143 @@ object ExtendedQueries {
       CROSS JOIN n
       ORDER BY n_co DESC, item_a, item_b LIMIT 20"""))
 
+  // ---- q156: changed-partition selective recompute ----
+  // The rsync of aggregation: per-month content digests (order-
+  // independent bit_xor of 60-bit row hashes + counts) decide which
+  // months changed between snapshots; only those re-aggregate, the
+  // rest reuse previous state verbatim. The "new" snapshot drops
+  // orderkey%997 orders from 1997 onward, so exactly the 1997+ months
+  // flip to recomputed=1.
+
+  val q156 = Q(
+    "q156_delta_recompute",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val removed = col("o_orderkey") % 997 === 0 &&
+        col("o_orderdate") >= lit("1997-01-01")
+      val digest = graft.functions.Hashes.hash60(
+        concat(col("o_orderkey").cast("string"), lit("#"),
+          cents.cast("string")), seed = 7)
+      graft.operators.Incremental.deltaRecompute(
+          o, o.where(!removed),
+          part = date_format(col("o_orderdate"), "yyyy-MM"),
+          rowDigest = digest, cents = cents)
+        .orderBy("period")
+    },
+    Some(s"""
+      WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS period,
+                        o_orderkey,
+                        CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS c,
+                        (o_orderkey % 997 = 0 AND
+                         o_orderdate >= TIMESTAMP '1997-01-01') AS removed
+                 FROM orders),
+      h AS (SELECT period, removed, c,
+                   ('0x' || substr(md5('7|' || CAST(o_orderkey AS VARCHAR)
+                     || '#' || CAST(c AS VARCHAR)), 1, 15))::BIGINT AS hh
+            FROM o),
+      old_d AS (SELECT period, bit_xor(hh) AS dg,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM h GROUP BY period),
+      new_d AS (SELECT period, bit_xor(hh) AS dg,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM h WHERE NOT removed GROUP BY period),
+      chg AS (SELECT n.period,
+                     CASE WHEN od.period IS NULL OR od.dg != n.dg
+                               OR od.n != n.n
+                          THEN 1 ELSE 0 END AS recomputed
+              FROM new_d n LEFT JOIN old_d od ON od.period = n.period)
+      SELECT h.period,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS sum_cents,
+             max(chg.recomputed) AS recomputed
+      FROM h JOIN chg ON chg.period = h.period
+      WHERE NOT removed
+      GROUP BY h.period
+      ORDER BY h.period"""))
+
+  // ---- q157: functional-dependency discovery ----
+  // Which columns genuinely determine which: exact violation counts at
+  // LHS-group grain over schema-sized candidate pairs.
+
+  val q157 = Q(
+    "q157_fd_discovery",
+    (s, dir) =>
+      Profile.fdAudit(
+          Tables(s, dir, "customer"),
+          Seq(
+            ("c_custkey", "c_name"),
+            ("c_mktsegment", "c_nationkey"),
+            ("c_nationkey", "c_mktsegment")))
+        .orderBy("lhs_col", "rhs_col"),
+    Some(s"""
+      WITH f1 AS (SELECT 'c_custkey' AS lhs_col, 'c_name' AS rhs_col,
+                         CAST(count(*) AS BIGINT) AS n_groups,
+                         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_violated
+                  FROM (SELECT c_custkey,
+                               count(DISTINCT c_name) AS nd
+                        FROM customer GROUP BY c_custkey)),
+      f2 AS (SELECT 'c_mktsegment', 'c_nationkey',
+                    CAST(count(*) AS BIGINT),
+                    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT c_mktsegment,
+                          count(DISTINCT c_nationkey) AS nd
+                   FROM customer GROUP BY c_mktsegment)),
+      f3 AS (SELECT 'c_nationkey', 'c_mktsegment',
+                    CAST(count(*) AS BIGINT),
+                    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT c_nationkey,
+                          count(DISTINCT c_mktsegment) AS nd
+                   FROM customer GROUP BY c_nationkey)),
+      u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+            UNION ALL SELECT * FROM f3)
+      SELECT lhs_col, rhs_col, n_groups, n_violated,
+             ${Numerics.sqlFix(
+               "CAST(n_violated AS DOUBLE)/CAST(n_groups AS DOUBLE)", 4)}
+               AS violation_pct,
+             CASE WHEN n_violated = 0 THEN 1 ELSE 0 END AS fd_holds
+      FROM u ORDER BY lhs_col, rhs_col"""))
+
+  // ---- q158: forward-fill (LOCF) imputation ----
+  // Error events carry no usable value: null them, then each takes the
+  // user's most recent non-null value — one ignore-nulls running last
+  // per user, leading nulls stay null, repaired rows flagged.
+
+  val q158 = Q(
+    "q158_locf_impute",
+    (s, dir) => {
+      val e = ev(s, dir)
+      Temporal.forwardFill(
+          e, "user_id", "ms", "event_id",
+          when(col("event_type") =!= "error",
+            floor(col("value") * 100.0 + 0.5).cast("long")))
+        .withColumnRenamed("filled", "cents_filled")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH $evCte,
+      t AS (SELECT event_id, user_id, ms,
+                   CASE WHEN event_type != 'error'
+                        THEN CAST(floor(value*100.0 + 0.5) AS BIGINT)
+                   END AS raw
+            FROM e),
+      f AS (SELECT event_id, user_id, ms, raw,
+                   last_value(raw IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cents_filled
+            FROM t)
+      SELECT event_id, user_id, ms, cents_filled,
+             CASE WHEN raw IS NULL AND cents_filled IS NOT NULL
+                  THEN 1 ELSE 0 END AS imputed
+      FROM f ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
-      q142, q143, q144, q145, q147, q148, q149, q150, q155)
+      q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
+      q158)
 }

@@ -58,4 +58,53 @@ class IncrementalSpec extends SparkTestBase {
     assert(lifetime.toSeq ==
       Seq(("F", 2L, 101L), ("O", 4L, 11774L)))
   }
+
+  test("deltaRecompute reuses unchanged partitions and recomputes changed ones") {
+    val ss = spark
+    import ss.implicits._
+    val oldDf = Seq(
+      ("2024-01", 1L, 100L), ("2024-01", 2L, 250L),
+      ("2024-02", 3L, 50L), ("2024-02", 4L, 75L),
+      ("2024-03", 5L, 10L) // this partition vanishes in the new snapshot
+    ).toDF("m", "k", "c")
+    val newDf = Seq(
+      ("2024-01", 1L, 100L), ("2024-01", 2L, 250L), // unchanged
+      ("2024-02", 3L, 50L), // row 4 deleted -> changed
+      ("2024-04", 6L, 33L) // brand-new partition
+    ).toDF("m", "k", "c")
+    val dig = graft.functions.Hashes.hash60(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("k").cast("string"),
+        org.apache.spark.sql.functions.lit("#"),
+        org.apache.spark.sql.functions.col("c").cast("string")), seed = 7)
+    val out = Incremental.deltaRecompute(
+        oldDf, newDf, org.apache.spark.sql.functions.col("m"), dig,
+        org.apache.spark.sql.functions.col("c"))
+      .orderBy("period").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01", 2L, 350L, 0), // digest match: previous state reused
+      ("2024-02", 1L, 50L, 1), // deletion detected, re-aggregated
+      ("2024-04", 1L, 33L, 1))) // new partition always recomputes
+    // vanished 2024-03 is dropped, and totals equal a direct aggregate
+    assert(out.map(_._3).sum == 433L)
+  }
+
+  test("deltaRecompute flags a same-count content change via the xor digest") {
+    val ss = spark
+    import ss.implicits._
+    val oldDf = Seq(("2024-01", 1L, 100L)).toDF("m", "k", "c")
+    val newDf = Seq(("2024-01", 1L, 999L)).toDF("m", "k", "c") // value edit
+    val dig = graft.functions.Hashes.hash60(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("k").cast("string"),
+        org.apache.spark.sql.functions.lit("#"),
+        org.apache.spark.sql.functions.col("c").cast("string")), seed = 7)
+    val out = Incremental.deltaRecompute(
+        oldDf, newDf, org.apache.spark.sql.functions.col("m"), dig,
+        org.apache.spark.sql.functions.col("c")).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(3) == 1) // row count equal, content differs
+    assert(out.head.getLong(2) == 999L)
+  }
 }

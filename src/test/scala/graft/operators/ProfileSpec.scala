@@ -219,4 +219,19 @@ class ProfileSpec extends SparkTestBase {
     assert(out(1).getAs[Double]("gini") == 0.72)
     assert(out(1).getAs[Double]("top_share") == 0.97)
   }
+
+  test("fdAudit separates holding from violated dependencies exactly") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"), (4L, "b", "z")
+    ).toDF("id", "g", "v")
+    val out = Profile.fdAudit(df, Seq(("id", "g"), ("g", "v")))
+      .orderBy("lhs_col").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      ("g", "v", 2L, 1L, 0.5, 0), // group b maps to two values
+      ("id", "g", 4L, 0L, 0.0, 1))) // ids are unique: FD holds
+  }
 }

@@ -196,4 +196,25 @@ class TemporalSpec extends SparkTestBase {
       .orderBy("event_id").collect().head.getAs[Long]("value_cents")
     assert(cents == 999L)
   }
+
+  test("forwardFill carries the last non-null per key; leading nulls stay null") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, 1L, 10L, Some(5L)),
+      (2L, 1L, 20L, None), // gap -> takes 5
+      (3L, 1L, 30L, Some(7L)),
+      (4L, 1L, 40L, None), // takes 7, not 5
+      (5L, 2L, 10L, None), // leading null: nothing to carry
+      (6L, 2L, 20L, Some(9L))
+    ).toDF("event_id", "user_id", "ms", "v")
+    val out = Temporal.forwardFill(df, "user_id", "ms", "event_id",
+        org.apache.spark.sql.functions.col("v"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0), (2L, 5L, 1), (3L, 7L, 0), (4L, 7L, 1),
+      (5L, -1L, 0), (6L, 9L, 0)))
+  }
 }
