@@ -925,4 +925,34 @@ object Dedup {
           .reduce(_ + _)
           .as("simhash"))
   }
+
+  /** Survivor selection — the policy step after duplicate detection:
+    * within each exact-duplicate group (normalized-text digest), keep
+    * the highest-quality copy (score desc, then id asc — the score is
+    * fix4-rounded upstream so cross-engine ties break identically).
+    * q20/q35 keep FIRST/LATEST; this keeps BEST, the policy a training
+    * mix actually wants when replicas differ in upstream cleaning.
+    *
+    * Scale shape: one digest shuffle + one window per group; output is
+    * one row per distinct document.
+    */
+  def survivorByScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("digest")
+      .orderBy(col("sc").desc, col(idCol))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol),
+        md5(Texts.normText(col(textCol))).as("digest"),
+        score.as("sc"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("digest")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("sc")).as("best_quality"),
+        max(when(col("rn") === 1, col(idCol))).as("survivor_doc_id"))
+  }
 }

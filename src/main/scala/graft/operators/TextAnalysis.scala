@@ -69,6 +69,56 @@ object TextAnalysis {
       Numerics.fix4(score).as("quality_score"))
   }
 
+  /** The [[qualityScore]] formula as a single fix4-rounded column —
+    * same operation order, for consumers that RANK by quality (e.g.
+    * survivor selection) without materializing the full profile.
+    */
+  def qualityScoreCol(textCol: Column): Column = {
+    val ws = Texts.words(textCol)
+    val nTok = size(ws).cast("double")
+    val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      .cast("double")
+    val stopHits = Texts.vocabHits(ws, EnglishStopwords).cast("double")
+    val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopHits / nTok) +
+      lit(0.3) * least(sumLen / nTok / 10.0, lit(1.0))
+    Numerics.fix4(score)
+  }
+
+  /** N-gram novelty score — the anti-memorization / anti-template
+    * audit: per doc, the fraction of its DISTINCT n-word shingles
+    * whose FIRST corpus occurrence (minimum doc id) is this doc.
+    * Exact replicas of an earlier doc score 0; boilerplate-heavy
+    * corpora surface as low corpus-wide novelty mass.
+    *
+    * Scale shape: one shingle explode → min-aggregate at term grain
+    * (partial-agg friendly), one equi-join back — Σ df work, linear
+    * in postings, never df². Docs with fewer than n words have no
+    * shingles and are absent from the output (novelty undefined).
+    */
+  def noveltyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(Texts.wordShingles(Texts.words(col(textCol)), n))
+          .as("term"))
+    val first = sh.groupBy("term").agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_novel"),
+        Numerics.fix4(
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Curation filter cascade (Gopher-style rule stack) as ONE
     * aggregate: per-doc rule booleans are computed inline from
     * codegen'd array folds, and every cumulative stage count is a

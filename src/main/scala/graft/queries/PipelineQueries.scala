@@ -1769,10 +1769,81 @@ object PipelineQueries {
       FROM sc WHERE cos >= 0.6
       ORDER BY doc_a, doc_b"""))
 
+  // ---- q159: survivor selection (keep-BEST dedup policy) ----
+  // q20 keeps first, q35 keeps latest; production keeps the
+  // highest-quality replica. Rank within each exact-dup digest group
+  // by (fix4 quality score desc, doc_id) — rounding makes the
+  // cross-engine argmax deterministic.
+
+  val q159 = Q(
+    "q159_survivor_selection",
+    (s, dir) =>
+      Dedup.survivorByScore(
+          docs(s, dir), "doc_id", "text",
+          TextAnalysis.qualityScoreCol(col("text")))
+        .orderBy("digest"),
+    Some {
+      val en = TextAnalysis.StopwordProfiles.head._2
+        .map(v => s"'$v'").mkString("(", ",", ")")
+      val scoreExpr = "0.4 * least(t / 100.0, 1.0) " +
+        "+ 0.3 * (1.0 - st / t) " +
+        "+ 0.3 * least((c / t) / 10.0, 1.0)"
+      s"""
+      WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS digest,
+                        string_split_regex(lower(trim(text)), '\\s+') AS ws
+                 FROM documents),
+      m AS (SELECT doc_id, digest,
+                   CAST(len(ws) AS DOUBLE) AS t,
+                   CAST(list_sum([len(x) for x in ws]) AS DOUBLE) AS c,
+                   CAST(len(list_filter(ws, x -> x IN $en)) AS DOUBLE) AS st
+            FROM d),
+      sc AS (SELECT doc_id, digest,
+                    ${Numerics.sqlFix(scoreExpr, 4)} AS sc
+             FROM m),
+      r AS (SELECT doc_id, digest, sc,
+                   row_number() OVER (PARTITION BY digest
+                     ORDER BY sc DESC, doc_id) AS rn
+            FROM sc)
+      SELECT digest,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             max(sc) AS best_quality,
+             max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id
+      FROM r GROUP BY digest ORDER BY digest"""
+    })
+
+  // ---- q160: n-gram novelty score ----
+  // Fraction of each doc's distinct 3-word shingles first seen (min
+  // doc_id) in that doc: replicas score 0, boilerplate surfaces as low
+  // novelty mass. Term-grain min-agg + one equi-join — Σ df, never df².
+
+  val q160 = Q(
+    "q160_novelty_score",
+    (s, dir) =>
+      TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $wordsCte,
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                      for i in generate_series(1, len(ws)-2)])) AS term
+             FROM w),
+      f AS (SELECT term, min(doc_id) AS first_id FROM sh GROUP BY term),
+      j AS (SELECT sh.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f.first_id = sh.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM sh JOIN f ON f.term = sh.term
+            GROUP BY sh.doc_id)
+      SELECT doc_id, n_shingles, n_novel,
+             ${Numerics.sqlFix(
+               "CAST(n_novel AS DOUBLE)/CAST(n_shingles AS DOUBLE)", 4)}
+               AS novelty
+      FROM j ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
-    q154)
+    q154, q159, q160)
 }

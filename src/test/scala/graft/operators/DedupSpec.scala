@@ -340,4 +340,36 @@ class DedupSpec extends SparkTestBase {
     assert(byPair.contains((1L, 3L)) && byPair.contains((2L, 3L)))
     assert(!rows.exists(t => t._1 == 4L || t._2 == 4L))
   }
+
+  test("survivorByScore keeps the highest-scored replica per digest group") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "alpha beta"), // dup group A
+      (2L, "alpha beta"),
+      (3L, "  ALPHA BETA "), // same after normalization
+      (4L, "unique text here")
+    ).toDF("doc_id", "text")
+    // score doc 3 highest, doc 1 next: survivor must be 3
+    val score = org.apache.spark.sql.functions
+      .when(org.apache.spark.sql.functions.col("doc_id") === 3L, 0.9)
+      .when(org.apache.spark.sql.functions.col("doc_id") === 1L, 0.8)
+      .otherwise(0.5)
+    val out = Dedup.survivorByScore(df, "doc_id", "text", score)
+      .orderBy("digest").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (3L, 0.9, 3L), // group A: 3 docs, best 0.9, survivor id 3
+      (1L, 0.5, 4L))) // singleton keeps itself
+  }
+
+  test("survivorByScore breaks score ties by the smaller id") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((7L, "same"), (5L, "same")).toDF("doc_id", "text")
+    val out = Dedup.survivorByScore(df, "doc_id", "text",
+        org.apache.spark.sql.functions.lit(0.5))
+      .collect().head
+    assert(out.getAs[Long]("survivor_doc_id") == 5L)
+  }
 }

@@ -423,4 +423,29 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("x", "y"))
   }
+
+  test("noveltyScore: first occurrence owns the shingle, replicas score zero") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "a b c d"), // shingles: abc, bcd — all first here
+      (2L, "a b c d"), // exact replica: zero novelty
+      (3L, "a b c x y z") // abc seen; bcx, cxy, xyz new -> 3/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 0L, 0.0),
+      (3L, 4L, 3L, 0.75)))
+  }
+
+  test("noveltyScore omits docs shorter than the shingle width") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, "just two"), (2L, "one two three")).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(df, "doc_id", "text", n = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
