@@ -528,6 +528,48 @@ object Profile {
     * pairs are assumed schema-sized (a profiler proposes dozens, not
     * millions).
     */
+  /** Data-contract validation — the publish gate: a declarative suite
+    * of row-level constraints (not-null, range, enum membership, …)
+    * plus an optional key-uniqueness check, evaluated in ONE aggregate
+    * pass over the table. Each check contributes a violation counter
+    * to the same partial-agg shuffle, so a 50-check contract costs one
+    * scan regardless of suite size; uniqueness rides the same pass as
+    * count vs countDistinct.
+    *
+    * `checks` maps a check name to a VIOLATION predicate (true = this
+    * row breaks the contract). Output: (check_name, n_violations,
+    * passed 0/1), one row per check, plus `unique:<col>` when
+    * `uniqueKey` is given.
+    */
+  def contractChecks(
+      df: DataFrame,
+      checks: Seq[(String, Column)],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty, "empty contract")
+    val aggs =
+      checks.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v__$name")
+      } ++
+        uniqueKey.toSeq.flatMap { k =>
+          Seq(count(col(k)).as("u__n"),
+            countDistinct(col(k)).as("u__d"))
+        }
+    val one = graft.SparkUtil.ensureParallelism(df)
+      .agg(aggs.head, aggs.tail: _*)
+    val rows =
+      checks.map { case (name, _) =>
+        struct(lit(name).as("check_name"),
+          col(s"v__$name").as("n_violations"))
+      } ++
+        uniqueKey.toSeq.map { k =>
+          struct(lit(s"unique:$k").as("check_name"),
+            (col("u__n") - col("u__d")).as("n_violations"))
+        }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check_name"), col("r.n_violations"),
+        when(col("r.n_violations") === 0L, 1).otherwise(0).as("passed"))
+  }
+
   def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one candidate pair")
     val base = graft.SparkUtil.ensureParallelism(df)

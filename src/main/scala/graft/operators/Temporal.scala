@@ -260,6 +260,43 @@ object Temporal {
         when(inWindow, 1).otherwise(0).as("attributed"))
   }
 
+  /** Point-in-time (SCD2) enrichment: each fact row takes the
+    * dimension state that was valid AT its event time — the
+    * bitemporal-correct join that prevents training-data leakage from
+    * future attribute values.
+    *
+    * Shape: instead of materializing validity segments and running an
+    * interval join, the dim-change stream and the fact stream UNION
+    * and a single per-key window pass carries the latest state forward
+    * onto every fact row (dim changes order BEFORE facts at the same
+    * timestamp: a segment's validity is [from, to)). Equivalent to the
+    * segment interval join — the DuckDB oracle verifies exactly that,
+    * via the independent segments formulation — but costs one shuffle
+    * on the key, with no range-join quadratic risk. Facts before any
+    * dim change keep a null state.
+    */
+  def pitEnrich(
+      facts: DataFrame,
+      dims: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      stateCol: String): DataFrame = {
+    val d = dims.select(col(keyCol), col(tsCol), col(idCol),
+      lit(0).as("kind"), col(stateCol).as("state"))
+    val f = facts.select(col(keyCol), col(tsCol), col(idCol),
+      lit(1).as("kind"), lit(null).cast("string").as("state"))
+    val run = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("kind"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.unionByName(f)
+      .withColumn("state_at",
+        last(when(col("kind") === 0, col("state")), ignoreNulls = true)
+          .over(run))
+      .where(col("kind") === 1)
+      .select(col(idCol), col(keyCol), col(tsCol), col("state_at"))
+  }
+
   /** Forward-fill (LOCF) imputation per key: each null observation
     * takes the key's most recent non-null value at or before it in
     * (time, id) order; leading nulls (no prior observation) stay null.

@@ -2371,11 +2371,88 @@ object ExtendedQueries {
                   THEN 1 ELSE 0 END AS imputed
       FROM f ORDER BY event_id"""))
 
+  // ---- q161: SCD2 point-in-time enrichment join ----
+  // Purchases take the user's state (latest non-purchase event type)
+  // valid AT purchase time — one window carry-forward pass, verified
+  // against the INDEPENDENT segment interval-join formulation in the
+  // oracle. The bitemporal-correct join that keeps future attribute
+  // values out of training rows.
+
+  val q161 = Q(
+    "q161_scd2_pit_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      Temporal.pitEnrich(
+          facts = e.where(col("event_type") === "purchase"),
+          dims = e.where(col("event_type") =!= "purchase"),
+          keyCol = "user_id", tsCol = "ms", idCol = "event_id",
+          stateCol = "event_type")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH $evCte,
+      d AS (SELECT user_id, ms, event_id, event_type
+            FROM e WHERE event_type != 'purchase'),
+      seg AS (SELECT user_id, event_type, ms AS vf,
+                     lead(ms) OVER (PARTITION BY user_id
+                       ORDER BY ms, event_id) AS vt
+              FROM d),
+      f AS (SELECT event_id, user_id, ms
+            FROM e WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id, f.ms, seg.event_type AS state_at
+      FROM f LEFT JOIN seg
+        ON seg.user_id = f.user_id
+       AND seg.vf <= f.ms AND (seg.vt IS NULL OR f.ms < seg.vt)
+      ORDER BY f.event_id"""))
+
+  // ---- q162: data-contract validation suite ----
+  // The publish gate: five declared constraints (plus key uniqueness)
+  // in ONE aggregate pass over orders — suite size never adds scans.
+
+  val q162 = Q(
+    "q162_contract_checks",
+    (s, dir) =>
+      Profile.contractChecks(
+          Tables(s, dir, "orders"),
+          Seq(
+            ("orderkey_not_null", col("o_orderkey").isNull),
+            ("totalprice_nonneg", col("o_totalprice") < 0),
+            ("status_enum",
+              !col("o_orderstatus").isin("O", "F", "P")),
+            ("orderdate_range",
+              col("o_orderdate") < lit("1990-01-01") ||
+                col("o_orderdate") >= lit("2000-01-01"))),
+          uniqueKey = Some("o_orderkey"))
+        .orderBy("check_name"),
+    Some("""
+      WITH c AS (SELECT
+          CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS v1,
+          CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS v2,
+          CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+          CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+            OR o_orderdate >= TIMESTAMP '2000-01-01'
+            THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+          CAST(count(o_orderkey) AS BIGINT) -
+            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS vu
+        FROM orders),
+      u AS (SELECT 'orderkey_not_null' AS check_name, v1 AS n_violations
+              FROM c
+            UNION ALL SELECT 'totalprice_nonneg', v2 FROM c
+            UNION ALL SELECT 'status_enum', v3 FROM c
+            UNION ALL SELECT 'orderdate_range', v4 FROM c
+            UNION ALL SELECT 'unique:o_orderkey', vu FROM c)
+      SELECT check_name, n_violations,
+             CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+      FROM u ORDER BY check_name"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158)
+      q158, q161, q162)
 }

@@ -234,4 +234,28 @@ class ProfileSpec extends SparkTestBase {
       ("g", "v", 2L, 1L, 0.5, 0), // group b maps to two values
       ("id", "g", 4L, 0L, 0.0, 1))) // ids are unique: FD holds
   }
+
+  test("contractChecks: one pass, exact violation counts, uniqueness rides along") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (Some(1L), 10.0, "O"),
+      (Some(1L), -5.0, "O"), // duplicate key AND negative price
+      (Some(2L), 3.0, "X"), // bad enum
+      (None, 1.0, "F") // null key
+    ).toDF("k", "price", "st")
+    val out = Profile.contractChecks(df,
+        Seq(
+          ("k_not_null", col("k").isNull),
+          ("price_nonneg", col("price") < 0),
+          ("st_enum", !col("st").isin("O", "F"))),
+        uniqueKey = Some("k"))
+      .orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      ("k_not_null", 1L, 0),
+      ("price_nonneg", 1L, 0),
+      ("st_enum", 1L, 0),
+      ("unique:k", 1L, 0))) // 3 non-null keys, 2 distinct
+  }
 }

@@ -217,4 +217,31 @@ class TemporalSpec extends SparkTestBase {
       (1L, 5L, 0), (2L, 5L, 1), (3L, 7L, 0), (4L, 7L, 1),
       (5L, -1L, 0), (6L, 9L, 0)))
   }
+
+  test("pitEnrich gives each fact the state valid AT its time") {
+    val ss = spark
+    import ss.implicits._
+    val dims = Seq(
+      (1L, 10L, 100L, "bronze"),
+      (1L, 30L, 101L, "gold"),
+      (2L, 50L, 102L, "silver")
+    ).toDF("user_id", "ms", "event_id", "tier")
+    val facts = Seq(
+      (1L, 5L, 1L), // before any state: null
+      (1L, 10L, 2L), // AT the change instant: change wins ([from, to))
+      (1L, 29L, 3L), // still bronze
+      (1L, 30L, 4L), // gold from exactly 30
+      (1L, 99L, 5L), // open segment
+      (2L, 60L, 6L), // other key
+      (3L, 10L, 7L) // key with no dims at all
+    ).toDF("user_id", "ms", "event_id")
+    val out = Temporal.pitEnrich(facts, dims,
+        "user_id", "ms", "event_id", "tier")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) "-" else r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "-"), (2L, "bronze"), (3L, "bronze"), (4L, "gold"),
+      (5L, "gold"), (6L, "silver"), (7L, "-")))
+  }
 }
