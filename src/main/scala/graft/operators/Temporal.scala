@@ -260,6 +260,48 @@ object Temporal {
         when(inWindow, 1).otherwise(0).as("attributed"))
   }
 
+  /** Event-time disorder histogram — the watermark-calibration
+    * readout: per key, each event's lateness versus the running
+    * maximum event time in ARRIVAL order (how far behind the frontier
+    * it arrived), bucketed into `bucketWidth` bins with a cumulative
+    * share. Reading the cum_pct column answers "what watermark delay
+    * keeps X% of events" BEFORE deploying the streaming job — the
+    * empirical alternative to folklore delays.
+    *
+    * Scale shape: one window shuffle on the key in arrival order, then
+    * a partial-agg to the (tiny) bucket grain; the cumulative window
+    * runs over buckets only, never rows.
+    */
+  def disorderHistogram(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      arrival: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val frontier = Window.partitionBy(keyCol).orderBy(col("arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = df
+      .select(col(keyCol), col(tsCol).as("__ts"), arrival.as("arr"))
+      .withColumn("dis",
+        greatest(coalesce(max(col("__ts")).over(frontier) - col("__ts"),
+          lit(0L)), lit(0L)))
+      .select(expr(s"dis DIV $bucketWidth").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    buckets
+      .select(
+        (col("bucket") * bucketWidth).as("bucket_lo_ms"),
+        col("n_events"),
+        graft.functions.Numerics.fix4(
+          sum(col("n_events")).over(byBucket).cast("double") /
+            sum(col("n_events")).over(total).cast("double"))
+          .as("cum_pct"))
+  }
+
   /** Point-in-time (SCD2) enrichment: each fact row takes the
     * dimension state that was valid AT its event time — the
     * bitemporal-correct join that prevents training-data leakage from

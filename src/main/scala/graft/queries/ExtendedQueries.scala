@@ -2448,11 +2448,85 @@ object ExtendedQueries {
              CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
       FROM u ORDER BY check_name"""))
 
+  // ---- q163: k-anonymity + l-diversity audit ----
+  // Re-identifiability readout before a dataset leaves the boundary:
+  // rows in quasi-identifier groups smaller than k, the smallest
+  // group, and the minimum distinct sensitive values per group.
+
+  val q163 = Q(
+    "q163_kanonymity",
+    (s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(
+          Tables(s, dir, "customer"),
+          quasiCols = Seq("c_nationkey", "c_mktsegment"),
+          sensitiveCol = "c_acctbal", k = 10),
+    Some(s"""
+      WITH g AS (SELECT c_nationkey, c_mktsegment,
+                        CAST(count(*) AS BIGINT) AS gsz,
+                        CAST(count(DISTINCT c_acctbal) AS BIGINT) AS ldiv
+                 FROM customer GROUP BY c_nationkey, c_mktsegment),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(gsz) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN gsz < 10 THEN gsz END), 0)
+                     AS BIGINT) AS rows_below_k,
+                   min(gsz) AS min_group_size,
+                   min(ldiv) AS min_l_diversity
+            FROM g)
+      SELECT n_groups, n_rows, rows_below_k, min_group_size,
+             min_l_diversity,
+             ${Numerics.sqlFix(
+               "1.0 - CAST(rows_below_k AS DOUBLE)" +
+                 "/CAST(n_rows AS DOUBLE)", 4)} AS pct_anonymous
+      FROM a"""))
+
+  // ---- q164: event-time disorder histogram ----
+  // The watermark-calibration readout: lateness of each event vs the
+  // per-user arrival frontier, day-bucketed with cumulative share.
+  // Arrival order is a deterministic md5 shuffle of event_id (the
+  // testdata arrives time-sorted, so the shuffle SIMULATES the
+  // at-least-once redelivery a real ingest sees) — both engines
+  // derive the identical permutation.
+
+  private val disorderBucketMs = 86400000L // 1 day
+
+  val q164 = Q(
+    "q164_disorder_histogram",
+    (s, dir) =>
+      Temporal.disorderHistogram(
+          ev(s, dir), "user_id", "ms",
+          arrival = graft.functions.Hashes.hexHash(
+            col("event_id").cast("string"), seed = 11),
+          bucketWidth = disorderBucketMs)
+        .orderBy("bucket_lo_ms"),
+    Some(s"""
+      WITH $evCte,
+      a AS (SELECT user_id, ms,
+                   substr(md5('11|' || CAST(event_id AS VARCHAR)), 1, 15)
+                     AS arr
+            FROM e),
+      d AS (SELECT user_id, ms,
+                   max(ms) OVER (PARTITION BY user_id ORDER BY arr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS rm
+            FROM a),
+      b AS (SELECT greatest(coalesce(rm - ms, 0), 0)
+                     // $disorderBucketMs AS bucket
+            FROM d),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY bucket)
+      SELECT bucket * $disorderBucketMs AS bucket_lo_ms, n_events,
+             ${Numerics.sqlFix(
+               "CAST(sum(n_events) OVER (ORDER BY bucket " +
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+                 "AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE)", 4)}
+               AS cum_pct
+      FROM h ORDER BY bucket_lo_ms"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162)
+      q158, q161, q162, q163, q164)
 }

@@ -244,4 +244,25 @@ class TemporalSpec extends SparkTestBase {
       (1L, "-"), (2L, "bronze"), (3L, "bronze"), (4L, "gold"),
       (5L, "gold"), (6L, "silver"), (7L, "-")))
   }
+
+  test("disorderHistogram buckets lateness against the arrival frontier") {
+    val ss = spark
+    import ss.implicits._
+    // arrival order = arr column; user 1 sees ts 100, 40, 250, 240:
+    // disorder 0, 60, 0, 10 -> buckets (width 50): 0,1,0,0
+    val df = Seq(
+      (1L, 100L, "a"),
+      (1L, 40L, "b"), // 60 late vs frontier 100
+      (1L, 250L, "c"),
+      (1L, 240L, "d"), // 10 late vs frontier 250
+      (2L, 10L, "e") // first arrival of its key: in order
+    ).toDF("user_id", "ms", "arr")
+    val out = Temporal.disorderHistogram(df, "user_id", "ms",
+        org.apache.spark.sql.functions.col("arr"), bucketWidth = 50L)
+      .orderBy("bucket_lo_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 0.8), // four in-order-ish events (disorder < 50)
+      (50L, 1L, 1.0))) // the 60-late event
+  }
 }
