@@ -85,6 +85,85 @@ object TextAnalysis {
     Numerics.fix4(score)
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget readout: what
+    * fraction of total token MASS the top-k most frequent terms cover,
+    * for each k in `ks`. A 50k-entry vocabulary that covers 98% of
+    * mass and a 5k one that covers 97% are very different engineering
+    * decisions; this is the exact curve that decides.
+    *
+    * Scale shape: one term-frequency partial-agg shuffle (billions of
+    * tokens collapse to vocabulary grain), then rank + cumulative
+    * windows over the vocabulary only. Ranking ties break by term so
+    * both engines agree at every k boundary.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.SparkUtil.ensureParallelism(df)
+      .select(explode(Texts.words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+    val rank = Window.orderBy(col("cnt").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    val curve = tf.select(
+      row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).as("rk"),
+      sum(col("cnt")).over(rank).as("cum"),
+      sum(col("cnt")).over(total).as("tot"),
+      count(lit(1)).over(total).as("nvocab"))
+    val kDf = df.sparkSession
+      .createDataFrame(ks.map(Tuple1(_))).toDF("k")
+    // per k: coverage at rank min(k, vocab size)
+    kDf.join(curve, col("rk") === least(col("k"), col("nvocab")))
+      .select(
+        col("k"), col("nvocab").as("vocab_size"), col("tot").as("total_tokens"),
+        col("cum").as("covered_tokens"),
+        Numerics.fix4(
+          col("cum").cast("double") / col("tot").cast("double"))
+          .as("coverage"))
+  }
+
+  /** Sequence-length histogram — the context-window budget readout:
+    * doc token counts bucketed by `bucket`, with the cumulative share
+    * of DOCS and of TOKEN MASS per bucket. "What max length keeps 99%
+    * of documents (or 95% of tokens)" is read directly off the two
+    * cumulative columns — the packing/truncation decision every
+    * training run makes.
+    *
+    * Scale shape: token counting is scan-local; the histogram grain is
+    * tiny; cumulative windows run over buckets only.
+    */
+  def seqLenHistogram(
+      df: DataFrame,
+      textCol: String,
+      bucket: Int): DataFrame = {
+    require(bucket >= 1, "bucket must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = graft.SparkUtil.ensureParallelism(df)
+      .select(size(Texts.words(col(textCol))).cast("long").as("n_tokens"))
+    val h = perDoc
+      .select(expr(s"n_tokens DIV $bucket").as("b"), col("n_tokens"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val byB = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    h.select(
+      (col("b") * bucket).as("len_lo"),
+      col("n_docs"), col("tokens"),
+      Numerics.fix4(
+        sum(col("n_docs")).over(byB).cast("double") /
+          sum(col("n_docs")).over(total).cast("double")).as("cum_docs"),
+      Numerics.fix4(
+        sum(col("tokens")).over(byB).cast("double") /
+          sum(col("tokens")).over(total).cast("double")).as("cum_tokens"))
+  }
+
   /** N-gram novelty score — the anti-memorization / anti-template
     * audit: per doc, the fraction of its DISTINCT n-word shingles
     * whose FIRST corpus occurrence (minimum doc id) is this doc.

@@ -1840,10 +1840,75 @@ object PipelineQueries {
                AS novelty
       FROM j ORDER BY doc_id"""))
 
+  // ---- q165: vocabulary coverage curve ----
+  // What fraction of token mass the top-k terms cover, per k — the
+  // exact curve behind tokenizer vocabulary sizing. One TF shuffle to
+  // vocabulary grain; rank/cumulative windows run over the vocabulary
+  // only, never the corpus.
+
+  val q165 = Q(
+    "q165_vocab_coverage",
+    (s, dir) =>
+      TextAnalysis.vocabCoverage(
+          Tables(s, dir, "documents"), "text", ks = Seq(5, 10, 20, 100))
+        .orderBy("k"),
+    Some(raw"""
+      WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)),
+                   '\s+')) AS term
+                 FROM documents),
+      tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+             FROM t WHERE len(term) > 0 GROUP BY term),
+      c AS (SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS tot,
+                   CAST(count(*) OVER () AS BIGINT) AS nvocab
+            FROM tf),
+      ks AS (SELECT unnest([5, 10, 20, 100]) AS k)
+      SELECT ks.k, c.nvocab AS vocab_size, c.tot AS total_tokens,
+             c.cum AS covered_tokens,
+             ${Numerics.sqlFix(
+               "CAST(c.cum AS DOUBLE)/CAST(c.tot AS DOUBLE)", 4)}
+               AS coverage
+      FROM ks JOIN c ON c.rk = least(ks.k, c.nvocab)
+      ORDER BY ks.k"""))
+
+  // ---- q166: sequence-length histogram ----
+  // Token counts per doc, bucketed, with cumulative doc and token-mass
+  // shares — "what max length keeps 99% of docs / 95% of tokens", the
+  // truncation decision every training run makes.
+
+  val q166 = Q(
+    "q166_seqlen_histogram",
+    (s, dir) =>
+      TextAnalysis.seqLenHistogram(
+          Tables(s, dir, "documents"), "text", bucket = 32)
+        .orderBy("len_lo"),
+    Some(s"""
+      WITH $wordsCte,
+      p AS (SELECT CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+      h AS (SELECT n_tokens // 32 AS b,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens
+            FROM p GROUP BY b)
+      SELECT b*32 AS len_lo, n_docs, tokens,
+             ${Numerics.sqlFix(
+               "CAST(sum(n_docs) OVER (ORDER BY b " +
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+                 "AS DOUBLE)/CAST(sum(n_docs) OVER () AS DOUBLE)", 4)}
+               AS cum_docs,
+             ${Numerics.sqlFix(
+               "CAST(sum(tokens) OVER (ORDER BY b " +
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+                 "AS DOUBLE)/CAST(sum(tokens) OVER () AS DOUBLE)", 4)}
+               AS cum_tokens
+      FROM h ORDER BY len_lo"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
-    q154, q159, q160)
+    q154, q159, q160, q165, q166)
 }

@@ -33,7 +33,11 @@ class PlanHygieneSpec extends SparkTestBase {
       "q126_ann_recall", "q127_rrf_fusion",
       // group-list × group-list pair enumeration (dashboard-sized;
       // the data-sized work is the sketch build, which joins by key)
-      "q143_kmv_overlap")
+      "q143_kmv_overlap",
+      // |ks|-row broadcast against the VOCABULARY-grain curve (the
+      // least(k, nvocab) condition references both sides, so no hash
+      // key exists); the data-sized work is the TF aggregate upstream
+      "q165_vocab_coverage")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

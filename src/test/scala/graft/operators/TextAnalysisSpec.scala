@@ -448,4 +448,34 @@ class TextAnalysisSpec extends SparkTestBase {
     val out = TextAnalysis.noveltyScore(df, "doc_id", "text", n = 3).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("vocabCoverage: exact cumulative mass at each k, capped at vocab size") {
+    val ss = spark
+    import ss.implicits._
+    // counts: a=4, b=2, c=1 -> total 7
+    val df = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, "text", ks = Seq(1, 2, 99))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, 3L, 7L, 4L, 0.5714), // top-1 = a
+      (2, 3L, 7L, 6L, 0.8571), // a + b
+      (99, 3L, 7L, 7L, 1.0))) // k past vocab covers everything
+  }
+
+  test("seqLenHistogram: doc and token cumulative shares per bucket") {
+    val ss = spark
+    import ss.implicits._
+    // token counts: 2, 3, 5 -> buckets (width 4): 0, 0, 1
+    val df = Seq((1L, "x y"), (2L, "x y z"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.seqLenHistogram(df, "text", bucket = 4)
+      .orderBy("len_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5L, 0.6667, 0.5), // two short docs, 5 of 10 tokens
+      (4L, 1L, 5L, 1.0, 1.0)))
+  }
 }
