@@ -33,12 +33,22 @@ object Bench {
     // and exit nonzero so a regression that breaks a query fails the
     // bench run instead of flattering it.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // MEASUREMENT NOTE (round 10): the action is the noop sink, not
+    // count(). Under count(), Catalyst rightly prunes every column-only
+    // operator — Window nodes, projections, sorts — so row-level
+    // queries (LOCF, attribution, rank families) were benching their
+    // SCAN alone (q158 "ran" 100M rows in 0.25 s). noop materializes
+    // every output column through the full plan, the standard Spark
+    // benchmarking sink. Numbers from rounds <= 9 and the early round-10
+    // pins are NOT comparable for projection-only queries.
     def time(
         name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(): Unit }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       catch {
         case e: Throwable =>
           val msg = (e.getClass.getSimpleName + ": " +
