@@ -262,13 +262,27 @@ object TextAnalysis {
     * edits at the ends; fixed-width hex so min/max are numeric).
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = Texts.charGrams(col(textCol), 5)
-    val hashed = transform(grams, g => Hashes.hexHash(g, 0))
-    df.select(
-      col(idCol),
-      md5(Texts.normText(col(textCol))).as("content_md5"),
-      array_min(hashed).as("gram_min_hash"),
-      array_max(hashed).as("gram_max_hash"))
+    // Shape note (round 10): the original per-row form materialized
+    // every char-5-gram in an array and md5'd each through an
+    // interpreted transform() lambda (10 s at sf0.1 once the noop
+    // action exposed it). This form explodes gram START POSITIONS
+    // (sequence guarded against the <5-char descending-range trap),
+    // slices + hashes with codegen'd substring/md5, and min/max
+    // reduces map-side — the shuffle carries one (id, min, max)
+    // partial per task.
+    val t = Texts.normText(col(textCol))
+    val positions = when(length(t) >= 5, sequence(lit(1), length(t) - 4))
+      .otherwise(array())
+    val hashes = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), t.as("t"), explode(positions).as("i"))
+      .select(col(idCol),
+        Hashes.hexHash(col("t").substr(col("i"), lit(5)), 0).as("h"))
+      .groupBy(col(idCol))
+      .agg(min(col("h")).as("gram_min_hash"), max(col("h")).as("gram_max_hash"))
+    df.select(col(idCol), md5(t).as("content_md5"))
+      .join(hashes, Seq(idCol), "left")
+      .select(col(idCol), col("content_md5"),
+        col("gram_min_hash"), col("gram_max_hash"))
   }
 
   /** Benchmark decontamination: flag corpus docs sharing word n-grams
@@ -534,17 +548,40 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val ws = Texts.words(col(textCol))
-    val total = greatest(size(ws) - (n - 1), lit(0)).cast("long")
-    val distinctG = size(Texts.wordShingles(ws, n)).cast("long")
-    df.select(
-      col(idCol),
-      total.as("n_grams"),
-      distinctG.as("n_distinct_grams"),
-      Numerics.fix4(
-        when(total > 0,
-          lit(1.0) - distinctG.cast("double") / total.cast("double"))
-          .otherwise(lit(0.0))).as("repetition_ratio"))
+    import org.apache.spark.sql.expressions.Window
+    // Shape note (round 10): the original per-row form built the
+    // shingle ARRAY with transform/element_at HOFs + array_distinct —
+    // all interpreted, and the top cost of the whole bench once the
+    // noop action stopped count() from pruning it (31 s at sf0.1).
+    // This form explodes tokens once (codegen), assembles each n-gram
+    // from window leads, and counts distinct per doc in a partial-agg
+    // — 10x faster and the shuffle is token-grain, which is also the
+    // 100 TB shape (no giant per-row arrays in memory).
+    val toks = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol),
+        posexplode(Texts.words(col(textCol))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(idCol).orderBy(col("pos"))
+    val parts = (0 until n).map(k =>
+      if (k == 0) col("w") else lead(col("w"), k).over(byDoc))
+    val grams = toks
+      .select(col(idCol), concat_ws(" ", parts: _*).as("g"),
+        parts.last.isNotNull.as("ok"))
+      .where(col("ok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("ng"),
+        countDistinct(col("g")).as("nd"))
+    df.select(col(idCol))
+      .join(grams, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_grams"),
+        Numerics.fix4(
+          when(coalesce(col("ng"), lit(0L)) > 0,
+            lit(1.0) - coalesce(col("nd"), lit(0L)).cast("double") /
+              col("ng").cast("double"))
+            .otherwise(lit(0.0))).as("repetition_ratio"))
   }
 
   /** Email pattern shared with the oracle (RE2-safe: no backrefs or
