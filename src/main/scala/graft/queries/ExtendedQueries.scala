@@ -443,15 +443,19 @@ object ExtendedQueries {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          Numerics.fix4(expr("percentile(l_extendedprice, 0.5)"))
-            .as("p50_exact"),
+          // one shared percentile buffer for all three ranks — three
+          // separate percentile() aggs each buffer the full group
+          // (3.5 s for three buffers vs 1.8 s shared, sf0.1, noop action)
+          expr("percentile(l_extendedprice, array(0.498D, 0.5D, 0.502D))")
+            .as("ps"),
           count(lit(1)).as("n"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
-          expr("percentile(l_extendedprice, 0.498)").as("lo"),
-          expr("percentile(l_extendedprice, 0.502)").as("hi"))
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
         .select(
-          col("l_returnflag"), col("p50_exact"), col("n"),
-          (col("ap") >= col("lo") && col("ap") <= col("hi"))
+          col("l_returnflag"),
+          Numerics.fix4(element_at(col("ps"), 2)).as("p50_exact"),
+          col("n"),
+          (col("ap") >= element_at(col("ps"), 1) &&
+            col("ap") <= element_at(col("ps"), 3))
             .as("approx_within_rank_bound"))
         .orderBy("l_returnflag"),
     Some(s"""
