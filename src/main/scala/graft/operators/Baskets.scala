@@ -18,17 +18,43 @@ import org.apache.spark.sql.functions._
   * volume is a small multiple of the fact table, never n². Item
   * supports broadcast onto the pair aggregate. A degenerate giant
   * basket (one key with thousands of items) is the failure mode to
-  * guard: `maxBasket` drops baskets past the cap LOUDLY rather than
-  * enumerating their quadratic pairs.
+  * guard: `maxBasket` FAILS the job loudly (require) rather than
+  * enumerating quadratic pairs — raise the cap deliberately or
+  * pre-filter oversized baskets before calling.
   */
 object Baskets {
 
+  /** A co-occurrence run's result plus the handle that releases the
+    * cached (basket, item) frame once the result is materialized —
+    * the Funnel/Dedup convention; without it a long-lived session
+    * accumulates one cached frame per call.
+    */
+  final class CooccurrenceRun private[operators] (
+      val result: DataFrame,
+      items: DataFrame) {
+    def release(): Unit = { items.unpersist(): Unit }
+  }
+
+  /** NOTE: leaves the distinct (basket, item) frame cached (it backs
+    * the guard action, supports, and the pair join). Sessions that
+    * mine many basket sets should use [[cooccurrenceRun]] and
+    * `release()` after materializing the result.
+    */
   def cooccurrence(
       df: DataFrame,
       basketCol: String,
       itemCol: String,
       topK: Int,
-      maxBasket: Int = 1000): DataFrame = {
+      maxBasket: Int = 1000): DataFrame =
+    cooccurrenceRun(df, basketCol, itemCol, topK, maxBasket).result
+
+  /** [[cooccurrence]] with the cache-release handle. */
+  def cooccurrenceRun(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      topK: Int,
+      maxBasket: Int = 1000): CooccurrenceRun = {
     require(topK >= 1, "topK must be >= 1")
     val items = graft.SparkUtil.ensureParallelism(df)
       .select(col(basketCol).cast("long").as("basket"),
@@ -50,7 +76,7 @@ object Baskets {
       .where(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_co"))
-    pairs
+    val result = pairs
       .join(broadcast(supports.select(col("item").as("item_a"),
         col("supp").as("supp_a"))), "item_a")
       .join(broadcast(supports.select(col("item").as("item_b"),
@@ -64,5 +90,6 @@ object Baskets {
           .as("lift"))
       .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
       .limit(topK)
+    new CooccurrenceRun(result, items)
   }
 }

@@ -59,11 +59,21 @@ object Incremental {
 
   /** Changed-partition selective recompute — the rsync of aggregation
     * pipelines: a cheap per-partition content DIGEST pass (order-
-    * independent bit_xor of 60-bit row hashes + row count) decides
+    * independent SUM of 60-bit row hashes + row count) decides
     * which partitions actually changed between the previous snapshot
     * and the new one; only those partitions pay the full re-aggregate,
     * unchanged partitions reuse the previous state's values verbatim,
     * and partitions that vanished are dropped.
+    *
+    * The combine is a decimal(38,0) sum, NOT bit_xor: xor is blind to
+    * even-multiplicity changes on generic multisets (a⊕a = 0, so
+    * swapping a duplicated pair {a,a} for {b,b} preserves both xor
+    * digest and row count), while a sum changes by 2(b−a) ≠ 0. The
+    * 38-digit accumulator never wraps below ~10^19 rows per partition
+    * of 60-bit values, so no overflow under ANSI semantics. Digest
+    * equality ⇒ content equality up to a random ~2^-60 sum collision
+    * between distinct equal-count multisets (adversarial only for a
+    * well-mixed row hash; row count is checked alongside).
     *
     * Scale shape: the digest pass over the new snapshot is a NARROW
     * column-pruned scan (partition + digest inputs only) feeding a
@@ -71,9 +81,7 @@ object Incremental {
     * aggregation then runs only over partitions in the changed set
     * (broadcast semi-join). When the real pipeline stores digests in
     * its state table — as this operator's output enables — day-N cost
-    * is O(changed data), never O(history). Digest equality ⇒ content
-    * equality up to 60-bit xor collisions (adversarial only; row count
-    * is checked alongside).
+    * is O(changed data), never O(history).
     *
     * Output: (period, n_rows, sum_cents, recomputed 0/1) — exactly
     * equal to a from-scratch aggregate over the new snapshot.
@@ -87,11 +95,12 @@ object Incremental {
     def keyed(df: DataFrame): DataFrame =
       graft.SparkUtil.ensureParallelism(df)
         .select(part.as("period"), rowDigest.as("h"), cents.as("c"))
+    val dg = sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
     val oldState = keyed(oldDf).groupBy("period")
-      .agg(expr("bit_xor(h)").as("dg_o"), count(lit(1)).as("n_o"),
+      .agg(dg.as("dg_o"), count(lit(1)).as("n_o"),
         sum(col("c")).as("sc_o"))
     val newDigest = keyed(newDf).groupBy("period")
-      .agg(expr("bit_xor(h)").as("dg_n"), count(lit(1)).as("n_n"))
+      .agg(dg.as("dg_n"), count(lit(1)).as("n_n"))
     val joined = newDigest.join(oldState, Seq("period"), "left")
     val unchanged = joined
       .where(col("n_o").isNotNull && col("dg_n") === col("dg_o") &&

@@ -57,11 +57,14 @@ object Profile {
       lo: Double = 0.05,
       hi: Double = 0.95): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    // one shared percentile buffer for both bounds — two separate
+    // percentile() aggs each materialize the full per-group buffer
     val bounds = graft.SparkUtil.ensureParallelism(df)
       .groupBy(groupCol)
-      .agg(
-        expr(s"percentile($valCol, $lo)").as("lo_v"),
-        expr(s"percentile($valCol, $hi)").as("hi_v"))
+      .agg(expr(s"percentile($valCol, array(${lo}D, ${hi}D))").as("ps"))
+      .select(col(groupCol),
+        element_at(col("ps"), 1).as("lo_v"),
+        element_at(col("ps"), 2).as("hi_v"))
     df.join(broadcast(bounds), groupCol)
       .groupBy(groupCol)
       .agg(
@@ -548,7 +551,10 @@ object Profile {
     require(checks.nonEmpty || uniqueKey.nonEmpty, "empty contract")
     val aggs =
       checks.map { case (name, bad) =>
-        sum(when(bad, 1L).otherwise(0L)).as(s"v__$name")
+        // coalesce: sum over ZERO rows is null, and an empty (vacuously
+        // conforming) table must report 0 violations / passed = 1, not
+        // a null-failing publish-gate verdict
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"v__$name")
       } ++
         uniqueKey.toSeq.flatMap { k =>
           Seq(count(col(k)).as("u__n"),

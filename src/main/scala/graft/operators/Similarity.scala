@@ -246,7 +246,10 @@ object Similarity {
       .agg(countDistinct(col("doc")).as("df"))
       .where(col("df") >= 2 && col("df") <= dfCap)
       .select("term")
-    val postings = tf.join(broadcast(kept), "term")
+    // no broadcast hint: dfCap bounds df PER term, not the number of
+    // mid-df terms, so `kept` is corpus-vocabulary-sized in the worst
+    // case — let AQE pick broadcast vs shuffle from its measured size
+    val postings = tf.join(kept, "term")
     val norms = postings.groupBy("doc")
       .agg(sum(col("tf") * col("tf")).as("nsq"))
     val dots = postings.select(col("term"), col("doc").as("doc_a"), col("tf").as("tf_a"))

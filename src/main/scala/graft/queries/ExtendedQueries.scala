@@ -185,9 +185,16 @@ object ExtendedQueries {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          Numerics.fix4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          Numerics.fix4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          // one shared percentile buffer for both ranks (q63's shape):
+          // two separate percentile() aggs each materialize the full
+          // per-group value buffer
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          Numerics.fix4(element_at(col("ps"), 1)).as("p50"),
+          Numerics.fix4(element_at(col("ps"), 2)).as("p90"),
+          col("n"))
         .orderBy("l_returnflag"),
     Some(s"""
       SELECT l_returnflag,
@@ -2245,7 +2252,8 @@ object ExtendedQueries {
 
   // ---- q156: changed-partition selective recompute ----
   // The rsync of aggregation: per-month content digests (order-
-  // independent bit_xor of 60-bit row hashes + counts) decide which
+  // independent duplicate-sensitive SUM of 60-bit row hashes +
+  // counts) decide which
   // months changed between snapshots; only those re-aggregate, the
   // rest reuse previous state verbatim. The "new" snapshot drops
   // orderkey%997 orders from 1997 onward, so exactly the 1997+ months
@@ -2278,10 +2286,10 @@ object ExtendedQueries {
                    ('0x' || substr(md5('7|' || CAST(o_orderkey AS VARCHAR)
                      || '#' || CAST(c AS VARCHAR)), 1, 15))::BIGINT AS hh
             FROM o),
-      old_d AS (SELECT period, bit_xor(hh) AS dg,
+      old_d AS (SELECT period, sum(hh) AS dg,
                        CAST(count(*) AS BIGINT) AS n
                 FROM h GROUP BY period),
-      new_d AS (SELECT period, bit_xor(hh) AS dg,
+      new_d AS (SELECT period, sum(hh) AS dg,
                        CAST(count(*) AS BIGINT) AS n
                 FROM h WHERE NOT removed GROUP BY period),
       chg AS (SELECT n.period,

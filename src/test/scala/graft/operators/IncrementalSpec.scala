@@ -90,7 +90,7 @@ class IncrementalSpec extends SparkTestBase {
     assert(out.map(_._3).sum == 433L)
   }
 
-  test("deltaRecompute flags a same-count content change via the xor digest") {
+  test("deltaRecompute flags a same-count content change via the sum digest") {
     val ss = spark
     import ss.implicits._
     val oldDf = Seq(("2024-01", 1L, 100L)).toDF("m", "k", "c")
@@ -106,5 +106,28 @@ class IncrementalSpec extends SparkTestBase {
     assert(out.length == 1)
     assert(out.head.getInt(3) == 1) // row count equal, content differs
     assert(out.head.getLong(2) == 999L)
+  }
+
+  test("deltaRecompute catches an even-multiplicity swap (xor blind spot)") {
+    val ss = spark
+    import ss.implicits._
+    // {a,a} -> {b,b}: same row count, and a xor digest would cancel
+    // (a ^ a = 0 = b ^ b); the duplicate-sensitive sum digest differs
+    // by 2(h_b - h_a) and must flag the partition changed.
+    val oldDf = Seq(("2024-01", 1L, 100L), ("2024-01", 1L, 100L))
+      .toDF("m", "k", "c")
+    val newDf = Seq(("2024-01", 2L, 100L), ("2024-01", 2L, 100L))
+      .toDF("m", "k", "c")
+    val dig = graft.functions.Hashes.hash60(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("k").cast("string"),
+        org.apache.spark.sql.functions.lit("#"),
+        org.apache.spark.sql.functions.col("c").cast("string")), seed = 7)
+    val out = Incremental.deltaRecompute(
+        oldDf, newDf, org.apache.spark.sql.functions.col("m"), dig,
+        org.apache.spark.sql.functions.col("c")).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(3) == 1) // sum digest catches the swap
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 200L)
   }
 }

@@ -258,4 +258,16 @@ class ProfileSpec extends SparkTestBase {
       ("st_enum", 1L, 0),
       ("unique:k", 1L, 0))) // 3 non-null keys, 2 distinct
   }
+
+  test("contractChecks: an empty table vacuously passes every check") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, 1.0)).toDF("k", "price").where(lit(false))
+    val out = Profile.contractChecks(df,
+        Seq(("price_nonneg", col("price") < 0)), uniqueKey = Some("k"))
+      .orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // sum over zero rows must coalesce to 0, not null-fail the gate
+    assert(out.toSeq == Seq(("price_nonneg", 0L, 1), ("unique:k", 0L, 1)))
+  }
 }
