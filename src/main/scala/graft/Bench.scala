@@ -170,6 +170,24 @@ object Bench {
     // giant line; round 4's two-line split still lost the parse to
     // full-precision doubles; round 6's 92 full-name keys overflowed
     // the tail again — hence short keys + 2 decimals on the headline.
+    // Streaming drain-protocol decomposition (VERDICT r10 item 4): for
+    // each parity query, the fixed (micro-batches, stateful ops)
+    // protocol constants plus the derived s/op-batch — the harness
+    // cost constant; operator compute is the residual. Lives on an aux
+    // line + BENCH_LOCAL.json because the driver's 2 KB stdout tail
+    // holds only the headline (1-decimal, short-key) at this surface
+    // size — see SURVEY §6.
+    val streamCost = graft.queries.StreamingQueries.costModel.toSeq
+      .sortBy(_._1)
+      .flatMap { case (name, (batches, ops)) =>
+        results.get(name).map { case (_, warm, _) =>
+          val opBatches = batches * ops
+          s"\"${shortNames.getOrElse(name, name)}\":{\"batches\":$batches," +
+            s"\"stateful_ops\":$ops,\"op_batches\":$opBatches," +
+            s"\"s_per_op_batch\":${fmt(warm / opBatches)}}"
+        }
+      }.mkString("{", ",", "}")
+    println(s"""{"aux":"stream_cost_model","queries":$streamCost}""")
     println(
       s"""{"aux":"cold_detail","cold_total":$coldTotal,"queries_cold":${j(_._1)},"runs":$timedRuns,"sf":"$sfDir"}""")
     println(
@@ -201,6 +219,7 @@ object Bench {
     // carries the same headline plus the full-name per-query detail.
     val local =
       s"""{"headline":$headline,
+         |"stream_cost_model":$streamCost,
          |"queries_warm_full":${j(_._2)},
          |"queries_cold_full":${j(_._1)}}""".stripMargin.replace("\n", "")
     try java.nio.file.Files.write(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomContains, VecDot}
+import graft.functions.expressions.{BloomContains, PiiScrub, VecDot}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -46,12 +46,28 @@ object GraftFunctions {
       s"$BloomContainsName expects 2 arguments, got ${exprs.size}")
   }
 
+  val PiiScrubName = "graft_pii_scrub"
+
+  private val piiScrubInfo = new ExpressionInfo(
+    classOf[PiiScrub].getCanonicalName, null, PiiScrubName,
+    "_FUNC_(text) - struct(scrubbed, n_emails, n_long_numbers): " +
+      "single-pass email/long-digit-run redaction with match counts.",
+    "")
+
+  private val piiScrubBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => PiiScrub(t)
+    case exprs => throw new IllegalArgumentException(
+      s"$PiiScrubName expects 1 argument, got ${exprs.size}")
+  }
+
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder))
     ext.injectFunction(
       (FunctionIdentifier(BloomContainsName), bloomContainsInfo,
         bloomContainsBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(PiiScrubName), piiScrubInfo, piiScrubBuilder))
   }
 
   /** Idempotent session-level registration. */
@@ -66,6 +82,10 @@ object GraftFunctions {
         FunctionIdentifier(BloomContainsName), bloomContainsInfo,
         bloomContainsBuilder)
     }
+    if (!registry.functionExists(FunctionIdentifier(PiiScrubName))) {
+      registry.registerFunction(
+        FunctionIdentifier(PiiScrubName), piiScrubInfo, piiScrubBuilder)
+    }
   }
 
   /** Column form; the owning session must have [[register]]ed (the
@@ -78,6 +98,9 @@ object GraftFunctions {
     */
   def bloomContains(bloom: Column, s: Column): Column =
     call_function(BloomContainsName, bloom, s)
+
+  /** Column form of the single-pass PII scrub (struct result). */
+  def piiScrub(text: Column): Column = call_function(PiiScrubName, text)
 }
 
 /** `spark.sql.extensions` hook. */

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaRecord(doc_id: Long, media: Array[Byte], mime: String)
 
-/** Decoded features. `width`/`height` come from the (stubbed) decoder;
-  * the deterministic fields are real and oracle-checked.
+/** Decoded features. `width`/`height` come from the header decoders;
+  * all fields are real and oracle-checked.
   */
 final case class MediaFeatures(
     doc_id: Long,
@@ -27,8 +27,11 @@ final case class MediaFeatures(
   * every headered or frame-structured format (PNG/GIF as codegen'd
   * Columns, JPEG via a SOF marker scan, WAV duration via a RIFF chunk
   * walk, MP3 duration via MPEG frame-header arithmetic, MP4 duration +
-  * dimensions via an ISO-BMFF box walk); only compressed-payload
-  * decode is STUBBED — no codecs in this environment.
+  * dimensions via an ISO-BMFF box walk), and PNG compressed-payload
+  * decode is real too ([[PngDecoder]]: stdlib inflate + defilter +
+  * RGBA). Other codecs' payloads (JPEG entropy data, MP3 samples)
+  * report unknown rather than guess — no codec libraries exist in
+  * this environment by contract.
   */
 object Multimodal {
 
@@ -422,27 +425,66 @@ object Multimodal {
       (media(8) & 0xFF) == 'W' && (media(9) & 0xFF) == 'A' &&
       (media(10) & 0xFF) == 'V' && (media(11) & 0xFF) == 'E'
 
-  /** ======== STUB ========
-    * Compressed-payload decode ONLY (pixel/sample data of esoteric
-    * codecs): a real deployment would decode it here, inside the same
-    * mapPartitions pass. Every structured metadata format is real —
-    * PNG/GIF parse as codegen'd byte arithmetic in
-    * [[mediaWidth]]/[[mediaHeight]], JPEG via [[decodeJpegDims]]'s
-    * marker scan, WAV via [[decodeWavDurationMs]]'s chunk walk, MP3
-    * via [[decodeMp3DurationMs]]'s frame-header arithmetic, MP4 via
-    * [[decodeMp4Meta]]'s ISO-BMFF box walk.
+  /** Non-headered formats this package does not decode dimensions for
+    * (JPEG2000, WebP's VP8 payload, ...): report unknown rather than
+    * guess. Every in-scope format is real — PNG/GIF headers as
+    * codegen'd byte arithmetic in [[mediaWidth]]/[[mediaHeight]], JPEG
+    * via [[decodeJpegDims]]'s marker scan, WAV via
+    * [[decodeWavDurationMs]]'s chunk walk, MP3 via
+    * [[decodeMp3DurationMs]]'s frame-header arithmetic, MP4 via
+    * [[decodeMp4Meta]]'s ISO-BMFF box walk, and PNG PIXEL payloads
+    * (inflate + defilter + RGBA expansion) via [[PngDecoder.decode]] /
+    * [[decodePixelStats]].
     */
-  private def decodeDimensionsStub(media: Array[Byte]): (Option[Int], Option[Int]) =
+  private def decodeDimensionsUnknown(
+      media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
+
+  /** Real compressed-payload decode, end-to-end: PNG bytes → inflate →
+    * defilter → RGBA → per-image pixel statistics, one row per input
+    * record. Non-PNG (or corrupt-PNG) records keep their id with null
+    * stats — the schema is total, so the pass composes with mixed-
+    * format corpora. Runs in the same per-partition typed pass as
+    * [[extractFeatures]]: bytes never leave the executor, output is a
+    * few longs per image regardless of raster size.
+    *
+    * Output: (doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b) with
+    * exact integer channel sums (hash-matchable cross-engine).
+    */
+  def decodePixelStats(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        PngDecoder.decode(rec.media) match {
+          case Some(r) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var px = 0
+            val n = r.width * r.height
+            while (px < n) {
+              sr += r.rgba(4 * px) & 0xFF
+              sg += r.rgba(4 * px + 1) & 0xFF
+              sb += r.rgba(4 * px + 2) & 0xFF
+              px += 1
+            }
+            (rec.doc_id, Some(r.width), Some(r.height), Some(n.toLong),
+              Some(sr), Some(sg), Some(sb))
+          case None =>
+            (rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long])
+        }
+      }
+    }.toDF("doc_id", "px_w", "px_h", "n_px", "sum_r", "sum_g", "sum_b")
+  }
 
   /** Typed-pass dimension dispatch for formats the codegen'd header
     * Columns don't cover: JPEG gets the real marker scan; everything
-    * else falls to the declared codec stub.
+    * else reports unknown dimensions.
     */
   private def decodeDimensions(media: Array[Byte]): (Option[Int], Option[Int]) =
     if (media.length >= 2 && (media(0) & 0xFF) == 0xFF &&
       (media(1) & 0xFF) == 0xD8) decodeJpegDims(media)
-    else decodeDimensionsStub(media)
+    else decodeDimensionsUnknown(media)
 
   /** The deterministic byte-level feature expressions — exactly the
     * codegen'd `length`/`hex(substring)`/`sha2` built-ins, shared by
@@ -463,8 +505,8 @@ object Multimodal {
 
   /** Full feature extraction: deterministic features AND the PNG/GIF
     * dimension decode via the codegen'd Columns above; ONLY the
-    * (stubbed) codec for non-headered formats runs in the typed
-    * per-partition pass, so its cost never taxes the real features.
+    * non-headered-format fallbacks run in the typed per-partition
+    * pass, so their cost never taxes the real features.
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -477,9 +519,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, len, hdr, sha, w, h, media) =>
           // the typed decode runs only for non-headered formats (JPEG
-          // marker scan, WAV chunk walk, MP4 box walk, codec stub for
-          // the rest); a headered file with one malformed field keeps
-          // what parsed
+          // marker scan, WAV chunk walk, MP4 box walk); a headered
+          // file with one malformed field keeps what parsed
           if (isMp4(media)) {
             // dims and duration come from ONE box walk
             val (mw, mh, md) = decodeMp4Meta(media)

@@ -828,6 +828,36 @@ object Dedup {
     clustersFromPairs(df.select(col(idCol)), idCol, pairs, maxIter)
   }
 
+  /** Keep-best-per-near-dup-cluster — q159's survivor policy lifted
+    * from exact-digest grain to CLUSTER grain (the Dolma/CCNet "keep
+    * one representative per duplicate group" curation step): per
+    * cluster, the member with the highest `score` wins, lowest id
+    * breaking ties. Prefer an exact-integer score (token count, byte
+    * length) so the winner is engine-exact.
+    *
+    * Scale shape: clusters come from the paired-subgraph CC loop
+    * ([[clustersFromPairs]]); the winner is ONE max-of-struct hash
+    * aggregate at cluster grain — no window sort over the corpus, no
+    * per-cluster shuffle beyond the aggregate's partials. Output:
+    * (clusterCol, kept_id, kept_score, n_members).
+    */
+  def clusterSurvivors(
+      clustered: DataFrame,
+      clusterCol: String,
+      idCol: String,
+      score: Column): DataFrame =
+    graft.SparkUtil.ensureParallelism(clustered)
+      .groupBy(clusterCol)
+      .agg(
+        max(struct(score.as("s"), (-col(idCol)).as("negid")))
+          .as("w"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col(clusterCol),
+        (-col("w.negid")).as("kept_id"),
+        col("w.s").as("kept_score"),
+        col("n_members"))
+
   /** SimHash radius retrieval: all pairs within `maxHamming` bits of
     * each other's [[simhashSignatures]] signature — EXACT, not
     * approximate: the 16-bit signature splits into 4 nibble bands, and

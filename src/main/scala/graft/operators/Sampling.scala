@@ -176,4 +176,39 @@ object Sampling {
       .when(h < trainPermille + valPermille, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** Leakage-safe (group-atomic) split: the split is decided by the
+    * md5 permille of the GROUP id, so every member of a group — in the
+    * flagship use, a near-dup cluster from
+    * [[Dedup.clustersFromPairs]] — lands in the SAME split. Splitting
+    * by doc id instead leaks: near-duplicates straddle train/test and
+    * the eval set scores memorization, the classic contamination bug a
+    * per-doc hash split cannot prevent. Map-side column expression
+    * over an already-clustered frame; same determinism guarantees as
+    * [[splitColumn]].
+    */
+  def splitByGroup(
+      df: DataFrame,
+      groupCol: String,
+      trainPermille: Int = 800,
+      valPermille: Int = 100,
+      seed: Int = 0): DataFrame =
+    df.withColumn("split",
+      splitColumn(col(groupCol), trainPermille, valPermille, seed))
+
+  /** The audit twin of [[splitByGroup]]: per group, the number of
+    * distinct splits its members landed in — every row with
+    * n_splits > 1 is an eval-leakage bug. One group-grain aggregate;
+    * by construction [[splitByGroup]] output always audits clean, so
+    * this is the instrument for EXTERNALLY-assigned splits.
+    */
+  def splitLeakageAudit(
+      df: DataFrame,
+      groupCol: String,
+      splitCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(df)
+      .groupBy(groupCol)
+      .agg(
+        countDistinct(col(splitCol)).as("n_splits"),
+        count(lit(1)).as("n_members"))
 }

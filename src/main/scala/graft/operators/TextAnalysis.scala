@@ -29,21 +29,39 @@ object TextAnalysis {
   /** Language ID: per-language stopword hit counts over the token
     * stream; prediction is the argmax with fixed precedence
     * en > de > fr > es on ties (including the all-zero case).
+    *
+    * Shape note (round 11): the original per-row form ran FOUR
+    * interpreted `filter()` lambdas over the token array per document
+    * (the HOF codegen landmine) — 79 s for 500k docs at the 100× noop
+    * sweep. This form explodes the token expression once and counts
+    * all four vocabularies in ONE codegen'd partial-agg (`isin` over
+    * literal lists compiles to branch-free comparisons; the shuffle
+    * carries one 5-counter row per doc per task) — the token-grain
+    * rewrite q54/q30 got in round 10, and the right 100 TB shape: no
+    * per-row array materialization, map-side combine does the work.
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = Texts.words(col(textCol))
-    val hits = StopwordProfiles.map { case (lang, vocab) =>
-      lang -> Texts.vocabHits(ws, vocab)
-    }
-    val Seq(en, de, fr, es) = hits.map(_._2)
+    val profs = StopwordProfiles.toMap
+    val tok = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), explode(Texts.words(col(textCol))).as("w"))
+    def hits(vocab: Seq[String]) =
+      sum(when(col("w").isin(vocab: _*), 1L).otherwise(0L))
+    val agg = tok.groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n"),
+        hits(profs("en")).as("en"),
+        hits(profs("de")).as("de"),
+        hits(profs("fr")).as("fr"),
+        hits(profs("es")).as("es"))
+    val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(col)
     val pred = when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-    df.select(
+    agg.select(
       col(idCol),
       pred.as("pred_lang"),
-      Numerics.fix4(en.cast("double") / size(ws)).as("en_stop_ratio"))
+      Numerics.fix4(en.cast("double") / col("n")).as("en_stop_ratio"))
   }
 
   /** Quality metrics + composite score. All components are exact
@@ -52,18 +70,28 @@ object TextAnalysis {
     *       + 0.3·min(avg_token_len/10, 1).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = Texts.words(col(textCol))
-    val nTok = size(ws).cast("double")
-    val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
-      .cast("double")
-    val stopHits = Texts.vocabHits(ws, EnglishStopwords).cast("double")
+    // Token-grain shape (round 11, same rewrite as langId): the
+    // per-row interpreted aggregate()/filter() lambdas cost 33 s at
+    // the 100× noop sweep; one explode + one codegen'd partial-agg
+    // yields the identical exact integers (count, Σlen, stop hits).
+    val tok = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), explode(Texts.words(col(textCol))).as("w"))
+    val agg = tok.groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("w")).cast("long")).as("sum_len"),
+        sum(when(col("w").isin(EnglishStopwords: _*), 1L).otherwise(0L))
+          .as("stop"))
+    val nTok = col("n").cast("double")
+    val sumLen = col("sum_len").cast("double")
+    val stopHits = col("stop").cast("double")
     val avgLen = sumLen / nTok
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * (lit(1.0) - stopHits / nTok) +
       lit(0.3) * least(avgLen / 10.0, lit(1.0))
-    df.select(
+    agg.select(
       col(idCol),
-      size(ws).cast("long").as("n_tokens"),
+      col("n").as("n_tokens"),
       Numerics.fix4(avgLen).as("avg_token_len"),
       Numerics.fix4(stopHits / nTok).as("stop_ratio"),
       Numerics.fix4(score).as("quality_score"))
@@ -595,21 +623,23 @@ object TextAnalysis {
   val LongNumberPattern = "[0-9]{9,}"
 
   /** PII scrubbing: replace emails / long digit runs with typed
-    * placeholders, reporting per-doc match counts. Pure codegen'd
-    * regexp expressions — map-side only, no shuffle; the shape a
-    * redaction pass over 100 TB needs (each task streams its split).
+    * placeholders, reporting per-doc match counts. Map-side only, no
+    * shuffle; the redaction text AND both counts come from ONE
+    * compiled-regex pass (the native
+    * [[graft.functions.expressions.PiiScrub]] expression) — the
+    * composable 4-regex-pass form measured 57 s at the 100× noop sweep
+    * with all the time in java.util.regex, so the pass count IS the
+    * cost at 100 TB.
     */
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
-      LongNumberPattern, "[NUM]")
-    df.select(
-      col(idCol),
-      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
-        .cast("long").as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(LongNumberPattern), lit(0)))
-        .cast("long").as("n_long_numbers"),
-      scrubbed.as("text_scrubbed"))
+    graft.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        graft.GraftFunctions.piiScrub(col(textCol)).as("p"))
+      .select(
+        col(idCol),
+        col("p.n_emails").as("n_emails"),
+        col("p.n_long_numbers").as("n_long_numbers"),
+        col("p.scrubbed").as("text_scrubbed"))
   }
 
   /** Split each document into fixed-size token windows with overlap —

@@ -309,5 +309,75 @@ object EtlQueries {
       CROSS JOIN agg
       ORDER BY fmt"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85, q134)
+
+  // ---- q168: dynamic-partition overwrite (partition-grain upsert) ----
+  // Re-land ONE partition of a partitioned lake table: only that
+  // partition's files may change. Byte-stability of every untouched
+  // partition is PROVEN by md5-ing each partition's files before and
+  // after the overwrite; the oracle then pins which partitions were
+  // allowed to change and the post-state totals.
+
+  val q168 = Q(
+    "q168_dynamic_overwrite",
+    (s, dir) => {
+      val io = new DatasetIO(s)
+      val tmp = scratch("q168_dynov")
+      val table = s"file:$tmp/orders_dyn"
+      val orders = io.read(s"$dir/orders.parquet")
+      io.write(orders, table, partitionBy = Seq("o_orderpriority"))
+      // per-partition content fingerprint: sorted (name, md5) of every
+      // data file — partition dirs at this grain hold a handful of
+      // files, so the driver-side walk is metadata-cheap
+      def snapshot(): Map[String, String] = {
+        val root = new java.io.File(tmp, "orders_dyn")
+        root.listFiles().filter(_.isDirectory).map { d =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+            .sortBy(_.getName)
+            .foreach { f =>
+              digest.update(f.getName.getBytes("UTF-8"))
+              digest.update(java.nio.file.Files.readAllBytes(f.toPath))
+            }
+          d.getName -> digest.digest().map("%02x".format(_)).mkString
+        }.toMap
+      }
+      val before = snapshot()
+      // the re-landed slice: URGENT orders with doubled totals (x2 is
+      // exponent arithmetic — exact in double, exact in the oracle)
+      io.overwritePartitions(
+        orders.where(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0),
+        table, partitionBy = Seq("o_orderpriority"))
+      val after = snapshot()
+      val stable = before.map { case (part, dg) =>
+        // URL-decode the dir name ("1-URGENT" needs none, but partition
+        // dirs escape specials in general)
+        val v = java.net.URLDecoder.decode(
+          part.stripPrefix("o_orderpriority="), "UTF-8")
+        (v, if (after.get(part).contains(dg)) 1 else 0)
+      }.toSeq
+      val stableDf = s.createDataFrame(stable.map(t => Tuple2(t._1, t._2)))
+        .toDF("o_orderpriority", "byte_stable")
+      io.read(table)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          Numerics.moneySum(col("o_totalprice")).as("total_price"))
+        .join(broadcast(stableDf), Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS order_cnt,
+             ${Numerics.sqlMoneySum(
+               "o_totalprice * (CASE WHEN o_orderpriority = '1-URGENT' " +
+                 "THEN 2.0 ELSE 1.0 END)")} AS total_price,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END
+               AS byte_stable
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
+    q134, q168)
 }

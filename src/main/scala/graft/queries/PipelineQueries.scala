@@ -1905,10 +1905,172 @@ object PipelineQueries {
                AS cum_tokens
       FROM h ORDER BY len_lo"""))
 
+  // ---- q167: PNG pixel decode (inflate + defilter + RGBA stats) ----
+
+  /** Pixel-exact planted rasters, one per color type, every filter
+    * type (0-4) exercised across rows; the corrupt file must decode to
+    * nulls, not crash. Channel sums are analytic ground truth.
+    */
+  private val pngFixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.PngEncoder.encode
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // A: RGB 4x4, pixel(x,y) = (16x+y, 8y, 4(x+y)); filters 0,1,2,4
+    val rgb = encode(4, 4, 2,
+      (for (y <- 0 until 4; x <- 0 until 4;
+            v <- Seq(16 * x + y, 8 * y, 4 * (x + y))) yield v.toByte).toArray,
+      rowFilters = Seq(0, 1, 2, 4))
+    // B: grayscale 3x5, pixel = 10x+y; all rows filter 3 (Average)
+    val gray = encode(3, 5, 0,
+      (for (y <- 0 until 5; x <- 0 until 3) yield (10 * x + y).toByte).toArray,
+      rowFilters = Seq(3))
+    // C: palette 2x2 over 4 entries; filter 1 (Sub) on index bytes
+    val pal = encode(2, 2, 3, b(0, 1, 2, 3),
+      rowFilters = Seq(1),
+      palette = b(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30))
+    // D: RGBA 2x3, pixel(x,y) = (100x, 50y, x+y, 200); filters 2,4,0
+    val rgba = encode(2, 3, 6,
+      (for (y <- 0 until 3; x <- 0 until 2;
+            v <- Seq(100 * x, 50 * y, x + y, 200)) yield v.toByte).toArray,
+      rowFilters = Seq(2, 4, 0))
+    // F: gray+alpha 2x2, g = 7(x+y+1) (alpha never enters the sums)
+    val graya = encode(2, 2, 4,
+      (for (y <- 0 until 2; x <- 0 until 2;
+            v <- Seq(7 * (x + y + 1), 100 + 10 * x + y)) yield v.toByte)
+        .toArray,
+      rowFilters = Seq(1, 3))
+    Seq(
+      "px_1.png" -> rgb, "px_2.png" -> gray, "px_3.png" -> pal,
+      "px_4.png" -> rgba,
+      // E: structurally desynced (tail cut removes IEND and part of
+      // IDAT) -> whole decode refuses with nulls
+      "px_5.png" -> rgb.dropRight(10),
+      "px_6.png" -> graya)
+  }
+
+  val q167 = Q(
+    "q167_png_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir("q167_png_")
+      pngFixtures.foreach { case (name, bs) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(mdir, name), bs): Unit
+      }
+      Multimodal.decodePixelStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id")
+    },
+    // planted ground truth: channel sums are analytic (e.g. doc 1:
+    // sum_r = SUM(16x+y) over 4x4 = 408); Spark must recover them from
+    // compressed bytes alone via inflate + defilter + RGBA expansion
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+         CAST(16 AS BIGINT), CAST(408 AS BIGINT), CAST(192 AS BIGINT),
+         CAST(192 AS BIGINT)),
+        (2, 3, 5, 15, 180, 180, 180),
+        (3, 2, 2, 4, 265, 275, 285),
+        (4, 2, 3, 6, 300, 300, 9),
+        (5, NULL, NULL, NULL, NULL, NULL, NULL),
+        (6, 2, 2, 4, 56, 56, 56))
+        AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
+      ORDER BY doc_id"""))
+
+  /** Recursive-CTE connected components over the exact near-dup pair
+    * graph — the (doc_id, cluster_id) base both cluster-grain oracles
+    * (q169/q170) build on; same construction as q41's oracle.
+    */
+  private def ccClustersSql: String = s"""
+      p AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(3, 0.6)})),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION ALL
+                SELECT doc_b, doc_a FROM p),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+             FROM reach GROUP BY a)"""
+
+  // ---- q169: leakage-safe (cluster-atomic) dataset split ----
+  // Near-duplicates must never straddle train/test: the split is
+  // decided by the md5 permille of the CLUSTER id, so every member of
+  // a duplicate cluster lands in one split. leaky_clusters counts
+  // clusters spanning >1 split — 0 by construction, and the oracle
+  // pins that invariant as ground truth.
+
+  val q169 = Q(
+    "q169_leakage_safe_split",
+    (s, dir) => {
+      val clustered = Dedup.dupClusters(docs(s, dir), "doc_id", "text",
+        shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+      val split = Sampling.splitByGroup(clustered, "cluster_id", 800, 100)
+      val byCluster = split.groupBy("cluster_id", "split")
+        .agg(count(lit(1)).as("n_members"))
+      val audit = Sampling.splitLeakageAudit(split, "cluster_id", "split")
+      byCluster
+        .join(audit.select(col("cluster_id"), col("n_splits")), "cluster_id")
+        .groupBy("split")
+        .agg(
+          sum(col("n_members")).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+            .as("leaky_clusters"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $ccClustersSql,
+      sp AS (SELECT doc_id, cluster_id,
+               CASE WHEN h < 800 THEN 'train'
+                    WHEN h < 900 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id, cluster_id,
+                     ('0x'||substr(md5('0|'||CAST(cluster_id AS VARCHAR)),
+                       1,15))::BIGINT % 1000 AS h
+                   FROM cl))
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+             CAST(0 AS BIGINT) AS leaky_clusters
+      FROM sp GROUP BY split ORDER BY split"""))
+
+  // ---- q170: keep-best survivor per near-dup cluster ----
+  // The Dolma/CCNet curation keep step at cluster grain: per near-dup
+  // cluster, the longest member wins (exact integer char count, lowest
+  // id on ties) — one max-of-struct aggregate, no corpus-wide window.
+
+  val q170 = Q(
+    "q170_cluster_survivor",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val clustered = Dedup.dupClusters(d, "doc_id", "text",
+        shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+      val scored = clustered.join(
+        d.select(col("doc_id"), length(col("text")).cast("long").as("score")),
+        "doc_id")
+      Dedup.clusterSurvivors(scored, "cluster_id", "doc_id", col("score"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $ccClustersSql,
+      sc AS (SELECT c.doc_id, c.cluster_id,
+                    CAST(length(d.text) AS BIGINT) AS score
+             FROM cl c JOIN documents d ON d.doc_id = c.doc_id),
+      w AS (SELECT cluster_id, doc_id, score,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY score DESC, doc_id ASC) AS rk,
+              count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM sc)
+      SELECT cluster_id, doc_id AS kept_id, score AS kept_score,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM w WHERE rk = 1 ORDER BY cluster_id"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
-    q154, q159, q160, q165, q166)
+    q154, q159, q160, q165, q166, q167, q169, q170)
 }

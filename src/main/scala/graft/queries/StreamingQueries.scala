@@ -627,4 +627,29 @@ object StreamingQueries {
 
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153)
+
+  /** Drain-protocol cost model (SURVEY §6): per parity query, the
+    * FIXED (micro-batches, stateful operators) the harness pays
+    * regardless of data volume. batches = 1 initial
+    * processAllAvailable + one per sentinel extraBatch; ops = stateful
+    * operators in the streaming plan (each commits its state store
+    * across the drain's 8 partitions every batch; the q78 static join
+    * itself is stateless — its Complete-mode aggregate is the one
+    * stateful op). Bench divides warm seconds by batches×ops to
+    * separate the s/op-batch harness constant from engine time.
+    * Maintained WITH the queries: a protocol change (extra sentinel,
+    * added stateful stage) must update its entry here.
+    */
+  val costModel: Map[String, (Int, Int)] = Map(
+    "q51_stream_sessionize_parity" -> ((3, 1)),
+    "q52_stream_window_parity" -> ((1, 1)),
+    "q58_stream_dedup_parity" -> ((1, 1)),
+    "q59_stream_interval_join_parity" -> ((1, 2)),
+    "q78_stream_static_join_parity" -> ((1, 1)),
+    "q108_stream_distinct_users_parity" -> ((3, 2)),
+    "q130_stream_leftouter_join_parity" -> ((3, 2)),
+    "q132_stream_per_key_cap_parity" -> ((3, 1)),
+    "q139_stream_sliding_window_parity" -> ((1, 1)),
+    "q140_stream_session_window_parity" -> ((3, 1)),
+    "q153_stream_attribution_parity" -> ((3, 1)))
 }

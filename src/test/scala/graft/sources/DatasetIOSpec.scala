@@ -149,4 +149,55 @@ class DatasetIOSpec extends SparkTestBase {
     val back = io.read(s"file:$tmp/n.csv", schema = Some(nation.schema))
     assert(back.count() == nation.count())
   }
+
+  private def partDigests(dir: String): Map[String, String] =
+    new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+        .sortBy(_.getName).foreach { f =>
+          md.update(f.getName.getBytes("UTF-8"))
+          md.update(Files.readAllBytes(f.toPath))
+        }
+      d.getName -> md.digest().map("%02x".format(_)).mkString
+    }.toMap
+
+  test("overwritePartitions touches only incoming partitions; rerun idempotent") {
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val table = s"file:$tmp/nation_dyn"
+    io.write(nation, table, partitionBy = Seq("n_regionkey"))
+    val before = partDigests(s"$tmp/nation_dyn")
+    // conf-restore contract: caller's static mode must survive the call
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val slice = nation.where(col("n_regionkey") === 2)
+      .withColumn("n_name", lit("RELANDED"))
+    io.overwritePartitions(slice, table, partitionBy = Seq("n_regionkey"))
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      == "static")
+    val after = partDigests(s"$tmp/nation_dyn")
+    // untouched partitions are BYTE-stable; the incoming one changed
+    assert(before.keySet == after.keySet)
+    before.foreach { case (part, dg) =>
+      if (part == "n_regionkey=2") assert(after(part) != dg)
+      else assert(after(part) == dg, s"$part must be byte-stable")
+    }
+    val run1 = io.read(table).orderBy("n_nationkey").collect().toSeq
+    assert(io.read(table).where(col("n_regionkey") === 2)
+      .select("n_name").collect().forall(_.getString(0) == "RELANDED"))
+    // rerun with the SAME slice: content converges (idempotent), and
+    // other partitions stay byte-stable again
+    io.overwritePartitions(slice, table, partitionBy = Seq("n_regionkey"))
+    val run2 = io.read(table).orderBy("n_nationkey").collect().toSeq
+    assert(run1 == run2)
+    val after2 = partDigests(s"$tmp/nation_dyn")
+    after.foreach { case (part, dg) =>
+      if (part != "n_regionkey=2")
+        assert(after2(part) == dg, s"$part must stay byte-stable on rerun")
+    }
+  }
+
+  test("overwritePartitions refuses an unpartitioned call") {
+    intercept[IllegalArgumentException] {
+      io.overwritePartitions(nation, "file:/tmp/x", partitionBy = Nil)
+    }
+  }
 }
