@@ -211,4 +211,32 @@ object Sampling {
       .agg(
         countDistinct(col(splitCol)).as("n_splits"),
         count(lit(1)).as("n_members"))
+  /** Deterministic EXACT-k sample per stratum — the complement of the
+    * permille samplers ([[stratifiedSample]]'s expected rate, this
+    * one's exact count): per stratum, the k rows with the smallest
+    * (md5 hash of id, id) survive. Membership is a pure function of
+    * (id, seed, k), so it is stable under repartitioning and reruns,
+    * and growing k from 3 to 5 KEEPS the first 3 (nested samples —
+    * the property audit/debug workflows want).
+    *
+    * Scale shape: rank ≤ k over a per-stratum hash order — Spark 4
+    * plans the filtered row_number as WindowGroupLimit, so each map
+    * task keeps only its local top-k before the single per-stratum
+    * shuffle; no stratum ever materializes fully on one node beyond
+    * its k survivors.
+    */
+  def exactKPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int,
+      seed: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Hashes.hexHash(col(idCol).cast("string"), seed), col(idCol))
+    graft.SparkUtil.ensureParallelism(df)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

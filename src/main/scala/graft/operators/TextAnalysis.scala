@@ -1053,4 +1053,67 @@ object TextAnalysis {
     terms.unpersist()
     out
   }
+  /** Content-defined chunking (the FastCDC/rsync boundary idea on the
+    * pure mask rule): a chunk boundary falls after every position
+    * whose trailing `gram`-char window hashes to 0 mod `mask` — so
+    * boundaries are decided by LOCAL content, and an insertion near
+    * the start of a document shifts only the chunks up to the next
+    * surviving boundary while every later chunk keeps its digest
+    * (fixed-width chunking q57 re-digests EVERYTHING after an edit;
+    * the spec proves the contrast). Expected chunk length ≈ `mask`
+    * chars. This is the dedup-stable chunker a crawl pipeline pairs
+    * with chunk-level exact dedup (q93).
+    *
+    * Scale shape: q30's position-grain form — explode gram START
+    * positions, slice + hash with codegen'd substring/md5 (no per-row
+    * gram arrays, no interpreted HOFs); boundary rows are ~len/mask
+    * per doc, chunk assembly is a per-doc window over BOUNDARY rows
+    * only (never position rows), and the chunk text digest slices the
+    * original text once per chunk. Docs shorter than `gram` (but
+    * non-empty) yield one whole-doc chunk; empty docs yield none.
+    *
+    * Output: (idCol, chunk_idx, start, chunk_len, chunk_digest) —
+    * 1-based char offsets, md5 digests.
+    */
+  def contentDefinedChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gram: Int = 8,
+      mask: Int = 64,
+      seed: Int = 5): DataFrame = {
+    require(gram >= 1 && mask >= 2, "need gram >= 1 and mask >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+    // gram END positions p in [gram, len]; guarded sequence() for the
+    // descending-range trap on short docs
+    val pos = base.select(col(idCol), col("t"),
+      explode(when(col("len") >= gram,
+        sequence(lit(gram), col("len"))).otherwise(array())).as("p"))
+    val bnd = pos
+      .where(pmod(Hashes.hash60(
+        expr(s"substring(t, p - ${gram - 1}, $gram)"), seed),
+        lit(mask)) === 0)
+      .select(col(idCol), col("p").as("b"))
+    // chunk ENDS = boundaries plus the doc end (dedup'd when the end
+    // itself is a boundary)
+    val ends = bnd
+      .unionByName(base.where(col("len") > 0)
+        .select(col(idCol), col("len").as("b")))
+      .distinct()
+    val w = Window.partitionBy(idCol).orderBy("b")
+    graft.SparkUtil.ensureParallelism(ends)
+      .select(col(idCol),
+        (coalesce(lag(col("b"), 1).over(w), lit(0)) + 1).as("start"),
+        col("b").as("end"),
+        row_number().over(w).as("chunk_idx"))
+      .join(base.select(col(idCol), col("t")), idCol)
+      .select(
+        col(idCol), col("chunk_idx"), col("start"),
+        (col("end") - col("start") + 1).as("chunk_len"),
+        md5(expr("substring(t, start, end - start + 1)"))
+          .as("chunk_digest"))
+  }
 }

@@ -2067,10 +2067,67 @@ object PipelineQueries {
              CAST(n_members AS BIGINT) AS n_members
       FROM w WHERE rk = 1 ORDER BY cluster_id"""))
 
+  // ---- q171: content-defined chunking (shift-robust dedup chunker) ----
+  // FastCDC/rsync-style: boundaries where the trailing 8-gram's hash
+  // is 0 mod 64 — local content decides cuts, so edits only re-digest
+  // chunks up to the next surviving boundary (the spec proves the
+  // contrast with fixed-width chunking).
+
+  val q171 = Q(
+    "q171_cdc_chunking",
+    (s, dir) =>
+      TextAnalysis.contentDefinedChunks(docs(s, dir), "doc_id", "text",
+          gram = 8, mask = 64)
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      pos AS (SELECT doc_id, text, len, unnest(range(8, len + 1)) AS p
+              FROM d),
+      bnd AS (SELECT doc_id, CAST(p AS INTEGER) AS b FROM pos
+              WHERE ('0x'||substr(md5('5|'||substr(text, CAST(p AS INTEGER) - 7, 8)),
+                1, 15))::BIGINT % 64 = 0),
+      ends AS (SELECT DISTINCT doc_id, b FROM (
+                 SELECT doc_id, b FROM bnd
+                 UNION ALL
+                 SELECT doc_id, len FROM d WHERE len > 0)),
+      ch AS (SELECT doc_id,
+               CAST(coalesce(lag(b) OVER w, 0) + 1 AS INTEGER) AS start,
+               b AS e,
+               CAST(row_number() OVER w AS INTEGER) AS chunk_idx
+             FROM ends WINDOW w AS (PARTITION BY doc_id ORDER BY b))
+      SELECT c.doc_id, c.chunk_idx, c.start,
+             CAST(c.e - c.start + 1 AS INTEGER) AS chunk_len,
+             md5(substr(d.text, c.start, c.e - c.start + 1)) AS chunk_digest
+      FROM ch c JOIN d ON d.doc_id = c.doc_id
+      ORDER BY c.doc_id, c.chunk_idx"""))
+
+  // ---- q172: exact-k deterministic sample per stratum ----
+  // The exact-count complement of permille sampling: per event_type,
+  // the k=3 events with the smallest (md5 hash, id) survive — stable
+  // under repartitioning, nested in k.
+
+  val q172 = Q(
+    "q172_exact_k_sample",
+    (s, dir) =>
+      graft.operators.Sampling.exactKPerStratum(
+          graft.Tables.events(s, dir).select("event_id", "event_type"),
+          "event_type", "event_id", k = 3)
+        .select(col("event_type"), col("rk"), col("event_id"))
+        .orderBy("event_type", "rk"),
+    Some("""
+      WITH r AS (SELECT event_type, event_id,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY substr(md5('0|'||CAST(event_id AS VARCHAR)), 1, 15),
+                       event_id) AS INTEGER) AS rk
+                 FROM events)
+      SELECT event_type, rk, event_id FROM r WHERE rk <= 3
+      ORDER BY event_type, rk"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
-    q154, q159, q160, q165, q166, q167, q169, q170)
+    q154, q159, q160, q165, q166, q167, q169, q170,
+    q171, q172)
 }
