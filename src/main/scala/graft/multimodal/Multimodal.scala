@@ -440,13 +440,14 @@ object Multimodal {
       media: Array[Byte]): (Option[Int], Option[Int]) =
     (None, None)
 
-  /** Real compressed-payload decode, end-to-end: PNG bytes → inflate →
-    * defilter → RGBA → per-image pixel statistics, one row per input
-    * record. Non-PNG (or corrupt-PNG) records keep their id with null
-    * stats — the schema is total, so the pass composes with mixed-
-    * format corpora. Runs in the same per-partition typed pass as
-    * [[extractFeatures]]: bytes never leave the executor, output is a
-    * few longs per image regardless of raster size.
+  /** Real compressed-payload decode, end-to-end: PNG (inflate →
+    * defilter) or GIF (LZW) bytes → RGBA → per-image pixel statistics,
+    * one row per input record. Unsupported or corrupt records keep
+    * their id with null stats — the schema is total, so the pass
+    * composes with mixed-format corpora. Runs in the same
+    * per-partition typed pass as [[extractFeatures]]: bytes never
+    * leave the executor, output is a few longs per image regardless
+    * of raster size.
     *
     * Output: (doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b) with
     * exact integer channel sums (hash-matchable cross-engine).
@@ -455,7 +456,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { rec =>
-        PngDecoder.decode(rec.media) match {
+        (if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
+         else PngDecoder.decode(rec.media)) match {
           case Some(r) =>
             var sr = 0L; var sg = 0L; var sb = 0L
             var px = 0

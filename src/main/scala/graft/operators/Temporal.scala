@@ -260,6 +260,61 @@ object Temporal {
         when(inWindow, 1).otherwise(0).as("attributed"))
   }
 
+  /** Linear multi-touch attribution — q150's last-touch policy
+    * generalized: EVERY touch inside the attribution window
+    * (conv_ts − span ≤ touch_ts ≤ conv_ts) shares the conversion's
+    * credit equally, reported per (conversion, channel) as exact
+    * integer counts (n_ch touches of that channel, n_tot total) plus
+    * the one fix4 division n_ch/n_tot — no cross-row double sums, so
+    * the readout hash-matches across engines. Conversions with zero
+    * in-window touches are omitted (last-touch q150 reports those as
+    * attributed=0; this operator answers the split among touches).
+    *
+    * Scale shape: the same time-bucketed equi-join as the range join
+    * (q34) — touches replicate into their bucket and the next
+    * (2 rows), conversions keep one bucket, the join key is
+    * (user, bucket) so no BroadcastNestedLoopJoin ever appears; pair
+    * volume is per-user activity within a window span, never n².
+    */
+  def linearAttribution(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      convType: String,
+      windowSpan: Long): DataFrame = {
+    require(windowSpan > 0, "windowSpan must be positive")
+    val ev = graft.SparkUtil.ensureParallelism(df)
+      .select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+        col(idCol), col(typeCol))
+    val conv = ev.where(col(typeCol) === convType)
+      .select(col(keyCol), col("__ts").as("c_ts"),
+        col(idCol).as("conv_id"),
+        floor(col("__ts") / windowSpan).cast("long").as("__b"))
+    val touch = ev.where(col(typeCol) =!= convType)
+      .select(col(keyCol), col("__ts").as("t_ts"),
+        col(typeCol).as("channel"),
+        explode(array(
+          floor(col("__ts") / windowSpan).cast("long"),
+          floor(col("__ts") / windowSpan).cast("long") + 1)).as("__b"))
+    val pairs = touch.join(conv, Seq(keyCol, "__b"))
+      .where(col("c_ts") - col("t_ts") >= 0 &&
+        col("c_ts") - col("t_ts") <= windowSpan)
+    val perChannel = pairs.groupBy(col("conv_id"), col(keyCol),
+        col("c_ts"), col("channel"))
+      .agg(count(lit(1)).as("n_ch"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    perChannel
+      .withColumn("n_tot", sum(col("n_ch")).over(w))
+      .select(
+        col("conv_id"), col(keyCol), col("c_ts").as("conv_ts"),
+        col("channel"), col("n_ch"), col("n_tot"),
+        graft.functions.Numerics.fix4(
+          col("n_ch").cast("double") / col("n_tot").cast("double"))
+          .as("credit"))
+  }
+
   /** Event-time disorder histogram — the watermark-calibration
     * readout: per key, each event's lateness versus the running
     * maximum event time in ARRIVAL order (how far behind the frontier

@@ -2534,11 +2534,104 @@ object ExtendedQueries {
                AS cum_pct
       FROM h ORDER BY bucket_lo_ms"""))
 
+  // ---- q173: leave-one-out target encoding (ML feature prep) ----
+  // Each order's priority category encodes as the mean cents of all
+  // OTHER orders in that priority — the leakage-safe categorical
+  // encoder; exact long (sum, n) per category broadcast back, one
+  // division per row.
+
+  val q173 = Q(
+    "q173_target_encode_loo",
+    (s, dir) =>
+      graft.operators.Encodings.targetEncodeLoo(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_totalprice")),
+          "o_orderpriority",
+          floor(col("o_totalprice") * 100.0 + 0.5))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("loo_mean"))
+        .orderBy("o_orderkey"),
+    Some(s"""
+      WITH st AS (SELECT o_orderpriority,
+                    CAST(sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sc,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM orders GROUP BY 1)
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CASE WHEN st.n > 1 THEN
+               ${Numerics.sqlFix(
+                 "CAST(st.sc - CAST(floor(o.o_totalprice*100.0 + 0.5) " +
+                   "AS BIGINT) AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)", 4)}
+             END AS loo_mean
+      FROM orders o JOIN st ON st.o_orderpriority = o.o_orderpriority
+      ORDER BY o.o_orderkey"""))
+
+  // ---- q174: linear multi-touch attribution ----
+  // Every touch inside the 2-day window before a purchase shares the
+  // credit equally; per (conversion, channel) exact counts + one fix4
+  // division — no cross-row double sums.
+
+  val q174 = Q(
+    "q174_linear_attribution",
+    (s, dir) =>
+      graft.operators.Temporal.linearAttribution(
+          ev(s, dir), "user_id", "ms", "event_id", "event_type",
+          convType = "purchase", windowSpan = attrWindowMs)
+        .orderBy("conv_id", "channel"),
+    Some(s"""
+      WITH $evCte,
+      c AS (SELECT event_id AS conv_id, user_id, ms AS conv_ts FROM e
+            WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, ms AS t_ts, event_type AS channel FROM e
+            WHERE event_type <> 'purchase'),
+      p AS (SELECT c.conv_id, c.user_id, c.conv_ts, t.channel
+            FROM c JOIN t ON t.user_id = c.user_id
+              AND c.conv_ts - t.t_ts >= 0
+              AND c.conv_ts - t.t_ts <= $attrWindowMs),
+      g AS (SELECT conv_id, user_id, conv_ts, channel,
+                   CAST(count(*) AS BIGINT) AS n_ch
+            FROM p GROUP BY 1, 2, 3, 4)
+      SELECT conv_id, user_id, conv_ts, channel, n_ch,
+             CAST(sum(n_ch) OVER (PARTITION BY conv_id) AS BIGINT) AS n_tot,
+             ${Numerics.sqlFix(
+               "CAST(n_ch AS DOUBLE) / CAST(sum(n_ch) " +
+                 "OVER (PARTITION BY conv_id) AS DOUBLE)", 4)} AS credit
+      FROM g ORDER BY conv_id, channel"""))
+
+  // ---- q175: equi-depth histogram by exact rank ----
+  // k buckets of (near-)equal row count via SQL-standard ntile —
+  // integer rank rule, no quantile interpolation; distributed global
+  // rank (range partition + broadcast prefix counts), never a
+  // single-partition window.
+
+  val q175 = Q(
+    "q175_equidepth_histogram",
+    (s, dir) =>
+      graft.operators.Encodings.equiDepthHistogram(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+                .as("cents")),
+          "cents", "o_orderkey", k = 16)
+        .orderBy("bucket"),
+    Some("""
+      WITH v AS (SELECT o_orderkey,
+                   CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT) AS cents
+                 FROM orders),
+      b AS (SELECT cents,
+              CAST(ntile(16) OVER (ORDER BY cents, o_orderkey) AS INTEGER)
+                AS bucket
+            FROM v)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             min(cents) AS lo, max(cents) AS hi,
+             CAST(sum(cents) AS BIGINT) AS value_sum
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162, q163, q164)
+      q158, q161, q162, q163, q164, q173, q174, q175)
 }

@@ -1907,9 +1907,11 @@ object PipelineQueries {
 
   // ---- q167: PNG pixel decode (inflate + defilter + RGBA stats) ----
 
-  /** Pixel-exact planted rasters, one per color type, every filter
-    * type (0-4) exercised across rows; the corrupt file must decode to
-    * nulls, not crash. Channel sums are analytic ground truth.
+  /** Pixel-exact planted rasters: PNG (one per color type, every
+    * filter type 0-4 exercised across rows) and GIF (LZW index
+    * streams, with and without transparency); each corrupt file must
+    * decode to nulls, not crash. Channel sums are analytic ground
+    * truth.
     */
   private val pngFixtures: Seq[(String, Array[Byte])] = {
     import graft.multimodal.PngEncoder.encode
@@ -1938,13 +1940,26 @@ object PipelineQueries {
             v <- Seq(7 * (x + y + 1), 100 + 10 * x + y)) yield v.toByte)
         .toArray,
       rowFilters = Seq(1, 3))
+    // GIF fixtures: LZW index streams the decoder must expand
+    import graft.multimodal.GifDecoder
+    val gif = GifDecoder.encode(3, 2,
+      b(255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 11, 13),
+      b(0, 1, 2, 3, 0, 1))
+    val gifT = GifDecoder.encode(2, 2,
+      b(10, 20, 30, 40, 50, 60),
+      b(0, 1, 1, 0), transparentIndex = 1)
     Seq(
       "px_1.png" -> rgb, "px_2.png" -> gray, "px_3.png" -> pal,
       "px_4.png" -> rgba,
       // E: structurally desynced (tail cut removes IEND and part of
       // IDAT) -> whole decode refuses with nulls
       "px_5.png" -> rgb.dropRight(10),
-      "px_6.png" -> graya)
+      "px_6.png" -> graya,
+      // G: GIF via real LZW decode; transparency only touches alpha,
+      // never the channel sums; truncated GIF refuses with nulls
+      "px_7.gif" -> gif,
+      "px_8.gif" -> gifT,
+      "px_9.gif" -> gif.dropRight(8))
   }
 
   val q167 = Q(
@@ -1973,7 +1988,10 @@ object PipelineQueries {
         (3, 2, 2, 4, 265, 275, 285),
         (4, 2, 3, 6, 300, 300, 9),
         (5, NULL, NULL, NULL, NULL, NULL, NULL),
-        (6, 2, 2, 4, 56, 56, 56))
+        (6, 2, 2, 4, 56, 56, 56),
+        (7, 3, 2, 6, 517, 521, 268),
+        (8, 2, 2, 4, 100, 140, 180),
+        (9, NULL, NULL, NULL, NULL, NULL, NULL))
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 

@@ -120,4 +120,68 @@ class PngSpec extends SparkTestBase {
       rows(0).getLong(6) == 192L)
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(4))
   }
+  test("GIF roundtrip: palette indices survive LZW encode/decode") {
+    val rnd = new scala.util.Random(71)
+    val palette = Array.tabulate[Byte](3 * 8)(i => (i * 17 % 251).toByte)
+    for ((w, h) <- Seq((7, 5), (64, 3), (1, 1))) {
+      val idx = Array.fill[Byte](w * h)(rnd.nextInt(8).toByte)
+      val gif = GifDecoder.encode(w, h, palette, idx)
+      val dec = GifDecoder.decode(gif)
+      assert(dec.isDefined, s"GIF ${w}x$h failed")
+      assert(dec.get.width == w && dec.get.height == h)
+      for (px <- 0 until w * h) {
+        val c = idx(px) & 0xFF
+        assert(dec.get.rgba(4 * px) == palette(3 * c), s"px $px")
+        assert(dec.get.rgba(4 * px + 3) == -1.toByte)
+      }
+    }
+  }
+
+  test("GIF transparency index maps to alpha 0, colors unchanged") {
+    val gif = GifDecoder.encode(2, 1,
+      Array[Byte](1, 2, 3, 4, 5, 6), Array[Byte](0, 1),
+      transparentIndex = 1)
+    val r = GifDecoder.decode(gif).get
+    assert(r.rgba.toSeq == Seq[Byte](1, 2, 3, -1, 4, 5, 6, 0))
+  }
+
+  test("GIF LZW composite codes (KwKwK) decode correctly") {
+    // hand-packed stream for indices 0,0,0,0,0,0 with minCode=2:
+    // codes [CLEAR=4, 0, 6 (KwKwK), 7 (KwKwK), EOI=5] -> bytes 84 5F
+    val header = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      6, 0, 1, 0, // 6x1 logical screen
+      (0x80 | 1).toByte, 0, 0) ++ // GCT: 4 entries
+      Array[Byte](9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6) ++ // palette
+      Array[Byte](0x2C, 0, 0, 0, 0, 6, 0, 1, 0, 0) ++ // image descriptor
+      Array[Byte](2, 2, 0x84.toByte, 0x5F, 0, 0x3B)
+    val r = GifDecoder.decode(header).get
+    assert(r.width == 6 && r.height == 1)
+    // all six pixels are palette entry 0 = (9,9,9)
+    assert((0 until 6).forall(i => r.rgba(4 * i) == 9))
+  }
+
+  test("GIF corrupt-safety: truncations and junk return None, never throw") {
+    val gif = GifDecoder.encode(5, 4,
+      Array.tabulate[Byte](12)(i => i.toByte),
+      Array.fill[Byte](20)(2))
+    val full = GifDecoder.decode(gif).get
+    // a truncation either refuses (None) or — when only post-image
+    // trailer bytes were cut — yields the IDENTICAL complete raster;
+    // a partial/garbled raster is never returned
+    for (n <- 0 until gif.length) {
+      GifDecoder.decode(gif.take(n)) match {
+        case None => ()
+        case Some(r) =>
+          assert(r.width == full.width && r.height == full.height &&
+            java.util.Arrays.equals(r.rgba, full.rgba),
+            s"partial raster at truncation $n")
+      }
+    }
+    val rnd = new scala.util.Random(73)
+    for (_ <- 1 to 300) {
+      val junk = "GIF89a".getBytes("US-ASCII") ++
+        Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      GifDecoder.decode(junk) // Option either way
+    }
+  }
 }
