@@ -303,4 +303,79 @@ object Graphs {
       .select(col("src").as("node"), col("core_degree"))
     new KcoreRun(result, () => cleanup())
   }
+  /** Synchronous label propagation (community detection, fixed
+    * `rounds`): labels start as node ids; each round every node takes
+    * the most frequent label among its NEIGHBORS (count desc, label
+    * asc on ties — a total order, so the update is deterministic and
+    * both engines replay it exactly); isolated nodes keep their own
+    * label. Unlike min-label connected components (q41), LPA splits a
+    * weakly-bridged graph into dense communities — the "which docs
+    * cluster around which template" readout over the near-dup graph,
+    * where CC would glue everything reachable together.
+    *
+    * Scale shape: per round, one join of the symmetric edge list to
+    * the label table (both keyed by node id) + one (node, label)
+    * count aggregate + one max-of-struct argmax per node — all hash
+    * shuffles at node/edge grain, no windows over the corpus. A fixed
+    * small round count keeps plans linear (the q111/q115 unrolled-
+    * iteration discipline); long-loop callers should file-truncate
+    * like [[kcoreDegreesRun]].
+    */
+  /** [[labelPropagation]]'s result plus the handle releasing the
+    * cached symmetric edge list (each round's join references it, so
+    * without the persist every round would re-run the caller's whole
+    * pair pipeline — measured 2x on the LSH near-dup graph).
+    */
+  final class LpaRun private[operators] (
+      val result: DataFrame,
+      edges: DataFrame) {
+    def release(): Unit = { edges.unpersist(): Unit }
+  }
+
+  def labelPropagation(
+      allIds: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      rounds: Int = 2): DataFrame =
+    labelPropagationRun(allIds, idCol, pairs, aCol, bCol, rounds).result
+
+  /** [[labelPropagation]] with the cache-release handle. */
+  def labelPropagationRun(
+      allIds: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      rounds: Int = 2): LpaRun = {
+    require(rounds >= 1 && rounds <= 5,
+      "rounds must be 1..5 (unrolled plans; file-truncate longer loops)")
+    val ids = graft.SparkUtil.ensureParallelism(allIds)
+      .select(col(idCol).cast("long").as("id")).distinct()
+    val edges = graft.SparkUtil.ensureParallelism(pairs)
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max of (c, -label)
+      val winner = neigh.groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+        .select(col("src").as("id"), (-col("w.nl")).as("label"))
+      labels = labels.select(col("id"))
+        .join(winner, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("label"))
+    }
+    new LpaRun(
+      labels.select(col("id").as(idCol), col("label").as("community")),
+      edges)
+  }
 }

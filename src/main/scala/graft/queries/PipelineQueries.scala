@@ -2141,11 +2141,92 @@ object PipelineQueries {
       SELECT event_type, rk, event_id FROM r WHERE rk <= 3
       ORDER BY event_type, rk"""))
 
+  // ---- q176: label-propagation communities over the near-dup graph ----
+  // 4 synchronous LPA rounds (count desc, label asc argmax — a total
+  // order, so the oracle replays every round exactly) over the
+  // DIGEST-COLLAPSED near-dup graph: exact-replica docs collapse to
+  // one representative before pair generation (the q141 production
+  // rule — replicated crawls explode the pair graph quadratically; a
+  // first q176 formulation over raw docs timed out a 10-min slot at
+  // the 100x sweep, the collapsed form runs in seconds), then each
+  // replica inherits its content's community. Splits template
+  // neighborhoods where CC (q41) would glue everything reachable.
+  // Round count matters: 2 rounds still oscillates on bridged cliques
+  // (GraphsSpec traces it); 4 settles the test topologies.
+
+  private val lpaRounds = 4
+
+  /** Unrolled LPA oracle over digest representatives: rep selection,
+    * word-shingle pairs over reps only, then per round one
+    * neighbor-label count + one argmax + one left join — the same
+    * steps the operator runs — and a final expansion of each
+    * representative's community to its replicas.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+             FROM e JOIN l${r - 1} l ON l.id = e.dst GROUP BY 1, 2),
+      w$r AS (SELECT src AS id, label FROM (
+               SELECT src, label, row_number() OVER (
+                 PARTITION BY src ORDER BY c DESC, label ASC) AS rk
+               FROM n$r) WHERE rk = 1),
+      l$r AS (SELECT l${r - 1}.id, coalesce(w$r.label, l${r - 1}.id) AS label
+             FROM l${r - 1} LEFT JOIN w$r ON w$r.id = l${r - 1}.id)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH
+      rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
+              FROM documents GROUP BY 1),
+      docs_r AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN rep ON rep.rep_id = d.doc_id),
+      w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM docs_r),
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      p AS (SELECT doc_a, doc_b FROM pr WHERE j >= 0.6),
+      e AS (SELECT DISTINCT src, dst FROM (
+              SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL
+              SELECT doc_b, doc_a FROM p)),
+      l0 AS (SELECT rep_id AS id, rep_id AS label FROM rep),
+      $stages
+      SELECT d2.doc_id, l$rounds.label AS community
+      FROM documents d2
+      JOIN rep r2 ON r2.dg = md5(d2.text)
+      JOIN l$rounds ON l$rounds.id = r2.rep_id
+      ORDER BY d2.doc_id"""
+  }
+
+  val q176 = Q(
+    "q176_label_propagation",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val dg = d.select(col("doc_id"), md5(col("text")).as("dg"))
+      val rep = dg.groupBy("dg").agg(min(col("doc_id")).as("rep_id"))
+      val repDocs = d.join(
+        rep.select(col("rep_id").as("doc_id")), "doc_id")
+      val pairs = Dedup.minhashNearDup(repDocs, "doc_id", "text",
+        shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+      val lpa = graft.operators.Graphs.labelPropagation(
+        repDocs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", rounds = lpaRounds)
+      dg.join(rep, "dg")
+        .join(lpa.select(col("doc_id").as("rep_id"), col("community")),
+          "rep_id")
+        .select(col("doc_id"), col("community"))
+        .orderBy("doc_id")
+    },
+    Some(lpaSql(lpaRounds)))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
     q154, q159, q160, q165, q166, q167, q169, q170,
-    q171, q172)
+    q171, q172, q176)
 }

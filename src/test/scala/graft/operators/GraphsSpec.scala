@@ -93,4 +93,30 @@ class GraphsSpec extends SparkTestBase {
     run.release()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
+  test("labelPropagation: bridged triangles split where CC would merge") {
+    val ss = spark
+    import ss.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10,
+    // plus isolate 99. CC gives ONE component for the bridged graph;
+    // LPA's density argmax keeps each triangle its own community.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val out = Graphs.labelPropagation(ids, "id", pairs, "id_a", "id_b",
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle one converges to min label 1
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    // triangle two keeps its own community, not label 1
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(out(10L) != out(1L))
+    // the isolate keeps itself
+    assert(out(99L) == 99L)
+    // and min-label CC on the same graph WOULD merge the triangles
+    val cc = Dedup.clustersFromPairs(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(12L) == 1L)
+  }
 }
