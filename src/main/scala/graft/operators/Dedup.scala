@@ -822,10 +822,52 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.6,
       maxIter: Int = 20): DataFrame = {
+    // Digest-collapse exact replicas BEFORE the LSH pair pipeline (the
+    // q141/q176 production rule): replicated crawls make every LSH
+    // bucket replica-factor bigger, so candidate volume grows with the
+    // SQUARE of the replication (a raw-doc q169/q170 run blew a 10-min
+    // 100x-sweep slot). The collapse is provably output-identical:
+    // jaccard(replica, replica) = 1 ≥ any threshold ≤ 1, so each
+    // replica group is an intra-connected clique that connects
+    // identically to the rest of the graph, and because each
+    // representative is its group's MIN id, the component's min-rep
+    // label equals the full graph's min-member label.
+    // The collapsed corpus is FILE-TRUNCATED to scratch parquet before
+    // the LSH pipeline (the same discipline as clustersFromPairs'
+    // rounds): minhashNearDup references its input several times
+    // (signatures, verify, doc expansion), and with the digest join in
+    // the lineage each reference re-runs scan+agg+join — measured
+    // 2.6 → 11.2 s at sf0.1 (persist() was no better, 12.6 s: an
+    // InMemoryRelation of doc text scans slower than parquet). A flat
+    // scratch file restores the plain-scan plan shape under every
+    // reference; the one-time write is the collapsed corpus only.
+    val spark = df.sparkSession
+    val dg = graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), md5(col(textCol)).as("__dg"))
+    val rep = dg.groupBy("__dg").agg(min(col(idCol)).as("__rep"))
+    val scratchRoot =
+      java.nio.file.Files.createTempDirectory("graft_dupc_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(scratchRoot.toFile)
+    }))
+    val repPath = s"$scratchRoot/collapsed"
+    // only (id, text) ride to scratch — the pipeline needs nothing else
+    df.select(col(idCol), col(textCol))
+      .join(rep.select(col("__rep").as(idCol)), idCol)
+      .write.mode("overwrite").parquet(repPath)
+    val repDocs = spark.read.parquet(repPath)
     val pairs = minhashNearDup(
-      df, idCol, textCol, shingleWidth, bands, rowsPerBand, threshold)
+      repDocs, idCol, textCol, shingleWidth, bands, rowsPerBand, threshold)
       .select(col("id_a"), col("id_b"))
-    clustersFromPairs(df.select(col(idCol)), idCol, pairs, maxIter)
+    val repClusters = clustersFromPairs(
+      repDocs.select(col(idCol)), idCol, pairs, maxIter)
+    dg.join(rep, "__dg")
+      .join(repClusters.withColumnRenamed(idCol, "__rep"), "__rep")
+      .select(col(idCol), col("cluster_id"))
   }
 
   /** Keep-best-per-near-dup-cluster — q159's survivor policy lifted
