@@ -378,4 +378,87 @@ object Graphs {
       labels.select(col("id").as(idCol), col("label").as("community")),
       edges)
   }
+  /** Newman modularity audit of a community assignment — the quality
+    * readout that justifies (or indicts) a clustering: per community,
+    * Q_c = intra_c/m − (d_c/2m)², where intra_c counts undirected
+    * edges with both endpoints inside, d_c sums member degrees, and m
+    * is the total undirected edge count. Σ Q_c near 0 means the
+    * partition is no better than random wiring; a label-propagation
+    * or CC output that scores ~0 should not drive curation decisions.
+    *
+    * Exactness: every input to Q_c is an exact integer (edge and
+    * degree counts); the one float expression per community makes the
+    * readout engine-identical. Scale shape: edge normalization +
+    * degree/intra aggregates are hash shuffles at edge grain; the
+    * single driver scalar is m (one count — the same bounded hop as
+    * Baskets' guard). Output: (community, n_nodes, intra_edges,
+    * degree_sum, contribution).
+    */
+  /** [[modularity]]'s result plus the handle releasing the cached
+    * normalized edge list (referenced by m, degrees and intra counts).
+    */
+  final class ModularityRun private[operators] (
+      val result: DataFrame,
+      und: DataFrame) {
+    def release(): Unit = { und.unpersist(): Unit }
+  }
+
+  /** NOTE: leaves the normalized edge list cached (three references).
+    * Sessions auditing many partitions should use [[modularityRun]]
+    * and `release()` after materializing.
+    */
+  def modularity(
+      labels: DataFrame,
+      idCol: String,
+      communityCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame =
+    modularityRun(labels, idCol, communityCol, pairs, aCol, bCol).result
+
+  /** [[modularity]] with the cache-release handle. */
+  def modularityRun(
+      labels: DataFrame,
+      idCol: String,
+      communityCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): ModularityRun = {
+    val und = graft.SparkUtil.ensureParallelism(pairs)
+      .select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = und.count()
+    val lab = labels.select(col(idCol).cast("long").as("id"),
+      col(communityCol).cast("long").as("c"))
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val intra = und
+      .join(lab.select(col("id").as("u"), col("c").as("cu")), "u")
+      .join(lab.select(col("id").as("v"), col("c").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val out = lab.join(deg, Seq("id"), "left")
+      .groupBy("c")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+      .join(intra, Seq("c"), "left")
+      .select(
+        col("c").as(communityCol),
+        col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (if (m == 0) lit(0.0) else graft.functions.Numerics.fix4(
+          coalesce(col("intra_edges"), lit(0L)).cast("double") / m.toDouble -
+            (col("degree_sum").cast("double") / (2.0 * m)) *
+              (col("degree_sum").cast("double") / (2.0 * m))))
+          .as("contribution"))
+    new ModularityRun(out, und)
+  }
 }

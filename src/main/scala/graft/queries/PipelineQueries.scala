@@ -2156,13 +2156,14 @@ object PipelineQueries {
 
   private val lpaRounds = 4
 
-  /** Unrolled LPA oracle over digest representatives: rep selection,
-    * word-shingle pairs over reps only, then per round one
+  /** Unrolled LPA oracle CTE chain over digest representatives: rep
+    * selection, word-shingle pairs over reps only, then per round one
     * neighbor-label count + one argmax + one left join — the same
-    * steps the operator runs — and a final expansion of each
-    * representative's community to its replicas.
+    * steps the operator runs. Shared by q176 (communities) and q177
+    * (modularity audit); callers append their own final SELECT over
+    * `l<rounds>` (labels), `e` (symmetric edges) and `rep`.
     */
-  private def lpaSql(rounds: Int): String = {
+  private def lpaCtes(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       s"""n$r AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
              FROM e JOIN l${r - 1} l ON l.id = e.dst GROUP BY 1, 2),
@@ -2193,13 +2194,16 @@ object PipelineQueries {
               UNION ALL
               SELECT doc_b, doc_a FROM p)),
       l0 AS (SELECT rep_id AS id, rep_id AS label FROM rep),
-      $stages
+      $stages"""
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"""${lpaCtes(rounds)}
       SELECT d2.doc_id, l$rounds.label AS community
       FROM documents d2
       JOIN rep r2 ON r2.dg = md5(d2.text)
       JOIN l$rounds ON l$rounds.id = r2.rep_id
       ORDER BY d2.doc_id"""
-  }
 
   val q176 = Q(
     "q176_label_propagation",
@@ -2222,11 +2226,72 @@ object PipelineQueries {
     },
     Some(lpaSql(lpaRounds)))
 
+  // ---- q177: modularity audit of the LPA communities ----
+  // The quality instrument for q176: per community, Newman
+  // Q_c = intra/m - (d/2m)^2 from exact integer edge/degree counts;
+  // a ~0 total means the partition is no better than random wiring.
+  // Both the LPA loop and the audit consume ONE scratch-materialized
+  // pair file (flat scans, no re-run of the LSH pipeline).
+
+  val q177 = Q(
+    "q177_community_modularity",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val dg = d.select(col("doc_id"), md5(col("text")).as("dg"))
+      val rep = dg.groupBy("dg").agg(min(col("doc_id")).as("rep_id"))
+      val pdir = Scratch.dir("q177_pairs_")
+      // scratch-truncate each stage (the dupClusters discipline): the
+      // collapsed corpus so the LSH pipeline runs over a plain scan,
+      // the pair set so LPA and the audit never re-run the pipeline,
+      // and the labels, which the audit references three times
+      d.select(col("doc_id"), col("text"))
+        .join(rep.select(col("rep_id").as("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(s"$pdir/c")
+      val repDocs = s.read.parquet(s"$pdir/c")
+      Dedup.minhashNearDup(repDocs, "doc_id", "text",
+          shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(s"$pdir/p")
+      val pairs = s.read.parquet(s"$pdir/p")
+      graft.operators.Graphs.labelPropagation(
+          repDocs.select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b", rounds = lpaRounds)
+        .write.mode("overwrite").parquet(s"$pdir/l")
+      val lpa = s.read.parquet(s"$pdir/l")
+      graft.operators.Graphs.modularity(
+          lpa, "doc_id", "community", pairs, "id_a", "id_b")
+        .orderBy("community")
+    },
+    Some(s"""${lpaCtes(lpaRounds)},
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e WHERE src <> dst),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      degs AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                 SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+               GROUP BY id),
+      intra AS (SELECT l1.label AS c, CAST(count(*) AS BIGINT) AS ie
+                FROM und JOIN l$lpaRounds l1 ON l1.id = und.u
+                         JOIN l$lpaRounds l2 ON l2.id = und.v
+                WHERE l1.label = l2.label GROUP BY 1),
+      base AS (SELECT l.label AS c, CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS degree_sum
+               FROM l$lpaRounds l LEFT JOIN degs d ON d.id = l.id
+               GROUP BY 1)
+      SELECT b.c AS community, b.n_nodes,
+             coalesce(i.ie, 0) AS intra_edges, b.degree_sum,
+             ${Numerics.sqlFix(
+               "CAST(coalesce(i.ie, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE) - " +
+                 "(CAST(b.degree_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)) * " +
+                 "(CAST(b.degree_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))", 4)}
+               AS contribution
+      FROM base b LEFT JOIN intra i ON i.c = b.c CROSS JOIN mm
+      ORDER BY community"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
     q154, q159, q160, q165, q166, q167, q169, q170,
-    q171, q172, q176)
+    q171, q172, q176, q177)
 }

@@ -119,4 +119,34 @@ class GraphsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc(12L) == 1L)
   }
+  test("modularity: two cliques score high; random-ish mixing scores ~0") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // two 4-cliques, no bridge: the 2-community partition is ideal
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L))).toDF("id_a", "id_b")
+    val goodLabels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L).toDF("id", "c")
+    val good = Graphs.modularity(goodLabels, "id", "c", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    // m = 12, each community: intra 6, degree_sum 18 (6 edges x 2 ends
+    // x ... each of 4 nodes has degree 3 -> 12): 6/12 - (12/24)^2 = 0.25
+    assert(good.toSeq == Seq(
+      (1L, 4L, 6L, 12L, 0.25), (10L, 4L, 6L, 12L, 0.25)))
+    // the everything-in-one-community partition scores exactly 0
+    val oneLabels = goodLabels.select(col("id"), lit(1L).as("c"))
+    val one = Graphs.modularity(oneLabels, "id", "c", pairs, "id_a", "id_b")
+      .collect()
+    assert(one.length == 1 && one.head.getDouble(4) == 0.0)
+    // duplicate/reversed pair rows don't double-count edges
+    val dup = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val good2 = Graphs.modularity(goodLabels, "id", "c", dup, "id_a", "id_b")
+      .collect().map(_.getDouble(4)).sorted
+    assert(good2.toSeq == Seq(0.25, 0.25))
+  }
 }
