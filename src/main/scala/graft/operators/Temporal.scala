@@ -315,6 +315,48 @@ object Temporal {
           .as("credit"))
   }
 
+  /** Time-series resampling to OHLC bars — the downsampling primitive
+    * every metric/price pipeline runs: per (key, bucket) the first
+    * (open) and last (close) value by event order, the min/max, the
+    * exact integral volume and the row count. Open/close use
+    * max/min-of-struct over (ts, tie, value) — a total order, so the
+    * bar is deterministic under out-of-order arrival and identical in
+    * any engine; no window, ONE hash aggregate with map-side partials
+    * at bar grain (billions of points collapse to keys × buckets).
+    * Output: (keyCol, bucket_start, open/high/low/close as exact
+    * integer `valueCol` units, volume, n_points).
+    */
+  def resampleOhlc(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      value: Column,
+      bucketSpan: Long): DataFrame = {
+    require(bucketSpan > 0, "bucketSpan must be positive")
+    val v = value.cast("long")
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+        col(tieCol).cast("long").as("__tie"), v.as("__v"))
+    base
+      .groupBy(col(keyCol),
+        (floor(col("__ts") / bucketSpan).cast("long") * bucketSpan)
+          .as("bucket_start"))
+      .agg(
+        min(struct(col("__ts"), col("__tie"), col("__v"))).as("__o"),
+        max(struct(col("__ts"), col("__tie"), col("__v"))).as("__c"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        sum(col("__v")).as("volume"),
+        count(lit(1)).as("n_points"))
+      .select(
+        col(keyCol), col("bucket_start"),
+        col("__o.__v").as("open"),
+        col("high"), col("low"),
+        col("__c.__v").as("close"),
+        col("volume"), col("n_points"))
+  }
+
   /** Event-time disorder histogram — the watermark-calibration
     * readout: per key, each event's lateness versus the running
     * maximum event time in ARRIVAL order (how far behind the frontier

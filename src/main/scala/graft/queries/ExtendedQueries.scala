@@ -2627,11 +2627,45 @@ object ExtendedQueries {
              CAST(sum(cents) AS BIGINT) AS value_sum
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+
+  // ---- q178: OHLC time-series resampling ----
+  // Per (event_type, day) bars from exact integer cents: open/close by
+  // min/max-of-(ts, tie, value) struct — deterministic under
+  // out-of-order arrival — one bar-grain hash aggregate, no window.
+
+  val q178 = Q(
+    "q178_ohlc_resample",
+    (s, dir) =>
+      graft.operators.Temporal.resampleOhlc(
+          ev(s, dir), "event_type", "ms", "event_id",
+          floor(col("value") * 100.0 + 0.5), bucketSpan = 86400000L)
+        .orderBy("event_type", "bucket_start"),
+    Some(s"""
+      WITH $evCte,
+      v AS (SELECT event_type, ms, event_id,
+                   CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c,
+                   (ms // 86400000) * 86400000 AS bucket_start
+            FROM e),
+      r AS (SELECT event_type, bucket_start, ms, event_id, c,
+                   row_number() OVER (PARTITION BY event_type, bucket_start
+                     ORDER BY ms ASC, event_id ASC) AS rk_o,
+                   row_number() OVER (PARTITION BY event_type, bucket_start
+                     ORDER BY ms DESC, event_id DESC) AS rk_c
+            FROM v)
+      SELECT event_type, bucket_start,
+             max(CASE WHEN rk_o = 1 THEN c END) AS open,
+             max(c) AS high, min(c) AS low,
+             max(CASE WHEN rk_c = 1 THEN c END) AS close,
+             CAST(sum(c) AS BIGINT) AS volume,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM r GROUP BY 1, 2
+      ORDER BY event_type, bucket_start"""))
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162, q163, q164, q173, q174, q175)
+      q158, q161, q162, q163, q164, q173, q174, q175, q178)
 }

@@ -265,4 +265,33 @@ class TemporalSpec extends SparkTestBase {
       (0L, 4L, 0.8), // four in-order-ish events (disorder < 50)
       (50L, 1L, 1.0))) // the 60-late event
   }
+  test("resampleOhlc: deterministic bars under out-of-order arrival") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    // one key, one day-bucket of span 100: events arrive SHUFFLED;
+    // open = value at min (ts, tie), close at max, exact volume
+    val rows = Seq(
+      (1L, 130L, 3L, 70L), // mid
+      (1L, 199L, 9L, 20L), // close
+      (1L, 101L, 1L, 50L), // open
+      (1L, 130L, 2L, 90L), // same ts as "mid", smaller tie
+      (1L, 250L, 4L, 33L)) // next bucket
+    val df = rows.toDF("k", "ts", "id", "v")
+    val out = Temporal.resampleOhlc(df, "k", "ts", "id", col("v"),
+        bucketSpan = 100L)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (100L, 50L, 90L, 20L, 20L, 230L, 4L),
+      (200L, 33L, 33L, 33L, 33L, 33L, 1L)))
+    // repartitioned input produces the identical bars
+    val out2 = Temporal.resampleOhlc(df.repartition(5), "k", "ts", "id",
+        col("v"), bucketSpan = 100L)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == out2.toSeq)
+  }
 }
