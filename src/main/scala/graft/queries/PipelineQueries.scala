@@ -2287,11 +2287,67 @@ object PipelineQueries {
       FROM base b LEFT JOIN intra i ON i.c = b.c CROSS JOIN mm
       ORDER BY community"""))
 
+  // ---- q179: near-dup threshold calibration curve ----
+  // How sharply the verified pair volume decays with the Jaccard
+  // threshold: exact-similarity pairs at the 0.6 floor bucketed into
+  // 0.05-wide bands with a cumulative "pairs admitted at >= band"
+  // column — the instrument that justifies a dedup threshold before a
+  // full run. Pairs come from the digest-collapsed corpus (replica
+  // pairs sit trivially at 1.0 and would swamp the curve at scale).
+
+  val q179 = Q(
+    "q179_threshold_calibration",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val dg = d.select(col("doc_id"), md5(col("text")).as("dg"))
+      val rep = dg.groupBy("dg").agg(min(col("doc_id")).as("rep_id"))
+      val pdir = Scratch.dir("q179_cal_")
+      d.select(col("doc_id"), col("text"))
+        .join(rep.select(col("rep_id").as("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(s"$pdir/c")
+      val repDocs = s.read.parquet(s"$pdir/c")
+      val pairs = Dedup.minhashNearDup(repDocs, "doc_id", "text",
+        shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("band").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      pairs
+        .select((floor(col("jaccard_sim") * 20.0) / 20.0).as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"))
+        // cumulative over <= 9 band rows — not a data-sized window
+        .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH
+      rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
+              FROM documents GROUP BY 1),
+      docs_r AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN rep ON rep.rep_id = d.doc_id),
+      w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM docs_r),
+      sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM w),
+      pr AS (
+        SELECT ${Numerics.sqlFix(
+          "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)" +
+            " / len(list_distinct(list_concat(a.sh, b.sh)))", 4)} AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      b AS (SELECT floor(j * 20.0) / 20.0 AS band,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pr WHERE j >= 0.6 GROUP BY 1)
+      SELECT band, n_pairs,
+             CAST(sum(n_pairs) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_pairs_at_or_above
+      FROM b ORDER BY band"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
     q154, q159, q160, q165, q166, q167, q169, q170,
-    q171, q172, q176, q177)
+    q171, q172, q176, q177, q179)
 }
