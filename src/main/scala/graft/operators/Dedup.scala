@@ -700,18 +700,13 @@ object Dedup {
     // expression subtree (q141's 16-hyperplane LSH literals) a
     // 20-round chain OOMed a 1G bench JVM on plan bookkeeping alone.
     // A scratch-parquet round-trip makes every round a flat file scan.
+    // ScratchSpace resolves the round-file root (conf'd URI →
+    // checkpoint dir → per-JVM local temp with one shutdown hook), so
+    // the fallback is cluster-safe whenever spark.graft.scratch.dir
+    // points at shared storage.
     val scratch =
       if (reliable) None
-      else Some(java.nio.file.Files.createTempDirectory("graft_cc_"))
-    scratch.foreach { root =>
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-          f.delete(): Unit
-        }
-        rec(root.toFile)
-      }))
-    }
+      else Some(graft.ScratchSpace.dir(spark, "cc_"))
     var round = 0
     def materialize(df: DataFrame): DataFrame = {
       round += 1
@@ -842,21 +837,28 @@ object Dedup {
     // scratch file restores the plain-scan plan shape under every
     // reference; the one-time write is the collapsed corpus only.
     val spark = df.sparkSession
+    // Null text is digested as the EMPTY document (md5(coalesce(t,'')))
+    // so every input id survives to the output — a plain md5(null) key
+    // would null out of the final equi-join and silently drop the row
+    // (total-over-input contract). This also means null-text docs
+    // collapse into the empty-text replica group rather than staying
+    // singletons: for near-dup purposes "no text" and "empty text"
+    // carry identical (zero) shingle content, so grouping them is the
+    // semantically honest choice (DedupSpec pins it).
     val dg = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), md5(col(textCol)).as("__dg"))
+      .select(col(idCol),
+        md5(coalesce(col(textCol), lit(""))).as("__dg"))
     val rep = dg.groupBy("__dg").agg(min(col(idCol)).as("__rep"))
-    val scratchRoot =
-      java.nio.file.Files.createTempDirectory("graft_dupc_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-        f.delete(): Unit
-      }
-      rec(scratchRoot.toFile)
-    }))
-    val repPath = s"$scratchRoot/collapsed"
+    // Scratch via the session-configurable root (ScratchSpace: conf →
+    // checkpoint dir → per-JVM local temp with ONE shutdown hook) —
+    // cluster deployments point spark.graft.scratch.dir at shared
+    // storage; repeated calls no longer stack JVM shutdown hooks. The
+    // subdir cannot be eagerly deleted: the RETURNED DataFrame still
+    // references the collapsed parquet lazily.
+    val repPath =
+      s"${graft.ScratchSpace.dir(spark, "dupc_")}/collapsed"
     // only (id, text) ride to scratch — the pipeline needs nothing else
-    df.select(col(idCol), col(textCol))
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
       .join(rep.select(col("__rep").as(idCol)), idCol)
       .write.mode("overwrite").parquet(repPath)
     val repDocs = spark.read.parquet(repPath)

@@ -20,8 +20,11 @@ object Encodings {
     * Exactness: pass the target as an exact integer (cents, counts) —
     * the per-category (Σ, n) are then exact longs and the one
     * division per row is engine-identical. Scale shape: one
-    * category-grain aggregate (map-side partials), broadcast back
-    * onto the stream; the fact table never shuffles.
+    * category-grain aggregate (map-side partials) joined back onto
+    * the stream. The stats table is CATEGORY-grain and category
+    * cardinality is unbounded (user-id target encoding is standard),
+    * so no broadcast hint: AQE broadcasts when the aggregate turns
+    * out small and shuffles both sides when it doesn't.
     */
   def targetEncodeLoo(
       df: DataFrame,
@@ -31,7 +34,7 @@ object Encodings {
       .withColumn("__y", target.cast("long"))
     val stats = base.groupBy(catCol)
       .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
-    base.join(broadcast(stats), catCol)
+    base.join(stats, catCol)
       .withColumn("loo_mean",
         when(col("__n") > 1,
           graft.functions.Numerics.fix4(

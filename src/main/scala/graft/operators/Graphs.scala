@@ -235,20 +235,13 @@ object Graphs {
     require(k >= 1, "k must be >= 1")
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // Round-file root via ScratchSpace (conf'd URI → checkpoint dir →
+    // per-JVM local temp with one shutdown hook): cluster-safe when
+    // spark.graft.scratch.dir points at shared storage, and callers
+    // using kcoreDegrees() without release() no longer stack hooks.
     val scratch =
       if (reliable) None
-      else Some(java.nio.file.Files.createTempDirectory("graft_kcore_"))
-    // callers using kcoreDegrees() never release(); don't leak scratch
-    // past the JVM
-    scratch.foreach { root =>
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-          f.delete(): Unit
-        }
-        rec(root.toFile)
-      }))
-    }
+      else Some(graft.ScratchSpace.dir(spark, "kcore_"))
     var round = 0
     def materialize(df: DataFrame): DataFrame = {
       round += 1
@@ -259,13 +252,8 @@ object Graphs {
         spark.read.parquet(p)
       }
     }
-    def cleanup(): Unit = scratch.foreach { root =>
-      def rec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-        f.delete(): Unit
-      }
-      rec(root.toFile)
-    }
+    def cleanup(): Unit =
+      scratch.foreach(graft.ScratchSpace.delete(spark, _))
     // same undirected-simple-graph hygiene as triangleRun: normalize
     // orientation, drop self-loops, dedup, THEN symmetrize
     val e = graft.SparkUtil.ensureParallelism(pairs)
@@ -332,6 +320,10 @@ object Graphs {
     def release(): Unit = { edges.unpersist(): Unit }
   }
 
+  /** NOTE: leaves the symmetric edge list cached (each round's join
+    * references it). Sessions running many propagations should use
+    * [[labelPropagationRun]] and `release()` after materializing.
+    */
   def labelPropagation(
       allIds: DataFrame,
       idCol: String,

@@ -42,13 +42,21 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val profs = StopwordProfiles.toMap
+    // explode_outer + count(w): a null-text doc explodes to ONE
+    // null-token row instead of vanishing (total-over-input — the
+    // plain explode dropped those ids entirely), and every aggregate
+    // below ignores the null token, so such docs land with all-zero
+    // counts → the all-zero tie predicts "en" by precedence, ratio
+    // null. Same single partial-agg shape, no extra join. Grain
+    // contract: one row per DISTINCT id — duplicate ids merge into
+    // one token pool.
     val tok = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), explode(Texts.words(col(textCol))).as("w"))
+      .select(col(idCol), explode_outer(Texts.words(col(textCol))).as("w"))
     def hits(vocab: Seq[String]) =
       sum(when(col("w").isin(vocab: _*), 1L).otherwise(0L))
     val agg = tok.groupBy(idCol)
       .agg(
-        count(lit(1)).as("n"),
+        count(col("w")).as("n"),
         hits(profs("en")).as("en"),
         hits(profs("de")).as("de"),
         hits(profs("fr")).as("fr"),
@@ -61,7 +69,8 @@ object TextAnalysis {
     agg.select(
       col(idCol),
       pred.as("pred_lang"),
-      Numerics.fix4(en.cast("double") / col("n")).as("en_stop_ratio"))
+      when(col("n") > 0,
+        Numerics.fix4(en.cast("double") / col("n"))).as("en_stop_ratio"))
   }
 
   /** Quality metrics + composite score. All components are exact
@@ -74,11 +83,15 @@ object TextAnalysis {
     // per-row interpreted aggregate()/filter() lambdas cost 33 s at
     // the 100× noop sweep; one explode + one codegen'd partial-agg
     // yields the identical exact integers (count, Σlen, stop hits).
+    // explode_outer + count(w), the langId total-over-input contract:
+    // null-text docs survive as n_tokens = 0 with null ratios/score
+    // (0-token quality is undefined, not 0.0); one row per DISTINCT
+    // id, duplicate ids merge into one token pool.
     val tok = graft.SparkUtil.ensureParallelism(df)
-      .select(col(idCol), explode(Texts.words(col(textCol))).as("w"))
+      .select(col(idCol), explode_outer(Texts.words(col(textCol))).as("w"))
     val agg = tok.groupBy(idCol)
       .agg(
-        count(lit(1)).as("n"),
+        count(col("w")).as("n"),
         sum(length(col("w")).cast("long")).as("sum_len"),
         sum(when(col("w").isin(EnglishStopwords: _*), 1L).otherwise(0L))
           .as("stop"))
@@ -89,12 +102,13 @@ object TextAnalysis {
     val score = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.3) * (lit(1.0) - stopHits / nTok) +
       lit(0.3) * least(avgLen / 10.0, lit(1.0))
+    val nonEmpty = col("n") > 0
     agg.select(
       col(idCol),
       col("n").as("n_tokens"),
-      Numerics.fix4(avgLen).as("avg_token_len"),
-      Numerics.fix4(stopHits / nTok).as("stop_ratio"),
-      Numerics.fix4(score).as("quality_score"))
+      when(nonEmpty, Numerics.fix4(avgLen)).as("avg_token_len"),
+      when(nonEmpty, Numerics.fix4(stopHits / nTok)).as("stop_ratio"),
+      when(nonEmpty, Numerics.fix4(score)).as("quality_score"))
   }
 
   /** The [[qualityScore]] formula as a single fix4-rounded column —
@@ -520,8 +534,13 @@ object TextAnalysis {
     val b = stream(graft.SparkUtil.ensureParallelism(df))
     val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
-    b.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    // No broadcast hints: c1/c2 are BIGRAM-VOCABULARY-grain, which on
+    // a web-scale corpus is not driver-friendly — AQE broadcasts them
+    // when they measure small and falls back to shuffle joins when
+    // they don't. The constant-memory alternative at any scale is the
+    // CMS sketch scorer (cmsTermFrequency, q146).
+    b.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),

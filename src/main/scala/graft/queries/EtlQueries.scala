@@ -1,8 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,7 +16,8 @@ import graft.sources.{DatasetCatalog, DatasetIO, MatchMode}
   */
 object EtlQueries {
 
-  private def scratch(prefix: String): String = Scratch.dir(prefix)
+  private def scratch(s: SparkSession, prefix: String): String =
+    Scratch.dir(s, prefix)
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
@@ -63,8 +62,8 @@ object EtlQueries {
     "q03_read_csv_roundtrip",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = scratch("csv")
-      val csvPath = s"file:$tmp/customer.csv"
+      val tmp = scratch(s, "csv")
+      val csvPath = s"$tmp/customer.csv"
       io.write(io.read(s"$dir/customer.parquet"), csvPath)
       io.read(csvPath, schema = Some(customerSchema))
         .groupBy("c_mktsegment")
@@ -92,19 +91,17 @@ object EtlQueries {
   val q16 = Q(
     "q16_catalog_list",
     (s, dir) => {
-      val root = java.nio.file.Paths.get(scratch("cat"), "tree")
-      def plant(rel: String, n: Int): Unit = {
-        val p = root.resolve(rel)
-        java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.write(p, Array.fill[Byte](n)('x'.toByte)): Unit
-      }
+      val root = s"${scratch(s, "cat")}/tree"
+      def plant(rel: String, n: Int): Unit =
+        graft.ScratchSpace.writeBytes(s, root, rel,
+          Array.fill[Byte](n)('x'.toByte))
       plant("alpha.csv", 120)
       plant("beta.csv", 64)
       plant("data/gamma.csv", 2048)
       plant("data/inner/delta.csv", 7)
       plant("notes.txt", 33) // decoy: the regex must not select it
       val refs = new DatasetCatalog(s)
-        .selectRecursive(s"file:$root", "\\.csv$", MatchMode.Regex)
+        .selectRecursive(root, "\\.csv$", MatchMode.Regex)
         .map(r => (r.name, r.sizeBytes))
       import s.implicits._
       refs.toDF("dataset_name", "size_bytes").orderBy("dataset_name")
@@ -122,12 +119,12 @@ object EtlQueries {
     "q17_move_dataset",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmpA = scratch("mv_a")
-      val tmpB = scratch("mv_b")
-      io.write(io.read(s"$dir/nation.parquet"), s"file:$tmpA/nation_copy.parquet")
-      io.move(s"file:$tmpA", "nation_copy.parquet", MatchMode.Exact,
-        s"file:$tmpB", destName = Some("nation_moved.parquet"))
-      io.read(s"file:$tmpB/nation_moved.parquet")
+      val tmpA = scratch(s, "mv_a")
+      val tmpB = scratch(s, "mv_b")
+      io.write(io.read(s"$dir/nation.parquet"), s"$tmpA/nation_copy.parquet")
+      io.move(tmpA, "nation_copy.parquet", MatchMode.Exact,
+        tmpB, destName = Some("nation_moved.parquet"))
+      io.read(s"$tmpB/nation_moved.parquet")
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("nation_cnt"))
         .orderBy("n_regionkey")
@@ -142,13 +139,13 @@ object EtlQueries {
     "q18_remove_matched",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = scratch("rm")
-      io.write(io.read(s"$dir/nation.parquet"), s"file:$tmp/keep_nation.parquet")
-      io.write(io.read(s"$dir/region.parquet"), s"file:$tmp/rm_region.parquet")
-      io.write(io.read(s"$dir/region.parquet"), s"file:$tmp/rm_region2.parquet")
-      io.remove(s"file:$tmp", "^rm_", MatchMode.Regex)
+      val tmp = scratch(s, "rm")
+      io.write(io.read(s"$dir/nation.parquet"), s"$tmp/keep_nation.parquet")
+      io.write(io.read(s"$dir/region.parquet"), s"$tmp/rm_region.parquet")
+      io.write(io.read(s"$dir/region.parquet"), s"$tmp/rm_region2.parquet")
+      io.remove(tmp, "^rm_", MatchMode.Regex)
       val remaining = io.catalog
-        .select(s"file:$tmp", "\\.parquet$", MatchMode.Regex)
+        .select(tmp, "\\.parquet$", MatchMode.Regex)
       val df = io.read(remaining.head.path)
       df.agg(
         lit(remaining.size.toLong).as("n_datasets"),
@@ -163,12 +160,12 @@ object EtlQueries {
     "q48_partition_pruning",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = scratch("part")
-      io.write(io.read(s"$dir/orders.parquet"), s"file:$tmp/orders_part",
+      val tmp = scratch(s, "part")
+      io.write(io.read(s"$dir/orders.parquet"), s"$tmp/orders_part",
         partitionBy = Seq("o_orderstatus"))
       // the filter prunes to ONE partition directory (PartitionFilters
       // in the scan — asserted in PlanHygieneSpec)
-      io.read(s"file:$tmp/orders_part")
+      io.read(s"$tmp/orders_part")
         .where(col("o_orderstatus") === "F")
         .groupBy("o_orderstatus")
         .agg(
@@ -197,10 +194,10 @@ object EtlQueries {
     "q50_glob_select_tree",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = scratch("glob")
-      io.write(io.read(s"$dir/customer.parquet"), s"file:$tmp/ctree",
+      val tmp = scratch(s, "glob")
+      io.write(io.read(s"$dir/customer.parquet"), s"$tmp/ctree",
         partitionBy = Seq("c_mktsegment"))
-      io.readMatched(s"file:$tmp/ctree", "c_mktsegment=B*/*.parquet",
+      io.readMatched(s"$tmp/ctree", "c_mktsegment=B*/*.parquet",
           MatchMode.Glob, recursive = true)
         .agg(
           count(lit(1)).as("cust_cnt"),
@@ -222,7 +219,7 @@ object EtlQueries {
   val q85 = Q(
     "q85_union_by_name",
     (s, dir) => {
-      val base = scratch("q85_union")
+      val base = scratch(s, "q85_union")
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.where(col("l_partkey") % 2 === 0)
         .select("l_orderkey", "l_quantity")
@@ -269,7 +266,7 @@ object EtlQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_returnflag"),
           col("l_shipdate").cast("date").as("ship_day"))
-      val out = scratch("q134_fmt_")
+      val out = scratch(s, "q134_fmt_")
       val schema = base.schema
       def checks(fmt: String, wopts: Map[String, String]): DataFrame = {
         val p = s"$out/$fmt"
@@ -321,26 +318,16 @@ object EtlQueries {
     "q168_dynamic_overwrite",
     (s, dir) => {
       val io = new DatasetIO(s)
-      val tmp = scratch("q168_dynov")
-      val table = s"file:$tmp/orders_dyn"
+      val tmp = scratch(s, "q168_dynov")
+      val table = s"$tmp/orders_dyn"
       val orders = io.read(s"$dir/orders.parquet")
       io.write(orders, table, partitionBy = Seq("o_orderpriority"))
       // per-partition content fingerprint: sorted (name, md5) of every
-      // data file — partition dirs at this grain hold a handful of
-      // files, so the driver-side walk is metadata-cheap
-      def snapshot(): Map[String, String] = {
-        val root = new java.io.File(tmp, "orders_dyn")
-        root.listFiles().filter(_.isDirectory).map { d =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
-          d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
-            .sortBy(_.getName)
-            .foreach { f =>
-              digest.update(f.getName.getBytes("UTF-8"))
-              digest.update(java.nio.file.Files.readAllBytes(f.toPath))
-            }
-          d.getName -> digest.digest().map("%02x".format(_)).mkString
-        }.toMap
-      }
+      // data file, walked through the table's own Hadoop FS (works on
+      // an object-store scratch root too) — partition dirs at this
+      // grain hold a handful of files, so the walk is metadata-cheap
+      def snapshot(): Map[String, String] =
+        graft.ScratchSpace.partitionDigests(s, table)
       val before = snapshot()
       // the re-landed slice: URGENT orders with doubled totals (x2 is
       // exponent arithmetic — exact in double, exact in the oracle)

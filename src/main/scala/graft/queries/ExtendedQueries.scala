@@ -522,8 +522,8 @@ object ExtendedQueries {
     "q66_decimal_agg",
     (s, dir) => {
       val path = decParquetCache.getOrElseUpdate(dir, {
-        val tmp = Scratch.dir("dec")
-        val p = s"file:$tmp/lineitem_dec.parquet"
+        val tmp = Scratch.dir(s, "dec")
+        val p = s"$tmp/lineitem_dec.parquet"
         // exact: integral cents (floor(x*100+0.5), the shared fix2
         // convention) scaled by the exact decimal literal 0.01
         val priceDec =
@@ -2068,7 +2068,7 @@ object ExtendedQueries {
     "q147_footer_stats",
     (s, dir) => {
       val path = metaParquetCache.getOrElseUpdate(dir, {
-        val p = s"file:${Scratch.dir("meta")}/lineitem_by_flag"
+        val p = s"${Scratch.dir(s, "meta")}/lineitem_by_flag"
         Tables(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_quantity"))
           .repartition(col("l_returnflag"))
@@ -2108,7 +2108,7 @@ object ExtendedQueries {
     "q148_incremental_agg",
     (s, dir) => {
       val path = stateParquetCache.getOrElseUpdate(dir, {
-        val p = s"file:${Scratch.dir("state")}/orders_daily"
+        val p = s"${Scratch.dir(s, "state")}/orders_daily"
         Incremental.buildState(
             Tables(s, dir, "orders"),
             date_format(col("o_orderdate"), "yyyy-MM-dd"),

@@ -586,10 +586,9 @@ object PipelineQueries {
     "q71_media_dimensions",
     (s, dir) => {
       import s.implicits._
-      val mdir = Scratch.dir("q71_media_")
+      val mdir = Scratch.dir(s, "q71_media_")
       mediaFixtures.foreach { case (name, bs) =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(mdir, name), bs): Unit
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
       }
       Multimodal.extractFeatures(
           Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
@@ -1966,10 +1965,9 @@ object PipelineQueries {
     "q167_png_pixels",
     (s, dir) => {
       import s.implicits._
-      val mdir = Scratch.dir("q167_png_")
+      val mdir = Scratch.dir(s, "q167_png_")
       pngFixtures.foreach { case (name, bs) =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(mdir, name), bs): Unit
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
       }
       Multimodal.decodePixelStats(
           Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
@@ -2215,9 +2213,17 @@ object PipelineQueries {
         rep.select(col("rep_id").as("doc_id")), "doc_id")
       val pairs = Dedup.minhashNearDup(repDocs, "doc_id", "text",
         shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
-      val lpa = graft.operators.Graphs.labelPropagation(
+      // Run + release (ADVICE r11): stage the labels to scratch so the
+      // returned plan reads a flat file, then drop the cached edge
+      // list — repeated bench/verify invocations no longer accumulate
+      // one persisted edge DataFrame per run.
+      val run = graft.operators.Graphs.labelPropagationRun(
         repDocs.select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b", rounds = lpaRounds)
+      val ldir = Scratch.dir(s, "q176_lpa_")
+      run.result.write.mode("overwrite").parquet(s"$ldir/l")
+      run.release()
+      val lpa = s.read.parquet(s"$ldir/l")
       dg.join(rep, "dg")
         .join(lpa.select(col("doc_id").as("rep_id"), col("community")),
           "rep_id")
@@ -2239,7 +2245,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val dg = d.select(col("doc_id"), md5(col("text")).as("dg"))
       val rep = dg.groupBy("dg").agg(min(col("doc_id")).as("rep_id"))
-      val pdir = Scratch.dir("q177_pairs_")
+      val pdir = Scratch.dir(s, "q177_pairs_")
       // scratch-truncate each stage (the dupClusters discipline): the
       // collapsed corpus so the LSH pipeline runs over a plain scan,
       // the pair set so LPA and the audit never re-run the pipeline,
@@ -2253,14 +2259,19 @@ object PipelineQueries {
         .select("id_a", "id_b")
         .write.mode("overwrite").parquet(s"$pdir/p")
       val pairs = s.read.parquet(s"$pdir/p")
-      graft.operators.Graphs.labelPropagation(
-          repDocs.select(col("doc_id")), "doc_id",
-          pairs, "id_a", "id_b", rounds = lpaRounds)
-        .write.mode("overwrite").parquet(s"$pdir/l")
+      // Run + release on both graph ops (ADVICE r11): each stages its
+      // result to scratch, so nothing persisted outlives the query.
+      val lpaRun = graft.operators.Graphs.labelPropagationRun(
+        repDocs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", rounds = lpaRounds)
+      lpaRun.result.write.mode("overwrite").parquet(s"$pdir/l")
+      lpaRun.release()
       val lpa = s.read.parquet(s"$pdir/l")
-      graft.operators.Graphs.modularity(
-          lpa, "doc_id", "community", pairs, "id_a", "id_b")
-        .orderBy("community")
+      val modRun = graft.operators.Graphs.modularityRun(
+        lpa, "doc_id", "community", pairs, "id_a", "id_b")
+      modRun.result.write.mode("overwrite").parquet(s"$pdir/m")
+      modRun.release()
+      s.read.parquet(s"$pdir/m").orderBy("community")
     },
     Some(s"""${lpaCtes(lpaRounds)},
       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
@@ -2301,7 +2312,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val dg = d.select(col("doc_id"), md5(col("text")).as("dg"))
       val rep = dg.groupBy("dg").agg(min(col("doc_id")).as("rep_id"))
-      val pdir = Scratch.dir("q179_cal_")
+      val pdir = Scratch.dir(s, "q179_cal_")
       d.select(col("doc_id"), col("text"))
         .join(rep.select(col("rep_id").as("doc_id")), "doc_id")
         .write.mode("overwrite").parquet(s"$pdir/c")

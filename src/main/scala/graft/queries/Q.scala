@@ -11,24 +11,16 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-/** One per-JVM scratch root for the write-path queries, removed on JVM
-  * exit — repeated Bench/Verify invocations reuse it instead of leaking
-  * a fresh temp dir per run.
+/** Scratch dirs for the write-path queries — one shared, configurable
+  * root per session via [[graft.ScratchSpace]] (`spark.graft.scratch
+  * .dir` → checkpoint dir → per-JVM local temp removed at exit). All
+  * paths are Hadoop-FS URIs; queries must write through Spark or the
+  * Hadoop FS helpers, never `java.nio`, so a cluster deployment can
+  * point scratch at shared storage and every query stays correct.
   */
 private[queries] object Scratch {
 
-  private lazy val root: java.nio.file.Path = {
-    val r = java.nio.file.Files.createTempDirectory("graft_scratch_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(r.toFile)))
-    r
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
-  }
-
-  /** A fresh subdirectory under the shared root. */
-  def dir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  /** A fresh qualified subdirectory under the session's scratch root. */
+  def dir(s: SparkSession, prefix: String): String =
+    graft.ScratchSpace.dir(s, prefix)
 }

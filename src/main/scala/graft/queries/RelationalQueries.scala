@@ -699,7 +699,7 @@ object RelationalQueries {
       // dir per invocation, so repeated runs (bench warm-ups) and
       // OTHER JVMs sharing the cwd's spark-warehouse never collide on
       // a leftover table location.
-      val base = Scratch.dir("q83_")
+      val base = Scratch.dir(s, "q83_")
       s.sql("DROP TABLE IF EXISTS graft_q83_orders")
       s.sql("DROP TABLE IF EXISTS graft_q83_lineitem")
       t(s, dir, "orders")

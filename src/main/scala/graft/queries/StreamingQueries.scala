@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -85,12 +84,14 @@ object StreamingQueries {
     */
   private val AttrWindowMs = 172800000L
 
-  /** Copy the source files into a scratch dir the file stream watches. */
-  private def watchDirWith(dir: String, files: (String, String)*): String = {
-    val watch = Scratch.dir("stream")
+  /** Copy the source files into a scratch dir the file stream watches
+    * (Hadoop-FS streaming copy — works on an object-store scratch root).
+    */
+  private def watchDirWith(
+      s: SparkSession, dir: String, files: (String, String)*): String = {
+    val watch = Scratch.dir(s, "stream")
     files.foreach { case (src, dst) =>
-      Files.copy(Paths.get(s"$dir/$src"), Paths.get(s"$watch/$dst"),
-        StandardCopyOption.REPLACE_EXISTING)
+      graft.ScratchSpace.copyIn(s, s"$dir/$src", watch, dst)
     }
     watch
   }
@@ -142,7 +143,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(col("user_id"), enc.tsMs.as("ts"),
           col("event_type"), col("value"))
@@ -202,7 +203,7 @@ object StreamingQueries {
     "q52_stream_window_parity",
     (s, dir) => {
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(
           enc.tsMs.as("ts"),
@@ -240,7 +241,7 @@ object StreamingQueries {
   val q58 = Q(
     "q58_stream_dedup_parity",
     (s, dir) => {
-      val watch = watchDirWith(dir,
+      val watch = watchDirWith(s, dir,
         "documents.parquet" -> "docs_a.parquet",
         "documents.parquet" -> "docs_b.parquet")
       val docsSchema = StructType(Seq(
@@ -271,7 +272,7 @@ object StreamingQueries {
     "q59_stream_interval_join_parity",
     (s, dir) => {
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       def side(tpe: String) =
         s.readStream.schema(enc.schema).parquet(watch)
           .where(col("event_type") === tpe)
@@ -310,7 +311,7 @@ object StreamingQueries {
     "q78_stream_static_join_parity",
     (s, dir) => {
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(col("user_id"), col("event_type"),
           floor(col("value") * 100.0 + 0.5).cast("long").as("val_cents"))
@@ -345,7 +346,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(enc.tsMs.as("ts"), col("user_id"))
       def sentinel(tsNs: Long, id: Long): () => Unit = () =>
@@ -389,7 +390,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       def side(tpe: String) =
         s.readStream.schema(enc.schema).parquet(watch)
           .where(col("event_type") === tpe ||
@@ -443,7 +444,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(col("user_id").as("key"), enc.tsMs.as("ts"),
           col("event_id").as("tie"))
@@ -485,7 +486,7 @@ object StreamingQueries {
     "q139_stream_sliding_window_parity",
     (s, dir) => {
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(
           enc.tsMs.as("ts"),
@@ -527,7 +528,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .select(enc.tsMs.as("ts"), col("user_id"))
       def sentinel(tsNs: Long, id: Long): () => Unit = () =>
@@ -578,7 +579,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
-      val watch = watchDirWith(dir, "events.parquet" -> "events_000.parquet")
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
       val evs = s.readStream.schema(enc.schema).parquet(watch)
         .where(col("event_type").isin("click", "purchase", "sentinel"))
         .select(col("user_id"), enc.tsMs.as("ts"), col("event_id"),

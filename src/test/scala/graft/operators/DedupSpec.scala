@@ -363,6 +363,23 @@ class DedupSpec extends SparkTestBase {
       (1L, 0.5, 4L))) // singleton keeps itself
   }
 
+  test("dupClusters keeps null-text docs, collapsing them with empty text") {
+    // ADVICE r11 (medium): md5(null) used to null out of the final
+    // digest equi-join and silently DROP null-text ids. Contract now:
+    // every input id gets a cluster row; null text digests as the
+    // empty document, so null-text and empty-text docs form one
+    // replica group labeled by their min id.
+    val df = docsDF(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, null),
+      (3L, ""),
+      (4L, null))
+    val out = Dedup.dupClusters(df, "doc_id", "text",
+        shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
   test("survivorByScore breaks score ties by the smaller id") {
     val ss = spark
     import ss.implicits._

@@ -23,6 +23,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) == "en")
   }
 
+  test("langId/qualityScore keep null-text docs (total-over-input)") {
+    // ADVICE r11: explode() dropped ids whose text is null; the
+    // explode_outer form must emit one row per distinct id with zero
+    // counts and null ratios.
+    val df = docsDF(
+      (1L, "the cat of the house and the dog"),
+      (2L, null),
+      (2L, null), // duplicate id: merges into ONE output row
+      (3L, null))
+    val lang = TextAnalysis.langId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(lang.keySet == Set(1L, 2L, 3L))
+    assert(lang(2L).getString(1) == "en") // all-zero tie -> precedence
+    assert(lang(2L).isNullAt(2)) // 0/0 ratio is null, not NaN
+    val q = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q.keySet == Set(1L, 2L, 3L))
+    assert(q(3L).getLong(1) == 0L) // n_tokens
+    assert(q(3L).isNullAt(2) && q(3L).isNullAt(3) && q(3L).isNullAt(4))
+    assert(q(1L).getLong(1) == 8L) // non-null rows unchanged
+  }
+
   test("qualityScore components are exact ratios") {
     val df = docsDF((1L, "the aa bbb cccc")) // 4 tokens, lens 3,2,3,4
     val r = TextAnalysis.qualityScore(df, "doc_id", "text").head
