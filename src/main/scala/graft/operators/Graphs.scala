@@ -341,8 +341,8 @@ object Graphs {
       aCol: String,
       bCol: String,
       rounds: Int = 2): LpaRun = {
-    require(rounds >= 1 && rounds <= 5,
-      "rounds must be 1..5 (unrolled plans; file-truncate longer loops)")
+    require(rounds >= 1 && rounds <= 10,
+      "rounds must be 1..10 (unrolled plans; file-truncate longer loops)")
     val ids = graft.SparkUtil.ensureParallelism(allIds)
       .select(col(idCol).cast("long").as("id")).distinct()
     val edges = graft.SparkUtil.ensureParallelism(pairs)
@@ -361,7 +361,15 @@ object Graphs {
       val winner = neigh.groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
         .select(col("src").as("id"), (-col("w.nl")).as("label"))
-      labels = labels.select(col("id"))
+      // Rebase each round on the CONSTANT id set, not the previous
+      // labels: a node either has a winner row (it has neighbors —
+      // every round) or never does (isolated — keeps its own id), so
+      // ids.join(winner) is output-identical to labels.join(winner)
+      // while referencing the previous round's labels exactly ONCE
+      // (via neigh). Two references per round would DOUBLE the
+      // unrolled plan each round — the exponential-lineage class
+      // LoopLineageSpec guards (it asserts linear growth at rounds=8).
+      labels = ids
         .join(winner, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("label"), col("id")).as("label"))

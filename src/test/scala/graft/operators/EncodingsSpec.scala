@@ -24,6 +24,22 @@ class EncodingsSpec extends SparkTestBase {
     assert(out(5L).contains(9.0) && out(6L).contains(7.0))
   }
 
+  test("targetEncodeLoo stats join: no hint, AQE still broadcasts when small") {
+    // VERDICT r11 item 2: the category-grain stats table is unbounded,
+    // so the operator must not force broadcast(); at small SF AQE
+    // should still pick a broadcast join at runtime on its own.
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val out = Encodings.targetEncodeLoo(orders, "o_orderpriority",
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+    // no static hint in the optimized plan
+    assert(!out.queryExecution.optimizedPlan.toString
+      .contains("ResolvedHint"), "broadcast hint should be gone")
+    out.collect(): Unit
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the tiny stats side:\n${executed.take(1500)}")
+  }
+
   test("equiDepthHistogram matches ntile semantics incl. remainder buckets") {
     val ss = spark
     import ss.implicits._

@@ -54,4 +54,45 @@ class LoopLineageSpec extends SparkTestBase {
     // and the many-round answer is still one component
     assert(many.select("cluster_id").distinct().count() == 1L)
   }
+
+  // The FIXED-UNROLL loops (LPA, PageRank) are not file-truncated —
+  // they rely on a small round count and a LINEAR per-round plan
+  // increment (one reference to the previous round's state). A
+  // refactor that references the state twice per round doubles the
+  // unrolled plan each round: exponential growth that only explodes
+  // when someone later dials rounds up (VERDICT r11 item 6). Assert
+  // linearity by second difference: the 4→8-round increment must not
+  // exceed the 2→4-round increment (plus noise).
+
+  private def linearGrowth(name: String, sizes: (Int, Int, Int)): Unit = {
+    val (n2, n4, n8) = sizes
+    assert(n8 - n4 <= (n4 - n2) * 2 + 5,
+      s"$name plan unroll is super-linear: rounds 2/4/8 -> $n2/$n4/$n8")
+  }
+
+  test("label propagation: unrolled plan grows linearly in rounds") {
+    val ss = spark
+    import ss.implicits._
+    val ids = (0L until 6L).toDF("id")
+    val pairs = (0 until 5).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    def nodes(r: Int): Int = {
+      val run = Graphs.labelPropagationRun(ids, "id", pairs, "a", "b", r)
+      val n = planNodes(run.result)
+      run.release(); n
+    }
+    linearGrowth("LPA", (nodes(2), nodes(4), nodes(8)))
+  }
+
+  test("pagerank: unrolled plan grows linearly in iters") {
+    val ss = spark
+    import ss.implicits._
+    val ids = (0L until 6L).toDF("id")
+    val pairs = (0 until 5).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    def nodes(r: Int): Int = {
+      val run = Graphs.pagerankRun(ids, "id", pairs, "a", "b", r)
+      val n = planNodes(run.result)
+      run.release(); n
+    }
+    linearGrowth("PageRank", (nodes(2), nodes(4), nodes(8)))
+  }
 }

@@ -251,6 +251,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out === Array((10L, 1L, 0.5))) // 0.25 fails the threshold
   }
 
+  test("bigramLogLoss count joins: no hint, AQE broadcasts when small") {
+    // VERDICT r11 item 3: c1/c2 are bigram-vocabulary-grain, so the
+    // operator must not force broadcast(); AQE picks it at runtime
+    // when the tables measure small (CMS q146 is the constant-memory
+    // path at web scale).
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = TextAnalysis.bigramLogLoss(docs, "doc_id", "text")
+    assert(!out.queryExecution.optimizedPlan.toString
+      .contains("ResolvedHint"), "broadcast hints should be gone")
+    out.collect(): Unit
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the small count tables:\n${executed.take(1500)}")
+  }
+
   test("bigramLogLoss scores improbable sequences higher") {
     val ss = spark
     import ss.implicits._
