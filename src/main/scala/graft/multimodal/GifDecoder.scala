@@ -8,10 +8,11 @@ package graft.multimodal
   * (graphic control, comments, application) are skipped structurally;
   * a GCE transparency index maps to alpha 0.
   *
-  * Scope: the first frame, non-interlaced (interlaced frames decline
-  * to None rather than mis-decode — same policy as PngDecoder's
-  * Adam7). Corrupt-safe: truncation, bad code widths, out-of-table
-  * codes, oversized dimensions all return None, never throw.
+  * Scope: the first frame, sequential or interlaced (the four-pass
+  * row order de-interleaves after LZW expansion — rows 0,8,16… then
+  * 4,12,… then 2,6,… then 1,3,…). Corrupt-safe: truncation, bad code
+  * widths, out-of-table codes, oversized dimensions all return None,
+  * never throw.
   */
 object GifDecoder {
 
@@ -65,7 +66,7 @@ object GifDecoder {
           val h = u16(pos + 7)
           val ip = u8(pos + 9)
           pos += 10
-          if ((ip & 0x40) != 0) return None // interlaced: out of scope
+          val interlaced = (ip & 0x40) != 0
           var table = gct
           if ((ip & 0x80) != 0) {
             val n = 2 << (ip & 7)
@@ -89,8 +90,20 @@ object GifDecoder {
             if (pos >= media.length) return None
             bs = u8(pos)
           }
-          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+          val idx0 = lzwDecode(data.toByteArray, minCode, w * h)
             .getOrElse(return None)
+          // interlaced frames store rows in four passes; storage row r
+          // is display row interlaceRows(h)(r)
+          val idx = if (!interlaced) idx0 else {
+            val rows = interlaceRows(h)
+            val re = new Array[Byte](w * h)
+            var r = 0
+            while (r < h) {
+              System.arraycopy(idx0, r * w, re, rows(r) * w, w)
+              r += 1
+            }
+            re
+          }
           val rgba = new Array[Byte](4 * w * h)
           var i = 0
           while (i < w * h) {
@@ -109,6 +122,15 @@ object GifDecoder {
     }
     None
   } catch { case _: Throwable => None }
+
+  /** Display-row order of the GIF four-pass interlace: storage row r
+    * (the order rows appear in the LZW stream) renders at display row
+    * `interlaceRows(h)(r)` — passes cover every 8th row from 0, every
+    * 8th from 4, every 4th from 2, every 2nd from 1.
+    */
+  private[multimodal] def interlaceRows(h: Int): Array[Int] =
+    ((0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++
+      (1 until h by 2)).toArray
 
   /** GIF-variant LZW: variable code width from minCode+1 to 12 bits,
     * CLEAR resets the table, EOI ends the stream; codes are packed
@@ -212,9 +234,21 @@ object GifDecoder {
       w: Int,
       h: Int,
       palette: Array[Byte],
-      indices: Array[Byte],
-      transparentIndex: Int = -1): Array[Byte] = {
-    require(w > 0 && h > 0 && indices.length == w * h, "bad dimensions")
+      indices0: Array[Byte],
+      transparentIndex: Int = -1,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && indices0.length == w * h, "bad dimensions")
+    // interlaced storage: emit display rows in four-pass order
+    val indices = if (!interlaced) indices0 else {
+      val rows = interlaceRows(h)
+      val re = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        System.arraycopy(indices0, rows(r) * w, re, r * w, w)
+        r += 1
+      }
+      re
+    }
     require(palette.length % 3 == 0 && palette.length >= 6, "bad palette")
     val entries = palette.length / 3
     var gctBits = 1
@@ -256,8 +290,9 @@ object GifDecoder {
       out.write(Array[Byte](0x21.toByte, 0xF9.toByte, 4, 1, 0, 0,
         transparentIndex.toByte, 0))
     }
-    out.write(0x2C) // image descriptor at (0,0), no LCT, sequential
-    le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(0x2C) // image descriptor at (0,0), no LCT
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0)
     out.write(minCode)
     var off = 0
     while (off < lzw.length) {

@@ -19,8 +19,10 @@ final case class PngRaster(width: Int, height: Int, rgba: Array[Byte])
   * dimensions, short inflate, unknown filter, palette index past PLTE
   * — returns None, never throws (the fuzz spec drives random bytes
   * through it). Scope is the common web-PNG profile: 8-bit depth,
-  * color types 0/2/3/4/6, non-interlaced. Adam7 interlace and 1/2/4/
-  * 16-bit depths decline to None rather than mis-decode.
+  * color types 0/2/3/4/6, non-interlaced AND Adam7-interlaced (each
+  * of the 7 passes defiltered independently, then scattered by the
+  * pass geometry). 1/2/4/16-bit depths decline to None rather than
+  * mis-decode.
   *
   * Reference behavior anchor: the reference engine treats object bytes
   * as opaque payloads end-to-end (amazons3-blueprints
@@ -85,7 +87,7 @@ object PngDecoder {
       pos += 12 + len.toInt
     }
     if (!seenIhdr || !seenIend || w <= 0 || h <= 0) return None
-    if (bitDepth != 8 || interlace != 0) return None
+    if (bitDepth != 8 || (interlace != 0 && interlace != 1)) return None
     val channels = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
@@ -97,7 +99,20 @@ object PngDecoder {
     if (colorType == 3 && plte == null) return None
     if (4L * w * h > MaxRgbaBytes) return None
     val stride = w * channels
-    val rawLen = h * (1 + stride)
+    // Adam7 pass geometry (x0, y0, dx, dy); non-interlaced = one
+    // full-coverage pass. Each pass is an independently-filtered
+    // reduced image; empty passes (a dimension rounds to 0) emit no
+    // scanlines at all per the spec.
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+    }
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) ph * (1 + pw * channels) else 0
+    }.sum
 
     // zlib-inflate the concatenated IDAT payload; a short stream (or
     // trailing-garbage-only stream) is a corrupt payload, not an image
@@ -116,56 +131,99 @@ object PngDecoder {
       if (got < rawLen) return None
     } finally inf.end()
 
-    // defilter in place into `img` (unfiltered scanlines, no filter
-    // bytes); prev row is all-zero for row 0 per the spec
-    val img = new Array[Byte](h * stride)
+    // Defilter one pass's scanlines (filter bytes stripped) into a
+    // packed array; prev row is all-zero for row 0 per the spec.
+    // Returns null on an unknown filter type (corrupt).
     val bpp = channels // bytes per pixel at depth 8
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (1 + stride)) & 0xFF
-      val src = y * (1 + stride) + 1
-      val dst = y * stride
-      val prv = dst - stride
-      var x = 0
-      f match {
-        case 0 => // None
-          System.arraycopy(raw, src, img, dst, stride)
-        case 1 => // Sub: left neighbor
-          while (x < stride) {
-            val a = if (x >= bpp) img(dst + x - bpp) & 0xFF else 0
-            img(dst + x) = ((raw(src + x) & 0xFF) + a).toByte
-            x += 1
-          }
-        case 2 => // Up: row above
-          while (x < stride) {
-            val b = if (y > 0) img(prv + x) & 0xFF else 0
-            img(dst + x) = ((raw(src + x) & 0xFF) + b).toByte
-            x += 1
-          }
-        case 3 => // Average: floor((left + up) / 2)
-          while (x < stride) {
-            val a = if (x >= bpp) img(dst + x - bpp) & 0xFF else 0
-            val b = if (y > 0) img(prv + x) & 0xFF else 0
-            img(dst + x) = ((raw(src + x) & 0xFF) + ((a + b) >> 1)).toByte
-            x += 1
-          }
-        case 4 => // Paeth predictor
-          while (x < stride) {
-            val a = if (x >= bpp) img(dst + x - bpp) & 0xFF else 0
-            val b = if (y > 0) img(prv + x) & 0xFF else 0
-            val c = if (y > 0 && x >= bpp) img(prv + x - bpp) & 0xFF else 0
-            val p = a + b - c
-            val pa = math.abs(p - a)
-            val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            img(dst + x) = ((raw(src + x) & 0xFF) + pred).toByte
-            x += 1
-          }
-        case _ => return None // unknown filter type: corrupt
+    def defilterPass(off: Int, pw: Int, ph: Int): Array[Byte] = {
+      val strideP = pw * channels
+      val out = new Array[Byte](ph * strideP)
+      var y = 0
+      while (y < ph) {
+        val f = raw(off + y * (1 + strideP)) & 0xFF
+        val src = off + y * (1 + strideP) + 1
+        val dst = y * strideP
+        val prv = dst - strideP
+        var x = 0
+        f match {
+          case 0 => // None
+            System.arraycopy(raw, src, out, dst, strideP)
+          case 1 => // Sub: left neighbor
+            while (x < strideP) {
+              val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+              out(dst + x) = ((raw(src + x) & 0xFF) + a).toByte
+              x += 1
+            }
+          case 2 => // Up: row above
+            while (x < strideP) {
+              val b = if (y > 0) out(prv + x) & 0xFF else 0
+              out(dst + x) = ((raw(src + x) & 0xFF) + b).toByte
+              x += 1
+            }
+          case 3 => // Average: floor((left + up) / 2)
+            while (x < strideP) {
+              val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+              val b = if (y > 0) out(prv + x) & 0xFF else 0
+              out(dst + x) = ((raw(src + x) & 0xFF) + ((a + b) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth predictor
+            while (x < strideP) {
+              val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+              val b = if (y > 0) out(prv + x) & 0xFF else 0
+              val c = if (y > 0 && x >= bpp) out(prv + x - bpp) & 0xFF else 0
+              val p = a + b - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              val pred =
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              out(dst + x) = ((raw(src + x) & 0xFF) + pred).toByte
+              x += 1
+            }
+          case _ => return null // unknown filter type: corrupt
+        }
+        y += 1
       }
-      y += 1
+      out
     }
+
+    val img: Array[Byte] =
+      if (interlace == 0) {
+        // the single pass IS the image — no scatter copy on the hot path
+        val p = defilterPass(0, w, h)
+        if (p == null) return None
+        p
+      } else {
+        // Adam7 de-interlace: defilter each pass, then scatter pixel
+        // (i, j) of the pass to image (x0 + i·dx, y0 + j·dy) — pure
+        // index arithmetic over the already-working core
+        val full = new Array[Byte](h * stride)
+        var off = 0
+        var pi = 0
+        while (pi < passes.size) {
+          val (x0, y0, dx, dy) = passes(pi)
+          val (pw, ph) = passDims(pi)
+          if (pw > 0 && ph > 0) {
+            val p = defilterPass(off, pw, ph)
+            if (p == null) return None
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                System.arraycopy(p, (j * pw + i) * channels,
+                  full, (y0 + j * dy) * stride + (x0 + i * dx) * channels,
+                  channels)
+                i += 1
+              }
+              j += 1
+            }
+            off += ph * (1 + pw * channels)
+          }
+          pi += 1
+        }
+        full
+      }
 
     // expand to packed RGBA
     val rgba = new Array[Byte](4 * w * h)

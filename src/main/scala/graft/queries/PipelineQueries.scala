@@ -1939,13 +1939,22 @@ object PipelineQueries {
             v <- Seq(7 * (x + y + 1), 100 + 10 * x + y)) yield v.toByte)
         .toArray,
       rowFilters = Seq(1, 3))
+    // G: Adam7-interlaced RGB 9x5, pixel(x,y) = (10x+y, 5(x+y),
+    // 255-10x) — all 7 passes non-empty; filters cycle across the
+    // pass scanline sequence
+    val adam7 = encode(9, 5, 2,
+      (for (y <- 0 until 5; x <- 0 until 9;
+            v <- Seq(10 * x + y, 5 * (x + y), 255 - 10 * x)) yield v.toByte)
+        .toArray,
+      rowFilters = Seq(0, 1, 2, 3, 4), interlaced = true)
     Seq(
       "px_1.png" -> rgb, "px_2.png" -> gray, "px_3.png" -> pal,
       "px_4.png" -> rgba,
       // E: structurally desynced (tail cut removes IEND and part of
       // IDAT) -> whole decode refuses with nulls
       "px_5.png" -> rgb.dropRight(10),
-      "px_6.png" -> graya)
+      "px_6.png" -> graya,
+      "px_7.png" -> adam7)
   }
 
   /** GIF fixtures for q180 — LZW index streams the decoder must
@@ -1961,12 +1970,19 @@ object PipelineQueries {
     val gifT = GifDecoder.encode(2, 2,
       b(10, 20, 30, 40, 50, 60),
       b(0, 1, 1, 0), transparentIndex = 1)
+    // interlaced 3x9 (all four passes non-empty), idx(x,y) = (x+y)%4
+    val gifI = GifDecoder.encode(3, 9,
+      b(10, 20, 30, 40, 50, 60, 70, 80, 90, 5, 6, 7),
+      (for (y <- 0 until 9; x <- 0 until 3) yield ((x + y) % 4).toByte)
+        .toArray,
+      interlaced = true)
     Seq(
       // transparency only touches alpha, never the channel sums;
       // truncated GIF refuses with nulls
       "px_1.gif" -> gif,
       "px_2.gif" -> gifT,
-      "px_3.gif" -> gif.dropRight(8))
+      "px_3.gif" -> gif.dropRight(8),
+      "px_4.gif" -> gifI)
   }
 
   val q167 = Q(
@@ -1994,7 +2010,8 @@ object PipelineQueries {
         (3, 2, 2, 4, 265, 275, 285),
         (4, 2, 3, 6, 300, 300, 9),
         (5, NULL, NULL, NULL, NULL, NULL, NULL),
-        (6, 2, 2, 4, 56, 56, 56))
+        (6, 2, 2, 4, 56, 56, 56),
+        (7, 9, 5, 45, 1890, 1350, 9675))
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 
@@ -2022,7 +2039,8 @@ object PipelineQueries {
          CAST(6 AS BIGINT), CAST(517 AS BIGINT), CAST(521 AS BIGINT),
          CAST(268 AS BIGINT)),
         (2, 2, 2, 4, 100, 140, 180),
-        (3, NULL, NULL, NULL, NULL, NULL, NULL))
+        (3, NULL, NULL, NULL, NULL, NULL, NULL),
+        (4, 3, 9, 27, 870, 1086, 1302))
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 

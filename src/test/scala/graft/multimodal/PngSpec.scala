@@ -56,6 +56,42 @@ class PngSpec extends SparkTestBase {
     }
   }
 
+  test("roundtrip: Adam7 interlace, every color type, byte-exact RGBA") {
+    val rnd = new scala.util.Random(47)
+    val palette = Array.tabulate[Byte](3 * 16)(i => (i * 13 % 251).toByte)
+    for {
+      ct <- Seq(0, 2, 3, 4, 6)
+      // sizes around the 8x8 pass grid: sub-tile, odd, exact, larger
+      (w, h) <- Seq((3, 2), (7, 5), (8, 8), (13, 11), (1, 1), (1, 9))
+    } {
+      val channels = Seq(1, 3, 1, 2, 4)(Seq(0, 2, 3, 4, 6).indexOf(ct))
+      val samples = Array.tabulate[Byte](w * h * channels) { _ =>
+        if (ct == 3) rnd.nextInt(16).toByte else rnd.nextInt(256).toByte
+      }
+      val png = PngEncoder.encode(w, h, ct, samples,
+        rowFilters = Seq(0, 1, 2, 3, 4), // cycles across pass scanlines
+        palette = if (ct == 3) palette else null,
+        interlaced = true)
+      val dec = PngDecoder.decode(png)
+      assert(dec.isDefined, s"ct=$ct ${w}x$h interlaced failed to decode")
+      assert(dec.get.width == w && dec.get.height == h)
+      assert(java.util.Arrays.equals(
+        dec.get.rgba, expand(w, h, ct, samples, palette)),
+        s"ct=$ct ${w}x$h interlaced RGBA mismatch")
+    }
+  }
+
+  test("interlaced corrupt-safety: truncations decline, never throw") {
+    val samples = Array.tabulate[Byte](13 * 11 * 3)(i => (i * 7).toByte)
+    val png = PngEncoder.encode(13, 11, 2, samples,
+      rowFilters = Seq(1, 4), interlaced = true)
+    assert(PngDecoder.decode(png).isDefined)
+    for (cut <- Seq(1, 8, 20, 40, png.length / 2, png.length - 1)) {
+      assert(PngDecoder.decode(png.take(png.length - cut)).isEmpty,
+        s"truncated-by-$cut interlaced PNG must decline")
+    }
+  }
+
   test("roundtrip: mixed filters per row survive (filter state chains)") {
     val rnd = new scala.util.Random(43)
     val samples = Array.fill[Byte](9 * 8 * 3)(rnd.nextInt(256).toByte)
@@ -97,9 +133,12 @@ class PngSpec extends SparkTestBase {
     val bomb = png.clone()
     bomb(16) = 0x40.toByte; bomb(17) = 0; bomb(18) = 0; bomb(19) = 0
     assert(PngDecoder.decode(bomb).isEmpty)
-    // 16-bit depth and interlace decline to None rather than mis-decode
+    // 16-bit depth declines to None rather than mis-decode
     val deep = png.clone(); deep(24) = 16.toByte
     assert(PngDecoder.decode(deep).isEmpty)
+    // a FORGED interlace flag on a sequentially-encoded payload is a
+    // corrupt file (the Adam7 pass layout needs more scanline bytes
+    // than the sequential stream carries) — decline, don't mis-decode
     val adam7 = png.clone(); adam7(28) = 1.toByte
     assert(PngDecoder.decode(adam7).isEmpty)
   }
@@ -134,6 +173,48 @@ class PngSpec extends SparkTestBase {
         assert(dec.get.rgba(4 * px) == palette(3 * c), s"px $px")
         assert(dec.get.rgba(4 * px + 3) == -1.toByte)
       }
+    }
+  }
+
+  test("GIF interlaced roundtrip: four-pass row order de-interleaves") {
+    val rnd = new scala.util.Random(73)
+    val palette = Array.tabulate[Byte](3 * 8)(i => (i * 17 % 251).toByte)
+    // heights around the pass boundaries: <4, exactly 8, odd, tall
+    for ((w, h) <- Seq((3, 2), (4, 8), (5, 11), (2, 17), (1, 1))) {
+      val idx = Array.fill[Byte](w * h)(rnd.nextInt(8).toByte)
+      val gif = GifDecoder.encode(w, h, palette, idx, interlaced = true)
+      val dec = GifDecoder.decode(gif)
+      assert(dec.isDefined, s"interlaced GIF ${w}x$h failed")
+      for (px <- 0 until w * h) {
+        val c = idx(px) & 0xFF
+        assert(dec.get.rgba(4 * px) == palette(3 * c),
+          s"interlaced ${w}x$h px $px")
+      }
+      // row permutation sanity: interlaced and sequential encodes of
+      // the same raster decode identically
+      val seqDec = GifDecoder.decode(GifDecoder.encode(w, h, palette, idx))
+      assert(java.util.Arrays.equals(dec.get.rgba, seqDec.get.rgba))
+    }
+  }
+
+  test("GIF interlaceRows is a permutation in four-pass order") {
+    for (h <- 1 to 40) {
+      val rows = GifDecoder.interlaceRows(h)
+      assert(rows.length == h && rows.toSet == (0 until h).toSet,
+        s"h=$h not a permutation: ${rows.toSeq}")
+    }
+    assert(GifDecoder.interlaceRows(10).toSeq ==
+      Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+  }
+
+  test("GIF interlaced corrupt-safety: truncation declines") {
+    val gif = GifDecoder.encode(5, 11,
+      Array.tabulate[Byte](12)(i => i.toByte),
+      Array.fill[Byte](55)(2), interlaced = true)
+    assert(GifDecoder.decode(gif).isDefined)
+    for (cut <- Seq(5, 15, 30)) {
+      val t = GifDecoder.decode(gif.take(gif.length - cut))
+      assert(t.isEmpty || t.get.rgba.length == 4 * 55)
     }
   }
 
