@@ -457,6 +457,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { rec =>
         (if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
+         else if (JpegDecoder.isJpeg(rec.media)) JpegDecoder.decode(rec.media)
          else PngDecoder.decode(rec.media)) match {
           case Some(r) =>
             var sr = 0L; var sg = 0L; var sb = 0L

@@ -2015,6 +2015,76 @@ object PipelineQueries {
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 
+  /** JPEG fixtures for q181 — real baseline Huffman decode. JPEG is
+    * lossy, so the planted oracle uses only ANALYTICALLY-exact
+    * content: flat 8x8 tiles (DC-only blocks decode to an exact
+    * constant under any conformant IDCT) and neutral-chroma color
+    * (Cb=Cr=128 -> R=G=B=Y exactly). AC energy and saturated color
+    * are covered by JpegSpec's tolerance round-trips instead.
+    */
+  private val jpegFixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.JpegEncoder
+    def tiles(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f((i % w) / 8, (i / w) / 8).toByte)
+    def grayAsRgb(g: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](3 * g.length)
+      var i = 0
+      while (i < g.length) {
+        out(3 * i) = g(i); out(3 * i + 1) = g(i); out(3 * i + 2) = g(i)
+        i += 1
+      }
+      out
+    }
+    val vals = Array(Array(32, 96, 200), Array(255, 0, 128))
+    val g1 = JpegEncoder.encode(24, 16,
+      tiles(24, 16, (tx, ty) => vals(ty)(tx)), gray = true)
+    val c444 = JpegEncoder.encode(16, 8,
+      grayAsRgb(tiles(16, 8, (tx, _) => if (tx == 0) 10 else 250)),
+      gray = false)
+    val c420 = JpegEncoder.encode(32, 24,
+      grayAsRgb(tiles(32, 24, (tx, ty) => 20 + 30 * ((tx + ty) % 7))),
+      gray = false, chromaSub = 2)
+    val rst = JpegEncoder.encode(48, 8,
+      tiles(48, 8, (tx, _) => 20 + 40 * tx), gray = true,
+      restartInterval = 2)
+    Seq(
+      "jp_1.jpg" -> g1,
+      "jp_2.jpg" -> c444,
+      "jp_3.jpg" -> c420,
+      "jp_4.jpg" -> rst,
+      // truncated mid-entropy-stream -> whole decode refuses with nulls
+      "jp_5.jpg" -> g1.dropRight(40))
+  }
+
+  val q181 = Q(
+    "q181_jpeg_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir(s, "q181_jpg_")
+      jpegFixtures.foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.decodePixelStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id")
+    },
+    // analytic sums: doc 1 = 64*(32+96+200+255+0+128) on all channels;
+    // doc 2 = 64*10 + 64*250; doc 3 = sum over 4x3 tiles of
+    // 64*(20+30*((tx+ty)%7)); doc 4 = 64*(20+60+100+140+180+220),
+    // decoded THROUGH the DRI/RSTn restart path; doc 5 truncated
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(24 AS INTEGER), CAST(16 AS INTEGER),
+         CAST(384 AS BIGINT), CAST(45504 AS BIGINT), CAST(45504 AS BIGINT),
+         CAST(45504 AS BIGINT)),
+        (2, 16, 8, 128, 16640, 16640, 16640),
+        (3, 32, 24, 768, 72960, 72960, 72960),
+        (4, 48, 8, 384, 46080, 46080, 46080),
+        (5, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
+      ORDER BY doc_id"""))
+
   val q180 = Q(
     "q180_gif_pixels",
     (s, dir) => {
@@ -2411,5 +2481,5 @@ object PipelineQueries {
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
     q154, q159, q160, q165, q166, q167, q169, q170,
-    q171, q172, q176, q177, q179, q180)
+    q171, q172, q176, q177, q179, q180, q181)
 }
