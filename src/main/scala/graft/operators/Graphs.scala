@@ -316,8 +316,9 @@ object Graphs {
     */
   final class LpaRun private[operators] (
       val result: DataFrame,
-      edges: DataFrame) {
-    def release(): Unit = { edges.unpersist(): Unit }
+      edges: DataFrame,
+      ids: DataFrame) {
+    def release(): Unit = { edges.unpersist(); ids.unpersist(): Unit }
   }
 
   /** NOTE: leaves the symmetric edge list cached (each round's join
@@ -343,8 +344,14 @@ object Graphs {
       rounds: Int = 2): LpaRun = {
     require(rounds >= 1 && rounds <= 10,
       "rounds must be 1..10 (unrolled plans; file-truncate longer loops)")
+    // ids is PERSISTED like the edge list: the round rebase below
+    // references it once per round (+ the init), and an unpersisted
+    // reference re-executes the caller's whole id-derivation subtree
+    // each round — measured 4.2 -> 11.2 s on q176, whose ids come
+    // through the digest-collapse join. Node-id grain: tiny.
     val ids = graft.SparkUtil.ensureParallelism(allIds)
       .select(col(idCol).cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = graft.SparkUtil.ensureParallelism(pairs)
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
@@ -376,7 +383,7 @@ object Graphs {
     }
     new LpaRun(
       labels.select(col("id").as(idCol), col("label").as("community")),
-      edges)
+      edges, ids)
   }
   /** Newman modularity audit of a community assignment — the quality
     * readout that justifies (or indicts) a clustering: per community,

@@ -363,23 +363,39 @@ object Similarity {
     val sub = dim / m
     GraftFunctions.register(df.sparkSession)
     val v = Vectors.asDouble(col(vecCol))
-    val entries = array((0 until m).map { mi =>
-      val sv = slice(v, mi * sub + 1, sub)
+    // Codegen shape (round 12): the original form packed all
+    // m·nCodes centroid scorings — with the scores array referenced
+    // three times (argmax, max, lookup) — into ONE Generate consume
+    // method, which blew Janino's 64 KB per-method limit and silently
+    // fell back to interpreted eval. Now the Generate emits only tiny
+    // (mi, subvector) structs, and scoring happens AFTER the explode
+    // in LAYERED projections: `scores` / `code` are materialized
+    // columns referenced by name downstream, and CollapseProject
+    // leaves non-cheap multiply-referenced producers in their own
+    // Project, so each vecDot codegens exactly once per row.
+    val exploded = graft.SparkUtil.ensureParallelism(df)
+      .select(explode(array((0 until m).map { mi =>
+        struct(lit(mi).as("mi"), slice(v, mi * sub + 1, sub).as("sv"))
+      }: _*)).as("e"))
+      .select(col("e.mi").as("mi"), col("e.sv").as("sv"))
+    val scoresFor = (0 until m).map { mi =>
       val cents = (0 until nCodes).map(c => pqCentroidValues(mi, c, sub))
-      val scores = array(cents.map { c =>
+      array(cents.map { c =>
         val cnorm = c.map(x => x * x).sum
-        lit(2.0) * GraftFunctions.vecDot(sv, typedLit(c)) - lit(cnorm)
+        lit(2.0) * GraftFunctions.vecDot(col("sv"), typedLit(c)) - lit(cnorm)
       }: _*)
-      val code = array_position(scores, array_max(scores))
-      val err = GraftFunctions.vecDot(sv, sv) -
-        element_at(scores, code.cast("int"))
-      struct(lit(mi).as("subspace"), code.cast("int").as("code"),
-        err.as("err"))
-    }: _*)
-    graft.SparkUtil.ensureParallelism(df)
-      .select(explode(entries).as("e"))
-      .select(col("e.subspace"), col("e.code"),
-        floor(col("e.err") * 10000 + 0.5).cast("long").as("errq"))
+    }
+    val scoreCase = (0 until m).foldRight(lit(null).cast("array<double>")) {
+      (mi, acc) => when(col("mi") === mi, scoresFor(mi)).otherwise(acc)
+    }
+    exploded
+      .withColumn("scores", scoreCase)
+      .withColumn("code",
+        array_position(col("scores"), array_max(col("scores"))).cast("int"))
+      .select(col("mi").as("subspace"), col("code"),
+        floor((GraftFunctions.vecDot(col("sv"), col("sv")) -
+          element_at(col("scores"), col("code"))) * 10000 + 0.5)
+          .cast("long").as("errq"))
       .groupBy("subspace", "code")
       .agg(count(lit(1)).as("n_vecs"), sum(col("errq")).as("errsum"))
       .select(col("subspace"), col("code"), col("n_vecs"),

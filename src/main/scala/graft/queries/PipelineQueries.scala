@@ -2330,18 +2330,24 @@ object PipelineQueries {
       val d = docs(s, dir)
       val dg = d.select(col("doc_id"), md5(col("text")).as("dg"))
       val rep = dg.groupBy("dg").agg(min(col("doc_id")).as("rep_id"))
-      val repDocs = d.join(
-        rep.select(col("rep_id").as("doc_id")), "doc_id")
-      val pairs = Dedup.minhashNearDup(repDocs, "doc_id", "text",
-        shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
-      // Run + release (ADVICE r11): stage the labels to scratch so the
-      // returned plan reads a flat file, then drop the cached edge
-      // list — repeated bench/verify invocations no longer accumulate
-      // one persisted edge DataFrame per run.
+      // The q177 scratch-truncation discipline end-to-end: stage the
+      // collapsed corpus (minhashNearDup references its input several
+      // times — unstaged, each reference re-runs the digest join),
+      // the pair set, and the labels; Run + release (ADVICE r11) so
+      // repeated bench/verify invocations accumulate no cached state.
+      val ldir = Scratch.dir(s, "q176_lpa_")
+      d.select(col("doc_id"), col("text"))
+        .join(rep.select(col("rep_id").as("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(s"$ldir/c")
+      val repDocs = s.read.parquet(s"$ldir/c")
+      Dedup.minhashNearDup(repDocs, "doc_id", "text",
+          shingleWidth = 3, bands = 8, rowsPerBand = 3, threshold = 0.6)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(s"$ldir/p")
+      val pairs = s.read.parquet(s"$ldir/p")
       val run = graft.operators.Graphs.labelPropagationRun(
         repDocs.select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b", rounds = lpaRounds)
-      val ldir = Scratch.dir(s, "q176_lpa_")
       run.result.write.mode("overwrite").parquet(s"$ldir/l")
       run.release()
       val lpa = s.read.parquet(s"$ldir/l")
