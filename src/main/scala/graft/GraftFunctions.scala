@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomContains, PiiScrub, VecDot}
+import graft.functions.expressions.{BloomContains, JaroWinkler, PiiScrub, VecDot}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -46,6 +46,21 @@ object GraftFunctions {
       s"$BloomContainsName expects 2 arguments, got ${exprs.size}")
   }
 
+  val JaroWinklerName = "graft_jaro_winkler"
+
+  private val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getCanonicalName, null, JaroWinklerName,
+    "_FUNC_(a, b) - Jaro-Winkler similarity of two strings " +
+      "(standard 0.7-threshold / 0.1-scale prefix boost; codegen'd " +
+      "static kernel).",
+    "")
+
+  private val jaroWinklerBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => JaroWinkler(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$JaroWinklerName expects 2 arguments, got ${exprs.size}")
+  }
+
   val PiiScrubName = "graft_pii_scrub"
 
   private val piiScrubInfo = new ExpressionInfo(
@@ -68,6 +83,9 @@ object GraftFunctions {
         bloomContainsBuilder))
     ext.injectFunction(
       (FunctionIdentifier(PiiScrubName), piiScrubInfo, piiScrubBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(JaroWinklerName), jaroWinklerInfo,
+        jaroWinklerBuilder))
   }
 
   /** Idempotent session-level registration. */
@@ -86,6 +104,11 @@ object GraftFunctions {
       registry.registerFunction(
         FunctionIdentifier(PiiScrubName), piiScrubInfo, piiScrubBuilder)
     }
+    if (!registry.functionExists(FunctionIdentifier(JaroWinklerName))) {
+      registry.registerFunction(
+        FunctionIdentifier(JaroWinklerName), jaroWinklerInfo,
+        jaroWinklerBuilder)
+    }
   }
 
   /** Column form; the owning session must have [[register]]ed (the
@@ -98,6 +121,10 @@ object GraftFunctions {
     */
   def bloomContains(bloom: Column, s: Column): Column =
     call_function(BloomContainsName, bloom, s)
+
+  /** Column form of the Jaro-Winkler similarity. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JaroWinklerName, a, b)
 
   /** Column form of the single-pass PII scrub (struct result). */
   def piiScrub(text: Column): Column = call_function(PiiScrubName, text)

@@ -40,6 +40,90 @@ object Layout {
     floor(((c - mn) * (1L << bits)).cast("double") / (mx - mn + 1))
       .cast("long")
 
+  /** Zone-map data-skipping audit — the layout instrument that turns
+    * "z-order helps" into a number BEFORE rewriting 100 TB: order the
+    * rows by `layoutKeys` (a TOTAL order — include a tiebreak), tile
+    * that order into fixed-size blocks of `blockRows` (the file /
+    * row-group boundaries a range-partitioned write would produce),
+    * compute each block's (min, max) of `probe`, and for every
+    * `(lo, hi)` predicate report how many blocks a zone-map reader
+    * skips and the read amplification (scanned vs matched rows).
+    *
+    * Scale shape: the global rank is DISTRIBUTED (range partition +
+    * local rank + broadcast per-partition prefix counts — the
+    * equiDepthHistogram machinery, never a single-partition window);
+    * blocks collapse to block grain before the predicate sweep, which
+    * is an EXPLODE of the literal predicate set (no join, no BNLJ);
+    * matched-row counts ride ONE conditional aggregate over the same
+    * scan. Output: (pred_id, lo, hi, n_blocks, n_skipped, skip_frac,
+    * scanned_rows, matched_rows) — all exact integers + one fix4.
+    */
+  def skippingAudit(
+      df: DataFrame,
+      layoutKeys: Seq[Column],
+      probe: Column,
+      blockRows: Int,
+      predicates: Seq[(Int, Long, Long)]): DataFrame = {
+    require(blockRows >= 1, "blockRows must be >= 1")
+    require(predicates.nonEmpty, "need at least one predicate")
+    import org.apache.spark.sql.expressions.Window
+    val ks = layoutKeys.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val kcols = layoutKeys.indices.map(i => col(s"__k$i"))
+    val base = graft.SparkUtil.ensureParallelism(df)
+      .select(ks :+ probe.cast("long").as("__p"): _*)
+    val parts = base.repartitionByRange(kcols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parts.withColumn("__rn",
+      row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+    val prefix = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__pre"))
+    val blocks = local.join(broadcast(prefix), "__pid")
+      .withColumn("__blk",
+        floor((col("__pre") + col("__rn") - 1).cast("double") / blockRows)
+          .cast("long"))
+      .groupBy("__blk")
+      .agg(min(col("__p")).as("__mn"), max(col("__p")).as("__mx"),
+        count(lit(1)).as("__n"))
+    val predArr = array(predicates.map { case (id, lo, hi) =>
+      struct(lit(id).as("pred_id"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*)
+    val swept = blocks
+      .select(explode(predArr).as("pr"), col("__mn"), col("__mx"),
+        col("__n"))
+      .withColumn("__skip",
+        (col("pr.hi") < col("__mn")) || (col("pr.lo") > col("__mx")))
+      .groupBy(col("pr.pred_id").as("pred_id"), col("pr.lo").as("lo"),
+        col("pr.hi").as("hi"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__skip"), 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(!col("__skip"), col("__n")).otherwise(0L))
+          .as("scanned_rows"))
+    // matched rows per predicate: one conditional aggregate over the
+    // scan, unpivoted from its single row — no row multiplication
+    val matchedRow = base.agg(
+      count(lit(1)).as("__dummy"),
+      predicates.map { case (id, lo, hi) =>
+        sum(when(col("__p").between(lo, hi), 1L).otherwise(0L))
+          .as(s"__m$id")
+      }: _*)
+    val matched = matchedRow.select(explode(array(predicates.map {
+      case (id, _, _) =>
+        struct(lit(id).as("pred_id"), col(s"__m$id").as("matched_rows"))
+    }: _*)).as("m")).select(col("m.pred_id"), col("m.matched_rows"))
+    swept.join(broadcast(matched), "pred_id")
+      .select(col("pred_id"), col("lo"), col("hi"), col("n_blocks"),
+        col("n_skipped"),
+        graft.functions.Numerics.fix4(
+          col("n_skipped").cast("double") / col("n_blocks"))
+          .as("skip_frac"),
+        col("scanned_rows"), col("matched_rows"))
+  }
+
   /** Z-order locality readout: normalize (xCol, yCol) onto a
     * 2^bits × 2^bits grid, compute the Morton key, split its range
     * into `buckets` equal slices (the file boundaries a

@@ -2661,11 +2661,89 @@ object ExtendedQueries {
       FROM r GROUP BY 1, 2
       ORDER BY event_type, bucket_start"""))
 
+  // ---- q182: zone-map data-skipping audit (layout instrument) ----
+  // The number that justifies a 100 TB layout rewrite BEFORE paying
+  // for it: rows tiled into 4096-row blocks under (a) the natural
+  // (l_orderkey, l_linenumber) order and (b) the z-order
+  // (l_partkey, l_suppkey) Morton key; per block min/max of
+  // l_partkey; three partkey range predicates report blocks skipped
+  // and read amplification (scanned vs matched rows). Under the
+  // natural order partkey is scattered — near-zero skipping; under
+  // z-order the same predicates skip most blocks. Exact: ranks are
+  // total-ordered, everything else is integer arithmetic.
+
+  private val q182Preds = Seq(
+    (1, 1L, 50L), (2, 701L, 760L), (3, 1L, 10000000L))
+
+  val q182 = Q(
+    "q182_skipping_audit",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def audit(tag: String, keys: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.Layout.skippingAudit(
+            li, keys, col("l_partkey"), blockRows = 4096, q182Preds)
+          .select(lit(tag).as("layout"), col("pred_id"), col("lo"),
+            col("hi"), col("n_blocks"), col("n_skipped"),
+            col("skip_frac"), col("scanned_rows"), col("matched_rows"))
+      audit("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionAll(audit("zorder", Seq(
+          graft.operators.Layout.zValue(
+            col("l_partkey").cast("long"), col("l_suppkey").cast("long"),
+            bits = 15),
+          col("l_orderkey"), col("l_linenumber"))))
+        .orderBy("layout", "pred_id")
+    },
+    Some {
+      val zTerms = (0 until 15).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1}) | " +
+          s"(((l_suppkey >> $i) & 1) << ${2 * i})")
+        .mkString(" | ")
+      val predValues = q182Preds.map { case (id, lo, hi) =>
+        s"($id, CAST($lo AS BIGINT), CAST($hi AS BIGINT))"
+      }.mkString(", ")
+      s"""
+      WITH pr(pred_id, lo, hi) AS (VALUES $predValues),
+      nat AS (SELECT l_partkey AS p,
+                     row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                       AS rn
+              FROM lineitem),
+      zord AS (SELECT l_partkey AS p,
+                      row_number() OVER (ORDER BY ($zTerms),
+                        l_orderkey, l_linenumber) AS rn
+               FROM lineitem),
+      layouts AS (SELECT 'natural' AS layout, p, rn FROM nat
+                  UNION ALL SELECT 'zorder', p, rn FROM zord),
+      blocks AS (SELECT layout, (rn - 1) // 4096 AS blk,
+                        min(p) AS mn, max(p) AS mx,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM layouts GROUP BY 1, 2),
+      sw AS (SELECT layout, pred_id, lo, hi,
+                    CAST(count(*) AS BIGINT) AS n_blocks,
+                    CAST(sum(CASE WHEN hi < mn OR lo > mx
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_skipped,
+                    CAST(sum(CASE WHEN hi < mn OR lo > mx
+                                  THEN 0 ELSE n END) AS BIGINT)
+                      AS scanned_rows
+             FROM blocks CROSS JOIN pr GROUP BY 1, 2, 3, 4),
+      mt AS (SELECT pr.pred_id,
+                    CAST(sum(CASE WHEN l.l_partkey BETWEEN pr.lo AND pr.hi
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                      AS matched_rows
+             FROM lineitem l CROSS JOIN pr GROUP BY 1)
+      SELECT layout, pred_id, lo, hi, n_blocks, n_skipped,
+             ${Numerics.sqlFix(
+               "CAST(n_skipped AS DOUBLE) / n_blocks", 4)} AS skip_frac,
+             scanned_rows, matched_rows
+      FROM sw JOIN mt USING (pred_id)
+      ORDER BY layout, pred_id"""
+    })
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162, q163, q164, q173, q174, q175, q178)
+      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182)
 }

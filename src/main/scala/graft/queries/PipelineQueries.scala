@@ -2481,11 +2481,58 @@ object PipelineQueries {
                AS BIGINT) AS n_pairs_at_or_above
       FROM b ORDER BY band"""))
 
+  // ---- q184: fuzzy entity matching (Jaro-Winkler top-k) ----
+  // Entity resolution against a reference list — the name/title/
+  // address matching step where edit distance over-penalizes
+  // transpositions: a small probe set broadcasts against the streamed
+  // corpus (the q25 kernel shape), every candidate scores through the
+  // native codegen'd JaroWinkler expression, and a per-probe window
+  // keeps the top 3. Ranking happens on the fix4-ROUNDED score (+ key
+  // tiebreak) so both engines order ties identically; DuckDB's
+  // independent jaro_winkler_similarity implementation is the
+  // cross-engine differential for the kernel itself.
+
+  val q184 = Q(
+    "q184_fuzzy_match",
+    (s, dir) => {
+      graft.GraftFunctions.register(s)
+      val part = Tables(s, dir, "part")
+      val probe = part.where(col("p_partkey") <= 5)
+        .select(col("p_partkey").as("probe_id"),
+          col("p_name").as("probe_name"))
+      val scored = part
+        .join(broadcast(probe), col("p_partkey") =!= col("probe_id"))
+        .select(col("probe_id"), col("p_partkey").as("match_key"),
+          Numerics.fix4(graft.GraftFunctions.jaroWinkler(
+            col("probe_name"), col("p_name"))).as("jw_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("jw_sim").desc, col("match_key").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy("probe_id", "rk")
+    },
+    Some(s"""
+      WITH probe AS (SELECT p_partkey AS probe_id, p_name AS probe_name
+                     FROM part WHERE p_partkey <= 5),
+      scored AS (SELECT probe_id, p.p_partkey AS match_key,
+                        ${Numerics.sqlFix(
+                          "jaro_winkler_similarity(probe_name, p.p_name)",
+                          4)} AS jw_sim
+                 FROM part p CROSS JOIN probe
+                 WHERE p.p_partkey <> probe_id),
+      rk AS (SELECT probe_id, match_key, jw_sim,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY jw_sim DESC, match_key) AS rk
+             FROM scored)
+      SELECT probe_id, match_key, jw_sim, CAST(rk AS INTEGER) AS rk
+      FROM rk WHERE rk <= 3
+      ORDER BY probe_id, rk"""))
+
   val all: Seq[Q] = Seq(
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
     q125, q126, q127, q128, q129, q131, q133, q141, q146, q151, q152,
     q154, q159, q160, q165, q166, q167, q169, q170,
-    q171, q172, q176, q177, q179, q180, q181)
+    q171, q172, q176, q177, q179, q180, q181, q184)
 }

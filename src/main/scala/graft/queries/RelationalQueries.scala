@@ -729,7 +729,48 @@ object RelationalQueries {
       GROUP BY 1
       ORDER BY o_orderstatus"""))
 
+  // ---- q183: UNPIVOT / melt (wide -> long reshape) ----
+  // The inverse of q13's pivot: measure columns melt into
+  // (measure, value) rows via the native Dataset.unpivot (codegen'd
+  // Expand — one scan emits all measures, no self-union of scans),
+  // then a per-measure exact profile. Cents floor keeps every
+  // aggregate integer-exact across engines.
+
+  val q183 = Q(
+    "q183_melt_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("quantity"),
+            col("l_discount").as("discount"), col("l_tax").as("tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("value") * 100.0 + 0.5).cast("long"))
+            .as("cents_sum"),
+          min(floor(col("value") * 100.0 + 0.5).cast("long"))
+            .as("cents_min"),
+          max(floor(col("value") * 100.0 + 0.5).cast("long"))
+            .as("cents_max"))
+        .orderBy("measure"),
+    Some("""
+      WITH m AS (
+        SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem
+        UNION ALL SELECT 'tax', l_tax FROM lineitem)
+      SELECT measure,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents_sum,
+             CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents_min,
+             CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents_max
+      FROM m GROUP BY 1 ORDER BY measure"""))
+
   val all: Seq[Q] =
     Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q19,
-      q44, q45, q46, q60, q61, q62, q67, q70, q73, q74, q81, q83)
+      q44, q45, q46, q60, q61, q62, q67, q70, q73, q74, q81, q83, q183)
 }

@@ -37,7 +37,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // |ks|-row broadcast against the VOCABULARY-grain curve (the
       // least(k, nvocab) condition references both sides, so no hash
       // key exists); the data-sized work is the TF aggregate upstream
-      "q165_vocab_coverage")
+      "q165_vocab_coverage",
+      // the q25 kernel shape: a handful of probe names broadcast
+      // against the streamed corpus, scored by the native
+      // JaroWinkler expression per row
+      "q184_fuzzy_match")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

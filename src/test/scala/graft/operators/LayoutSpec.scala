@@ -44,4 +44,31 @@ class LayoutSpec extends SparkTestBase {
       assert(r.getLong(5) - r.getLong(4) <= 63L)
     }
   }
+
+  test("skippingAudit: hand-checked blocks, skipping, amplification") {
+    val ss = spark
+    import ss.implicits._
+    // 10 rows, blockRows=4: blocks [0..3]=p 0..3, [4..7]=p 40..43,
+    // [8..9]=p 80,81 when laid out by id
+    val df = (0 until 10).map(i => (i.toLong, (i / 4) * 40L + i % 4))
+      .toDF("id", "p")
+    val out = Layout.skippingAudit(df, Seq(col("id")), col("p"),
+        blockRows = 4,
+        predicates = Seq((1, 0L, 3L), (2, 41L, 99L), (3, 500L, 600L)))
+      .orderBy("pred_id").collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(6),
+        r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (1, 3L, 2L, 4L, 4L), // only block 0 scanned; its 4 rows all match
+      (2, 3L, 1L, 6L, 5L), // blocks 1,2 scanned (6 rows), 5 match
+      (3, 3L, 3L, 0L, 0L))) // nothing overlaps: all skipped
+    // layout-order independence of the TILING: a shuffled input
+    // produces identical blocks because rank is by the layout keys
+    val shuffled = Layout.skippingAudit(df.repartition(7), Seq(col("id")),
+        col("p"), 4, Seq((1, 0L, 3L), (2, 41L, 99L), (3, 500L, 600L)))
+      .orderBy("pred_id").collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(6),
+        r.getLong(7)))
+    assert(shuffled.toSeq == out.toSeq)
+  }
 }
