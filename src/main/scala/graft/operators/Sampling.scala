@@ -239,4 +239,33 @@ object Sampling {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
+
+  /** Per-group RELATIVE quality gate — the curation quota that keeps
+    * the best `frac` of each group (per-domain/per-source quotas, so
+    * one verbose domain can't crowd out the rest): percent_rank
+    * within `groupCol` ordered by (`score` desc, `tie` asc), keep
+    * pr ≤ frac. percent_rank = (rank−1)/(n−1) is a ratio of exact
+    * integers, so the cut is engine-identical; pass an exact integer
+    * score (token count, byte length) and a unique tie for
+    * deterministic ranks. Singleton groups rank pr = 0 and are kept.
+    *
+    * Scale shape: ONE shuffle by group + per-group sort (the window);
+    * groups are domains/sources — bounded cardinality, heavy groups
+    * sort within their partitions. For exact-COUNT quotas use
+    * [[exactKPerStratum]]; this is the exact-FRACTION twin.
+    */
+  def topFracByGroup(
+      df: DataFrame,
+      groupCol: String,
+      score: Column,
+      tie: Column,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(score.desc, tie.asc)
+    graft.SparkUtil.ensureParallelism(df)
+      .withColumn("__pr", percent_rank().over(w))
+      .where(col("__pr") <= frac)
+      .drop("__pr")
+  }
 }

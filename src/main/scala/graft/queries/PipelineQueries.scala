@@ -2528,7 +2528,48 @@ object PipelineQueries {
       FROM rk WHERE rk <= 3
       ORDER BY probe_id, rk"""))
 
+  // ---- q185: per-source relative quality gate (curation quotas) ----
+  // Keep the top 20% of each source by token count: absolute-score
+  // gates (q76's cascade) let one verbose domain crowd out the rest;
+  // the per-group percentile quota is the standard mixture-control
+  // fix. percent_rank = (rank-1)/(n-1) over exact integer scores with
+  // a doc_id tiebreak, so the cut is engine-identical.
+
+  val q185 = Q(
+    "q185_group_quality_gate",
+    (s, dir) => {
+      val scored = docs(s, dir).select(col("source"), col("doc_id"),
+        size(graft.functions.Texts.words(col("text"))).cast("long")
+          .as("score"))
+      Sampling.topFracByGroup(scored, "source", col("score"),
+          col("doc_id"), frac = 0.2)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("score")).as("min_kept"),
+          max(col("score")).as("max_kept"),
+          sum(col("score")).as("kept_tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH sc AS (SELECT source, doc_id,
+                    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                      AS BIGINT) AS score
+                  FROM documents),
+      r AS (SELECT source, score,
+                   percent_rank() OVER (PARTITION BY source
+                     ORDER BY score DESC, doc_id) AS pr
+            FROM sc)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             min(score) AS min_kept,
+             max(score) AS max_kept,
+             CAST(sum(score) AS BIGINT) AS kept_tokens
+      FROM r WHERE pr <= 0.2
+      GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
+    q185,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

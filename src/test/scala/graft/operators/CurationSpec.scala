@@ -266,4 +266,31 @@ class CurationSpec extends SparkTestBase {
     run.release()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("topFracByGroup: percent-rank cut, singletons kept, deterministic") {
+    val ss = spark
+    import ss.implicits._
+    // group a: scores 10..1 over ids 1..10 -> pr = (rank-1)/9; frac
+    // 0.2 keeps ranks 1..2 (pr 0, 1/9) — NOT rank 3 (2/9 > 0.2).
+    // group b: a singleton ranks pr = 0 and is kept.
+    val df = ((1 to 10).map(i => ("a", i.toLong, 11L - i)) :+
+      (("b", 99L, 1L))).toDF("g", "id", "score")
+    val kept = graft.operators.Sampling
+      .topFracByGroup(df, "g", col("score"), col("id"), 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("a", 1L), ("a", 2L), ("b", 99L)))
+    // tie determinism: equal scores cut by the id tiebreak, and a
+    // repartitioned input yields the identical kept set
+    val ties = (1 to 10).map(i => ("t", i.toLong, 5L)).toDF("g", "id", "score")
+    val k1 = graft.operators.Sampling
+      .topFracByGroup(ties, "g", col("score"), col("id"), 0.5)
+      .collect().map(_.getLong(1)).toSet
+    val k2 = graft.operators.Sampling
+      .topFracByGroup(ties.repartition(7), "g", col("score"), col("id"), 0.5)
+      .collect().map(_.getLong(1)).toSet
+    // all scores tie: ranks follow ids, pr <= 0.5 keeps ids 1..5 + the
+    // boundary row (pr exactly (5-1)/9 < 0.5 ... ranks 1..5 have
+    // pr 0..4/9; rank 6 has 5/9 > 0.5)
+    assert(k1 == (1L to 5L).toSet && k2 == k1)
+  }
 }
