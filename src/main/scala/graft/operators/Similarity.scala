@@ -632,4 +632,54 @@ object Similarity {
         Numerics.fix4(col("n_hit").cast("double") / col("n_true"))
           .as("recall"))
   }
+
+  /** Blocked fuzzy self-join — entity resolution WITHOUT the n² scan
+    * (the record-linkage "blocking" standard): candidate pairs come
+    * only from names sharing a block key; each candidate verifies
+    * through the native [[graft.functions.expressions.JaroWinkler]]
+    * kernel; `blockKeys` is a SET of key functions (first token, last
+    * token, prefix, phonetic code, …) unioned for recall — the same
+    * multi-band recall knob as MinHash LSH, with Σ block² as the cost
+    * law (size keys so blocks stay bounded as the corpus grows).
+    *
+    * Scale discipline: everything runs at DISTINCT-NAME grain — the
+    * name table collapses the corpus first (the sig-level q84
+    * lesson), so work is independent of row counts; per-name row
+    * counts ride along for review-queue prioritization. A pair found
+    * by several keys verifies ONCE (distinct before the kernel).
+    * Output: (name_a, name_b, jw_sim, n_a, n_b), name_a < name_b,
+    * jw_sim ≥ threshold, fix4-rounded.
+    */
+  def blockedFuzzyPairs(
+      df: DataFrame,
+      nameCol: String,
+      blockKeys: Seq[Column => Column],
+      threshold: Double): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    require(threshold >= 0.0 && threshold <= 1.0, "threshold in [0,1]")
+    GraftFunctions.register(df.sparkSession)
+    val names = graft.SparkUtil.ensureParallelism(df)
+      .where(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val blocked = names.select(col("name"), col("n_rows"),
+      explode(array(blockKeys.zipWithIndex.map { case (f, i) =>
+        struct(lit(i).as("bk"), f(col("name")).as("bv"))
+      }: _*)).as("b"))
+      .select(col("name"), col("n_rows"),
+        col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val left = blocked.select(col("bk"), col("bv"),
+      col("name").as("name_a"), col("n_rows").as("n_a"))
+    val right = blocked.select(col("bk"), col("bv"),
+      col("name").as("name_b"), col("n_rows").as("n_b"))
+    left.join(right, Seq("bk", "bv"))
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "n_a", "n_b")
+      .distinct() // multi-key hits verify once
+      .select(col("name_a"), col("name_b"),
+        Numerics.fix4(GraftFunctions.jaroWinkler(
+          col("name_a"), col("name_b"))).as("jw_sim"),
+        col("n_a"), col("n_b"))
+      .where(col("jw_sim") >= threshold)
+  }
 }

@@ -2568,8 +2568,47 @@ object PipelineQueries {
       FROM r WHERE pr <= 0.2
       GROUP BY 1 ORDER BY source"""))
 
+  // ---- q186: blocked fuzzy self-join (record-linkage blocking) ----
+  // q184's probe kernel scaled to CORPUS x CORPUS: candidate pairs
+  // come only from names sharing a block key (first OR last token,
+  // unioned for recall — the multi-band knob), verified once through
+  // the native JaroWinkler expression, all at DISTINCT-NAME grain so
+  // work is Σ block² over names, independent of corpus row count.
+
+  val q186 = Q(
+    "q186_blocked_fuzzy_join",
+    (s, dir) =>
+      graft.operators.Similarity.blockedFuzzyPairs(
+          Tables(s, dir, "part"), "p_name",
+          Seq(
+            n => element_at(split(n, " "), 1),
+            n => element_at(split(n, " "), 2)),
+          threshold = 0.75)
+        .orderBy("name_a", "name_b"),
+    Some(s"""
+      WITH names AS (SELECT p_name AS name,
+                       CAST(count(*) AS BIGINT) AS n
+                     FROM part GROUP BY 1),
+      bl AS (SELECT name, n, 0 AS bk, split_part(name, ' ', 1) AS bv
+             FROM names
+             UNION ALL
+             SELECT name, n, 1, split_part(name, ' ', 2) FROM names),
+      cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+                      a.n AS n_a, b.n AS n_b
+               FROM bl a JOIN bl b
+                 ON a.bk = b.bk AND a.bv = b.bv AND a.name < b.name),
+      sc AS (SELECT name_a, name_b,
+                    ${Numerics.sqlFix(
+                      "jaro_winkler_similarity(name_a, name_b)", 4)}
+                      AS jw_sim,
+                    n_a, n_b
+             FROM cand)
+      SELECT name_a, name_b, jw_sim, n_a, n_b
+      FROM sc WHERE jw_sim >= 0.75
+      ORDER BY name_a, name_b"""))
+
   val all: Seq[Q] = Seq(
-    q185,
+    q185, q186,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -321,4 +321,35 @@ class SimilaritySpec extends SparkTestBase {
     // d1-d4 share no kept term: the pair never materializes at all
     assert(!out.exists(p => p._1 == 1L && p._2 == 4L))
   }
+
+  test("blockedFuzzyPairs: block recall, single verify, name grain") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    // "acme corp" twice (collapses to one name, n_rows=2);
+    // "acme corps" shares BOTH tokens' blocks with it (w1 and, via
+    // near-match, not w2 — "corps" != "corp" so only the w1 block);
+    // "zeta corp" shares only w2; "other thing" shares neither token
+    // with acme and must NEVER verify against it
+    val df = Seq("acme corp", "acme corp", "acme corps", "zeta corp",
+      "other thing").toDF("name")
+    val keys = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      n => element_at(split(n, " "), 1),
+      n => element_at(split(n, " "), 2))
+    val out = Similarity.blockedFuzzyPairs(df, "name", keys, 0.0)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    // candidates: (acme corp, acme corps) via w1; (acme corp, zeta
+    // corp) via w2 — each ONCE even though dup rows exist
+    assert(out.keySet == Set(
+      ("acme corp", "acme corps"), ("acme corp", "zeta corp")))
+    // the collapsed name carries its row count
+    assert(out(("acme corp", "acme corps"))._2 == 2L)
+    assert(out(("acme corp", "acme corps"))._3 == 1L)
+    // threshold filters verified pairs
+    val strict = Similarity.blockedFuzzyPairs(df, "name", keys, 0.99)
+      .collect()
+    assert(strict.isEmpty)
+  }
 }
