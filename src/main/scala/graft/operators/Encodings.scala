@@ -60,19 +60,47 @@ object Encodings {
     * (the packingMap discipline). The ntile bucket is then closed-form
     * integer arithmetic on the global rank.
     */
+  /** [[equiDepthHistogram]]'s result plus the handle releasing the
+    * cached ranked rows (see the persistence note there).
+    */
+  final class EquiDepthRun private[operators] (
+      val result: DataFrame,
+      ranked: DataFrame) {
+    def release(): Unit = { ranked.unpersist(): Unit }
+  }
+
+  /** NOTE: leaves the ranked row set cached; sessions building many
+    * histograms should use [[equiDepthHistogramRun]] and `release()`
+    * after materializing.
+    */
   def equiDepthHistogram(
       df: DataFrame,
       valCol: String,
       tieCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    equiDepthHistogramRun(df, valCol, tieCol, k).result
+
+  def equiDepthHistogramRun(
+      df: DataFrame,
+      valCol: String,
+      tieCol: String,
+      k: Int): EquiDepthRun = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val parts = graft.SparkUtil.ensureParallelism(df)
+    // PERSISTED for the same reason as Layout.skippingAuditRun (where
+    // the failure was CAUGHT at sf0.1, round 12): repartitionByRange
+    // re-samples its boundaries per physical execution and
+    // spark_partition_id() is nondeterministic-tagged, which blocks
+    // exchange reuse — an un-persisted prefix branch can see DIFFERENT
+    // partitions than the rank branch and the __pid equi-join silently
+    // drops rows. One cached RDD = one set of boundaries everywhere.
+    val wLoc = Window.partitionBy("__pid").orderBy(col(valCol), col(tieCol))
+    val local = graft.SparkUtil.ensureParallelism(df)
       .select(col(valCol), col(tieCol))
       .repartitionByRange(col(valCol), col(tieCol))
       .withColumn("__pid", spark_partition_id())
-    val wLoc = Window.partitionBy("__pid").orderBy(col(valCol), col(tieCol))
-    val local = parts.withColumn("__rn", row_number().over(wLoc))
+      .withColumn("__rn", row_number().over(wLoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wPre = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
@@ -97,7 +125,7 @@ object Encodings {
       .otherwise(when(base > 0,
         rem + idiv(col("__r") - cut - 1, base) + 1)
         .otherwise(col("__r"))) // n < k: one row per bucket
-    ranked
+    val result = ranked
       .withColumn("bucket", bucket.cast("int"))
       .groupBy("bucket")
       .agg(
@@ -105,5 +133,6 @@ object Encodings {
         min(col(valCol)).as("lo"),
         max(col(valCol)).as("hi"),
         sum(col(valCol).cast("long")).as("value_sum"))
+    new EquiDepthRun(result, local)
   }
 }

@@ -58,12 +58,33 @@ object Layout {
     * scan. Output: (pred_id, lo, hi, n_blocks, n_skipped, skip_frac,
     * scanned_rows, matched_rows) — all exact integers + one fix4.
     */
+  /** [[skippingAudit]]'s result plus the handle releasing the cached
+    * ranked rows (see the persistence note there).
+    */
+  final class SkippingAuditRun private[operators] (
+      val result: DataFrame,
+      ranked: DataFrame) {
+    def release(): Unit = { ranked.unpersist(): Unit }
+  }
+
+  /** NOTE: leaves the ranked row set cached; sessions auditing many
+    * layouts should use [[skippingAuditRun]] and `release()` after
+    * materializing.
+    */
   def skippingAudit(
       df: DataFrame,
       layoutKeys: Seq[Column],
       probe: Column,
       blockRows: Int,
-      predicates: Seq[(Int, Long, Long)]): DataFrame = {
+      predicates: Seq[(Int, Long, Long)]): DataFrame =
+    skippingAuditRun(df, layoutKeys, probe, blockRows, predicates).result
+
+  def skippingAuditRun(
+      df: DataFrame,
+      layoutKeys: Seq[Column],
+      probe: Column,
+      blockRows: Int,
+      predicates: Seq[(Int, Long, Long)]): SkippingAuditRun = {
     require(blockRows >= 1, "blockRows must be >= 1")
     require(predicates.nonEmpty, "need at least one predicate")
     import org.apache.spark.sql.expressions.Window
@@ -71,10 +92,22 @@ object Layout {
     val kcols = layoutKeys.indices.map(i => col(s"__k$i"))
     val base = graft.SparkUtil.ensureParallelism(df)
       .select(ks :+ probe.cast("long").as("__p"): _*)
-    val parts = base.repartitionByRange(kcols: _*)
+    // The ranked rows are PERSISTED — correctness, not speed (found
+    // at sf0.1, round 12): repartitionByRange samples its boundaries
+    // per physical execution, and spark_partition_id() is
+    // nondeterministic-tagged, which BLOCKS exchange reuse — so the
+    // prefix branch and the block branch would otherwise re-execute
+    // the range shuffle with DIFFERENT boundaries, and the __pid
+    // equi-join silently drops whole partitions (91-vs-147-block
+    // nondeterminism, rows lost). One InMemoryRelation over one child
+    // RDD pins one set of boundaries for both branches; recomputed
+    // partitions re-derive from the same RDD id, hence the same
+    // sampled boundaries.
+    val local = base.repartitionByRange(kcols: _*)
       .withColumn("__pid", spark_partition_id())
-    val local = parts.withColumn("__rn",
-      row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
       .select(col("__pid"),
         coalesce(sum(col("__c")).over(
@@ -104,8 +137,9 @@ object Layout {
         sum(when(!col("__skip"), col("__n")).otherwise(0L))
           .as("scanned_rows"))
     // matched rows per predicate: one conditional aggregate over the
-    // scan, unpivoted from its single row — no row multiplication
-    val matchedRow = base.agg(
+    // cached ranked rows, unpivoted from its single row — no row
+    // multiplication, no extra scan of the source
+    val matchedRow = local.agg(
       count(lit(1)).as("__dummy"),
       predicates.map { case (id, lo, hi) =>
         sum(when(col("__p").between(lo, hi), 1L).otherwise(0L))
@@ -115,13 +149,14 @@ object Layout {
       case (id, _, _) =>
         struct(lit(id).as("pred_id"), col(s"__m$id").as("matched_rows"))
     }: _*)).as("m")).select(col("m.pred_id"), col("m.matched_rows"))
-    swept.join(broadcast(matched), "pred_id")
+    val result = swept.join(broadcast(matched), "pred_id")
       .select(col("pred_id"), col("lo"), col("hi"), col("n_blocks"),
         col("n_skipped"),
         graft.functions.Numerics.fix4(
           col("n_skipped").cast("double") / col("n_blocks"))
           .as("skip_frac"),
         col("scanned_rows"), col("matched_rows"))
+    new SkippingAuditRun(result, local)
   }
 
   /** Z-order locality readout: normalize (xCol, yCol) onto a
