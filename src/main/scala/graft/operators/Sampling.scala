@@ -94,22 +94,49 @@ object Sampling {
     * sizes. Output: (idCol, n_tokens, start_offset, first_seq,
     * last_seq, n_seqs).
     */
+  /** [[packingMap]]'s result plus the handle releasing the cached
+    * cumsum rows (see the persistence note there).
+    */
+  final class PackingMapRun private[operators] (
+      val result: DataFrame,
+      local: DataFrame) {
+    def release(): Unit = { local.unpersist(): Unit }
+  }
+
+  /** NOTE: leaves the per-partition cumsum rows cached; sessions
+    * building many packing maps should use [[packingMapRun]] and
+    * `release()` after materializing.
+    */
   def packingMap(
       df: DataFrame,
       idCol: String,
       tokensCol: String,
       seqLen: Long,
-      seed: Int = 0): DataFrame = {
+      seed: Int = 0): DataFrame =
+    packingMapRun(df, idCol, tokensCol, seqLen, seed).result
+
+  def packingMapRun(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      seed: Int = 0): PackingMapRun = {
     require(seqLen >= 1, "seqLen must be >= 1")
-    val parts = graft.SparkUtil.ensureParallelism(df)
+    // PERSISTED like Layout.skippingAuditRun (the round-12 rank trap):
+    // repartitionByRange samples boundaries per execution and
+    // spark_partition_id() blocks exchange reuse, so the un-persisted
+    // prefix branch could see a DIFFERENT partitioning than the join
+    // branch and the __pid equi-join would silently drop partitions.
+    val local = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
         Hashes.hash60(col(idCol).cast("string"), seed).as("__ord"))
       .where(col("n_tokens") > 0)
       .repartitionByRange(col("__ord"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-    val wLoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(col("__ord"), col(idCol))
-    val local = parts.withColumn("__e", sum(col("n_tokens")).over(wLoc))
+      .withColumn("__e", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__pid").orderBy(col("__ord"), col(idCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wPre = org.apache.spark.sql.expressions.Window
       .orderBy("__pid")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -118,7 +145,7 @@ object Sampling {
     val prefix = local.groupBy("__pid").agg(sum(col("n_tokens")).as("__tot"))
       .withColumn("__pre", coalesce(sum(col("__tot")).over(wPre), lit(0L)))
       .select(col("__pid"), col("__pre"))
-    local.join(broadcast(prefix), "__pid")
+    val result = local.join(broadcast(prefix), "__pid")
       .select(col(idCol), col("n_tokens"),
         (col("__e") + col("__pre") - col("n_tokens")).as("start_offset"),
         (col("__e") + col("__pre")).as("__end"))
@@ -126,6 +153,7 @@ object Sampling {
         expr(s"start_offset DIV ${seqLen}L").as("first_seq"),
         expr(s"(__end - 1) DIV ${seqLen}L").as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+    new PackingMapRun(result, local)
   }
 
   /** Temperature-based mixture reweighting — the sampling-weight table

@@ -1226,9 +1226,17 @@ object PipelineQueries {
 
   val q113 = Q(
     "q113_packing_map",
-    (s, dir) =>
-      Sampling.packingMap(docs(s, dir), "doc_id", "n_chars", seqLen = 2048)
-        .orderBy("doc_id"),
+    (s, dir) => {
+      // Run + stage + release (the q175/q182 pattern): a production
+      // packing job materializes the map anyway; staging it lets the
+      // cached cumsum rows release before the query returns
+      val run = Sampling.packingMapRun(
+        docs(s, dir), "doc_id", "n_chars", seqLen = 2048)
+      val p = s"${Scratch.dir(s, "q113_pack_")}/m"
+      run.result.write.mode("overwrite").parquet(p)
+      run.release()
+      s.read.parquet(p).orderBy("doc_id")
+    },
     Some("""
       WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
                         ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
