@@ -268,6 +268,46 @@ object Sampling {
       .where(col("rk") <= k)
   }
 
+  /** Realize a sampling-factor mixture DETERMINISTICALLY — the step
+    * that turns [[mixtureWeights]]' per-group `sampling_factor` into
+    * an actual resampled dataset: each row emits `floor(f)` copies
+    * plus one more iff its id-hash permille (base 10000) falls under
+    * the fractional part — so downsampling (f < 1) is a stable
+    * hash-subset and upsampling (f > 1) replicates with a stable
+    * fractional remainder, reproducible across runs, partitionings
+    * and engines (no `rand()`, the [[splitColumn]] discipline).
+    * Output: the input columns plus `copy` (0-based replica index).
+    *
+    * Exactness: `factorCol` is expected fix4-rounded (as
+    * [[mixtureWeights]] emits); one `round(f·10000)` recovers the
+    * exact integer f10k and every decision is integer arithmetic
+    * (whole = f10k DIV 10000, threshold = f10k MOD 10000).
+    * Scale shape: the factor table is group-grain (AQE broadcasts it
+    * when small); the explode emits exactly the output rows.
+    */
+  def realizeMixture(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      factors: DataFrame,
+      factorCol: String = "sampling_factor",
+      seed: Int = 0): DataFrame = {
+    val f = factors.select(col(groupCol),
+      round(col(factorCol).cast("double") * 10000).cast("long")
+        .as("__f10k"))
+    val h = pmod(Hashes.hash60(col(idCol).cast("string"), seed),
+      lit(10000L))
+    val copies = (floor(col("__f10k") / 10000.0).cast("long") +
+      when(h < col("__f10k") % 10000, 1L).otherwise(0L))
+    graft.SparkUtil.ensureParallelism(df)
+      .join(f, groupCol)
+      .withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .withColumn("copy", col("copy").cast("int"))
+      .drop("__f10k", "__copies")
+  }
+
   /** Per-group RELATIVE quality gate — the curation quota that keeps
     * the best `frac` of each group (per-domain/per-source quotas, so
     * one verbose domain can't crowd out the rest): percent_rank

@@ -2615,8 +2615,56 @@ object PipelineQueries {
       FROM sc WHERE jw_sim >= 0.75
       ORDER BY name_a, name_b"""))
 
+  // ---- q187: deterministic mixture realization ----
+  // q114's weights made real: per-source sampling factors (α = 0.5
+  // temperature) realize into an actual resampled corpus — floor(f)
+  // copies per doc plus a hash-thresholded fractional copy, no
+  // rand(), reproducible under any partitioning. The audit per source
+  // pins the emitted row count, surviving distinct docs, and the
+  // replica-index ceiling.
+
+  val q187 = Q(
+    "q187_mixture_realize",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val factors = Sampling.mixtureWeights(d, "source", alpha = 0.5)
+      Sampling.realizeMixture(d, "source", "doc_id", factors)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_rows_out"),
+          countDistinct(col("doc_id")).as("n_docs_kept"),
+          max(col("copy")).as("max_copy"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+      t AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+      s AS (SELECT CAST(sum(w) AS DOUBLE) AS tw,
+                   CAST(sum(n_docs) AS BIGINT) AS tn
+            FROM t),
+      f AS (SELECT source,
+                   CAST(round((floor((w / tw * tn / n_docs) * 10000 + 0.5)
+                     / 10000) * 10000) AS BIGINT) AS f10k
+            FROM t, s),
+      per_doc AS (
+        SELECT d.source, d.doc_id,
+               CAST(floor(CAST(f.f10k AS DOUBLE) / 10000.0) AS BIGINT) +
+                 (CASE WHEN ('0x'||substr(md5('0|'||CAST(d.doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 10000 < f.f10k % 10000
+                       THEN 1 ELSE 0 END) AS copies
+        FROM documents d JOIN f ON f.source = d.source)
+      SELECT source,
+             CAST(sum(copies) AS BIGINT) AS n_rows_out,
+             CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT)
+               AS n_docs_kept,
+             CAST(max(copies) - 1 AS INTEGER) AS max_copy
+      FROM per_doc
+      GROUP BY 1 HAVING sum(copies) > 0
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186,
+    q185, q186, q187,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -267,6 +267,35 @@ class CurationSpec extends SparkTestBase {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("realizeMixture: floor copies + hash fraction, deterministic") {
+    val ss = spark
+    import ss.implicits._
+    val df = (1L to 100L).map(i =>
+      (if (i <= 50) "big" else "small", i)).toDF("g", "id")
+    val factors = Seq(("big", 0.5), ("small", 2.3))
+      .toDF("g", "sampling_factor")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.operators.Sampling
+      .realizeMixture(d, "g", "id", factors)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val out = run(df)
+    val big = out.filter(_._1 == "big")
+    val small = out.filter(_._1 == "small")
+    // downsample: every kept big row exactly once, roughly half kept
+    assert(big.forall(_._3 == 0))
+    assert(big.length > 10 && big.length < 40,
+      s"hash-half kept ${big.length} of 50")
+    // upsample 2.3x: every small id at least twice, some thrice; copy
+    // indexes tile 0..copies-1
+    val byId = small.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byId.size == 50) // f >= 1 keeps every row
+    assert(byId.values.forall(cs => cs.toSeq == (0 until cs.length)))
+    assert(byId.values.forall(cs => cs.length == 2 || cs.length == 3))
+    val triples = byId.values.count(_.length == 3)
+    assert(triples > 5 && triples < 25, s"~30% should triple, got $triples")
+    // reproducible under repartitioning — the no-rand() contract
+    assert(run(df.repartition(13)).sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("topFracByGroup: percent-rank cut, singletons kept, deterministic") {
     val ss = spark
     import ss.implicits._
