@@ -36,11 +36,19 @@ object Graphs {
     * the "canonical" member of a big duplicate neighborhood). Fixed
     * `iters` power iterations, damping 0.85.
     *
-    * Exactness discipline: each iteration's ranks are fix4-ROUNDED, so
-    * every engine hands the next iteration bit-identical inputs — the
-    * per-iteration float-sum noise (~1e-16, from inflow summation
-    * order) can never compound across iterations. In the SYMMETRIZED
-    * graph every edge-set node has degree >= 1, so there is no dangling
+    * Exactness discipline (tightened round 12 after an sf0.1 boundary
+    * flip): the whole recurrence is FIXED-POINT INTEGER arithmetic —
+    * ranks live at 1e4 scale (BIGINT), each in-edge contributes
+    * `(r·10⁴) DIV outdeg` (scale 1e8), and the damped update is
+    * `(100−d)·100 + (d·Σcontrib + 5·10⁵) DIV 10⁶` with the damping as
+    * an integer percent. Integer sums are ORDER-INDEPENDENT, so the
+    * result is bit-identical across engines, partitionings and scale —
+    * the earlier fix4-per-iteration float form still summed doubles
+    * inside each iteration, and at sf0.1 one node in 5000 landed on a
+    * rounding half-boundary and flipped by 1e-4 between engines. The
+    * floor in the contribution costs < 1e-8 per edge — far below the
+    * 1e-4 output grain, and identical everywhere. In the SYMMETRIZED
+    * graph every edge-set node has degree ≥ 1, so there is no dangling
     * mass anywhere; nodes absent from the edge set take the
     * teleport-only fixed point (1 − damping).
     *
@@ -73,6 +81,10 @@ object Graphs {
       iters: Int = 3,
       damping: Double = 0.85): PagerankRun = {
     require(iters >= 1, "iters must be >= 1")
+    val d100 = math.round(damping * 100).toInt
+    require(d100 >= 1 && d100 <= 99,
+      s"damping must round to an integer percent in [0.01, 0.99], got $damping")
+    val base10k = ((100 - d100) * 100).toLong // (1 - d) at 1e4 scale
     val e = graft.SparkUtil.ensureParallelism(pairs)
       .select(col(aCol).cast("long").as("a0"), col(bCol).cast("long").as("b0"))
       .select(least(col("a0"), col("b0")).as("a"),
@@ -85,21 +97,21 @@ object Graphs {
     val edges = sym.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1.0).as("rank"))
+      .select(col("id"), lit(10000L).as("r10k"))
     (1 to iters).foreach { _ =>
       ranks = edges
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .join(ranks.select(col("id").as("src"), col("r10k")), "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("inflow"))
+        .agg(sum(expr("(r10k * 10000) DIV outdeg")).as("inflow"))
         .select(col("dst").as("id"),
-          graft.functions.Numerics.fix4(
-            lit(1 - damping) + lit(damping) * col("inflow")).as("rank"))
+          (lit(base10k) +
+            expr(s"($d100 * inflow + 500000) DIV 1000000")).as("r10k"))
     }
     val result = allIds.select(col(idCol).cast("long").as(idCol))
       .join(ranks.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
-        graft.functions.Numerics.fix4(
-          coalesce(col("rank"), lit(1 - damping))).as("rank"))
+        (coalesce(col("r10k"), lit(base10k)).cast("double") / 10000.0)
+          .as("rank"))
     new PagerankRun(result, edges)
   }
 

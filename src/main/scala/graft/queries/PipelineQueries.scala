@@ -1299,12 +1299,13 @@ object PipelineQueries {
            >> $shift) & 1)-1 for x in sh]) > 0
            THEN ${1 << k} ELSE 0 END)"""
       }.mkString(" + ")
-      val tele = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
-      val damp = "CAST(0.85 AS DOUBLE)"
+      // the fixed-point integer recurrence (see Graphs.pagerankRun):
+      // order-independent BIGINT sums, bit-identical across engines
       def iterCte(prev: String, cur: String) =
         s"""$cur AS (SELECT s.dst AS id,
-                   ${Numerics.sqlFix(
-          s"$tele + $damp * sum(p.r / dg.outdeg)", 4)} AS r
+                   CAST(1500 AS BIGINT) +
+                     (85 * CAST(sum((p.r * 10000) // dg.outdeg) AS BIGINT)
+                       + 500000) // 1000000 AS r
              FROM sym s JOIN dg ON dg.src = s.src
                   JOIN $prev p ON p.id = s.src
              GROUP BY s.dst)"""
@@ -1319,12 +1320,12 @@ object PipelineQueries {
               UNION ALL SELECT b, a FROM e),
       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
              FROM sym GROUP BY 1),
-      r0 AS (SELECT src AS id, CAST(1 AS DOUBLE) AS r FROM dg),
+      r0 AS (SELECT src AS id, CAST(10000 AS BIGINT) AS r FROM dg),
       ${iterCte("r0", "r1")},
       ${iterCte("r1", "r2")},
       ${iterCte("r2", "r3")}
       SELECT d.doc_id,
-             coalesce(r3.r, ${Numerics.sqlFix(tele, 4)}) AS rank
+             CAST(coalesce(r3.r, 1500) AS DOUBLE) / 10000.0 AS rank
       FROM documents d LEFT JOIN r3 ON r3.id = d.doc_id
       ORDER BY d.doc_id"""
     })

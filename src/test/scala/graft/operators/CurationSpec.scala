@@ -247,20 +247,21 @@ class CurationSpec extends SparkTestBase {
     val out = run.result.collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
-    // reference recompute with the same per-iteration fix4 discipline
-    def fix4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    // reference recompute with the same fixed-point integer
+    // recurrence (ranks at 1e4 scale; contributions floored at 1e8)
     val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
       4L -> Seq(1L), 5L -> Seq(6L, 7L), 6L -> Seq(5L, 7L), 7L -> Seq(6L, 5L))
-    var r = adj.keys.map(_ -> 1.0).toMap
+    var r = adj.keys.map(_ -> 10000L).toMap
     (1 to 3).foreach { _ =>
       r = adj.keys.map { v =>
         val inflow = adj.collect {
-          case (u, outs) if outs.contains(v) => r(u) / outs.size
+          case (u, outs) if outs.contains(v) => r(u) * 10000L / outs.size
         }.sum
-        v -> fix4(1 - 0.85 + 0.85 * inflow)
+        v -> (1500L + (85L * inflow + 500000L) / 1000000L)
       }.toMap
     }
-    adj.keys.foreach(v => assert(out(v) == r(v), s"node $v"))
+    adj.keys.foreach(v =>
+      assert(out(v) == r(v).toDouble / 10000.0, s"node $v"))
     assert(out(9L) == 0.15) // isolated: teleport-only fixed point
     assert(out(1L) > out(2L)) // the hub outranks its leaves
     run.release()
