@@ -41,7 +41,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // the q25 kernel shape: a handful of probe names broadcast
       // against the streamed corpus, scored by the native
       // JaroWinkler expression per row
-      "q184_fuzzy_match")
+      "q184_fuzzy_match",
+      // composes q114's whitelisted kernel (group-table-sized × 1-row
+      // broadcast scalar attach inside mixtureWeights)
+      "q187_mixture_realize")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>
