@@ -97,6 +97,9 @@ object ScratchSpace {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
+    require(st.getLen <= Int.MaxValue,
+      s"readBytes loads the whole file into one array; $file is " +
+        s"${st.getLen} bytes (> 2 GiB) — stream it instead")
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0L, buf) finally in.close()
@@ -139,10 +142,14 @@ object ScratchSpace {
         .sortBy(_.getPath.getName)
         .foreach { st =>
           digest.update(st.getPath.getName.getBytes("UTF-8"))
-          val buf = new Array[Byte](st.getLen.toInt)
+          // stream the bytes through the digest — no whole-file
+          // buffer, so >2 GiB partition files digest fine
           val in = fs.open(st.getPath)
-          try in.readFully(0L, buf) finally in.close()
-          digest.update(buf)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n > 0) { digest.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
         }
       d.getPath.getName -> digest.digest().map("%02x".format(_)).mkString
     }.toMap

@@ -153,7 +153,12 @@ object JpegEncoder {
       }
       val cu = if (u == 0) InvSqrt2 else 1.0
       val cvv = if (v == 0) InvSqrt2 else 1.0
-      zz(k) = math.round(cu * cvv * sum / 4.0 / quant(k)).toInt
+      val q = math.round(cu * cvv * sum / 4.0 / quant(k)).toInt
+      // Annex K AC Huffman tables encode size categories 1-10 only
+      // (|coef| <= 1023); with FlatQuant a sign-matched checkerboard
+      // can hit 1024, so clamp AC instead of dying on a Map miss.
+      // DC (k == 0) supports size 11 and needs no clamp.
+      zz(k) = if (k == 0) q else math.max(-1023, math.min(1023, q))
       k += 1
     }
     zz

@@ -69,16 +69,21 @@ object Encodings {
     def release(): Unit = { ranked.unpersist(): Unit }
   }
 
-  /** NOTE: leaves the ranked row set cached; sessions building many
-    * histograms should use [[equiDepthHistogramRun]] and `release()`
-    * after materializing.
+  /** Convenience form: materializes the (k-bucket) histogram via an
+    * eager localCheckpoint and releases the cached ranked rows
+    * immediately — repeated calls cannot accumulate executor cache.
+    * Use [[equiDepthHistogramRun]] + `release()` to keep the lineage.
     */
   def equiDepthHistogram(
       df: DataFrame,
       valCol: String,
       tieCol: String,
-      k: Int): DataFrame =
-    equiDepthHistogramRun(df, valCol, tieCol, k).result
+      k: Int): DataFrame = {
+    val run = equiDepthHistogramRun(df, valCol, tieCol, k)
+    val out = run.result.localCheckpoint(true)
+    run.release()
+    out
+  }
 
   def equiDepthHistogramRun(
       df: DataFrame,

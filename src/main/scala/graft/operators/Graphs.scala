@@ -333,8 +333,13 @@ object Graphs {
     def release(): Unit = { edges.unpersist(); ids.unpersist(): Unit }
   }
 
-  /** NOTE: leaves the symmetric edge list cached (each round's join
-    * references it). Sessions running many propagations should use
+  /** Convenience form: materializes the labels via an eager
+    * localCheckpoint and releases the cached edge/id sets immediately,
+    * so repeated calls cannot accumulate executor cache (the round-12
+    * footgun). The returned frame holds only its own node-grain rows,
+    * reclaimed by the ContextCleaner once the caller drops it. Loops
+    * that want to keep the lineage (or run on flaky executors, where
+    * non-reliable local checkpoints can be lost) should use
     * [[labelPropagationRun]] and `release()` after materializing.
     */
   def labelPropagation(
@@ -343,8 +348,12 @@ object Graphs {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      rounds: Int = 2): DataFrame =
-    labelPropagationRun(allIds, idCol, pairs, aCol, bCol, rounds).result
+      rounds: Int = 2): DataFrame = {
+    val run = labelPropagationRun(allIds, idCol, pairs, aCol, bCol, rounds)
+    val out = run.result.localCheckpoint(true)
+    run.release()
+    out
+  }
 
   /** [[labelPropagation]] with the cache-release handle. */
   def labelPropagationRun(
@@ -422,9 +431,10 @@ object Graphs {
     def release(): Unit = { und.unpersist(): Unit }
   }
 
-  /** NOTE: leaves the normalized edge list cached (three references).
-    * Sessions auditing many partitions should use [[modularityRun]]
-    * and `release()` after materializing.
+  /** Convenience form: materializes the (single-row) score via an
+    * eager localCheckpoint and releases the cached edge list
+    * immediately — repeated audits cannot accumulate executor cache.
+    * Use [[modularityRun]] + `release()` to keep the lineage instead.
     */
   def modularity(
       labels: DataFrame,
@@ -432,8 +442,12 @@ object Graphs {
       communityCol: String,
       pairs: DataFrame,
       aCol: String,
-      bCol: String): DataFrame =
-    modularityRun(labels, idCol, communityCol, pairs, aCol, bCol).result
+      bCol: String): DataFrame = {
+    val run = modularityRun(labels, idCol, communityCol, pairs, aCol, bCol)
+    val out = run.result.localCheckpoint(true)
+    run.release()
+    out
+  }
 
   /** [[modularity]] with the cache-release handle. */
   def modularityRun(

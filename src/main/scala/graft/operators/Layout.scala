@@ -67,17 +67,22 @@ object Layout {
     def release(): Unit = { ranked.unpersist(): Unit }
   }
 
-  /** NOTE: leaves the ranked row set cached; sessions auditing many
-    * layouts should use [[skippingAuditRun]] and `release()` after
-    * materializing.
+  /** Convenience form: materializes the (predicate-grain) audit via
+    * an eager localCheckpoint and releases the cached ranked rows
+    * immediately — repeated audits cannot accumulate executor cache.
+    * Use [[skippingAuditRun]] + `release()` to keep the lineage.
     */
   def skippingAudit(
       df: DataFrame,
       layoutKeys: Seq[Column],
       probe: Column,
       blockRows: Int,
-      predicates: Seq[(Int, Long, Long)]): DataFrame =
-    skippingAuditRun(df, layoutKeys, probe, blockRows, predicates).result
+      predicates: Seq[(Int, Long, Long)]): DataFrame = {
+    val run = skippingAuditRun(df, layoutKeys, probe, blockRows, predicates)
+    val out = run.result.localCheckpoint(true)
+    run.release()
+    out
+  }
 
   def skippingAuditRun(
       df: DataFrame,

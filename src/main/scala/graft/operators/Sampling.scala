@@ -103,17 +103,22 @@ object Sampling {
     def release(): Unit = { local.unpersist(): Unit }
   }
 
-  /** NOTE: leaves the per-partition cumsum rows cached; sessions
-    * building many packing maps should use [[packingMapRun]] and
-    * `release()` after materializing.
+  /** Convenience form: materializes the packing map via an eager
+    * localCheckpoint and releases the cached cumsum rows immediately —
+    * repeated calls cannot accumulate executor cache. Use
+    * [[packingMapRun]] + `release()` to keep the lineage instead.
     */
   def packingMap(
       df: DataFrame,
       idCol: String,
       tokensCol: String,
       seqLen: Long,
-      seed: Int = 0): DataFrame =
-    packingMapRun(df, idCol, tokensCol, seqLen, seed).result
+      seed: Int = 0): DataFrame = {
+    val run = packingMapRun(df, idCol, tokensCol, seqLen, seed)
+    val out = run.result.localCheckpoint(true)
+    run.release()
+    out
+  }
 
   def packingMapRun(
       df: DataFrame,

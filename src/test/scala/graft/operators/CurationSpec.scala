@@ -60,16 +60,41 @@ class CurationSpec extends SparkTestBase {
     val ids = spark.range(1, 201).toDF("doc_id")
     // a 200-node chain: diameter 199; each round is one edge hop plus
     // a pointer jump, so reach grows ~2^round — 3 rounds cover ~2^3
-    // hops, far short of the chain, and the guard must throw
+    // hops, far short of the chain, and the guard must throw. Force
+    // the DISTRIBUTED loop: a 199-edge graph would otherwise take the
+    // adaptive local union-find path, which has no round bound.
     val chain = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] {
-      Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 3).collect()
-    }
-    assert(e.getMessage.contains("converge"))
-    // and with doubling reach, 20 rounds (2^20 >> 199) fully collapse it
-    val ok = Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 20)
-      .collect().map(r => r.getLong(1)).toSet
-    assert(ok == Set(1L))
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 3).collect()
+      }
+      assert(e.getMessage.contains("converge"))
+      // with doubling reach, 20 rounds (2^20 >> 199) fully collapse it
+      val ok = Dedup.clustersFromPairs(ids, "doc_id", chain, maxIter = 20)
+        .collect().map(r => r.getLong(1)).toSet
+      assert(ok == Set(1L))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+  }
+
+  test("clustersFromPairs local and distributed paths agree") {
+    val ss = spark
+    import ss.implicits._
+    val ids = spark.range(1, 41).toDF("doc_id")
+    // two chains, one triangle, singletons
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      (20L to 24L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L))).toDF("id_a", "id_b")
+    val local = Dedup.clustersFromPairs(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    val dist =
+      try Dedup.clustersFromPairs(ids, "doc_id", pairs, maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+    assert(local == dist)
+    assert(local(10L) == 1L && local(25L) == 20L && local(32L) == 30L
+      && local(15L) == 15L)
   }
 
   test("splitColumn is deterministic, complete and respects rates") {
