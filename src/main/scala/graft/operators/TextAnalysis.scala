@@ -912,6 +912,24 @@ object TextAnalysis {
     * Output: (iter, symbol_a, symbol_b, pair_count) — top-k pairs per
     * iteration, ordered (iter, pair_count DESC, symbol_a, symbol_b).
     */
+  /** Word-frequency table the BPE trainer iterates on (vocabulary-
+    * grain; 1-char words carry no pairs and are excluded).
+    */
+  private def bpeWordFreq(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(Texts.words(col(textCol))).as("word"))
+    .where(length(col("word")) >= 2)
+    .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent-pair counts over a (word, freq) table. */
+  private def bpePairCounts(wf: DataFrame): DataFrame = wf
+    .where(length(col("word")) >= 2)
+    .select(
+      explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"),
+      col("freq"))
+    .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+
   def bpeMergeSteps(
       df: DataFrame,
       textCol: String,
@@ -919,19 +937,9 @@ object TextAnalysis {
       topK: Int = 10): DataFrame = {
     require(iters >= 1 && iters < 32, "iters must be in [1, 32)")
     val spark = df.sparkSession
-    val wf0 = df
-      .select(explode(Texts.words(col(textCol))).as("word"))
-      .where(length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val wf0 = bpeWordFreq(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def pairCounts(wf: DataFrame): DataFrame = wf
-      .where(length(col("word")) >= 2)
-      .select(
-        explode(expr(
-          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
-          .as("pair"),
-        col("freq"))
-      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+    def pairCounts(wf: DataFrame): DataFrame = bpePairCounts(wf)
     var expansions = Map.empty[Char, String]
     def expand(sym: String): String =
       sym.flatMap(ch => expansions.getOrElse(ch, ch.toString))
@@ -960,6 +968,113 @@ object TextAnalysis {
       .toDF("iter", "symbol_a", "symbol_b", "pair_count")
       .orderBy(col("iter"), col("pair_count").desc,
         col("symbol_a"), col("symbol_b"))
+  }
+
+  /** The trainer half of BPE tokenization as an ARTIFACT: the ordered
+    * merge table [[bpeMergeSteps]] audits, returned as data. Entry i
+    * is (pair, symbol): `pair` is the 2-char placeholder-representation
+    * string merged at step i+1 (its merged token becomes the
+    * placeholder char chr(i+1) in subsequent steps), `symbol` the
+    * fully-expanded readable form. Same decision rule as
+    * [[bpeMergeSteps]] — exact long counts, (count DESC, pair) tie-
+    * break — so both are engine-replayable. Each iteration collects
+    * exactly ONE row (the winning pair): the merge table is the
+    * tokenizer being built, driver-state by nature; corpus-sized work
+    * stays in the one scan behind the word-frequency aggregate.
+    */
+  def bpeTrainMerges(
+      df: DataFrame,
+      textCol: String,
+      iters: Int): Seq[(String, String)] = {
+    require(iters >= 1 && iters < 32, "iters must be in [1, 32)")
+    val wf0 = bpeWordFreq(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var expansions = Map.empty[Char, String]
+    def expand(sym: String): String =
+      sym.flatMap(ch => expansions.getOrElse(ch, ch.toString))
+    var wf = wf0
+    val out = Seq.newBuilder[(String, String)]
+    var it = 1
+    var dry = false
+    while (it <= iters && !dry) {
+      val top = bpePairCounts(wf)
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val best = top.head.getString(0)
+        out += ((best, expand(best)))
+        expansions += (it.toChar -> expand(best))
+        wf = wf.withColumn("word",
+          call_function("replace",
+            col("word"), lit(best), lit(it.toChar.toString)))
+      }
+      it += 1
+    }
+    wf0.unpersist()
+    out.result()
+  }
+
+  /** BPE apply/encode — tokenize a corpus with a learned merge table
+    * (the missing twin of [[bpeTrainMerges]]; together they make token
+    * counting tokenizer-true instead of whitespace/regex-grade).
+    *
+    * `merges` is [[bpeTrainMerges]]' pair column: rank-i's 2-char
+    * placeholder-representation pair rewrites to chr(i+1), applied in
+    * rank order as left-to-right non-overlapping `replace` — exactly
+    * the trainer's rewrite, so train-then-encode round-trips. The
+    * merge list rides the plan as `iters` chained codegen'd `replace`
+    * literals (a merge table is tokenizer-artifact-sized — KBs — so
+    * literal-chaining IS the broadcast); the corpus scan stays one
+    * WholeStageCodegen pass, no shuffle until the caller aggregates.
+    *
+    * Output is token-grain: (idCol, word_idx, char_idx, token,
+    * token_id) where (word_idx, char_idx) orders tokens within the
+    * doc, `token` is the readable (expanded) symbol and `token_id` is
+    * deterministic across engines: merged symbols (placeholders
+    * chr(1..31)) get 255 + rank, base characters their code point —
+    * the byte-fallback id scheme real BPE vocabularies use.
+    * Concatenating a word's tokens reproduces the word (round-trip
+    * spec-asserted). Corpus text must not contain C0 control chars
+    * (any sane normalization strips them; the trainer's placeholder
+    * alphabet lives there).
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.size < 32, "at most 31 merges (C0 placeholder range)")
+    require(merges.forall(_.length == 2),
+      "each merge is a 2-char placeholder-representation pair")
+    var expansions = Map.empty[Char, String]
+    def expand(sym: String): String =
+      sym.flatMap(ch => expansions.getOrElse(ch, ch.toString))
+    merges.zipWithIndex.foreach { case (p, i) =>
+      expansions += ((i + 1).toChar -> expand(p))
+    }
+    var enc: Column = col("__word")
+    merges.zipWithIndex.foreach { case (p, i) =>
+      enc = call_function("replace", enc, lit(p), lit((i + 1).toChar.toString))
+    }
+    val expanded = expansions.foldLeft(col("token")) { case (c, (ph, ex)) =>
+      call_function("replace", c, lit(ph.toString), lit(ex))
+    }
+    val a = ascii(col("token"))
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), posexplode(Texts.words(col(textCol))))
+      .withColumnRenamed("pos", "word_idx")
+      .withColumnRenamed("col", "__word")
+      .where(col("__word") =!= "")
+      .select(col(idCol), col("word_idx"), enc.as("__enc"))
+      .select(col(idCol), col("word_idx"),
+        posexplode(expr(
+          "transform(sequence(1, length(__enc)), i -> substring(__enc, i, 1))")))
+      .withColumnRenamed("pos", "char_idx")
+      .withColumnRenamed("col", "token")
+      .select(col(idCol), col("word_idx"), col("char_idx"),
+        expanded.as("token"),
+        when(a <= 31, a + 255).otherwise(a).cast("int").as("token_id"))
   }
 
   /** Bloom-prefiltered exact decontamination — remove every corpus doc

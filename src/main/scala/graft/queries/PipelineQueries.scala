@@ -2664,8 +2664,77 @@ object PipelineQueries {
       GROUP BY 1 HAVING sum(copies) > 0
       ORDER BY source"""))
 
+  // ---- q188: BPE apply/encode with a trained merge table ----
+  // q128's trainer made useful: three trained merges broadcast into
+  // the corpus scan as chained replace literals, every doc tokenized
+  // (left-to-right non-overlapping, exactly the trainer's rewrite),
+  // token ids per the byte-fallback scheme (merged symbols 255+rank,
+  // base chars their code point). The oracle re-derives the ids by
+  // replaying the SAME merge decisions in DuckDB — train + encode are
+  // both engine-exact (long counts, (count DESC, pair) tie-breaks).
+
+  val q188 = Q(
+    "q188_bpe_encode",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(d, "text", iters = 3)
+      TextAnalysis.bpeEncode(d, "doc_id", "text", merges.map(_._1))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("token_id") > 255, lit(1))).as("n_merged"),
+          sum(col("token_id").cast("long")).as("id_sum"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM occ WHERE len(word) >= 2 GROUP BY 1),
+      x1 AS (SELECT word, freq, unnest(range(1, len(word))) AS i FROM wf),
+      p1 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x1 GROUP BY 1),
+      b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      w2 AS (SELECT replace(word, (SELECT pair FROM b1), chr(1)) AS word,
+                    freq
+             FROM wf),
+      x2 AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+             FROM w2 WHERE len(word) >= 2),
+      p2 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x2 GROUP BY 1),
+      b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      w3 AS (SELECT replace(word, (SELECT pair FROM b2), chr(2)) AS word,
+                    freq
+             FROM w2),
+      x3 AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+             FROM w3 WHERE len(word) >= 2),
+      p3 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x3 GROUP BY 1),
+      b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+      enc AS (SELECT doc_id,
+                replace(replace(replace(word,
+                  (SELECT pair FROM b1), chr(1)),
+                  (SELECT pair FROM b2), chr(2)),
+                  (SELECT pair FROM b3), chr(3)) AS wenc
+              FROM occ WHERE word <> ''),
+      tok AS (SELECT doc_id, unicode(substr(wenc, CAST(i AS INT), 1)) AS a
+              FROM (SELECT doc_id, wenc,
+                           unnest(range(1, len(wenc) + 1)) AS i
+                    FROM enc)),
+      ids AS (SELECT doc_id,
+                     CASE WHEN a <= 31 THEN a + 255 ELSE a END AS tid
+              FROM tok)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN tid > 255 THEN 1 END) AS BIGINT)
+               AS n_merged,
+             CAST(sum(tid) AS BIGINT) AS id_sum
+      FROM ids GROUP BY 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187,
+    q185, q186, q187, q188,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -401,6 +401,57 @@ class TextAnalysisSpec extends SparkTestBase {
       (2, "aa", "a", 1L)), s"got $out")
   }
 
+  test("bpeTrainMerges + bpeEncode round-trip on planted text") {
+    // words: aa x3, ab x2, aab x1
+    // iter 1 pairs: aa -> 3+1=4, ab -> 2+1=3; merge 1 = "aa"
+    // after:  <1> x3, ab x2, <1>b x1
+    // iter 2 pairs: ab -> 2, <1>b -> 1; merge 2 = "ab"
+    val df = docsDF((1L, "aa ab aab"), (2L, "aa aa ab"))
+    val merges = TextAnalysis.bpeTrainMerges(df, "text", iters = 2)
+    assert(merges.map(_._2) == Seq("aa", "ab"))
+    assert(merges.map(_._1) == Seq("aa", "ab"))
+    val toks = TextAnalysis.bpeEncode(df, "doc_id", "text", merges.map(_._1))
+      .orderBy("doc_id", "word_idx", "char_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getInt(4)))
+      .toSeq
+    // doc 1: aa -> [aa]; ab -> [ab]; aab -> [aa, b]
+    // doc 2: aa -> [aa]; aa -> [aa]; ab -> [ab]
+    assert(toks == Seq(
+      (1L, 0, "aa", 256), (1L, 1, "ab", 257),
+      (1L, 2, "aa", 256), (1L, 2, "b", 'b'.toInt),
+      (2L, 0, "aa", 256), (2L, 1, "aa", 256), (2L, 2, "ab", 257)),
+      s"got $toks")
+    // round-trip: per-word token concatenation reproduces the word
+    val ss = spark
+    import ss.implicits._
+    val joined = TextAnalysis
+      .bpeEncode(df, "doc_id", "text", merges.map(_._1))
+      .groupBy("doc_id", "word_idx")
+      .agg(concat_ws("",
+        sort_array(collect_list(struct(col("char_idx"), col("token"))))
+          .getField("token")).as("rebuilt"))
+    val words = df
+      .select(col("doc_id"), posexplode(graft.functions.Texts.words(col("text"))))
+      .withColumnRenamed("pos", "word_idx")
+      .withColumnRenamed("col", "word")
+    val mismatches = joined.join(words, Seq("doc_id", "word_idx"))
+      .where(col("rebuilt") =!= col("word")).count()
+    assert(mismatches == 0)
+  }
+
+  test("bpeEncode: chained merges expand placeholder-containing pairs") {
+    // "aaa": merge 1 = aa (count 2, L-to-R), word becomes <1>a;
+    // merge 2 = <1>a -> expands to "aaa"
+    val df = docsDF((1L, "aaa aaa"))
+    val merges = TextAnalysis.bpeTrainMerges(df, "text", iters = 2)
+    assert(merges.map(_._2) == Seq("aa", "aaa"))
+    val toks = TextAnalysis.bpeEncode(df, "doc_id", "text", merges.map(_._1))
+      .orderBy("word_idx", "char_idx")
+      .collect().map(r => (r.getString(3), r.getInt(4))).toSeq
+    assert(toks == Seq(("aaa", 257), ("aaa", 257)), s"got $toks")
+  }
+
   test("bloomDecontaminate equals the exact anti-join, even at high fpp") {
     val ss = spark
     import ss.implicits._
