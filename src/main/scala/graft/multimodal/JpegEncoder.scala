@@ -191,6 +191,49 @@ object JpegEncoder {
     zz(0)
   }
 
+  /** RGB/gray samples -> (Y, Cb, Cr) planes; chroma box-averaged at
+    * `sub` (1 = 4:4:4, 2 = 4:2:0). Cb/Cr are null for gray.
+    */
+  private def toPlanes(
+      w: Int, h: Int, data: Array[Byte], gray: Boolean,
+      sub: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val cw = (w + sub - 1) / sub
+    val ch = (h + sub - 1) / sub
+    val yPlane = new Array[Byte](w * h)
+    if (gray) { System.arraycopy(data, 0, yPlane, 0, w * h); return (yPlane, null, null) }
+    val cbPlane = new Array[Byte](cw * ch)
+    val crPlane = new Array[Byte](cw * ch)
+    val cbF = new Array[Double](cw * ch)
+    val crF = new Array[Double](cw * ch)
+    val cnt = new Array[Int](cw * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 3 * (y * w + x)
+        val r = data(o) & 0xFF
+        val g = data(o + 1) & 0xFF
+        val b = data(o + 2) & 0xFF
+        val yy = 0.299 * r + 0.587 * g + 0.114 * b
+        yPlane(y * w + x) = math.round(yy).toInt
+          .max(0).min(255).toByte
+        val ci = (y / sub) * cw + (x / sub)
+        cbF(ci) += -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        crF(ci) += 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cnt(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < cw * ch) {
+      cbPlane(i) = math.round(cbF(i) / cnt(i)).toInt.max(0).min(255).toByte
+      crPlane(i) = math.round(crF(i) / cnt(i)).toInt.max(0).min(255).toByte
+      i += 1
+    }
+    (yPlane, cbPlane, crPlane)
+  }
+
   /** Encode a grayscale (1-component) or RGB (3-component YCbCr)
     * image. `rgb` is w·h (gray) or 3·w·h (RGB) bytes, row-major.
     * `chromaSub` 1 = 4:4:4, 2 = 4:2:0 (box-averaged chroma).
@@ -214,40 +257,7 @@ object JpegEncoder {
     val sub = if (gray) 1 else chromaSub
     val cw = (w + sub - 1) / sub
     val ch = (h + sub - 1) / sub
-    val yPlane = new Array[Byte](w * h)
-    val cbPlane = if (gray) null else new Array[Byte](cw * ch)
-    val crPlane = if (gray) null else new Array[Byte](cw * ch)
-    if (gray) System.arraycopy(data, 0, yPlane, 0, w * h)
-    else {
-      val cbF = new Array[Double](cw * ch)
-      val crF = new Array[Double](cw * ch)
-      val cnt = new Array[Int](cw * ch)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val o = 3 * (y * w + x)
-          val r = data(o) & 0xFF
-          val g = data(o + 1) & 0xFF
-          val b = data(o + 2) & 0xFF
-          val yy = 0.299 * r + 0.587 * g + 0.114 * b
-          yPlane(y * w + x) = math.round(yy).toInt
-            .max(0).min(255).toByte
-          val ci = (y / sub) * cw + (x / sub)
-          cbF(ci) += -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-          crF(ci) += 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-          cnt(ci) += 1
-          x += 1
-        }
-        y += 1
-      }
-      var i = 0
-      while (i < cw * ch) {
-        cbPlane(i) = math.round(cbF(i) / cnt(i)).toInt.max(0).min(255).toByte
-        crPlane(i) = math.round(crF(i) / cnt(i)).toInt.max(0).min(255).toByte
-        i += 1
-      }
-    }
+    val (yPlane, cbPlane, crPlane) = toPlanes(w, h, data, gray, sub)
 
     val out = new java.io.ByteArrayOutputStream()
     def mk(m: Int): Unit = { out.write(0xFF); out.write(m) }
@@ -325,6 +335,392 @@ object JpegEncoder {
       mcu += 1
     }
     bw.flush()
+    mk(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---- progressive (SOF2) twin ----
+
+  /** Flat 8-bit canonical AC table for progressive scans: Annex K's AC
+    * tables lack the EOBn symbols (0x10..0xE0) progressive EOB-run
+    * coding needs, so progressive scans carry their own DHT — every
+    * (run, size 1-10) pair, ZRL, and EOB0..EOB14, all at code length 8
+    * (176 symbols < 255, so the all-ones code stays unused as T.81
+    * requires).
+    */
+  private val AcProgVals: Array[Int] =
+    (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s).toArray ++
+      Array(0xF0) ++ (0 to 14).map(_ << 4).toArray
+  private val AcProgBits: Array[Int] = {
+    val b = new Array[Int](16); b(7) = AcProgVals.length; b
+  }
+  private lazy val acProg = codeTable(AcProgBits, AcProgVals)
+
+  /** Progressive (SOF2) encode — same planes/DCT/quantization as
+    * [[encode]], the coefficients delivered over multiple scans:
+    *
+    *  1. DC first (all components, interleaved for color), Al=alShift
+    *  2. per component, AC first over two spectral bands
+    *     (1..spectralSplit, spectralSplit+1..63), Al=alShift
+    *  3. per bit position a = alShift..1: DC refinement (Ah=a,
+    *     Al=a-1) then per-component per-band AC refinement
+    *
+    * so a decoder exercises every progressive scan kind: spectral
+    * selection, successive approximation, EOB-run coding, correction
+    * bits, interleaved DC and non-interleaved AC, and (with
+    * `restartInterval` > 0) per-scan restart markers. Decoding the
+    * result must agree EXACTLY with decoding [[encode]]'s output for
+    * the same inputs — both deliver the identical quantized
+    * coefficients (spec-asserted, including fuzz).
+    */
+  def encodeProgressive(
+      w: Int,
+      h: Int,
+      data: Array[Byte],
+      gray: Boolean,
+      quant: Array[Int] = FlatQuant,
+      chromaSub: Int = 1,
+      spectralSplit: Int = 5,
+      alShift: Int = 1,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, "dimensions must be positive")
+    require(data.length == (if (gray) w * h else 3 * w * h), "bad samples")
+    require(chromaSub == 1 || chromaSub == 2, "chromaSub must be 1 or 2")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant must be 64 values in [1,255]")
+    require(spectralSplit >= 1 && spectralSplit <= 62,
+      "spectralSplit must be in [1, 62]")
+    require(alShift >= 0 && alShift <= 2, "alShift must be in [0, 2]")
+
+    val nComp = if (gray) 1 else 3
+    val sub = if (gray) 1 else chromaSub
+    val cw = (w + sub - 1) / sub
+    val ch = (h + sub - 1) / sub
+    val (yPlane, cbPlane, crPlane) = toPlanes(w, h, data, gray, sub)
+
+    // per-component MCU-padded block grids of zigzag quantized coefs
+    val mcusX = (w + 8 * sub - 1) / (8 * sub)
+    val mcusY = (h + 8 * sub - 1) / (8 * sub)
+    val compH = Array.tabulate(nComp)(ci => if (ci == 0) sub else 1)
+    val compV = compH
+    val padBW = Array.tabulate(nComp)(ci => mcusX * compH(ci))
+    val padBH = Array.tabulate(nComp)(ci => mcusY * compV(ci))
+    val planesArr = Array(yPlane, cbPlane, crPlane)
+    val planeDim = Array((w, h), (cw, ch), (cw, ch))
+    val coefs = Array.tabulate(nComp) { ci =>
+      val (pw, ph) = planeDim(ci)
+      val plane = planesArr(ci)
+      val co = new Array[Int](padBW(ci) * padBH(ci) * 64)
+      var by = 0
+      while (by < padBH(ci)) {
+        var bx = 0
+        while (bx < padBW(ci)) {
+          val zz = fdctQuant(plane, pw, ph, bx, by, quant)
+          System.arraycopy(zz, 0, co, (by * padBW(ci) + bx) * 64, 64)
+          bx += 1
+        }
+        by += 1
+      }
+      co
+    }
+    // non-interleaved (AC) scans cover the component's ceil dims only
+    val ceilBW = Array.tabulate(nComp) { ci =>
+      (((w * compH(ci) + sub - 1) / sub) + 7) / 8
+    }
+    val ceilBH = Array.tabulate(nComp) { ci =>
+      (((h * compV(ci) + sub - 1) / sub) + 7) / 8
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def mk(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    mk(0xD8) // SOI
+    mk(0xDB); be16(2 + 65); out.write(0x00)
+    quant.foreach(out.write)
+    mk(0xC2); be16(8 + 3 * nComp) // SOF2
+    out.write(8); be16(h); be16(w); out.write(nComp)
+    if (gray) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      out.write(1); out.write((sub << 4) | sub); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      mk(0xC4); be16(2 + 17 + vals.length)
+      out.write((tc << 4) | th)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    dht(1, 0, AcProgBits, AcProgVals)
+    if (!gray) dht(0, 1, DcChrBits, DcChrVals)
+    if (restartInterval > 0) { mk(0xDD); be16(4); be16(restartInterval) }
+
+    def sos(scan: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      mk(0xDA); be16(6 + 2 * scan.length)
+      out.write(scan.length)
+      scan.foreach { ci =>
+        out.write(ci + 1) // component ids 1..3
+        out.write((if (ci == 0) 0x00 else 0x10)) // DC table; AC always 0
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    def magnitudeOf(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+
+    // ---- scan 1: DC first ----
+    def dcFirstScan(al: Int): Unit = {
+      sos(0 until nComp, 0, 0, 0, al)
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](nComp)
+      var rstN = 0
+      def block(ci: Int, blk: Int): Unit = {
+        val v = coefs(ci)(blk * 64) >> al // arithmetic: two's-complement
+        val diff = v - pred(ci) //            pairs with decoder's <<
+        pred(ci) = v
+        val s = magnitudeOf(diff)
+        val tab = if (ci == 0) dcLum else dcChr
+        val (c, l) = tab(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      if (nComp == 1) { // ns=1: non-interleaved data-unit order
+        val total = ceilBW(0) * ceilBH(0)
+        var b = 0
+        while (b < total) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            bw.flush(); mk(0xD0 + (rstN & 7)); rstN += 1
+            java.util.Arrays.fill(pred, 0)
+          }
+          block(0, (b / ceilBW(0)) * padBW(0) + (b % ceilBW(0)))
+          b += 1
+        }
+      } else {
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+            bw.flush(); mk(0xD0 + (rstN & 7)); rstN += 1
+            java.util.Arrays.fill(pred, 0)
+          }
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < nComp) {
+            var v = 0
+            while (v < compV(ci)) {
+              var u = 0
+              while (u < compH(ci)) {
+                block(ci,
+                  (my * compV(ci) + v) * padBW(ci) + (mx * compH(ci) + u))
+                u += 1
+              }
+              v += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      }
+      bw.flush()
+    }
+
+    // ---- DC refinement: one raw bit per block ----
+    def dcRefineScan(al: Int): Unit = {
+      sos(0 until nComp, 0, 0, al + 1, al)
+      val bw = new BitWriter(out)
+      var rstN = 0
+      def block(ci: Int, blk: Int): Unit =
+        bw.put((coefs(ci)(blk * 64) >> al) & 1, 1)
+      if (nComp == 1) {
+        val total = ceilBW(0) * ceilBH(0)
+        var b = 0
+        while (b < total) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            bw.flush(); mk(0xD0 + (rstN & 7)); rstN += 1
+          }
+          block(0, (b / ceilBW(0)) * padBW(0) + (b % ceilBW(0)))
+          b += 1
+        }
+      } else {
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+            bw.flush(); mk(0xD0 + (rstN & 7)); rstN += 1
+          }
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < nComp) {
+            var v = 0
+            while (v < compV(ci)) {
+              var u = 0
+              while (u < compH(ci)) {
+                block(ci,
+                  (my * compV(ci) + v) * padBW(ci) + (mx * compH(ci) + u))
+                u += 1
+              }
+              v += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      }
+      bw.flush()
+    }
+
+    // ---- AC first: run-length + EOB-run coding at precision Al ----
+    def acFirstScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(ci), ss, se, 0, al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      var rstN = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acProg(n << 4)
+        bw.put(c, l)
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      val co = coefs(ci)
+      val total = ceilBW(ci) * ceilBH(ci)
+      var b = 0
+      while (b < total) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          emitEobrun(); bw.flush(); mk(0xD0 + (rstN & 7)); rstN += 1
+        }
+        val base = ((b / ceilBW(ci)) * padBW(ci) + (b % ceilBW(ci))) * 64
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v = co(base + k)
+          val t = math.abs(v) >> al
+          if (t == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { val (zc, zl) = acProg(0xF0); bw.put(zc, zl); r -= 16 }
+            val s = magnitudeOf(t)
+            val (c, l) = acProg((r << 4) | s)
+            bw.put(c, l)
+            val tv = if (v < 0) -t else t
+            bw.put(if (tv < 0) tv + (1 << s) - 1 else tv, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) {
+          eobrun += 1
+          if (eobrun == 0x7FFF) emitEobrun()
+        }
+        b += 1
+      }
+      emitEobrun()
+      bw.flush()
+    }
+
+    // ---- AC refinement: correction bits + newly-significant +-1.
+    // Correction bits must land exactly where the decoder's traversal
+    // consumes them: bits for already-nonzero coefficients interleaved
+    // among a ZRL's 16-zero span flush right after THAT ZRL; bits
+    // after the last span flush after the significant symbol + sign;
+    // bits in blocks wholly inside an EOB run flush after the EOBn
+    // symbol. A pending queue of (zero | correction-bit) markers makes
+    // the interleaving explicit instead of relying on flush-all order.
+    def acRefineScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(ci), ss, se, al + 1, al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      var rstN = 0
+      val eobPending = new java.util.ArrayList[Int]() // bits owed to EOBn
+      // current block since last emission: -1 = zero-history position,
+      // 0/1 = a history coefficient's correction bit
+      val pending = new java.util.ArrayList[Int]()
+      var zeros = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acProg(n << 4)
+        bw.put(c, l)
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+        var i = 0
+        while (i < eobPending.size()) { bw.put(eobPending.get(i), 1); i += 1 }
+        eobPending.clear()
+      }
+      val co = coefs(ci)
+      val total = ceilBW(ci) * ceilBH(ci)
+      var b = 0
+      while (b < total) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          emitEobrun(); bw.flush(); mk(0xD0 + (rstN & 7)); rstN += 1
+        }
+        val base = ((b / ceilBW(ci)) * padBW(ci) + (b % ceilBW(ci))) * 64
+        pending.clear()
+        zeros = 0
+        var k = ss
+        while (k <= se) {
+          val v = co(base + k)
+          val t = math.abs(v) >> al
+          if (t == 0) { pending.add(-1); zeros += 1 }
+          else if (t > 1) pending.add(t & 1) // history: correction bit
+          else { // newly significant (+-1 at this precision)
+            emitEobrun()
+            var idx = 0
+            while (zeros > 15) { // split the run; each ZRL carries the
+              val (zc, zl) = acProg(0xF0) // bits inside its 16-zero span
+              bw.put(zc, zl)
+              var z = 0
+              while (z < 16) {
+                val e = pending.get(idx); idx += 1
+                if (e == -1) z += 1 else bw.put(e, 1)
+              }
+              zeros -= 16
+            }
+            val (c, l) = acProg((zeros << 4) | 1)
+            bw.put(c, l)
+            bw.put(if (v < 0) 0 else 1, 1)
+            while (idx < pending.size()) { // bits the symbol's own
+              val e = pending.get(idx); idx += 1 // advance consumes
+              if (e != -1) bw.put(e, 1)
+            }
+            pending.clear()
+            zeros = 0
+          }
+          k += 1
+        }
+        if (!pending.isEmpty) { // block tail folds into the EOB run
+          eobrun += 1
+          var i = 0
+          while (i < pending.size()) {
+            val e = pending.get(i)
+            if (e != -1) eobPending.add(e)
+            i += 1
+          }
+          pending.clear()
+          zeros = 0
+          if (eobrun == 0x7FFF || eobPending.size() >= 900) emitEobrun()
+        }
+        b += 1
+      }
+      emitEobrun()
+      bw.flush()
+    }
+
+    dcFirstScan(alShift)
+    val bands = Seq((1, spectralSplit), (spectralSplit + 1, 63))
+    for (ci <- 0 until nComp; (ss, se) <- bands) acFirstScan(ci, ss, se, alShift)
+    var a = alShift - 1
+    while (a >= 0) {
+      dcRefineScan(a)
+      for (ci <- 0 until nComp; (ss, se) <- bands) acRefineScan(ci, ss, se, a)
+      a -= 1
+    }
     mk(0xD9) // EOI
     out.toByteArray
   }

@@ -2056,13 +2056,27 @@ object PipelineQueries {
     val rst = JpegEncoder.encode(48, 8,
       tiles(48, 8, (tx, _) => 20 + 40 * tx), gray = true,
       restartInterval = 2)
+    // progressive (SOF2) twins: DC-only content stays analytically
+    // exact through spectral selection + successive approximation
+    // (the AC scans over flat tiles are pure EOB-run streams, and the
+    // DC refinement restores the low bit the first scan withheld)
+    val prog = JpegEncoder.encodeProgressive(24, 16,
+      tiles(24, 16, (tx, ty) => vals(ty)(tx)), gray = true,
+      alShift = 1, restartInterval = 2)
+    val prog420 = JpegEncoder.encodeProgressive(32, 24,
+      grayAsRgb(tiles(32, 24, (tx, ty) => 20 + 30 * ((tx + ty) % 7))),
+      gray = false, chromaSub = 2, alShift = 1)
     Seq(
       "jp_1.jpg" -> g1,
       "jp_2.jpg" -> c444,
       "jp_3.jpg" -> c420,
       "jp_4.jpg" -> rst,
       // truncated mid-entropy-stream -> whole decode refuses with nulls
-      "jp_5.jpg" -> g1.dropRight(40))
+      "jp_5.jpg" -> g1.dropRight(40),
+      "jp_6.jpg" -> prog,
+      "jp_7.jpg" -> prog420,
+      // progressive truncated mid-scan -> nulls
+      "jp_8.jpg" -> prog.dropRight(30))
   }
 
   val q181 = Q(
@@ -2081,7 +2095,11 @@ object PipelineQueries {
     // analytic sums: doc 1 = 64*(32+96+200+255+0+128) on all channels;
     // doc 2 = 64*10 + 64*250; doc 3 = sum over 4x3 tiles of
     // 64*(20+30*((tx+ty)%7)); doc 4 = 64*(20+60+100+140+180+220),
-    // decoded THROUGH the DRI/RSTn restart path; doc 5 truncated
+    // decoded THROUGH the DRI/RSTn restart path; doc 5 truncated;
+    // doc 6/7 = doc 1/3's content as PROGRESSIVE (SOF2) encodes —
+    // same analytic sums recovered through DC-first + DC-refine +
+    // banded AC scans (and doc 6 through per-scan restarts); doc 8
+    // progressive truncated mid-scan
     Some("""
       SELECT * FROM (VALUES
         (CAST(1 AS BIGINT), CAST(24 AS INTEGER), CAST(16 AS INTEGER),
@@ -2090,7 +2108,10 @@ object PipelineQueries {
         (2, 16, 8, 128, 16640, 16640, 16640),
         (3, 32, 24, 768, 72960, 72960, 72960),
         (4, 48, 8, 384, 46080, 46080, 46080),
-        (5, NULL, NULL, NULL, NULL, NULL, NULL))
+        (5, NULL, NULL, NULL, NULL, NULL, NULL),
+        (6, 24, 16, 384, 45504, 45504, 45504),
+        (7, 32, 24, 768, 72960, 72960, 72960),
+        (8, NULL, NULL, NULL, NULL, NULL, NULL))
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 

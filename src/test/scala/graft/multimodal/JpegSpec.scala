@@ -146,16 +146,100 @@ class JpegSpec extends SparkTestBase {
     }
   }
 
-  test("unsupported profiles decline: progressive marker, 12-bit") {
+  test("unsupported profiles decline: mislabeled progressive, 12-bit") {
     val img = flatTiles(8, 8, (_, _) => 100)
     val jpg = JpegEncoder.encode(8, 8, img, gray = true)
-    // find the SOF0 marker and retag it SOF2 (progressive)
+    // retagging SOF0 as SOF2 leaves a SEQUENTIAL scan header (Ss=0,
+    // Se=63) that is structurally invalid for a progressive frame
+    // (DC scans must have Se=0) — still a clean decline, not a crash
     val sof = (0 until jpg.length - 1).find(i =>
       (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xC0).get
     val prog = jpg.clone(); prog(sof + 1) = 0xC2.toByte
     assert(JpegDecoder.decode(prog).isEmpty)
     val deep = jpg.clone(); deep(sof + 4) = 12.toByte // precision byte
     assert(JpegDecoder.decode(deep).isEmpty)
+  }
+
+  test("progressive: flat tiles decode exactly (DC-only, analytic)") {
+    val vals = Array(Array(32, 96, 200), Array(255, 0, 128))
+    val img = flatTiles(24, 16, (tx, ty) => vals(ty)(tx))
+    for (alShift <- Seq(0, 1, 2); rst <- Seq(0, 2)) {
+      val jpg = JpegEncoder.encodeProgressive(24, 16, img, gray = true,
+        alShift = alShift, restartInterval = rst)
+      val dec = JpegDecoder.decode(jpg)
+      assert(dec.isDefined, s"alShift=$alShift rst=$rst declined")
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val expect = vals(y / 8)(x / 8)
+        val got = dec.get.rgba(4 * (y * 24 + x)) & 0xFF
+        assert(got == expect,
+          s"alShift=$alShift rst=$rst ($x,$y): got $got want $expect")
+      }
+    }
+  }
+
+  test("progressive decode == sequential decode, all scan shapes") {
+    val rnd = new scala.util.Random(131)
+    val nonFlat = Array.tabulate(64)(k => 1 + (k % 4))
+    val configs = Seq(
+      // (gray, w, h, sub, split, alShift, rst, quant)
+      (true, 24, 16, 1, 5, 1, 0, JpegEncoder.FlatQuant),
+      (true, 17, 9, 1, 5, 0, 0, JpegEncoder.FlatQuant), // no refinement
+      (true, 48, 32, 1, 1, 2, 3, JpegEncoder.FlatQuant), // 2-bit approx
+      (false, 32, 24, 1, 5, 1, 0, JpegEncoder.FlatQuant),
+      (false, 21, 13, 2, 8, 1, 0, nonFlat), // 4:2:0, odd dims
+      (false, 24, 16, 2, 62, 1, 2, JpegEncoder.FlatQuant)) // restarts
+    for ((gray, w, h, sub, split, al, rst, q) <- configs) {
+      val n = if (gray) w * h else 3 * w * h
+      val img = new Array[Byte](n)
+      rnd.nextBytes(img)
+      val seqJpg = JpegEncoder.encode(w, h, img, gray, q, sub)
+      val progJpg = JpegEncoder.encodeProgressive(w, h, img, gray, q,
+        sub, split, al, rst)
+      val a = JpegDecoder.decode(seqJpg)
+      val b = JpegDecoder.decode(progJpg)
+      assert(a.isDefined && b.isDefined, s"cfg ($gray,$w,$h,$sub) declined")
+      assert(java.util.Arrays.equals(a.get.rgba, b.get.rgba),
+        s"cfg ($gray,$w,$h,$sub,$split,$al,$rst): pixel mismatch")
+    }
+  }
+
+  test("progressive fuzz: random content always matches sequential") {
+    val rnd = new scala.util.Random(271)
+    for (trial <- 0 until 60) {
+      val gray = rnd.nextBoolean()
+      val w = 8 + rnd.nextInt(34)
+      val h = 8 + rnd.nextInt(26)
+      val sub = if (gray) 1 else 1 + rnd.nextInt(2)
+      val split = 1 + rnd.nextInt(62)
+      val al = rnd.nextInt(3)
+      val rst = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(4)
+      val img = new Array[Byte](if (gray) w * h else 3 * w * h)
+      rnd.nextBytes(img)
+      val a = JpegDecoder.decode(
+        JpegEncoder.encode(w, h, img, gray, JpegEncoder.FlatQuant, sub))
+      val b = JpegDecoder.decode(JpegEncoder.encodeProgressive(
+        w, h, img, gray, JpegEncoder.FlatQuant, sub, split, al, rst))
+      assert(a.isDefined && b.isDefined, s"trial $trial declined")
+      assert(java.util.Arrays.equals(a.get.rgba, b.get.rgba),
+        s"trial $trial ($gray,$w,$h,$sub,$split,$al,$rst)")
+    }
+  }
+
+  test("progressive corrupt-safety: truncation and bit flips never throw") {
+    val img = flatTiles(24, 16, (tx, ty) => 30 * (tx + ty + 1))
+    val jpg = JpegEncoder.encodeProgressive(24, 16, img, gray = true,
+      alShift = 1, restartInterval = 2)
+    assert(JpegDecoder.decode(jpg).isDefined)
+    for (cut <- 0 until jpg.length) {
+      JpegDecoder.decode(jpg.take(cut)): Unit // must not throw
+    }
+    val rnd = new scala.util.Random(97)
+    for (_ <- 0 until 2000) {
+      val flip = jpg.clone()
+      flip(rnd.nextInt(flip.length)) =
+        (flip(rnd.nextInt(flip.length)) ^ (1 << rnd.nextInt(8))).toByte
+      JpegDecoder.decode(flip): Unit // any result, no throw
+    }
   }
 
   test("decodePixelStats routes JPEG bytes through the real decoder") {
