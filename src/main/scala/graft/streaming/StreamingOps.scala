@@ -396,4 +396,98 @@ object StreamingOps {
     closed.iterator
       .map(s => SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
   }
+
+  // ---- steady-state streaming near-dedup sink ----
+
+  /** Seed the near-dedup state store at `stateDir` with a base corpus
+    * (an EMPTY frame with (idCol, textCol) columns is fine — the
+    * store's schema still gets written). Layout: `sigs/`, `docs/` and
+    * `pairs/` roots, each holding one `batch=<tag>` partition per
+    * micro-batch (plus `batch=seed`), so every write is an idempotent
+    * per-batch overwrite. All paths resolve through the Hadoop FS API
+    * — an s3a/HDFS `stateDir` works unchanged.
+    */
+  def seedNearDupState(
+      base: DataFrame,
+      stateDir: String,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3): Unit = {
+    val b = base.select(col(idCol), col(textCol))
+    graft.operators.Dedup
+      .bandSignaturesFor(b, idCol, textCol, shingleWidth, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$stateDir/sigs/batch=seed")
+    b.write.mode("overwrite").parquet(s"$stateDir/docs/batch=seed")
+  }
+
+  /** The steady-state near-dedup `foreachBatch` sink (the production
+    * promotion of the round-11 spec pipeline): per micro-batch of
+    * (idCol, textCol) rows it (a) probes the batch against the STORED
+    * base band signatures — fresh×base and fresh×fresh, never
+    * base×base, O(fresh) signature work per batch —, (b) writes the
+    * verified pairs touching the batch to `pairs/batch=<id>`, and (c)
+    * appends the batch's signatures + docs to the store so the next
+    * batch never re-signatures anything.
+    *
+    * Restart semantics: every write is a per-batchId partition
+    * OVERWRITE and the probe reads exclude the current batchId, so a
+    * batch re-delivered after a checkpoint restart reproduces exactly
+    * the same pairs and state — no lost and no duplicated pairs
+    * (spec-asserted by killing and restarting a checkpointed file
+    * stream mid-feed, and by double-invoking a batchId). Results are
+    * independent of how the fresh docs split into batches. Ids must be
+    * unique across seed ∪ stream.
+    *
+    * Usage: `stream.writeStream.option("checkpointLocation", ...)
+    * .foreachBatch(StreamingOps.nearDupSink(stateDir, "doc_id",
+    * "text")).start()`; read results with [[nearDupPairs]]. Call
+    * [[seedNearDupState]] once first.
+    */
+  def nearDupSink(
+      stateDir: String,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.6): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val fresh = batch.select(col(idCol), col(textCol))
+      if (!fresh.isEmpty) {
+        val bTag = batchId.toString
+        // exclude the current batch: a re-delivered batch must probe
+        // the same base its first delivery saw (its own partial state
+        // from a crashed attempt gets overwritten below)
+        val baseSigs = spark.read.parquet(s"$stateDir/sigs")
+          .where(col("batch").cast("string") =!= bTag)
+          .select("id", "band", "key")
+        val baseDocs = spark.read.parquet(s"$stateDir/docs")
+          .where(col("batch").cast("string") =!= bTag)
+          .select(col(idCol), col(textCol))
+        val inc = graft.operators.Dedup.incrementalNearDupFromSignatures(
+          baseSigs, baseDocs, fresh, idCol, textCol,
+          shingleWidth, bands, rowsPerBand, threshold)
+        inc.pairs.write.mode("overwrite")
+          .parquet(s"$stateDir/pairs/batch=$bTag")
+        inc.freshSignatures.write.mode("overwrite")
+          .parquet(s"$stateDir/sigs/batch=$bTag")
+        fresh.write.mode("overwrite")
+          .parquet(s"$stateDir/docs/batch=$bTag")
+        inc.release()
+      }
+  }
+
+  /** All near-dup pairs the sink has emitted so far (id_a, id_b,
+    * jaccard_sim). Pairs never repeat across batches — a pair is
+    * emitted exactly by the batch that contributed its newest member —
+    * so no dedup pass is needed.
+    */
+  def nearDupPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/pairs")
+      .select("id_a", "id_b", "jaccard_sim")
 }

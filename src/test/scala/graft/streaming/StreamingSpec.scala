@@ -514,7 +514,7 @@ class StreamingSpec extends SparkTestBase {
     (4L, "the quick brown fox jumps over the lazy dog near the river bend"),
     (5L, "another unrelated document mentioning joins aggregates and windows today"))
 
-  /** Drive the foreachBatch pipeline over the given batches; returns
+  /** Drive the SHIPPED sink over the given batches; returns
     * (emitted pairs, final signature-store id set).
     */
   private def runIncrementalStream(
@@ -523,39 +523,22 @@ class StreamingSpec extends SparkTestBase {
     import ss.implicits._
     implicit val sqlCtx = ss.sqlContext
     val state = graft.ScratchSpace.dir(ss, "inc_dedup_state_")
-    val baseDf = incBase.toDF("doc_id", "text")
-    baseDf.write.parquet(s"$state/docs")
-    graft.operators.Dedup
-      .bandSignaturesFor(baseDf, "doc_id", "text", 3, 8, 3)
-      .write.parquet(s"$state/sigs")
-    val emitted =
-      scala.collection.mutable.Set.empty[(Long, Long)]
+    StreamingOps.seedNearDupState(
+      incBase.toDF("doc_id", "text"), state, "doc_id", "text")
     val input = MemoryStream[(Long, String)]
-    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      Long) => Unit = { (batch, _) =>
-      val fresh = batch.toDF("doc_id", "text")
-      if (!fresh.isEmpty) {
-        val inc = graft.operators.Dedup.incrementalNearDupFromSignatures(
-          ss.read.parquet(s"$state/sigs"),
-          ss.read.parquet(s"$state/docs"),
-          fresh, "doc_id", "text", threshold = 0.5)
-        emitted ++= inc.pairs.collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        // state append AFTER the probe: the batch joins base+itself,
-        // the NEXT batch sees this one as base
-        inc.freshSignatures.write.mode("append").parquet(s"$state/sigs")
-        fresh.write.mode("append").parquet(s"$state/docs")
-        inc.release()
-      }
-    }
-    val q = input.toDF().writeStream.foreachBatch(sink).start()
+    val sink = StreamingOps.nearDupSink(state, "doc_id", "text",
+      threshold = 0.5)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
     try batches.foreach { b =>
       input.addData(b: _*)
       q.processAllAvailable() // one micro-batch per addData drain
     } finally q.stop()
+    val emitted = StreamingOps.nearDupPairs(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val storedIds = spark.read.parquet(s"$state/sigs")
       .select("id").distinct().collect().map(_.getLong(0)).toSet
-    (emitted.toSet, storedIds)
+    (emitted, storedIds)
   }
 
   test("foreachBatch incremental near-dedup: batch-count-independent pairs, growing state") {
@@ -574,5 +557,72 @@ class StreamingSpec extends SparkTestBase {
     val (threeBatch, _) = runIncrementalStream(
       Seq(incFreshA, incFreshB.take(1), incFreshB.drop(1)))
     assert(threeBatch == expected, s"three-batch run: $threeBatch")
+  }
+
+  test("nearDupSink: checkpointed restart mid-feed loses and dups nothing") {
+    val ss = spark
+    val inDir = graft.ScratchSpace.dir(ss, "ndsink_in_")
+    val state = graft.ScratchSpace.dir(ss, "ndsink_state_")
+    val ckpt = graft.ScratchSpace.dir(ss, "ndsink_ckpt_")
+    import ss.implicits._
+    StreamingOps.seedNearDupState(
+      incBase.toDF("doc_id", "text"), state, "doc_id", "text")
+    val sink = StreamingOps.nearDupSink(state, "doc_id", "text",
+      threshold = 0.5)
+    def jsonLine(d: (Long, String)): String =
+      s"""{"doc_id":${d._1},"text":"${d._2}"}\n"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def startQ(): StreamingQuery = ss.readStream
+      .schema(schema).option("maxFilesPerTrigger", "1").json(inDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink).start()
+    graft.ScratchSpace.writeBytes(ss, inDir, "f1.json",
+      incFreshA.map(jsonLine).mkString.getBytes("UTF-8"))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // STOPPED mid-feed; more arrives while down, then restart
+    graft.ScratchSpace.writeBytes(ss, inDir, "f2.json",
+      incFreshB.take(1).map(jsonLine).mkString.getBytes("UTF-8"))
+    graft.ScratchSpace.writeBytes(ss, inDir, "f3.json",
+      incFreshB.drop(1).map(jsonLine).mkString.getBytes("UTF-8"))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val pairs = StreamingOps.nearDupPairs(ss, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // complete (nothing lost across the restart) AND no duplicates
+    assert(pairs.length == pairs.distinct.length, s"dup pairs: ${pairs.toSeq}")
+    assert(pairs.toSet == Set((1L, 3L), (1L, 4L), (3L, 4L)),
+      s"got ${pairs.toSeq}")
+    val storedIds = ss.read.parquet(s"$state/sigs")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(storedIds == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("nearDupSink: a re-delivered batchId is idempotent") {
+    val ss = spark
+    import ss.implicits._
+    val state = graft.ScratchSpace.dir(ss, "ndsink_replay_")
+    StreamingOps.seedNearDupState(
+      incBase.toDF("doc_id", "text"), state, "doc_id", "text")
+    val sink = StreamingOps.nearDupSink(state, "doc_id", "text",
+      threshold = 0.5)
+    val b0 = incFreshA.toDF("doc_id", "text")
+    sink(b0, 0L)
+    val after1 = StreamingOps.nearDupPairs(ss, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val sigs1 = ss.read.parquet(s"$state/sigs").count()
+    sink(b0, 0L) // crash-recovery re-delivery of the SAME batch
+    val after2 = StreamingOps.nearDupPairs(ss, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after2 == after1, s"replay changed pairs: $after1 -> $after2")
+    assert(ss.read.parquet(s"$state/sigs").count() == sigs1)
+    sink(incFreshB.toDF("doc_id", "text"), 1L)
+    val fin = StreamingOps.nearDupPairs(ss, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fin == Set((1L, 3L), (1L, 4L), (3L, 4L)), s"got $fin")
   }
 }
