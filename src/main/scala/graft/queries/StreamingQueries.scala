@@ -431,6 +431,66 @@ object StreamingQueries {
       GROUP BY 1, 2, 3
       ORDER BY l.user_id, error_ms, click_ms NULLS FIRST"""))
 
+  /** Stream-stream FULL OUTER interval join parity — q130's matrix
+    * completed: unmatched ERRORS emit with null click time AND
+    * unmatched CLICKS emit with null error time, each only once the
+    * watermark proves no in-watermark partner can still land in the
+    * window (null emission gated on BOTH sides' watermarks). Sentinels
+    * survive both sides' pre-filters to advance the watermark; their
+    * rows (matched or side-null) are excluded by type/key sign. The
+    * batch oracle is the plain FULL JOIN with NULLS FIRST pinned on
+    * both nullable time columns.
+    */
+  val q189 = Q(
+    "q189_stream_fullouter_join_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
+      def side(tpe: String) =
+        s.readStream.schema(enc.schema).parquet(watch)
+          .where(col("event_type") === tpe ||
+            col("event_type") === "sentinel")
+          .select(col("user_id"), enc.tsMs.as("ts"), col("event_type"))
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q189_mem",
+        StreamingOps.intervalJoin(
+          side("error"), side("click"),
+          keyCol = "user_id", tsCol = "ts",
+          windowMs = GapMs, watermarkDelay = "0 seconds",
+          joinType = "full_outer"),
+        "append",
+        Seq(sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .where(
+          (col("l_type").isNull ||
+            (col("l_type") === "error" && col("l_key") >= 0)) &&
+          (col("r_type").isNull ||
+            (col("r_type") === "click" && col("r_key") >= 0)))
+        .groupBy(coalesce(col("l_key"), col("r_key")).as("user_id"),
+          unix_millis(col("l_ts")).as("error_ms"),
+          unix_millis(col("r_ts")).as("click_ms"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id", "error_ms", "click_ms")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms
+        FROM events)
+      SELECT coalesce(l.user_id, r.user_id) AS user_id,
+             l.ms AS error_ms, r.ms AS click_ms,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM (SELECT * FROM e WHERE event_type = 'error') l
+      FULL JOIN (SELECT * FROM e WHERE event_type = 'click') r
+        ON l.user_id = r.user_id
+       AND r.ms >= l.ms AND r.ms < l.ms + $GapMs
+      GROUP BY 1, 2, 3
+      ORDER BY user_id, error_ms NULLS FIRST, click_ms NULLS FIRST"""))
+
   /** Streaming per-key cap parity: each user's first 3 events by
     * (event time, event_id) — the streaming form of q56's batch
     * row_number cap, emitted only as the watermark seals each event
@@ -627,7 +687,7 @@ object StreamingQueries {
       ORDER BY event_id"""))
 
   val all: Seq[Q] =
-    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153)
+    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
