@@ -2754,8 +2754,86 @@ object PipelineQueries {
              CAST(sum(tid) AS BIGINT) AS id_sum
       FROM ids GROUP BY 1 ORDER BY doc_id"""))
 
+  // ---- q190: URL/domain curation key + per-domain cap ----
+  // The crawl-curation key: messy-but-deterministic URLs (built from
+  // doc_id arithmetic IDENTICALLY in both engines — scheme/host case,
+  // www, default and explicit ports, trailing slashes, unsorted query
+  // params, fragments, IP hosts, co.uk registries) normalize through
+  // graft.functions.Urls and collapse to a registrable domain, which
+  // then keys a q56-style per-domain cap. The oracle replays the same
+  // normalization + heuristic in DuckDB, so url_norm/domain/kept are
+  // all hash-gated.
+
+  val q190 = Q(
+    "q190_domain_cap",
+    (s, dir) => {
+      import graft.functions.Urls
+      val id = col("doc_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val scheme = when(id % 2 === 0, "HTTPS").otherwise("http")
+      val host = when(id % 11 === 0,
+          concat(lit("192.168.0."), str(id % 9 + 1)))
+        .otherwise(concat(
+          when(id % 3 === 0, "WWW.").when(id % 3 === 1, "News.")
+            .otherwise(""),
+          lit("Site"), str(id % 7),
+          when(id % 4 === 0, ".CO.UK").when(id % 4 === 1, ".COM")
+            .when(id % 4 === 2, ".org").otherwise(".net")))
+      val port = when(id % 5 === 0,
+          when(id % 2 === 0, ":443").otherwise(":80"))
+        .when(id % 5 === 1, ":8080").otherwise("")
+      val path = when(id % 3 === 0, "/Alpha/Beta/")
+        .when(id % 3 === 1, "/Alpha/Beta").otherwise("")
+      val qs = when(id % 2 === 0, "?b=2&a=1")
+        .when(id % 5 === 2, "").otherwise("?a=1&b=2")
+      val frag = when(id % 4 === 0, "#Top").otherwise("")
+      val url = concat(scheme, lit("://"), host, port, path, qs, frag)
+      docs(s, dir)
+        .select(id, Urls.normalizeUrl(url).as("url_norm"))
+        .withColumn("domain",
+          Urls.registrableDomain(Urls.hostOf(col("url_norm"))))
+        .withColumn("kept",
+          when(row_number().over(
+            Window.partitionBy("domain").orderBy("doc_id")) <= 3, 1)
+            .otherwise(0))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        (CASE WHEN doc_id % 11 = 0
+              THEN '192.168.0.' || CAST(doc_id % 9 + 1 AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                         WHEN doc_id % 3 = 1 THEN 'News.' ELSE '' END)
+                || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+                || (CASE WHEN doc_id % 4 = 0 THEN '.CO.UK'
+                         WHEN doc_id % 4 = 1 THEN '.COM'
+                         WHEN doc_id % 4 = 2 THEN '.org'
+                         ELSE '.net' END) END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+              WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN doc_id % 3 = 0 THEN '/Alpha/Beta/'
+              WHEN doc_id % 3 = 1 THEN '/Alpha/Beta' ELSE '' END) ||
+        (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+              WHEN doc_id % 5 = 2 THEN '' ELSE '?a=1&b=2' END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN '#Top' ELSE '' END) AS url
+        FROM documents),
+      n AS (SELECT doc_id,
+              ${graft.functions.Urls.sqlNormalizeUrl("url")} AS url_norm
+            FROM u),
+      dm AS (SELECT doc_id, url_norm,
+               ${graft.functions.Urls.sqlRegistrableDomain(
+      graft.functions.Urls.sqlHostOf("url_norm"))} AS domain
+             FROM n)
+      SELECT doc_id, url_norm, domain,
+             CAST(CASE WHEN row_number() OVER
+               (PARTITION BY domain ORDER BY doc_id) <= 3
+               THEN 1 ELSE 0 END AS INTEGER) AS kept
+      FROM dm ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188,
+    q185, q186, q187, q188, q190,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
