@@ -912,6 +912,63 @@ object TextAnalysis {
     * Output: (iter, symbol_a, symbol_b, pair_count) — top-k pairs per
     * iteration, ordered (iter, pair_count DESC, symbol_a, symbol_b).
     */
+  /** The md5-derived integer weight for hashed-feature bucket `j` —
+    * pseudo-random in [-500, 500], derived identically on the driver
+    * (here) and in DuckDB
+    * (`('0x'||substr(md5('qw|'||j),1,15))::BIGINT % 1001 - 500`), so a
+    * classifier score is engine-replayable without shipping a model
+    * artifact to the oracle.
+    */
+  private def bucketWeight(j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qw|$j".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 1001L - 500L
+  }
+
+  /** Quality-classifier INFERENCE — the learned complement of the
+    * rule cascade (q76): a hashed-unigram linear model scored in one
+    * pass. Each token hashes into one of `dim` feature buckets
+    * ([[Hashes.hash60]] mod dim); the bucket's integer weight comes
+    * from a driver-built weight array embedded in the plan as a
+    * `typedLit` array literal (the broadcast — a weight vector is
+    * KBs), looked up by one codegen'd `element_at` per token; the
+    * per-doc score is the mean weight. Integer weights keep the dot
+    * product shuffle-order-exact (the round-10 float-sum rule); the
+    * single division is fix4'd.
+    *
+    * Shape at 100 TB: explode + map-side weight lookup + one partial
+    * aggregate keyed by doc — the same token-grain partial-agg shape
+    * as every text operator here; no join, no broadcast table, no
+    * driver data motion beyond the dim-sized weight literal.
+    *
+    * Output: (idCol, n_tokens, score_sum, quality_score), one row per
+    * doc with at least one token.
+    */
+  def qualityClassifierScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 256,
+      seed: Int = 7): DataFrame = {
+    require(dim >= 2 && dim <= 65536, "dim must be in [2, 65536]")
+    val weights = Array.tabulate(dim)(bucketWeight)
+    val bucket = (Hashes.hash60(col("token"), seed) % dim).cast("int")
+    val w = element_at(typedLit(weights.toSeq), bucket + 1)
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), explode(Texts.words(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .select(col(idCol), w.as("__w"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__w")).as("score_sum"))
+      .select(col(idCol), col("n_tokens"), col("score_sum"),
+        Numerics.fix4(
+          col("score_sum").cast("double") / col("n_tokens"))
+          .as("quality_score"))
+  }
+
   /** Word-frequency table the BPE trainer iterates on (vocabulary-
     * grain; 1-char words carry no pairs and are excluded).
     */

@@ -2832,8 +2832,37 @@ object PipelineQueries {
                THEN 1 ELSE 0 END AS INTEGER) AS kept
       FROM dm ORDER BY doc_id"""))
 
+  // ---- q191: quality-classifier inference (hashed linear model) ----
+  // The learned complement of q76's rule cascade: hashed-unigram
+  // buckets, md5-derived integer weights (engine-replayable without a
+  // model artifact), one codegen'd element_at per token, mean-weight
+  // score. The oracle re-derives bucket AND weight from the same md5
+  // formulas, so score_sum is exact-integer and quality_score fix4'd.
+
+  val q191 = Q(
+    "q191_quality_classifier",
+    (s, dir) =>
+      TextAnalysis.qualityClassifierScore(
+          docs(s, dir), "doc_id", "text", dim = 256, seed = 7)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      tok AS (SELECT doc_id,
+                ('0x'||substr(md5('7|'||word),1,15))::BIGINT % 256 AS b
+              FROM occ WHERE word <> ''),
+      wt AS (SELECT doc_id,
+               ('0x'||substr(md5('qw|'||CAST(b AS VARCHAR)),1,15))::BIGINT
+                 % 1001 - 500 AS wv
+             FROM tok)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(wv) AS BIGINT) AS score_sum,
+             ${Numerics.sqlFix("CAST(sum(wv) AS DOUBLE) / count(*)", 4)}
+               AS quality_score
+      FROM wt GROUP BY 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188, q190,
+    q185, q186, q187, q188, q190, q191,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

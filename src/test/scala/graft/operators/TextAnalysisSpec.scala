@@ -452,6 +452,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(toks == Seq(("aaa", 257), ("aaa", 257)), s"got $toks")
   }
 
+  test("qualityClassifierScore: JVM-recomputed hand score matches") {
+    // independent recomputation: JVM MessageDigest md5 for BOTH the
+    // token->bucket hash and the bucket weight (the operator computes
+    // the former with Spark's md5+conv expressions)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def weight(j: Long): Long =
+      h60(s"qw|$j") % 1001L - 500L
+    val text = "alpha beta alpha gamma"
+    val toks = Seq("alpha", "beta", "alpha", "gamma")
+    val expectSum = toks.map(t => weight(h60(s"7|$t") % 256)).sum
+    val expectScore =
+      math.floor(expectSum.toDouble / 4 * 10000 + 0.5) / 10000
+    val df = docsDF((1L, text))
+    val row = TextAnalysis
+      .qualityClassifierScore(df, "doc_id", "text", dim = 256, seed = 7)
+      .collect().head
+    assert(row.getLong(1) == 4L)
+    assert(row.getLong(2) == expectSum, s"sum ${row.getLong(2)} != $expectSum")
+    assert(row.getDouble(3) == expectScore)
+  }
+
+  test("qualityClassifierScore is partitioning-invariant (integer sums)") {
+    val docs = docsDF((1L to 40L).map(i =>
+      (i, s"word$i common tokens appear here plus word${i % 5}")): _*)
+    val a = TextAnalysis.qualityClassifierScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis
+      .qualityClassifierScore(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bloomDecontaminate equals the exact anti-join, even at high fpp") {
     val ss = spark
     import ss.implicits._
