@@ -754,13 +754,22 @@ object TextAnalysis {
     * which Misra-Gries guarantees for terms with partition frequency
     * above N_p/(capacity+1). Ties break deterministically: freq desc,
     * term asc.
+    *
+    * Memory bound: the per-partition sketch map is
+    * O(distinct groups in the partition x capacity) — group
+    * cardinality is data-dependent, so a `maxGroupsPerPartition` guard
+    * FAILS LOUDLY (the q120/q155 discipline) instead of silently
+    * OOMing an executor when a partition carries too many groups;
+    * repartition by the group column (bounding distinct groups per
+    * partition) or raise the cap.
     */
   def approxTopTerms(
       df: DataFrame,
       groupCol: String,
       textCol: String,
       k: Int,
-      capacity: Int = 2048): DataFrame = {
+      capacity: Int = 2048,
+      maxGroupsPerPartition: Int = 100000): DataFrame = {
     val ss = df.sparkSession
     import ss.implicits._
     val tokens = graft.SparkUtil.ensureParallelism(df)
@@ -772,7 +781,18 @@ object TextAnalysis {
       .mapPartitions { it =>
         val perGroup = scala.collection.mutable.HashMap.empty[String, MisraGries]
         it.foreach { case (g, t) =>
-          perGroup.getOrElseUpdate(g, new MisraGries(capacity)).offer(t)
+          val mg = perGroup.getOrElse(g, {
+            if (perGroup.size >= maxGroupsPerPartition)
+              throw new IllegalStateException(
+                s"approxTopTerms: over $maxGroupsPerPartition distinct " +
+                  "groups in one input partition (sketch memory is " +
+                  "groups x capacity) - repartition by the group column " +
+                  "or raise maxGroupsPerPartition")
+            val fresh = new MisraGries(capacity)
+            perGroup.update(g, fresh)
+            fresh
+          })
+          mg.offer(t)
         }
         perGroup.iterator.flatMap { case (g, mg) =>
           mg.counts.keysIterator.map(t => (g, t))

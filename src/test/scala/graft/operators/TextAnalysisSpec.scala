@@ -177,6 +177,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.size == 4)
   }
 
+  test("approxTopTerms: group-cardinality guard fails loudly, not OOM") {
+    val ss = spark
+    import ss.implicits._
+    val df = (1 to 50).map(i => (s"group$i", "some words here"))
+      .toDF("lang", "text").coalesce(1) // all groups in ONE partition
+    val e = intercept[org.apache.spark.SparkException] {
+      TextAnalysis.approxTopTerms(df, "lang", "text", k = 1,
+        capacity = 4, maxGroupsPerPartition = 10).collect()
+    }
+    assert(e.getMessage.contains("maxGroupsPerPartition") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("maxGroupsPerPartition")))
+    // a cap sized to the actual per-partition group load passes
+    val ok = TextAnalysis.approxTopTerms(
+      df.repartition(8, col("lang")), "lang", "text", k = 1,
+      capacity = 4, maxGroupsPerPartition = 50).collect()
+    assert(ok.length == 50)
+  }
+
   test("approxTopTerms equals the exact grouped top-k at default capacity") {
     val df = spark.read.parquet(s"$sf001/documents.parquet")
     val approx = TextAnalysis.approxTopTerms(df, "lang", "text", k = 3)
