@@ -2764,42 +2764,37 @@ object PipelineQueries {
   // normalization + heuristic in DuckDB, so url_norm/domain/kept are
   // all hash-gated.
 
-  val q190 = Q(
-    "q190_domain_cap",
-    (s, dir) => {
-      import graft.functions.Urls
-      val id = col("doc_id")
-      def str(c: org.apache.spark.sql.Column) = c.cast("string")
-      val scheme = when(id % 2 === 0, "HTTPS").otherwise("http")
-      val host = when(id % 11 === 0,
-          concat(lit("192.168.0."), str(id % 9 + 1)))
-        .otherwise(concat(
-          when(id % 3 === 0, "WWW.").when(id % 3 === 1, "News.")
-            .otherwise(""),
-          lit("Site"), str(id % 7),
-          when(id % 4 === 0, ".CO.UK").when(id % 4 === 1, ".COM")
-            .when(id % 4 === 2, ".org").otherwise(".net")))
-      val port = when(id % 5 === 0,
-          when(id % 2 === 0, ":443").otherwise(":80"))
-        .when(id % 5 === 1, ":8080").otherwise("")
-      val path = when(id % 3 === 0, "/Alpha/Beta/")
-        .when(id % 3 === 1, "/Alpha/Beta").otherwise("")
-      val qs = when(id % 2 === 0, "?b=2&a=1")
-        .when(id % 5 === 2, "").otherwise("?a=1&b=2")
-      val frag = when(id % 4 === 0, "#Top").otherwise("")
-      val url = concat(scheme, lit("://"), host, port, path, qs, frag)
-      docs(s, dir)
-        .select(id, Urls.normalizeUrl(url).as("url_norm"))
-        .withColumn("domain",
-          Urls.registrableDomain(Urls.hostOf(col("url_norm"))))
-        .withColumn("kept",
-          when(row_number().over(
-            Window.partitionBy("domain").orderBy("doc_id")) <= 3, 1)
-            .otherwise(0))
-        .orderBy("doc_id")
-    },
-    Some(s"""
-      WITH u AS (SELECT doc_id,
+  /** Deterministic messy-URL fixture per doc (Column form): scheme and
+    * host case, www, default/explicit ports, trailing slashes, unsorted
+    * query params, fragments, IP hosts, co.uk registries — all keyed on
+    * doc_id arithmetic so [[urlFixtureSql]] builds the identical string
+    * in DuckDB.
+    */
+  private def urlFixtureCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val scheme = when(id % 2 === 0, "HTTPS").otherwise("http")
+    val host = when(id % 11 === 0,
+        concat(lit("192.168.0."), str(id % 9 + 1)))
+      .otherwise(concat(
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "News.")
+          .otherwise(""),
+        lit("Site"), str(id % 7),
+        when(id % 4 === 0, ".CO.UK").when(id % 4 === 1, ".COM")
+          .when(id % 4 === 2, ".org").otherwise(".net")))
+    val port = when(id % 5 === 0,
+        when(id % 2 === 0, ":443").otherwise(":80"))
+      .when(id % 5 === 1, ":8080").otherwise("")
+    val path = when(id % 3 === 0, "/Alpha/Beta/")
+      .when(id % 3 === 1, "/Alpha/Beta").otherwise("")
+    val qs = when(id % 2 === 0, "?b=2&a=1")
+      .when(id % 5 === 2, "").otherwise("?a=1&b=2")
+    val frag = when(id % 4 === 0, "#Top").otherwise("")
+    concat(scheme, lit("://"), host, port, path, qs, frag)
+  }
+
+  /** [[urlFixtureCol]]'s DuckDB transcription. */
+  private val urlFixtureSql: String = """
         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
         (CASE WHEN doc_id % 11 = 0
               THEN '192.168.0.' || CAST(doc_id % 9 + 1 AS VARCHAR)
@@ -2817,20 +2812,72 @@ object PipelineQueries {
               WHEN doc_id % 3 = 1 THEN '/Alpha/Beta' ELSE '' END) ||
         (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
               WHEN doc_id % 5 = 2 THEN '' ELSE '?a=1&b=2' END) ||
-        (CASE WHEN doc_id % 4 = 0 THEN '#Top' ELSE '' END) AS url
-        FROM documents),
+        (CASE WHEN doc_id % 4 = 0 THEN '#Top' ELSE '' END)"""
+
+  /** DuckDB CTEs deriving (doc_id, url_norm, domain) from the fixture. */
+  private def domainCtesSql: String = s"""
+      u AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
       n AS (SELECT doc_id,
               ${graft.functions.Urls.sqlNormalizeUrl("url")} AS url_norm
             FROM u),
       dm AS (SELECT doc_id, url_norm,
                ${graft.functions.Urls.sqlRegistrableDomain(
-      graft.functions.Urls.sqlHostOf("url_norm"))} AS domain
-             FROM n)
+    graft.functions.Urls.sqlHostOf("url_norm"))} AS domain
+             FROM n)"""
+
+  val q190 = Q(
+    "q190_domain_cap",
+    (s, dir) => {
+      import graft.functions.Urls
+      docs(s, dir)
+        .select(col("doc_id"), Urls.normalizeUrl(urlFixtureCol).as("url_norm"))
+        .withColumn("domain",
+          Urls.registrableDomain(Urls.hostOf(col("url_norm"))))
+        .withColumn("kept",
+          when(row_number().over(
+            Window.partitionBy("domain").orderBy("doc_id")) <= 3, 1)
+            .otherwise(0))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $domainCtesSql
       SELECT doc_id, url_norm, domain,
              CAST(CASE WHEN row_number() OVER
                (PARTITION BY domain ORDER BY doc_id) <= 3
                THEN 1 ELSE 0 END AS INTEGER) AS kept
       FROM dm ORDER BY doc_id"""))
+
+  // ---- q192: domain-grain mixture weights ----
+  // Row 118's temperature mixture re-keyed on the CRAWL-native unit:
+  // the registrable domain derived by q190's normalization pipeline.
+  // sqrt-temperature weights per domain — the α=0.5 downweighting of
+  // mega-domains a real crawl mixture applies. Weight sums are sums of
+  // irrational sqrt values (boundary probability ~1e-12, the documented
+  // float-sum-safe class); fix4 on both engines.
+
+  val q192 = Q(
+    "q192_domain_mixture",
+    (s, dir) => {
+      import graft.functions.Urls
+      val withDomain = docs(s, dir)
+        .select(col("doc_id"),
+          Urls.registrableDomain(
+            Urls.hostOf(Urls.normalizeUrl(urlFixtureCol))).as("domain"))
+      Sampling.mixtureWeights(withDomain, "domain", alpha = 0.5)
+        .orderBy("domain")
+    },
+    Some(s"""
+      WITH $domainCtesSql,
+      c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+            FROM dm GROUP BY 1),
+      t AS (SELECT domain, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+      s AS (SELECT CAST(sum(w) AS DOUBLE) AS tw,
+                   CAST(sum(n_docs) AS BIGINT) AS tn
+            FROM t)
+      SELECT domain, n_docs,
+             ${Numerics.sqlFix("w / tw", 4)} AS weight,
+             ${Numerics.sqlFix("w / tw * tn / n_docs", 4)} AS sampling_factor
+      FROM t, s ORDER BY domain"""))
 
   // ---- q191: quality-classifier inference (hashed linear model) ----
   // The learned complement of q76's rule cascade: hashed-unigram
@@ -2862,7 +2909,7 @@ object PipelineQueries {
       FROM wt GROUP BY 1 ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188, q190, q191,
+    q185, q186, q187, q188, q190, q191, q192,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
