@@ -42,9 +42,9 @@ class PlanHygieneSpec extends SparkTestBase {
       // against the streamed corpus, scored by the native
       // JaroWinkler expression per row
       "q184_fuzzy_match",
-      // composes q114's whitelisted kernel (group-table-sized × 1-row
+      // compose q114's whitelisted kernel (group-table-sized × 1-row
       // broadcast scalar attach inside mixtureWeights)
-      "q187_mixture_realize")
+      "q187_mixture_realize", "q192_domain_mixture")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>
