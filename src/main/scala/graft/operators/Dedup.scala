@@ -862,6 +862,44 @@ object Dedup {
         coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Incremental cluster maintenance — fold a NEW batch of verified
+    * pairs (e.g. one [[graft.streaming.StreamingOps.nearDupSink]]
+    * emission) into an existing cluster labeling without touching the
+    * historical pair store. The old labeling is replaced by its STAR
+    * reduction (one id→cluster_id edge per non-singleton member),
+    * which preserves old connectivity exactly, so components over
+    * (star ∪ newPairs) equal components over (all old pairs ∪
+    * newPairs) — the full-recompute result, provably (connectivity is
+    * all CC consumes, and the node set is identical so min labels
+    * agree). Work is O(labeled non-singletons + new batch), never
+    * O(pair history); with the adaptive small-graph path the steady
+    * state is a driver union-find over a star forest.
+    *
+    * `newIds` carries the batch's doc ids so pairless new docs still
+    * emit as singletons. Output: (idCol, cluster_id) over
+    * labels ∪ newIds.
+    */
+  def mergeClusters(
+      labels: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      newIds: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val star = labels
+      .where(col(idCol).cast("long") =!= col(clusterCol).cast("long"))
+      .select(col(idCol).cast("long").as("id_a"),
+        col(clusterCol).cast("long").as("id_b"))
+    val allIds = labels.select(col(idCol).cast("long").as("id"))
+      .unionAll(newIds.select(col(idCol).cast("long").as("id")))
+      .distinct()
+    clustersFromPairs(allIds, "id",
+      star.unionAll(newPairs.select(
+        col("id_a").cast("long"), col("id_b").cast("long"))),
+      maxIter)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Duplicate-cluster resolution end-to-end: LSH near-dup pairs (run
     * once — [[clustersFromPairs]] materializes them as its edge set)
     * then connected components. Pipelines that already stored verified

@@ -2913,8 +2913,39 @@ object PipelineQueries {
                AS quality_score
       FROM wt GROUP BY 1 ORDER BY doc_id"""))
 
+  // ---- q193: incremental cluster maintenance ----
+  // The batch companion of the streaming pair sink (row 187): an
+  // existing cluster labeling + one new batch's verified pairs fold
+  // into updated clusters WITHOUT touching the historical pair store —
+  // the old labeling's star reduction carries its connectivity. The
+  // demo state here is constructed by splitting the corpus 80/20 on
+  // doc_id %% 5 (production reads labels + the sink's pairs/batch=N
+  // partition instead); LSH pairs are bucket-local, so base-corpus
+  // pairs equal the full run's base×base pairs and old ∪ new is
+  // EXACTLY the full pair set — the oracle is therefore the plain
+  // full-recompute CC, which is the operator's defining guarantee.
+
+  val q193 = Q(
+    "q193_incremental_clusters",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val base = d.where(col("doc_id") % 5 =!= 4)
+      val fresh = d.where(col("doc_id") % 5 === 4)
+      val labels0 = Dedup.clustersFromPairs(
+        base.select(col("doc_id")), "doc_id",
+        Dedup.minhashNearDup(base, "doc_id", "text", 3, 8, 3, 0.6))
+      val newPairs = Dedup.minhashNearDup(d, "doc_id", "text", 3, 8, 3, 0.6)
+        .where(col("id_a") % 5 === 4 || col("id_b") % 5 === 4)
+      Dedup.mergeClusters(labels0, "doc_id", "cluster_id",
+          fresh.select(col("doc_id")), newPairs)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${ccClustersSql}
+      SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188, q190, q191, q192,
+    q185, q186, q187, q188, q190, q191, q192, q193,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -77,6 +77,29 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
   }
 
+  test("mergeClusters == full recompute: merges, new clusters, singletons") {
+    val ss = spark
+    import ss.implicits._
+    // old world: pairs (1,2),(2,3) and (4,5); 6 a singleton
+    val oldIds = spark.range(1, 7).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels0 = Dedup.clustersFromPairs(oldIds, "doc_id", oldPairs)
+    // new batch: ids 7,8; pairs (3,4) MERGES two old clusters, (7,8)
+    // forms a new one; 6 must stay a singleton
+    val newIds = Seq(7L, 8L).toDF("doc_id")
+    val newPairs = Seq((3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(labels0, "doc_id", "cluster_id",
+        newIds, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.clustersFromPairs(
+        spark.range(1, 9).toDF("doc_id"), "doc_id",
+        oldPairs.unionAll(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 6L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("clustersFromPairs local and distributed paths agree") {
     val ss = spark
     import ss.implicits._
