@@ -480,6 +480,37 @@ object Multimodal {
     }.toDF("doc_id", "px_w", "px_h", "n_px", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Real AUDIO-payload decode, end-to-end: WAV integer-PCM bytes →
+    * samples → exact per-recording statistics, one row per record —
+    * the audio companion of [[decodePixelStats]]. Non-WAV, float-PCM,
+    * compressed or corrupt records keep their id with null stats.
+    * Same per-partition typed pass: bytes never leave the executor,
+    * output is a few longs per recording regardless of audio length.
+    *
+    * Output: (doc_id, sample_rate, n_channels, bits, n_frames,
+    * peak_abs, sum_squares, n_clipped) — all exact integers
+    * (hash-matchable cross-engine; RMS = sqrt(sum_squares/(n_frames·
+    * n_channels)) is one caller-side division away).
+    */
+  def decodeAudioStats(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        Wav.decodeStats(rec.media) match {
+          case Some(s) =>
+            (rec.doc_id, Some(s.sampleRate), Some(s.channels),
+              Some(s.bitsPerSample), Some(s.frames), Some(s.peakAbs),
+              Some(s.sumSquares), Some(s.clipped))
+          case None =>
+            (rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "n_channels", "bits", "n_frames",
+      "peak_abs", "sum_squares", "n_clipped")
+  }
+
   /** Typed-pass dimension dispatch for formats the codegen'd header
     * Columns don't cover: JPEG gets the real marker scan; everything
     * else reports unknown dimensions.

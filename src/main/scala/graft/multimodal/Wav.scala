@@ -1,0 +1,143 @@
+package graft.multimodal
+
+/** WAV (RIFF) PCM sample decode + the encoder twin that plants
+  * fixtures — the AUDIO payload decoder next to the pixel decoders
+  * ([[PngDecoder]]/[[GifDecoder]]/[[JpegDecoder]]): where
+  * `decodeWavDurationMs` only walks chunk headers, this reads the
+  * `data` payload and produces per-recording sample statistics.
+  *
+  * Scope: integer PCM (format 1) at 8/16/24-bit depth, any channel
+  * count/sample rate, extra chunks (LIST, fact) in any order. 8-bit is
+  * unsigned-centered (sample = byte − 128) per the RIFF spec; 16/24
+  * are little-endian signed. Float PCM (format 3), A-law/µ-law,
+  * ADPCM, and truncated/desynced files decline to None — never throw.
+  *
+  * All statistics are exact integers (peak |sample|, Σ sample², count
+  * at full scale), so planted-fixture oracles hash-match: Σ sample²
+  * of 16-bit audio fits a Long up to ~8.6e9 frames (~2 days at 48 kHz)
+  * and the decoder guards the payload size far below that.
+  *
+  * Reference behavior anchor: the reference treats object bytes as
+  * opaque payloads (amazons3-blueprints download_file.py:60-85); this
+  * is engine-side decode per the public RIFF/WAVE format.
+  */
+object Wav {
+
+  /** Exact-integer per-recording sample statistics. */
+  final case class WavStats(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      frames: Long,
+      peakAbs: Long,
+      sumSquares: Long,
+      clipped: Long)
+
+  private val MaxDataBytes = 256 << 20 // same spirit as MaxRgbaBytes
+
+  def isWav(media: Array[Byte]): Boolean =
+    media != null && media.length >= 12 &&
+      new String(media.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(media.slice(8, 12), "US-ASCII") == "WAVE"
+
+  /** Decode integer-PCM samples to exact statistics. */
+  def decodeStats(media: Array[Byte]): Option[WavStats] = try {
+    if (!isWav(media)) return None
+    def u8(i: Int): Int = media(i) & 0xFF
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def leU32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(media.slice(i, i + 4), "US-ASCII")
+    val n = media.length
+    var i = 12
+    var fmt = -1
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var dataAt = -1
+    var dataLen = 0L
+    var guard = 0
+    while (i + 8 <= n && guard < 4096 && (fmt < 0 || dataAt < 0)) {
+      guard += 1
+      val id = tag(i)
+      val size = leU32(i + 4)
+      if (size > n - i - 8) return None // truncated/hostile size field
+      if (id == "fmt " && size >= 16) {
+        fmt = leU16(i + 8)
+        channels = leU16(i + 10)
+        rate = leU32(i + 12).toInt
+        bits = leU16(i + 22)
+      }
+      if (id == "data") { dataAt = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || dataAt < 0) return None // non-integer-PCM declined
+    if (channels < 1 || channels > 64 || rate <= 0) return None
+    if (bits != 8 && bits != 16 && bits != 24) return None
+    if (dataLen > MaxDataBytes) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val frames = dataLen / frameBytes // trailing partial frame ignored
+    val fullScale = (1L << (bits - 1)) - 1 // 127 / 32767 / 8388607
+    var peak = 0L
+    var sumsq = 0L
+    var clipped = 0L
+    var s = 0L
+    val total = frames * channels
+    var p = dataAt
+    while (s < total) {
+      val v: Long = bits match {
+        case 8 => (u8(p) - 128).toLong
+        case 16 => leU16(p).toShort.toLong
+        case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
+          (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
+      }
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumsq += v * v
+      if (a >= fullScale) clipped += 1
+      p += bytesPerSample
+      s += 1
+    }
+    Some(WavStats(rate, channels, bits, frames, peak, sumsq, clipped))
+  } catch { case _: Throwable => None }
+
+  /** Encoder twin: interleaved integer samples -> a WAV file (the
+    * fixture-planting primitive). `samples` length must be a multiple
+    * of `channels`; values must fit the bit depth.
+    */
+  def encode(
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && sampleRate > 0, "bad rate/channels")
+    require(bits == 8 || bits == 16 || bits == 24, "bits must be 8/16/24")
+    require(samples.length % channels == 0, "partial frame")
+    val lim = 1 << (bits - 1)
+    require(samples.forall(v => v >= -lim && v < lim), "sample overflow")
+    val bytesPerSample = bits / 8
+    val dataLen = samples.length * bytesPerSample
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    ascii("RIFF"); le32(36L + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16L)
+    le16(1); le16(channels); le32(sampleRate.toLong)
+    le32(sampleRate.toLong * channels * bytesPerSample) // byte rate
+    le16(channels * bytesPerSample); le16(bits)
+    ascii("data"); le32(dataLen.toLong)
+    samples.foreach { v =>
+      val enc = if (bits == 8) v + 128 else v
+      var b = 0
+      while (b < bytesPerSample) { out.write((enc >> (8 * b)) & 0xFF); b += 1 }
+    }
+    if ((dataLen & 1) == 1) out.write(0) // word alignment pad
+    out.toByteArray
+  }
+}

@@ -2944,8 +2944,66 @@ object PipelineQueries {
       WITH RECURSIVE ${ccClustersSql}
       SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"""))
 
+  /** WAV fixtures for q194 — real integer-PCM sample decode with
+    * exact-integer statistics (peak |sample|, Σ sample², full-scale
+    * count), so the planted oracle is analytic, no tolerance needed.
+    */
+  private val wavFixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.Wav
+    val mono16 = Wav.encode(8000, 1, 16,
+      Array(0, 100, -100, 200, -200, 32767))
+    val stereo8 = Wav.encode(44100, 2, 8,
+      Array(10, -10, 20, -20, 127, -128))
+    val mono24 = Wav.encode(48000, 1, 24,
+      Array(8388607, -8388608, 5))
+    // float PCM (format code 3 at byte 20) declines with nulls
+    val float16 = mono16.clone(); float16(20) = 3
+    Seq(
+      "wv_1.wav" -> mono16,
+      "wv_2.wav" -> stereo8,
+      "wv_3.wav" -> mono24,
+      // truncated mid-data -> whole decode refuses with nulls
+      "wv_4.wav" -> mono16.dropRight(5),
+      "wv_5.wav" -> float16)
+  }
+
+  // ---- q194: WAV PCM sample decode + audio-quality statistics ----
+  // The audio payload decoder (rows 37/73 walk headers only; this
+  // reads the samples): integer PCM at 8/16/24-bit, exact peak /
+  // energy / clipping counts recovered from compressed-free bytes.
+  // doc 1: sumsq = 100k + 32767^2, clipped 1 (full scale);
+  // doc 2: 8-bit unsigned-centered, peak 128, clipped 2 (+-full);
+  // doc 3: 24-bit extremes, sumsq = (2^23-1)^2 + (2^23)^2 + 25;
+  // doc 4 truncated, doc 5 float-PCM -> declined with nulls.
+
+  val q194 = Q(
+    "q194_wav_samples",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir(s, "q194_wav_")
+      wavFixtures.foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.decodeAudioStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(16 AS INTEGER), CAST(6 AS BIGINT), CAST(32767 AS BIGINT),
+         CAST(1073776289 AS BIGINT), CAST(1 AS BIGINT)),
+        (2, 44100, 2, 8, 3, 128, 33513, 2),
+        (3, 48000, 1, 24, 3, 8388608, 140737471578138, 2),
+        (4, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (5, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, sample_rate, n_channels, bits, n_frames,
+             peak_abs, sum_squares, n_clipped)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188, q190, q191, q192, q193,
+    q185, q186, q187, q188, q190, q191, q192, q193, q194,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+class WavSpec extends SparkTestBase {
+
+  test("encode/decode round-trip: exact stats at all depths (fuzz)") {
+    val rnd = new scala.util.Random(211)
+    for (trial <- 0 until 60) {
+      val bits = Seq(8, 16, 24)(rnd.nextInt(3))
+      val channels = 1 + rnd.nextInt(3)
+      val frames = 1 + rnd.nextInt(200)
+      val lim = 1 << (bits - 1)
+      val samples = Array.fill(frames * channels)(rnd.nextInt(2 * lim) - lim)
+      val wav = Wav.encode(8000 + rnd.nextInt(40000), channels, bits, samples)
+      val st = Wav.decodeStats(wav)
+      assert(st.isDefined, s"trial $trial declined")
+      val s = st.get
+      assert(s.frames == frames && s.channels == channels &&
+        s.bitsPerSample == bits)
+      assert(s.peakAbs == samples.map(v => math.abs(v.toLong)).max)
+      assert(s.sumSquares == samples.map(v => v.toLong * v).sum)
+      val full = (1L << (bits - 1)) - 1
+      assert(s.clipped == samples.count(v => math.abs(v.toLong) >= full))
+    }
+  }
+
+  test("declines: float PCM, non-WAV, bad depth, truncation, bit flips") {
+    val wav = Wav.encode(8000, 1, 16, Array(1, 2, 3, 4))
+    assert(Wav.decodeStats(wav).isDefined)
+    val fl = wav.clone(); fl(20) = 3 // format code -> IEEE float
+    assert(Wav.decodeStats(fl).isEmpty)
+    val bd = wav.clone(); bd(34) = 12 // bitsPerSample -> 12
+    assert(Wav.decodeStats(bd).isEmpty)
+    assert(Wav.decodeStats("nope".getBytes).isEmpty)
+    for (cut <- 0 until wav.length)
+      Wav.decodeStats(wav.take(cut)): Unit // never throws
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 2000) {
+      val flip = wav.clone()
+      flip(rnd.nextInt(flip.length)) =
+        (flip(rnd.nextInt(flip.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Wav.decodeStats(flip): Unit
+    }
+  }
+
+  test("extra chunks tolerated; trailing partial frame ignored") {
+    // hand-assemble: RIFF/WAVE + LIST junk chunk + fmt + data with a
+    // dangling odd byte at the end (not a full frame)
+    val base = Wav.encode(16000, 2, 16, Array(5, -5, 7, -7))
+    // splice a LIST chunk right after the 12-byte preamble
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // fix the RIFF size field (bytes 4-7, LE)
+    val riffLen = spliced.length - 8
+    for (b <- 0 until 4)
+      spliced(4 + b) = ((riffLen >> (8 * b)) & 0xFF).toByte
+    val st = Wav.decodeStats(spliced)
+    assert(st.isDefined)
+    assert(st.get.frames == 2 && st.get.sumSquares == 25 + 25 + 49 + 49)
+  }
+
+  test("decodeAudioStats: dataset pass, nulls for corrupt rows") {
+    val ss = spark
+    import ss.implicits._
+    val good = Wav.encode(8000, 1, 16, Array(0, 100, -100))
+    val ds = Seq(
+      MediaRecord(1L, good, "audio/wav"),
+      MediaRecord(2L, good.take(20), "audio/wav")).toDS()
+    val rows = Multimodal.decodeAudioStats(ds).orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 8000 && rows(0).getLong(4) == 3L)
+    assert(rows(0).getLong(6) == 20000L && rows(0).getLong(7) == 0L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(6))
+  }
+}
