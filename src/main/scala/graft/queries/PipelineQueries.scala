@@ -3002,8 +3002,87 @@ object PipelineQueries {
              peak_abs, sum_squares, n_clipped)
       ORDER BY doc_id"""))
 
+  // ---- q195: end-to-end entity resolution ----
+  // The record-linkage PIPELINE assembled from its graded kernels:
+  // blocked fuzzy pairs (row 192) -> connected components (row 49,
+  // taking the adaptive local path at this graph size) -> survivorship
+  // (the row-163 keep-best rule at entity grain). One row per resolved
+  // multi-name entity: member/row counts + the canonical name
+  // (most source rows, name tiebreak). Name-grain ids are min
+  // p_partkey per name, so cluster ids are engine-deterministic.
+
+  val q195 = Q(
+    "q195_entity_resolution",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+      val names = part.groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).cast("long").as("nid"),
+          count(lit(1)).as("n_rows"))
+      val pairs = graft.operators.Similarity.blockedFuzzyPairs(
+        part, "p_name",
+        Seq(
+          n => element_at(split(n, " "), 1),
+          n => element_at(split(n, " "), 2)),
+        threshold = 0.75)
+      val edges = pairs
+        .join(names.select(col("name").as("name_a"), col("nid").as("id_a")),
+          "name_a")
+        .join(names.select(col("name").as("name_b"), col("nid").as("id_b")),
+          "name_b")
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.clustersFromPairs(
+        names.select(col("nid")), "nid", edges)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_rows").desc, col("name").asc)
+      names.join(labels, "nid")
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1)).as("n_names"),
+          sum(col("n_rows")).as("n_rows_total"),
+          max(when(col("rk") === 1, col("name"))).as("canonical_name"))
+        .where(col("n_names") >= 2)
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      names AS (SELECT p_name AS name,
+                  CAST(min(p_partkey) AS BIGINT) AS nid,
+                  CAST(count(*) AS BIGINT) AS n_rows
+                FROM part GROUP BY 1),
+      bl AS (SELECT name, 0 AS bk, split_part(name, ' ', 1) AS bv
+             FROM names
+             UNION ALL
+             SELECT name, 1, split_part(name, ' ', 2) FROM names),
+      cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+               FROM bl a JOIN bl b
+                 ON a.bk = b.bk AND a.bv = b.bv AND a.name < b.name),
+      p AS (SELECT na.nid AS id_a, nb.nid AS id_b
+            FROM cand
+            JOIN names na ON na.name = cand.name_a
+            JOIN names nb ON nb.name = cand.name_b
+            WHERE ${Numerics.sqlFix(
+      "jaro_winkler_similarity(cand.name_a, cand.name_b)", 4)} >= 0.75),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL
+                SELECT id_b, id_a FROM p),
+      reach(a, b) AS (
+        SELECT nid, nid FROM names
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      cl AS (SELECT a AS nid, min(b) AS cluster_id FROM reach GROUP BY a),
+      m AS (SELECT c.cluster_id, n.name, n.n_rows,
+              row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY n.n_rows DESC, n.name) AS rk
+            FROM names n JOIN cl c ON c.nid = n.nid)
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_names,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+             max(CASE WHEN rk = 1 THEN name END) AS canonical_name
+      FROM m GROUP BY 1 HAVING count(*) >= 2
+      ORDER BY cluster_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188, q190, q191, q192, q193, q194,
+    q185, q186, q187, q188, q190, q191, q192, q193, q194, q195,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
