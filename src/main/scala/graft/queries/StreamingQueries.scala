@@ -686,8 +686,51 @@ object StreamingQueries {
       FROM t WHERE event_type = 'purchase'
       ORDER BY event_id"""))
 
+  /** Steady-state near-dedup SINK parity (row 187's query gate): the
+    * documents corpus arrives as a 3-file stream (doc_id mod 3) through
+    * `StreamingOps.nearDupSink` with an empty seed; the accumulated
+    * pair store must equal the batch all-pairs truth — the sink's
+    * batch-count-independence as an oracle-gated fact, not just a
+    * spec. Pairs inside a batch come from fresh×fresh, across batches
+    * from fresh×stored-base; the union is exactly the one-shot LSH run.
+    */
+  val q196 = Q(
+    "q196_stream_neardup_sink_parity",
+    (s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val watch = Scratch.dir(s, "q196_watch_")
+      val state = Scratch.dir(s, "q196_state_")
+      StreamingOps.seedNearDupState(
+        d.where(lit(false)), state, "doc_id", "text")
+      val hc = s.sessionState.newHadoopConf()
+      (0 until 3).foreach { k =>
+        val stage = s"$state/stage$k"
+        d.where(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val p = new org.apache.hadoop.fs.Path(stage)
+        val part = p.getFileSystem(hc).listStatus(p).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        graft.ScratchSpace.copyIn(s, part.toString, watch,
+          f"docs_$k%03d.parquet")
+      }
+      val sink = StreamingOps.nearDupSink(state, "doc_id", "text",
+        threshold = 0.6)
+      val q = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+        .writeStream.option("checkpointLocation", s"$state/ckpt")
+        .foreachBatch(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      StreamingOps.nearDupPairs(s, state).orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      SELECT doc_a AS id_a, doc_b AS id_b, jaccard_sim
+      FROM (${PipelineQueries.jaccardPairsSql(3, 0.6)})
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] =
-    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189)
+    Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
+      q196)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
