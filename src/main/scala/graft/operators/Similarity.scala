@@ -403,6 +403,77 @@ object Similarity {
           (col("n_vecs") * 10000.0)).as("mean_err2"))
   }
 
+  /** PQ-ADC top-k search — q136's compression actually SEARCHED: the
+    * corpus encodes ONCE to `m` one-byte codes per vector (the same
+    * argmax(2⟨s,c⟩−‖c‖²) rule as [[pqAudit]], layered projections so
+    * every vecDot codegens once), and each query scores candidates by
+    * asymmetric distance computation — per subspace a LOOKUP TABLE of
+    * the query-subvector's dot with every centroid, so scoring a
+    * corpus vector costs m `element_at` lookups + (m−1) adds, never a
+    * dim-length dot. This is the memory-bound billion-vector layout:
+    * the scan side carries m bytes per vector instead of dim floats
+    * (16× at dim=64, m=4), and the LUT table (queries × m × nCodes
+    * doubles) broadcasts. Scores are approximate by construction —
+    * the reconstruction error pqAudit prices — but DETERMINISTIC:
+    * fixed-order 4-term sums of engine-exact dots, fix4'd, so the
+    * oracle hash-matches, not just overlaps.
+    *
+    * Output: (query_id, rank, corpus_id, adc_score), top-k per query
+    * by ADC score desc with corpus-id tiebreak.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      nCodes: Int,
+      k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    require(nCodes >= 2 && nCodes <= 256, "nCodes in [2, 256]")
+    val sub = dim / m
+    GraftFunctions.register(corpus.sparkSession)
+    val v = Vectors.asDouble(col(vecCol))
+    var enc = graft.SparkUtil.ensureParallelism(corpus)
+      .select(col(idCol).as("cid"), v.as("__v"))
+    (0 until m).foreach { mi =>
+      val cents = (0 until nCodes).map(c => pqCentroidValues(mi, c, sub))
+      val scores = array(cents.map { c =>
+        val cnorm = c.map(x => x * x).sum
+        lit(2.0) * GraftFunctions.vecDot(
+          slice(col("__v"), mi * sub + 1, sub), typedLit(c)) - lit(cnorm)
+      }: _*)
+      enc = enc.withColumn(s"__sc$mi", scores)
+        .withColumn(s"code$mi",
+          array_position(col(s"__sc$mi"), array_max(col(s"__sc$mi")))
+            .cast("int"))
+    }
+    val codes = enc.select(
+      col("cid") +: (0 until m).map(mi => col(s"code$mi")): _*)
+    var qs = queries.select(col(idCol).as("qid"), v.as("__q"))
+    (0 until m).foreach { mi =>
+      val cents = (0 until nCodes).map(c => pqCentroidValues(mi, c, sub))
+      qs = qs.withColumn(s"lut$mi", array(cents.map(c =>
+        GraftFunctions.vecDot(
+          slice(col("__q"), mi * sub + 1, sub), typedLit(c))): _*))
+    }
+    val luts = qs.select(
+      col("qid") +: (0 until m).map(mi => col(s"lut$mi")): _*)
+    val adc = (0 until m)
+      .map(mi => element_at(col(s"lut$mi"), col(s"code$mi")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("__adc").desc, col("cid").asc)
+    codes.crossJoin(broadcast(luts))
+      .withColumn("__adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("corpus_id"),
+        Numerics.fix4(col("__adc")).as("adc_score"))
+  }
+
   /** Array of the vector's dot product with each centroid (HOF folds —
     * per-ROW work, see [[planeBit]] for why not unrolled).
     */

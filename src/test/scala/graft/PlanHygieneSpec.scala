@@ -44,7 +44,10 @@ class PlanHygieneSpec extends SparkTestBase {
       "q184_fuzzy_match",
       // compose q114's whitelisted kernel (group-table-sized × 1-row
       // broadcast scalar attach inside mixtureWeights)
-      "q187_mixture_realize", "q192_domain_mixture")
+      "q187_mixture_realize", "q192_domain_mixture",
+      // the q25 kernel shape on COMPRESSED codes: a handful of query
+      // LUT rows broadcast against the streamed code table
+      "q197_pq_adc_search")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>
