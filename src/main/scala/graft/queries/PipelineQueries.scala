@@ -3081,8 +3081,68 @@ object PipelineQueries {
       FROM m GROUP BY 1 HAVING count(*) >= 2
       ORDER BY cluster_id"""))
 
+  // ---- q198: sequence-packing realization ----
+  // q113's boundary map realized at SEQUENCE grain: each doc explodes
+  // into the seqs it spans, per-seq token occupancy is pure interval
+  // arithmetic on the map (exact longs), and the output profiles every
+  // training sequence — docs packed in, tokens filled (= seqLen except
+  // the final partial pack), carry-overs split across the boundary.
+  // Same distributed-prefix-sum scale shape as the map itself; the
+  // explode emits n_seqs rows per doc (output-bound, ~total/seqLen).
+
+  val q198 = Q(
+    "q198_packing_realize",
+    (s, dir) => {
+      val run = Sampling.packingMapRun(
+        docs(s, dir), "doc_id", "n_chars", seqLen = 2048)
+      val p = s"${Scratch.dir(s, "q198_pack_")}/m"
+      run.result.write.mode("overwrite").parquet(p)
+      run.release()
+      s.read.parquet(p)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+        .withColumn("tok_in",
+          least(col("start_offset") + col("n_tokens"),
+            (col("seq_id") + 1) * 2048L) -
+            greatest(col("start_offset"), col("seq_id") * 2048L))
+        .groupBy("seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok_in")).as("n_tokens"),
+          count(when(col("start_offset") + col("n_tokens") >
+            (col("seq_id") + 1) * 2048L, lit(1))).as("n_carry"))
+        .orderBy("seq_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+                        ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                          AS ord
+                 FROM documents WHERE n_chars > 0),
+      c AS (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY ord, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+            FROM t),
+      map AS (SELECT doc_id, n_tokens,
+                     CAST(e - n_tokens AS BIGINT) AS so,
+                     CAST((e - n_tokens) // 2048 AS BIGINT) AS fs,
+                     CAST((e - 1) // 2048 AS BIGINT) AS ls
+              FROM c),
+      x AS (SELECT doc_id, n_tokens, so,
+                   unnest(range(fs, ls + 1)) AS seq_id
+            FROM map),
+      ti AS (SELECT seq_id, so, n_tokens,
+               least(so + n_tokens, (seq_id + 1) * 2048)
+                 - greatest(so, seq_id * 2048) AS tok_in
+             FROM x)
+      SELECT CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok_in) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN so + n_tokens > (seq_id + 1) * 2048
+               THEN 1 END) AS BIGINT) AS n_carry
+      FROM ti GROUP BY 1 ORDER BY seq_id"""))
+
   val all: Seq[Q] = Seq(
-    q185, q186, q187, q188, q190, q191, q192, q193, q194, q195,
+    q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
