@@ -474,6 +474,88 @@ object Similarity {
         Numerics.fix4(col("__adc")).as("adc_score"))
   }
 
+  /** IVF + PQ-ADC combined top-k — the full billion-vector ANN layout
+    * (the FAISS IVFPQ shape): the coarse quantizer ([[ivfTopK]]'s
+    * cells) bounds WHICH vectors a query touches (~nProbe/nCells of
+    * the corpus via one equi-join), and product quantization
+    * ([[pqTopK]]'s codes + lookup tables) bounds WHAT each touch
+    * costs (m byte-codes + m lookups, never a dim-length dot). The
+    * corpus side carries (cell, m codes) only — one scan builds it,
+    * raw vectors never reach the join. Deterministic end to end:
+    * the same (argmax, mask) probe chain, code rule and fixed-order
+    * ADC sums as the component operators, so the oracle re-derives
+    * the full ranking.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nCells: Int,
+      nProbe: Int,
+      m: Int,
+      nCodes: Int,
+      k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells=$nCells]")
+    val sub = dim / m
+    GraftFunctions.register(corpus.sparkSession)
+    val v = Vectors.asDouble(col(vecCol))
+    var enc = graft.SparkUtil.ensureParallelism(corpus)
+      .select(col(idCol).as("cid"), v.as("__v"))
+      .withColumn("__dots", ivfDots(col("__v"), nCells, dim))
+      .withColumn("cell", cellOf(col("__dots")))
+    (0 until m).foreach { mi =>
+      val cents = (0 until nCodes).map(c => pqCentroidValues(mi, c, sub))
+      val scores = array(cents.map { c =>
+        val cnorm = c.map(x => x * x).sum
+        lit(2.0) * GraftFunctions.vecDot(
+          slice(col("__v"), mi * sub + 1, sub), typedLit(c)) - lit(cnorm)
+      }: _*)
+      enc = enc.withColumn(s"__sc$mi", scores)
+        .withColumn(s"code$mi",
+          array_position(col(s"__sc$mi"), array_max(col(s"__sc$mi")))
+            .cast("int"))
+    }
+    val codes = enc.select(
+      col("cell") +: col("cid") +:
+        (0 until m).map(mi => col(s"code$mi")): _*)
+    var qd = queries.select(col(idCol).as("qid"), v.as("__q"))
+      .withColumn("m0", ivfDots(col("__q"), nCells, dim))
+    (1 to nProbe).foreach { i =>
+      qd = qd.withColumn(s"p$i", cellOf(col(s"m${i - 1}")))
+      if (i < nProbe)
+        qd = qd.withColumn(s"m$i",
+          transform(sequence(lit(1), lit(nCells)),
+            j => when(j === col(s"p$i"), lit(-9e99))
+              .otherwise(element_at(col(s"m${i - 1}"), j))))
+    }
+    (0 until m).foreach { mi =>
+      val cents = (0 until nCodes).map(c => pqCentroidValues(mi, c, sub))
+      qd = qd.withColumn(s"lut$mi", array(cents.map(c =>
+        GraftFunctions.vecDot(
+          slice(col("__q"), mi * sub + 1, sub), typedLit(c))): _*))
+    }
+    val qb = qd.select(
+      (col("qid") +: (0 until m).map(mi => col(s"lut$mi"))) :+
+        explode(array((1 to nProbe).map(i => col(s"p$i")): _*)).as("cell"): _*)
+    val adc = (0 until m)
+      .map(mi => element_at(col(s"lut$mi"), col(s"code$mi")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("__adc").desc, col("cid").asc)
+    qb.join(codes, Seq("cell")) // the equi-join scale path — no BNLJ
+      .where(col("qid") =!= col("cid"))
+      .withColumn("__adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("corpus_id"),
+        Numerics.fix4(col("__adc")).as("adc_score"))
+  }
+
   /** Array of the vector's dot product with each centroid (HOF folds —
     * per-ROW work, see [[planeBit]] for why not unrolled).
     */

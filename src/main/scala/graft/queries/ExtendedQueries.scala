@@ -2819,11 +2819,90 @@ object ExtendedQueries {
       ORDER BY query_id, rank"""
     })
 
+  // ---- q199: IVF + PQ-ADC combined search ----
+  // The full billion-vector ANN layout (FAISS IVFPQ shape): the q39
+  // coarse quantizer bounds WHICH vectors a query touches (equi-join
+  // on the probed cells), q197's product quantization bounds WHAT each
+  // touch costs (m codes + m LUT lookups). The oracle re-derives cell
+  // assignment, the (argmax, mask) probe chain, PQ codes, LUTs and
+  // the ADC ranking — the composed pipeline stays hash-exact.
+
+  val q199 = Q(
+    "q199_ivfpq_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+          queries = e.where(col("vec_id") < 10), corpus = e,
+          idCol = "vec_id", vecCol = "embedding",
+          dim = 64, nCells = 8, nProbe = 2, m = 4, nCodes = 8, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def pqCentSql(mi: Int, c: Int) =
+        s"[('0x'||substr(md5('pq-$mi-$c-'||i),1,15))::BIGINT" +
+          s"/576460752303423488.0 - 1.0 for i in generate_series(0,15)]"
+      val dots = (0 until 8)
+        .map(c => s"list_dot_product(v, ${centroidSql(c)})")
+        .mkString("[", ",\n            ", "]")
+      val scCols = (0 until 4).map { mi =>
+        val entries = (0 until 8).map { c =>
+          val cnorm = Similarity.pqCentroidValues(mi, c, 16)
+            .map(x => x * x).sum
+          s"2*list_dot_product(v[${mi * 16 + 1}:${(mi + 1) * 16}], " +
+            s"${pqCentSql(mi, c)}) - $cnorm"
+        }.mkString("[", ",\n             ", "]")
+        s"$entries AS sc$mi"
+      }.mkString(",\n        ")
+      val lutCols = (0 until 4).map { mi =>
+        val entries = (0 until 8).map { c =>
+          s"list_dot_product(v[${mi * 16 + 1}:${(mi + 1) * 16}], " +
+            s"${pqCentSql(mi, c)})"
+        }.mkString("[", ",\n             ", "]")
+        s"$entries AS l$mi"
+      }.mkString(",\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d AS (SELECT vec_id, v, $dots AS m0 FROM e),
+      a1 AS (SELECT vec_id, v, m0,
+                    list_position(m0, list_max(m0)) AS p1 FROM d),
+      s AS (SELECT vec_id, p1 AS cell,
+        $scCols
+        FROM a1),
+      enc AS (SELECT vec_id AS cid, cell,
+                list_position(sc0, list_max(sc0)) AS c0,
+                list_position(sc1, list_max(sc1)) AS c1,
+                list_position(sc2, list_max(sc2)) AS c2,
+                list_position(sc3, list_max(sc3)) AS c3
+              FROM s),
+      q1 AS (SELECT * FROM a1 WHERE vec_id < 10),
+      b1 AS (SELECT *,
+                [CASE WHEN j = p1 THEN -9e99 ELSE m0[j] END
+                 for j in generate_series(1, 8)] AS m1
+             FROM q1),
+      q2 AS (SELECT *, list_position(m1, list_max(m1)) AS p2 FROM b1),
+      lut AS (SELECT vec_id AS qid, p1, p2,
+        $lutCols
+        FROM q2),
+      qq AS (SELECT qid, l0, l1, l2, l3,
+                    unnest([p1, p2]) AS cell FROM lut),
+      sc AS (SELECT qid, cid, l0[c0] + l1[c1] + l2[c2] + l3[c3] AS adc
+             FROM qq JOIN enc USING (cell)
+             WHERE qid != cid),
+      r AS (SELECT qid, cid, adc,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY adc DESC, cid) AS rk
+            FROM sc)
+      SELECT qid AS query_id, CAST(rk AS INTEGER) AS rank,
+             cid AS corpus_id, ${Numerics.sqlFix("adc", 4)} AS adc_score
+      FROM r WHERE rk <= 3
+      ORDER BY query_id, rank"""
+    })
+
   val all: Seq[Q] =
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q47, q56,
       q63, q64, q65, q66, q69, q79, q80, q82, q86, q87, q88, q89, q90,
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182, q197)
+      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182, q197, q199)
 }
