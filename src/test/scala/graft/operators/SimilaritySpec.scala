@@ -109,6 +109,73 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("pqTopK: scores and ranking equal the JVM-recomputed ADC truth") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(53)
+    val corpusVecs = (10L to 29L)
+      .map(i => i -> Array.fill(4)(rnd.nextFloat() * 2 - 1))
+    val queryVecs = Seq(
+      0L -> Array(0.98f, 0.01f, -0.3f, 0.2f),
+      1L -> Array(0.01f, -0.9f, 0.97f, 0.1f))
+    val corpus = corpusVecs.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = queryVecs.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    // independent JVM recomputation of codes, LUTs and ADC scores
+    val m = 2; val nCodes = 4; val sub = 2
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def codesOf(v: Array[Float]): Seq[Int] = (0 until m).map { mi =>
+      val sv = v.slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toSeq
+      val scores = (0 until nCodes).map { c =>
+        val cent = Similarity.pqCentroidValues(mi, c, sub)
+        2.0 * dot(sv, cent) - cent.map(x => x * x).sum
+      }
+      scores.indexOf(scores.max) // 0-based code
+    }
+    def adcOf(q: Array[Float], codes: Seq[Int]): Double =
+      (0 until m).map { mi =>
+        val qv = q.slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toSeq
+        dot(qv, Similarity.pqCentroidValues(mi, codes(mi), sub))
+      }.sum
+    def fix4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val expected = queryVecs.flatMap { case (qid, q) =>
+      corpusVecs
+        .map { case (cid, v) => (cid, adcOf(q, codesOf(v))) }
+        .sortBy { case (cid, adc) => (-adc, cid) }
+        .take(3).zipWithIndex
+        .map { case ((cid, adc), i) => (qid, i + 1, cid, fix4(adc)) }
+    }.toSet
+    val got = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+      dim = 4, m = m, nCodes = nCodes, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("ivfPqTopK agrees with pqTopK when every cell is probed") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(67)
+    val corpus = (0L to 19L)
+      .map(i => (100L + i, Seq.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(0.5f, -0.2f, 0.8f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+      dim = 4, m = 2, nCodes = 4, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    // nProbe == nCells: the cell filter admits everything, so IVFPQ
+    // must return exactly the plain ADC ranking
+    val ivfpq = Similarity.ivfPqTopK(queries, corpus, "vec_id",
+      "embedding", dim = 4, nCells = 4, nProbe = 4, m = 2, nCodes = 4,
+      k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(ivfpq == full, s"ivfpq $ivfpq != full $full")
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplaneValues(3, 8) == Similarity.hyperplaneValues(3, 8))
     val v = Similarity.hyperplaneValues(0, 64)
