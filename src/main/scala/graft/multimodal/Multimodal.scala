@@ -511,6 +511,116 @@ object Multimodal {
       "peak_abs", "sum_squares", "n_clipped")
   }
 
+  /** Video-style FRAME SAMPLING over animated GIFs: decode every
+    * `everyK`-th composited frame (up to `maxFrames`) and emit one
+    * stats row per sampled frame — the "frame-sample" verb of the
+    * multimodal mandate on a format this engine decodes for real.
+    * Decoding stops once the sample is full, so per-record cost is
+    * bounded by the sampled prefix. Non-GIF/corrupt records emit a
+    * single null-stats row; exact integer channel sums over the
+    * COMPOSITED canvas (only opaque pixels contribute; n_opaque
+    * reports the composited coverage).
+    *
+    * Output: (doc_id, frame_idx, delay_cs, px_w, px_h, n_opaque,
+    * sum_r, sum_g, sum_b).
+    */
+  def sampleGifFrames(
+      ds: Dataset[MediaRecord],
+      everyK: Int = 1,
+      maxFrames: Int = 8): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        GifDecoder.decodeFrames(rec.media, everyK, maxFrames) match {
+          case Some(frames) =>
+            frames.map { f =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var nOp = 0L
+              val n = f.raster.width * f.raster.height
+              var px = 0
+              while (px < n) {
+                if (f.raster.rgba(4 * px + 3) != 0) {
+                  nOp += 1
+                  sr += f.raster.rgba(4 * px) & 0xFF
+                  sg += f.raster.rgba(4 * px + 1) & 0xFF
+                  sb += f.raster.rgba(4 * px + 2) & 0xFF
+                }
+                px += 1
+              }
+              (rec.doc_id, Some(f.index), Some(f.delayCs),
+                Some(f.raster.width), Some(f.raster.height), Some(nOp),
+                Some(sr), Some(sg), Some(sb))
+            }
+          case None =>
+            Seq((rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long]))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "delay_cs", "px_w", "px_h", "n_opaque",
+      "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Nearest-neighbor raster resize: src pixel = floor(dst·src/out) —
+    * pure integer index arithmetic, so resized fixtures stay
+    * analytically exact (the resize verb of the multimodal mandate;
+    * box/bilinear filtering would trade exactness for smoothness and
+    * belongs behind the same API when a use case needs it).
+    */
+  def resizeNearest(r: PngRaster, outW: Int, outH: Int): PngRaster = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    val out = new Array[Byte](4 * outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * r.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * r.width / outW
+        System.arraycopy(r.rgba, 4 * (sy * r.width + sx),
+          out, 4 * (y * outW + x), 4)
+        x += 1
+      }
+      y += 1
+    }
+    PngRaster(outW, outH, out)
+  }
+
+  /** Decode (PNG/GIF/JPEG — same dispatch as [[decodePixelStats]]),
+    * resize to (outW, outH) nearest-neighbor, and emit the resized
+    * image's exact pixel statistics — the thumbnail-pipeline pass.
+    * Output: (doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b).
+    */
+  def resizePixelStats(
+      ds: Dataset[MediaRecord],
+      outW: Int,
+      outH: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        (if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
+         else if (JpegDecoder.isJpeg(rec.media)) JpegDecoder.decode(rec.media)
+         else PngDecoder.decode(rec.media)).map(resizeNearest(_, outW, outH))
+        match {
+          case Some(r) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var px = 0
+            val n = r.width * r.height
+            while (px < n) {
+              sr += r.rgba(4 * px) & 0xFF
+              sg += r.rgba(4 * px + 1) & 0xFF
+              sb += r.rgba(4 * px + 2) & 0xFF
+              px += 1
+            }
+            (rec.doc_id, Some(r.width), Some(r.height), Some(n.toLong),
+              Some(sr), Some(sg), Some(sb))
+          case None =>
+            (rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long])
+        }
+      }
+    }.toDF("doc_id", "px_w", "px_h", "n_px", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Typed-pass dimension dispatch for formats the codegen'd header
     * Columns don't cover: JPEG gets the real marker scan; everything
     * else reports unknown dimensions.

@@ -3141,8 +3141,115 @@ object PipelineQueries {
                THEN 1 END) AS BIGINT) AS n_carry
       FROM ti GROUP BY 1 ORDER BY seq_id"""))
 
+  /** Animated-GIF fixtures for q200 — composition ground truth:
+    * full-canvas base, partial-rect overdraw, a transparent-index
+    * frame with disposal-2 restore, then a post-restore rect.
+    */
+  private val gifAnimFixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.GifDecoder
+    import graft.multimodal.GifDecoder.AnimFrame
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 200.toByte, 100, 0, 5, 5, 5)
+    val anim = GifDecoder.encodeAnimated(4, 2, pal, Seq(
+      AnimFrame(0, 0, 4, 2, Array.fill(8)(0.toByte), delayCs = 10),
+      AnimFrame(1, 0, 2, 1, Array[Byte](1, 2), delayCs = 20),
+      AnimFrame(0, 1, 2, 1, Array[Byte](3, 1), delayCs = 30,
+        transparentIndex = 3, disposal = 2),
+      AnimFrame(3, 1, 1, 1, Array[Byte](2), delayCs = 5)))
+    // disposal 3 (restore-previous) must DECLINE: patch frame 1's GCE
+    val d3 = GifDecoder.encodeAnimated(2, 1, pal, Seq(
+      AnimFrame(0, 0, 2, 1, Array[Byte](0, 1))))
+    val gceAt = d3.indexOfSlice(Seq(0x21.toByte, 0xF9.toByte))
+    d3(gceAt + 3) = (d3(gceAt + 3) | (3 << 2)).toByte
+    Seq(
+      "ga_1.gif" -> anim,
+      "ga_2.gif" -> anim.dropRight(12), // truncated mid-stream
+      "ga_3.gif" -> d3)
+  }
+
+  // ---- q200: animated-GIF frame sampling ----
+  // The multimodal mandate's "frame-sample" verb on a format the
+  // engine decodes for real: every 2nd COMPOSITED frame of a 4-frame
+  // animation (partial rects, transparency holes, a disposal-2
+  // restore) — ground truth is hand-computed canvas sums per frame.
+  // Frame 0: all color0 -> (80,160,240); frame 2 composites the
+  // transparent-indexed rect (only its opaque pixel draws) on top of
+  // frame 1's overdraw -> (330,300,270). Truncated and disposal-3
+  // files decline with nulls.
+
+  val q200 = Q(
+    "q200_gif_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir(s, "q200_gifanim_")
+      gifAnimFixtures.foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.sampleGifFrames(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord],
+          everyK = 2, maxFrames = 8)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(10 AS INTEGER),
+         CAST(4 AS INTEGER), CAST(2 AS INTEGER), CAST(8 AS BIGINT),
+         CAST(80 AS BIGINT), CAST(160 AS BIGINT), CAST(240 AS BIGINT)),
+        (1, 2, 30, 4, 2, 8, 330, 300, 270),
+        (2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, frame_idx, delay_cs, px_w, px_h, n_opaque,
+             sum_r, sum_g, sum_b)
+      ORDER BY doc_id, frame_idx NULLS FIRST"""))
+
+  // ---- q201: image resize (nearest-neighbor thumbnail pass) ----
+  // The mandate's "resize" verb: decode (JPEG/GIF here) -> nearest
+  // resize to 4x4 -> exact stats. Nearest is floor(dst*src/out) pure
+  // integer picking, so flat-tile / palette fixtures stay analytic:
+  // the 24x16 flat-tile JPEG picks tile values [32,32,96,200] /
+  // [255,255,0,128] twice each -> 1996 per channel; the 3x2 GIF
+  // upscales by replication -> (1558,1064,562).
+
+  val q201 = Q(
+    "q201_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{GifDecoder, JpegEncoder}
+      val mdir = Scratch.dir(s, "q201_resize_")
+      def tiles(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+        Array.tabulate(w * h)(i => f((i % w) / 8, (i / w) / 8).toByte)
+      val vals = Array(Array(32, 96, 200), Array(255, 0, 128))
+      val jpg = JpegEncoder.encode(24, 16,
+        tiles(24, 16, (tx, ty) => vals(ty)(tx)), gray = true)
+      val gif = GifDecoder.encode(3, 2,
+        Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
+          7, 11, 13),
+        Array[Byte](0, 1, 2, 3, 0, 1))
+      Seq(
+        "rz_1.jpg" -> jpg,
+        "rz_2.gif" -> gif,
+        "rz_3.jpg" -> jpg.dropRight(40)).foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.resizePixelStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord],
+          outW = 4, outH = 4)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+         CAST(16 AS BIGINT), CAST(1996 AS BIGINT), CAST(1996 AS BIGINT),
+         CAST(1996 AS BIGINT)),
+        (2, 4, 4, 16, 1558, 1064, 562),
+        (3, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
+    q200, q201,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

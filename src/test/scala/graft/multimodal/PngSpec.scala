@@ -226,6 +226,68 @@ class PngSpec extends SparkTestBase {
     assert(r.rgba.toSeq == Seq[Byte](1, 2, 3, -1, 4, 5, 6, 0))
   }
 
+  test("GIF animation: composition, transparency holes, disposal 2") {
+    import GifDecoder.AnimFrame
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 200.toByte, 100, 0, 5, 5, 5)
+    val anim = GifDecoder.encodeAnimated(4, 2, pal, Seq(
+      AnimFrame(0, 0, 4, 2, Array.fill(8)(0.toByte), delayCs = 10),
+      AnimFrame(1, 0, 2, 1, Array[Byte](1, 2), delayCs = 20),
+      AnimFrame(0, 1, 2, 1, Array[Byte](3, 1), delayCs = 30,
+        transparentIndex = 3, disposal = 2),
+      AnimFrame(3, 1, 1, 1, Array[Byte](2), delayCs = 5)))
+    val fs = GifDecoder.decodeFrames(anim).get
+    assert(fs.map(f => (f.index, f.delayCs)) ==
+      Seq((0, 10), (1, 20), (2, 30), (3, 5)))
+    def rgbSums(r: PngRaster): (Long, Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var nOp = 0L
+      for (i <- 0 until r.width * r.height if r.rgba(4 * i + 3) != 0) {
+        nOp += 1
+        sr += r.rgba(4 * i) & 0xFF
+        sg += r.rgba(4 * i + 1) & 0xFF
+        sb += r.rgba(4 * i + 2) & 0xFF
+      }
+      (nOp, sr, sg, sb)
+    }
+    assert(rgbSums(fs(0).raster) == ((8L, 80L, 160L, 240L)))
+    assert(rgbSums(fs(1).raster) == ((8L, 300L, 270L, 240L)))
+    // frame 2: transparent index 3 leaves the canvas pixel untouched
+    assert(rgbSums(fs(2).raster) == ((8L, 330L, 300L, 270L)))
+    // frame 3: disposal 2 cleared frame 2's rect before this draw
+    assert(rgbSums(fs(3).raster) == ((6L, 470L, 310L, 150L)))
+    // sampling picks 0, 2; maxFrames caps the walk
+    assert(GifDecoder.decodeFrames(anim, everyK = 2).get
+      .map(_.index) == Seq(0, 2))
+    assert(GifDecoder.decodeFrames(anim, everyK = 1, maxFrames = 2).get
+      .map(_.index) == Seq(0, 1))
+    // decode() == first frame
+    assert(java.util.Arrays.equals(
+      GifDecoder.decode(anim).get.rgba, fs(0).raster.rgba))
+    // disposal 3 declines; truncation declines; never throws
+    val d3 = anim.clone()
+    val gceAt = d3.indexOfSlice(Seq(0x21.toByte, 0xF9.toByte))
+    d3(gceAt + 3) = (d3(gceAt + 3) | (3 << 2)).toByte
+    assert(GifDecoder.decodeFrames(d3).isEmpty)
+    for (cut <- 0 until anim.length)
+      GifDecoder.decodeFrames(anim.take(cut)): Unit
+  }
+
+  test("resizeNearest: exact picking down and replication up") {
+    // 4x2 raster, distinct per-pixel values
+    val rgba = Array.tabulate(4 * 2 * 4) { i =>
+      val px = i / 4
+      (if (i % 4 == 3) -1 else 10 * px + i % 4).toByte
+    }
+    val r = PngRaster(4, 2, rgba)
+    val down = Multimodal.resizeNearest(r, 2, 1)
+    // picks (0,0) and (2,0): values 0.. and 20..
+    assert(down.rgba.toSeq == Seq[Byte](0, 1, 2, -1, 20, 21, 22, -1))
+    val up = Multimodal.resizeNearest(r, 8, 2)
+    // each source pixel replicated twice horizontally
+    assert((up.rgba(0) & 0xFF) == 0 && (up.rgba(4) & 0xFF) == 0 &&
+      (up.rgba(8) & 0xFF) == 10)
+    assert(up.width == 8 && up.height == 2)
+  }
+
   test("GIF LZW composite codes (KwKwK) decode correctly") {
     // hand-packed stream for indices 0,0,0,0,0,0 with minCode=2:
     // codes [CLEAR=4, 0, 6 (KwKwK), 7 (KwKwK), EOI=5] -> bytes 84 5F
