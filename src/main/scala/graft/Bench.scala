@@ -214,8 +214,31 @@ object Bench {
     // lines; "runs" likewise. Every envelope byte competes with one
     // more per-query entry fitting inside the 2 KB driver tail.
     val sfName = new java.io.File(sfDir).getName
-    val headline =
-      s"""{"metric":"total","value":${fmtq(warmTotal)},"unit":"sec","queries":${jShort(_._2)},"cold_total":${fmtq(coldTotal)},"errors":$errJson$reqJson,"sf":"$sfName"}"""
+    // The surface outgrew the ~1926-char driver tail again at 201
+    // queries (round 13; round 11 crossed it at 170 with full-name
+    // keys). Final lever from SURVEY §6: the headline keeps as many
+    // per-query entries as fit under a HARD cap — largest warm values
+    // first, the ones ratio grading cares about — and spills the rest
+    // to an aux line just before it (also in BENCH_LOCAL.json). The
+    // spill is LOUD: an "overflow":N field rides the headline, so a
+    // truncated map can never read as a complete one.
+    val entryStrs = results.toSeq
+      .sortBy { case (_, v) => -v._2 }
+      .map { case (k, v) => s"\"" + shortNames(k) + "\":" + fmtq(v._2) }
+    val headBudget = 1800
+    def envelope(qs: String, overflow: Int) =
+      s"""{"metric":"total","value":${fmtq(warmTotal)},"unit":"sec","queries":{$qs},""" +
+        (if (overflow > 0) s""""overflow":$overflow,""" else "") +
+        s""""cold_total":${fmtq(coldTotal)},"errors":$errJson$reqJson,"sf":"$sfName"}"""
+    var kept = entryStrs.length
+    while (kept > 0 &&
+      envelope(entryStrs.take(kept).mkString(","), entryStrs.length - kept)
+        .length > headBudget) kept -= 1
+    val headQs = entryStrs.take(kept).mkString(",")
+    val spilled = entryStrs.drop(kept)
+    if (spilled.nonEmpty)
+      println(s"""{"aux":"queries_overflow","queries":{${spilled.mkString(",")}}}""")
+    val headline = envelope(headQs, spilled.length)
     println(s"""{"aux":"headline_len","chars":${headline.length}}""")
     println(headline)
     // Structured artifact on disk: every driver round to date recorded
