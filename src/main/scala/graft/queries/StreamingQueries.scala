@@ -728,9 +728,69 @@ object StreamingQueries {
       FROM (${PipelineQueries.jaccardPairsSql(3, 0.6)})
       ORDER BY id_a, id_b"""))
 
+  /** Late-replay immunity — the watermark DROP path as a hash-gated
+    * fact (every other parity drains everything; none proves what the
+    * engine REFUSES): after the whole corpus streams through an
+    * append-mode windowed aggregation and the watermark reaches
+    * max(ts), the bottom half of the corpus is REPLAYED as a late
+    * batch. Every replayed row's window closed long ago (window end ≤
+    * mid + 1h ≪ watermark), so the engine must drop them all — the
+    * output hash-matches the plain batch aggregation; a single
+    * accepted late row double-counts an early window and fails the
+    * hash. Sentinels drive the watermark past the last window.
+    */
+  val q202 = Q(
+    "q202_stream_late_drop_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
+      val raw = s.read.schema(enc.schema).parquet(s"$dir/events.parquet")
+      val span = raw.select(unix_millis(enc.tsMs).as("ms"))
+        .agg(min(col("ms")).as("lo"), max(col("ms")).as("hi")).head()
+      // replay-safety margin: replayed windows end ≥ 1h under max(ts)
+      val cutMs = span.getLong(0) +
+        (span.getLong(1) - span.getLong(0)) / 2 - 7200000L
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(enc.tsMs.as("ts"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).as("value"))
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      val lateReplay: () => Unit = () =>
+        raw.where(unix_millis(enc.tsMs) < cutMs)
+          .write.mode("append").parquet(watch)
+      drainToTable(s, "q202_mem",
+        StreamingOps.windowedCounts(
+          evs, watermarkDelay = "0 seconds", windowLen = "1 hour"),
+        "append",
+        Seq(lateReplay,
+          sentinel(4000000000000000000L, -1L),
+          sentinel(4000000001000000000L, -2L)))
+        .where(col("event_type") =!= "sentinel")
+        .select(
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          col("value_sum").cast("long").as("value_cents"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, value,
+               epoch_ns(ts) // 1000000 AS ms FROM events)
+      SELECT (ms // 3600000) * 3600000 AS window_start_ms,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM e GROUP BY 1, 2
+      ORDER BY window_start_ms, event_type"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196)
+      q196, q202)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
