@@ -2915,29 +2915,45 @@ object PipelineQueries {
 
   // ---- q193: incremental cluster maintenance ----
   // The batch companion of the streaming pair sink (row 187): an
-  // existing cluster labeling + one new batch's verified pairs fold
+  // existing cluster labeling + one batch of new verified pairs fold
   // into updated clusters WITHOUT touching the historical pair store —
   // the old labeling's star reduction carries its connectivity. The
-  // demo state here is constructed by splitting the corpus 80/20 on
-  // doc_id %% 5 (production reads labels + the sink's pairs/batch=N
-  // partition instead); LSH pairs are bucket-local, so base-corpus
-  // pairs equal the full run's base×base pairs and old ∪ new is
-  // EXACTLY the full pair set — the oracle is therefore the plain
-  // full-recompute CC, which is the operator's defining guarantee.
+  // demo state follows the FULL dupClusters scale discipline (the
+  // round-13 100x sweep caught the first cut running raw-doc LSH
+  // twice: 333 s at 100x; collapsed-grain with a PAIR split is 9 s):
+  // digest-collapse to scratch, ONE LSH pair run at rep grain, pairs
+  // split 50/50 by pair hash into "stored" and "new", CC on the
+  // stored half, mergeClusters folds the new half, labels expand to
+  // doc grain. old ∪ new = the full pair set by construction, so the
+  // oracle is the plain full-recompute CC — the operator's defining
+  // guarantee.
 
   val q193 = Q(
     "q193_incremental_clusters",
     (s, dir) => {
       val d = docs(s, dir)
-      val base = d.where(col("doc_id") % 5 =!= 4)
-      val fresh = d.where(col("doc_id") % 5 === 4)
+      val keyed = d.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("digest"))
+      val reps = keyed.groupBy("digest").agg(min(col("doc_id")).as("rep"))
+      val mapping = keyed.join(reps, "digest")
+        .select(col("doc_id"), col("rep"))
+      val repPath = s"${Scratch.dir(s, "q193_reps_")}/collapsed"
+      d.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .join(reps.select(col("rep").as("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(repPath)
+      val repDocs = s.read.parquet(repPath)
+      val pairs = Dedup
+        .minhashNearDup(repDocs, "doc_id", "text", 3, 8, 3, 0.6)
+        .select(col("id_a"), col("id_b"))
+      val stored = pairs.where((col("id_a") + col("id_b")) % 2 === 0)
+      val fresh = pairs.where((col("id_a") + col("id_b")) % 2 === 1)
       val labels0 = Dedup.clustersFromPairs(
-        base.select(col("doc_id")), "doc_id",
-        Dedup.minhashNearDup(base, "doc_id", "text", 3, 8, 3, 0.6))
-      val newPairs = Dedup.minhashNearDup(d, "doc_id", "text", 3, 8, 3, 0.6)
-        .where(col("id_a") % 5 === 4 || col("id_b") % 5 === 4)
-      Dedup.mergeClusters(labels0, "doc_id", "cluster_id",
-          fresh.select(col("doc_id")), newPairs)
+        repDocs.select(col("doc_id")), "doc_id", stored)
+      val merged = Dedup.mergeClusters(labels0, "doc_id", "cluster_id",
+        repDocs.select(col("doc_id")), fresh)
+      mapping
+        .join(merged.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(col("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },
     Some(s"""
