@@ -365,6 +365,52 @@ object EtlQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  // ---- q203: small-file compaction plan ----
+  // The S3 pipeline's chronic cost center priced before the rewrite:
+  // DatasetIO.compactionPlan lists metadata only and assigns each file
+  // to a bin via the packingMap first-fit rule (deterministic hash
+  // order, prefix sum, bin = start DIV target). The oracle replays the
+  // identical md5-order cumsum arithmetic over the same planted
+  // (name, size) list; the zero-byte decoy must vanish from the plan.
+
+  val q203 = Q(
+    "q203_compaction_plan",
+    (s, dir) => {
+      val root = s"${scratch(s, "q203_plan")}/small"
+      val sizes = Seq(
+        "f01.bin" -> 120, "f02.bin" -> 64, "f03.bin" -> 2048,
+        "f04.bin" -> 500, "f05.bin" -> 900, "f06.bin" -> 333,
+        "f07.bin" -> 10, "f08.bin" -> 777, "sub/f09.bin" -> 1500,
+        "sub/f10.bin" -> 250, "empty.bin" -> 0)
+      sizes.foreach { case (rel, n) =>
+        graft.ScratchSpace.writeBytes(s, root, rel,
+          Array.fill[Byte](n)('x'.toByte))
+      }
+      new graft.sources.DatasetIO(s)
+        .compactionPlan(root, targetBytesPerFile = 1000L)
+    },
+    Some("""
+      WITH f AS (SELECT * FROM (VALUES
+          ('f01.bin', 120), ('f02.bin', 64), ('f03.bin', 2048),
+          ('f04.bin', 500), ('f05.bin', 900), ('f06.bin', 333),
+          ('f07.bin', 10), ('f08.bin', 777), ('sub/f09.bin', 1500),
+          ('sub/f10.bin', 250), ('empty.bin', 0))
+          AS t(file_name, bytes)),
+      t AS (SELECT file_name, CAST(bytes AS BIGINT) AS n,
+                   ('0x'||substr(md5('0|'||file_name),1,15))::BIGINT AS ord
+            FROM f WHERE bytes > 0),
+      c AS (SELECT file_name, n,
+                   sum(n) OVER (ORDER BY ord, file_name
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+            FROM t),
+      b AS (SELECT file_name, n,
+                   CAST((e - n) // 1000 AS BIGINT) AS bin
+            FROM c)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(n) AS BIGINT) AS bytes,
+             min(file_name) AS first_file
+      FROM b GROUP BY 1 ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168)
+    q134, q168, q203)
 }

@@ -157,6 +157,53 @@ final class DatasetIO(spark: SparkSession) {
     * compact REFUSES object-store schemes unless the caller passes
     * `allowNonAtomicSwap = true` and accepts the crash window.
     */
+  /** Compaction PLAN — price a small-file rewrite BEFORE paying for it
+    * (the S3 pipeline's chronic cost center; [[compact]] executes, this
+    * only reads metadata): every data file under `path` is assigned to
+    * an output bin by the [[graft.operators.Sampling.packingMap]]
+    * first-fit rule at file grain — deterministic hash order, prefix
+    * sum of sizes, bin = start offset DIV target; a file whose start
+    * lands in a bin joins that bin whole, so bins may overrun the
+    * target by less than one file. Only file NAMES and SIZES touch the
+    * driver (the same metadata-only listing the reference pages); the
+    * plan math itself is the distributed prefix sum. Zero-byte files
+    * carry no bytes and are excluded (they compact away implicitly).
+    *
+    * Output: (bin, n_files, bytes, first_file), ordered by bin.
+    */
+  def compactionPlan(
+      path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetBytesPerFile > 0, "target must be positive")
+    val p0 = new Path(path)
+    val fs = fsFor(p0)
+    val p = fs.makeQualified(p0)
+    val rootUri = p.toUri
+    val files = graft.sources.GraftException
+      .translatingAuth(s"compactionPlan $path") {
+        val it = fs.listFiles(p, /*recursive=*/ true)
+        var out = List.empty[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          val nm = f.getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith("."))
+            out ::= (rootUri.relativize(f.getPath.toUri).getPath, f.getLen)
+        }
+        out
+      }
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.operators.Sampling
+      .packingMap(files.toDF("file_name", "bytes"),
+        "file_name", "bytes", targetBytesPerFile)
+      .groupBy(col("first_seq").as("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_tokens")).as("bytes"),
+        min(col("file_name")).as("first_file"))
+      .orderBy("bin")
+  }
+
   def compact(
       path: String,
       targetBytesPerFile: Long = 128L * 1024 * 1024,
