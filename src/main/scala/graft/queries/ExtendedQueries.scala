@@ -2491,6 +2491,39 @@ object ExtendedQueries {
                  "/CAST(n_rows AS DOUBLE)", 4)} AS pct_anonymous
       FROM a"""))
 
+  // ---- q204: k-anonymity generalization ladder ----
+  // The fix q163's audit motivates: coarsen c_acctbal by powers of ten
+  // (floor division on exact cents — integer DIV truncates toward zero
+  // and would disagree across engines on negative balances) and report
+  // per level how re-identifiable (bucket, mktsegment) remains; the
+  // first satisfies_k level is the minimal publishable generalization.
+
+  val q204 = Q(
+    "q204_kanon_generalize",
+    (s, dir) =>
+      graft.operators.Privacy.generalizationLadder(
+        Tables(s, dir, "customer"), "c_acctbal",
+        otherQuasiCols = Seq("c_mktsegment"), k = 10, maxLevel = 6),
+    Some("""
+      WITH lv AS (SELECT unnest(range(0, 7)) AS level),
+      c AS (SELECT floor(c_acctbal * 100.0 + 0.5) AS cents, c_mktsegment
+            FROM customer),
+      b AS (SELECT lv.level,
+                   floor(c.cents / power(10.0, lv.level)) AS bucket,
+                   c.c_mktsegment
+            FROM c, lv),
+      g AS (SELECT level, bucket, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS gsz
+            FROM b GROUP BY 1, 2, 3)
+      SELECT CAST(level AS INTEGER) AS level,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             min(gsz) AS min_group_size,
+             CAST(coalesce(sum(CASE WHEN gsz < 10 THEN gsz END), 0)
+               AS BIGINT) AS rows_below_k,
+             CAST(CASE WHEN min(gsz) >= 10 THEN 1 ELSE 0 END AS INTEGER)
+               AS satisfies_k
+      FROM g GROUP BY 1 ORDER BY level"""))
+
   // ---- q164: event-time disorder histogram ----
   // The watermark-calibration readout: lateness of each event vs the
   // per-user arrival frontier, day-bucketed with cumulative share.
@@ -2904,5 +2937,5 @@ object ExtendedQueries {
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182, q197, q199)
+      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182, q197, q199, q204)
 }
