@@ -3263,9 +3263,86 @@ object PipelineQueries {
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 
+  // ---- q205: tokenizer fertility audit ----
+  // The tokenizer-selection readout: per source, BPE tokens per
+  // whitespace word under the corpus-trained 3-merge table (fertility
+  // < 1 means merges span whole words; the metric pricing a tokenizer
+  // swap's context-budget impact). Integer token/word counts, one
+  // fix4 division per source; oracle replays train + encode (q188's
+  // derivation) and the word counts.
+
+  val q205 = Q(
+    "q205_tokenizer_fertility",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(d, "text", iters = 3)
+      val toks = TextAnalysis.bpeEncode(d, "doc_id", "text", merges.map(_._1))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
+      val words = d.select(col("doc_id"), col("source"),
+        explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_words"))
+      words.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"))
+        .select(col("source"), col("n_words"), col("n_bpe"),
+          Numerics.fix4(
+            col("n_bpe").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM occ WHERE len(word) >= 2 GROUP BY 1),
+      x1 AS (SELECT word, freq, unnest(range(1, len(word))) AS i FROM wf),
+      p1 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x1 GROUP BY 1),
+      b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      w2 AS (SELECT replace(word, (SELECT pair FROM b1), chr(1)) AS word,
+                    freq
+             FROM wf),
+      x2 AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+             FROM w2 WHERE len(word) >= 2),
+      p2 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x2 GROUP BY 1),
+      b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      w3 AS (SELECT replace(word, (SELECT pair FROM b2), chr(2)) AS word,
+                    freq
+             FROM w2),
+      x3 AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+             FROM w3 WHERE len(word) >= 2),
+      p3 AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM x3 GROUP BY 1),
+      b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+      enc AS (SELECT doc_id,
+                replace(replace(replace(word,
+                  (SELECT pair FROM b1), chr(1)),
+                  (SELECT pair FROM b2), chr(2)),
+                  (SELECT pair FROM b3), chr(3)) AS wenc
+              FROM occ WHERE word <> ''),
+      bpe AS (SELECT doc_id, CAST(sum(len(wenc)) AS BIGINT) AS n_bpe
+              FROM enc GROUP BY 1),
+      wc AS (SELECT o.doc_id, d.source,
+                    CAST(count(*) AS BIGINT) AS n_words
+             FROM occ o JOIN documents d ON d.doc_id = o.doc_id
+             WHERE o.word <> '' GROUP BY 1, 2)
+      SELECT wc.source, CAST(sum(wc.n_words) AS BIGINT) AS n_words,
+             CAST(sum(bpe.n_bpe) AS BIGINT) AS n_bpe,
+             ${Numerics.sqlFix(
+      "CAST(sum(bpe.n_bpe) AS DOUBLE) / sum(wc.n_words)", 4)} AS fertility
+      FROM wc JOIN bpe ON bpe.doc_id = wc.doc_id
+      GROUP BY 1 ORDER BY wc.source"""))
+
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
-    q200, q201,
+    q200, q201, q205,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,
