@@ -78,6 +78,25 @@ object ScratchSpace {
     fs.delete(p, true): Unit
   }
 
+  /** Materialize a DataFrame by a scratch-parquet round-trip: write
+    * to a fresh dir under [[root]], read back. The returned frame's
+    * lineage is ONLY the parquet scan, so callers can unpersist /
+    * drop every input the plan referenced. This is the CLUSTER-SAFE
+    * materialization — unlike `localCheckpoint`, whose blocks die
+    * with their executors, the file survives executor loss (SURVEY §4
+    * rule, now unconditional). The scratch dir lives until the
+    * session's scratch root is cleaned (local fallback: JVM exit);
+    * callers holding node-grain results that must outlive the session
+    * should write to a destination of their own instead.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame,
+      prefix: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val d = dir(spark, prefix)
+    df.write.mode("overwrite").parquet(d)
+    spark.read.parquet(d)
+  }
+
   /** Write raw bytes to `dir/name` through the Hadoop FS API (parent
     * dirs auto-created; `name` may contain `/`). The fixture-planting
     * primitive — works identically on a local root and an object

@@ -237,6 +237,15 @@ object JpegEncoder {
   /** Encode a grayscale (1-component) or RGB (3-component YCbCr)
     * image. `rgb` is w·h (gray) or 3·w·h (RGB) bytes, row-major.
     * `chromaSub` 1 = 4:4:4, 2 = 4:2:0 (box-averaged chroma).
+    *
+    * Quantized AC coefficients are CLAMPED to ±1023 (the Annex K
+    * typical-table size-10 AC range): adversarial content such as a
+    * sign-matched ±128 checkerboard under [[FlatQuant]] can push an
+    * AC coefficient to 1024, which the standard AC tables cannot
+    * code. Such extremes encode to slightly altered content rather
+    * than failing — callers comparing decode(encode(x)) against an
+    * analytic expectation must stay inside the ±1023 AC range (all
+    * natural images do; DC is unclamped, size 11 covers it).
     */
   def encode(
       w: Int,
@@ -371,7 +380,9 @@ object JpegEncoder {
     * `restartInterval` > 0) per-scan restart markers. Decoding the
     * result must agree EXACTLY with decoding [[encode]]'s output for
     * the same inputs — both deliver the identical quantized
-    * coefficients (spec-asserted, including fuzz).
+    * coefficients (spec-asserted, including fuzz). AC coefficients
+    * are clamped to ±1023 exactly as in [[encode]] — see its
+    * Scaladoc for the contract.
     */
   def encodeProgressive(
       w: Int,

@@ -450,7 +450,11 @@ object Multimodal {
     * of raster size.
     *
     * Output: (doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b) with
-    * exact integer channel sums (hash-matchable cross-engine).
+    * exact integer channel sums (hash-matchable cross-engine). For
+    * GIFs whose first frame is an offset sub-rect, (px_w, px_h) are
+    * the LOGICAL-SCREEN (canvas) dimensions — [[GifDecoder.decode]]
+    * composites onto the canvas, never the raw rect — so stats are
+    * canvas-grain by contract (the q180 oracle bakes this in).
     */
   def decodePixelStats(ds: Dataset[MediaRecord]): DataFrame = {
     import ds.sparkSession.implicits._

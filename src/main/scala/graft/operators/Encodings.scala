@@ -69,8 +69,9 @@ object Encodings {
     def release(): Unit = { ranked.unpersist(): Unit }
   }
 
-  /** Convenience form: materializes the (k-bucket) histogram via an
-    * eager localCheckpoint and releases the cached ranked rows
+  /** Convenience form: materializes the (k-bucket) histogram via a
+    * scratch-parquet round-trip (executor-loss-safe, unlike
+    * localCheckpoint) and releases the cached ranked rows
     * immediately — repeated calls cannot accumulate executor cache.
     * Use [[equiDepthHistogramRun]] + `release()` to keep the lineage.
     */
@@ -80,7 +81,7 @@ object Encodings {
       tieCol: String,
       k: Int): DataFrame = {
     val run = equiDepthHistogramRun(df, valCol, tieCol, k)
-    val out = run.result.localCheckpoint(true)
+    val out = graft.ScratchSpace.materialize(run.result, "equidepth_")
     run.release()
     out
   }

@@ -333,13 +333,12 @@ object Graphs {
     def release(): Unit = { edges.unpersist(); ids.unpersist(): Unit }
   }
 
-  /** Convenience form: materializes the labels via an eager
-    * localCheckpoint and releases the cached edge/id sets immediately,
+  /** Convenience form: materializes the labels via a scratch-parquet
+    * round-trip and releases the cached edge/id sets immediately,
     * so repeated calls cannot accumulate executor cache (the round-12
-    * footgun). The returned frame holds only its own node-grain rows,
-    * reclaimed by the ContextCleaner once the caller drops it. Loops
-    * that want to keep the lineage (or run on flaky executors, where
-    * non-reliable local checkpoints can be lost) should use
+    * footgun). The file round-trip survives executor loss — the
+    * repo's no-localCheckpoint rule (SURVEY §4) is unconditional.
+    * Loops that want to keep the lineage should use
     * [[labelPropagationRun]] and `release()` after materializing.
     */
   def labelPropagation(
@@ -350,7 +349,7 @@ object Graphs {
       bCol: String,
       rounds: Int = 2): DataFrame = {
     val run = labelPropagationRun(allIds, idCol, pairs, aCol, bCol, rounds)
-    val out = run.result.localCheckpoint(true)
+    val out = graft.ScratchSpace.materialize(run.result, "lpa_labels_")
     run.release()
     out
   }
@@ -431,9 +430,10 @@ object Graphs {
     def release(): Unit = { und.unpersist(): Unit }
   }
 
-  /** Convenience form: materializes the (single-row) score via an
-    * eager localCheckpoint and releases the cached edge list
-    * immediately — repeated audits cannot accumulate executor cache.
+  /** Convenience form: materializes the (single-row) score via a
+    * scratch-parquet round-trip (executor-loss-safe, unlike
+    * localCheckpoint) and releases the cached edge list immediately —
+    * repeated audits cannot accumulate executor cache.
     * Use [[modularityRun]] + `release()` to keep the lineage instead.
     */
   def modularity(
@@ -444,7 +444,7 @@ object Graphs {
       aCol: String,
       bCol: String): DataFrame = {
     val run = modularityRun(labels, idCol, communityCol, pairs, aCol, bCol)
-    val out = run.result.localCheckpoint(true)
+    val out = graft.ScratchSpace.materialize(run.result, "modularity_")
     run.release()
     out
   }

@@ -68,7 +68,8 @@ object Layout {
   }
 
   /** Convenience form: materializes the (predicate-grain) audit via
-    * an eager localCheckpoint and releases the cached ranked rows
+    * a scratch-parquet round-trip (executor-loss-safe, unlike
+    * localCheckpoint) and releases the cached ranked rows
     * immediately — repeated audits cannot accumulate executor cache.
     * Use [[skippingAuditRun]] + `release()` to keep the lineage.
     */
@@ -79,7 +80,7 @@ object Layout {
       blockRows: Int,
       predicates: Seq[(Int, Long, Long)]): DataFrame = {
     val run = skippingAuditRun(df, layoutKeys, probe, blockRows, predicates)
-    val out = run.result.localCheckpoint(true)
+    val out = graft.ScratchSpace.materialize(run.result, "skip_audit_")
     run.release()
     out
   }

@@ -103,10 +103,11 @@ object Sampling {
     def release(): Unit = { local.unpersist(): Unit }
   }
 
-  /** Convenience form: materializes the packing map via an eager
-    * localCheckpoint and releases the cached cumsum rows immediately —
-    * repeated calls cannot accumulate executor cache. Use
-    * [[packingMapRun]] + `release()` to keep the lineage instead.
+  /** Convenience form: materializes the packing map via a
+    * scratch-parquet round-trip (executor-loss-safe, unlike
+    * localCheckpoint) and releases the cached cumsum rows
+    * immediately — repeated calls cannot accumulate executor cache.
+    * Use [[packingMapRun]] + `release()` to keep the lineage instead.
     */
   def packingMap(
       df: DataFrame,
@@ -115,7 +116,7 @@ object Sampling {
       seqLen: Long,
       seed: Int = 0): DataFrame = {
     val run = packingMapRun(df, idCol, tokensCol, seqLen, seed)
-    val out = run.result.localCheckpoint(true)
+    val out = graft.ScratchSpace.materialize(run.result, "packing_map_")
     run.release()
     out
   }

@@ -420,6 +420,15 @@ object Similarity {
     *
     * Output: (query_id, rank, corpus_id, adc_score), top-k per query
     * by ADC score desc with corpus-id tiebreak.
+    *
+    * COST LAW: flat ADC is linear in |queries| × |corpus| — every
+    * query's LUT row visits every corpus code row (that IS the
+    * kernel; the cell-bounded scale path is [[ivfPqTopK]]). The LUT
+    * broadcast is |queries| × m × nCodes doubles. Both are priced by
+    * `maxQueries` (default 8192): the operator counts the query side
+    * (a LIMIT-bounded job) and REFUSES loudly above the ceiling
+    * rather than silently launching a 10⁹-query × 10⁹-code scan.
+    * Raise it deliberately when |corpus| is small.
     */
   def pqTopK(
       queries: DataFrame,
@@ -429,9 +438,17 @@ object Similarity {
       dim: Int,
       m: Int,
       nCodes: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueries: Int = 8192): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m")
     require(nCodes >= 2 && nCodes <= 256, "nCodes in [2, 256]")
+    require(maxQueries >= 1, "maxQueries must be positive")
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"pqTopK is a FLAT ADC scan, linear in |queries|*|corpus|: got " +
+        s"more than maxQueries=$maxQueries query rows. Use ivfPqTopK " +
+        s"(cell-bounded) for large query sets, or raise maxQueries " +
+        s"deliberately if the corpus is small.")
     val sub = dim / m
     GraftFunctions.register(corpus.sparkSession)
     val v = Vectors.asDouble(col(vecCol))
@@ -485,6 +502,13 @@ object Similarity {
     * the same (argmax, mask) probe chain, code rule and fixed-order
     * ADC sums as the component operators, so the oracle re-derives
     * the full ranking.
+    *
+    * `excludeSelf` (default true, the self-search contract where
+    * queries ⊆ corpus) drops candidates whose corpus id EQUALS the
+    * query id. Callers searching a DISTINCT corpus whose id space
+    * overlaps the queries' must pass `excludeSelf = false` or
+    * legitimate matches are silently dropped ([[pqTopK]] has no such
+    * filter — flat ADC is usually a foreign-corpus scan).
     */
   def ivfPqTopK(
       queries: DataFrame,
@@ -496,7 +520,8 @@ object Similarity {
       nProbe: Int,
       m: Int,
       nCodes: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m")
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, nCells=$nCells]")
@@ -546,8 +571,10 @@ object Similarity {
       .reduce(_ + _)
     val w = Window.partitionBy("qid")
       .orderBy(col("__adc").desc, col("cid").asc)
-    qb.join(codes, Seq("cell")) // the equi-join scale path — no BNLJ
-      .where(col("qid") =!= col("cid"))
+    val cands = qb.join(codes, Seq("cell")) // equi-join scale path — no BNLJ
+    val scoped =
+      if (excludeSelf) cands.where(col("qid") =!= col("cid")) else cands
+    scoped
       .withColumn("__adc", adc)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -420,6 +420,14 @@ object StreamingOps {
       .bandSignaturesFor(b, idCol, textCol, shingleWidth, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$stateDir/sigs/batch=seed")
     b.write.mode("overwrite").parquet(s"$stateDir/docs/batch=seed")
+    // Seed the pairs/ root too (empty, schema-only) so nearDupPairs is
+    // readable BEFORE any non-empty batch has emitted — without this,
+    // reading results early throws PATH_NOT_FOUND instead of returning
+    // an empty frame. Id columns inherit idCol's type from `base`.
+    b.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        org.apache.spark.sql.functions.lit(0.0).as("jaccard_sim"))
+      .limit(0)
+      .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=seed")
   }
 
   /** The steady-state near-dedup `foreachBatch` sink (the production

@@ -109,6 +109,45 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("pqTopK refuses query sets above maxQueries (flat-ADC cost law)") {
+    val ss = spark
+    import ss.implicits._
+    val many = (0L to 9L).map(i => (i, Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(many, many, "vec_id", "embedding",
+        dim = 4, m = 2, nCodes = 4, k = 2, maxQueries = 5)
+    }
+    assert(ex.getMessage.contains("maxQueries=5"), ex.getMessage)
+    assert(ex.getMessage.contains("ivfPqTopK"), ex.getMessage)
+    // at exactly the ceiling it runs
+    val ok = Similarity.pqTopK(many.limit(5), many, "vec_id", "embedding",
+      dim = 4, m = 2, nCodes = 4, k = 2, maxQueries = 5)
+    assert(ok.count() == 10L)
+  }
+
+  test("ivfPqTopK excludeSelf=false keeps same-id cross-corpus matches") {
+    val ss = spark
+    import ss.implicits._
+    // disjoint tables whose id spaces overlap: id 0 exists in BOTH
+    val corpus = (0L to 7L).map(i =>
+      (i, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        0.1f, -0.2f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0f, 0.0f, 0.1f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    val withSelf = Similarity.ivfPqTopK(queries, corpus, "vec_id",
+      "embedding", dim = 4, nCells = 2, nProbe = 2, m = 2, nCodes = 4,
+      k = 8, excludeSelf = false)
+      .collect().map(_.getLong(2)).toSet
+    val without = Similarity.ivfPqTopK(queries, corpus, "vec_id",
+      "embedding", dim = 4, nCells = 2, nProbe = 2, m = 2, nCodes = 4,
+      k = 8)
+      .collect().map(_.getLong(2)).toSet
+    assert(withSelf.contains(0L), s"corpus id 0 dropped: $withSelf")
+    assert(!without.contains(0L), "default must exclude self-id")
+    assert(withSelf - 0L == without, s"$withSelf vs $without")
+  }
+
   test("pqTopK: scores and ranking equal the JVM-recomputed ADC truth") {
     val ss = spark
     import ss.implicits._

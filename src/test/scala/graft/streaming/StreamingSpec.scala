@@ -602,6 +602,20 @@ class StreamingSpec extends SparkTestBase {
     assert(storedIds == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("nearDupPairs is readable right after seeding (empty, typed)") {
+    val ss = spark
+    import ss.implicits._
+    val state = graft.ScratchSpace.dir(ss, "ndsink_fresh_")
+    StreamingOps.seedNearDupState(
+      incBase.toDF("doc_id", "text"), state, "doc_id", "text")
+    // BEFORE any batch: must return an empty frame, not PATH_NOT_FOUND
+    val early = StreamingOps.nearDupPairs(ss, state)
+    assert(early.columns.toSeq == Seq("id_a", "id_b", "jaccard_sim"))
+    assert(early.count() == 0L)
+    assert(early.schema("id_a").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("nearDupSink: a re-delivered batchId is idempotent") {
     val ss = spark
     import ss.implicits._
