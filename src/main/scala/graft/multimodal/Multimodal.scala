@@ -484,10 +484,12 @@ object Multimodal {
     }.toDF("doc_id", "px_w", "px_h", "n_px", "sum_r", "sum_g", "sum_b")
   }
 
-  /** Real AUDIO-payload decode, end-to-end: WAV integer-PCM bytes →
-    * samples → exact per-recording statistics, one row per record —
-    * the audio companion of [[decodePixelStats]]. Non-WAV, float-PCM,
-    * compressed or corrupt records keep their id with null stats.
+  /** Real AUDIO-payload decode, end-to-end: WAV integer-PCM (8/16/24
+    * bit) or IEEE float-PCM (32-bit, quantized to the 1/32768 grid —
+    * see [[Wav.decodeStats]]) bytes → samples → exact per-recording
+    * statistics, one row per record — the audio companion of
+    * [[decodePixelStats]]. Non-WAV, compressed or corrupt records
+    * keep their id with null stats.
     * Same per-partition typed pass: bytes never leave the executor,
     * output is a few longs per recording regardless of audio length.
     *
@@ -564,11 +566,44 @@ object Multimodal {
       "sum_r", "sum_g", "sum_b")
   }
 
+  /** MP4 keyframe sampling, codec-free — the video face of the
+    * frame-sample verb ([[sampleGifFrames]] is the pixel-decode
+    * face): per record, walk the ISO-BMFF sample tables
+    * ([[Mp4.keyframes]]) and emit one row per KEPT keyframe with its
+    * exact presentation time and `mdat` byte range — the index a
+    * downstream decode stage slices on, derived without touching a
+    * video codec. Non-MP4/corrupt/table-inconsistent records keep
+    * their id with null fields (the schema is total). Same
+    * per-partition typed pass as [[decodePixelStats]].
+    *
+    * Output: (doc_id, frame_idx, sample_no, ts_ms, byte_offset,
+    * byte_size) — all exact integers.
+    */
+  def sampleMp4Keyframes(
+      ds: Dataset[MediaRecord],
+      everyK: Int = 1,
+      maxFrames: Int = 8): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        Mp4.keyframes(rec.media, everyK, maxFrames) match {
+          case Some(kfs) =>
+            kfs.map(f => (rec.doc_id, Some(f.index), Some(f.sampleNo),
+              Some(f.tsMs), Some(f.byteOffset), Some(f.byteSize)))
+          case None =>
+            Seq((rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long]))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "sample_no", "ts_ms", "byte_offset",
+      "byte_size")
+  }
+
   /** Nearest-neighbor raster resize: src pixel = floor(dst·src/out) —
     * pure integer index arithmetic, so resized fixtures stay
-    * analytically exact (the resize verb of the multimodal mandate;
-    * box/bilinear filtering would trade exactness for smoothness and
-    * belongs behind the same API when a use case needs it).
+    * analytically exact (the resize verb of the multimodal mandate).
+    * For real downscales prefer [[resizeBilinear]] — nearest aliases
+    * badly; both sit behind [[resizePixelStats]]'s `filter` knob.
     */
   def resizeNearest(r: PngRaster, outW: Int, outH: Int): PngRaster = {
     require(outW > 0 && outH > 0, "output dims must be positive")
@@ -588,21 +623,98 @@ object Multimodal {
     PngRaster(outW, outH, out)
   }
 
+  /** Bilinear raster resize in PURE INTEGER fixed-point — no floats,
+    * so the result is bit-identical on every platform and an oracle
+    * can re-derive it. Half-pixel-center convention (the standard
+    * `align_corners=false`): source coordinate of output x is
+    * sx = (x+0.5)·srcW/outW − 0.5, carried exactly as the rational
+    * ((2x+1)·srcW − outW) / (2·outW); edges clamp. Each channel is
+    * the weight-denominator-exact 4-tap blend, rounded half-up:
+    * ((Dy−ry)((D−rx)p00 + rx·p01) + ry((D−rx)p10 + rx·p11) + DDy/2)
+    * / (D·Dy) with D = 2·outW, Dy = 2·outH. Uniform regions are
+    * EXACT under the kernel (equal taps blend to themselves), which
+    * is what makes flat-tile fixtures analytic; gradients get the
+    * proper anti-aliased blend [[resizeNearest]] lacks.
+    */
+  def resizeBilinear(r: PngRaster, outW: Int, outH: Int): PngRaster = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    val dX = 2L * outW
+    val dY = 2L * outH
+    val half = dX * dY / 2
+    val out = new Array[Byte](4 * outW * outH)
+    // per-axis taps: x0(clamped), x1(clamped), rx in [0, D)
+    val x0s = new Array[Int](outW); val x1s = new Array[Int](outW)
+    val rxs = new Array[Long](outW)
+    var x = 0
+    while (x < outW) {
+      val num = (2L * x + 1) * r.width - outW
+      if (num <= 0) { x0s(x) = 0; x1s(x) = 0; rxs(x) = 0L }
+      else {
+        var x0 = (num / dX).toInt
+        var rx = num % dX
+        if (x0 >= r.width - 1) { x0 = r.width - 1; rx = 0L }
+        x0s(x) = x0; x1s(x) = math.min(x0 + 1, r.width - 1); rxs(x) = rx
+      }
+      x += 1
+    }
+    var y = 0
+    while (y < outH) {
+      val numY = (2L * y + 1) * r.height - outH
+      var y0 = 0; var ry = 0L
+      if (numY > 0) {
+        y0 = (numY / dY).toInt
+        ry = numY % dY
+        if (y0 >= r.height - 1) { y0 = r.height - 1; ry = 0L }
+      }
+      val y1 = math.min(y0 + 1, r.height - 1)
+      var xi = 0
+      while (xi < outW) {
+        val x0 = x0s(xi); val x1 = x1s(xi); val rx = rxs(xi)
+        val i00 = 4 * (y0 * r.width + x0); val i01 = 4 * (y0 * r.width + x1)
+        val i10 = 4 * (y1 * r.width + x0); val i11 = 4 * (y1 * r.width + x1)
+        val o = 4 * (y * outW + xi)
+        var c = 0
+        while (c < 4) {
+          val top = (dX - rx) * (r.rgba(i00 + c) & 0xFF) +
+            rx * (r.rgba(i01 + c) & 0xFF)
+          val bot = (dX - rx) * (r.rgba(i10 + c) & 0xFF) +
+            rx * (r.rgba(i11 + c) & 0xFF)
+          out(o + c) = (((dY - ry) * top + ry * bot + half) / (dX * dY)).toByte
+          c += 1
+        }
+        xi += 1
+      }
+      y += 1
+    }
+    PngRaster(outW, outH, out)
+  }
+
+  /** Resize filter selector for [[resizePixelStats]]. */
+  sealed trait ResizeFilter
+  case object Nearest extends ResizeFilter
+  case object Bilinear extends ResizeFilter
+
   /** Decode (PNG/GIF/JPEG — same dispatch as [[decodePixelStats]]),
-    * resize to (outW, outH) nearest-neighbor, and emit the resized
-    * image's exact pixel statistics — the thumbnail-pipeline pass.
+    * resize to (outW, outH) with the chosen `filter` (default
+    * nearest-neighbor; [[Bilinear]] for the anti-aliased thumbnail
+    * path), and emit the resized image's exact pixel statistics.
     * Output: (doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b).
     */
   def resizePixelStats(
       ds: Dataset[MediaRecord],
       outW: Int,
-      outH: Int): DataFrame = {
+      outH: Int,
+      filter: ResizeFilter = Nearest): DataFrame = {
     import ds.sparkSession.implicits._
+    val resize: (PngRaster, Int, Int) => PngRaster = filter match {
+      case Nearest  => resizeNearest
+      case Bilinear => resizeBilinear
+    }
     ds.mapPartitions { it =>
       it.map { rec =>
         (if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
          else if (JpegDecoder.isJpeg(rec.media)) JpegDecoder.decode(rec.media)
-         else PngDecoder.decode(rec.media)).map(resizeNearest(_, outW, outH))
+         else PngDecoder.decode(rec.media)).map(resize(_, outW, outH))
         match {
           case Some(r) =>
             var sr = 0L; var sg = 0L; var sb = 0L

@@ -6,16 +6,24 @@ package graft.multimodal
   * `decodeWavDurationMs` only walks chunk headers, this reads the
   * `data` payload and produces per-recording sample statistics.
   *
-  * Scope: integer PCM (format 1) at 8/16/24-bit depth, any channel
-  * count/sample rate, extra chunks (LIST, fact) in any order. 8-bit is
-  * unsigned-centered (sample = byte − 128) per the RIFF spec; 16/24
-  * are little-endian signed. Float PCM (format 3), A-law/µ-law,
-  * ADPCM, and truncated/desynced files decline to None — never throw.
+  * Scope: integer PCM (format 1) at 8/16/24-bit depth AND IEEE
+  * 32-bit float PCM (format 3 — the other common encoding in ML
+  * audio corpora), any channel count/sample rate, extra chunks
+  * (LIST, fact) in any order. 8-bit is unsigned-centered (sample =
+  * byte − 128) per the RIFF spec; 16/24 are little-endian signed.
+  * A-law/µ-law, ADPCM, non-32-bit format-3, and truncated/desynced
+  * files decline to None — never throw.
   *
   * All statistics are exact integers (peak |sample|, Σ sample², count
   * at full scale), so planted-fixture oracles hash-match: Σ sample²
   * of 16-bit audio fits a Long up to ~8.6e9 frames (~2 days at 48 kHz)
-  * and the decoder guards the payload size far below that.
+  * and the decoder guards the payload size far below that. Float
+  * samples are QUANTIZED to the 1/32768 grid (sample = rint(f·2¹⁵),
+  * IEEE round-half-even — deterministic on every JVM): fixture
+  * values that are multiples of 1/32768 are mantissa-exact in
+  * float32, so their stats are analytic; clipping = |quantized| ≥
+  * 32768 (at-or-beyond full scale on the grid); any non-finite
+  * sample (NaN/±Inf) declines the whole file.
   *
   * Reference behavior anchor: the reference treats object bytes as
   * opaque payloads (amazons3-blueprints download_file.py:60-85); this
@@ -72,14 +80,18 @@ object Wav {
       if (id == "data") { dataAt = i + 8; dataLen = size }
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    if (fmt != 1 || dataAt < 0) return None // non-integer-PCM declined
+    if (dataAt < 0) return None
+    val isFloat = fmt == 3
+    if (!isFloat && fmt != 1) return None // A-law/µ-law/ADPCM declined
     if (channels < 1 || channels > 64 || rate <= 0) return None
-    if (bits != 8 && bits != 16 && bits != 24) return None
+    if (isFloat && bits != 32) return None // float PCM is 32-bit only
+    if (!isFloat && bits != 8 && bits != 16 && bits != 24) return None
     if (dataLen > MaxDataBytes) return None
     val bytesPerSample = bits / 8
     val frameBytes = bytesPerSample * channels
     val frames = dataLen / frameBytes // trailing partial frame ignored
-    val fullScale = (1L << (bits - 1)) - 1 // 127 / 32767 / 8388607
+    // int: 127 / 32767 / 8388607; float: full scale on the 2^15 grid
+    val fullScale = if (isFloat) 32768L else (1L << (bits - 1)) - 1
     var peak = 0L
     var sumsq = 0L
     var clipped = 0L
@@ -87,12 +99,17 @@ object Wav {
     val total = frames * channels
     var p = dataAt
     while (s < total) {
-      val v: Long = bits match {
-        case 8 => (u8(p) - 128).toLong
-        case 16 => leU16(p).toShort.toLong
-        case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
-          (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
-      }
+      val v: Long =
+        if (isFloat) {
+          val f = java.lang.Float.intBitsToFloat(leU32(p).toInt)
+          if (!java.lang.Float.isFinite(f)) return None // NaN/Inf declines
+          math.rint(f.toDouble * 32768.0).toLong
+        } else bits match {
+          case 8 => (u8(p) - 128).toLong
+          case 16 => leU16(p).toShort.toLong
+          case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
+            (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
+        }
       val a = math.abs(v)
       if (a > peak) peak = a
       sumsq += v * v
@@ -138,6 +155,39 @@ object Wav {
       while (b < bytesPerSample) { out.write((enc >> (8 * b)) & 0xFF); b += 1 }
     }
     if ((dataLen & 1) == 1) out.write(0) // word alignment pad
+    out.toByteArray
+  }
+
+  /** Encoder twin for IEEE 32-bit float PCM (format 3): interleaved
+    * float samples -> a WAV file with the spec-mandated `fact` chunk
+    * (sample-frame count) non-PCM formats carry. Values are written
+    * verbatim — plant multiples of 1/32768 for mantissa-exact
+    * [[decodeStats]] fixtures.
+    */
+  def encodeFloat(
+      sampleRate: Int,
+      channels: Int,
+      samples: Array[Float]): Array[Byte] = {
+    require(channels >= 1 && sampleRate > 0, "bad rate/channels")
+    require(samples.length % channels == 0, "partial frame")
+    val dataLen = samples.length * 4
+    val out = new java.io.ByteArrayOutputStream(58 + dataLen)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    ascii("RIFF"); le32(50L + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(18L) // format 3 carries cbSize=0
+    le16(3); le16(channels); le32(sampleRate.toLong)
+    le32(sampleRate.toLong * channels * 4) // byte rate
+    le16(channels * 4); le16(32); le16(0) // block align, bits, cbSize
+    ascii("fact"); le32(4L); le32(samples.length.toLong / channels)
+    ascii("data"); le32(dataLen.toLong)
+    samples.foreach { f =>
+      le32(java.lang.Float.floatToIntBits(f).toLong & 0xFFFFFFFFL)
+    }
     out.toByteArray
   }
 }

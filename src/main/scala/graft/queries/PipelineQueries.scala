@@ -2972,15 +2972,22 @@ object PipelineQueries {
       Array(10, -10, 20, -20, 127, -128))
     val mono24 = Wav.encode(48000, 1, 24,
       Array(8388607, -8388608, 5))
-    // float PCM (format code 3 at byte 20) declines with nulls
+    // format code 3 (float) at 16-bit declines with nulls — float
+    // PCM is 32-bit only
     val float16 = mono16.clone(); float16(20) = 3
+    // real IEEE float-PCM: all values multiples of 1/32768, so the
+    // rint(f*2^15) grid recovers exact ints: 16384, -8192, 32768(clip),
+    // -32768(clip), 12, 65536(over-range clip)
+    val float32 = Wav.encodeFloat(16000, 1,
+      Array(0.5f, -0.25f, 1.0f, -1.0f, 12f / 32768f, 2.0f))
     Seq(
       "wv_1.wav" -> mono16,
       "wv_2.wav" -> stereo8,
       "wv_3.wav" -> mono24,
       // truncated mid-data -> whole decode refuses with nulls
       "wv_4.wav" -> mono16.dropRight(5),
-      "wv_5.wav" -> float16)
+      "wv_5.wav" -> float16,
+      "wv_6.wav" -> float32)
   }
 
   // ---- q194: WAV PCM sample decode + audio-quality statistics ----
@@ -3013,7 +3020,8 @@ object PipelineQueries {
         (2, 44100, 2, 8, 3, 128, 33513, 2),
         (3, 48000, 1, 24, 3, 8388608, 140737471578138, 2),
         (4, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
-        (5, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+        (5, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (6, 16000, 1, 32, 6, 65536, 6777995408, 3))
         AS t(doc_id, sample_rate, n_channels, bits, n_frames,
              peak_abs, sum_squares, n_clipped)
       ORDER BY doc_id"""))
@@ -3263,6 +3271,104 @@ object PipelineQueries {
         AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 
+  // ---- q206: image resize, BILINEAR (anti-aliased thumbnail pass) ----
+  // Same fixtures and shape as q201, but through the integer-exact
+  // bilinear kernel (Multimodal.resizeBilinear: fixed-point
+  // half-pixel-center taps, round half-up — deterministic, no
+  // floats). The flat-tile JPEG is ANALYTIC under any correct
+  // bilinear kernel: every 4x4 output tap pair falls inside one flat
+  // 8x8 tile (sx in {2.5, 8.5, 14.5, 20.5}, sy in {1.5, 5.5, 9.5,
+  // 13.5}), so outputs are the tile constants -> 2*(32+96+96+200) +
+  // 2*(255+0+0+128) = 1614/channel. The 3x2 GIF upscale blends
+  // across colors: constants re-derived by the exact integer formula
+  // (spec'd against an independent BigInt-rational reference).
+
+  val q206 = Q(
+    "q206_image_resize_bilinear",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{GifDecoder, JpegEncoder}
+      val mdir = Scratch.dir(s, "q206_resize_bl_")
+      def tiles(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+        Array.tabulate(w * h)(i => f((i % w) / 8, (i / w) / 8).toByte)
+      val vals = Array(Array(32, 96, 200), Array(255, 0, 128))
+      val jpg = JpegEncoder.encode(24, 16,
+        tiles(24, 16, (tx, ty) => vals(ty)(tx)), gray = true)
+      val gif = GifDecoder.encode(3, 2,
+        Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
+          7, 11, 13),
+        Array[Byte](0, 1, 2, 3, 0, 1))
+      Seq(
+        "rz_1.jpg" -> jpg,
+        "rz_2.gif" -> gif,
+        "rz_3.jpg" -> jpg.dropRight(40)).foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.resizePixelStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord],
+          outW = 4, outH = 4, filter = Multimodal.Bilinear)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(4 AS INTEGER),
+         CAST(16 AS BIGINT), CAST(1614 AS BIGINT), CAST(1614 AS BIGINT),
+         CAST(1614 AS BIGINT)),
+        (2, 4, 4, 16, 1358, 1369, 738),
+        (3, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, px_w, px_h, n_px, sum_r, sum_g, sum_b)
+      ORDER BY doc_id"""))
+
+  // ---- q207: MP4 keyframe sampling (codec-free stbl walk) ----
+  // The frame-sample verb on the dominant VIDEO container: walk
+  // moov/trak/mdia/stbl (Mp4.keyframes — stss sync samples, stts
+  // decode times, stsc/stsz/stco byte ranges), sample every 2nd
+  // keyframe, and emit (sample_no, ts_ms, mdat byte range) — the
+  // index a decode stage slices on, no H.264 decode. Fixtures are
+  // planted by the Mp4.encode twin, so every output value is
+  // analytic: ts = Σ earlier deltas · 1000 / timescale; offset =
+  // chunk stco + earlier in-chunk sizes (constants replicated
+  // independently; Mp4Spec asserts them against the JVM walk too).
+
+  val q207 = Q(
+    "q207_mp4_keyframe_sample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mp4
+      val mdir = Scratch.dir(s, "q207_mp4_")
+      val a = Mp4.encode(1000,
+        Array(100, 100, 100, 100, 100, 100),
+        Array(10, 20, 30, 40, 50, 60), samplesPerChunk = 2,
+        syncSamples = Array(1, 3, 5))
+      val b = Mp4.encode(90000,
+        Array(3000, 3000, 6000, 3000, 3000, 3000, 6000, 6000),
+        Array.fill(8)(100), samplesPerChunk = 3,
+        syncSamples = Array(1, 2, 4, 6, 8))
+      Seq(
+        "kf_1.mp4" -> a,
+        "kf_2.mp4" -> b,
+        "kf_3.mp4" -> a.dropRight(25)).foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.sampleMp4Keyframes(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord],
+          everyK = 2, maxFrames = 8)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(0 AS BIGINT), CAST(501 AS BIGINT), CAST(10 AS BIGINT)),
+        (1, 1, 5, 400, 601, 50),
+        (2, 0, 1, 0, 541, 100),
+        (2, 1, 4, 133, 841, 100),
+        (2, 2, 8, 300, 1241, 100),
+        (3, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, frame_idx, sample_no, ts_ms, byte_offset, byte_size)
+      ORDER BY doc_id, frame_idx NULLS FIRST"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3342,7 +3448,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
-    q200, q201, q205,
+    q200, q201, q205, q206, q207,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -288,6 +288,85 @@ class PngSpec extends SparkTestBase {
     assert(up.width == 8 && up.height == 2)
   }
 
+  test("resizeBilinear: uniform stays exact; same-size is identity") {
+    // any uniform image must come through bit-exact under a correct
+    // bilinear kernel (equal taps blend to themselves)
+    val flat = PngRaster(7, 5, Array.fill(7 * 5 * 4)(123.toByte))
+    for ((w, h) <- Seq((3, 2), (7, 5), (16, 9), (1, 1))) {
+      val rz = Multimodal.resizeBilinear(flat, w, h)
+      assert(rz.width == w && rz.height == h)
+      assert(rz.rgba.forall(_ == 123.toByte), s"non-uniform at ${w}x$h")
+    }
+    // same size: sx = x exactly (rx = 0), so bilinear is the identity
+    val rnd = new scala.util.Random(11)
+    val noisy = PngRaster(6, 4,
+      Array.fill(6 * 4 * 4)(rnd.nextInt(256).toByte))
+    val id = Multimodal.resizeBilinear(noisy, 6, 4)
+    assert(id.rgba.toSeq == noisy.rgba.toSeq)
+  }
+
+  test("resizeBilinear matches a BigInt-rational reference on fuzz") {
+    // independent reference: exact rational half-pixel-center taps,
+    // BigInt blend, round half-up — no shared code with the kernel
+    def ref(r: PngRaster, ow: Int, oh: Int): Array[Byte] = {
+      val out = new Array[Byte](4 * ow * oh)
+      def taps(o: Int, outN: Int, srcN: Int): (Int, Int, BigInt, BigInt) = {
+        val den = BigInt(2 * outN)
+        val num = BigInt((2 * o + 1).toLong * srcN - outN)
+        if (num <= 0) (0, 0, BigInt(0), den)
+        else {
+          var lo = (num / den).toInt
+          var rem = num % den
+          if (lo >= srcN - 1) { lo = srcN - 1; rem = BigInt(0) }
+          (lo, math.min(lo + 1, srcN - 1), rem, den)
+        }
+      }
+      for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 4) {
+        val (x0, x1, rx, dx) = taps(x, ow, r.width)
+        val (y0, y1, ry, dy) = taps(y, oh, r.height)
+        def px(yy: Int, xx: Int) = BigInt(r.rgba(4 * (yy * r.width + xx) + c) & 0xFF)
+        val v = (dy - ry) * ((dx - rx) * px(y0, x0) + rx * px(y0, x1)) +
+          ry * ((dx - rx) * px(y1, x0) + rx * px(y1, x1))
+        out(4 * (y * ow + x) + c) = ((2 * v + dx * dy) / (2 * dx * dy)).toByte
+      }
+      out
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 40) {
+      val sw = 1 + rnd.nextInt(12); val sh = 1 + rnd.nextInt(12)
+      val ow = 1 + rnd.nextInt(12); val oh = 1 + rnd.nextInt(12)
+      val r = PngRaster(sw, sh, Array.fill(4 * sw * sh)(rnd.nextInt(256).toByte))
+      val got = Multimodal.resizeBilinear(r, ow, oh).rgba
+      val want = ref(r, ow, oh)
+      assert(got.toSeq == want.toSeq,
+        s"mismatch at ${sw}x$sh -> ${ow}x$oh")
+    }
+  }
+
+  test("resizeBilinear anti-aliases a gradient within rounding of float truth") {
+    // horizontal ramp 0..255 over 256px, downscaled 4x: each output
+    // must be within 1 of the float bilinear truth, and monotone
+    val w = 256; val h = 4
+    val rgba = Array.tabulate(w * h * 4) { i =>
+      val px = i / 4
+      (if (i % 4 == 3) -1 else px % w).toByte
+    }
+    val rz = Multimodal.resizeBilinear(PngRaster(w, h, rgba), 64, 1)
+    val vals = (0 until 64).map(x => rz.rgba(4 * x) & 0xFF)
+    for (x <- 0 until 64) {
+      val sx = (x + 0.5) * w / 64.0 - 0.5
+      val x0 = math.floor(sx).toInt.max(0).min(w - 1)
+      val x1 = (x0 + 1).min(w - 1)
+      val dx = (sx - x0).max(0.0)
+      val truth = (1 - dx) * x0 + dx * x1
+      assert(math.abs(vals(x) - truth) <= 1.0, s"x=$x got ${vals(x)} want ~$truth")
+    }
+    assert(vals == vals.sorted, "gradient must stay monotone")
+    // nearest on the same ramp picks identical sample columns only at
+    // matching phases; bilinear never exceeds the ramp's range
+    assert(vals.head >= 0 && vals.last <= 255)
+  }
+
   test("GIF LZW composite codes (KwKwK) decode correctly") {
     // hand-packed stream for indices 0,0,0,0,0,0 with minCode=2:
     // codes [CLEAR=4, 0, 6 (KwKwK), 7 (KwKwK), EOI=5] -> bytes 84 5F

@@ -25,10 +25,44 @@ class WavSpec extends SparkTestBase {
     }
   }
 
-  test("declines: float PCM, non-WAV, bad depth, truncation, bit flips") {
+  test("float PCM: grid-exact stats, clipping, NaN/Inf declines") {
+    // multiples of 1/32768 are float32-mantissa-exact -> analytic
+    val f = Wav.encodeFloat(22050, 2,
+      Array(0.5f, -0.25f, 1.0f, -1.0f, 12f / 32768f, 2.0f))
+    val st = Wav.decodeStats(f)
+    assert(st.isDefined)
+    val s = st.get
+    assert(s.sampleRate == 22050 && s.channels == 2 &&
+      s.bitsPerSample == 32 && s.frames == 3)
+    assert(s.peakAbs == 65536L) // 2.0 is over-range but finite: kept
+    assert(s.sumSquares ==
+      16384L * 16384 + 8192L * 8192 + 32768L * 32768 + 32768L * 32768 +
+        12L * 12 + 65536L * 65536)
+    assert(s.clipped == 3) // 1.0, -1.0, 2.0 at/beyond full scale
+    // round-half-even on the grid midpoint: 1.5/32768 -> 2 (even)
+    val mid = Wav.decodeStats(Wav.encodeFloat(8000, 1,
+      Array(1.5f / 32768f, 2.5f / 32768f)))
+    assert(mid.get.sumSquares == 2L * 2 + 2L * 2, s"got ${mid.get}")
+    // NaN / Inf anywhere declines the whole file
+    assert(Wav.decodeStats(
+      Wav.encodeFloat(8000, 1, Array(0.5f, Float.NaN))).isEmpty)
+    assert(Wav.decodeStats(
+      Wav.encodeFloat(8000, 1, Array(Float.PositiveInfinity))).isEmpty)
+    // truncation / bit flips never throw
+    for (cut <- 0 until f.length) Wav.decodeStats(f.take(cut)): Unit
+    val rnd = new scala.util.Random(97)
+    for (_ <- 0 until 2000) {
+      val flip = f.clone()
+      flip(rnd.nextInt(flip.length)) =
+        (flip(rnd.nextInt(flip.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Wav.decodeStats(flip): Unit
+    }
+  }
+
+  test("declines: 16-bit format-3, non-WAV, bad depth, truncation, bit flips") {
     val wav = Wav.encode(8000, 1, 16, Array(1, 2, 3, 4))
     assert(Wav.decodeStats(wav).isDefined)
-    val fl = wav.clone(); fl(20) = 3 // format code -> IEEE float
+    val fl = wav.clone(); fl(20) = 3 // format 3 at 16-bit: not float PCM
     assert(Wav.decodeStats(fl).isEmpty)
     val bd = wav.clone(); bd(34) = 12 // bitsPerSample -> 12
     assert(Wav.decodeStats(bd).isEmpty)
