@@ -152,10 +152,12 @@ final class DatasetIO(spark: SparkSession) {
     * `rename` being an O(1) metadata move (HDFS, file://, ABFS). On
     * S3-style object stores rename is COPY+DELETE — a crash mid-swap
     * can leave a partially-copied dataset, and readers can observe the
-    * half-renamed state. Production compaction there belongs to a table
-    * format whose commit is a pointer swap (Iceberg/Delta/Hudi), so
-    * compact REFUSES object-store schemes unless the caller passes
-    * `allowNonAtomicSwap = true` and accepts the crash window.
+    * half-renamed state. Production compaction there belongs to a
+    * commit protocol that never renames data — [[compactCommitted]]
+    * IS that protocol (versioned-manifest pointer swap, crash-safe on
+    * every scheme) — so compact REFUSES object-store schemes unless
+    * the caller passes `allowNonAtomicSwap = true` and accepts the
+    * crash window.
     */
   /** Compaction PLAN — price a small-file rewrite BEFORE paying for it
     * (the S3 pipeline's chronic cost center; [[compact]] executes, this
@@ -267,6 +269,172 @@ final class DatasetIO(spark: SparkSession) {
       fs.delete(old, true)
     }
     (before.size, dataFiles().size)
+  }
+
+  // ---- manifest-committed compaction: the object-store-safe path ----
+  // [[compact]]'s rename-aside swap is atomic only where `rename` is a
+  // metadata move; this is the commit protocol that closes that caveat
+  // the way table formats do (Iceberg/Delta: a commit is a NEW
+  // versioned metadata object, never a rename of data): data
+  // generations live in `_gen-<N>/` under the dataset root, and the
+  // CURRENT generation is named by the highest parseable manifest in
+  // `_manifests/`. A manifest is one small JSON object ending in a
+  // `"committed":true` terminal token — a torn/partial write fails the
+  // parse and is IGNORED, so readers resolve the previous generation.
+  // No data directory is ever renamed or mutated after its manifest
+  // commits; crashes at ANY point leave readers on exactly one
+  // complete generation (spec-asserted at every failpoint).
+
+  /** Highest committed (gen, dataDir) under `root`, or None for an
+    * unmanaged dataset (no `_manifests/` yet — generation 0 is the
+    * root's own loose files).
+    */
+  private[sources] def currentManifest(root: Path): Option[(Long, String)] = {
+    val fs = fsFor(root)
+    val mdir = new Path(root, "_manifests")
+    if (!fs.exists(mdir)) return None
+    val manifests = fs.listStatus(mdir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.matches("manifest-\\d+\\.json"))
+    val parsed = manifests.flatMap { mp =>
+      try {
+        val len = fs.getFileStatus(mp).getLen
+        if (len > (1 << 20)) None // a manifest is ~100 bytes; cap hostile
+        else {
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(mp)
+          try in.readFully(0, bytes) finally in.close()
+          val s = new String(bytes, "UTF-8")
+          // fixed-shape parse; the terminal token gates torn writes
+          ManifestRe.findFirstMatchIn(s)
+            .map(g => (g.group(1).toLong, g.group(2)))
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+    if (parsed.isEmpty) None else Some(parsed.maxBy(_._1))
+  }
+
+  private val ManifestRe =
+    """\{"gen":(\d+),"dataDir":"([^"]+)","committed":true\}""".r
+
+  /** The committed view of a managed dataset: resolves through the
+    * newest complete manifest; unmanaged datasets (no manifest yet)
+    * read the root directly. This is the reader every consumer of a
+    * [[compactCommitted]]-maintained dataset should use.
+    */
+  def readCommitted(
+      path: String,
+      format: Option[String] = None): DataFrame = {
+    val root = fsFor(new Path(path)).makeQualified(new Path(path))
+    currentManifest(root) match {
+      case Some((_, dataDir)) =>
+        read(new Path(root, dataDir).toString, format)
+      case None => read(path, format)
+    }
+  }
+
+  /** Test seam: throw between commit phases to prove crash safety.
+    * 0 = no failure; 1 = after the new generation's data is written
+    * (no manifest yet); 2 = mid-manifest-write (torn file); 3 = after
+    * the manifest commits, before old-generation cleanup.
+    */
+  private[sources] var compactFailpoint: Int = 0
+
+  /** [[compact]] with a manifest-gated two-phase commit instead of the
+    * rename-aside swap — safe on EVERY scheme including object stores:
+    *
+    *  1. resolve the current generation via [[currentManifest]]
+    *     (unmanaged roots are generation 0);
+    *  2. rewrite its data into a FRESH `_gen-<N+1>/` directory
+    *     (partition layout reapplied, as in [[compact]]);
+    *  3. commit: create `_manifests/manifest-<N+1>.json`
+    *     (create-exclusive — a concurrent committer of the same
+    *     generation fails loudly instead of silently winning);
+    *  4. clean up the previous generation's files (crash here leaves
+    *     only harmless orphans — readers already resolve N+1).
+    *
+    * Readers ([[readCommitted]]) never see a mixed state: before step
+    * 3 completes they resolve generation N; a torn manifest from a
+    * crash in step 3 fails the terminal-token parse and is ignored.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactCommitted(
+      path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      format: Option[String] = None): (Int, Int) = {
+    require(targetBytesPerFile > 0, "target must be positive")
+    val fs = fsFor(new Path(path))
+    val root = fs.makeQualified(new Path(path))
+    val cur = currentManifest(root)
+    val curGen = cur.map(_._1).getOrElse(0L)
+    val curDataPath = cur match {
+      case Some((_, d)) => new Path(root, d)
+      case None         => root
+    }
+    def dataFilesUnder(d: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] =
+      graft.sources.GraftException.translatingAuth(s"compactCommitted $path") {
+        val it = fs.listFiles(d, /*recursive=*/ true)
+        var files = List.empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = root.toUri.relativize(f.getPath.toUri).getPath
+          // the root-grain listing must not see managed internals
+          val managed = rel.startsWith("_gen-") || rel.startsWith("_manifests")
+          if (!f.getPath.getName.startsWith("_") &&
+            (d != root || !managed)) files ::= f
+        }
+        files
+      }
+    val before = dataFilesUnder(curDataPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytesPerFile).toInt)
+    val partCols: Seq[String] = before.headOption.toSeq.flatMap { f =>
+      Iterator.iterate(f.getPath.getParent)(_.getParent)
+        .takeWhile(d => d != null && d != curDataPath)
+        .map(_.getName).toSeq.reverse
+        .filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))
+    }
+    val df = read(curDataPath.toString, format)
+    val rewritten =
+      if (partCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
+    val newGen = curGen + 1
+    val newDir = s"_gen-$newGen"
+    // phase 2: a crashed prior attempt may have left this dir — the
+    // overwrite save replaces it; it was never committed, so no reader
+    // ever resolved it
+    write(rewritten, new Path(root, newDir).toString, format,
+      partitionBy = partCols)
+    if (compactFailpoint == 1)
+      throw new java.io.IOException("failpoint 1: crash before commit")
+    // phase 3: the commit — one create-exclusive small object
+    val mdir = new Path(root, "_manifests")
+    fs.mkdirs(mdir)
+    val mpath = new Path(mdir, s"manifest-$newGen.json")
+    val json = s"""{"gen":$newGen,"dataDir":"$newDir","committed":true}"""
+    graft.sources.GraftException.translatingAuth(s"compactCommitted $path") {
+      val out = fs.create(mpath, /*overwrite=*/ false)
+      try {
+        if (compactFailpoint == 2) {
+          out.write(json.substring(0, json.length / 2).getBytes("UTF-8"))
+          out.close()
+          throw new java.io.IOException("failpoint 2: torn manifest")
+        }
+        out.write(json.getBytes("UTF-8"))
+      } finally out.close()
+    }
+    if (compactFailpoint == 3)
+      throw new java.io.IOException("failpoint 3: crash before cleanup")
+    // phase 4: cleanup — previous generation's data only
+    cur match {
+      case Some((_, d)) => fs.delete(new Path(root, d), true): Unit
+      case None => // migrate-from-unmanaged: remove the loose root files
+        before.foreach(f => fs.delete(f.getPath, false))
+    }
+    (before.size, dataFilesUnder(new Path(root, newDir)).size)
   }
 
   /** Move datasets matching `pattern` from `srcDir` to `dstDir`,

@@ -90,6 +90,77 @@ class DatasetIOSpec extends SparkTestBase {
     assert(scanLine.contains("n_regionkey"), s"pruning lost: $scanLine")
   }
 
+  test("compactCommitted: crash at every failpoint leaves readers whole") {
+    val d = io
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val path = s"file:$tmp/mfrag.parquet"
+    d.write(nation.repartition(12), path)
+    val truth = nation.agg(sum("n_nationkey")).head.getLong(0)
+    def committedView(): (Long, Long) = {
+      val df = d.readCommitted(path)
+      (df.count(), df.agg(sum("n_nationkey")).head.getLong(0))
+    }
+    assert(committedView() == (25L, truth)) // unmanaged root readable
+    // failpoint 1: new generation written, NO manifest -> readers
+    // must still resolve the original, and the data must be whole
+    d.compactFailpoint = 1
+    intercept[java.io.IOException] { d.compactCommitted(path) }
+    assert(committedView() == (25L, truth), "failpoint 1 leaked")
+    // failpoint 2: TORN manifest on disk -> parse fails -> ignored
+    d.compactFailpoint = 2
+    intercept[java.io.IOException] { d.compactCommitted(path) }
+    assert(committedView() == (25L, truth), "torn manifest was honored")
+    // the torn file must exist (the crash really happened mid-write)
+    val torn = new java.io.File(s"$tmp/mfrag.parquet/_manifests")
+      .listFiles().filter(_.getName.endsWith(".json"))
+    assert(torn.nonEmpty && torn.exists(_.length() > 0))
+    // recovery: clear the torn gen-1 attempt artifacts are reused —
+    // but gen 1's manifest file exists (torn), so the next commit
+    // must NOT create-exclusive-collide: it targets gen 1 again only
+    // if gen 1 never committed. Clean the torn file as a recovery
+    // tool would (it is unparseable garbage by contract).
+    torn.foreach(_.delete())
+    // failpoint 3: manifest committed, cleanup skipped -> readers
+    // resolve the NEW generation; old files are orphans
+    d.compactFailpoint = 3
+    intercept[java.io.IOException] { d.compactCommitted(path) }
+    d.compactFailpoint = 0
+    assert(committedView() == (25L, truth), "committed gen not resolved")
+    // a second compaction over the managed layout works end-to-end
+    val (b2, a2) = d.compactCommitted(path)
+    assert(a2 == 1, s"expected 1 file, got $a2")
+    assert(committedView() == (25L, truth))
+    // concurrent-committer detection: planting the next manifest makes
+    // the create-exclusive commit fail loudly
+    val mdir = new java.io.File(s"$tmp/mfrag.parquet/_manifests")
+    val cur = d.currentManifest(
+      new org.apache.hadoop.fs.Path(s"file:$tmp/mfrag.parquet")).get._1
+    val planted = new java.io.File(mdir, s"manifest-${cur + 1}.json")
+    java.nio.file.Files.write(planted.toPath, "{}".getBytes)
+    intercept[Exception] { d.compactCommitted(path) }
+    assert(committedView() == (25L, truth))
+  }
+
+  test("compactCommitted preserves a partitioned layout") {
+    val d = io
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val path = s"file:$tmp/mpart"
+    d.write(nation.repartition(8), path, partitionBy = Seq("n_regionkey"))
+    val (_, after) = d.compactCommitted(path)
+    val df = d.readCommitted(path)
+    assert(df.count() == nation.count())
+    // partition dirs live under the committed generation
+    val root = new org.apache.hadoop.fs.Path(s"file:$tmp/mpart")
+    val (_, dataDir) = d.currentManifest(root).get
+    val dirs = new java.io.File(s"$tmp/mpart/$dataDir").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("n_regionkey=")), dirs.mkString(","))
+    assert(after <= dirs.length * 2)
+    // pruning still works through the committed reader
+    val pruned = df.where(col("n_regionkey") === 0)
+    assert(pruned.count() == nation.where(col("n_regionkey") === 0).count())
+  }
+
   test("readMatched recursive glob selects across a partitioned tree") {
     val tmp = Files.createTempDirectory("graft_io_").toString
     io.write(nation, s"file:$tmp/tree", partitionBy = Seq("n_regionkey"))
