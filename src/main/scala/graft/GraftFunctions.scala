@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomContains, JaroWinkler, PiiScrub, VecDot}
+import graft.functions.expressions.{BloomContains, JaroWinkler, PiiScrub, UnicodeNormalize, VecDot}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -75,7 +75,36 @@ object GraftFunctions {
       s"$PiiScrubName expects 1 argument, got ${exprs.size}")
   }
 
+  val NfcName = "graft_nfc"
+  val NfkcName = "graft_nfkc"
+
+  private val nfcInfo = new ExpressionInfo(
+    classOf[UnicodeNormalize].getCanonicalName, null, NfcName,
+    "_FUNC_(text) - Unicode NFC canonical normalization (UAX #15; " +
+      "codegen'd, isNormalized fast path).", "")
+
+  private val nfkcInfo = new ExpressionInfo(
+    classOf[UnicodeNormalize].getCanonicalName, null, NfkcName,
+    "_FUNC_(text) - Unicode NFKC compatibility normalization " +
+      "(UAX #15; codegen'd, isNormalized fast path).", "")
+
+  private val nfcBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => UnicodeNormalize(t, compat = false)
+    case exprs => throw new IllegalArgumentException(
+      s"$NfcName expects 1 argument, got ${exprs.size}")
+  }
+
+  private val nfkcBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => UnicodeNormalize(t, compat = true)
+    case exprs => throw new IllegalArgumentException(
+      s"$NfkcName expects 1 argument, got ${exprs.size}")
+  }
+
   def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier(NfcName), nfcInfo, nfcBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(NfkcName), nfkcInfo, nfkcBuilder))
     ext.injectFunction(
       (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder))
     ext.injectFunction(
@@ -109,6 +138,14 @@ object GraftFunctions {
         FunctionIdentifier(JaroWinklerName), jaroWinklerInfo,
         jaroWinklerBuilder)
     }
+    if (!registry.functionExists(FunctionIdentifier(NfcName))) {
+      registry.registerFunction(
+        FunctionIdentifier(NfcName), nfcInfo, nfcBuilder)
+    }
+    if (!registry.functionExists(FunctionIdentifier(NfkcName))) {
+      registry.registerFunction(
+        FunctionIdentifier(NfkcName), nfkcInfo, nfkcBuilder)
+    }
   }
 
   /** Column form; the owning session must have [[register]]ed (the
@@ -128,6 +165,12 @@ object GraftFunctions {
 
   /** Column form of the single-pass PII scrub (struct result). */
   def piiScrub(text: Column): Column = call_function(PiiScrubName, text)
+
+  /** Column form of Unicode NFC canonical normalization. */
+  def nfc(text: Column): Column = call_function(NfcName, text)
+
+  /** Column form of Unicode NFKC compatibility normalization. */
+  def nfkc(text: Column): Column = call_function(NfkcName, text)
 }
 
 /** `spark.sql.extensions` hook. */

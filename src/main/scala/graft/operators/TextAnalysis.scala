@@ -1327,4 +1327,64 @@ object TextAnalysis {
         md5(expr("substring(t, start, end - start + 1)"))
           .as("chunk_digest"))
   }
+
+  /** HTML → text extraction — the step a web-crawl pretraining
+    * pipeline runs on every page before any text analysis: drop
+    * script/style/comment payloads, turn block-level tags into line
+    * breaks, strip every remaining tag, decode the core entities
+    * (amp LAST, the standard order), collapse whitespace. Plus the
+    * boilerplate signals curation filters on: the title, the anchor
+    * count, and link density (anchor-TEXT chars / extracted chars —
+    * nav/footer boilerplate is link-dense, body prose is not).
+    *
+    * Deliberately a CHAIN OF CODEGEN'D BUILT-INS (regexp_replace /
+    * regexp_extract / regexp_count / replace), not a hand parser:
+    * every step has an exact DuckDB twin, so the whole extraction is
+    * hash-gated cross-engine; the patterns avoid backreferences
+    * (RE2-safe) and \x0B-class edge chars. A conformant-DOM parser
+    * would differ only on malformed nesting, which a crawl pipeline
+    * treats as best-effort anyway.
+    *
+    * Output: (idCol, title, text, n_links, link_density) with
+    * link_density fix4'd, 0.0 for empty extractions.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    def decodeEntities(c: Column): Column = {
+      // fixed decode order, amp last — identical replace() chain in SQL
+      val steps = Seq(
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      steps.foldLeft(c) { case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+      }
+    }
+    def stripToText(c: Column): Column = {
+      val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+      val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+      val blocks = regexp_replace(noComment,
+        "(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>", "\n")
+      val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+      trim(regexp_replace(decodeEntities(noTags), "[ \\t\\n\\r]+", " "))
+    }
+    // anchor text: the contents of <a ...>...</a> spans, extracted
+    // then flattened — its length over the total text length is the
+    // link-density boilerplate signal
+    val anchorInner = regexp_replace(
+      array_join(regexp_extract_all(h,
+        lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "),
+      "(?s)<[^>]*>", " ")
+    df.select(
+      col(idCol),
+      regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
+      stripToText(h).as("text"),
+      regexp_count(h, lit("(?i)<a[\\s>]")).cast("long").as("n_links"),
+      Numerics.fix4(
+        when(length(stripToText(h)) > 0,
+          length(trim(regexp_replace(decodeEntities(anchorInner),
+            "[ \\t\\n\\r]+", " "))).cast("double") /
+            length(stripToText(h)))
+          .otherwise(lit(0.0))).as("link_density"))
+  }
 }

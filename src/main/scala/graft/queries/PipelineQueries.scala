@@ -3369,6 +3369,144 @@ object PipelineQueries {
         AS t(doc_id, frame_idx, sample_no, ts_ms, byte_offset, byte_size)
       ORDER BY doc_id, frame_idx NULLS FIRST"""))
 
+  // ---- q208: HTML -> text extraction + boilerplate signals ----
+  // The web-crawl pipeline's first text step, hash-gated end to end:
+  // pages are SYNTHESIZED deterministically from the documents table
+  // (identical || template in both engines — script/style/comment
+  // payloads, nav boilerplate, entities, a per-parity extra link
+  // list), then TextAnalysis.htmlExtract strips them down and prices
+  // the boilerplate (title, anchor count, link density). Every regex
+  // step has an exact RE2-safe DuckDB twin; md5 of the extracted text
+  // makes divergence anywhere in the chain a hash failure.
+
+  val q208 = Q(
+    "q208_html_extract",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did, lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2 && \""),
+        col("source"), lit("\";</script>"),
+        lit("<style>p { color: red; }</style></head><body>"),
+        lit("<!-- nav boilerplate --><div class=\"nav\">" +
+          "<a href=\"/\">Home</a> <a href=\"/about\">About &amp; Site</a>" +
+          "</div>"),
+        lit("<h1>Doc "), did, lit("</h1><p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<ul><li><a href=\"/more\">"), col("source"),
+            lit(" archive</a></li></ul>"))).otherwise(lit("")),
+        lit("<br><p>&quot;fin&#39; &lt;x&gt;&nbsp;end&amp;co</p>" +
+          "</body></html>"))
+      TextAnalysis.htmlExtract(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("doc_id"), col("title"), col("n_links"),
+          col("link_density"),
+          length(col("text")).cast("long").as("text_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><script type="text/javascript">var x = 1 < 2 && "' ||
+          source || '";</script><style>p { color: red; }</style>' ||
+          '</head><body><!-- nav boilerplate --><div class="nav">' ||
+          '<a href="/">Home</a> <a href="/about">About &amp; Site</a>' ||
+          '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+          text || '</p>' ||
+          CASE WHEN doc_id % 2 = 0 THEN
+            '<ul><li><a href="/more">' || source ||
+            ' archive</a></li></ul>' ELSE '' END ||
+          '<br><p>&quot;fin&#39; &lt;x&gt;&nbsp;end&amp;co</p>' ||
+          '</body></html>' AS html
+        FROM documents),
+      strip AS (
+        SELECT doc_id, html,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>', ' ', 'g')
+          AS blocks,
+          array_to_string(regexp_extract_all(html,
+            '(?is)<a[^>]*>(.*?)</a>', 1), ' ') AS anchor_raw
+        FROM h),
+      txt AS (
+        SELECT doc_id, html,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(blocks, '(?s)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+            '[ \t\n\r]+', ' ', 'g')) AS text,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(anchor_raw, '(?s)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+            '[ \t\n\r]+', ' ', 'g')) AS anchor_text
+        FROM strip)
+      SELECT doc_id,
+        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS BIGINT)
+          AS n_links,
+        ${Numerics.sqlFix(
+      "CASE WHEN length(text) > 0 THEN CAST(length(anchor_text) AS DOUBLE)" +
+        " / length(text) ELSE 0.0 END", 4)} AS link_density,
+        CAST(length(text) AS BIGINT) AS text_len,
+        md5(text) AS text_md5
+      FROM txt
+      ORDER BY doc_id"""))
+
+  // ---- q209: Unicode NFC normalization audit ----
+  // The curation step that collapses byte-variant spellings BEFORE
+  // hash-grain dedup: a corpus mixing precomposed and decomposed
+  // accents under-dedups silently (same text, different digests).
+  // Input is synthesized deterministically from documents — every 'e'
+  // becomes decomposed e+U+0301, odd docs get a precomposed U+00E9
+  // suffix — then graft_nfc (java.text.Normalizer, codegen'd)
+  // canonicalizes. UAX #15 fully specifies the algorithm, so DuckDB's
+  // utf8proc nfc_normalize must agree byte-for-byte: md5 of the
+  // normalized text is the gate. Lengths are codepoint-BMP-safe
+  // (no surrogates in the synthesis, so Spark's UTF-16 length ==
+  // DuckDB's codepoint length).
+
+  val q209 = Q(
+    "q209_nfc_normalize",
+    (s, dir) => {
+      graft.GraftFunctions.register(s)
+      val d = docs(s, dir)
+      val denorm = concat(
+        regexp_replace(col("text"), "e", "é"),
+        when(col("doc_id") % 2 === 1, lit(" café")).otherwise(lit("")))
+      d.select(col("doc_id"), denorm.as("t"))
+        .select(
+          col("doc_id"),
+          length(col("t")).cast("long").as("raw_len"),
+          length(graft.GraftFunctions.nfc(col("t"))).cast("long")
+            .as("nfc_len"),
+          (graft.GraftFunctions.nfc(col("t")) =!= col("t")).as("changed"),
+          md5(graft.GraftFunctions.nfc(col("t"))).as("nfc_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          replace(text, 'e', 'e' || chr(769)) ||
+          CASE WHEN doc_id % 2 = 1 THEN ' caf' || chr(233) ELSE '' END
+          AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(t) AS BIGINT) AS raw_len,
+        CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len,
+        nfc_normalize(t) <> t AS changed,
+        md5(nfc_normalize(t)) AS nfc_md5
+      FROM d
+      ORDER BY doc_id"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3448,7 +3586,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
-    q200, q201, q205, q206, q207,
+    q200, q201, q205, q206, q207, q208, q209,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -621,4 +621,41 @@ class TextAnalysisSpec extends SparkTestBase {
       (0L, 2L, 5L, 0.6667, 0.5), // two short docs, 5 of 10 tokens
       (4L, 1L, 5L, 1.0, 1.0)))
   }
+
+  test("htmlExtract: scripts/styles/comments dropped, entities decoded") {
+    val ss = spark
+    import ss.implicits._
+    val html =
+      "<html><head><title>My Page</title>" +
+        "<script>var x = 1 < 2; // <p>not text</p></script>" +
+        "<style>body { color: red; }</style></head>" +
+        "<body><!-- hidden --><h1>Hello</h1>" +
+        "<p>A &amp; B &lt;ok&gt;</p>" +
+        "<div><a href=\"/x\">go here</a> plain <A HREF=\"/y\">two</A></div>" +
+        "</body></html>"
+    val out = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect()(0)
+    assert(out.getString(1) == "My Page")
+    assert(out.getString(2) == "My Page Hello A & B <ok> go here plain two")
+    assert(out.getLong(3) == 2L, s"n_links ${out.getLong(3)}")
+    // anchor text "go here two" = 11 chars over 42 total
+    assert(out.getDouble(4) == math.floor(11.0 / 42 * 10000 + 0.5) / 10000)
+  }
+
+  test("htmlExtract: empty body and tagless text are safe") {
+    val ss = spark
+    import ss.implicits._
+    val out = TextAnalysis.htmlExtract(
+      Seq(
+        (1L, "<html><body><script>x</script></body></html>"),
+        (2L, "no tags at all"),
+        (3L, "<p>&nbsp;</p>")).toDF("doc_id", "html"),
+      "doc_id", "html")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(2) == "" && out(0).getDouble(4) == 0.0)
+    assert(out(1).getString(2) == "no tags at all")
+    assert(out(2).getString(2) == "")
+    assert(out.forall(_.getLong(3) == 0L))
+  }
 }
