@@ -1370,21 +1370,34 @@ object TextAnalysis {
     }
     // anchor text: the contents of <a ...>...</a> spans, extracted
     // then flattened — its length over the total text length is the
-    // link-density boilerplate signal
+    // link-density boilerplate signal.
     val anchorInner = regexp_replace(
       array_join(regexp_extract_all(h,
         lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "),
       "(?s)<[^>]*>", " ")
-    df.select(
-      col(idCol),
-      regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1).as("title"),
-      stripToText(h).as("text"),
-      regexp_count(h, lit("(?i)<a[\\s>]")).cast("long").as("n_links"),
-      Numerics.fix4(
-        when(length(stripToText(h)) > 0,
-          length(trim(regexp_replace(decodeEntities(anchorInner),
-            "[ \\t\\n\\r]+", " "))).cast("double") /
-            length(stripToText(h)))
-          .otherwise(lit(0.0))).as("link_density"))
+    // LAYERED projections (the q136 discipline): the expensive strip
+    // chain materializes into a named column ONCE and downstream
+    // expressions reference the column — inlining it 3x into one
+    // projection triples the regex passes (CollapseProject keeps
+    // non-cheap multiply-referenced producers separate, each kernel
+    // codegens once).
+    graft.SparkUtil.ensureParallelism(df)
+      .select(
+        col(idCol),
+        h.as("__h"),
+        stripToText(h).as("text"),
+        length(trim(regexp_replace(decodeEntities(anchorInner),
+          "[ \\t\\n\\r]+", " "))).cast("double").as("__anchor_len"))
+      .select(
+        col(idCol),
+        regexp_extract(col("__h"), "(?is)<title[^>]*>(.*?)</title>", 1)
+          .as("title"),
+        col("text"),
+        regexp_count(col("__h"), lit("(?i)<a[\\s>]")).cast("long")
+          .as("n_links"),
+        Numerics.fix4(
+          when(length(col("text")) > 0,
+            col("__anchor_len") / length(col("text")))
+            .otherwise(lit(0.0))).as("link_density"))
   }
 }
