@@ -772,6 +772,51 @@ object Similarity {
   }
 
   /** Rank (cos desc, neighbor asc) per query and keep the top k. */
+  /** Matryoshka truncation audit — prices the storage/recall trade of
+    * serving PREFIX-truncated embeddings (the matryoshka-representation
+    * deployment pattern: one stored vector, many effective dims): for
+    * each prefix length in `dims`, run exact top-1 cosine on the
+    * sliced vectors and report whether it still agrees with the
+    * full-dim top-1, plus the truncated-space cosine. A dim that
+    * keeps top-1 agreement at 4× less storage halves the ANN scan
+    * bytes twice over — this audit is the evidence before flipping
+    * that switch (the PQ audit q136 prices codebook compression the
+    * same way).
+    *
+    * Cost: |dims|+1 brute-force top-1 passes over broadcast queries —
+    * run on a SAMPLED query set like [[annRecall]], never the full
+    * corpus as queries.
+    *
+    * Output: (trunc_dim, query_id, top1_id, matches_full, cos_trunc
+    * fix4), one row per (dim, query).
+    */
+  def matryoshkaAudit(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      fullDim: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDim),
+      s"dims must be in [1, fullDim=$fullDim]")
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("__full_top1"))
+    dims.map { d =>
+      val qs = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val cs = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(qs, cs, idCol, vecCol, k = 1)
+        .select(lit(d).as("trunc_dim"), col("query_id"),
+          col("neighbor_id").as("top1_id"),
+          col("cos_sim").as("cos_trunc"))
+    }.reduceLeft(_.unionAll(_))
+      .join(full, "query_id")
+      .select(col("trunc_dim"), col("query_id"), col("top1_id"),
+        (col("top1_id") === col("__full_top1")).as("matches_full"),
+        col("cos_trunc"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -1328,6 +1328,36 @@ object TextAnalysis {
           .as("chunk_digest"))
   }
 
+  /** Sentence segmentation + per-document sentence statistics — the
+    * grain sentence-level curation filters (too-short sentences,
+    * one-sentence spam pages, mean-length quality gates) and
+    * sentence-dedup pipelines run at. The splitter is a DETERMINISTIC
+    * regex — terminal punctuation run followed by spaces — chosen
+    * over an abbreviation-aware model because both engines must split
+    * IDENTICALLY (the rule is the contract, the oracle replays it);
+    * the final sentence keeps its terminal punctuation (no trailing
+    * delimiter), empty pieces are dropped.
+    *
+    * One explode + one hash aggregate — no window, no join; the
+    * first-sentence digest uses min_by on the piece ordinal, so it is
+    * shuffle-order-exact.
+    *
+    * Output: (idCol, n_sentences, mean_sent_chars fix4,
+    * max_sent_chars, first_sentence_md5).
+    */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "[.!?]+[ ]+")).as(Seq("pos", "s")))
+      .where(col("s") =!= "")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        Numerics.fix4(sum(length(col("s"))).cast("double") /
+          count(lit(1))).as("mean_sent_chars"),
+        max(length(col("s"))).cast("long").as("max_sent_chars"),
+        md5(min_by(col("s"), col("pos"))).as("first_sentence_md5"))
+
   /** HTML → text extraction — the step a web-crawl pretraining
     * pipeline runs on every page before any text analysis: drop
     * script/style/comment payloads, turn block-level tags into line

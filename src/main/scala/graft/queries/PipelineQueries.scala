@@ -3507,6 +3507,89 @@ object PipelineQueries {
       FROM d
       ORDER BY doc_id"""))
 
+  // ---- q210: sentence segmentation + per-doc sentence stats ----
+  // The grain sentence-level curation runs at: deterministic
+  // terminal-punctuation splitter (the rule IS the contract — both
+  // engines must split identically), one explode + one hash agg,
+  // min_by-ordinal first-sentence digest so output is shuffle-exact.
+
+  val q210 = Q(
+    "q210_sentence_stats",
+    (s, dir) => {
+      TextAnalysis.sentenceStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+          unnest(string_split_regex(text, '[.!?]+[ ]+')) AS s,
+          unnest(range(1, len(string_split_regex(text, '[.!?]+[ ]+')) + 1))
+            AS pos
+        FROM documents),
+      ne AS (SELECT * FROM p WHERE s <> '')
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_sentences,
+        ${Numerics.sqlFix(
+      "CAST(sum(length(s)) AS DOUBLE) / count(*)", 4)} AS mean_sent_chars,
+        CAST(max(length(s)) AS BIGINT) AS max_sent_chars,
+        md5(min_by(s, pos)) AS first_sentence_md5
+      FROM ne GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  // ---- q211: matryoshka embedding-truncation audit ----
+  // Prices prefix-truncated serving (one stored vector, many
+  // effective dims): per truncation dim, does exact top-1 cosine on
+  // the sliced vectors still agree with the full-dim top-1, and what
+  // cosine does the truncated space report. Brute-force over the
+  // 5-query sample (the annRecall discipline), never corpus-as-
+  // queries; oracle re-derives the full ranking over DuckDB list
+  // slices.
+
+  val q211 = Q(
+    "q211_matryoshka_audit",
+    (s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Similarity.matryoshkaAudit(
+          e.where(col("vec_id") < 5), e.where(col("vec_id") >= 5),
+          "vec_id", "embedding", dims = Seq(8, 16, 32), fullDim = 64)
+        .orderBy("trunc_dim", "query_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 5),
+      c AS (SELECT * FROM e WHERE vec_id >= 5),
+      dims AS (SELECT unnest([8, 16, 32]) AS d),
+      scored AS (
+        SELECT dims.d AS trunc_dim, q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               list_dot_product(q.v[1:dims.d], c.v[1:dims.d]) /
+                 (sqrt(list_dot_product(q.v[1:dims.d], q.v[1:dims.d])) *
+                  sqrt(list_dot_product(c.v[1:dims.d], c.v[1:dims.d])))
+                 AS cos
+        FROM dims CROSS JOIN q JOIN c ON q.vec_id != c.vec_id),
+      t1 AS (
+        SELECT trunc_dim, query_id, neighbor_id AS top1_id,
+               ${Numerics.sqlFix("cos", 4)} AS cos_trunc,
+               row_number() OVER (PARTITION BY trunc_dim, query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored),
+      fullsc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) *
+                  sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM q JOIN c ON q.vec_id != c.vec_id),
+      f1 AS (
+        SELECT query_id, neighbor_id AS full_top1,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM fullsc)
+      SELECT t1.trunc_dim, t1.query_id, t1.top1_id,
+             t1.top1_id = f1.full_top1 AS matches_full, t1.cos_trunc
+      FROM t1 JOIN f1 ON f1.query_id = t1.query_id AND f1.rk = 1
+      WHERE t1.rk = 1
+      ORDER BY t1.trunc_dim, t1.query_id"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3586,7 +3669,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
-    q200, q201, q205, q206, q207, q208, q209,
+    q200, q201, q205, q206, q207, q208, q209, q210, q211,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -47,7 +47,12 @@ class PlanHygieneSpec extends SparkTestBase {
       "q187_mixture_realize", "q192_domain_mixture",
       // the q25 kernel shape on COMPRESSED codes: a handful of query
       // LUT rows broadcast against the streamed code table
-      "q197_pq_adc_search")
+      "q197_pq_adc_search",
+      // composes the q25 brute-force kernel 4x (full-dim truth + one
+      // pass per truncation dim): 5 broadcast query rows against the
+      // streamed corpus each time — the audit is sampled-query by
+      // contract (Similarity.matryoshkaAudit scaladoc)
+      "q211_matryoshka_audit")
 
   test("no CartesianProduct in any declared query") {
     SparkEntry.queries.keys.foreach { name =>

@@ -109,6 +109,40 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("matryoshkaAudit: truncation flips top-1 where it should") {
+    val ss = spark
+    import ss.implicits._
+    // q's full-dim top-1 is c2 (dims 3-4 dominate), but the 2-dim
+    // prefix of c1 aligns better: truncation MUST flip the answer
+    val queries = Seq((0L, Seq(1.0f, 0.2f, 0.9f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.2f, 0.0f, 0.0f)),   // c1: perfect 2-dim prefix
+      (11L, Seq(0.5f, 0.1f, 0.9f, 0.9f)))   // c2: full-dim winner
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaAudit(queries, corpus, "vec_id",
+      "embedding", dims = Seq(2, 4), fullDim = 4)
+      .orderBy("trunc_dim")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((2, 10L, false), (4, 11L, true)), got.toSeq)
+    // JVM-recompute the truncated cosine for the d=2 row
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect2 = math.floor(
+      cos(Seq(1.0f, 0.2f).map(_.toDouble), Seq(1.0f, 0.2f).map(_.toDouble))
+        * 10000 + 0.5) / 10000
+    val row2 = Similarity.matryoshkaAudit(queries, corpus, "vec_id",
+      "embedding", dims = Seq(2), fullDim = 4).collect()(0)
+    assert(row2.getDouble(4) == expect2)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaAudit(queries, corpus, "vec_id", "embedding",
+        dims = Seq(0), fullDim = 4)
+    }
+  }
+
   test("pqTopK refuses query sets above maxQueries (flat-ADC cost law)") {
     val ss = spark
     import ss.implicits._

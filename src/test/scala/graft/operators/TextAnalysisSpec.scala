@@ -658,4 +658,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2).getString(2) == "")
     assert(out.forall(_.getLong(3) == 0L))
   }
+
+  test("sentenceStats: deterministic splitter, exact stats") {
+    val ss = spark
+    import ss.implicits._
+    val out = TextAnalysis.sentenceStats(
+      Seq(
+        (1L, "One two. Three four! Five? Six"),
+        (2L, "End."),
+        (3L, "Hi!? Ok.  Sure"),
+        (4L, "no terminal punctuation at all")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // doc 1: "One two"(7) "Three four"(10) "Five"(4) "Six"(3)
+    assert(out(0) == ((1L, 4L, 6.0, 10L)))
+    // doc 2: the final sentence keeps its terminal punctuation
+    assert(out(1) == ((2L, 1L, 4.0, 4L)))
+    // doc 3: "!?" is one delimiter run; double space collapses
+    assert(out(2) == ((3L, 3L, math.floor(8.0 / 3 * 10000 + 0.5) / 10000, 4L)))
+    // doc 4: one sentence = the whole text
+    assert(out(3)._2 == 1L && out(3)._4 == 30L)
+    // first-sentence digest is position-exact
+    val first = TextAnalysis.sentenceStats(
+      Seq((1L, "Alpha beta. Gamma.")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0).getString(4)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("Alpha beta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(first == expectMd5)
+  }
 }
