@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import graft.sources.{DatasetIO, GraftException, MatchMode, PathUtil, S3Config}
 
 /** Blueprint-shaped CLI — the reference's primary UX, re-expressed over
-  * the Spark-native IO layer. One binary, four verbs:
+  * the Spark-native IO layer. One binary, the reference's four verbs
+  * plus the engine's `compact` maintenance verb:
   *
   * {{{
   * graft.cli.Main download --bucket-name b --source-file-name-match-type
@@ -46,6 +47,10 @@ object Main {
       |                          --destination-folder-name FOLDER
       |  upload:                 --extra-args "{'ACL': '...'}" or strict JSON '{"ACL": "..."}'
       |  move:                   --source-bucket-name / --destination-bucket-name
+      |  compact:                --bucket-name BUCKET_OR_URI        (required)
+      |                          [--source-folder-name FOLDER]
+      |                          [--target-file-size-mb N]  (default 128)
+      |                          [--retain-previous true]   (keep history)
       |""".stripMargin
 
   /** Testable entrypoint: parses, dispatches, returns the process exit
@@ -57,7 +62,8 @@ object Main {
       err: String => Unit = s => System.err.println(s)): Int = {
     if (args.isEmpty) { err(usage); return 2 }
     val verb = args.head
-    if (!Set("download", "upload", "move", "remove").contains(verb)) {
+    if (!Set("download", "upload", "move", "remove", "compact")
+        .contains(verb)) {
       err(s"unknown command '$verb'\n$usage"); return 2
     }
     parseFlags(args.tail.toSeq) match {
@@ -90,6 +96,14 @@ object Main {
   }
 
   private def validate(verb: String, flags: Map[String, String]): Option[String] = {
+    if (verb == "compact") {
+      // maintenance verb: addresses a whole dataset, no file match
+      return (if (!flags.contains("bucket-name"))
+        Some("--bucket-name is required")
+      else flags.get("target-file-size-mb")
+        .filter(v => scala.util.Try(v.toLong).filter(_ > 0).isFailure)
+        .map(v => s"--target-file-size-mb: '$v' is not a positive integer"))
+    }
     val required = Seq("source-file-name", "source-file-name-match-type") ++
       (verb match {
         case "move" => Seq("source-bucket-name", "destination-bucket-name")
@@ -134,6 +148,19 @@ object Main {
       .getOrCreate()
     applyConfig(spark, flags, err)
     val io = new DatasetIO(spark)
+
+    if (verb == "compact") {
+      // maintenance verb over the manifest-committed protocol: safe on
+      // every scheme (no data rename; crash leaves one whole generation)
+      val target = withFolder(bucketUri(flags("bucket-name")),
+        flags.getOrElse("source-folder-name", ""))
+      val mb = flags.getOrElse("target-file-size-mb", "128").toLong
+      val (before, after) = io.compactCommitted(
+        target, targetBytesPerFile = mb * 1024 * 1024,
+        retainPrevious = flags.get("retain-previous").contains("true"))
+      out(s"$target successfully compacted: $before files -> $after files")
+      return
+    }
 
     val pattern = flags("source-file-name")
     val mode =

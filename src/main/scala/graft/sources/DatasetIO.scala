@@ -293,26 +293,33 @@ final class DatasetIO(spark: SparkSession) {
     val fs = fsFor(root)
     val mdir = new Path(root, "_manifests")
     if (!fs.exists(mdir)) return None
-    val manifests = fs.listStatus(mdir).toSeq
+    val parsed = fs.listStatus(mdir).toSeq
       .map(_.getPath)
       .filter(_.getName.matches("manifest-\\d+\\.json"))
-    val parsed = manifests.flatMap { mp =>
-      try {
-        val len = fs.getFileStatus(mp).getLen
-        if (len > (1 << 20)) None // a manifest is ~100 bytes; cap hostile
-        else {
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(mp)
-          try in.readFully(0, bytes) finally in.close()
-          val s = new String(bytes, "UTF-8")
-          // fixed-shape parse; the terminal token gates torn writes
-          ManifestRe.findFirstMatchIn(s)
-            .map(g => (g.group(1).toLong, g.group(2)))
-        }
-      } catch { case _: java.io.IOException => None }
-    }
+      .flatMap(mp => parseManifest(fs, mp))
     if (parsed.isEmpty) None else Some(parsed.maxBy(_._1))
   }
+
+  /** One manifest file → (gen, dataDir), or None when absent, torn
+    * (the terminal `"committed":true` token gates partial writes),
+    * or hostile-sized.
+    */
+  private def parseManifest(
+      fs: FileSystem, mp: Path): Option[(Long, String)] =
+    try {
+      val len = fs.getFileStatus(mp).getLen
+      if (len > (1 << 20)) None // a manifest is ~100 bytes; cap hostile
+      else {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(mp)
+        try in.readFully(0, bytes) finally in.close()
+        ManifestRe.findFirstMatchIn(new String(bytes, "UTF-8"))
+          .map(g => (g.group(1).toLong, g.group(2)))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: java.io.FileNotFoundException => None
+    }
 
   private val ManifestRe =
     """\{"gen":(\d+),"dataDir":"([^"]+)","committed":true\}""".r
@@ -330,6 +337,52 @@ final class DatasetIO(spark: SparkSession) {
       case Some((_, dataDir)) =>
         read(new Path(root, dataDir).toString, format)
       case None => read(path, format)
+    }
+  }
+
+  /** All committed generations of a managed dataset, oldest first:
+    * (gen, dataDir, stillOnDisk). A generation whose data was cleaned
+    * by a later [[compactCommitted]] still has its manifest (the
+    * commit LOG is append-only); `stillOnDisk=false` marks it
+    * unreadable.
+    */
+  def listGenerations(path: String): Seq[(Long, String, Boolean)] = {
+    val fs = fsFor(new Path(path))
+    val root = fs.makeQualified(new Path(path))
+    val mdir = new Path(root, "_manifests")
+    if (!fs.exists(mdir)) return Nil
+    fs.listStatus(mdir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.matches("manifest-\\d+\\.json"))
+      .flatMap(mp => parseManifest(fs, mp))
+      .sortBy(_._1)
+      .map { case (g, d) => (g, d, fs.exists(new Path(root, d))) }
+  }
+
+  /** Time travel: read a SPECIFIC committed generation. Errors loudly
+    * when the generation never committed or its data was cleaned by a
+    * later compaction (pass `retainPrevious = true` to
+    * [[compactCommitted]] to keep history readable).
+    */
+  def readCommittedAt(
+      path: String,
+      gen: Long,
+      format: Option[String] = None): DataFrame = {
+    val fs = fsFor(new Path(path))
+    val root = fs.makeQualified(new Path(path))
+    parseManifest(fs, new Path(new Path(root, "_manifests"),
+      s"manifest-$gen.json")) match {
+      case None => throw new IllegalArgumentException(
+        s"readCommittedAt: generation $gen of $path never committed " +
+          s"(no complete manifest). Committed: " +
+          listGenerations(path).map(_._1).mkString(", "))
+      case Some((_, dataDir)) =>
+        val d = new Path(root, dataDir)
+        if (!fs.exists(d)) throw new IllegalArgumentException(
+          s"readCommittedAt: generation $gen of $path committed but its " +
+            s"data at $dataDir was cleaned by a later compaction — " +
+            "retain history with compactCommitted(retainPrevious = true)")
+        read(d.toString, format)
     }
   }
 
@@ -361,7 +414,8 @@ final class DatasetIO(spark: SparkSession) {
   def compactCommitted(
       path: String,
       targetBytesPerFile: Long = 128L * 1024 * 1024,
-      format: Option[String] = None): (Int, Int) = {
+      format: Option[String] = None,
+      retainPrevious: Boolean = false): (Int, Int) = {
     require(targetBytesPerFile > 0, "target must be positive")
     val fs = fsFor(new Path(path))
     val root = fs.makeQualified(new Path(path))
@@ -428,8 +482,9 @@ final class DatasetIO(spark: SparkSession) {
     }
     if (compactFailpoint == 3)
       throw new java.io.IOException("failpoint 3: crash before cleanup")
-    // phase 4: cleanup — previous generation's data only
-    cur match {
+    // phase 4: cleanup — previous generation's data only. Skipped
+    // with retainPrevious (keeps history readable via readCommittedAt)
+    if (!retainPrevious) cur match {
       case Some((_, d)) => fs.delete(new Path(root, d), true): Unit
       case None => // migrate-from-unmanaged: remove the loose root files
         before.foreach(f => fs.delete(f.getPath, false))

@@ -111,6 +111,27 @@ class CliSpec extends SparkTestBase {
     assert(Files.exists(bucket.resolve("t/keep.csv")))
   }
 
+  test("compact: merges a fragmented dataset through the manifest commit") {
+    val bucket = tmpDir("cli_bucket_")
+    // plant a fragmented parquet dataset under data/frag
+    val ds = spark.range(0, 1000).toDF("id").repartition(8)
+    ds.write.mode("overwrite").parquet(s"file:$bucket/data/frag")
+    val (rc, out) = runCli("compact",
+      "--bucket-name", s"file:$bucket",
+      "--source-folder-name", "data/frag",
+      "--target-file-size-mb", "64")
+    assert(rc == 0, out.mkString("; "))
+    assert(out.exists(_.contains("successfully compacted")), out)
+    // committed view intact, fewer files, manifest layout present
+    val io = new graft.sources.DatasetIO(spark)
+    assert(io.readCommitted(s"file:$bucket/data/frag").count() == 1000L)
+    assert(Files.exists(bucket.resolve("data/frag/_manifests")))
+    // flag validation
+    assert(runCli("compact")._1 == 2)
+    assert(runCli("compact", "--bucket-name", s"file:$bucket",
+      "--target-file-size-mb", "zero")._1 == 2)
+  }
+
   test("exit 201 when nothing matches") {
     val bucket = tmpDir("cli_bucket_")
     plant(bucket, "a.csv" -> "a")

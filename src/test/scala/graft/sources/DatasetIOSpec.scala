@@ -161,6 +161,36 @@ class DatasetIOSpec extends SparkTestBase {
     assert(pruned.count() == nation.where(col("n_regionkey") === 0).count())
   }
 
+  test("compactCommitted time travel: retained generations stay readable") {
+    val d = io
+    val tmp = Files.createTempDirectory("graft_io_").toString
+    val path = s"file:$tmp/ttravel.parquet"
+    d.write(nation.repartition(6), path)
+    d.compactCommitted(path, retainPrevious = true) // gen 1
+    d.compactCommitted(path, retainPrevious = true) // gen 2
+    val gens = d.listGenerations(path)
+    assert(gens.map(g => (g._1, g._3)) == Seq((1L, true), (2L, true)), gens)
+    assert(d.readCommittedAt(path, 1).count() == 25L)
+    assert(d.readCommittedAt(path, 2).count() == 25L)
+    assert(d.readCommitted(path).count() == 25L)
+    // a never-committed generation errors loudly, naming the log
+    val e = intercept[IllegalArgumentException] {
+      d.readCommittedAt(path, 9)
+    }
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+    // default cleanup marks the old generation unreadable but keeps
+    // the commit log row
+    d.compactCommitted(path) // gen 3, cleans gen 2
+    val after = d.listGenerations(path)
+    assert(after.map(g => (g._1, g._3)) ==
+      Seq((1L, true), (2L, false), (3L, true)), after)
+    val e2 = intercept[IllegalArgumentException] {
+      d.readCommittedAt(path, 2)
+    }
+    assert(e2.getMessage.contains("cleaned"), e2.getMessage)
+    assert(d.readCommittedAt(path, 3).count() == 25L)
+  }
+
   test("readMatched recursive glob selects across a partitioned tree") {
     val tmp = Files.createTempDirectory("graft_io_").toString
     io.write(nation, s"file:$tmp/tree", partitionBy = Seq("n_regionkey"))
