@@ -146,6 +146,59 @@ object Experiments {
         .as("z_stat"))
   }
 
+  /** Rank AUC — the evaluation a learned quality classifier (q191's
+    * hashed-linear scorer, or any score column) gets before its
+    * threshold gates a corpus: the probability a random positive
+    * outranks a random negative, computed EXACTLY from the
+    * Mann-Whitney U statistic with average ranks for ties
+    * (AUC = U/(n₁·n₀) — the standard ROC-AUC identity). Same
+    * value-histogram reduction as [[mannWhitneyU]]: one aggregate to
+    * |distinct scores| rows, a |V|-bounded cumulative pass with
+    * decimal(38,0) accumulators, closed-form on exact integers —
+    * AUC's single float division is of two exact integer-valued
+    * doubles.
+    *
+    * `labelCol` must be boolean-like (cast to boolean; true =
+    * positive); requires both classes present. `scoreCol` may be any
+    * orderable numeric — ties get average rank, so fix4'd float
+    * scores group identically cross-engine.
+    *
+    * Output: 1 row (n_pos, n_neg, auc fix4).
+    */
+  def rankAuc(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val rows = graft.SparkUtil.ensureParallelism(df)
+      .select(col(labelCol).cast("boolean").as("y"),
+        col(scoreCol).cast("double").as("x"))
+    val g = rows.groupBy("x")
+      .agg(count(lit(1)).as("t"),
+        count(when(col("y"), 1)).as("tp"))
+    val cum = sum(col("t"))
+      .over(Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // doubled average rank of a tie group = 2·cum − t + 1 (exact long)
+    val m = g.withColumn("cum", cum)
+      .agg(
+        sum(col("tp")).as("n_pos"),
+        sum(col("t")).as("n"),
+        sum(dec(col("tp")) *
+          (dec(col("cum")) * 2 - dec(col("t")) + 1)).as("r2p"))
+    val nPos = col("n_pos").cast("double")
+    val nNeg = (col("n") - col("n_pos")).cast("double")
+    val u2 = col("r2p").cast("double") - nPos * (nPos + 1)
+    val guard = when(col("n_pos") > 0 && col("n") > col("n_pos"), lit(1))
+      .otherwise(raise_error(lit(
+        "rankAuc requires both classes present")))
+    m.select(
+      (col("n_pos") * guard).as("n_pos"),
+      (col("n") - col("n_pos")).as("n_neg"),
+      Numerics.fix4(u2 / (nPos * nNeg * 2.0)).as("auc"))
+  }
+
   /** CUPED (Controlled-experiment Using Pre-Experiment Data) — the
     * industry-standard variance-reduction adjustment: regress the
     * experiment metric y on a pre-period covariate x (pooled

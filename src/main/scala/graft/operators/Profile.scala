@@ -318,6 +318,34 @@ object Profile {
           col("n_rows").cast("double") / col("total")).as("share"))
   }
 
+  /** Skew-salting plan — turns [[keySkew]]'s diagnosis into the
+    * actionable repartitioning table: per join/aggregation key, how
+    * many salt buckets it needs so no single task exceeds
+    * `targetRowsPerTask` rows. PURE INTEGER arithmetic
+    * (ceil(n/target) as (n + target − 1) DIV target), so the plan is
+    * engine-exact and idempotent. Only keys needing a split
+    * (factor > 1) are emitted — the output is hot-key-bounded, the
+    * broadcastable side of the salted join q46 realizes: replicate
+    * the dim side by factor, scatter the fact side by
+    * pmod(hash(row), factor).
+    *
+    * Output: (key, n_rows, salt_factor), hottest first.
+    */
+  def saltPlan(
+      df: DataFrame,
+      keyCol: String,
+      targetRowsPerTask: Long): DataFrame = {
+    require(targetRowsPerTask >= 1, "targetRowsPerTask must be >= 1")
+    graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("key"), col("n_rows"),
+        expr(s"(n_rows + ${targetRowsPerTask}L - 1) DIV " +
+          s"${targetRowsPerTask}L").cast("int").as("salt_factor"))
+      .where(col("salt_factor") > 1)
+      .orderBy(col("n_rows").desc, col("key").asc)
+  }
+
   /** Exact weighted median per group — the LOWER weighted median:
     * smallest value v such that the cumulative weight of rows ≤ v
     * reaches half the group's total weight (2·cumw ≥ totw in

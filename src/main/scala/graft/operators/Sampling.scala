@@ -194,6 +194,57 @@ object Sampling {
           .as("sampling_factor"))
   }
 
+  /** Token-budget mixture plan — [[mixtureWeights]]' temperature rule
+    * priced against a CONCRETE training-token budget (the
+    * data-constrained-scaling planning step): per source, the
+    * available tokens a_g, the temperature weight w_g = a_g^α / Σ a^α
+    * (token-mass grain, not doc grain — the unit the budget is
+    * spent in), the token quota round(w_g·B), and `epochs` =
+    * quota/a_g — the how-many-passes-over-this-source number that
+    * decides whether the mix repeats data past useful reuse.
+    * `over_cap` flags sources whose quota exceeds `maxEpochs` passes
+    * (the caller rebalances or accepts repetition decay). One token
+    * aggregate to |sources| rows; everything after is
+    * source-table-sized. Weights are sqrt-derived (the q114
+    * float-sum-safe irrational class); epochs is ONE division of
+    * exact integer-valued doubles.
+    *
+    * Output: (groupCol, avail_tokens, weight fix4, quota_tokens,
+    * epochs fix4, over_cap).
+    */
+  def tokenBudgetPlan(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: String,
+      budget: Long,
+      alpha: Double = 0.5,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budget >= 1, "budget must be >= 1 token")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val avail = graft.SparkUtil.ensureParallelism(df)
+      .groupBy(col(groupCol))
+      .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
+    val powed =
+      if (alpha == 0.5) sqrt(col("avail_tokens").cast("double"))
+      else pow(col("avail_tokens").cast("double"), alpha)
+    val t = avail.withColumn("__w", powed)
+    val tot = t.agg(sum(col("__w")).as("__tw"))
+    t.join(broadcast(tot))
+      .withColumn("quota_tokens",
+        floor(col("__w") / col("__tw") * budget + 0.5).cast("long"))
+      .select(col(groupCol), col("avail_tokens"),
+        graft.functions.Numerics.fix4(col("__w") / col("__tw"))
+          .as("weight"),
+        col("quota_tokens"),
+        graft.functions.Numerics.fix4(
+          col("quota_tokens").cast("double") /
+            col("avail_tokens").cast("double")).as("epochs"),
+        (col("quota_tokens").cast("double") >
+          lit(maxEpochs) * col("avail_tokens").cast("double"))
+          .as("over_cap"))
+  }
+
   /** Deterministic train/val/test assignment: the md5 permille of the
     * id decides the split, so membership is stable under reshuffling,
     * re-partitioning and incremental reruns — the property a training

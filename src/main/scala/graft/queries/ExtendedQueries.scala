@@ -1736,6 +1736,27 @@ object ExtendedQueries {
                AS share
       FROM r, t WHERE rank <= 5 ORDER BY rank"""))
 
+  // ---- q213: skew-salting plan ----
+  // q103's diagnosis turned actionable: per hot join key, the salt
+  // factor (ceil(n/target), pure integer DIV so engine-exact) that
+  // bounds any task at targetRowsPerTask rows — the broadcastable
+  // plan the salted join q46 realizes. Only keys needing a split are
+  // emitted: the output is hot-key-bounded, never key-cardinality-
+  // bounded.
+
+  val q213 = Q(
+    "q213_salt_plan",
+    (s, dir) =>
+      Profile.saltPlan(Tables(s, dir, "lineitem"), "l_suppkey",
+        targetRowsPerTask = 400L),
+    Some("""
+      SELECT CAST(l_suppkey AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((count(*) + 399) // 400 AS INTEGER) AS salt_factor
+      FROM lineitem GROUP BY 1
+      HAVING (count(*) + 399) // 400 > 1
+      ORDER BY n_rows DESC, key ASC"""))
+
   // ---- q135: time-weighted average value per user (TWAP) ----
   // Left-Riemann TWAP over [first, last]: each event's value holds
   // until the next event; the last event carries zero weight (no
@@ -2937,5 +2958,6 @@ object ExtendedQueries {
       q91, q92, q94, q95, q96, q101, q102, q103, q105, q107, q109, q111,
       q117, q118, q119, q121, q122, q123, q124, q135, q136, q137, q138,
       q142, q143, q144, q145, q147, q148, q149, q150, q155, q156, q157,
-      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182, q197, q199, q204)
+      q158, q161, q162, q163, q164, q173, q174, q175, q178, q182, q197,
+      q199, q204, q213)
 }

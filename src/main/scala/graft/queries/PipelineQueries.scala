@@ -3590,6 +3590,95 @@ object PipelineQueries {
       WHERE t1.rk = 1
       ORDER BY t1.trunc_dim, t1.query_id"""))
 
+  // ---- q212: token-budget mixture plan ----
+  // The data-constrained-scaling planning step: temperature weights at
+  // TOKEN-MASS grain (the unit a budget is spent in), per-source token
+  // quotas for a concrete budget, and the epochs-over-source number
+  // that decides whether the mix repeats data past useful reuse.
+
+  val q212 = Q(
+    "q212_token_budget",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val docTokens = d.select(col("doc_id"), col("source"),
+          explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetPlan(
+          docTokens, "source", "n_tokens", budget = 100000L)
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      dt AS (SELECT d.source, CAST(count(*) AS BIGINT) AS avail_tokens
+             FROM occ o JOIN documents d ON d.doc_id = o.doc_id
+             WHERE o.word <> '' GROUP BY 1),
+      tw AS (SELECT sum(sqrt(CAST(avail_tokens AS DOUBLE))) AS t FROM dt)
+      SELECT source, avail_tokens,
+        ${Numerics.sqlFix(
+      "sqrt(CAST(avail_tokens AS DOUBLE)) / tw.t", 4)} AS weight,
+        CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) / tw.t * 100000 + 0.5)
+          AS BIGINT) AS quota_tokens,
+        ${Numerics.sqlFix(
+      "CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) / tw.t * 100000 + 0.5)" +
+        " AS DOUBLE) / CAST(avail_tokens AS DOUBLE)", 4)} AS epochs,
+        CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) / tw.t * 100000 + 0.5)
+          AS DOUBLE) > 4.0 * CAST(avail_tokens AS DOUBLE) AS over_cap
+      FROM dt CROSS JOIN tw
+      ORDER BY source"""))
+
+  // ---- q214: classifier-score rank AUC ----
+  // The evaluation a learned quality scorer gets before its threshold
+  // gates a corpus: exact ROC-AUC via the rank-sum identity
+  // (AUC = U/(n1*n0), average ranks for ties) — here auditing whether
+  // mean word length separates the first ten synthetic sources from
+  // the rest (a null-ish hypothesis: AUC near 0.5 is the honest
+  // answer, and the gate hash-checks the exact value).
+
+  val q214 = Q(
+    "q214_score_auc",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+          explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "source")
+        .agg(Numerics.fix4(sum(length(col("w"))).cast("double") /
+          count(lit(1))).as("score"))
+        .withColumn("label",
+          substring(col("source"), 4, 10).cast("int") < 10)
+      graft.operators.Experiments.rankAuc(scored, "label", "score")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      ds AS (SELECT o.doc_id,
+                    CAST(substr(d.source, 4) AS INTEGER) < 10 AS y,
+                    ${Numerics.sqlFix(
+      "CAST(sum(length(o.word)) AS DOUBLE) / count(*)", 4)} AS x
+             FROM occ o JOIN documents d ON d.doc_id = o.doc_id
+             WHERE o.word <> '' GROUP BY o.doc_id, d.source),
+      g AS (SELECT x, CAST(count(*) AS BIGINT) AS t,
+                   CAST(count(*) FILTER (WHERE y) AS BIGINT) AS tp
+            FROM ds GROUP BY x),
+      c AS (SELECT x, t, tp,
+                   sum(t) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM g),
+      m AS (SELECT CAST(sum(tp) AS BIGINT) AS n_pos,
+                   CAST(sum(t) AS BIGINT) AS n,
+                   sum(CAST(tp AS HUGEINT) *
+                       (CAST(cum AS HUGEINT) * 2 - t + 1)) AS r2p
+            FROM c)
+      SELECT n_pos, (n - n_pos) AS n_neg,
+        ${Numerics.sqlFix(
+      "(CAST(r2p AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1)) / " +
+        "(2.0 * n_pos * (n - n_pos))", 4)} AS auc
+      FROM m"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3669,7 +3758,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
-    q200, q201, q205, q206, q207, q208, q209, q210, q211,
+    q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

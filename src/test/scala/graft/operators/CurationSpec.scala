@@ -371,4 +371,23 @@ class CurationSpec extends SparkTestBase {
     // pr 0..4/9; rank 6 has 5/9 > 0.5)
     assert(k1 == (1L to 5L).toSet && k2 == k1)
   }
+
+  test("tokenBudgetPlan: temperature quotas, epochs, over_cap flag") {
+    val ss = spark
+    import ss.implicits._
+    // sources with 100 and 400 tokens; sqrt weights 1/3 and 2/3
+    val df = Seq(("a", 60L), ("a", 40L), ("b", 400L))
+      .toDF("source", "n_tokens")
+    val out = graft.operators.Sampling.tokenBudgetPlan(
+        df, "source", "n_tokens", budget = 1000L, maxEpochs = 3.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    assert(out(0) == (("a", 100L, 0.3333, 333L, 3.33, true)), out(0))
+    assert(out(1) == (("b", 400L, 0.6667, 667L, 1.6675, false)), out(1))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.tokenBudgetPlan(df, "source", "n_tokens",
+        budget = 0L)
+    }
+  }
 }

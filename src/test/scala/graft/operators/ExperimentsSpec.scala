@@ -123,4 +123,29 @@ class ExperimentsSpec extends SparkTestBase {
       .collect().head
     assert(r2.getLong(0) == 45L && r2.getDouble(2) == 0.0)
   }
+
+  test("rankAuc: hand-checked AUC with average-rank ties") {
+    val ss = spark
+    import ss.implicits._
+    // scores: neg {1, 3}, pos {3, 5}; ranks 1, 2.5, 2.5, 4
+    // R_pos = 2.5 + 4 = 6.5; U = 6.5 - 3 = 3.5; AUC = 3.5/4 = 0.875
+    val df = Seq((false, 1.0), (false, 3.0), (true, 3.0), (true, 5.0))
+      .toDF("label", "score")
+    val r = Experiments.rankAuc(df, "label", "score").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.875)))
+    // perfect separation scores 1.0; reversed scores 0.0
+    val perfect = Seq((false, 1.0), (false, 2.0), (true, 3.0), (true, 4.0))
+      .toDF("label", "score")
+    assert(Experiments.rankAuc(perfect, "label", "score")
+      .collect().head.getDouble(2) == 1.0)
+    val reversed = Seq((true, 1.0), (false, 2.0)).toDF("label", "score")
+    assert(Experiments.rankAuc(reversed, "label", "score")
+      .collect().head.getDouble(2) == 0.0)
+    // one-class input refuses loudly
+    val ex = intercept[Exception] {
+      Experiments.rankAuc(Seq((true, 1.0), (true, 2.0))
+        .toDF("label", "score"), "label", "score").collect()
+    }
+    assert(ex.getMessage.contains("both classes"), ex.getMessage)
+  }
 }

@@ -270,4 +270,19 @@ class ProfileSpec extends SparkTestBase {
     // sum over zero rows must coalesce to 0, not null-fail the gate
     assert(out.toSeq == Seq(("price_nonneg", 0L, 1), ("unique:k", 0L, 1)))
   }
+
+  test("saltPlan: integer ceil factors, hot keys only") {
+    val ss = spark
+    import ss.implicits._
+    val df = (Seq.fill(10)("cold") ++ Seq.fill(399)("warm") ++
+      Seq.fill(400)("edge") ++ Seq.fill(401)("hot") ++
+      Seq.fill(801)("hottest")).toDF("k")
+    val out = Profile.saltPlan(df, "k", targetRowsPerTask = 400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // exactly-at-target keys need no split; factors are exact ceils
+    assert(out.toSeq == Seq(("hottest", 801L, 3), ("hot", 401L, 2)), out.toSeq)
+    intercept[IllegalArgumentException] {
+      Profile.saltPlan(df, "k", targetRowsPerTask = 0L)
+    }
+  }
 }
