@@ -245,6 +245,53 @@ object Sampling {
           .as("over_cap"))
   }
 
+  /** Length-bucket padding audit — prices the padding waste of
+    * fixed-shape batching (the inference-serving and non-packed-
+    * training counterpart of [[packingMap]]'s zero-pad packing): each
+    * document lands in the smallest cap in `caps` that holds it
+    * (docs longer than the largest cap TRUNCATE to it — reported, not
+    * hidden), and per bucket the audit reports real vs padded tokens.
+    * A pad_frac near 0.5 says half the batch FLOPs are spent on pad
+    * tokens — the number that justifies switching to packing or
+    * adding a bucket. PURE INTEGER arithmetic except the single
+    * pad_frac division (exact integer-valued doubles); the bucket
+    * rule is a CASE ladder over the caller's caps, not a float log2,
+    * so both engines bucket identically at exact boundaries.
+    *
+    * Output: (bucket_cap, n_docs, real_tokens, pad_tokens, pad_frac
+    * fix4, truncated_tokens), one row per non-empty bucket.
+    */
+  def paddingAudit(
+      df: DataFrame,
+      tokensCol: String,
+      caps: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
+      : DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      "caps must be a sorted list of distinct positive lengths")
+    require(caps.head >= 1, "caps must be positive")
+    val n = col(tokensCol).cast("long")
+    val maxCap = caps.last.toLong
+    val bucket = caps.init.reverse.foldLeft(lit(maxCap)) {
+      case (acc, c) => when(n <= c, lit(c.toLong)).otherwise(acc)
+    }
+    val kept = least(n, lit(maxCap)) // tokens that fit the largest cap
+    graft.SparkUtil.ensureParallelism(df)
+      .select(bucket.as("bucket_cap"), n.as("__n"), kept.as("__kept"))
+      .groupBy("bucket_cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__kept")).as("real_tokens"),
+        (count(lit(1)) * col("bucket_cap") - sum(col("__kept")))
+          .as("pad_tokens"),
+        graft.functions.Numerics.fix4(
+          (count(lit(1)) * col("bucket_cap") - sum(col("__kept")))
+            .cast("double") /
+            (count(lit(1)) * col("bucket_cap")).cast("double"))
+          .as("pad_frac"),
+        sum(col("__n") - col("__kept")).as("truncated_tokens"))
+      .orderBy("bucket_cap")
+  }
+
   /** Deterministic train/val/test assignment: the md5 permille of the
     * id decides the split, so membership is stable under reshuffling,
     * re-partitioning and incremental reruns — the property a training

@@ -3679,6 +3679,47 @@ object PipelineQueries {
         "(2.0 * n_pos * (n - n_pos))", 4)} AS auc
       FROM m"""))
 
+  // ---- q215: length-bucket padding audit ----
+  // Prices the padding waste of fixed-shape batching: each doc lands
+  // in the smallest cap that holds it (CASE ladder, not float log2 —
+  // exact at boundaries), per bucket real vs pad tokens and the
+  // pad_frac that justifies packing or a new bucket. Overflow docs
+  // truncate to the largest cap and the loss is REPORTED.
+
+  val q215 = Q(
+    "q215_padding_audit",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val docTokens = d.select(col("doc_id"),
+          explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"))
+      graft.operators.Sampling.paddingAudit(
+        docTokens, "n_tokens", caps = Seq(16, 32, 64, 128, 256))
+    },
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             FROM occ WHERE word <> '' GROUP BY 1),
+      b AS (SELECT doc_id,
+              CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                   WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                   ELSE 256 END AS bucket_cap,
+              n, least(n, 256) AS kept
+            FROM dt)
+      SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(kept) AS BIGINT) AS real_tokens,
+        CAST(count(*) * bucket_cap - sum(kept) AS BIGINT) AS pad_tokens,
+        ${Numerics.sqlFix(
+      "CAST(count(*) * bucket_cap - sum(kept) AS DOUBLE) / " +
+        "(count(*) * bucket_cap)", 4)} AS pad_frac,
+        CAST(sum(n - kept) AS BIGINT) AS truncated_tokens
+      FROM b GROUP BY bucket_cap
+      ORDER BY bucket_cap"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3759,6 +3800,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
+    q215,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

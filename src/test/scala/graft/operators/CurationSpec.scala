@@ -390,4 +390,25 @@ class CurationSpec extends SparkTestBase {
         budget = 0L)
     }
   }
+
+  test("paddingAudit: exact buckets, boundary docs, overflow truncation") {
+    val ss = spark
+    import ss.implicits._
+    // lengths: 10, 16 (AT boundary -> 16-bucket), 17, 100 (overflow)
+    val df = Seq(10L, 16L, 17L, 100L).toDF("n_tokens")
+    val out = graft.operators.Sampling.paddingAudit(
+        df, "n_tokens", caps = Seq(16, 32, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      // cap 16: docs 10+16 -> real 26, pad 32-26=6, frac 0.1875
+      (16L, 2L, 26L, 6L, 0.1875, 0L),
+      // cap 32: doc 17 -> pad 15
+      (32L, 1L, 17L, 15L, math.floor(15.0 / 32 * 10000 + 0.5) / 10000, 0L),
+      // overflow: doc 100 truncates to 64, pad 0, truncated 36
+      (64L, 1L, 64L, 0L, 0.0, 36L)), out.toSeq)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.paddingAudit(df, "n_tokens", caps = Seq(32, 16))
+    }
+  }
 }
