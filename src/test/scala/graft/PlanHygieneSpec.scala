@@ -43,8 +43,9 @@ class PlanHygieneSpec extends SparkTestBase {
       // JaroWinkler expression per row
       "q184_fuzzy_match",
       // compose q114's whitelisted kernel (group-table-sized × 1-row
-      // broadcast scalar attach inside mixtureWeights)
-      "q187_mixture_realize", "q192_domain_mixture",
+      // broadcast scalar attach inside mixtureWeights /
+      // tokenBudgetPlan's Σ-weight total)
+      "q187_mixture_realize", "q192_domain_mixture", "q212_token_budget",
       // the q25 kernel shape on COMPRESSED codes: a handful of query
       // LUT rows broadcast against the streamed code table
       "q197_pq_adc_search",
