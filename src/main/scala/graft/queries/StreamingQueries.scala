@@ -788,9 +788,55 @@ object StreamingQueries {
       FROM e GROUP BY 1, 2
       ORDER BY window_start_ms, event_type"""))
 
+  /** Exactly-once streaming count/sum sink parity: events drain in
+    * three micro-batches through [[StreamingOps.countSumSink]]'s
+    * per-batchId partial store; the read-side merge must hash-match
+    * the plain batch aggregate. Values go through the exact-cents
+    * unit so sums are integers (order-independent).
+    */
+  val q216 = Q(
+    "q216_stream_agg_sink_parity",
+    (s, dir) => {
+      val enc = eventsEncoding(s, dir)
+      val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+      val src = s.read.schema(enc.schema).parquet(s"$dir/events.parquet")
+        .select(col("user_id"), cents.as("cents"))
+      val watch = Scratch.dir(s, "q216_watch_")
+      val state = Scratch.dir(s, "q216_state_")
+      StreamingOps.seedCountSumState(src, state, "user_id", "cents")
+      val hc = s.sessionState.newHadoopConf()
+      (0 until 3).foreach { k =>
+        val stage = s"$state/stage$k"
+        src.where(pmod(col("user_id"), lit(3)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val p = new org.apache.hadoop.fs.Path(stage)
+        val part = p.getFileSystem(hc).listStatus(p).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        graft.ScratchSpace.copyIn(s, part.toString, watch,
+          f"ev_$k%03d.parquet")
+      }
+      val sink = StreamingOps.countSumSink(state, "user_id", "cents")
+      val q = s.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("cents", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+        .writeStream.option("checkpointLocation", s"$state/ckpt")
+        .foreachBatch(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      StreamingOps.countSumState(s, state, "user_id")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS val_sum
+      FROM events GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202)
+      q196, q202, q216)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays

@@ -498,4 +498,68 @@ object StreamingOps {
       stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/pairs")
       .select("id_a", "id_b", "jaccard_sim")
+
+  // ---- exactly-once streaming count/sum aggregation sink ----
+
+  /** Seed the aggregate state store (schema-only empty seed
+    * partition, so [[countSumState]] is readable before the first
+    * batch — the nearDupPairs lesson). `template` supplies the key
+    * and value COLUMN TYPES (an empty projection of the stream's
+    * source is fine).
+    */
+  def seedCountSumState(
+      template: DataFrame,
+      stateDir: String,
+      keyCol: String,
+      valCol: String): Unit =
+    template
+      .select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .limit(0)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("val_sum"))
+      .write.mode("overwrite").parquet(s"$stateDir/agg/batch=seed")
+
+  /** Exactly-once streaming count/sum per key, the `foreachBatch`
+    * way (the aggregation twin of [[nearDupSink]]'s protocol): each
+    * micro-batch writes its PARTIAL (count, sum) per key to an
+    * idempotent per-batchId partition OVERWRITE — a re-delivered
+    * batch after a checkpoint restart replaces its own partial with
+    * identical content, never double-counts — and [[countSumState]]
+    * merges partials on read (counts and sums are reassociable, so
+    * read-side merge IS the exactly-once guarantee; no read-modify-
+    * write races, no transactional store needed). `valCol` must be
+    * exact integers (cents/counts — caller fixes the unit); sums
+    * stay Long.
+    *
+    * At 100 TB this is the canonical cheap streaming aggregate: state
+    * grows by |distinct keys per batch| rows per batch, compacted by
+    * any later [[graft.sources.DatasetIO.compactCommitted]] pass, and
+    * the read-side merge is one hash aggregate.
+    */
+  def countSumSink(
+      stateDir: String,
+      keyCol: String,
+      valCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        batch
+          .select(col(keyCol), col(valCol).cast("long").as("__v"))
+          .groupBy(keyCol)
+          .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("val_sum"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/agg/batch=$batchId")
+      }
+  }
+
+  /** The merged aggregate so far: (keyCol, n_rows, val_sum), one
+    * hash aggregate over the partial store.
+    */
+  def countSumState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(s"$stateDir/agg")
+      .groupBy(keyCol)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("val_sum")).as("val_sum"))
 }

@@ -616,6 +616,38 @@ class StreamingSpec extends SparkTestBase {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("countSumSink: readable after seed, replay-idempotent, split-invariant") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 1L), (2L, 2L))
+    val df = rows.toDF("k", "v")
+    val state = graft.ScratchSpace.dir(ss, "aggsink_")
+    StreamingOps.seedCountSumState(df, state, "k", "v")
+    // BEFORE any batch: empty, typed
+    val early = StreamingOps.countSumState(ss, state, "k")
+    assert(early.columns.toSeq == Seq("k", "n_rows", "val_sum"))
+    assert(early.count() == 0L)
+    val sink = StreamingOps.countSumSink(state, "k", "v")
+    sink(df.where(col("k") <= 1), 0L)
+    sink(df.where(col("k") > 1), 1L)
+    def read() = StreamingOps.countSumState(ss, state, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val expected = Seq((1L, 2L, 15L), (2L, 2L, 9L), (3L, 1L, 1L))
+    assert(read() == expected, read())
+    // crash-recovery re-delivery of the SAME batch must not double-count
+    sink(df.where(col("k") <= 1), 0L)
+    assert(read() == expected, s"replay double-counted: ${read()}")
+    // split-invariance: one-batch delivery produces the same merge
+    val state2 = graft.ScratchSpace.dir(ss, "aggsink_one_")
+    StreamingOps.seedCountSumState(df, state2, "k", "v")
+    StreamingOps.countSumSink(state2, "k", "v")(df, 0L)
+    val one = StreamingOps.countSumState(ss, state2, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(one == expected, one)
+  }
+
   test("nearDupSink: a re-delivered batchId is idempotent") {
     val ss = spark
     import ss.implicits._
