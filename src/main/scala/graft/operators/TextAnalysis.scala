@@ -1358,6 +1358,45 @@ object TextAnalysis {
         max(length(col("s"))).cast("long").as("max_sent_chars"),
         md5(min_by(col("s"), col("pos"))).as("first_sentence_md5"))
 
+  /** Unicode script histogram + dominant-script label — the
+    * multilingual-curation complement of [[langId]] (stopword lists
+    * only see languages they know; SCRIPT counts see every writing
+    * system): per document, how many characters belong to the Latin,
+    * Cyrillic, Han and Arabic scripts, how many are ASCII digits, and
+    * the dominant script by count (fixed precedence latin > cyrillic
+    * > han > arabic on ties — the argmax rule IS the contract). The
+    * pass routing Cyrillic docs to a Russian pipeline, flagging
+    * mixed-script spam, or measuring script composition of a crawl.
+    *
+    * Pure codegen'd regexp_count per class — Unicode script classes
+    * are standard-defined, so Java (`\p{IsLatin}`) and RE2
+    * (`\p{Latin}`) count identically on every assigned codepoint;
+    * the oracle uses RE2 spellings of the SAME classes.
+    *
+    * Output: (idCol, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+    * dominant_script).
+    */
+  def scriptHistogram(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      regexp_count(t, lit(cls)).cast("long")
+    val latin = col("n_latin"); val cyr = col("n_cyrillic")
+    val han = col("n_han"); val ar = col("n_arabic")
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol),
+        cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsArabic}").as("n_arabic"),
+        cnt("[0-9]").as("n_digit"))
+      .withColumn("dominant_script",
+        when(latin >= cyr && latin >= han && latin >= ar, lit("latin"))
+          .when(cyr >= han && cyr >= ar, lit("cyrillic"))
+          .when(han >= ar, lit("han"))
+          .otherwise(lit("arabic")))
+  }
+
   /** HTML → text extraction — the step a web-crawl pretraining
     * pipeline runs on every page before any text analysis: drop
     * script/style/comment payloads, turn block-level tags into line

@@ -3720,6 +3720,55 @@ object PipelineQueries {
       FROM b GROUP BY bucket_cap
       ORDER BY bucket_cap"""))
 
+  // ---- q217: Unicode script histogram ----
+  // Multilingual curation beyond stopword langId: per-doc character
+  // counts by Unicode SCRIPT + the dominant-script route label.
+  // Input synthesized identically in both engines: the ASCII corpus
+  // plus deterministic Cyrillic/Han/Arabic suffixes by doc parity.
+  // Java \p{IsX} and RE2 \p{X} are the SAME standard-defined classes.
+
+  val q217 = Q(
+    "q217_script_histogram",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val mixed = concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(" Привет мир"))
+          .when(col("doc_id") % 4 === 2, lit(" 你好世界你好世界你好"))
+          .when(col("doc_id") % 4 === 3, lit(" مرحبا بالعالم"))
+          .otherwise(lit("")))
+      TextAnalysis.scriptHistogram(
+          d.select(col("doc_id"), mixed.as("t")), "doc_id", "t")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 1 THEN ' Привет мир'
+               WHEN doc_id % 4 = 2 THEN ' 你好世界你好世界你好'
+               WHEN doc_id % 4 = 3 THEN ' مرحبا بالعالم'
+               ELSE '' END AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT)
+            AS n_latin,
+          CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT)
+            AS n_cyrillic,
+          CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT) AS n_han,
+          CAST(len(regexp_extract_all(t, '\p{Arabic}')) AS BIGINT)
+            AS n_arabic,
+          CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit
+        FROM m)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+        CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                  AND n_latin >= n_arabic THEN 'latin'
+             WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+                  THEN 'cyrillic'
+             WHEN n_han >= n_arabic THEN 'han'
+             ELSE 'arabic' END AS dominant_script
+      FROM c
+      ORDER BY doc_id"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3800,7 +3849,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215,
+    q215, q217,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -688,4 +688,25 @@ class TextAnalysisSpec extends SparkTestBase {
       .map("%02x".format(_)).mkString
     assert(first == expectMd5)
   }
+
+  test("scriptHistogram: per-script counts and dominant routing") {
+    val ss = spark
+    import ss.implicits._
+    val out = TextAnalysis.scriptHistogram(
+      Seq(
+        (1L, "hello world 42"),
+        (2L, "Привет мир hi"),
+        (3L, "你好世界"),
+        (4L, "مرحبا"),
+        (5L, "")).toDF("doc_id", "t"), "doc_id", "t")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(out(0) == ((1L, 10L, 0L, 0L, 0L, 2L, "latin")))
+    assert(out(1) == ((2L, 2L, 9L, 0L, 0L, 0L, "cyrillic")))
+    assert(out(2) == ((3L, 0L, 0L, 4L, 0L, 0L, "han")))
+    assert(out(3) == ((4L, 0L, 0L, 0L, 5L, 0L, "arabic")))
+    // all-zero ties route by the fixed precedence (latin)
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0L, 0L, "latin")))
+  }
 }
