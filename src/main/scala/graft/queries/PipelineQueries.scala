@@ -3769,6 +3769,55 @@ object PipelineQueries {
       FROM c
       ORDER BY doc_id"""))
 
+  // ---- q218: JSON key/type profile ----
+  // Schema discovery for a semi-structured column: synthesize varied
+  // JSON from documents (keys/types by doc parity — the q208
+  // synthesis discipline), then profile keys and value types through
+  // a REAL from_json parse. The oracle derives ground truth from the
+  // SYNTHESIS RULE itself (parity counts over documents), so the
+  // differential catches any parse/classification drift.
+
+  val q218 = Q(
+    "q218_json_profile",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val j = concat(
+        lit("{\"id\": "), col("doc_id").cast("string"),
+        lit(", \"lang\": \"en\""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(", \"score\": "),
+            (col("doc_id") % 7).cast("string"), lit(".5")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(", \"flag\": true"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(", \"note\": \"x1\""))
+          .otherwise(lit("")),
+        lit("}"))
+      graft.operators.Profile.jsonKeyProfile(
+        d.select(j.as("props")), "props")
+    },
+    Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                        CAST(count(*) FILTER (WHERE doc_id % 2 = 0)
+                          AS BIGINT) AS evens,
+                        CAST(count(*) FILTER (WHERE doc_id % 3 = 0)
+                          AS BIGINT) AS threes,
+                        CAST(count(*) FILTER (WHERE doc_id % 5 = 0)
+                          AS BIGINT) AS fives
+                 FROM documents)
+      SELECT * FROM (
+        SELECT 'flag' AS key, threes AS n_present, 0 AS n_int,
+               0 AS n_float, threes AS n_bool, 0 AS n_string FROM n
+        UNION ALL
+        SELECT 'id', total, total, 0, 0, 0 FROM n
+        UNION ALL
+        SELECT 'lang', total, 0, 0, 0, total FROM n
+        UNION ALL
+        SELECT 'note', fives, 0, 0, 0, fives FROM n
+        UNION ALL
+        SELECT 'score', evens, 0, evens, 0, 0 FROM n)
+      ORDER BY key"""))
+
   // ---- q205: tokenizer fertility audit ----
   // The tokenizer-selection readout: per source, BPE tokens per
   // whitespace word under the corpus-trained 3-merge table (fertility
@@ -3849,7 +3898,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217,
+    q215, q217, q218,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

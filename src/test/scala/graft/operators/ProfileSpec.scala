@@ -285,4 +285,24 @@ class ProfileSpec extends SparkTestBase {
       Profile.saltPlan(df, "k", targetRowsPerTask = 0L)
     }
   }
+
+  test("jsonKeyProfile: key presence + lexical type classification") {
+    val ss = spark
+    import ss.implicits._
+    val out = graft.operators.Profile.jsonKeyProfile(
+      Seq(
+        """{"a": 1, "b": "x", "c": true}""",
+        """{"a": -2.5, "b": "7", "d": false}""",
+        "not json at all",
+        """{"a": 3}""").toDF("props"), "props")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // malformed row drops entirely; "7" is lexically an int (the
+    // documented quoting trade); -2.5 is a float
+    assert(out.toSeq == Seq(
+      ("a", 3L, 2L, 1L, 0L, 0L),
+      ("b", 2L, 1L, 0L, 0L, 1L),
+      ("c", 1L, 0L, 0L, 1L, 0L),
+      ("d", 1L, 0L, 0L, 1L, 0L)), out.toSeq)
+  }
 }
