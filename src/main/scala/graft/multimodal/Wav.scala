@@ -23,7 +23,10 @@ package graft.multimodal
   * values that are multiples of 1/32768 are mantissa-exact in
   * float32, so their stats are analytic; clipping = |quantized| ≥
   * 32768 (at-or-beyond full scale on the grid); any non-finite
-  * sample (NaN/±Inf) declines the whole file.
+  * sample (NaN/±Inf) OR any finite sample beyond 2^31 on the grid
+  * (65536x full scale — corrupt payload, not audio) declines the
+  * whole file, and any Σ sample² that would exceed a Long declines
+  * rather than emit inexact statistics.
   *
   * Reference behavior anchor: the reference treats object bytes as
   * opaque payloads (amazons3-blueprints download_file.py:60-85); this
@@ -103,7 +106,13 @@ object Wav {
         if (isFloat) {
           val f = java.lang.Float.intBitsToFloat(leU32(p).toInt)
           if (!java.lang.Float.isFinite(f)) return None // NaN/Inf declines
-          math.rint(f.toDouble * 32768.0).toLong
+          val q = math.rint(f.toDouble * 32768.0)
+          // finite-but-absurd payloads (e.g. 1e30) would silently
+          // saturate toLong and overflow the exact sums: any sample
+          // beyond 2^31 on the grid (65536x full scale) is corrupt,
+          // not audio — decline the file like NaN/Inf does
+          if (math.abs(q) > (1L << 31).toDouble) return None
+          q.toLong
         } else bits match {
           case 8 => (u8(p) - 128).toLong
           case 16 => leU16(p).toShort.toLong
@@ -112,7 +121,10 @@ object Wav {
         }
       val a = math.abs(v)
       if (a > peak) peak = a
-      sumsq += v * v
+      // exact-or-decline: 24-bit full-scale squares times a 256 MiB
+      // payload CAN exceed a Long — overflow throws ArithmeticException
+      // into the catch-all None instead of emitting wrong statistics
+      sumsq = Math.addExact(sumsq, Math.multiplyExact(v, v))
       if (a >= fullScale) clipped += 1
       p += bytesPerSample
       s += 1

@@ -393,18 +393,41 @@ final class DatasetIO(spark: SparkSession) {
     */
   private[sources] var compactFailpoint: Int = 0
 
+  /** Test seam: runs after staging, just before the phase-3 manifest
+    * create — the window where a concurrent committer can win the
+    * generation. Lets specs interleave a competing commit
+    * deterministically.
+    */
+  private[sources] var beforeCommitHook: () => Unit = () => ()
+
   /** [[compact]] with a manifest-gated two-phase commit instead of the
     * rename-aside swap — safe on EVERY scheme including object stores:
     *
     *  1. resolve the current generation via [[currentManifest]]
-    *     (unmanaged roots are generation 0);
-    *  2. rewrite its data into a FRESH `_gen-<N+1>/` directory
-    *     (partition layout reapplied, as in [[compact]]);
-    *  3. commit: create `_manifests/manifest-<N+1>.json`
-    *     (create-exclusive — a concurrent committer of the same
-    *     generation fails loudly instead of silently winning);
+    *     (unmanaged roots are generation 0), then garbage-collect
+    *     staging dirs of ALREADY-DECIDED generations (gen ≤ current)
+    *     that no manifest references — crashed or losing attempts
+    *     whose outcome is settled; in-flight dirs (gen > current, a
+    *     possible concurrent committer) are never touched;
+    *  2. rewrite the data into a FRESH `_gen-<N+1>-<nonce>/` staging
+    *     directory (partition layout reapplied, as in [[compact]]).
+    *     The nonce makes every ATTEMPT's dir unique, so a slow
+    *     concurrent committer can never clobber data files of a
+    *     generation a faster committer already committed — losers
+    *     only ever write their own staging dir;
+    *  3. commit: create `_manifests/manifest-<N+1>.json` recording
+    *     the winning attempt's dataDir (create-exclusive — a
+    *     concurrent committer of the same generation fails loudly
+    *     instead of silently winning). If the target manifest file
+    *     EXISTS but fails the committed-token parse it is garbage
+    *     from a crashed step-3 (a torn file): it is deleted and the
+    *     create-exclusive retried once, so a retry of a crashed
+    *     compaction self-heals instead of wedging on
+    *     FileAlreadyExists;
     *  4. clean up the previous generation's files (crash here leaves
-    *     only harmless orphans — readers already resolve N+1).
+    *     only harmless orphans — readers already resolve N+1; the
+    *     loser/crashed staging orphans of THIS generation are swept
+    *     by step 1 of the next compaction).
     *
     * Readers ([[readCommitted]]) never see a mixed state: before step
     * 3 completes they resolve generation N; a torn manifest from a
@@ -424,6 +447,25 @@ final class DatasetIO(spark: SparkSession) {
     val curDataPath = cur match {
       case Some((_, d)) => new Path(root, d)
       case None         => root
+    }
+    // step 1b: sweep SETTLED staging orphans — `_gen-<g>[-nonce]` dirs
+    // with g <= curGen that no manifest references are crashed or
+    // losing attempts whose generation is decided (gens are assigned
+    // sequentially, so they can never commit). Dirs with g > curGen
+    // may belong to a concurrent in-flight committer: never touched.
+    locally {
+      val referenced = listGenerations(path).map(_._2).toSet
+      val stagingRe = "_gen-(\\d+)(?:-.*)?".r
+      graft.sources.GraftException.translatingAuth(s"compactCommitted $path") {
+        fs.listStatus(root).foreach { st =>
+          st.getPath.getName match {
+            case n @ stagingRe(g) if st.isDirectory &&
+                g.toLong <= curGen && !referenced.contains(n) =>
+              fs.delete(st.getPath, true): Unit
+            case _ =>
+          }
+        }
+      }
     }
     def dataFilesUnder(d: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] =
       graft.sources.GraftException.translatingAuth(s"compactCommitted $path") {
@@ -456,10 +498,14 @@ final class DatasetIO(spark: SparkSession) {
       else df.repartition(nFiles,
         partCols.map(org.apache.spark.sql.functions.col): _*)
     val newGen = curGen + 1
-    val newDir = s"_gen-$newGen"
-    // phase 2: a crashed prior attempt may have left this dir — the
-    // overwrite save replaces it; it was never committed, so no reader
-    // ever resolved it
+    // phase 2: every ATTEMPT stages into its own nonce-suffixed dir —
+    // on object stores create(overwrite=false) is check-then-act, so
+    // two same-generation committers CAN both reach phase 3; unique
+    // staging means the loser's data pass never touches the dir the
+    // winner's manifest committed. Crashed-attempt dirs are swept by
+    // step 1b of the next compaction.
+    val newDir =
+      s"_gen-$newGen-${java.util.UUID.randomUUID().toString.take(8)}"
     write(rewritten, new Path(root, newDir).toString, format,
       partitionBy = partCols)
     if (compactFailpoint == 1)
@@ -468,8 +514,9 @@ final class DatasetIO(spark: SparkSession) {
     val mdir = new Path(root, "_manifests")
     fs.mkdirs(mdir)
     val mpath = new Path(mdir, s"manifest-$newGen.json")
+    beforeCommitHook()
     val json = s"""{"gen":$newGen,"dataDir":"$newDir","committed":true}"""
-    graft.sources.GraftException.translatingAuth(s"compactCommitted $path") {
+    def createExclusive(): Unit = {
       val out = fs.create(mpath, /*overwrite=*/ false)
       try {
         if (compactFailpoint == 2) {
@@ -479,6 +526,22 @@ final class DatasetIO(spark: SparkSession) {
         }
         out.write(json.getBytes("UTF-8"))
       } finally out.close()
+    }
+    graft.sources.GraftException.translatingAuth(s"compactCommitted $path") {
+      try createExclusive()
+      catch {
+        case e: java.io.IOException if fs.exists(mpath) =>
+          // target exists: a COMMITTED manifest means a concurrent
+          // committer won this generation — fail loudly (our staged
+          // data is an orphan for step 1b). A file that fails the
+          // committed-token parse is garbage from a crashed step 3:
+          // delete it and retry once, so retrying a crashed
+          // compaction self-heals instead of wedging forever on
+          // FileAlreadyExists.
+          if (parseManifest(fs, mpath).isDefined) throw e
+          fs.delete(mpath, false)
+          createExclusive()
+      }
     }
     if (compactFailpoint == 3)
       throw new java.io.IOException("failpoint 3: crash before cleanup")

@@ -48,6 +48,17 @@ class WavSpec extends SparkTestBase {
       Wav.encodeFloat(8000, 1, Array(0.5f, Float.NaN))).isEmpty)
     assert(Wav.decodeStats(
       Wav.encodeFloat(8000, 1, Array(Float.PositiveInfinity))).isEmpty)
+    // finite-but-absurd magnitudes decline too: 1e30 saturates the
+    // Long grid; 1e5 (3.3e9 on the grid) squares past a Long — both
+    // must decline rather than emit overflowed statistics
+    assert(Wav.decodeStats(
+      Wav.encodeFloat(8000, 1, Array(0.5f, 1e30f))).isEmpty)
+    assert(Wav.decodeStats(
+      Wav.encodeFloat(8000, 1, Array(1e5f))).isEmpty)
+    // the largest in-bound magnitude still decodes exactly
+    val big = Wav.decodeStats(Wav.encodeFloat(8000, 1, Array(65536f)))
+    assert(big.get.peakAbs == (1L << 31) &&
+      big.get.sumSquares == (1L << 31) * (1L << 31))
     // truncation / bit flips never throw
     for (cut <- 0 until f.length) Wav.decodeStats(f.take(cut)): Unit
     val rnd = new scala.util.Random(97)

@@ -114,31 +114,53 @@ class DatasetIOSpec extends SparkTestBase {
     val torn = new java.io.File(s"$tmp/mfrag.parquet/_manifests")
       .listFiles().filter(_.getName.endsWith(".json"))
     assert(torn.nonEmpty && torn.exists(_.length() > 0))
-    // recovery: clear the torn gen-1 attempt artifacts are reused —
-    // but gen 1's manifest file exists (torn), so the next commit
-    // must NOT create-exclusive-collide: it targets gen 1 again only
-    // if gen 1 never committed. Clean the torn file as a recovery
-    // tool would (it is unparseable garbage by contract).
-    torn.foreach(_.delete())
-    // failpoint 3: manifest committed, cleanup skipped -> readers
-    // resolve the NEW generation; old files are orphans
+    // failpoint 3: the retry SELF-HEALS the torn gen-1 manifest — the
+    // create-exclusive collision parses the garbage, deletes it, and
+    // recommits (NO manual torn-file deletion) — then crashes before
+    // cleanup -> readers resolve the NEW generation; olds are orphans
     d.compactFailpoint = 3
     intercept[java.io.IOException] { d.compactCommitted(path) }
     d.compactFailpoint = 0
     assert(committedView() == (25L, truth), "committed gen not resolved")
-    // a second compaction over the managed layout works end-to-end
-    val (b2, a2) = d.compactCommitted(path)
+    // a second compaction over the managed layout works end-to-end and
+    // sweeps the settled staging orphans the crashed attempts left
+    val (_, a2) = d.compactCommitted(path)
     assert(a2 == 1, s"expected 1 file, got $a2")
     assert(committedView() == (25L, truth))
-    // concurrent-committer detection: planting the next manifest makes
-    // the create-exclusive commit fail loudly
+    val liveDirs = d.listGenerations(path).map(_._2).toSet
+    val stray = new java.io.File(s"$tmp/mfrag.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_gen-"))
+      .map(_.getName).filterNot(liveDirs)
+    assert(stray.isEmpty, s"staging orphans not swept: ${stray.mkString(",")}")
+    // planted GARBAGE at the next generation's manifest path (a torn
+    // file from some crashed committer) self-heals: the commit deletes
+    // it and succeeds
     val mdir = new java.io.File(s"$tmp/mfrag.parquet/_manifests")
-    val cur = d.currentManifest(
-      new org.apache.hadoop.fs.Path(s"file:$tmp/mfrag.parquet")).get._1
-    val planted = new java.io.File(mdir, s"manifest-${cur + 1}.json")
-    java.nio.file.Files.write(planted.toPath, "{}".getBytes)
-    intercept[Exception] { d.compactCommitted(path) }
+    val rootP = new org.apache.hadoop.fs.Path(s"file:$tmp/mfrag.parquet")
+    val gen2 = d.currentManifest(rootP).get._1
+    java.nio.file.Files.write(
+      new java.io.File(mdir, s"manifest-${gen2 + 1}.json").toPath,
+      "{}".getBytes)
+    d.compactCommitted(path)
+    assert(d.currentManifest(rootP).get._1 == gen2 + 1, "self-heal failed")
     assert(committedView() == (25L, truth))
+    // concurrent-committer race, interleaved deterministically: a
+    // faster committer wins the generation while the loser is between
+    // staging and commit. The loser must fail loudly, and must NOT
+    // have touched the winner's committed data dir (unique staging).
+    val genW = d.currentManifest(rootP).get._1 + 1
+    d.beforeCommitHook = () => {
+      // the "winner": plant a committed manifest aliasing the CURRENT
+      // live data (stands in for its own staged copy)
+      val live = d.currentManifest(rootP).get._2
+      java.nio.file.Files.write(
+        new java.io.File(mdir, s"manifest-$genW.json").toPath,
+        s"""{"gen":$genW,"dataDir":"$live","committed":true}""".getBytes)
+    }
+    try intercept[Exception] { d.compactCommitted(path) }
+    finally d.beforeCommitHook = () => ()
+    assert(d.currentManifest(rootP).get._1 == genW, "winner overthrown")
+    assert(committedView() == (25L, truth), "loser clobbered winner data")
   }
 
   test("compactCommitted preserves a partitioned layout") {
