@@ -87,7 +87,13 @@ object Experiments {
     *
     * Scale shape: one hash aggregate by (value) with map-side combine,
     * one |V|-bounded cumulative window, one 2-row rollup. Output:
-    * 1 row (n_a, n_b, u_a, z_stat).
+    * 1 row (n_a, n_b, u_a, z_stat). GRAIN BOUND for that
+    * unpartitioned window: the metric is cast to LONG (integer cents
+    * / counts), so |V| is bounded by the metric's value range, not by
+    * row count — a continuous metric must be pre-quantized (fix4 or
+    * coarser) by the caller or the distinct-value table degenerates
+    * to row grain; for vocabulary-like unbounded grains use the
+    * distributed-rank shape ([[TextAnalysis.vocabCoverage]]).
     */
   def mannWhitneyU(
       df: DataFrame,
@@ -162,6 +168,13 @@ object Experiments {
     * positive); requires both classes present. `scoreCol` may be any
     * orderable numeric — ties get average rank, so fix4'd float
     * scores group identically cross-engine.
+    *
+    * GRAIN BOUND for the unpartitioned cumulative window: classifier
+    * scores must arrive QUANTIZED (fix4 = ≤20,001 distinct values in
+    * [−1, 1]; any fixed-point grid is similarly bounded) so the
+    * distinct-score table is grid-bounded, not row-bounded; feed a
+    * raw continuous score through fix4 first or the histogram
+    * degenerates to row grain.
     *
     * Output: 1 row (n_pos, n_neg, auc fix4).
     */

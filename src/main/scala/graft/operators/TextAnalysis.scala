@@ -134,14 +134,43 @@ object TextAnalysis {
     * decisions; this is the exact curve that decides.
     *
     * Scale shape: one term-frequency partial-agg shuffle (billions of
-    * tokens collapse to vocabulary grain), then rank + cumulative
-    * windows over the vocabulary only. Ranking ties break by term so
-    * both engines agree at every k boundary.
+    * tokens collapse to vocabulary grain), then a DISTRIBUTED global
+    * rank + cumulative sum over the vocabulary — range-partition by
+    * the rank order, local row_number + running sum per partition,
+    * broadcast per-partition prefix counts/sums (the
+    * `Encodings.equiDepthHistogram` shape): a 10^8-term multilingual
+    * vocabulary never funnels through one executor's window sort.
+    * Ranking ties break by term so both engines agree at every k
+    * boundary. The ranked rows are persisted to pin ONE set of range
+    * boundaries across the prefix and rank branches
+    * (repartitionByRange re-samples per execution — see the
+    * round-12 distributed-rank trap) and released before return.
     */
   def vocabCoverage(
       df: DataFrame,
       textCol: String,
       ks: Seq[Int]): DataFrame = {
+    val run = vocabCoverageRun(df, textCol, ks)
+    val res = graft.ScratchSpace.materialize(run.result, "vocabcov_")
+    run.release()
+    res
+  }
+
+  /** [[vocabCoverage]]'s result plus the handle releasing the cached
+    * ranked vocabulary (the persist pins ONE set of range boundaries
+    * across the prefix and rank branches — the round-12
+    * distributed-rank trap).
+    */
+  final class VocabCoverageRun private[operators] (
+      val result: DataFrame,
+      ranked: DataFrame) {
+    def release(): Unit = { ranked.unpersist(): Unit }
+  }
+
+  private[operators] def vocabCoverageRun(
+      df: DataFrame,
+      textCol: String,
+      ks: Seq[Int]): VocabCoverageRun = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
     import org.apache.spark.sql.expressions.Window
     val tf = graft.SparkUtil.ensureParallelism(df)
@@ -149,25 +178,45 @@ object TextAnalysis {
       .where(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
-    val rank = Window.orderBy(col("cnt").desc, col("term"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = Window.partitionBy()
-    val curve = tf.select(
-      row_number().over(
-        Window.orderBy(col("cnt").desc, col("term"))).as("rk"),
-      sum(col("cnt")).over(rank).as("cum"),
-      sum(col("cnt")).over(total).as("tot"),
-      count(lit(1)).over(total).as("nvocab"))
+    val wOrd = Window.partitionBy("__pid")
+      .orderBy(col("cnt").desc, col("term"))
+    val local = tf
+      .repartitionByRange(col("cnt").desc, col("term"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__lcum", sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition prefix counts/sums: partition-id grain (tiny), so
+    // its unpartitioned windows are safe at any corpus size
+    val wPre = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prefix = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum(col("cnt")).as("__s"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(wPre), lit(0L)).as("__pre_n"),
+        coalesce(sum(col("__s")).over(wPre), lit(0L)).as("__pre_s"),
+        sum(col("__c")).over(wAll).as("nvocab"),
+        sum(col("__s")).over(wAll).as("tot"))
+    val curve = local.join(broadcast(prefix), "__pid")
+      .select(
+        (col("__pre_n") + col("__rn")).as("rk"),
+        (col("__pre_s") + col("__lcum")).as("cum"),
+        col("tot"), col("nvocab"))
     val kDf = df.sparkSession
       .createDataFrame(ks.map(Tuple1(_))).toDF("k")
-    // per k: coverage at rank min(k, vocab size)
-    kDf.join(curve, col("rk") === least(col("k"), col("nvocab")))
+    // per k: coverage at rank min(k, vocab size) — |ks| rows against
+    // the rank stream; the BNLJ side is the literal k list
+    val out = kDf.join(curve, col("rk") === least(col("k"), col("nvocab")))
       .select(
         col("k"), col("nvocab").as("vocab_size"), col("tot").as("total_tokens"),
         col("cum").as("covered_tokens"),
         Numerics.fix4(
           col("cum").cast("double") / col("tot").cast("double"))
           .as("coverage"))
+    new VocabCoverageRun(out, local)
   }
 
   /** Sequence-length histogram — the context-window budget readout:
@@ -178,7 +227,13 @@ object TextAnalysis {
     * training run makes.
     *
     * Scale shape: token counting is scan-local; the histogram grain is
-    * tiny; cumulative windows run over buckets only.
+    * tiny; cumulative windows run over buckets only. GRAIN BOUND for
+    * the unpartitioned cumulative window: the bucket count is
+    * max(doc tokens)/bucket — a property of the LONGEST document, not
+    * of corpus size (a 10M-token outlier doc at bucket=128 is ~80k
+    * rows), so the single-partition sort is safe at any corpus scale;
+    * it is corpus-INdependent by construction, unlike the vocabulary
+    * grain [[vocabCoverage]] distributes.
     */
   def seqLenHistogram(
       df: DataFrame,

@@ -607,6 +607,38 @@ class TextAnalysisSpec extends SparkTestBase {
       (99, 3L, 7L, 7L, 1.0))) // k past vocab covers everything
   }
 
+  test("vocabCoverage: distributed rank exact over a multi-partition vocab") {
+    val ss = spark
+    import ss.implicits._
+    // 500 distinct terms with distinct counts (term_i appears i+1
+    // times) -> the range shuffle really spreads the vocabulary
+    val docs = (0 until 500).flatMap(i => Seq.fill(i + 1)(f"t$i%03d"))
+    val df = docs.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val run = TextAnalysis.vocabCoverageRun(df, "text", ks = Seq(1, 10, 250, 999))
+    try {
+      // every rank window in the plan must be __pid-partitioned — the
+      // vocabulary-grain sort is never a single-partition window
+      val plan = run.result.queryExecution.executedPlan.toString
+      val rnLines = plan.linesIterator
+        .filter(_.contains("row_number")).toSeq
+      assert(rnLines.nonEmpty && rnLines.forall(_.contains("__pid")),
+        s"unpartitioned vocabulary rank:\n${rnLines.mkString("\n")}")
+      val out = run.result.orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // local truth: counts sorted desc, ties impossible (all distinct)
+      val cnts = (0 until 500).map(i => (i + 1).toLong).sortBy(-_)
+      val tot = cnts.sum
+      def cov(k: Int) = cnts.take(k).sum
+      assert(out.toSeq == Seq(
+        (1, 500L, tot, cov(1)),
+        (10, 500L, tot, cov(10)),
+        (250, 500L, tot, cov(250)),
+        (999, 500L, tot, tot)))
+    } finally run.release()
+  }
+
   test("seqLenHistogram: doc and token cumulative shares per bucket") {
     val ss = spark
     import ss.implicits._
