@@ -411,6 +411,62 @@ object EtlQueries {
              min(file_name) AS first_file
       FROM b GROUP BY 1 ORDER BY bin"""))
 
+  // ---- q219: read-only Delta table scan (_delta_log replay) ----
+  // Interop with the lake's dominant table format: plant a REAL
+  // multi-commit PARTITIONED Delta log (v0 protocol+metaData+2 adds;
+  // v1 append; v2 remove+add) via the DeltaFixture authoring twin,
+  // replay it with DeltaRead, and hash-match the live rows against a
+  // DuckDB reconstruction from the source table. The removed file's
+  // rows must vanish, and the `src` partition column exists ONLY in
+  // the log's partitionValues (Delta data files don't carry partition
+  // columns) — a broken partition attach fails the hash.
+
+  val q219 = Q(
+    "q219_delta_read",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q219_delta")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        StructField("src", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val a = DFx.plantDataFile(s, base.where(col("k") < 13), t, "a.parquet")
+      val b = DFx.plantDataFile(s, base.where(col("k") >= 13), t, "b.parquet")
+      val c = DFx.plantDataFile(s,
+        base.withColumn("k", col("k") + 100), t, "c.parquet")
+      val d = DFx.plantDataFile(s,
+        nation.where(col("n_regionkey") === 2).select(
+          (col("n_nationkey").cast("long") + 200).as("k"),
+          col("n_name").as("name")), t, "d.parquet")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(),
+        DFx.metaDataLine("q219-fixture", schema, Seq("src")),
+        DFx.addLine("a.parquet", a, Map("src" -> Some("n0"))),
+        DFx.addLine("b.parquet", b, Map("src" -> Some("n0")))))
+      DFx.writeCommit(s, t, 1, Seq(
+        DFx.addLine("c.parquet", c, Map("src" -> Some("n1")))))
+      DFx.writeCommit(s, t, 2, Seq(
+        DFx.removeLine("b.parquet"),
+        DFx.addLine("d.parquet", d, Map("src" -> Some("n2")))))
+      DeltaRead.read(s, t).orderBy("k", "src")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+               'n0' AS src
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'n1'
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey + 200 AS BIGINT), n_name, 'n2'
+        FROM nation WHERE n_regionkey = 2)
+      ORDER BY k, src"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203)
+    q134, q168, q203, q219)
 }

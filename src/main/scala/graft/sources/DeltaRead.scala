@@ -1,0 +1,277 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+
+/** Read-only Delta Lake table scan — `_delta_log` JSON replay.
+  *
+  * A real S3 lake is full of Delta tables someone else wrote; an ETL
+  * engine that can list/move/compact but not READ the lake's dominant
+  * table format stops one verb short of real use (the reference
+  * treats objects as opaque bytes, download_file.py:60-85 — this is
+  * engine-side interop per the PUBLIC Delta transaction-log protocol,
+  * github.com/delta-io/delta PROTOCOL.md).
+  *
+  * Scope (refuse-loudly outside it):
+  *  - contiguous `_delta_log/<20-digit>.json` commits from version 0
+  *    (a checkpoint-compacted log whose early JSONs were vacuumed is
+  *    refused — checkpoint.parquet replay is out of scope);
+  *  - protocol minReaderVersion 1 (no column mapping, no deletion
+  *    vectors, no readerFeatures);
+  *  - parquet data files, relative or absolute URI-encoded paths;
+  *  - partitioned tables: partition values come from the add actions'
+  *    `partitionValues` (Delta data files do NOT contain partition
+  *    columns) and are attached via ONE broadcast join against the
+  *    scan's `_metadata.file_path` — one distributed scan regardless
+  *    of partition count, never a per-partition union loop.
+  *
+  * Replay is last-action-wins in (version, line) order: the live file
+  * set folds add/remove by path; `metaData` updates the schema;
+  * `commitInfo`/`txn`/`cdc`/`domainMetadata` actions are ignored (cdc
+  * files are change-feed data, not table data). The log is
+  * driver-read (it is metadata, like the reference's key listing);
+  * the DATA scan is a distributed Spark parquet read of the live
+  * files with the log schema enforced.
+  */
+object DeltaRead {
+
+  /** One live data file: the add action's RAW (still URI-encoded)
+    * relative-or-absolute path + its partition values (None = null
+    * partition value).
+    */
+  final case class DeltaFile(
+      path: String,
+      partitionValues: Map[String, Option[String]])
+
+  /** The replayed state of the log at a version. */
+  final case class DeltaSnapshot(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      liveFiles: Seq[DeltaFile])
+
+  private val MaxLogFiles = 100000
+  private val MaxLogFileBytes = 64L << 20
+  private val mapper = new ObjectMapper()
+
+  private def fail(path: String, why: String): Nothing =
+    throw new IllegalArgumentException(s"DeltaRead: $path — $why")
+
+  /** Commit versions present in the log, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(fs.makeQualified(p), "_delta_log")
+    if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
+    val vs = fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
+    if (vs.size > MaxLogFiles)
+      fail(path, s"log has ${vs.size} commits (> $MaxLogFiles) — " +
+        "replay refused; the table needs checkpoint-based access")
+    vs
+  }
+
+  /** Replay the log to `asOf` (default: latest). */
+  def snapshot(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None): DeltaSnapshot = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val all = versions(spark, path)
+    if (all.isEmpty) fail(path, "empty _delta_log")
+    if (all.head != 0L)
+      fail(path, s"log starts at version ${all.head}, not 0 — early " +
+        "commits were vacuumed after a checkpoint; checkpoint.parquet " +
+        "replay is unsupported, read this table with a full engine")
+    asOf.foreach { v =>
+      if (!all.contains(v))
+        fail(path, s"version $v not in log (have ${all.head}..${all.last})")
+    }
+    val upTo = asOf.getOrElse(all.last)
+    val wanted = all.takeWhile(_ <= upTo)
+    // contiguity: version k must be the k-th file
+    wanted.zipWithIndex.foreach { case (v, i) =>
+      if (v != i.toLong)
+        fail(path, s"log gap: version $i missing (next is $v) — " +
+          "truncated or checkpoint-compacted log is unsupported")
+    }
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
+    val live = mutable.LinkedHashMap.empty[String, DeltaFile]
+    wanted.foreach { v =>
+      val mp = new Path(new Path(root, "_delta_log"), f"$v%020d.json")
+      val st = fs.getFileStatus(mp)
+      if (st.getLen > MaxLogFileBytes)
+        fail(path, s"commit $v is ${st.getLen} bytes — hostile size")
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(mp)
+      try in.readFully(0, bytes) finally in.close()
+      new String(bytes, "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case e: Exception =>
+              fail(path, s"commit $v: unparseable action line (${e.getMessage})")
+            }
+          applyAction(path, v, node,
+            s => schema = Some(s), pc => partCols = pc, live)
+        }
+    }
+    val sch = schema.getOrElse(
+      fail(path, "no metaData action in log — schema unknown"))
+    DeltaSnapshot(upTo, sch, partCols, live.values.toSeq)
+  }
+
+  private def applyAction(
+      path: String,
+      v: Long,
+      node: JsonNode,
+      setSchema: StructType => Unit,
+      setPartCols: Seq[String] => Unit,
+      live: mutable.LinkedHashMap[String, DeltaFile]): Unit = {
+    val protocol = node.get("protocol")
+    if (protocol != null) {
+      val r = Option(protocol.get("minReaderVersion")).map(_.asInt(1))
+        .getOrElse(1)
+      val feats = Option(protocol.get("readerFeatures"))
+        .filter(!_.isNull).map(_.toString).getOrElse("")
+      if (r > 1 || feats.nonEmpty)
+        fail(path, s"commit $v requires reader version $r" +
+          (if (feats.nonEmpty) s" with features $feats" else "") +
+          " — only reader version 1 (no column mapping / deletion " +
+          "vectors / v2 checkpoints) is supported")
+    }
+    val meta = node.get("metaData")
+    if (meta != null) {
+      val provider = Option(meta.get("format"))
+        .flatMap(f => Option(f.get("provider"))).map(_.asText(""))
+        .getOrElse("parquet")
+      if (provider != "parquet")
+        fail(path, s"commit $v: data format '$provider' unsupported " +
+          "(parquet only)")
+      val ss = Option(meta.get("schemaString")).map(_.asText())
+        .getOrElse(fail(path, s"commit $v: metaData without schemaString"))
+      // Delta's schemaString IS Spark's StructType JSON serialization
+      DataType.fromJson(ss) match {
+        case st: StructType => setSchema(st)
+        case other => fail(path, s"commit $v: schemaString is $other")
+      }
+      val pcs = Option(meta.get("partitionColumns")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Seq.empty)
+      setPartCols(pcs.toSeq)
+    }
+    val add = node.get("add")
+    if (add != null) {
+      if (Option(add.get("deletionVector")).exists(!_.isNull))
+        fail(path, s"commit $v: add with a deletion vector — " +
+          "DV-masked files cannot be scanned verbatim; unsupported")
+      val raw = Option(add.get("path")).map(_.asText())
+        .getOrElse(fail(path, s"commit $v: add without path"))
+      val pvNode = add.get("partitionValues")
+      val pvs: Map[String, Option[String]] =
+        if (pvNode == null || pvNode.isNull) Map.empty
+        else {
+          val it = pvNode.properties().iterator()
+          val b = Map.newBuilder[String, Option[String]]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey ->
+              (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+          }
+          b.result()
+        }
+      live(raw) = DeltaFile(raw, pvs)
+    }
+    val remove = node.get("remove")
+    if (remove != null) {
+      Option(remove.get("path")).map(_.asText()).foreach(live.remove)
+    }
+    // commitInfo / txn / cdc / domainMetadata: ignored by design
+  }
+
+  /** Delta RELATIVE paths are RFC 2396 URI-encoded (spaces as %20
+    * etc.); decode percent escapes, keep raw on malformed input.
+    * Absolute URIs go through `new Path(new URI(raw))`, which decodes
+    * on its own.
+    */
+  private[sources] def decodePath(raw: String): String =
+    try Option(new java.net.URI(raw).getPath).getOrElse(raw)
+    catch { case _: java.net.URISyntaxException => raw }
+
+  /** Scheme-and-authority-insensitive normal form for matching the
+    * scan's `_metadata.file_path` against log paths: both sides go
+    * through the SAME transform, so `file:/x`, `file:///x` and `/x`
+    * all meet at `/x`.
+    */
+  private def normalizeCol(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+  private def normalizeStr(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Scan the live data of a Delta table (optionally at a past
+    * version). One distributed parquet read of the live files with
+    * the log's schema enforced; partitioned tables get their
+    * partition columns re-attached from the add actions'
+    * `partitionValues` via one broadcast equi-join on the scan's
+    * `_metadata.file_path`, cast to the schema's types. Column order
+    * is the log schema's.
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val snap = snapshot(spark, path, asOf)
+    val partCols = snap.partitionColumns
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => partCols.contains(f.name)))
+    if (snap.liveFiles.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), snap.schema)
+    val files = snap.liveFiles.map { f =>
+      val fp =
+        if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+          new Path(new java.net.URI(f.path))
+        else new Path(root, decodePath(f.path))
+      (fs.makeQualified(fp).toString, f.partitionValues)
+    }
+    val scan = spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
+    if (partCols.isEmpty) return scan.select(
+      snap.schema.map(f => col(f.name)): _*)
+    // partition attach: (normalized file path -> partition values)
+    // is log-grain metadata — broadcast it against the scan
+    val mapSchema = StructType(
+      StructField("__file", StringType, nullable = false) +:
+        partCols.map(c => StructField(s"__pv_$c", StringType,
+          nullable = true)))
+    val rows = files.map { case (fp, pvs) =>
+      Row.fromSeq(normalizeStr(fp) +:
+        partCols.map(c => pvs.get(c).flatten.orNull))
+    }
+    val javaRows = new java.util.ArrayList[Row](rows.length)
+    rows.foreach(javaRows.add)
+    val mapDf = spark.createDataFrame(javaRows, mapSchema)
+    val byName = snap.schema.map(f => f.name -> f).toMap
+    scan
+      .withColumn("__file", normalizeCol(col("_metadata.file_path")))
+      .join(broadcast(mapDf), "__file")
+      .select(snap.schema.map { f =>
+        if (partCols.contains(f.name))
+          col(s"__pv_${f.name}").cast(byName(f.name).dataType).as(f.name)
+        else col(f.name)
+      }: _*)
+  }
+}
