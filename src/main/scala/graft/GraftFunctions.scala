@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomContains, JaroWinkler, PiiScrub, UnicodeNormalize, VecDot}
+import graft.functions.expressions.{BloomContains, JaroWinkler, PiiScrub, UnicodeNormalize, VecDot, WordPieceEncode}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -100,7 +100,25 @@ object GraftFunctions {
       s"$NfkcName expects 1 argument, got ${exprs.size}")
   }
 
+  val WordPieceName = "graft_wordpiece"
+
+  private val wordPieceInfo = new ExpressionInfo(
+    classOf[WordPieceEncode].getCanonicalName, null, WordPieceName,
+    "_FUNC_(word, vocab) - WordPiece greedy longest-match encode of " +
+      "one word against a foldable array<string> vocabulary " +
+      "('##'-prefixed pieces are continuations); [UNK] when any " +
+      "position has no match (codegen'd matcher reference).",
+    "")
+
+  private val wordPieceBuilder: Seq[Expression] => Expression = {
+    case Seq(w, v) => WordPieceEncode(w, v)
+    case exprs => throw new IllegalArgumentException(
+      s"$WordPieceName expects 2 arguments, got ${exprs.size}")
+  }
+
   def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier(WordPieceName), wordPieceInfo, wordPieceBuilder))
     ext.injectFunction(
       (FunctionIdentifier(NfcName), nfcInfo, nfcBuilder))
     ext.injectFunction(
@@ -146,6 +164,10 @@ object GraftFunctions {
       registry.registerFunction(
         FunctionIdentifier(NfkcName), nfkcInfo, nfkcBuilder)
     }
+    if (!registry.functionExists(FunctionIdentifier(WordPieceName))) {
+      registry.registerFunction(
+        FunctionIdentifier(WordPieceName), wordPieceInfo, wordPieceBuilder)
+    }
   }
 
   /** Column form; the owning session must have [[register]]ed (the
@@ -171,6 +193,14 @@ object GraftFunctions {
 
   /** Column form of Unicode NFKC compatibility normalization. */
   def nfkc(text: Column): Column = call_function(NfkcName, text)
+
+  /** Column form of the WordPiece greedy longest-match encode; the
+    * vocabulary rides the plan as a foldable array literal (tokenizer
+    * artifacts are KBs — the literal IS the broadcast).
+    */
+  def wordPiece(word: Column, vocab: Seq[String]): Column =
+    call_function(WordPieceName, word,
+      org.apache.spark.sql.functions.lit(vocab.toArray))
 }
 
 /** `spark.sql.extensions` hook. */

@@ -6,13 +6,17 @@ package graft.multimodal
   * `decodeWavDurationMs` only walks chunk headers, this reads the
   * `data` payload and produces per-recording sample statistics.
   *
-  * Scope: integer PCM (format 1) at 8/16/24-bit depth AND IEEE
-  * 32-bit float PCM (format 3 — the other common encoding in ML
-  * audio corpora), any channel count/sample rate, extra chunks
-  * (LIST, fact) in any order. 8-bit is unsigned-centered (sample =
-  * byte − 128) per the RIFF spec; 16/24 are little-endian signed.
-  * A-law/µ-law, ADPCM, non-32-bit format-3, and truncated/desynced
-  * files decline to None — never throw.
+  * Scope: integer PCM (format 1) at 8/16/24-bit depth, IEEE 32-bit
+  * float PCM (format 3 — the other common encoding in ML audio
+  * corpora), AND the G.711 companded telephony codecs — A-law
+  * (format 6) and µ-law (format 7) at 8 bits/sample, expanded to
+  * their exact 13/14-bit linear values by the public ITU G.711
+  * segment formulas (table-equivalent; see [[ulawToLinear]]/
+  * [[alawToLinear]]) — any channel count/sample rate, extra chunks
+  * (LIST, fact) in any order. 8-bit integer PCM is unsigned-centered
+  * (sample = byte − 128) per the RIFF spec; 16/24 are little-endian
+  * signed. ADPCM, non-32-bit format-3, non-8-bit G.711, and
+  * truncated/desynced files decline to None — never throw.
   *
   * All statistics are exact integers (peak |sample|, Σ sample², count
   * at full scale), so planted-fixture oracles hash-match: Σ sample²
@@ -85,16 +89,27 @@ object Wav {
     }
     if (dataAt < 0) return None
     val isFloat = fmt == 3
-    if (!isFloat && fmt != 1) return None // A-law/µ-law/ADPCM declined
+    val isAlaw = fmt == 6
+    val isUlaw = fmt == 7
+    if (!isFloat && !isAlaw && !isUlaw && fmt != 1) {
+      return None // ADPCM and other formats declined
+    }
     if (channels < 1 || channels > 64 || rate <= 0) return None
     if (isFloat && bits != 32) return None // float PCM is 32-bit only
-    if (!isFloat && bits != 8 && bits != 16 && bits != 24) return None
+    if ((isAlaw || isUlaw) && bits != 8) return None // G.711 is 8-bit
+    if (fmt == 1 && bits != 8 && bits != 16 && bits != 24) return None
     if (dataLen > MaxDataBytes) return None
     val bytesPerSample = bits / 8
     val frameBytes = bytesPerSample * channels
     val frames = dataLen / frameBytes // trailing partial frame ignored
-    // int: 127 / 32767 / 8388607; float: full scale on the 2^15 grid
-    val fullScale = if (isFloat) 32768L else (1L << (bits - 1)) - 1
+    // int: 127 / 32767 / 8388607; float: full scale on the 2^15 grid;
+    // G.711 expands to 13/14-bit linear — full scale is each codec's
+    // maximum decode magnitude (A-law 32256, µ-law 32124)
+    val fullScale =
+      if (isFloat) 32768L
+      else if (isAlaw) 32256L
+      else if (isUlaw) 32124L
+      else (1L << (bits - 1)) - 1
     var peak = 0L
     var sumsq = 0L
     var clipped = 0L
@@ -113,7 +128,9 @@ object Wav {
           // not audio — decline the file like NaN/Inf does
           if (math.abs(q) > (1L << 31).toDouble) return None
           q.toLong
-        } else bits match {
+        } else if (isUlaw) ulawToLinear(u8(p)).toLong
+        else if (isAlaw) alawToLinear(u8(p)).toLong
+        else bits match {
           case 8 => (u8(p) - 128).toLong
           case 16 => leU16(p).toShort.toLong
           case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
@@ -131,6 +148,65 @@ object Wav {
     }
     Some(WavStats(rate, channels, bits, frames, peak, sumsq, clipped))
   } catch { case _: Throwable => None }
+
+  /** µ-law byte → exact 14-bit linear value, the public ITU G.711 /
+    * classic Sun `g711.c` expansion: complement the byte, then
+    * ((mantissa·8 + 0x84) << exponent) − 0x84, sign from bit 7.
+    * Range ±32124; byte 0xFF (and its negative twin 0x7F) is 0.
+    */
+  def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → exact 13-bit linear value (ITU G.711): XOR 0x55,
+    * then segment 0 is mantissa·16 + 8, segments 1-7 are
+    * (mantissa·16 + 0x108) << (segment−1); bit 7 SET means positive.
+    * Range ±32256; A-law has no zero (minimum magnitude 8).
+    */
+  def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val t =
+      if (seg == 0) ((a & 0x0F) << 4) + 8
+      else (((a & 0x0F) << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Encoder twin for the G.711 companded codecs: raw companded bytes
+    * (0..255) -> a WAV file with format tag 6 (A-law) or 7 (µ-law),
+    * 8 bits/sample, and the spec-mandated `fact` chunk non-PCM
+    * formats carry (the fixture-planting primitive — expected linear
+    * statistics are analytic via [[ulawToLinear]]/[[alawToLinear]]).
+    */
+  def encodeG711(
+      sampleRate: Int,
+      channels: Int,
+      aLaw: Boolean,
+      companded: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && sampleRate > 0, "bad rate/channels")
+    require(companded.length % channels == 0, "partial frame")
+    require(companded.forall(v => v >= 0 && v <= 255), "byte range")
+    val dataLen = companded.length
+    val out = new java.io.ByteArrayOutputStream(58 + dataLen)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    ascii("RIFF"); le32(50L + dataLen + (dataLen & 1)); ascii("WAVE")
+    ascii("fmt "); le32(18L) // non-PCM fmt carries cbSize=0
+    le16(if (aLaw) 6 else 7); le16(channels); le32(sampleRate.toLong)
+    le32(sampleRate.toLong * channels) // byte rate (1 byte/sample)
+    le16(channels); le16(8); le16(0) // block align, bits, cbSize
+    ascii("fact"); le32(4L); le32(companded.length.toLong / channels)
+    ascii("data"); le32(dataLen.toLong)
+    companded.foreach(out.write)
+    if ((dataLen & 1) == 1) out.write(0) // word alignment pad
+    out.toByteArray
+  }
 
   /** Encoder twin: interleaved integer samples -> a WAV file (the
     * fixture-planting primitive). `samples` length must be a multiple

@@ -1209,6 +1209,41 @@ object TextAnalysis {
         when(a <= 31, a + 255).otherwise(a).cast("int").as("token_id"))
   }
 
+  /** WordPiece apply/encode — tokenize a corpus with a planted
+    * greedy-longest-match vocabulary (the SECOND tokenizer family
+    * next to [[bpeEncode]], so fertility audits can price a tokenizer
+    * swap instead of BPE against itself). The per-word kernel is the
+    * codegen'd `graft_wordpiece` expression
+    * (functions/expressions/WordPieceEncode.scala): `##`-prefixed
+    * vocab pieces are continuations (match only at word position >
+    * 0), the longest matching piece wins at every position, and a
+    * word with any unmatched position encodes to the single `[UNK]`
+    * token. The vocabulary rides the plan as a foldable array literal
+    * — tokenizer artifacts are KBs, the literal IS the broadcast —
+    * and the corpus scan stays one WholeStageCodegen pass, no shuffle
+    * until the caller aggregates.
+    *
+    * Output is token-grain: (idCol, word_idx, piece_idx, token),
+    * (word_idx, piece_idx) ordering tokens within the doc.
+    * Concatenating a non-UNK word's pieces (continuations stripped of
+    * `##`) reproduces the word (spec-asserted).
+    */
+  def wordPieceEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    graft.SparkUtil.ensureParallelism(df)
+      .select(col(idCol), posexplode(Texts.words(col(textCol))))
+      .withColumnRenamed("pos", "word_idx")
+      .where(col("col") =!= "")
+      .select(col(idCol), col("word_idx"),
+        posexplode(graft.GraftFunctions.wordPiece(col("col"), vocab)))
+      .withColumnRenamed("pos", "piece_idx")
+      .withColumnRenamed("col", "token")
+  }
+
   /** Bloom-prefiltered exact decontamination — remove every corpus doc
     * whose normalized-text digest appears in the probe/benchmark set,
     * EXACTLY, while keeping the bulk of the corpus out of the anti-join

@@ -3026,6 +3026,61 @@ object PipelineQueries {
              peak_abs, sum_squares, n_clipped)
       ORDER BY doc_id"""))
 
+  // ---- q221: G.711 µ-law/A-law WAV decode ----
+  // Telephony-corpus audio: the same decodeAudioStats surface expands
+  // format-6 (A-law) / format-7 (µ-law) companded bytes to their EXACT
+  // 13/14-bit linear values via the public ITU G.711 segment formulas,
+  // so the planted oracle is analytic like q194's. Full scale is each
+  // codec's maximum decode magnitude (A-law 32256, µ-law 32124); a
+  // G.711 file claiming bits != 8 declines with nulls.
+  // doc 1 µ-law mono [0xFF,0x80,0x00,0xE0] -> 0, +32124, -32124, +372;
+  // doc 2 A-law stereo [0xAA,0x2A,0xD5,0x55] -> +-32256, +-8 (2 frames);
+  // doc 3 µ-law with a 16-bit bits field -> declined;
+  // doc 4 A-law mono [0xD5,0x55,0xC5] -> +8, -8, +264.
+
+  private val g711Fixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.Wav
+    val ulaw = Wav.encodeG711(8000, 1, aLaw = false,
+      Array(0xFF, 0x80, 0x00, 0xE0))
+    val alaw = Wav.encodeG711(16000, 2, aLaw = true,
+      Array(0xAA, 0x2A, 0xD5, 0x55))
+    val badBits = Wav.encodeG711(8000, 1, aLaw = false,
+      Array(0xFF, 0x80))
+    badBits(34) = 16 // fmt chunk bits field: G.711 must be 8-bit
+    val alawMid = Wav.encodeG711(8000, 1, aLaw = true,
+      Array(0xD5, 0x55, 0xC5))
+    Seq(
+      "g7_1.wav" -> ulaw,
+      "g7_2.wav" -> alaw,
+      "g7_3.wav" -> badBits,
+      "g7_4.wav" -> alawMid)
+  }
+
+  val q221 = Q(
+    "q221_g711_samples",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir(s, "q221_g711_")
+      g711Fixtures.foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.decodeAudioStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+         CAST(8 AS INTEGER), CAST(4 AS BIGINT), CAST(32124 AS BIGINT),
+         CAST(2064041136 AS BIGINT), CAST(2 AS BIGINT)),
+        (2, 16000, 2, 8, 2, 32256, 2080899200, 2),
+        (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (4, 8000, 1, 8, 3, 264, 69824, 0))
+        AS t(doc_id, sample_rate, n_channels, bits, n_frames,
+             peak_abs, sum_squares, n_clipped)
+      ORDER BY doc_id"""))
+
   // ---- q195: end-to-end entity resolution ----
   // The record-linkage PIPELINE assembled from its graded kernels:
   // blocked fuzzy pairs (row 192) -> connected components (row 49,
@@ -3818,38 +3873,14 @@ object PipelineQueries {
         SELECT 'score', evens, 0, evens, 0, 0 FROM n)
       ORDER BY key"""))
 
-  // ---- q205: tokenizer fertility audit ----
-  // The tokenizer-selection readout: per source, BPE tokens per
-  // whitespace word under the corpus-trained 3-merge table (fertility
-  // < 1 means merges span whole words; the metric pricing a tokenizer
-  // swap's context-budget impact). Integer token/word counts, one
-  // fix4 division per source; oracle replays train + encode (q188's
-  // derivation) and the word counts.
-
-  val q205 = Q(
-    "q205_tokenizer_fertility",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val merges = TextAnalysis.bpeTrainMerges(d, "text", iters = 3)
-      val toks = TextAnalysis.bpeEncode(d, "doc_id", "text", merges.map(_._1))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
-      val words = d.select(col("doc_id"), col("source"),
-        explode(graft.functions.Texts.words(col("text"))).as("w"))
-        .where(col("w") =!= "")
-        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_words"))
-      words.join(toks, "doc_id")
-        .groupBy("source")
-        .agg(
-          sum(col("n_words")).as("n_words"),
-          sum(col("n_bpe")).as("n_bpe"))
-        .select(col("source"), col("n_words"), col("n_bpe"),
-          Numerics.fix4(
-            col("n_bpe").cast("double") / col("n_words"))
-            .as("fertility"))
-        .orderBy("source")
-    },
-    Some(s"""
-      WITH $wordsCte,
+  /** BPE 3-merge CTE chain (train + encode + per-doc counts) shared by
+    * q205 and q220 — prepend [[wordsCte]]. Yields: occ (word
+    * instances), bpe (per-doc BPE token counts), wc (per-doc word
+    * counts with source). Replays [[TextAnalysis.bpeTrainMerges]]'
+    * decision rule (count DESC, pair tiebreak) and the rank-order
+    * non-overlapping replace encode.
+    */
+  private val bpe3Cte = """
       occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
       wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
              FROM occ WHERE len(word) >= 2 GROUP BY 1),
@@ -3887,7 +3918,41 @@ object PipelineQueries {
       wc AS (SELECT o.doc_id, d.source,
                     CAST(count(*) AS BIGINT) AS n_words
              FROM occ o JOIN documents d ON d.doc_id = o.doc_id
-             WHERE o.word <> '' GROUP BY 1, 2)
+             WHERE o.word <> '' GROUP BY 1, 2)"""
+
+  // ---- q205: tokenizer fertility audit ----
+  // The tokenizer-selection readout: per source, BPE tokens per
+  // whitespace word under the corpus-trained 3-merge table (fertility
+  // < 1 means merges span whole words; the metric pricing a tokenizer
+  // swap's context-budget impact). Integer token/word counts, one
+  // fix4 division per source; oracle replays train + encode (q188's
+  // derivation) and the word counts.
+
+  val q205 = Q(
+    "q205_tokenizer_fertility",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(d, "text", iters = 3)
+      val toks = TextAnalysis.bpeEncode(d, "doc_id", "text", merges.map(_._1))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bpe"))
+      val words = d.select(col("doc_id"), col("source"),
+        explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("n_words"))
+      words.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"))
+        .select(col("source"), col("n_words"), col("n_bpe"),
+          Numerics.fix4(
+            col("n_bpe").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $wordsCte,
+      $bpe3Cte
       SELECT wc.source, CAST(sum(wc.n_words) AS BIGINT) AS n_words,
              CAST(sum(bpe.n_bpe) AS BIGINT) AS n_bpe,
              ${Numerics.sqlFix(
@@ -3895,10 +3960,121 @@ object PipelineQueries {
       FROM wc JOIN bpe ON bpe.doc_id = wc.doc_id
       GROUP BY 1 ORDER BY wc.source"""))
 
+  // ---- q220: two-family tokenizer fertility (BPE vs WordPiece) ----
+  // q205 can only price BPE against itself; this is the tokenizer-SWAP
+  // readout the fertility audit exists for: the same corpus encoded by
+  // the corpus-trained 3-merge BPE AND a planted WordPiece vocabulary
+  // (greedy longest-match, the BERT-family rule), fertility keyed by
+  // (tokenizer, source). The WordPiece kernel is the codegen'd
+  // graft_wordpiece expression; the oracle replays the SAME rule by a
+  // different strategy — per-position longest-match table + a
+  // recursive-CTE walk at DISTINCT-word grain — so the gate is a true
+  // cross-engine differential of the algorithm, not a replay of the
+  // implementation.
+
+  /** Planted WordPiece vocabulary: every lowercase letter as initial
+    * AND continuation piece (so no corpus word UNKs — the spec covers
+    * UNK), plus multi-char pieces over the corpus' character
+    * distribution so the greedy rule takes non-trivial steps.
+    */
+  val wpVocab: Seq[String] = {
+    val singles = ('a' to 'z').map(_.toString)
+    singles ++ singles.map("##" + _) ++ Seq(
+      "sc", "##an", "ta", "##ble", "val", "##ue", "the", "wind",
+      "##ow", "qu", "##ery", "fa", "##st", "co", "##lumn", "jo",
+      "##in", "str", "##eam", "##er", "##ey", "##rt", "gr", "##oup")
+  }
+
+  val q220 = Q(
+    "q220_tokenizer_families",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(d, "text", iters = 3)
+      val bpeToks = TextAnalysis
+        .bpeEncode(d, "doc_id", "text", merges.map(_._1))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val words = d.select(col("doc_id"), col("source"),
+          explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val bpeSrc = words.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_w"))
+        .join(bpeToks, "doc_id")
+        .groupBy("source")
+        .agg(sum(col("n_w")).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tokenizer", lit("bpe"))
+      graft.GraftFunctions.register(s)
+      val wpSrc = words
+        .select(col("source"),
+          size(graft.GraftFunctions.wordPiece(col("w"), wpVocab))
+            .cast("long").as("n_pieces"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_tokens"))
+        .withColumn("tokenizer", lit("wordpiece"))
+      bpeSrc.unionByName(wpSrc)
+        .select(col("tokenizer"), col("source"), col("n_words"),
+          col("n_tokens"),
+          Numerics.fix4(
+            col("n_tokens").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("tokenizer", "source")
+    },
+    Some(s"""
+      WITH RECURSIVE $wordsCte,
+      $bpe3Cte,
+      voc AS (SELECT DISTINCT
+                CASE WHEN piece LIKE '##%' AND len(piece) > 2
+                     THEN substr(piece, 3) ELSE piece END AS content,
+                (piece LIKE '##%' AND len(piece) > 2) AS cont
+              FROM (VALUES ${wpVocab.map(p => s"('$p')").mkString(", ")})
+                AS vt(piece)),
+      dw AS (SELECT DISTINCT word FROM occ WHERE word <> ''),
+      wpos AS (SELECT word, unnest(range(1, len(word) + 1)) AS pos
+               FROM dw),
+      mstep AS (SELECT wpos.word, wpos.pos,
+                       CAST(max(len(v.content)) AS BIGINT) AS step
+                FROM wpos JOIN voc v
+                  ON v.cont = (wpos.pos > 1)
+                 AND substr(wpos.word, CAST(wpos.pos AS INT),
+                       CAST(len(v.content) AS INT)) = v.content
+                GROUP BY 1, 2),
+      walk(word, pos, nsteps) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+        UNION ALL
+        SELECT k.word, k.pos + m.step, k.nsteps + 1
+        FROM walk k JOIN mstep m ON m.word = k.word AND m.pos = k.pos),
+      wdone AS (SELECT word, max(CASE WHEN pos = len(word) + 1
+                                      THEN nsteps END) AS n_done
+                FROM walk GROUP BY 1),
+      wpn AS (SELECT word, COALESCE(n_done, 1) AS n_pieces FROM wdone),
+      wpsrc AS (SELECT d.source,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens
+                FROM occ o
+                JOIN wpn p ON p.word = o.word
+                JOIN documents d ON d.doc_id = o.doc_id
+                WHERE o.word <> ''
+                GROUP BY 1),
+      bpesrc AS (SELECT wc.source,
+                        CAST(sum(wc.n_words) AS BIGINT) AS n_words,
+                        CAST(sum(bpe.n_bpe) AS BIGINT) AS n_tokens
+                 FROM wc JOIN bpe ON bpe.doc_id = wc.doc_id
+                 GROUP BY 1)
+      SELECT * FROM (
+        SELECT 'bpe' AS tokenizer, source, n_words, n_tokens,
+               ${Numerics.sqlFix(
+      "CAST(n_tokens AS DOUBLE) / n_words", 4)} AS fertility
+        FROM bpesrc
+        UNION ALL
+        SELECT 'wordpiece', source, n_words, n_tokens,
+               ${Numerics.sqlFix(
+      "CAST(n_tokens AS DOUBLE) / n_words", 4)}
+        FROM wpsrc)
+      ORDER BY tokenizer, source"""))
+
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217, q218,
+    q215, q217, q218, q220, q221,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -106,6 +106,68 @@ class WavSpec extends SparkTestBase {
     assert(st.get.frames == 2 && st.get.sumSquares == 25 + 25 + 49 + 49)
   }
 
+  test("G.711: expansion formulas match known anchor points") {
+    // µ-law: 0xFF is 0 (and 0x7F its negative twin), 0x80/0x00 the
+    // extremes, monotone within a segment
+    assert(Wav.ulawToLinear(0xFF) == 0)
+    assert(Wav.ulawToLinear(0x7F) == 0)
+    assert(Wav.ulawToLinear(0x80) == 32124)
+    assert(Wav.ulawToLinear(0x00) == -32124)
+    assert(Wav.ulawToLinear(0xE0) == 372)
+    // µ-law quantization step in the top segment is 8 << 7 = 1024
+    assert(Wav.ulawToLinear(0x81) - Wav.ulawToLinear(0x82) == 1024)
+    // A-law: no zero, minimum magnitude 8, extremes +-32256
+    assert(Wav.alawToLinear(0xD5) == 8)
+    assert(Wav.alawToLinear(0x55) == -8)
+    assert(Wav.alawToLinear(0xAA) == 32256)
+    assert(Wav.alawToLinear(0x2A) == -32256)
+    assert(Wav.alawToLinear(0xC5) == 264)
+    // sign symmetry over the full byte range: flipping the sign bit
+    // of the COMPANDED byte negates the linear value (A-law sign is
+    // bit 7 after XOR 0x55; µ-law after complement)
+    for (b <- 0 until 256) {
+      assert(Wav.ulawToLinear(b) == -Wav.ulawToLinear(b ^ 0x80) ||
+        Wav.ulawToLinear(b) == 0)
+      assert(Wav.alawToLinear(b) == -Wav.alawToLinear(b ^ 0x80))
+    }
+  }
+
+  test("G.711: encode/decode round-trip, exact stats (fuzz) + declines") {
+    val rnd = new scala.util.Random(66)
+    for (trial <- 0 until 60) {
+      val aLaw = rnd.nextBoolean()
+      val channels = 1 + rnd.nextInt(3)
+      val frames = 1 + rnd.nextInt(300)
+      val bytes = Array.fill(frames * channels)(rnd.nextInt(256))
+      val wav = Wav.encodeG711(
+        8000 + rnd.nextInt(8000), channels, aLaw, bytes)
+      val st = Wav.decodeStats(wav)
+      assert(st.isDefined, s"trial $trial declined")
+      val s = st.get
+      val lin = bytes.map(b =>
+        if (aLaw) Wav.alawToLinear(b).toLong else Wav.ulawToLinear(b).toLong)
+      assert(s.frames == frames && s.channels == channels &&
+        s.bitsPerSample == 8)
+      assert(s.peakAbs == lin.map(math.abs).max)
+      assert(s.sumSquares == lin.map(v => v * v).sum)
+      val full = if (aLaw) 32256L else 32124L
+      assert(s.clipped == lin.count(v => math.abs(v) >= full))
+    }
+    // bits field != 8 on a G.711 format declines
+    val bad = Wav.encodeG711(8000, 1, aLaw = false, Array(0xFF, 0x80))
+    bad(34) = 16
+    assert(Wav.decodeStats(bad).isEmpty)
+    // truncation / bit flips never throw
+    val g = Wav.encodeG711(8000, 2, aLaw = true, Array(1, 2, 3, 4))
+    for (cut <- 0 until g.length) Wav.decodeStats(g.take(cut)): Unit
+    for (_ <- 0 until 2000) {
+      val flip = g.clone()
+      flip(rnd.nextInt(flip.length)) =
+        (flip(rnd.nextInt(flip.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Wav.decodeStats(flip): Unit
+    }
+  }
+
   test("decodeAudioStats: dataset pass, nulls for corrupt rows") {
     val ss = spark
     import ss.implicits._
