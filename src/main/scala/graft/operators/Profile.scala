@@ -387,6 +387,83 @@ object Profile {
       .orderBy("key")
   }
 
+  /** Nested-path JSON profile — [[jsonKeyProfile]] extended to
+    * depth-capped DOTTED PATHS (the round-14 verdict's nested ask):
+    * real semi-structured columns nest, and the discovery pass that
+    * feeds contract authoring must see `meta.geo` even when nobody
+    * has written an extraction schema yet.
+    *
+    * Path grammar: paths are the dot-join of object keys from the
+    * root (`meta.lang`), depth = number of keys on the path; keys
+    * containing `.` are reported verbatim (ambiguous by construction
+    * — rename at the producer). Arrays are LEAVES (classified
+    * `n_array`, never descended — element profiling is an explode the
+    * caller owns); objects at `maxDepth` are counted `n_object` but
+    * not descended (the cap). JSON `null` values count in `n_present`
+    * only.
+    *
+    * One `from_json`-to-map pass PER LEVEL over a shrinking set (only
+    * object-valued entries descend; Spark stringifies nested values
+    * as their raw JSON text, so each level re-parses only the nested
+    * payloads), then ONE hash aggregate to |distinct paths| rows.
+    * Value classification is lexical on the stringified scalars, as
+    * in [[jsonKeyProfile]] (quoting reads as intent — documented
+    * trade); `n_object` demands a successful nested parse so a
+    * `{`-leading malformed payload classifies string, matching what
+    * the descent actually did. Malformed root rows drop.
+    *
+    * Output: (path, depth, n_present, n_int, n_float, n_bool,
+    * n_object, n_array, n_string), ordered by path.
+    */
+  def jsonPathProfile(
+      df: DataFrame,
+      jsonCol: String,
+      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8, "maxDepth must be in [1, 8]")
+    val mapT = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+    val root = graft.SparkUtil.ensureParallelism(df)
+      .select(explode(from_json(col(jsonCol), mapT))
+        .as(Seq("path", "value")))
+      .select(col("path"), lit(1).as("depth"), col("value"))
+    val levels = Iterator.iterate(root) { prev =>
+      prev
+        .where(col("value").startsWith("{"))
+        .select(col("path"), col("depth"),
+          explode(from_json(col("value"), mapT)).as(Seq("k", "v")))
+        .select(concat(col("path"), lit("."), col("k")).as("path"),
+          (col("depth") + 1).as("depth"), col("v").as("value"))
+    }.take(maxDepth).toSeq
+    val v = col("value")
+    val isInt = v.rlike("^-?\\d+$")
+    val isFloat = v.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$")
+    val isBool = v === "true" || v === "false"
+    // object only if the nested parse would have succeeded — keeps
+    // n_object consistent with the rows the descent actually expanded
+    val isObj = v.startsWith("{") && from_json(v, mapT).isNotNull
+    val isArr = v.startsWith("[")
+    levels.reduce(_ unionByName _)
+      // layered select: classify once, aggregate over booleans — the
+      // from_json in isObj must not inline into five agg conjuncts
+      .select(col("path"), col("depth"), v.isNotNull.as("present"),
+        isInt.as("is_int"), isFloat.as("is_float"), isBool.as("is_bool"),
+        isObj.as("is_obj"), isArr.as("is_arr"))
+      .groupBy("path")
+      .agg(
+        max(col("depth")).as("depth"),
+        count(lit(1)).as("n_present"),
+        count(when(col("is_int"), 1)).as("n_int"),
+        count(when(col("is_float"), 1)).as("n_float"),
+        count(when(col("is_bool"), 1)).as("n_bool"),
+        count(when(col("is_obj"), 1)).as("n_object"),
+        count(when(col("is_arr"), 1)).as("n_array"),
+        count(when(col("present") && !col("is_int") && !col("is_float") &&
+          !col("is_bool") && !col("is_obj") && !col("is_arr"), 1))
+          .as("n_string"))
+      .orderBy("path")
+  }
+
   /** Exact weighted median per group — the LOWER weighted median:
     * smallest value v such that the cumulative weight of rows ≤ v
     * reaches half the group's total weight (2·cumw ≥ totw in

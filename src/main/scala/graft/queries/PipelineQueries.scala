@@ -3873,6 +3873,69 @@ object PipelineQueries {
         SELECT 'score', evens, 0, evens, 0, 0 FROM n)
       ORDER BY key"""))
 
+  // ---- q222: nested-path JSON profile ----
+  // q218 profiles top-level keys only (its documented trade); real
+  // semi-structured columns NEST, and this is the discovery pass over
+  // dotted paths: synthesize nested JSON from documents by the parity
+  // rule, profile depth-capped paths (maxDepth=2 — meta.geo is
+  // counted as an object but NOT descended, demonstrating the cap),
+  // and derive the oracle's ground truth from the SYNTHESIS RULE
+  // itself, so any parse/descent/classification drift fails the hash.
+  // extra.note is a JSON null at depth 2 (n_present only).
+
+  val q222 = Q(
+    "q222_json_path_profile",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val j = concat(
+        lit("{\"id\": "), col("doc_id").cast("string"),
+        lit(", \"meta\": {\"lang\": \"en\", \"src\": \""), col("source"),
+        lit("\", \"geo\": {\"cc\": \"US\"}}"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(", \"score\": "),
+            (col("doc_id") % 7).cast("string"), lit(".5")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(", \"tags\": [\"a\", \"b\"]"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(", \"extra\": {\"note\": null}"))
+          .otherwise(lit("")),
+        lit("}"))
+      graft.operators.Profile.jsonPathProfile(
+        d.select(j.as("props")), "props", maxDepth = 2)
+    },
+    Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                        CAST(count(*) FILTER (WHERE doc_id % 2 = 0)
+                          AS BIGINT) AS evens,
+                        CAST(count(*) FILTER (WHERE doc_id % 3 = 0)
+                          AS BIGINT) AS threes,
+                        CAST(count(*) FILTER (WHERE doc_id % 5 = 0)
+                          AS BIGINT) AS fives
+                 FROM documents),
+      z AS (SELECT CAST(0 AS BIGINT) AS z FROM n)
+      SELECT * FROM (
+        SELECT 'extra' AS path, CAST(1 AS INTEGER) AS depth,
+               fives AS n_present, z.z AS n_int, z.z AS n_float,
+               z.z AS n_bool, fives AS n_object, z.z AS n_array,
+               z.z AS n_string FROM n, z
+        UNION ALL
+        SELECT 'extra.note', 2, fives, z, z, z, z, z, z FROM n, z
+        UNION ALL
+        SELECT 'id', 1, total, total, z, z, z, z, z FROM n, z
+        UNION ALL
+        SELECT 'meta', 1, total, z, z, z, total, z, z FROM n, z
+        UNION ALL
+        SELECT 'meta.geo', 2, total, z, z, z, total, z, z FROM n, z
+        UNION ALL
+        SELECT 'meta.lang', 2, total, z, z, z, z, z, total FROM n, z
+        UNION ALL
+        SELECT 'meta.src', 2, total, z, z, z, z, z, total FROM n, z
+        UNION ALL
+        SELECT 'score', 1, evens, z, evens, z, z, z, z FROM n, z
+        UNION ALL
+        SELECT 'tags', 1, threes, z, z, z, z, threes, z FROM n, z)
+      ORDER BY path"""))
+
   /** BPE 3-merge CTE chain (train + encode + per-doc counts) shared by
     * q205 and q220 — prepend [[wordsCte]]. Yields: occ (word
     * instances), bpe (per-doc BPE token counts), wc (per-doc word
@@ -4074,7 +4137,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217, q218, q220, q221,
+    q215, q217, q218, q220, q221, q222,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

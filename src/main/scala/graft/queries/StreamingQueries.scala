@@ -834,9 +834,64 @@ object StreamingQueries {
       FROM events GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** State-API-v2 sessionization parity — the THIRD independent
+    * streaming sessionizer (after q51's flatMapGroupsWithState and
+    * q140's native session_window), on `transformWithState`, the API
+    * Spark is migrating stateful processing to. Same sentinel drain
+    * protocol and the same gaps-and-islands oracle as q51: all three
+    * engines' sessionizers must agree with the batch SQL bit-for-bit.
+    * The RocksDB state store provider is required by the v2 operator;
+    * the conf is scoped to the drain and restored after.
+    */
+  val q223 = Q(
+    "q223_stream_tws_sessionize_parity",
+    (s, dir) => {
+      import s.implicits._
+      val enc = eventsEncoding(s, dir)
+      val watch = watchDirWith(s, dir, "events.parquet" -> "events_000.parquet")
+      val evs = s.readStream.schema(enc.schema).parquet(watch)
+        .select(col("user_id"), enc.tsMs.as("ts"),
+          col("event_type"), col("value"))
+        .as[StreamEvent]
+      def sentinel(tsNs: Long, id: Long): () => Unit = () =>
+        Seq((id, tsNs, id, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", enc.tsLit(tsNs))
+          .write.mode("append").parquet(watch)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val drained =
+        try {
+          drainToTable(s, "q223_mem",
+            StreamingOps.sessionizeTws(evs, GapMs,
+              watermarkDelay = "0 seconds").toDF(),
+            "append",
+            Seq(sentinel(4000000000000000000L, -1L),
+              sentinel(4000000001000000000L, -2L)))
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      drained
+        .where(col("user_id") >= 0)
+        .withColumn("session_seq",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("start_ms")).cast("long"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_ms"), col("end_ms"),
+          (col("end_ms") - col("start_ms")).as("duration_ms"))
+        .orderBy("user_id", "session_seq")
+    },
+    q51.oracle)
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216)
+      q196, q202, q216, q223)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
@@ -861,5 +916,6 @@ object StreamingQueries {
     "q132_stream_per_key_cap_parity" -> ((3, 1)),
     "q139_stream_sliding_window_parity" -> ((1, 1)),
     "q140_stream_session_window_parity" -> ((3, 1)),
-    "q153_stream_attribution_parity" -> ((3, 1)))
+    "q153_stream_attribution_parity" -> ((3, 1)),
+    "q223_stream_tws_sessionize_parity" -> ((3, 1)))
 }

@@ -22,6 +22,12 @@ final case class SessionOut(
     start_ms: Long,
     end_ms: Long)
 
+/** State-API-v2 wrapper: a ValueState cell holding a key's unsealed
+  * islands (the [[SessionState]] list the gaps-and-islands merge
+  * maintains).
+  */
+final case class IslandsState(islands: Seq[SessionState])
+
 /** Input to the per-key cap: event time + a tiebreaker id. */
 final case class CapEvent(key: Long, ts: java.sql.Timestamp, tie: Long)
 
@@ -225,6 +231,38 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(updateSession(gapMs))
+  }
+
+  /** Stateful sessionization on the STATE API v2 (`transformWithState`
+    * + [[SessionizeProcessor]]) — the third independent sessionizer
+    * next to [[sessionize]] (flatMapGroupsWithState) and
+    * [[sessionWindowCounts]] (native session_window), on the API Spark
+    * is migrating stateful processing to. Identical semantics to
+    * [[sessionize]]: a session emits exactly when the watermark passes
+    * its end + gap; unsealed islands (including earlier ones a future
+    * in-watermark event might bridge) stay in one ValueState cell;
+    * per-key event-time TIMERS re-arm at the earliest unsealed
+    * island's deadline (v2 timers replace v1's single timeout
+    * timestamp — the processor keeps at most one registered).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the only provider
+    * implementing the v2 store; the default HDFS-backed store refuses
+    * the operator.
+    */
+  def sessionizeTws(
+      events: Dataset[StreamEvent],
+      gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionizeProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Streaming per-key cap BY EVENT TIME: emit each key's first `cap`
@@ -562,4 +600,93 @@ object StreamingOps {
       .groupBy(keyCol)
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("val_sum")).as("val_sum"))
+}
+
+/** State-API-v2 sessionizer (the [[StreamingOps.sessionizeTws]]
+  * kernel): the exact gaps-and-islands merge of
+  * `StreamingOps.updateSession`, rehosted on `StatefulProcessor` —
+  * one ValueState cell holds the key's unsealed islands, one
+  * event-time timer re-arms at the earliest unsealed deadline, and a
+  * session emits exactly when the watermark passes its end + gap.
+  * Input events and fired timers both route through the same
+  * merge-and-emit step, so arrival order and timer interleaving
+  * cannot change the output (the parity gate's drain protocol
+  * exercises both paths).
+  */
+final class SessionizeProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamEvent, SessionOut] {
+
+  @transient private var islands
+      : org.apache.spark.sql.streaming.ValueState[IslandsState] = _
+
+  override def init(
+      outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    islands = getHandle.getValueState[IslandsState](
+      "islands",
+      org.apache.spark.sql.Encoders.product[IslandsState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[StreamEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessionOut] =
+    mergeAndEmit(
+      userId,
+      rows.map(e => SessionState(1L, e.ts.getTime, e.ts.getTime)).toSeq,
+      timerValues.getCurrentWatermarkInMs(),
+      firedTimer = Long.MinValue)
+
+  override def handleExpiredTimer(
+      userId: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessionOut] =
+    mergeAndEmit(
+      userId,
+      Seq.empty,
+      math.max(
+        timerValues.getCurrentWatermarkInMs(),
+        expiredTimerInfo.getExpiryTimeInMs()),
+      // the fired timer is auto-removed — deleting it again WARNs
+      firedTimer = expiredTimerInfo.getExpiryTimeInMs())
+
+  /** The updateSession merge: fold held + incoming single-event
+    * islands in (start, end) order, bridge gaps ≤ gapMs, seal islands
+    * whose end + gap ≤ watermark. Timer discipline: drop every
+    * registered timer, re-arm at the earliest open deadline (> wm by
+    * construction of `open`, as the v1 timeout required).
+    */
+  private def mergeAndEmit(
+      userId: Long,
+      incoming: Seq[SessionState],
+      wm: Long,
+      firedTimer: Long): Iterator[SessionOut] = {
+    val held =
+      if (islands.exists()) islands.get().islands else Seq.empty
+    val items = (held ++ incoming).sortBy(s => (s.start_ms, s.end_ms))
+    var merged = List.empty[SessionState]
+    items.foreach { it =>
+      merged match {
+        case head :: rest if it.start_ms - head.end_ms <= gapMs =>
+          merged = SessionState(
+            head.n_events + it.n_events,
+            head.start_ms,
+            math.max(head.end_ms, it.end_ms)) :: rest
+        case _ => merged = it :: merged
+      }
+    }
+    val (closed, open) = merged.reverse.partition(_.end_ms + gapMs <= wm)
+    getHandle.listTimers().toList
+      .foreach(t => if (t != firedTimer) getHandle.deleteTimer(t))
+    if (open.isEmpty) islands.clear()
+    else {
+      islands.update(IslandsState(open))
+      getHandle.registerTimer(open.map(_.end_ms).min + gapMs)
+    }
+    closed.iterator
+      .map(s => SessionOut(userId, s.n_events, s.start_ms, s.end_ms))
+  }
 }

@@ -305,4 +305,43 @@ class ProfileSpec extends SparkTestBase {
       ("c", 1L, 0L, 0L, 1L, 0L),
       ("d", 1L, 0L, 0L, 1L, 0L)), out.toSeq)
   }
+
+  test("jsonPathProfile: dotted paths, depth cap, arrays as leaves") {
+    val ss = spark
+    import ss.implicits._
+    def run(maxDepth: Int) = graft.operators.Profile.jsonPathProfile(
+      Seq(
+        """{"a": {"b": 1, "c": {"d": "x"}}, "e": [1, 2], "f": null}""",
+        """{"a": {"b": "y"}, "e": "flat", "g": "{not json"}""",
+        "malformed drops",
+        """{"a": 7}""").toDF("props"), "props", maxDepth)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    // (path, depth, present, int, float, bool, obj, arr, string)
+    assert(run(3).toSeq == Seq(
+      // "a" is twice an object, once an int
+      ("a", 1, 3L, 1L, 0L, 0L, 2L, 0L, 0L),
+      ("a.b", 2, 2L, 1L, 0L, 0L, 0L, 0L, 1L),
+      ("a.c", 2, 1L, 0L, 0L, 0L, 1L, 0L, 0L),
+      ("a.c.d", 3, 1L, 0L, 0L, 0L, 0L, 0L, 1L),
+      // arrays are leaves: [1,2] never yields e.0/e.1 paths
+      ("e", 1, 2L, 0L, 0L, 0L, 0L, 1L, 1L),
+      // JSON null counts in n_present only
+      ("f", 1, 1L, 0L, 0L, 0L, 0L, 0L, 0L),
+      // "{not json" starts like an object but fails the nested
+      // parse -> classifies string, and descends nowhere
+      ("g", 1, 1L, 0L, 0L, 0L, 0L, 0L, 1L)), run(3).toSeq)
+    // depth cap: at maxDepth=2 the a.c object is counted but a.c.d
+    // is not discovered
+    val d2 = run(2).toSeq
+    assert(d2.exists(r => r._1 == "a.c" && r._7 == 1L))
+    assert(!d2.exists(_._1 == "a.c.d"))
+    // maxDepth=1 equals the top-level key set of jsonKeyProfile
+    assert(run(1).map(_._1).toSeq == Seq("a", "e", "f", "g"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.jsonPathProfile(
+        Seq("{}").toDF("p"), "p", maxDepth = 0)
+    }
+  }
 }

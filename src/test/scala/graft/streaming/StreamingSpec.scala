@@ -77,6 +77,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer: v2 equals v1 on the same stream") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = ss.conf.getOption(key)
+    ss.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val gapMs = 30 * 60000L
+      // b2's 1035 arrives out of order and must bridge the held
+      // 1000-1010 island; b4 emits u1@1200 through the TIMER path
+      // (no u1 input that batch); the long watermark delay keeps
+      // islands open while the bridge is still admissible
+      val batches = Seq(
+        Seq(ev(1, 1000), ev(1, 1010), ev(2, 1005), ev(1, 1200)),
+        Seq(ev(1, 1035)),
+        Seq(ev(9, 1700)),
+        Seq(ev(9, 2200)),
+        Seq(ev(9, 2900)))
+      def run(
+          mk: org.apache.spark.sql.Dataset[StreamEvent] =>
+            org.apache.spark.sql.Dataset[SessionOut],
+          name: String): Set[(Long, Long, Long, Long)] = {
+        ss.catalog.dropTempView(name): Unit
+        val input = MemoryStream[StreamEvent]
+        val q = mk(input.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      }
+      val v1 = run(
+        StreamingOps.sessionize(_, gapMs, "600 minutes"), "tws_par_v1")
+      val v2 = run(
+        StreamingOps.sessionizeTws(_, gapMs, "600 minutes"), "tws_par_v2")
+      val m = 60000L
+      val expected = Set(
+        (1L, 3L, 1000 * m, 1035 * m), // bridged backwards by b2
+        (2L, 1L, 1005 * m, 1005 * m),
+        (1L, 1L, 1200 * m, 1200 * m), // timer-path emission (b4)
+        (9L, 1L, 1700 * m, 1700 * m),
+        (9L, 1L, 2200 * m, 2200 * m))
+      assert(v1 == expected, s"v1: $v1")
+      assert(v2 == expected, s"v2: $v2")
+    } finally prev match {
+      case Some(p) => ss.conf.set(key, p)
+      case None => ss.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join pairs events within the window") {
     val ss = spark
     import ss.implicits._
