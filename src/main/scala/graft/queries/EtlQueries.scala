@@ -467,6 +467,63 @@ object EtlQueries {
         FROM nation WHERE n_regionkey = 2)
       ORDER BY k, src"""))
 
+  // ---- q224: Delta checkpoint replay (vacuumed-head log) ----
+  // The production shape q219 refuses: a log whose early JSON commits
+  // were vacuumed after a checkpoint. Plant the net state at v2 as a
+  // single-part classic checkpoint.parquet (protocol/metaData/add
+  // rows — the DeltaFixture.writeCheckpoint authoring twin), JSONs
+  // ONLY for v3 (append) and v4 (remove+add), and replay: base from
+  // the checkpoint, tail from JSON. The checkpoint's partitionValues
+  // must survive the round-trip through the parquet map column, and
+  // v4's remove must delete a CHECKPOINT-era file — both fail the
+  // hash if the base/tail seam is wrong.
+
+  val q224 = Q(
+    "q224_delta_checkpoint_read",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q224_delta")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        StructField("src", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DFx.plantDataFile(s, base.where(col("k") < 13), t, "a.parquet"): Unit
+      DFx.plantDataFile(s, base.where(col("k") >= 13), t, "b.parquet"): Unit
+      val c = DFx.plantDataFile(s,
+        base.withColumn("k", col("k") + 100), t, "c.parquet")
+      val d = DFx.plantDataFile(s,
+        nation.where(col("n_regionkey") === 2).select(
+          (col("n_nationkey").cast("long") + 200).as("k"),
+          col("n_name").as("name")), t, "d.parquet")
+      // checkpoint at v2: a + b live (JSONs 0-2 vacuumed)
+      DFx.writeCheckpoint(s, t, 2, schema, Seq("src"),
+        adds = Seq(
+          "a.parquet" -> Map("src" -> Some("n0")),
+          "b.parquet" -> Map("src" -> Some("n0"))))
+      DFx.writeCommit(s, t, 3, Seq(
+        DFx.addLine("c.parquet", c, Map("src" -> Some("n1")))))
+      DFx.writeCommit(s, t, 4, Seq(
+        DFx.removeLine("b.parquet"),
+        DFx.addLine("d.parquet", d, Map("src" -> Some("n2")))))
+      DeltaRead.read(s, t).orderBy("k", "src")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+               'n0' AS src
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'n1'
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey + 200 AS BIGINT), n_name, 'n2'
+        FROM nation WHERE n_regionkey = 2)
+      ORDER BY k, src"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219)
+    q134, q168, q203, q219, q224)
 }

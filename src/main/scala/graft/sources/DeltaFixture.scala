@@ -91,6 +91,63 @@ object DeltaFixture {
       f"_delta_log/$version%020d.json",
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
 
+  /** Write a single-part CLASSIC checkpoint at
+    * `_delta_log/<version>.checkpoint.parquet` — the net replay state
+    * (one protocol row, one metaData row, one add row per live file)
+    * in the protocol's top-level-struct-per-action parquet layout —
+    * plus the `_last_checkpoint` pointer JSON. The authoring twin of
+    * [[DeltaRead]]'s checkpoint path, for tests and the gate.
+    */
+  def writeCheckpoint(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty,
+      adds: Seq[(String, Map[String, Option[String]])] = Seq.empty,
+      minReader: Int = 1): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format",
+        StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues",
+        MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpT = StructType(Seq(
+      StructField("protocol", protocolT, nullable = true),
+      StructField("metaData", metaT, nullable = true),
+      StructField("add", addT, nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(minReader, 2), null, null))
+    rows.add(Row(null,
+      Row("cp-fixture", Row("parquet"), schema.json, partitionColumns),
+      null))
+    adds.foreach { case (p, pvs) =>
+      rows.add(Row(null, null,
+        Row(p, pvs.map { case (k, v) => k -> v.orNull }, 1L, 0L, true)))
+    }
+    val df = spark.createDataFrame(rows, cpT)
+    plantDataFile(spark, df, tablePath,
+      f"_delta_log/$version%020d.checkpoint.parquet"): Unit
+    val lc = mapper.createObjectNode()
+    lc.put("version", version)
+    lc.put("size", rows.size().toLong)
+    graft.ScratchSpace.writeBytes(spark, tablePath,
+      "_delta_log/_last_checkpoint",
+      (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
+  }
+
   /** Write `df` as ONE parquet file at `tablePath/name` (staged via
     * scratch — the tiny fixture-planting single-file write, same
     * class as the streaming parity staging writes) and return its

@@ -18,11 +18,18 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * github.com/delta-io/delta PROTOCOL.md).
   *
   * Scope (refuse-loudly outside it):
-  *  - contiguous `_delta_log/<20-digit>.json` commits from version 0
-  *    (a checkpoint-compacted log whose early JSONs were vacuumed is
-  *    refused — checkpoint.parquet replay is out of scope);
+  *  - contiguous `_delta_log/<20-digit>.json` commits from version 0,
+  *    OR a single-part CLASSIC checkpoint
+  *    (`<20-digit>.checkpoint.parquet` — the net replay state Delta
+  *    writes every N commits) whose JSON tail reaches the requested
+  *    version: base state loads from the checkpoint's add/metaData/
+  *    protocol rows, then commits checkpoint+1.. replay as JSON.
+  *    Multi-part (`.checkpoint.<i>.<n>.parquet`) and v2 (sidecar /
+  *    checkpointMetadata) checkpoints are refused loudly, as is a
+  *    vacuumed-head log with no usable checkpoint;
   *  - protocol minReaderVersion 1 (no column mapping, no deletion
-  *    vectors, no readerFeatures);
+  *    vectors, no readerFeatures) — enforced on JSON and checkpoint
+  *    protocol rows alike;
   *  - parquet data files, relative or absolute URI-encoded paths;
   *  - partitioned tables: partition values come from the add actions'
   *    `partitionValues` (Delta data files do NOT contain partition
@@ -68,6 +75,13 @@ object DeltaRead {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(fs.makeQualified(p), "_delta_log")
     if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
+    listJsonVersions(fs, logDir, path)
+  }
+
+  private def listJsonVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path,
+      path: String): Seq[Long] = {
     val vs = fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
       .filter(_.matches("\\d{20}\\.json"))
@@ -79,7 +93,25 @@ object DeltaRead {
     vs
   }
 
-  /** Replay the log to `asOf` (default: latest). */
+  /** Checkpoint versions present: (single-part classic, multi-part). */
+  private def listCheckpoints(
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path): (Seq[Long], Seq[Long]) = {
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val singles = names
+      .filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(_.take(20).toLong).sorted
+    val multis = names
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d+\\.\\d+\\.parquet"))
+      .map(_.take(20).toLong).distinct.sorted
+    (singles, multis)
+  }
+
+  /** Replay the log to `asOf` (default: latest). Base state comes from
+    * version-0 JSON when the JSON chain is complete, else from the
+    * newest single-part classic checkpoint whose JSON tail reaches the
+    * target version.
+    */
   def snapshot(
       spark: SparkSession,
       path: String,
@@ -87,29 +119,57 @@ object DeltaRead {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
-    val all = versions(spark, path)
-    if (all.isEmpty) fail(path, "empty _delta_log")
-    if (all.head != 0L)
-      fail(path, s"log starts at version ${all.head}, not 0 — early " +
-        "commits were vacuumed after a checkpoint; checkpoint.parquet " +
-        "replay is unsupported, read this table with a full engine")
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
+    val jsons = listJsonVersions(fs, logDir, path)
+    val (singles, multis) = listCheckpoints(fs, logDir)
+    val known = jsons ++ singles ++ multis
+    if (known.isEmpty) fail(path, "empty _delta_log")
     asOf.foreach { v =>
-      if (!all.contains(v))
-        fail(path, s"version $v not in log (have ${all.head}..${all.last})")
+      if (!known.contains(v))
+        fail(path,
+          s"version $v not in log (have ${known.min}..${known.max})")
     }
-    val upTo = asOf.getOrElse(all.last)
-    val wanted = all.takeWhile(_ <= upTo)
-    // contiguity: version k must be the k-th file
-    wanted.zipWithIndex.foreach { case (v, i) =>
-      if (v != i.toLong)
-        fail(path, s"log gap: version $i missing (next is $v) — " +
-          "truncated or checkpoint-compacted log is unsupported")
-    }
+    val upTo = asOf.getOrElse(known.max)
+    val jsonSet = jsons.toSet
+    val pureJson =
+      jsons.headOption.contains(0L) && (0L to upTo).forall(jsonSet.contains)
+    val base: Option[Long] =
+      if (pureJson) None
+      else singles
+        .filter(c => c <= upTo && ((c + 1) to upTo).forall(jsonSet.contains))
+        .lastOption match {
+        case some @ Some(_) => some
+        case None =>
+          if (multis.exists(c =>
+              c <= upTo && ((c + 1) to upTo).forall(jsonSet.contains)))
+            fail(path, s"only a MULTI-PART checkpoint reaches version " +
+              s"$upTo — multi-part/v2 checkpoint replay is unsupported " +
+              "(single-part classic only); read this table with a full " +
+              "engine")
+          else if (jsons.isEmpty || jsons.head != 0L)
+            fail(path, s"log starts at version " +
+              s"${jsons.headOption.getOrElse(-1L)}, not 0, and no usable " +
+              s"single-part checkpoint reaches version $upTo — early " +
+              "commits were vacuumed after a checkpoint; read this " +
+              "table with a full engine")
+          else {
+            val missing = (0L to upTo).find(v => !jsonSet.contains(v)).get
+            fail(path, s"log gap: version $missing missing — truncated " +
+              "or checkpoint-compacted log without a usable single-part " +
+              "checkpoint is unsupported")
+          }
+      }
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     val live = mutable.LinkedHashMap.empty[String, DeltaFile]
-    wanted.foreach { v =>
-      val mp = new Path(new Path(root, "_delta_log"), f"$v%020d.json")
+    base.foreach { c =>
+      loadCheckpoint(spark, path, logDir, c,
+        s => schema = Some(s), pc => partCols = pc, live)
+    }
+    val firstJson = base.map(_ + 1).getOrElse(0L)
+    (firstJson to upTo).foreach { v =>
+      val mp = new Path(logDir, f"$v%020d.json")
       val st = fs.getFileStatus(mp)
       if (st.getLen > MaxLogFileBytes)
         fail(path, s"commit $v is ${st.getLen} bytes — hostile size")
@@ -130,6 +190,101 @@ object DeltaRead {
     val sch = schema.getOrElse(
       fail(path, "no metaData action in log — schema unknown"))
     DeltaSnapshot(upTo, sch, partCols, live.values.toSeq)
+  }
+
+  /** Load the net replay state from a single-part classic checkpoint:
+    * protocol rows re-run the reader-version gate, the metaData row
+    * sets schema/partition columns, add rows ARE the live file set
+    * (remove rows are vacuum tombstones, already applied — ignored).
+    * The checkpoint is read as parquet through Spark and collected —
+    * log state is driver metadata by design, and the live-file count
+    * is capped; v2 columns (`sidecar`/`checkpointMetadata`) refuse.
+    */
+  private def loadCheckpoint(
+      spark: SparkSession,
+      path: String,
+      logDir: Path,
+      version: Long,
+      setSchema: StructType => Unit,
+      setPartCols: Seq[String] => Unit,
+      live: mutable.LinkedHashMap[String, DeltaFile]): Unit = {
+    val cp = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    val df = spark.read.parquet(cp.toString)
+    val top = df.schema.fieldNames.toSet
+    Seq("sidecar", "checkpointMetadata").foreach { c =>
+      if (top.contains(c))
+        fail(path, s"checkpoint $version carries a '$c' column — v2 " +
+          "checkpoints are unsupported (single-part classic only)")
+    }
+    def fieldsOf(c: String): Set[String] =
+      df.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
+    if (top.contains("protocol")) {
+      val pf = fieldsOf("protocol")
+      val featCol =
+        if (pf.contains("readerFeatures"))
+          col("protocol.readerFeatures").cast("string")
+        else lit(null).cast("string")
+      df.where(col("protocol").isNotNull)
+        .select(col("protocol.minReaderVersion"), featCol)
+        .collect().foreach { r =>
+          val mr = if (r.isNullAt(0)) 1 else r.getInt(0)
+          val feats = if (r.isNullAt(1)) "" else r.getString(1)
+          if (mr > 1 || feats.nonEmpty)
+            fail(path, s"checkpoint $version requires reader version $mr" +
+              (if (feats.nonEmpty) s" with features $feats" else "") +
+              " — only reader version 1 (no column mapping / deletion " +
+              "vectors / v2 checkpoints) is supported")
+        }
+    }
+    if (!top.contains("metaData"))
+      fail(path, s"checkpoint $version: no metaData column")
+    val metas = df.where(col("metaData").isNotNull)
+      .select(col("metaData.schemaString"),
+        col("metaData.partitionColumns"),
+        col("metaData.format.provider"))
+      .collect()
+    if (metas.isEmpty)
+      fail(path, s"checkpoint $version: no metaData row")
+    metas.foreach { r =>
+      val provider = if (r.isNullAt(2)) "parquet" else r.getString(2)
+      if (provider != "parquet")
+        fail(path, s"checkpoint $version: data format '$provider' " +
+          "unsupported (parquet only)")
+      if (r.isNullAt(0))
+        fail(path, s"checkpoint $version: metaData without schemaString")
+      DataType.fromJson(r.getString(0)) match {
+        case st: StructType => setSchema(st)
+        case other =>
+          fail(path, s"checkpoint $version: schemaString is $other")
+      }
+      setPartCols(
+        if (r.isNullAt(1)) Seq.empty else r.getSeq[String](1).toSeq)
+    }
+    if (top.contains("add")) {
+      val adds0 = df.where(col("add").isNotNull)
+      if (fieldsOf("add").contains("deletionVector") &&
+        !adds0.where(col("add.deletionVector").isNotNull).isEmpty)
+        fail(path, s"checkpoint $version: add with a deletion vector — " +
+          "DV-masked files cannot be scanned verbatim; unsupported")
+      val n = adds0.count()
+      if (n > MaxLogFiles)
+        fail(path, s"checkpoint $version holds $n live " +
+          s"files (> $MaxLogFiles) — driver replay refused; read this " +
+          "table with a full engine")
+      val rows = adds0
+        .select(col("add.path"), col("add.partitionValues"))
+        .collect()
+      rows.foreach { r =>
+        val raw = r.getString(0)
+        if (raw == null)
+          fail(path, s"checkpoint $version: add without path")
+        val pvs: Map[String, Option[String]] =
+          if (r.isNullAt(1)) Map.empty
+          else r.getMap[String, String](1).toMap
+            .map { case (k, v) => k -> Option(v) }
+        live(raw) = DeltaFile(raw, pvs)
+      }
+    }
   }
 
   private def applyAction(

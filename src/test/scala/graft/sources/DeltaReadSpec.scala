@@ -110,6 +110,107 @@ class DeltaReadSpec extends SparkTestBase {
     assert(DeltaRead.decodePath("no escapes.parquet") == "no escapes.parquet")
   }
 
+  test("checkpoint replay: vacuumed head resolves through the checkpoint") {
+    val t = freshTable()
+    val sa = plantKv(t, "a.parquet", 0, 5)
+    plantKv(t, "b.parquet", 5, 9): Unit
+    val sc = plantKv(t, "c.parquet", 100, 103)
+    val sd = plantKv(t, "d.parquet", 200, 202)
+    // JSONs 0-1 were vacuumed; checkpoint 2 carries the net state at
+    // v2 (a live with partition x, c live with partition z — b was
+    // added and removed before the checkpoint); JSON 3 then adds d,
+    // JSON 4 removes c
+    DeltaFixture.writeCheckpoint(spark, t, 2, schema, Seq("src"),
+      adds = Seq(
+        "a.parquet" -> Map("src" -> Some("x")),
+        "c.parquet" -> Map("src" -> Some("z"))))
+    DeltaFixture.writeCommit(spark, t, 3, Seq(
+      DeltaFixture.addLine("d.parquet", sd, Map("src" -> Some("w")))))
+    DeltaFixture.writeCommit(spark, t, 4, Seq(
+      DeltaFixture.removeLine("c.parquet")))
+    val out = DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq ==
+      (0 until 5).map(i => (i.toLong, s"row$i", "x")) ++
+        (200 until 202).map(i => (i.toLong, s"row$i", "w")))
+    // time travel INTO the checkpoint version and past it
+    assert(DeltaRead.read(spark, t, asOf = Some(2L)).count() == 8)
+    assert(DeltaRead.read(spark, t, asOf = Some(3L)).count() == 10)
+    // a version before the checkpoint is unreachable — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, t, asOf = Some(1L))
+    }
+    assert(e.getMessage.contains("version 1"), e.getMessage)
+    // a fresh commit on top keeps replaying incrementally
+    DeltaFixture.writeCommit(spark, t, 5, Seq(
+      DeltaFixture.removeLine("a.parquet")))
+    assert(DeltaRead.read(spark, t).count() == 2)
+    assert(sa > 0 && sc > 0)
+  }
+
+  test("checkpoint preferred over a complete JSON chain only when needed") {
+    // full JSON chain 0..2 AND a checkpoint at 1: the pure-JSON path
+    // must win (checkpoints are a fallback, not a shortcut) — and the
+    // result must be identical either way
+    val t = freshTable()
+    val sa = plantKv(t, "a.parquet", 0, 4)
+    val sb = plantKv(t, "b.parquet", 10, 13)
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(),
+      DeltaFixture.metaDataLine("spec", StructType(schema.dropRight(1))),
+      DeltaFixture.addLine("a.parquet", sa)))
+    DeltaFixture.writeCommit(spark, t, 1, Seq(
+      DeltaFixture.addLine("b.parquet", sb)))
+    DeltaFixture.writeCommit(spark, t, 2, Seq(
+      DeltaFixture.removeLine("a.parquet")))
+    DeltaFixture.writeCheckpoint(spark, t,
+      1, StructType(schema.dropRight(1)),
+      adds = Seq(
+        "a.parquet" -> Map.empty,
+        "b.parquet" -> Map.empty))
+    assert(DeltaRead.read(spark, t).count() == 3)
+    assert(DeltaRead.read(spark, t, asOf = Some(1L)).count() == 7)
+  }
+
+  test("checkpoint refusals: v2 columns, reader version, multi-part") {
+    // v2 sidecar column
+    val t1 = freshTable()
+    plantKv(t1, "a.parquet", 0, 2): Unit
+    val ss = spark
+    import ss.implicits._
+    val cpDir = s"$t1/_delta_log"
+    // hand-plant a parquet with a sidecar column at checkpoint name
+    DeltaFixture.plantDataFile(spark,
+      Seq(("x", "y")).toDF("sidecar", "other"),
+      t1, f"_delta_log/${0L}%020d.checkpoint.parquet"): Unit
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, t1)
+    }
+    assert(e1.getMessage.contains("sidecar"), e1.getMessage)
+    // reader version 3 recorded IN the checkpoint protocol row
+    val t2 = freshTable()
+    plantKv(t2, "a.parquet", 0, 2): Unit
+    DeltaFixture.writeCheckpoint(spark, t2, 0,
+      StructType(schema.dropRight(1)),
+      adds = Seq("a.parquet" -> Map.empty), minReader = 3)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, t2)
+    }
+    assert(e2.getMessage.contains("reader version 3"), e2.getMessage)
+    // multi-part checkpoint is refused loudly
+    val t3 = freshTable()
+    plantKv(t3, "a.parquet", 0, 2): Unit
+    DeltaFixture.plantDataFile(spark,
+      Seq((1, 2)).toDF("a", "b"),
+      t3, f"_delta_log/${0L}%020d.checkpoint.0000000001.0000000002.parquet")
+      : Unit
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, t3)
+    }
+    assert(e3.getMessage.toLowerCase.contains("multi-part"), e3.getMessage)
+    assert(cpDir.nonEmpty)
+  }
+
   test("refusals are loud: reader v2, features, DV, gaps, provider, no log") {
     val t = freshTable()
     val sa = plantKv(t, "a.parquet", 0, 2)
