@@ -524,6 +524,58 @@ object EtlQueries {
         FROM nation WHERE n_regionkey = 2)
       ORDER BY k, src"""))
 
+  // ---- q225: Delta partition-pruned + zone-map-skipped scan ----
+  // The scan that makes the log's metadata pay at 100 TB: q219/q224
+  // read every live file regardless of predicate; this gate proves
+  // readPruned prunes the file LIST driver-side (partitionValues
+  // equality + add-stats min/max disproof) and still row-applies the
+  // predicates, so the result is bit-identical to read().where().
+  // Fixture: a (k 0-12, src n0, stats), b (k 13-24, src n0, stats —
+  // skipped by the range), c (src n1 — pruned by partition), d (src
+  // n0, NO stats — must be kept and row-filtered, proving skipping is
+  // an optimization, never a correctness input).
+
+  val q225 = Q(
+    "q225_delta_pruned_read",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q225_delta")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        StructField("src", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val a = DFx.plantDataFile(s, base.where(col("k") < 13), t, "a.parquet")
+      val b = DFx.plantDataFile(s, base.where(col("k") >= 13), t, "b.parquet")
+      val c = DFx.plantDataFile(s,
+        base.withColumn("k", col("k") + 100), t, "c.parquet")
+      val d = DFx.plantDataFile(s,
+        base.withColumn("k", col("k") + 200), t, "d.parquet")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(),
+        DFx.metaDataLine("q225-fixture", schema, Seq("src")),
+        DFx.addLine("a.parquet", a, Map("src" -> Some("n0")),
+          stats = Some(DFx.statsJson(13, Map("k" -> ((0L, 12L)))))),
+        DFx.addLine("b.parquet", b, Map("src" -> Some("n0")),
+          stats = Some(DFx.statsJson(12, Map("k" -> ((13L, 24L))))))))
+      DFx.writeCommit(s, t, 1, Seq(
+        DFx.addLine("c.parquet", c, Map("src" -> Some("n1")),
+          stats = Some(DFx.statsJson(25, Map("k" -> ((100L, 124L)))))),
+        DFx.addLine("d.parquet", d, Map("src" -> Some("n0")))))
+      DeltaRead.readPruned(s, t,
+        partitionEquals = Map("src" -> "n0"),
+        range = Some(("k", 5L, 12L)))
+        .orderBy("k", "src")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             'n0' AS src
+      FROM nation WHERE n_nationkey BETWEEN 5 AND 12
+      ORDER BY k, src"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224)
+    q134, q168, q203, q219, q224, q225)
 }

@@ -47,7 +47,8 @@ object DeltaFixture {
       path: String,
       size: Long,
       partitionValues: Map[String, Option[String]] = Map.empty,
-      withDeletionVector: Boolean = false): String = {
+      withDeletionVector: Boolean = false,
+      stats: Option[String] = None): String = {
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
@@ -59,6 +60,7 @@ object DeltaFixture {
     a.put("size", size)
     a.put("modificationTime", 0L)
     a.put("dataChange", true)
+    stats.foreach(s => a.put("stats", s): Unit)
     if (withDeletionVector) {
       val dv = a.putObject("deletionVector")
       dv.put("storageType", "u")
@@ -66,6 +68,24 @@ object DeltaFixture {
       dv.put("offset", 0)
       dv.put("sizeInBytes", 1)
       dv.put("cardinality", 1L)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** The per-file `stats` JSON real Delta writers attach to adds:
+    * numRecords + per-column min/max (long-valued columns here — the
+    * zone-map input of [[DeltaRead.readPruned]]).
+    */
+  def statsJson(
+      numRecords: Long,
+      minMax: Map[String, (Long, Long)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("numRecords", numRecords)
+    val mins = root.putObject("minValues")
+    val maxs = root.putObject("maxValues")
+    minMax.foreach { case (c, (lo, hi)) =>
+      mins.put(c, lo): Unit
+      maxs.put(c, hi): Unit
     }
     mapper.writeValueAsString(root)
   }

@@ -49,11 +49,14 @@ object DeltaRead {
 
   /** One live data file: the add action's RAW (still URI-encoded)
     * relative-or-absolute path + its partition values (None = null
-    * partition value).
+    * partition value) + the add's per-file `stats` JSON when present
+    * (numRecords/minValues/maxValues — the zone-map [[readPruned]]
+    * skips files with).
     */
   final case class DeltaFile(
       path: String,
-      partitionValues: Map[String, Option[String]])
+      partitionValues: Map[String, Option[String]],
+      stats: Option[String] = None)
 
   /** The replayed state of the log at a version. */
   final case class DeltaSnapshot(
@@ -271,8 +274,11 @@ object DeltaRead {
         fail(path, s"checkpoint $version holds $n live " +
           s"files (> $MaxLogFiles) — driver replay refused; read this " +
           "table with a full engine")
+      val statsCol =
+        if (fieldsOf("add").contains("stats")) col("add.stats")
+        else lit(null).cast("string")
       val rows = adds0
-        .select(col("add.path"), col("add.partitionValues"))
+        .select(col("add.path"), col("add.partitionValues"), statsCol)
         .collect()
       rows.foreach { r =>
         val raw = r.getString(0)
@@ -282,7 +288,10 @@ object DeltaRead {
           if (r.isNullAt(1)) Map.empty
           else r.getMap[String, String](1).toMap
             .map { case (k, v) => k -> Option(v) }
-        live(raw) = DeltaFile(raw, pvs)
+        val stats =
+          if (r.isNullAt(2)) None
+          else Option(r.getString(2)).filter(_.nonEmpty)
+        live(raw) = DeltaFile(raw, pvs, stats)
       }
     }
   }
@@ -346,7 +355,9 @@ object DeltaRead {
           }
           b.result()
         }
-      live(raw) = DeltaFile(raw, pvs)
+      val stats = Option(add.get("stats")).filter(!_.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
+      live(raw) = DeltaFile(raw, pvs, stats)
     }
     val remove = node.get("remove")
     if (remove != null) {
@@ -386,17 +397,105 @@ object DeltaRead {
       spark: SparkSession,
       path: String,
       asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    scanFiles(spark, path, snap, snap.liveFiles)
+  }
+
+  /** Partition-pruned + zone-map-skipped scan — the scan that makes
+    * the log's metadata pay at 100 TB: [[read]] scans EVERY live file
+    * regardless of predicate, this one prunes the file list
+    * driver-side BEFORE the distributed scan from exactly what the
+    * log already carries, then still applies the predicates row-level
+    * so the result is bit-identical to
+    * `read(...).where(<the same predicates>)` whether or not any file
+    * was skippable:
+    *
+    *  - `partitionEquals`: keep only files whose add-action
+    *    `partitionValues` equal every given (column -> value); a NULL
+    *    partition value never matches an equality (SQL semantics).
+    *  - `range`: (column, lo, hi) inclusive over a LONG-typed column;
+    *    a file is skipped only when its add `stats` JSON
+    *    (minValues/maxValues — written by every real Delta writer)
+    *    PROVES no overlap. Missing/unparseable stats, or stats
+    *    lacking the column, keep the file — skipping is an
+    *    optimization, never a correctness input.
+    */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None,
+      partitionEquals: Map[String, String] = Map.empty,
+      range: Option[(String, Long, Long)] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    partitionEquals.keys.foreach { k =>
+      if (!snap.partitionColumns.contains(k))
+        fail(path, s"partitionEquals on '$k', which is not a " +
+          s"partition column (have ${snap.partitionColumns.mkString(",")})")
+    }
+    range.foreach { case (c, lo, hi) =>
+      if (!snap.schema.fieldNames.contains(c))
+        fail(path, s"range filter on unknown column '$c'")
+      if (lo > hi) fail(path, s"range filter on '$c': lo $lo > hi $hi")
+    }
+    val pruned = snap.liveFiles
+      .filter { f =>
+        partitionEquals.forall { case (k, v) =>
+          f.partitionValues.get(k).flatten.contains(v)
+        }
+      }
+      .filter(f => range.forall { case (c, lo, hi) =>
+        statsOverlap(f.stats, c, lo, hi)
+      })
+    val base = scanFiles(spark, path, snap, pruned)
+    val withPart = partitionEquals.foldLeft(base) { case (df, (k, v)) =>
+      df.where(col(k) === lit(v))
+    }
+    range.fold(withPart) { case (c, lo, hi) =>
+      withPart.where(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+
+  /** True unless the file's stats JSON PROVES [lo, hi] cannot match:
+    * min > hi or max < lo on the column's long-valued min/max. Any
+    * missing piece keeps the file.
+    */
+  private[sources] def statsOverlap(
+      stats: Option[String],
+      column: String,
+      lo: Long,
+      hi: Long): Boolean = stats match {
+    case None => true
+    case Some(s) =>
+      try {
+        val node = mapper.readTree(s)
+        def bound(obj: String): Option[Long] =
+          Option(node.get(obj)).flatMap(o => Option(o.get(column)))
+            .filter(_.isNumber).map(_.asLong())
+        val min = bound("minValues")
+        val max = bound("maxValues")
+        !(min.exists(_ > hi) || max.exists(_ < lo))
+      } catch { case _: Exception => true }
+  }
+
+  /** One distributed parquet scan of `live` with the snapshot schema
+    * enforced and partition columns re-attached (broadcast equi-join
+    * on the scan's `_metadata.file_path`).
+    */
+  private def scanFiles(
+      spark: SparkSession,
+      path: String,
+      snap: DeltaSnapshot,
+      liveList: Seq[DeltaFile]): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
-    val snap = snapshot(spark, path, asOf)
     val partCols = snap.partitionColumns
     val dataSchema = StructType(
       snap.schema.filterNot(f => partCols.contains(f.name)))
-    if (snap.liveFiles.isEmpty)
+    if (liveList.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), snap.schema)
-    val files = snap.liveFiles.map { f =>
+    val files = liveList.map { f =>
       val fp =
         if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
           new Path(new java.net.URI(f.path))

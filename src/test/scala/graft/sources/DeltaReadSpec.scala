@@ -211,6 +211,75 @@ class DeltaReadSpec extends SparkTestBase {
     assert(cpDir.nonEmpty)
   }
 
+  test("readPruned: file-list pruning, conservative stats, exact rows") {
+    val t = freshTable()
+    val sa = plantKv(t, "a.parquet", 0, 5)    // k 0-4
+    val sb = plantKv(t, "b.parquet", 10, 15)  // k 10-14
+    val sc = plantKv(t, "c.parquet", 20, 25)  // k 20-24
+    val sd = plantKv(t, "d.parquet", 30, 35)  // k 30-34, no stats
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(),
+      DeltaFixture.metaDataLine("spec", schema, Seq("src")),
+      DeltaFixture.addLine("a.parquet", sa, Map("src" -> Some("x")),
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((0L, 4L)))))),
+      DeltaFixture.addLine("b.parquet", sb, Map("src" -> Some("x")),
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((10L, 14L)))))),
+      DeltaFixture.addLine("c.parquet", sc, Map("src" -> Some("y")),
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((20L, 24L)))))),
+      DeltaFixture.addLine("d.parquet", sd, Map("src" -> Some("x")))))
+    // partition pruning alone: src=y reads ONE file
+    val py = DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "y"))
+    assert(py.count() == 5 && py.inputFiles.length == 1)
+    // stats skipping: k in [11, 12] proves a and c out; d (no stats)
+    // must be KEPT in the scan and row-filtered to nothing
+    val pr = DeltaRead.readPruned(spark, t, range = Some(("k", 11L, 12L)))
+    assert(pr.inputFiles.length == 2, pr.inputFiles.mkString(","))
+    assert(pr.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
+    // combined predicates are bit-identical to read().where()
+    val both = DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "x"), range = Some(("k", 3L, 11L)))
+    val ref = DeltaRead.read(spark, t)
+      .where(col("src") === "x" && col("k") >= 3 && col("k") <= 11)
+    assert(both.collect().map(_.toSeq).toSet ==
+      ref.collect().map(_.toSeq).toSet)
+    assert(both.inputFiles.length == 3) // a, b by range; d unprovable
+    // boundary inclusivity: range hitting a file's exact max keeps it
+    assert(DeltaRead.readPruned(spark, t,
+      range = Some(("k", 4L, 4L))).count() == 1)
+    // a NULL partition value never matches an equality
+    val t2 = freshTable()
+    val s2 = plantKv(t2, "a.parquet", 0, 3)
+    DeltaFixture.writeCommit(spark, t2, 0, Seq(
+      DeltaFixture.protocolLine(),
+      DeltaFixture.metaDataLine("spec", schema, Seq("src")),
+      DeltaFixture.addLine("a.parquet", s2, Map("src" -> None))))
+    assert(DeltaRead.readPruned(spark, t2,
+      partitionEquals = Map("src" -> "x")).count() == 0)
+    // malformed / column-less stats keep the file
+    assert(DeltaRead.statsOverlap(Some("{not json"), "k", 0, 1))
+    assert(DeltaRead.statsOverlap(
+      Some("""{"numRecords": 3}"""), "k", 0, 1))
+    assert(DeltaRead.statsOverlap(None, "k", 0, 1))
+    assert(!DeltaRead.statsOverlap(
+      Some("""{"minValues":{"k":5},"maxValues":{"k":9}}"""), "k", 0, 4))
+    assert(DeltaRead.statsOverlap(
+      Some("""{"minValues":{"k":5},"maxValues":{"k":9}}"""), "k", 9, 20))
+    // refusals: unknown partition column / unknown range column / lo>hi
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaRead.readPruned(spark, t, partitionEquals = Map("name" -> "x"))
+    }
+    assert(e1.getMessage.contains("not a partition column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaRead.readPruned(spark, t, range = Some(("nope", 0L, 1L)))
+    }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaRead.readPruned(spark, t, range = Some(("k", 5L, 1L)))
+    }
+    assert(e3.getMessage.contains("lo"), e3.getMessage)
+  }
+
   test("refusals are loud: reader v2, features, DV, gaps, provider, no log") {
     val t = freshTable()
     val sa = plantKv(t, "a.parquet", 0, 2)
