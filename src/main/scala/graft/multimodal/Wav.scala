@@ -174,6 +174,38 @@ object Wav {
     if ((a & 0x80) != 0) t else -t
   }
 
+  /** Linear → µ-law compander (the inverse of [[ulawToLinear]]):
+    * clip to 32635, bias by 0x84, segment = MSB position − 7,
+    * mantissa = the next 4 bits, complement the byte. Codec identity
+    * holds on every codeword except 0x7F (negative zero re-encodes as
+    * positive zero 0xFF — standard).
+    */
+  def linearToUlaw(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    val m = math.min(math.abs(sample), 32635) + 0x84
+    var exp = 7
+    while (exp > 0 && m < (0x80 << exp)) exp -= 1
+    val man = (m >> (exp + 3)) & 0x0F
+    (~(sign | (exp << 4) | man)) & 0xFF
+  }
+
+  /** Linear → A-law compander (the inverse of [[alawToLinear]]):
+    * segment 0 below 256 (step 16), else segment = MSB position − 7,
+    * XOR 0x55; bit 7 SET means positive. Codec identity holds on all
+    * 256 codewords; linear 0 encodes to +8's codeword (A-law has no
+    * zero).
+    */
+  def linearToAlaw(sample: Int): Int = {
+    val signBit = if (sample >= 0) 0x80 else 0
+    val m = math.min(math.abs(sample), 32767)
+    var seg = 0
+    while (seg < 7 && m >= (0x100 << seg)) seg += 1
+    val man =
+      if (seg == 0) (m >> 4) & 0x0F
+      else (m >> (seg + 3)) & 0x0F
+    (signBit | (seg << 4) | man) ^ 0x55
+  }
+
   /** Encoder twin for the G.711 companded codecs: raw companded bytes
     * (0..255) -> a WAV file with format tag 6 (A-law) or 7 (µ-law),
     * 8 bits/sample, and the spec-mandated `fact` chunk non-PCM

@@ -1244,6 +1244,92 @@ object TextAnalysis {
       .withColumnRenamed("col", "token")
   }
 
+  /** WordPiece merge induction — the trainer half of the SECOND
+    * tokenizer family ([[wordPieceEncode]] applies a vocab; this
+    * induces one), completing the train+encode symmetry BPE has
+    * (q128/q188). Same iterative rewrite machinery as
+    * [[bpeTrainMerges]] (C0 placeholders, left-to-right
+    * non-overlapping `replace`), but the WordPiece DECISION RULE:
+    * merge the adjacent pair maximizing the unigram-likelihood score
+    *   score(ab) = count(ab) / (count(a) · count(b))
+    * — the published WordPiece objective — instead of BPE's raw
+    * count. Counts are exact longs over the multi-char word-frequency
+    * table (pairs count overlapping occurrences, like the BPE
+    * trainer; units are single symbols weighted by word freq).
+    *
+    * Cross-engine determinism is the hard part: the score is a
+    * RATIONAL whose float image ties unpredictably, so the argmax
+    * compares exactly in integers — score(p) > score(q) ⟺
+    * pc_p·ca_q·cb_q > pc_q·ca_p·cb_p (BigInt here, HUGEINT products
+    * in the DuckDB oracle's NOT-EXISTS argmax) — score ties break by
+    * pair ascending. Training is POSITIONLESS (no initial-vs-`##`
+    * distinction while counting — the documented trade; emit trained
+    * pieces in both forms when building an encode vocab). Per
+    * iteration the driver collects only vocabulary-grain count tables
+    * (|alphabet|² pairs, |alphabet| units — KBs); corpus-sized work
+    * stays in the one word-frequency aggregate.
+    *
+    * Output (one row per merge step): (iter, piece, pair_count,
+    * left_count, right_count) with `piece` the fully-expanded merged
+    * symbol.
+    */
+  def wordPieceTrainSteps(
+      df: DataFrame,
+      textCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters < 32, "iters must be in [1, 32)")
+    val spark = df.sparkSession
+    val wf0 = bpeWordFreq(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var expansions = Map.empty[Char, String]
+    def expand(sym: String): String =
+      sym.flatMap(ch => expansions.getOrElse(ch, ch.toString))
+    var wf = wf0
+    val rows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    var it = 1
+    var dry = false
+    while (it <= iters && !dry) {
+      val pairs = bpePairCounts(wf).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val units = wf
+        .select(
+          explode(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+            .as("u"),
+          col("freq"))
+        .groupBy("u").agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cand = pairs.flatMap { case (p, pc) =>
+        for {
+          ca <- units.get(p.substring(0, 1))
+          cb <- units.get(p.substring(1, 2))
+        } yield (p, pc, ca, cb)
+      }
+      if (cand.isEmpty) dry = true
+      else {
+        val best = cand.reduce[(String, Long, Long, Long)] { (x, y) =>
+          val l = BigInt(x._2) * (BigInt(y._3) * y._4)
+          val r = BigInt(y._2) * (BigInt(x._3) * x._4)
+          if (l > r) x
+          else if (r > l) y
+          else if (x._1 <= y._1) x
+          else y
+        }
+        rows += ((it, expand(best._1), best._2, best._3, best._4))
+        expansions += (it.toChar -> expand(best._1))
+        wf = wf.withColumn("word",
+          call_function("replace",
+            col("word"), lit(best._1), lit(it.toChar.toString)))
+      }
+      it += 1
+    }
+    wf0.unpersist()
+    import spark.implicits._
+    rows.result()
+      .toDF("iter", "piece", "pair_count", "left_count", "right_count")
+      .orderBy("iter")
+  }
+
   /** Bloom-prefiltered exact decontamination — remove every corpus doc
     * whose normalized-text digest appears in the probe/benchmark set,
     * EXACTLY, while keeping the bulk of the corpus out of the anti-join

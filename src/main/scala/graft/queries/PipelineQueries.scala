@@ -4023,6 +4023,80 @@ object PipelineQueries {
       FROM wc JOIN bpe ON bpe.doc_id = wc.doc_id
       GROUP BY 1 ORDER BY wc.source"""))
 
+  // ---- q226: WordPiece merge induction (likelihood-score trainer) ----
+  // The trainer half of tokenizer family #2 (q220 encodes a PLANTED
+  // vocab; this INDUCES one), completing the train+encode symmetry
+  // BPE has (q128/q188). The WordPiece decision rule — merge argmax of
+  // count(ab)/(count(a)*count(b)) — is a RATIONAL argmax, so the
+  // oracle replays it with exact HUGEINT cross-products in a
+  // NOT-EXISTS (pc_o*ca_t*cb_t > pc_t*ca_o*cb_o), never a float
+  // score; Spark compares the same products in BigInt on the
+  // vocabulary-grain count tables. Score ties break by pair asc.
+
+  /** One oracle iteration: pair counts, unit counts, exact rational
+    * argmax over `src`'s (word, freq) table.
+    */
+  private def wpTrainIterCte(i: Int, src: String): String = s"""
+      x$i AS (SELECT word, freq, unnest(range(1, len(word))) AS i
+              FROM $src),
+      p$i AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM x$i GROUP BY 1),
+      y$i AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i
+              FROM $src),
+      u$i AS (SELECT substr(word, CAST(i AS INT), 1) AS u,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM y$i GROUP BY 1),
+      s$i AS (SELECT p.pair, p.cnt AS pc, a.cnt AS ca, b.cnt AS cb
+              FROM p$i p
+              JOIN u$i a ON a.u = substr(p.pair, 1, 1)
+              JOIN u$i b ON b.u = substr(p.pair, 2, 1)),
+      b$i AS (SELECT pair, pc, ca, cb FROM s$i t
+              WHERE NOT EXISTS (SELECT 1 FROM s$i o WHERE
+                    CAST(o.pc AS HUGEINT) * t.ca * t.cb
+                      > CAST(t.pc AS HUGEINT) * o.ca * o.cb
+                 OR (CAST(o.pc AS HUGEINT) * t.ca * t.cb
+                      = CAST(t.pc AS HUGEINT) * o.ca * o.cb
+                     AND o.pair < t.pair)))"""
+
+  val q226 = Q(
+    "q226_wordpiece_train",
+    (s, dir) =>
+      TextAnalysis.wordPieceTrainSteps(docs(s, dir), "text", iters = 3),
+    Some(s"""
+      WITH $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM occ WHERE len(word) >= 2 GROUP BY 1),
+      ${wpTrainIterCte(1, "wf")},
+      w2 AS (SELECT replace(word, (SELECT pair FROM b1), chr(1)) AS word,
+                    freq FROM wf),
+      ${wpTrainIterCte(2, "w2")},
+      w3 AS (SELECT replace(word, (SELECT pair FROM b2), chr(2)) AS word,
+                    freq FROM w2),
+      ${wpTrainIterCte(3, "w3")}
+      SELECT * FROM (
+        SELECT 1 AS iter, (SELECT pair FROM b1) AS piece,
+               (SELECT pc FROM b1) AS pair_count,
+               (SELECT ca FROM b1) AS left_count,
+               (SELECT cb FROM b1) AS right_count
+        UNION ALL
+        SELECT 2,
+               replace((SELECT pair FROM b2), chr(1),
+                 (SELECT pair FROM b1)),
+               (SELECT pc FROM b2), (SELECT ca FROM b2),
+               (SELECT cb FROM b2)
+        UNION ALL
+        SELECT 3,
+               replace(replace((SELECT pair FROM b3), chr(1),
+                   (SELECT pair FROM b1)),
+                 chr(2),
+                 replace((SELECT pair FROM b2), chr(1),
+                   (SELECT pair FROM b1))),
+               (SELECT pc FROM b3), (SELECT ca FROM b3),
+               (SELECT cb FROM b3))
+      ORDER BY iter"""))
+
   // ---- q220: two-family tokenizer fertility (BPE vs WordPiece) ----
   // q205 can only price BPE against itself; this is the tokenizer-SWAP
   // readout the fertility audit exists for: the same corpus encoded by
@@ -4137,7 +4211,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217, q218, q220, q221, q222,
+    q215, q217, q218, q220, q221, q222, q226,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

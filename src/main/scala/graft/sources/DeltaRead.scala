@@ -72,13 +72,17 @@ object DeltaRead {
   private def fail(path: String, why: String): Nothing =
     throw new IllegalArgumentException(s"DeltaRead: $path — $why")
 
-  /** Commit versions present in the log, ascending. */
+  /** Versions present in the log, ascending: JSON commits plus
+    * checkpoint-only versions (a vacuumed-head table's oldest
+    * readable version is its checkpoint, reachable via `asOf`).
+    */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(fs.makeQualified(p), "_delta_log")
     if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
-    listJsonVersions(fs, logDir, path)
+    val (singles, _) = listCheckpoints(fs, logDir)
+    (listJsonVersions(fs, logDir, path) ++ singles).distinct.sorted
   }
 
   private def listJsonVersions(

@@ -132,6 +132,36 @@ class WavSpec extends SparkTestBase {
     }
   }
 
+  test("G.711 companders: codec identity on all codewords + quant bound") {
+    // byte -> linear -> byte is the identity on every codeword (the
+    // strongest compander test: it pins encoder and decoder to the
+    // SAME segment layout), except mu-law's negative zero 0x7F which
+    // re-encodes as positive zero 0xFF (standard)
+    for (b <- 0 until 256) {
+      val u = Wav.linearToUlaw(Wav.ulawToLinear(b))
+      if (b == 0x7F) assert(u == 0xFF) else assert(u == b, s"ulaw $b -> $u")
+      val a = Wav.linearToAlaw(Wav.alawToLinear(b))
+      assert(a == b, s"alaw $b -> $a")
+    }
+    // linear -> byte -> linear lands within the segment's step size
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val x = rnd.nextInt(65001) - 32500
+      val du = Wav.ulawToLinear(Wav.linearToUlaw(x))
+      val xa = math.min(math.abs(x), 32124)
+      // mu-law step doubles per segment; bound by max step 1024 at top
+      assert(math.abs(du - (if (x < 0) -xa else xa)) <= 1024,
+        s"ulaw $x -> $du")
+      val da = Wav.alawToLinear(Wav.linearToAlaw(x))
+      val xb = math.min(math.abs(x), 32256)
+      assert(math.abs(da - (if (x < 0) -xb else xb)) <= 1024,
+        s"alaw $x -> $da")
+    }
+    // linear 0: mu-law has a zero codeword; A-law's closest is +-8
+    assert(Wav.ulawToLinear(Wav.linearToUlaw(0)) == 0)
+    assert(math.abs(Wav.alawToLinear(Wav.linearToAlaw(0))) == 8)
+  }
+
   test("G.711: encode/decode round-trip, exact stats (fuzz) + declines") {
     val rnd = new scala.util.Random(66)
     for (trial <- 0 until 60) {

@@ -420,6 +420,49 @@ class TextAnalysisSpec extends SparkTestBase {
       (2, "aa", "a", 1L)), s"got $out")
   }
 
+  test("wordPieceTrainSteps: likelihood argmax differs from count argmax") {
+    // words: "ab" x5, "xy" x2 (each word also contributes unit counts)
+    // counts: ab=5, xy=2; a=5, b=5, x=2, y=2
+    // scores: ab = 5/(5*5) = 0.2, xy = 2/(2*2) = 0.5
+    // BPE (raw count) would merge ab; WordPiece must merge xy
+    val df = docsDF(
+      (1L, "ab ab ab ab ab xy"), (2L, "xy"))
+    val out = TextAnalysis.wordPieceTrainSteps(df, "text", iters = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((1, "xy", 2L, 2L, 2L)), s"got $out")
+    val bpe = TextAnalysis.bpeMergeSteps(df, "text", iters = 1, topK = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(bpe == Seq(("a", "b")), s"bpe got $bpe")
+  }
+
+  test("wordPieceTrainSteps: exact rational ties break by pair asc") {
+    // "ab" x2 and "cd" x2 with all unit counts equal -> identical
+    // scores; the argmax must pick "ab" (pair ascending), exactly,
+    // not by float luck
+    val df = docsDF((1L, "ab ab cd cd"))
+    val out = TextAnalysis.wordPieceTrainSteps(df, "text", iters = 1)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(out == Seq("ab"), s"got $out")
+  }
+
+  test("wordPieceTrainSteps: placeholders expand; merged unit recounts") {
+    // iter 1 on "xy xy xyz": pairs xy=3, yz=1; units x=3 y=3 z=1.
+    // scores: xy 3/9 = 1/3, yz 1/(3*1) = 1/3 — EXACTLY equal (the
+    // rational compare, not float luck) -> tie-break pair asc = "xy".
+    // After merging xy -> <1>: words <1> (freq 2), <1>z (freq 1);
+    // iter 2 pair <1>z count 1, units <1>=3, z=1 -> piece "xyz"
+    val df = docsDF((1L, "xy xy xyz"))
+    val out = TextAnalysis.wordPieceTrainSteps(df, "text", iters = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1, "xy", 3L, 3L, 3L),
+      (2, "xyz", 1L, 3L, 1L)), s"got $out")
+  }
+
   test("bpeTrainMerges + bpeEncode round-trip on planted text") {
     // words: aa x3, ab x2, aab x1
     // iter 1 pairs: aa -> 3+1=4, ab -> 2+1=3; merge 1 = "aa"

@@ -141,6 +141,9 @@ class DeltaReadSpec extends SparkTestBase {
       DeltaRead.read(spark, t, asOf = Some(1L))
     }
     assert(e.getMessage.contains("version 1"), e.getMessage)
+    // versions() lists the checkpoint-only version too — it is the
+    // oldest readable version of a vacuumed-head table
+    assert(DeltaRead.versions(spark, t) == Seq(2L, 3L, 4L))
     // a fresh commit on top keeps replaying incrementally
     DeltaFixture.writeCommit(spark, t, 5, Seq(
       DeltaFixture.removeLine("a.parquet")))
