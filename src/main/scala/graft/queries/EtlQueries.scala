@@ -576,6 +576,60 @@ object EtlQueries {
       FROM nation WHERE n_nationkey BETWEEN 5 AND 12
       ORDER BY k, src"""))
 
+  // ---- q227: Delta metadata-only row count ----
+  // SELECT count(*) without touching a data file: sum of the live
+  // adds' stats.numRecords over the replayed log — counts at v0 and
+  // after a remove+append must track the live set exactly, and the
+  // asOf counts prove the replay, not a directory listing, is the
+  // source. (A table with ANY stats-less live file refuses —
+  // spec-gated — so a metadata count can never be silently partial.)
+
+  val q227 = Q(
+    "q227_delta_meta_count",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q227_delta")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val nA = base.where(col("k") < 13).count()
+      val nB = base.where(col("k") >= 13).count()
+      val nC = base.count()
+      val a = DFx.plantDataFile(s, base.where(col("k") < 13), t, "a.parquet")
+      val b = DFx.plantDataFile(s, base.where(col("k") >= 13), t, "b.parquet")
+      val c = DFx.plantDataFile(s,
+        base.withColumn("k", col("k") + 100), t, "c.parquet")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(),
+        DFx.metaDataLine("q227-fixture", schema),
+        DFx.addLine("a.parquet", a,
+          stats = Some(DFx.statsJson(nA, Map.empty))),
+        DFx.addLine("b.parquet", b,
+          stats = Some(DFx.statsJson(nB, Map.empty)))))
+      DFx.writeCommit(s, t, 1, Seq(
+        DFx.removeLine("a.parquet"),
+        DFx.addLine("c.parquet", c,
+          stats = Some(DFx.statsJson(nC, Map.empty)))))
+      Seq(
+        ("v0", DeltaRead.countRows(s, t, asOf = Some(0L))),
+        ("v1", DeltaRead.countRows(s, t))).toDF("at", "n_rows")
+        .orderBy("at")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'v0' AS at, CAST(count(*) AS BIGINT) AS n_rows
+        FROM nation
+        UNION ALL
+        SELECT 'v1', CAST(count(*) FILTER (WHERE n_nationkey >= 13)
+          AS BIGINT) + CAST(count(*) AS BIGINT)
+        FROM nation)
+      ORDER BY at"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224, q225)
+    q134, q168, q203, q219, q224, q225, q227)
 }

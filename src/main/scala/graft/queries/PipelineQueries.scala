@@ -4097,6 +4097,93 @@ object PipelineQueries {
                (SELECT cb FROM b3))
       ORDER BY iter"""))
 
+  // ---- q228: end-to-end tokenizer lifecycle (train -> encode) ----
+  // The full WordPiece lifecycle cross-engine: induce 2 merges by the
+  // likelihood rule (q226's trainer), build the vocabulary (a-z
+  // singles + trained pieces, each in initial AND continuation form —
+  // the positionless-training contract), encode the corpus by greedy
+  // longest-match (q220's kernel), report fertility per source. The
+  // oracle replays BOTH halves — HUGEINT rational argmax, then the
+  // per-position longest-match walk — so a drift anywhere in the
+  // train->vocab->encode chain fails the hash.
+
+  val q228 = Q(
+    "q228_tokenizer_e2e",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val steps = TextAnalysis.wordPieceTrainSteps(d, "text", iters = 2)
+        .collect().map(_.getString(1)).toSeq
+      val singles = ('a' to 'z').map(_.toString)
+      val vocab = singles ++ singles.map("##" + _) ++
+        steps ++ steps.map("##" + _)
+      graft.GraftFunctions.register(s)
+      d.select(col("source"),
+          explode(graft.functions.Texts.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .select(col("source"),
+          size(graft.GraftFunctions.wordPiece(col("w"), vocab))
+            .cast("long").as("n_pieces"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          Numerics.fix4(
+            col("n_tokens").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE $wordsCte,
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             FROM occ WHERE len(word) >= 2 GROUP BY 1),
+      ${wpTrainIterCte(1, "wf")},
+      w2 AS (SELECT replace(word, (SELECT pair FROM b1), chr(1)) AS word,
+                    freq FROM wf),
+      ${wpTrainIterCte(2, "w2")},
+      voc AS (
+        SELECT DISTINCT content, cont FROM (
+          SELECT chr(96 + CAST(i AS INT)) AS content, false AS cont
+          FROM (SELECT unnest(range(1, 27)) AS i)
+          UNION ALL
+          SELECT chr(96 + CAST(i AS INT)), true
+          FROM (SELECT unnest(range(1, 27)) AS i)
+          UNION ALL SELECT (SELECT pair FROM b1), false
+          UNION ALL SELECT (SELECT pair FROM b1), true
+          UNION ALL SELECT replace((SELECT pair FROM b2), chr(1),
+            (SELECT pair FROM b1)), false
+          UNION ALL SELECT replace((SELECT pair FROM b2), chr(1),
+            (SELECT pair FROM b1)), true)),
+      dw AS (SELECT DISTINCT word FROM occ WHERE word <> ''),
+      wpos AS (SELECT word, unnest(range(1, len(word) + 1)) AS pos
+               FROM dw),
+      mstep AS (SELECT wpos.word, wpos.pos,
+                       CAST(max(len(v.content)) AS BIGINT) AS step
+                FROM wpos JOIN voc v
+                  ON v.cont = (wpos.pos > 1)
+                 AND substr(wpos.word, CAST(wpos.pos AS INT),
+                       CAST(len(v.content) AS INT)) = v.content
+                GROUP BY 1, 2),
+      walk(word, pos, nsteps) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+        UNION ALL
+        SELECT k.word, k.pos + m.step, k.nsteps + 1
+        FROM walk k JOIN mstep m ON m.word = k.word AND m.pos = k.pos),
+      wdone AS (SELECT word, max(CASE WHEN pos = len(word) + 1
+                                      THEN nsteps END) AS n_done
+                FROM walk GROUP BY 1),
+      wpn AS (SELECT word, COALESCE(n_done, 1) AS n_pieces FROM wdone)
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens,
+             ${Numerics.sqlFix(
+      "CAST(sum(p.n_pieces) AS DOUBLE) / count(*)", 4)} AS fertility
+      FROM occ o
+      JOIN wpn p ON p.word = o.word
+      JOIN documents d ON d.doc_id = o.doc_id
+      WHERE o.word <> ''
+      GROUP BY 1
+      ORDER BY d.source"""))
+
   // ---- q220: two-family tokenizer fertility (BPE vs WordPiece) ----
   // q205 can only price BPE against itself; this is the tokenizer-SWAP
   // readout the fertility audit exists for: the same corpus encoded by
@@ -4211,7 +4298,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217, q218, q220, q221, q222, q226,
+    q215, q217, q218, q220, q221, q222, q226, q228,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -459,6 +459,30 @@ object DeltaRead {
     }
   }
 
+  /** Metadata-only row count — `SELECT count(*)` without touching a
+    * data file: the sum of the live adds' `stats.numRecords`, the
+    * path every real Delta reader takes for unfiltered counts (at
+    * 100 TB the difference between a log read and a full scan).
+    * REFUSES (loudly) when any live file lacks numRecords — a partial
+    * metadata count would be silently wrong; scan instead.
+    */
+  def countRows(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None): Long = {
+    val snap = snapshot(spark, path, asOf)
+    snap.liveFiles.map { f =>
+      val n = f.stats.flatMap { s =>
+        try Option(mapper.readTree(s).get("numRecords"))
+          .filter(_.isNumber).map(_.asLong())
+        catch { case _: Exception => None }
+      }
+      n.getOrElse(fail(path, s"live file ${f.path} carries no " +
+        "numRecords stats — a metadata-only count would be wrong; " +
+        "scan the table instead"))
+    }.sum
+  }
+
   /** True unless the file's stats JSON PROVES [lo, hi] cannot match:
     * min > hi or max < lo on the column's long-valued min/max. Any
     * missing piece keeps the file.

@@ -283,6 +283,35 @@ class DeltaReadSpec extends SparkTestBase {
     assert(e3.getMessage.contains("lo"), e3.getMessage)
   }
 
+  test("countRows: metadata-only, refuses on any stats-less live file") {
+    val t = freshTable()
+    val sa = plantKv(t, "a.parquet", 0, 5)
+    val sb = plantKv(t, "b.parquet", 5, 9)
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(),
+      DeltaFixture.metaDataLine("spec", StructType(schema.dropRight(1))),
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((0L, 4L)))))),
+      DeltaFixture.addLine("b.parquet", sb,
+        stats = Some(DeltaFixture.statsJson(4, Map.empty)))))
+    assert(DeltaRead.countRows(spark, t) == 9L)
+    // removing a file drops its count
+    DeltaFixture.writeCommit(spark, t, 1, Seq(
+      DeltaFixture.removeLine("a.parquet")))
+    assert(DeltaRead.countRows(spark, t) == 4L)
+    assert(DeltaRead.countRows(spark, t, asOf = Some(0L)) == 9L)
+    // a live file without numRecords refuses loudly
+    val s3 = plantKv(t, "c.parquet", 9, 12)
+    DeltaFixture.writeCommit(spark, t, 2, Seq(
+      DeltaFixture.addLine("c.parquet", s3)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.countRows(spark, t)
+    }
+    assert(e.getMessage.contains("numRecords"), e.getMessage)
+    // ... but the pre-commit version still counts
+    assert(DeltaRead.countRows(spark, t, asOf = Some(1L)) == 4L)
+  }
+
   test("refusals are loud: reader v2, features, DV, gaps, provider, no log") {
     val t = freshTable()
     val sa = plantKv(t, "a.parquet", 0, 2)
