@@ -517,6 +517,113 @@ object Multimodal {
       "peak_abs", "sum_squares", "n_clipped")
   }
 
+  /** Windowed AUDIO feature extraction — the feature-extract verb for
+    * audio (decodeAudioStats is the whole-recording aggregate): one
+    * row per (recording, fixed-length window of `windowFrames`
+    * frames, last partial), exact integer peak / energy / clipping
+    * per window. The silence-detection / VAD / loudness-profiling
+    * primitive: window RMS = sqrt(sum_squares/(n_frames·channels)),
+    * a silence gate is a peak-or-energy threshold per window, and
+    * trim points are the first/last non-silent windows. Same format
+    * scope and exact-or-decline contract as [[decodeAudioStats]]
+    * (they share one decode pass); non-WAV/corrupt records emit a
+    * single null-stats row. Output size is frames/windowFrames rows
+    * per recording — bytes never leave the executor.
+    *
+    * Output: (doc_id, win_idx, sample_rate, n_channels, n_frames,
+    * peak_abs, sum_squares, n_clipped).
+    */
+  def audioWindowStats(
+      ds: Dataset[MediaRecord],
+      windowFrames: Long): DataFrame = {
+    require(windowFrames >= 1, "windowFrames must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        Wav.decodeWindowStats(rec.media, windowFrames) match {
+          case Some(w) if w.windows.nonEmpty =>
+            w.windows.map(win =>
+              (rec.doc_id, Some(win.idx), Some(w.sampleRate),
+                Some(w.channels), Some(win.frames), Some(win.peakAbs),
+                Some(win.sumSquares), Some(win.clipped)))
+          case _ =>
+            Seq((rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long]))
+        }
+      }
+    }.toDF("doc_id", "win_idx", "sample_rate", "n_channels", "n_frames",
+      "peak_abs", "sum_squares", "n_clipped")
+  }
+
+  /** Grid TILE feature extraction over decoded pixels — the
+    * vision-embedding precursor (a G×G map of exact per-tile channel
+    * statistics), the feature-extract verb for images at sub-image
+    * grain (decodePixelStats is the whole-image aggregate). Tile
+    * (tx, ty) covers x ∈ [tx·W/G, (tx+1)·W/G) by integer division
+    * (same for y) — the exact partition both engines can replay —
+    * so edge tiles absorb the remainder. Dispatches GIF/JPEG/PNG by
+    * magic bytes like [[decodePixelStats]]; corrupt records emit a
+    * single null-stats row; images smaller than the grid emit only
+    * their non-empty tiles.
+    *
+    * Output: (doc_id, tile_x, tile_y, n_px, sum_r, sum_g, sum_b).
+    */
+  def tileFeatures(ds: Dataset[MediaRecord], grid: Int): DataFrame = {
+    require(grid >= 1 && grid <= 64, "grid must be in [1, 64]")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        (if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
+         else if (JpegDecoder.isJpeg(rec.media)) JpegDecoder.decode(rec.media)
+         else PngDecoder.decode(rec.media)) match {
+          case Some(r) if r.width > 0 && r.height > 0 =>
+            val sr = Array.ofDim[Long](grid * grid)
+            val sg = Array.ofDim[Long](grid * grid)
+            val sb = Array.ofDim[Long](grid * grid)
+            val np = Array.ofDim[Long](grid * grid)
+            // boundaries: tile t covers [t*W/G, (t+1)*W/G) — integer
+            // division, so edge tiles absorb remainders and the
+            // partition replays exactly in any engine
+            val xb = Array.tabulate(grid + 1)(t => t * r.width / grid)
+            val yb = Array.tabulate(grid + 1)(t => t * r.height / grid)
+            var ty = 0
+            while (ty < grid) {
+              var yy = yb(ty)
+              while (yy < yb(ty + 1)) {
+                var tx = 0
+                while (tx < grid) {
+                  val ti = ty * grid + tx
+                  var xx = xb(tx)
+                  while (xx < xb(tx + 1)) {
+                    val px = yy * r.width + xx
+                    sr(ti) += r.rgba(4 * px) & 0xFF
+                    sg(ti) += r.rgba(4 * px + 1) & 0xFF
+                    sb(ti) += r.rgba(4 * px + 2) & 0xFF
+                    np(ti) += 1
+                    xx += 1
+                  }
+                  tx += 1
+                }
+                yy += 1
+              }
+              ty += 1
+            }
+            (0 until grid * grid).iterator
+              .filter(ti => np(ti) > 0)
+              .map { ti =>
+                (rec.doc_id, Some(ti % grid), Some(ti / grid),
+                  Some(np(ti)), Some(sr(ti)), Some(sg(ti)), Some(sb(ti)))
+              }.toSeq
+          case _ =>
+            Seq((rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long]))
+        }
+      }
+    }.toDF("doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Video-style FRAME SAMPLING over animated GIFs: decode every
     * `everyK`-th composited frame (up to `maxFrames`) and emit one
     * stats row per sampled frame — the "frame-sample" verb of the

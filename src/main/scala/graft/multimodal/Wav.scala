@@ -48,6 +48,21 @@ object Wav {
       sumSquares: Long,
       clipped: Long)
 
+  /** Exact-integer stats for ONE fixed-length window of frames. */
+  final case class WavWindow(
+      idx: Int,
+      frames: Long,
+      peakAbs: Long,
+      sumSquares: Long,
+      clipped: Long)
+
+  /** Windowed decode result: header fields + per-window stats. */
+  final case class WavWindows(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      windows: Seq[WavWindow])
+
   private val MaxDataBytes = 256 << 20 // same spirit as MaxRgbaBytes
 
   def isWav(media: Array[Byte]): Boolean =
@@ -55,8 +70,33 @@ object Wav {
       new String(media.slice(0, 4), "US-ASCII") == "RIFF" &&
       new String(media.slice(8, 12), "US-ASCII") == "WAVE"
 
-  /** Decode integer-PCM samples to exact statistics. */
-  def decodeStats(media: Array[Byte]): Option[WavStats] = try {
+  /** Decode samples to exact whole-recording statistics — the
+    * single-window aggregate of [[decodeWindowStats]] (one pass, same
+    * exact-or-decline contract at every format).
+    */
+  def decodeStats(media: Array[Byte]): Option[WavStats] =
+    decodeWindowStats(media, Long.MaxValue).map { w =>
+      val frames = w.windows.map(_.frames).sum
+      val peak = if (w.windows.isEmpty) 0L else w.windows.map(_.peakAbs).max
+      val sumsq = w.windows.map(_.sumSquares).sum
+      val clipped = w.windows.map(_.clipped).sum
+      WavStats(w.sampleRate, w.channels, w.bitsPerSample,
+        frames, peak, sumsq, clipped)
+    }
+
+  /** Decode samples to exact PER-WINDOW statistics (windows of
+    * `windowFrames` frames, last window partial) — the
+    * feature-extract primitive for silence detection / VAD / loudness
+    * profiling: window RMS is sqrt(sum_squares/(frames·channels)),
+    * one caller-side division away, and a silence gate is a
+    * peak-or-energy threshold per window. Same format scope and
+    * exact-or-decline contract as [[decodeStats]] (they share this
+    * one pass).
+    */
+  def decodeWindowStats(
+      media: Array[Byte],
+      windowFrames: Long): Option[WavWindows] = try {
+    if (windowFrames < 1) return None
     if (!isWav(media)) return None
     def u8(i: Int): Int = media(i) & 0xFF
     def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -110,43 +150,56 @@ object Wav {
       else if (isAlaw) 32256L
       else if (isUlaw) 32124L
       else (1L << (bits - 1)) - 1
+    val out = Seq.newBuilder[WavWindow]
     var peak = 0L
     var sumsq = 0L
     var clipped = 0L
-    var s = 0L
-    val total = frames * channels
+    var wf = 0L
+    var widx = 0
+    var f = 0L
     var p = dataAt
-    while (s < total) {
-      val v: Long =
-        if (isFloat) {
-          val f = java.lang.Float.intBitsToFloat(leU32(p).toInt)
-          if (!java.lang.Float.isFinite(f)) return None // NaN/Inf declines
-          val q = math.rint(f.toDouble * 32768.0)
-          // finite-but-absurd payloads (e.g. 1e30) would silently
-          // saturate toLong and overflow the exact sums: any sample
-          // beyond 2^31 on the grid (65536x full scale) is corrupt,
-          // not audio — decline the file like NaN/Inf does
-          if (math.abs(q) > (1L << 31).toDouble) return None
-          q.toLong
-        } else if (isUlaw) ulawToLinear(u8(p)).toLong
-        else if (isAlaw) alawToLinear(u8(p)).toLong
-        else bits match {
-          case 8 => (u8(p) - 128).toLong
-          case 16 => leU16(p).toShort.toLong
-          case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
-            (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
-        }
-      val a = math.abs(v)
-      if (a > peak) peak = a
-      // exact-or-decline: 24-bit full-scale squares times a 256 MiB
-      // payload CAN exceed a Long — overflow throws ArithmeticException
-      // into the catch-all None instead of emitting wrong statistics
-      sumsq = Math.addExact(sumsq, Math.multiplyExact(v, v))
-      if (a >= fullScale) clipped += 1
-      p += bytesPerSample
-      s += 1
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val v: Long =
+          if (isFloat) {
+            val fl = java.lang.Float.intBitsToFloat(leU32(p).toInt)
+            if (!java.lang.Float.isFinite(fl)) return None // NaN/Inf declines
+            val q = math.rint(fl.toDouble * 32768.0)
+            // finite-but-absurd payloads (e.g. 1e30) would silently
+            // saturate toLong and overflow the exact sums: any sample
+            // beyond 2^31 on the grid (65536x full scale) is corrupt,
+            // not audio — decline the file like NaN/Inf does
+            if (math.abs(q) > (1L << 31).toDouble) return None
+            q.toLong
+          } else if (isUlaw) ulawToLinear(u8(p)).toLong
+          else if (isAlaw) alawToLinear(u8(p)).toLong
+          else bits match {
+            case 8 => (u8(p) - 128).toLong
+            case 16 => leU16(p).toShort.toLong
+            case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
+              (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
+          }
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        // exact-or-decline: 24-bit full-scale squares times a 256 MiB
+        // payload CAN exceed a Long — overflow throws ArithmeticException
+        // into the catch-all None instead of emitting wrong statistics
+        sumsq = Math.addExact(sumsq, Math.multiplyExact(v, v))
+        if (a >= fullScale) clipped += 1
+        p += bytesPerSample
+        c += 1
+      }
+      f += 1
+      wf += 1
+      if (wf == windowFrames) {
+        out += WavWindow(widx, wf, peak, sumsq, clipped)
+        widx += 1
+        peak = 0L; sumsq = 0L; clipped = 0L; wf = 0L
+      }
     }
-    Some(WavStats(rate, channels, bits, frames, peak, sumsq, clipped))
+    if (wf > 0) out += WavWindow(widx, wf, peak, sumsq, clipped)
+    Some(WavWindows(rate, channels, bits, out.result()))
   } catch { case _: Throwable => None }
 
   /** µ-law byte → exact 14-bit linear value, the public ITU G.711 /

@@ -3081,6 +3081,121 @@ object PipelineQueries {
              peak_abs, sum_squares, n_clipped)
       ORDER BY doc_id"""))
 
+  // ---- q229: windowed audio feature extraction ----
+  // The feature-extract verb at sub-recording grain (q194/q221 are
+  // whole-recording aggregates): fixed 2-frame windows with exact
+  // per-window peak/energy/clipping — the silence-detection / VAD /
+  // loudness-profiling primitive. Fixtures reuse the q194/q221
+  // families (int16, stereo8 with a partial last window, mu-law) plus
+  // a truncated file that must emit ONE null row; every expected
+  // value is analytic.
+
+  private val audioWinFixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.Wav
+    Seq(
+      "aw_1.wav" -> Wav.encode(8000, 1, 16,
+        Array(0, 100, -100, 200, -200, 32767)),
+      "aw_2.wav" -> Wav.encode(44100, 2, 8,
+        Array(10, -10, 20, -20, 127, -128)),
+      "aw_3.wav" -> Wav.encodeG711(8000, 1, aLaw = false,
+        Array(0xFF, 0x80, 0x00, 0xE0)),
+      "aw_4.wav" -> Wav.encode(8000, 1, 16, Array(1, 2, 3)).dropRight(3))
+  }
+
+  val q229 = Q(
+    "q229_audio_windows",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir(s, "q229_audio_")
+      audioWinFixtures.foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.audioWindowStats(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord],
+          windowFrames = 2)
+        .orderBy("doc_id", "win_idx")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(8000 AS INTEGER),
+         CAST(1 AS INTEGER), CAST(2 AS BIGINT), CAST(100 AS BIGINT),
+         CAST(10000 AS BIGINT), CAST(0 AS BIGINT)),
+        (1, 1, 8000, 1, 2, 200, 50000, 0),
+        (1, 2, 8000, 1, 2, 32767, 1073716289, 1),
+        (2, 0, 44100, 2, 2, 20, 1000, 0),
+        (2, 1, 44100, 2, 1, 128, 32513, 2),
+        (3, 0, 8000, 1, 2, 32124, 1031951376, 1),
+        (3, 1, 8000, 1, 2, 32124, 1032089760, 1),
+        (4, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, win_idx, sample_rate, n_channels, n_frames,
+             peak_abs, sum_squares, n_clipped)
+      ORDER BY doc_id, win_idx NULLS FIRST"""))
+
+  // ---- q230: image grid-tile feature extraction ----
+  // The vision-embedding precursor at sub-image grain
+  // (decodePixelStats/q167 are whole-image aggregates): a 2x2 tile
+  // map of exact per-tile channel sums, integer-division boundaries
+  // so edge tiles absorb remainders identically cross-engine.
+  // Fixtures: the q167 RGB 4x4 raster (even split), the grayscale
+  // 3x5 (both axes leave remainders), the GIF 3x2 palette raster
+  // (format dispatch), and a corrupt file emitting ONE null row.
+  // Every expected sum is analytic from the planted rasters.
+
+  private val tileFixtures: Seq[(String, Array[Byte])] = {
+    import graft.multimodal.PngEncoder.encode
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val rgb = encode(4, 4, 2,
+      (for (y <- 0 until 4; x <- 0 until 4;
+            v <- Seq(16 * x + y, 8 * y, 4 * (x + y))) yield v.toByte).toArray,
+      rowFilters = Seq(0, 1, 2, 4))
+    val gray = encode(3, 5, 0,
+      (for (y <- 0 until 5; x <- 0 until 3) yield (10 * x + y).toByte).toArray,
+      rowFilters = Seq(3))
+    val gif = graft.multimodal.GifDecoder.encode(3, 2,
+      b(255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 11, 13),
+      b(0, 1, 2, 3, 0, 1))
+    Seq(
+      "tf_1.png" -> rgb,
+      "tf_2.png" -> gray,
+      "tf_3.gif" -> gif,
+      "tf_4.png" -> rgb.dropRight(9))
+  }
+
+  val q230 = Q(
+    "q230_image_tiles",
+    (s, dir) => {
+      import s.implicits._
+      val mdir = Scratch.dir(s, "q230_tiles_")
+      tileFixtures.foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.tileFeatures(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord],
+          grid = 2)
+        .orderBy("doc_id", "tile_y", "tile_x")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+         CAST(4 AS BIGINT), CAST(34 AS BIGINT), CAST(16 AS BIGINT),
+         CAST(16 AS BIGINT)),
+        (1, 1, 0, 4, 162, 16, 48),
+        (1, 0, 1, 4, 42, 80, 48),
+        (1, 1, 1, 4, 170, 80, 80),
+        (2, 0, 0, 2, 1, 1, 1),
+        (2, 1, 0, 4, 62, 62, 62),
+        (2, 0, 1, 3, 9, 9, 9),
+        (2, 1, 1, 6, 108, 108, 108),
+        (3, 0, 0, 1, 255, 0, 0),
+        (3, 1, 0, 2, 0, 255, 255),
+        (3, 0, 1, 1, 7, 11, 13),
+        (3, 1, 1, 2, 255, 255, 0),
+        (4, NULL, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, tile_x, tile_y, n_px, sum_r, sum_g, sum_b)
+      ORDER BY doc_id, tile_y NULLS FIRST, tile_x"""))
+
   // ---- q195: end-to-end entity resolution ----
   // The record-linkage PIPELINE assembled from its graded kernels:
   // blocked fuzzy pairs (row 192) -> connected components (row 49,
@@ -4298,7 +4413,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217, q218, q220, q221, q222, q226, q228,
+    q215, q217, q218, q220, q221, q222, q226, q228, q229, q230,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class PngSpec extends SparkTestBase {
@@ -159,6 +161,51 @@ class PngSpec extends SparkTestBase {
       rows(0).getLong(6) == 192L)
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(4))
   }
+  test("tileFeatures: tiles partition the image; sums fold to the whole") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(55)
+    // fuzz rasters at awkward sizes: tile sums must fold EXACTLY to
+    // decodePixelStats' whole-image sums for every grid
+    for ((w, h) <- Seq((4, 4), (7, 5), (1, 9), (3, 1))) {
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val png = PngEncoder.encode(w, h, 2, rgb)
+      val ds = Seq(MediaRecord(1L, png, "image/png")).toDS()
+      for (grid <- Seq(1, 2, 3, 5)) {
+        val tiles = Multimodal.tileFeatures(ds, grid).collect()
+        val whole = Multimodal.decodePixelStats(ds).head
+        assert(tiles.map(_.getLong(3)).sum == whole.getLong(3),
+          s"${w}x$h grid $grid n_px")
+        assert(tiles.map(_.getLong(4)).sum == whole.getLong(4))
+        assert(tiles.map(_.getLong(5)).sum == whole.getLong(5))
+        assert(tiles.map(_.getLong(6)).sum == whole.getLong(6))
+        // no empty tiles emitted; tile count bounded by min(grid, dim)²
+        assert(tiles.forall(_.getLong(3) > 0))
+        assert(tiles.length == math.min(grid, w) * math.min(grid, h),
+          s"${w}x$h grid $grid count ${tiles.length}")
+      }
+    }
+    // hand-check one tile: 4x4 raster A, grid 2, tile (1,0)
+    val samples = (for (y <- 0 until 4; x <- 0 until 4;
+                        v <- Seq(16 * x + y, 8 * y, 4 * (x + y)))
+      yield v.toByte).toArray
+    val pngA = PngEncoder.encode(4, 4, 2, samples)
+    val t10 = Multimodal.tileFeatures(
+        Seq(MediaRecord(1L, pngA, "image/png")).toDS(), 2)
+      .where(col("tile_x") === 1 && col("tile_y") === 0).head
+    assert(t10.getLong(3) == 4 && t10.getLong(4) == 162 &&
+      t10.getLong(5) == 16 && t10.getLong(6) == 48)
+    // corrupt bytes emit one null row
+    val bad = Multimodal.tileFeatures(
+      Seq(MediaRecord(9L, "nope".getBytes, "image/png")).toDS(), 2)
+      .collect()
+    assert(bad.length == 1 && bad(0).isNullAt(1) && bad(0).isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Multimodal.tileFeatures(
+        Seq(MediaRecord(1L, pngA, "image/png")).toDS(), 0)
+    }
+  }
+
   test("GIF roundtrip: palette indices survive LZW encode/decode") {
     val rnd = new scala.util.Random(71)
     val palette = Array.tabulate[Byte](3 * 8)(i => (i * 17 % 251).toByte)

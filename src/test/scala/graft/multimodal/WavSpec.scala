@@ -198,6 +198,45 @@ class WavSpec extends SparkTestBase {
     }
   }
 
+  test("decodeWindowStats: windows partition the file exactly (fuzz)") {
+    val rnd = new scala.util.Random(123)
+    for (trial <- 0 until 40) {
+      val bits = Seq(8, 16, 24)(rnd.nextInt(3))
+      val channels = 1 + rnd.nextInt(3)
+      val frames = rnd.nextInt(120)
+      val lim = 1 << (bits - 1)
+      val samples = Array.fill(frames * channels)(rnd.nextInt(2 * lim) - lim)
+      val wav = Wav.encode(8000, channels, bits, samples)
+      val wfr = 1L + rnd.nextInt(10)
+      val ws = Wav.decodeWindowStats(wav, wfr)
+      val full = Wav.decodeStats(wav)
+      assert(ws.isDefined && full.isDefined, s"trial $trial declined")
+      val w = ws.get
+      // windows tile the frame range: indices 0..n-1, every window
+      // full except a possibly-partial last, frame total exact
+      assert(w.windows.map(_.idx) == w.windows.indices.toSeq)
+      w.windows.dropRight(1).foreach(win => assert(win.frames == wfr))
+      assert(w.windows.map(_.frames).sum == full.get.frames)
+      // the whole-file aggregate IS the window fold (shared pass)
+      assert(w.windows.map(_.sumSquares).sum == full.get.sumSquares)
+      assert((0L +: w.windows.map(_.peakAbs)).max == full.get.peakAbs)
+      assert(w.windows.map(_.clipped).sum == full.get.clipped)
+      // hand-check one window against a direct slice computation
+      if (w.windows.nonEmpty) {
+        val k = rnd.nextInt(w.windows.size)
+        val lo = (k * wfr).toInt * channels
+        val hi = math.min(((k + 1) * wfr).toInt, frames) * channels
+        val slice = samples.slice(lo, hi).map(_.toLong)
+        assert(w.windows(k).sumSquares == slice.map(v => v * v).sum)
+        assert(w.windows(k).peakAbs ==
+          (0L +: slice.map(math.abs)).max)
+      }
+    }
+    // windowFrames < 1 declines
+    assert(Wav.decodeWindowStats(
+      Wav.encode(8000, 1, 16, Array(1)), 0L).isEmpty)
+  }
+
   test("decodeAudioStats: dataset pass, nulls for corrupt rows") {
     val ss = spark
     import ss.implicits._
