@@ -624,6 +624,78 @@ object Multimodal {
     }.toDF("doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Difference hash (dHash) over decoded pixels — the image
+    * NEAR-DEDUP fingerprint: downscale to a 9×8 brightness grid
+    * (integer-division tile boundaries, exact per-tile channel sums)
+    * and emit one bit per horizontally-adjacent tile pair
+    * (left-to-right brightness gradient sign), 8×8 = 64 bits. The
+    * standard perceptual hash: shifts in absolute brightness/contrast
+    * (re-encode, watermark-free brighten) preserve gradient SIGNS, so
+    * near-dups land at small Hamming distance — pair with
+    * [[graft.operators.Dedup.hammingPairs64]]'s banded join for the
+    * scale path.
+    *
+    * Exactness: tile means are never computed — the gradient compare
+    * cross-multiplies exact integer sums (mean_b > mean_a ⟺
+    * s_b·n_a > s_a·n_b), so the hash is deterministic in any engine.
+    * Brightness is the unweighted r+g+b sum (fractional luma weights
+    * would break integer exactness; for grayscale they coincide).
+    * Bit (tx, ty) of the result is `1L << (ty*8 + tx)` set when tile
+    * (tx+1, ty) is strictly brighter than tile (tx, ty). Images
+    * smaller than the 9×8 grid (or corrupt) yield null.
+    */
+  def dHash64(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        (if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
+         else if (JpegDecoder.isJpeg(rec.media)) JpegDecoder.decode(rec.media)
+         else PngDecoder.decode(rec.media)) match {
+          case Some(r) if r.width >= 9 && r.height >= 8 =>
+            val xb = Array.tabulate(10)(t => t * r.width / 9)
+            val yb = Array.tabulate(9)(t => t * r.height / 8)
+            val s = Array.ofDim[Long](9 * 8)
+            val n = Array.ofDim[Long](9 * 8)
+            var ty = 0
+            while (ty < 8) {
+              var yy = yb(ty)
+              while (yy < yb(ty + 1)) {
+                var tx = 0
+                while (tx < 9) {
+                  val ti = ty * 9 + tx
+                  var xx = xb(tx)
+                  while (xx < xb(tx + 1)) {
+                    val px = yy * r.width + xx
+                    s(ti) += (r.rgba(4 * px) & 0xFF) +
+                      (r.rgba(4 * px + 1) & 0xFF) +
+                      (r.rgba(4 * px + 2) & 0xFF)
+                    n(ti) += 1
+                    xx += 1
+                  }
+                  tx += 1
+                }
+                yy += 1
+              }
+              ty += 1
+            }
+            var h = 0L
+            var b = 0
+            while (b < 64) {
+              val tx = b % 8
+              val tyy = b / 8
+              val ia = tyy * 9 + tx
+              val ib = tyy * 9 + tx + 1
+              if (BigInt(s(ib)) * n(ia) > BigInt(s(ia)) * n(ib))
+                h |= 1L << b
+              b += 1
+            }
+            (rec.doc_id, Some(h))
+          case _ => (rec.doc_id, None: Option[Long])
+        }
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
   /** Video-style FRAME SAMPLING over animated GIFs: decode every
     * `everyK`-th composited frame (up to `maxFrames`) and emit one
     * stats row per sampled frame — the "frame-sample" verb of the

@@ -3196,6 +3196,104 @@ object PipelineQueries {
         AS t(doc_id, tile_x, tile_y, n_px, sum_r, sum_g, sum_b)
       ORDER BY doc_id, tile_y NULLS FIRST, tile_x"""))
 
+  // ---- q231: image near-dedup (dHash + banded Hamming join) ----
+  // Near-dup for IMAGES, closing the multimodal×dedup loop: dHash
+  // fingerprints (9×8 gradient-sign grid over decoded pixels) paired
+  // by the exact pigeonhole-banded Hamming join. The gate is a TRUE
+  // cross-engine differential: Spark synthesizes real grayscale PNGs
+  // per id from an integer formula, DECODES the bytes, and hashes the
+  // pixels; DuckDB computes the identical hash from the SYNTHESIS
+  // RULE alone (gradient comparisons over the formula, two 32-bit
+  // halves reassembled two's-complement) — any drift in the PNG
+  // encoder, the decoder, the tile compare, or the banded join fails
+  // the hash. Corpus: nation ids, +100 brightness twins (identical
+  // gradients → Hamming 0), +200 right-half-brightened variants
+  // (≤ 8 flipped bits — inside the radius).
+
+  val q231 = Q(
+    "q231_image_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val nation = Tables(s, dir, "nation")
+      val ids = nation.select(col("n_nationkey").cast("long").as("id"))
+      val allIds = ids
+        .unionByName(ids.select((col("id") + 100).as("id")))
+        .unionByName(ids.select((col("id") + 200).as("id")))
+        .as[Long]
+      val media = allIds.mapPartitions { it =>
+        it.map { id =>
+          val fam = (id % 100).toInt
+          val bright = (id / 100).toInt * 25
+          val samples = Array.tabulate[Byte](9 * 8) { p =>
+            val x = p % 9
+            val y = p / 9
+            // QUADRATIC Knuth mix: a linear congruential mix gives
+            // every family the same gradient step (near-identical
+            // hashes); squaring the phase makes gradient signs
+            // pseudo-random per family, so cross-family Hamming sits
+            // near 32 and only true variants pair
+            val v = (x + 9 * y + 72 * fam + 1).toLong
+            val core = ((v * v * 2654435761L) % 2147483647L % 150L).toInt
+            (core + bright +
+              (if (id >= 200 && x >= 5) 40 else 0)).toByte
+          }
+          graft.multimodal.MediaRecord(id,
+            graft.multimodal.PngEncoder.encode(9, 8, 0, samples),
+            "image/png")
+        }
+      }
+      // stage the hashes: the banded pair join references them twice
+      val ht = Scratch.dir(s, "q231_hashes_")
+      Multimodal.dHash64(media).write.mode("overwrite").parquet(ht)
+      val hs = s.read.parquet(ht)
+      val pairs = Dedup.hammingPairs64(hs, "doc_id", "dhash",
+        maxHamming = 8)
+      val sym = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      hs.join(sym, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dhash"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+        UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT) FROM nation
+        UNION ALL SELECT CAST(n_nationkey + 200 AS BIGINT) FROM nation),
+      xs AS (SELECT unnest(range(0, 9)) AS x),
+      ys AS (SELECT unnest(range(0, 8)) AS y),
+      px AS (SELECT id, x, y,
+               ((x + 9*y + 72*(id % 100) + 1)
+                 * (x + 9*y + 72*(id % 100) + 1) * 2654435761)
+                 % 2147483647 % 150
+               + 25*(id // 100)
+               + CASE WHEN id >= 200 AND x >= 5 THEN 40 ELSE 0 END AS g
+             FROM ids, xs, ys),
+      bits AS (SELECT a.id, a.x, a.y,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+               FROM px a JOIN px b
+                 ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+               WHERE a.x < 8),
+      halves AS (SELECT id,
+          CAST(sum(CASE WHEN y*8 + x < 32
+            THEN bit * (CAST(1 AS BIGINT) << CAST(y*8 + x AS INT))
+            ELSE 0 END) AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN y*8 + x >= 32
+            THEN bit * (CAST(1 AS BIGINT) << CAST(y*8 + x - 32 AS INT))
+            ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY 1),
+      hs AS (SELECT id,
+          CASE WHEN hi >= 2147483648
+               THEN (hi - 4294967296) * 4294967296 + lo
+               ELSE hi * 4294967296 + lo END AS dhash
+        FROM halves)
+      SELECT a.id AS doc_id, a.dhash,
+             CAST(count(b.id) AS BIGINT) AS n_dup
+      FROM hs a LEFT JOIN hs b
+        ON b.id <> a.id AND bit_count(xor(a.dhash, b.dhash)) <= 8
+      GROUP BY 1, 2 ORDER BY doc_id"""))
+
   // ---- q195: end-to-end entity resolution ----
   // The record-linkage PIPELINE assembled from its graded kernels:
   // blocked fuzzy pairs (row 192) -> connected components (row 49,
@@ -4413,7 +4511,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
-    q215, q217, q218, q220, q221, q222, q226, q228, q229, q230,
+    q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q49,
     q53, q54, q55, q57, q68, q71, q72, q75, q76, q77, q84, q93, q97, q98,
     q99, q100, q104, q106, q110, q112, q113, q114, q115, q116, q120,

@@ -206,6 +206,49 @@ class PngSpec extends SparkTestBase {
     }
   }
 
+  test("dHash64: gradient-sign hash, brightness-invariant, exact") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(61)
+    // 9x8 grayscale at native grid: bit b set iff px(x+1,y) > px(x,y)
+    val g = Array.fill(9 * 8)(rnd.nextInt(200))
+    def png(shift: Int) = PngEncoder.encode(9, 8, 0,
+      g.map(v => (v + shift).toByte))
+    var expect = 0L
+    for (b <- 0 until 64) {
+      val x = b % 8; val y = b / 8
+      if (g(y * 9 + x + 1) > g(y * 9 + x)) expect |= 1L << b
+    }
+    val rows = Multimodal.dHash64(Seq(
+        MediaRecord(1L, png(0), "image/png"),
+        MediaRecord(2L, png(55), "image/png"), // brightness shift
+        MediaRecord(3L, "junk".getBytes, "image/png"),
+        MediaRecord(4L, PngEncoder.encode(4, 4, 0,
+          Array.fill[Byte](16)(7)), "image/png")) // smaller than grid
+      .toDS()).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == expect)
+    // a uniform brightness shift preserves every gradient sign
+    assert(rows(1).getLong(1) == expect)
+    assert(rows(2).isNullAt(1) && rows(3).isNullAt(1))
+    // downscale grid: an 18x16 image whose 2x2 blocks average to g
+    // hashes identically (cross-multiplied means, no float division)
+    val big = Array.ofDim[Byte](18 * 16)
+    for (y <- 0 until 16; x <- 0 until 18) {
+      val base = g((y / 2) * 9 + x / 2)
+      // block values base-1, base+1, base, base: mean exactly base
+      val d = (x % 2, y % 2) match {
+        case (0, 0) => -1
+        case (1, 0) => 1
+        case _ => 0
+      }
+      big(y * 18 + x) = (base + d).toByte
+    }
+    val h2 = Multimodal.dHash64(Seq(
+      MediaRecord(9L, PngEncoder.encode(18, 16, 0, big), "image/png"))
+      .toDS()).head.getLong(1)
+    assert(h2 == expect)
+  }
+
   test("GIF roundtrip: palette indices survive LZW encode/decode") {
     val rnd = new scala.util.Random(71)
     val palette = Array.tabulate[Byte](3 * 8)(i => (i * 17 % 251).toByte)

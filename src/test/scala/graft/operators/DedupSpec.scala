@@ -389,4 +389,48 @@ class DedupSpec extends SparkTestBase {
       .collect().head
     assert(out.getAs[Long]("survivor_doc_id") == 5L)
   }
+
+  test("hammingPairs64: exact recall vs brute force (fuzz incl. sign bit)") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(17)
+    def flip(h: Long, n: Int): Long = {
+      // flip n distinct random bits
+      var v = h
+      rnd.shuffle((0 until 64).toList).take(n).foreach(b => v ^= 1L << b)
+      v
+    }
+    for (trial <- 0 until 5) {
+      val k = Seq(0, 3, 8, 16)(trial % 4)
+      // random hashes + planted neighbors at, inside, and just
+      // OUTSIDE the radius; include sign-bit-heavy values
+      val base = Seq.tabulate(12)(i =>
+        (i.toLong, if (i % 3 == 0) rnd.nextLong() | (1L << 63)
+        else rnd.nextLong()))
+      val planted = base.flatMap { case (id, h) =>
+        Seq((id + 100, flip(h, k)), (id + 200, flip(h, k + 1)))
+      }
+      val all = base ++ planted
+      val df = all.toDF("id", "h")
+      val got = Dedup.hammingPairs64(df, "id", "h", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val want = (for {
+        (a, ha) <- all; (b, hb) <- all if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= k
+      } yield (a, b, d)).toSet
+      assert(got == want, s"trial $trial k=$k: got ${got.size} want ${want.size}")
+      // the k-flip neighbor is found, the (k+1)-flip one is not
+      // (unless random collisions — covered by the exact set compare)
+    }
+    // null hashes drop
+    val withNull = Seq((1L, Some(5L)), (2L, Some(5L)),
+      (3L, Option.empty[Long])).toDF("id", "h")
+    assert(Dedup.hammingPairs64(withNull, "id", "h", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(withNull, "id", "h", 17)
+    }
+  }
 }
