@@ -630,6 +630,92 @@ object EtlQueries {
         FROM nation)
       ORDER BY at"""))
 
+  // ---- q232: WARC (Common Crawl) record-grain ingestion ----
+  // The physical shape of raw crawl text on S3: plant four WARC
+  // containers whose response bodies are documents rows — two
+  // multi-member `.warc.gz` in the Common Crawl record-per-member
+  // layout, one plain `.warc`, and one gzipped archive whose last
+  // record is TRUNCATED mid-content-block — then read them back at
+  // record grain with [[graft.sources.Warc.readDir]]. The oracle
+  // replays every field from the documents table (payload bodies
+  // hash-checked via md5), the warcinfo file headers analytically,
+  // and the truncated tail as the contract's single decline row
+  // after the salvaged prefix. Parallelism is per FILE (a crawl
+  // snapshot is ~64k independent ~1 GB segments), parsing is
+  // streaming within a file — the 100 TB shape needs no shuffle at
+  // all until the first downstream aggregate.
+
+  val q232 = Q(
+    "q232_warc_ingest",
+    (s, dir) => {
+      import graft.sources.{Warc, WarcFixture => WFx}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      // Fixture authoring: 24 bounded rows collected to frame record
+      // bytes on the driver — the same fixture grain as the WAV/MP4
+      // byte fixtures, NOT a corpus-sized collect.
+      val docs = Tables(s, dir, "documents")
+        .where(col("doc_id") < 24)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def resp(d: (Long, String)): Array[Byte] =
+        WFx.response(s"http://example.com/doc/${d._1}", 200,
+          d._2.getBytes(utf8))
+      val info = WFx.warcinfo("software: graft-warc/1.0\n".getBytes(utf8))
+      val f1 = WFx.gzMembers(info +: docs.filter(_._1 < 8).map(resp).toSeq)
+      val f2 = WFx.gzMembers(
+        info +: docs.filter(d => d._1 >= 8 && d._1 < 16).map(resp).toSeq)
+      val f3 = WFx.plain(info +: docs.filter(_._1 >= 16).map(resp).toSeq)
+      // valid prefix, then a record cut 40 bytes short of its declared
+      // Content-Length: the reader must salvage the prefix and emit
+      // ONE all-null decline row for the damaged tail.
+      val cut = WFx.record(Seq("WARC-Type" -> "resource"),
+        Array.fill[Byte](64)(7)).dropRight(40)
+      val f4 = WFx.gzMembers(docs.filter(_._1 < 4).map(resp).toSeq :+ cut)
+      val t = scratch(s, "q232_warc_")
+      graft.ScratchSpace.writeBytes(s, t, "w1.warc.gz", f1)
+      graft.ScratchSpace.writeBytes(s, t, "w2.warc.gz", f2)
+      graft.ScratchSpace.writeBytes(s, t, "w3.warc", f3)
+      graft.ScratchSpace.writeBytes(s, t, "w4.warc.gz", f4)
+      Warc.readDir(s, t,
+          idFromPath = p => regexp_extract(p, "w(\\d+)\\.warc", 1))
+        .select(
+          col("file_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("http_status"), col("payload_len"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("file_id", "rec_idx")
+    },
+    Some("""
+      WITH recs AS (
+        SELECT CAST(CASE WHEN doc_id < 8 THEN 1
+                         WHEN doc_id < 16 THEN 2 ELSE 3 END AS BIGINT)
+                 AS file_id,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS rec_idx,
+               'response' AS warc_type,
+               'http://example.com/doc/' || doc_id AS target_uri,
+               CAST(200 AS INTEGER) AS http_status,
+               CAST(strlen(text) AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 24
+        UNION ALL
+        SELECT 4, CAST(doc_id AS INTEGER), 'response',
+               'http://example.com/doc/' || doc_id, 200,
+               strlen(text), md5(text)
+        FROM documents WHERE doc_id < 4
+        UNION ALL
+        SELECT f.file_id, 0, 'warcinfo', NULL, NULL,
+               CAST(strlen('software: graft-warc/1.0' || chr(10))
+                 AS BIGINT),
+               md5('software: graft-warc/1.0' || chr(10))
+        FROM (VALUES (1),(2),(3)) f(file_id)
+        UNION ALL
+        SELECT 4, NULL, NULL, NULL, NULL, NULL, NULL)
+      SELECT file_id, rec_idx, warc_type, target_uri, http_status,
+             payload_len, payload_md5
+      FROM recs
+      ORDER BY file_id, rec_idx NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224, q225, q227)
+    q134, q168, q203, q219, q224, q225, q227, q232)
 }
