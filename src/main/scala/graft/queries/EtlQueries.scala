@@ -716,6 +716,101 @@ object EtlQueries {
       FROM recs
       ORDER BY file_id, rec_idx NULLS FIRST"""))
 
+  // ---- q233: WebDataset (tar-shard) sample ingestion ----
+  // The standard physical shape of multimodal training data: `.tar`
+  // shards whose members group into samples by basename key
+  // (000042.txt + 000042.json + 000042.cls = one sample). Plant three
+  // healthy shards (one gzipped) plus one truncated mid-member, read
+  // them at member grain with [[graft.sources.Tar.readDir]], group
+  // with `Tar.groupSamples` (ONE shuffle by (shard, key)), and emit
+  // per-sample part counts / byte totals / payload hashes. The oracle
+  // replays everything from the documents table, including the
+  // salvaged-prefix semantics of the truncated shard: doc 0's full
+  // sample survives, doc 1 surfaces with its txt part only, and the
+  // member under the damage point never appears. A directory member
+  // and a PAX 'x' metadata member in shard 1 must be skipped without
+  // touching sample grain.
+
+  val q233 = Q(
+    "q233_webdataset_ingest",
+    (s, dir) => {
+      import graft.sources.{Tar, TarFixture => TFx}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      // Fixture authoring: 30 bounded rows collected to frame member
+      // bytes on the driver — fixture grain, not a corpus collect.
+      val docs = Tables(s, dir, "documents")
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3)))
+        .sortBy(_._1)
+      def key(id: Long) = f"$id%06d"
+      def sample(d: (Long, String, String, String)): Seq[Array[Byte]] =
+        Seq(
+          TFx.member(s"${key(d._1)}.txt", d._2.getBytes(utf8)),
+          TFx.member(s"${key(d._1)}.json",
+            s"""{"id":${d._1},"source":"${d._4}"}""".getBytes(utf8)),
+          TFx.member(s"${key(d._1)}.cls", d._3.getBytes(utf8)))
+      def shard(ids: Range): Seq[Array[Byte]] =
+        docs.filter(d => ids.contains(d._1.toInt)).flatMap(sample).toSeq
+      val t1 = TFx.archive(
+        (TFx.dirMember("data/") +:
+          TFx.member("meta", "comment=x".getBytes(utf8), 'x') +:
+          shard(0 until 10)))
+      val t2 = TFx.archiveGz(shard(10 until 20))
+      val t3 = TFx.archive(shard(20 until 30))
+      // shard 4: doc 0 complete, doc 1's txt, then a member whose
+      // content block is cut 700 bytes short — salvage the prefix,
+      // decline the tail (decline rows carry no sample parts).
+      val cut = TFx.member("zzzz.bin", Array.fill[Byte](600)(3))
+        .dropRight(700)
+      val t4 = Array.concat(
+        (sample(docs(0)) ++
+          Seq(TFx.member(s"${key(1)}.txt", docs(1)._2.getBytes(utf8)),
+            cut)): _*)
+      val t = scratch(s, "q233_wds_")
+      graft.ScratchSpace.writeBytes(s, t, "t1.tar", t1)
+      graft.ScratchSpace.writeBytes(s, t, "t2.tar.gz", t2)
+      graft.ScratchSpace.writeBytes(s, t, "t3.tar", t3)
+      graft.ScratchSpace.writeBytes(s, t, "t4.tar", t4)
+      Tar.groupSamples(Tar.readDir(s, t,
+          idFromPath = p => regexp_extract(p, "t(\\d+)\\.tar", 1)))
+        .select(
+          col("file_id"), col("sample_key"), col("n_parts"),
+          col("sample_bytes"),
+          md5(try_element_at(col("parts"), lit("txt"))).as("txt_md5"),
+          try_element_at(col("parts"), lit("cls")).cast("string")
+            .as("lang"))
+        .orderBy("file_id", "sample_key")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, lang,
+               '{"id":' || doc_id || ',"source":"' || source || '"}'
+                 AS js
+        FROM documents WHERE doc_id < 30),
+      samples AS (
+        SELECT CAST(doc_id // 10 + 1 AS BIGINT) AS file_id,
+               printf('%06d', doc_id) AS sample_key,
+               CAST(3 AS BIGINT) AS n_parts,
+               CAST(strlen(text) + strlen(js) + strlen(lang) AS BIGINT)
+                 AS sample_bytes,
+               md5(text) AS txt_md5,
+               lang
+        FROM d
+        UNION ALL
+        SELECT 4, printf('%06d', doc_id), 3,
+               strlen(text) + strlen(js) + strlen(lang), md5(text), lang
+        FROM d WHERE doc_id = 0
+        UNION ALL
+        SELECT 4, printf('%06d', doc_id), 1, strlen(text), md5(text),
+               NULL
+        FROM d WHERE doc_id = 1)
+      SELECT file_id, sample_key, n_parts, sample_bytes, txt_md5, lang
+      FROM samples
+      ORDER BY file_id, sample_key"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224, q225, q227, q232)
+    q134, q168, q203, q219, q224, q225, q227, q232, q233)
 }
