@@ -811,6 +811,70 @@ object EtlQueries {
       FROM samples
       ORDER BY file_id, sample_key"""))
 
+  // ---- q234: gzip-JSONL ingestion with quarantine ----
+  // The dominant text-corpus interchange format: write documents rows
+  // as gzipped JSONL through the engine's own to_json sink (so the
+  // text roundtrips Spark's exact escaping), add a hand-authored file
+  // carrying two extra good lines and three corrupt ones, read the
+  // directory back with an EXPLICIT schema in PERMISSIVE mode, and
+  // split good/quarantine. The oracle replays good rows from the
+  // documents table and quarantine rows as the RAW corrupt lines
+  // (md5-checked — the quarantine must preserve bytes for
+  // reprocessing, not a parse error message). Scale: schema is
+  // declared (inference would be a second full pass over 100 TB),
+  // gzip keeps one task per object — matching real corpus sharding.
+
+  val q234 = Q(
+    "q234_jsonl_ingest",
+    (s, dir) => {
+      import graft.sources.Jsonl
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val t = scratch(s, "q234_jsonl_")
+      Jsonl.write(
+        Tables(s, dir, "documents")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").as("id"), col("text"), col("lang")),
+        t, gzip = true)
+      graft.ScratchSpace.writeBytes(s, t, "extra.jsonl", Seq(
+        """{"id":900,"text":"niner hundred","lang":"en"}""",
+        """not json at all {{{""",
+        """{"id":901,"text":"nine oh one","lang":"de"}""",
+        """{"id":12,""",
+        "42",
+        "").mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (good, bad) = Jsonl.split(Jsonl.readDir(s, t, schema))
+      good.select(
+          col("id"), col("lang"), md5(col("text")).as("txt_md5"),
+          lit(false).as("is_corrupt"))
+        .unionAll(bad.select(
+          lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("lang"),
+          md5(col(Jsonl.Corrupt)).as("txt_md5"),
+          lit(true).as("is_corrupt")))
+        .orderBy("is_corrupt", "id", "txt_md5")
+    },
+    Some("""
+      WITH rows_all AS (
+        SELECT doc_id AS id, lang, md5(text) AS txt_md5,
+               FALSE AS is_corrupt
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT CAST(900 AS BIGINT), 'en', md5('niner hundred'), FALSE
+        UNION ALL
+        SELECT 901, 'de', md5('nine oh one'), FALSE
+        UNION ALL
+        SELECT NULL, NULL, md5('not json at all {{{'), TRUE
+        UNION ALL
+        SELECT NULL, NULL, md5('{"id":12,'), TRUE
+        UNION ALL
+        SELECT NULL, NULL, md5('42'), TRUE)
+      SELECT id, lang, txt_md5, is_corrupt
+      FROM rows_all
+      ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224, q225, q227, q232, q233)
+    q134, q168, q203, q219, q224, q225, q227, q232, q233, q234)
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Newline-delimited JSON (`.jsonl` / `.jsonl.gz`) ingestion — the
+  * dominant interchange format for text corpora on S3 (one document
+  * object per line, gzip per file).
+  *
+  * Spark-first by construction: the parser IS Spark's native JSON
+  * datasource (codegen'd JacksonParser, gzip codec transparent), this
+  * layer pins the two decisions that matter at 100 TB and the
+  * reference's generic download path (download_file.py:167-296) never
+  * had to make:
+  *
+  *  - **Explicit schema, never inference.** Schema inference is a full
+  *    extra pass over the data before the real one — at 100 TB that
+  *    doubles the scan. Callers declare what they expect; everything
+  *    else lands in the quarantine column.
+  *  - **PERMISSIVE + retained corrupt record.** A malformed line (task
+  *    failure in FAILFAST, silent loss in DROPMALFORMED) becomes a row
+  *    whose `_corrupt` column holds the RAW line — reprocessable,
+  *    countable, auditable. [[split]] separates the streams.
+  *
+  * Scale note: gzip is not splittable — one task per `.jsonl.gz`
+  * object, which matches how corpora actually shard (many ~100 MB-1 GB
+  * files). A single multi-TB gzip object is an upstream layout bug
+  * this layer cannot fix; re-shard or use a splittable codec.
+  */
+object Jsonl {
+
+  /** The quarantine column name. */
+  val Corrupt = "_corrupt"
+
+  /** Read a directory of `.jsonl`/`.jsonl.gz` objects with an explicit
+    * schema; unparseable lines surface as rows with all schema columns
+    * null and the raw line in [[Corrupt]]. A line that parses but
+    * misses fields fills nulls WITHOUT quarantining — presence rules
+    * belong to a downstream contract check (row 166), not the reader.
+    * Blank lines are skipped (JSONL semantics).
+    *
+    * Implementation is text-source + `from_json` rather than the json
+    * datasource: the datasource forbids queries that reference only
+    * the corrupt column (so `split`'s quarantine side would throw),
+    * while `from_json` carries the same codegen'd JacksonParser with
+    * no such restriction — and the physical scan (gzip codec,
+    * per-file tasks) is identical.
+    */
+  def readDir(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      glob: String = "*"): DataFrame = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema already contains reserved column '$Corrupt'")
+    spark.read
+      .option("pathGlobFilter", glob)
+      .text(dir)
+      .where(length(trim(col("value"))) > 0)
+      .select(from_json(
+        col("value"),
+        schema.add(Corrupt, StringType),
+        Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> Corrupt)).as("j"))
+      .select(col("j.*"))
+  }
+
+  /** Split a [[readDir]] result into (good, quarantine): good rows
+    * drop the corrupt column; quarantine rows carry only the raw line.
+    */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val good = df.where(col(Corrupt).isNull).drop(Corrupt)
+    val bad = df.where(col(Corrupt).isNotNull).select(col(Corrupt))
+    (good, bad)
+  }
+
+  /** Authoring twin / sink: one JSON object per row (Spark's to_json
+    * escaping — the exact inverse of the reader), optionally gzipped.
+    * Column order in the line follows the DataFrame schema.
+    */
+  def write(df: DataFrame, path: String, gzip: Boolean = true): Unit = {
+    val lines = df.select(
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    val w = lines.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).text(path)
+  }
+}
