@@ -875,6 +875,61 @@ object EtlQueries {
       FROM rows_all
       ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
 
+  // ---- q235: transactional Delta write (append/overwrite) ----
+  // Closes the q219 interop loop: the engine WRITES the lake's table
+  // format, not only reads it. Two partitioned appends then an
+  // overwrite run through DeltaWrite's real commit protocol (staged
+  // data + rename, per-file stats, create-exclusive versioned JSON),
+  // and the result is read back through DeltaRead at two versions —
+  // time travel to the pre-overwrite tip must see both appends, the
+  // final read only the overwrite; the engine-side require proves the
+  // written stats power the metadata-only count path. The oracle
+  // replays both states from the nation source table.
+
+  val q235 = Q(
+    "q235_delta_write",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q235_deltaw")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("src"))
+      val v0 = DeltaWrite.append(
+        base.where(col("k") < 13), t, partitionBy = Seq("src"))
+      val v1 = DeltaWrite.append(
+        base.where(col("k") >= 13), t, partitionBy = Seq("src"))
+      val v2 = DeltaWrite.overwrite(
+        base.where(col("k") % 2 === 0)
+          .withColumn("k", col("k") + 100),
+        t, partitionBy = Seq("src"))
+      require(v0 == 0L && v1 == 1L && v2 == 2L,
+        s"unexpected commit versions ($v0, $v1, $v2)")
+      // written stats must power the metadata-only count path
+      val nAll = nation.count()
+      val nEven = nation.where(col("n_nationkey") % 2 === 0).count()
+      require(DeltaRead.countRows(s, t, asOf = Some(1L)) == nAll,
+        "metadata count at v1 != nation rows")
+      require(DeltaRead.countRows(s, t) == nEven,
+        "metadata count at tip != overwrite rows")
+      DeltaRead.read(s, t, asOf = Some(1L))
+        .select(lit("v1").as("at"), col("k"), col("name"), col("src"))
+        .unionAll(DeltaRead.read(s, t)
+          .select(lit("v2").as("at"), col("k"), col("name"), col("src")))
+        .orderBy("at", "k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'v1' AS at, CAST(n_nationkey AS BIGINT) AS k,
+               n_name AS name, 'r' || n_regionkey AS src
+        FROM nation
+        UNION ALL
+        SELECT 'v2', CAST(n_nationkey + 100 AS BIGINT), n_name,
+               'r' || n_regionkey
+        FROM nation WHERE n_nationkey % 2 = 0)
+      ORDER BY at, k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224, q225, q227, q232, q233, q234)
+    q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235)
 }

@@ -528,9 +528,10 @@ object DeltaRead {
         if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
           new Path(new java.net.URI(f.path))
         else new Path(root, decodePath(f.path))
-      (fs.makeQualified(fp).toString, f.partitionValues)
+      (fs.makeQualified(fp), f.partitionValues)
     }
-    val scan = spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
+    val scan = spark.read.schema(dataSchema)
+      .parquet(files.map(_._1.toString): _*)
     if (partCols.isEmpty) return scan.select(
       snap.schema.map(f => col(f.name)): _*)
     // partition attach: (normalized file path -> partition values)
@@ -539,8 +540,11 @@ object DeltaRead {
       StructField("__file", StringType, nullable = false) +:
         partCols.map(c => StructField(s"__pv_$c", StringType,
           nullable = true)))
+    // the scan's `_metadata.file_path` is the URI-ENCODED form
+    // (Path.toUri — a literal '%' in a dir name arrives as %25), so
+    // the map key must be the same encoding, not Path.toString
     val rows = files.map { case (fp, pvs) =>
-      Row.fromSeq(normalizeStr(fp) +:
+      Row.fromSeq(normalizeStr(fp.toUri.toString) +:
         partCols.map(c => pvs.get(c).flatten.orNull))
     }
     val javaRows = new java.util.ArrayList[Row](rows.length)

@@ -1,0 +1,429 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Transactional Delta Lake writer — append / overwrite through the
+  * PUBLIC commit protocol (github.com/delta-io/delta PROTOCOL.md),
+  * completing the [[DeltaRead]] interop loop: the engine can now
+  * produce tables any Delta reader consumes, not only consume them.
+  * (The reference's upload blueprint, upload_file.py:174-217, moves
+  * opaque objects; this is the table-formatted upsert a lake actually
+  * wants.)
+  *
+  * Write path (the real writers' shape):
+  *  1. **Data first, invisibly.** The DataFrame writes as parquet into
+  *     a `_staging-<nonce>` dir INSIDE the table, then each part file
+  *     renames (same-FS, O(1) metadata op) to its final
+  *     `<part>=<val>/...` location. Files not referenced by a
+  *     committed log entry are invisible to every Delta reader, so a
+  *     crash here leaves only orphans (VACUUM-class garbage, never
+  *     corruption).
+  *  2. **Stats.** One Spark aggregate over the fresh files only
+  *     (grouped by `_metadata.file_path`) collects per-file numRecords
+  *     and long-column min/max — the inputs of metadata-only counts
+  *     and zone-map skipping. Real writers fold this into the write
+  *     itself; the extra pass here touches only this commit's data,
+  *     never the table.
+  *  3. **Commit = ONE create-exclusive JSON** at the next version.
+  *     Version collision means a concurrent writer won that number:
+  *     appends re-validate the schema and retry at the new tip
+  *     (appends conflict with nothing but metadata changes);
+  *     overwrites re-snapshot so the remove set covers the winner's
+  *     files too. Bounded retries, loud failure.
+  *
+  * Scope guards (refuse loudly, never corrupt): existing tables must
+  * replay under [[DeltaRead]]'s reader-v1 gate, need
+  * minWriterVersion <= 2 with no writerFeatures, and must not set
+  * `delta.appendOnly` when overwriting; schemas must match the table
+  * exactly (field names + types; nullability ignored) — evolution is
+  * a different operation, not a silent side effect of a write.
+  */
+object DeltaWrite {
+
+  private val mapper = new ObjectMapper()
+
+  private def fail(path: String, why: String): Nothing =
+    throw new IllegalArgumentException(s"DeltaWrite: $path — $why")
+
+  /** One freshly written data file, ready for its add action. */
+  private final case class NewFile(
+      relPath: String,
+      size: Long,
+      partitionValues: Map[String, Option[String]],
+      stats: Option[String])
+
+  /** Append `df` to the Delta table at `tablePath`, creating the table
+    * (version 0: protocol + metaData + adds) when no `_delta_log`
+    * exists. Returns the committed version.
+    */
+  def append(
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      collectStats: Boolean = true,
+      maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Long =
+    write(df, tablePath, partitionBy, overwrite = false, collectStats,
+      maxRetries, beforeCommit)
+
+  /** Replace the table's live content with `df` (remove every live
+    * file + add the new ones, one atomic commit). The table must
+    * exist. Returns the committed version.
+    */
+  def overwrite(
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      collectStats: Boolean = true,
+      maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Long =
+    write(df, tablePath, partitionBy, overwrite = true, collectStats,
+      maxRetries, beforeCommit)
+
+  private def write(
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String],
+      overwrite: Boolean,
+      collectStats: Boolean,
+      maxRetries: Int,
+      beforeCommit: () => Unit): Long = {
+    val spark = df.sparkSession
+    partitionBy.foreach { c =>
+      if (!df.columns.contains(c))
+        fail(tablePath, s"partition column '$c' not in DataFrame " +
+          s"(have ${df.columns.mkString(",")})")
+    }
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    val exists = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
+    if (!exists && overwrite)
+      fail(tablePath, "overwrite of a non-existent table — create it " +
+        "with append first (an overwrite that silently creates hides " +
+        "path typos)")
+
+    // existing-table gates: reader replay (validates reader version),
+    // schema equality, writer version / features / appendOnly
+    val existingSnap =
+      if (exists) {
+        val snap = DeltaRead.snapshot(spark, tablePath)
+        checkSchema(tablePath, df.schema, partitionBy, snap)
+        writerGate(spark, fs, logDir, root, overwrite)
+        Some(snap)
+      } else None
+
+    val newFiles = writeData(spark, fs, root, df, partitionBy, collectStats)
+
+    var attempt = 0
+    var version =
+      existingSnap.map(_ => DeltaRead.versions(spark, tablePath).max + 1)
+        .getOrElse(0L)
+    var removes: Seq[String] =
+      if (overwrite) existingSnap.get.liveFiles.map(_.path) else Seq.empty
+    while (true) {
+      beforeCommit()
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoLine(if (overwrite) "Overwrite" else "Append")
+      if (version == 0L) {
+        lines += DeltaFixture.protocolLine()
+        lines += DeltaFixture.metaDataLine(
+          java.util.UUID.randomUUID().toString, df.schema, partitionBy)
+      }
+      removes.foreach(lines += DeltaFixture.removeLine(_))
+      newFiles.foreach { f =>
+        lines += DeltaFixture.addLine(
+          f.relPath, f.size, f.partitionValues, stats = f.stats)
+      }
+      if (tryCommit(fs, logDir, version, lines.result()))
+        return version
+      attempt += 1
+      if (attempt > maxRetries)
+        fail(tablePath, s"commit lost $maxRetries version races — " +
+          "giving up (staged files are inert orphans)")
+      // a concurrent writer took this version: re-validate at the tip
+      val snap = DeltaRead.snapshot(spark, tablePath)
+      checkSchema(tablePath, df.schema, partitionBy, snap)
+      if (overwrite) removes = snap.liveFiles.map(_.path)
+      version = DeltaRead.versions(spark, tablePath).max + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Exact schema + partitioning match against the table (names and
+    * types positionally by name; nullability ignored — parquet makes
+    * no promises there anyway).
+    */
+  private def checkSchema(
+      path: String,
+      incoming: StructType,
+      partitionBy: Seq[String],
+      snap: DeltaRead.DeltaSnapshot): Unit = {
+    if (partitionBy != snap.partitionColumns)
+      fail(path, s"partitionBy ${partitionBy.mkString(",")} != table's " +
+        s"partition columns ${snap.partitionColumns.mkString(",")}")
+    val want = snap.schema.map(f => f.name -> f.dataType).toMap
+    val got = incoming.map(f => f.name -> f.dataType).toMap
+    if (want != got)
+      fail(path, "schema mismatch — table has " +
+        s"${snap.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(",")} vs incoming " +
+        s"${incoming.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(",")}; schema evolution is not a silent write " +
+        "side effect")
+  }
+
+  /** Writer-side protocol gate over everything the log chain declares:
+    * JSON commits' protocol/metaData actions plus (when the readable
+    * head is a checkpoint) the checkpoint's protocol/metaData rows.
+    */
+  private def writerGate(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path,
+      root: Path,
+      overwrite: Boolean): Unit = {
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    def gateProtocol(minWriter: Int, feats: String): Unit =
+      if (minWriter > 2 || feats.nonEmpty)
+        fail(root.toString, s"table requires writer version $minWriter" +
+          (if (feats.nonEmpty) s" with features $feats" else "") +
+          " — only writer version <= 2 (no invariants beyond " +
+          "append/overwrite, no writer features) is supported")
+    def gateConfig(cfg: Map[String, String]): Unit =
+      if (overwrite && cfg.get("delta.appendOnly").contains("true"))
+        fail(root.toString,
+          "table is delta.appendOnly=true — overwrite refused")
+    names.filter(_.matches("\\d{20}\\.json")).foreach { n =>
+      val bytes = graft.ScratchSpace.readBytes(
+        spark, new Path(logDir, n).toString)
+      new String(bytes, "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case _: Exception => return } // reader already gated
+          val proto = node.get("protocol")
+          if (proto != null)
+            gateProtocol(
+              Option(proto.get("minWriterVersion")).map(_.asInt(2))
+                .getOrElse(2),
+              Option(proto.get("writerFeatures")).filter(!_.isNull)
+                .map(_.toString).getOrElse(""))
+          val meta = node.get("metaData")
+          if (meta != null) {
+            val cfgNode = meta.get("configuration")
+            if (cfgNode != null && !cfgNode.isNull) {
+              val it = cfgNode.properties().iterator()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                b += e.getKey -> e.getValue.asText()
+              }
+              gateConfig(b.result())
+            }
+          }
+        }
+    }
+    names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet")).foreach { n =>
+      val cp = spark.read.parquet(new Path(logDir, n).toString)
+      val top = cp.schema.fieldNames.toSet
+      if (top.contains("protocol")) {
+        val pf = cp.schema("protocol").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val featCol =
+          if (pf.contains("writerFeatures"))
+            col("protocol.writerFeatures").cast("string")
+          else lit(null).cast("string")
+        cp.where(col("protocol").isNotNull)
+          .select(col("protocol.minWriterVersion"), featCol)
+          .collect().foreach { r =>
+            gateProtocol(
+              if (r.isNullAt(0)) 2 else r.getInt(0),
+              if (r.isNullAt(1)) "" else r.getString(1))
+          }
+      }
+      if (top.contains("metaData")) {
+        val mf = cp.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        if (mf.contains("configuration"))
+          cp.where(col("metaData").isNotNull)
+            .select(col("metaData.configuration"))
+            .collect().foreach { r =>
+              if (!r.isNullAt(0))
+                gateConfig(r.getMap[String, String](0).toMap)
+            }
+      }
+    }
+  }
+
+  /** Stage-write the DataFrame inside the table, rename part files to
+    * their final partition locations, and (optionally) collect
+    * per-file stats with one aggregate over the fresh files.
+    */
+  private def writeData(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      df: DataFrame,
+      partitionBy: Seq[String],
+      collectStats: Boolean): Seq[NewFile] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"_staging-$nonce")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    // walk the stage tree: every part file's path relative to stage IS
+    // its final path relative to the table root (Spark already wrote
+    // the <col>=<val>/ layout with partition columns dropped from the
+    // data — exactly Delta's physical shape)
+    val moved =
+      Seq.newBuilder[(String, Map[String, Option[String]], Long, String)]
+    def walk(dir: Path, rel: Seq[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, rel :+ name)
+        else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+          val relPath = (rel :+ name).mkString("/")
+          val dest = new Path(root, relPath)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            fail(root.toString, s"rename to $dest failed")
+          val pvs = rel.filter(_.contains('=')).map { seg =>
+            val k = seg.takeWhile(_ != '=')
+            val v = unescapePathName(seg.drop(k.length + 1))
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+          }.toMap
+          // stats key = the scan's `_metadata.file_path` form (URI-
+          // encoded, qualified) — part file NAMES repeat across
+          // partition dirs of one job, so names cannot key anything
+          moved += ((relPath, pvs, st.getLen,
+            fs.makeQualified(dest).toUri.toString))
+        }
+      }
+    walk(stage, Seq.empty)
+    fs.delete(stage, true): Unit
+    val files = moved.result()
+    if (files.isEmpty) return Seq.empty
+    val statsByPath: Map[String, String] =
+      if (!collectStats) Map.empty
+      else {
+        val dataSchema = StructType(
+          df.schema.filterNot(f => partitionBy.contains(f.name)))
+        val longCols = dataSchema.fields
+          .filter(_.dataType == LongType).map(_.name).toSeq
+        val aggs = count(lit(1)).as("__n") +:
+          longCols.flatMap(c => Seq(
+            min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+        val paths = files.map(f => new Path(root, f._1).toString)
+        spark.read.schema(dataSchema).parquet(paths: _*)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val mm = longCols.flatMap { c =>
+              val lo = r.getAs[Any](s"__min_$c")
+              val hi = r.getAs[Any](s"__max_$c")
+              if (lo == null || hi == null) None
+              else
+                Some(c -> ((lo.asInstanceOf[Long], hi.asInstanceOf[Long])))
+            }.toMap
+            r.getString(0) -> DeltaFixture.statsJson(r.getAs[Long]("__n"), mm)
+          }.toMap
+      }
+    files.map { case (rel, pvs, size, uriPath) =>
+      val stats = statsByPath.get(uriPath)
+      if (collectStats && stats.isEmpty && files.nonEmpty &&
+        statsByPath.nonEmpty)
+        fail(root.toString, s"stats pass missed file $uriPath (have " +
+          s"${statsByPath.keys.take(2).mkString(", ")} ...) — path-form " +
+          "mismatch between writer and scan; refusing a partial-stats " +
+          "commit")
+      NewFile(encodeRelPath(rel), size, pvs, stats)
+    }
+  }
+
+  /** Delta add paths are RFC 2396 URI-encoded relative paths. */
+  private[sources] def encodeRelPath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
+
+  /** Inverse of Spark's partition-dir escaping (`%XX` hex pairs);
+    * malformed escapes stay literal.
+    */
+  private[sources] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        isHexDigit(s.charAt(i + 1)) && isHexDigit(s.charAt(i + 2))) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')
+
+  private def commitInfoLine(op: String): String = {
+    val root = mapper.createObjectNode()
+    val ci = root.putObject("commitInfo")
+    ci.put("operation", op)
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.put("engineInfo", "graft")
+    mapper.writeValueAsString(root)
+  }
+
+  /** One create-exclusive commit file; false = version taken. A
+    * leftover file that fails even a JSON-line parse is a torn write
+    * from a crashed committer: deleted and retried once (the
+    * [[DatasetIO]] manifest self-heal rule).
+    */
+  private def tryCommit(
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path,
+      version: Long,
+      lines: Seq[String]): Boolean = {
+    fs.mkdirs(logDir)
+    val dest = new Path(logDir, f"$version%020d.json")
+    val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    def attempt(): Boolean =
+      try {
+        val out = fs.create(dest, /*overwrite=*/ false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException if fs.exists(dest) => false
+      }
+    if (attempt()) return true
+    // parseable existing file = a committed (or committing) version;
+    // unparseable garbage = torn crash debris, heal once
+    val healthy =
+      try {
+        val st = fs.getFileStatus(dest)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(dest)
+        try in.readFully(0L, buf) finally in.close()
+        val text = new String(buf, "UTF-8")
+        buf.nonEmpty && text.endsWith("\n") &&
+          text.linesIterator.filter(_.trim.nonEmpty)
+            .forall(l => try { mapper.readTree(l); true }
+              catch { case _: Exception => false })
+      } catch { case _: Exception => true }
+    if (healthy) false
+    else {
+      fs.delete(dest, false)
+      attempt()
+    }
+  }
+}

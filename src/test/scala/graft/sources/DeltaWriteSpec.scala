@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DeltaWriteSpec extends SparkTestBase {
+
+  private def fresh(): String =
+    graft.ScratchSpace.dir(spark, "deltawspec_")
+
+  private def kv(lo: Int, hi: Int, src: String = null): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    val base = (lo until hi).map(i => (i.toLong, s"row$i"))
+    if (src == null) base.toDF("k", "name")
+    else base.map { case (k, n) => (k, n, src) }.toDF("k", "name", "src")
+  }
+
+  test("create + append + read roundtrip; metadata count from " +
+    "written stats") {
+    val t = fresh()
+    assert(DeltaWrite.append(kv(0, 5), t) == 0L)
+    assert(DeltaWrite.append(kv(5, 9), t) == 1L)
+    val got = DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == (0 until 9).map(i => (i.toLong, s"row$i")))
+    // the writer's stats make the metadata-only count path work
+    assert(DeltaRead.countRows(spark, t) == 9L)
+    assert(DeltaRead.countRows(spark, t, asOf = Some(0L)) == 5L)
+  }
+
+  test("partitioned write: Delta physical layout, partitionValues " +
+    "from the log, pruned scan") {
+    val t = fresh()
+    val df = kv(0, 6).withColumn("src",
+      when(col("k") < 3, "a").otherwise("b"))
+    assert(DeltaWrite.append(df, t, partitionBy = Seq("src")) == 0L)
+    // physical layout: src=a / src=b dirs, no partition col in data
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new Path(t)).map(_.getPath.getName).sorted
+    assert(dirs.contains("src=a") && dirs.contains("src=b"))
+    val back = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == (0 until 6).map(i =>
+      (i.toLong, s"row$i", if (i < 3) "a" else "b")))
+    // pruning uses the written partitionValues AND the written stats
+    val pruned = DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "a"),
+      range = Some(("k", 1L, 2L)))
+    assert(pruned.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+  }
+
+  test("overwrite replaces live content; history stays readable") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 4), t): Unit
+    assert(DeltaWrite.overwrite(kv(100, 102), t) == 1L)
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(100L, 101L))
+    assert(DeltaRead.read(spark, t, asOf = Some(0L)).count() == 4L)
+    assert(DeltaRead.countRows(spark, t) == 2L)
+  }
+
+  test("schema / partitioning mismatches refuse loudly") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(0, 3).withColumn("extra", lit(1)), t)
+    }
+    assert(e1.getMessage.contains("schema mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(
+        kv(0, 3).withColumn("k", col("k").cast("int")), t)
+    }
+    assert(e2.getMessage.contains("schema mismatch"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(0, 3), t, partitionBy = Seq("name"))
+    }
+    assert(e3.getMessage.contains("partition"))
+  }
+
+  test("overwrite of a non-existent table refuses") {
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(kv(0, 3), fresh() + "/nope")
+    }
+    assert(e.getMessage.contains("non-existent"))
+  }
+
+  test("version race: loser retries at the tip and both commits land") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    var raced = false
+    val v = DeltaWrite.append(kv(10, 13), t, beforeCommit = { () =>
+      if (!raced) {
+        raced = true
+        // a concurrent writer steals version 1
+        DeltaWrite.append(kv(100, 101), t): Unit
+      }
+    })
+    assert(v == 2L)
+    assert(DeltaRead.read(spark, t).count() == 7L)
+    assert(DeltaRead.versions(spark, t) == Seq(0L, 1L, 2L))
+  }
+
+  test("overwrite retry re-snapshots: the racer's files are removed " +
+    "too") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    var raced = false
+    DeltaWrite.overwrite(kv(50, 52), t, beforeCommit = { () =>
+      if (!raced) {
+        raced = true
+        DeltaWrite.append(kv(100, 105), t): Unit
+      }
+    }): Unit
+    // final state: ONLY the overwrite's rows — the racer's append was
+    // superseded by the re-snapshotted remove set
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(50L, 51L))
+  }
+
+  test("delta.appendOnly: append allowed, overwrite refused") {
+    val t = fresh()
+    // author a v0 with appendOnly config (fixture — the writer itself
+    // never sets it)
+    val schema = kv(0, 1).schema
+    val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
+    val metaLine = DeltaFixture.metaDataLine("ao", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.appendOnly\":\"true\"}")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(),
+      metaLine,
+      DeltaFixture.addLine("a.parquet", size)))
+    assert(DeltaWrite.append(kv(10, 12), t) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(kv(0, 1), t)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+  }
+
+  test("writer version > 2 refuses") {
+    val t = fresh()
+    val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 7),
+      DeltaFixture.metaDataLine("wv", kv(0, 1).schema),
+      DeltaFixture.addLine("a.parquet", size)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(10, 12), t)
+    }
+    assert(e.getMessage.contains("writer version"))
+  }
+
+  test("crash orphans (staged or unreferenced files) are invisible " +
+    "to readers") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    // simulate a crashed writer: stray staging dir + unreferenced file
+    DeltaFixture.plantDataFile(spark,
+      kv(900, 999), t, "_staging-dead/part-orphan.parquet"): Unit
+    DeltaFixture.plantDataFile(spark,
+      kv(900, 999), t, "part-orphan2.parquet"): Unit
+    assert(DeltaRead.read(spark, t).count() == 3L)
+    assert(DeltaRead.countRows(spark, t) == 3L)
+  }
+
+  test("escaped partition values roundtrip (value containing '=')") {
+    val t = fresh()
+    val df = kv(0, 2).withColumn("src", lit("x=y"))
+    DeltaWrite.append(df, t, partitionBy = Seq("src")): Unit
+    val back = DeltaRead.read(spark, t).orderBy("k").collect()
+    assert(back.map(_.getString(2)).toSeq == Seq("x=y", "x=y"))
+    // and the pruned path matches on the REAL value
+    assert(DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "x=y")).count() == 2L)
+  }
+
+  test("empty append commits cleanly and changes nothing") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    val v = DeltaWrite.append(kv(0, 0), t)
+    assert(v == 1L)
+    assert(DeltaRead.read(spark, t).count() == 3L)
+  }
+
+  test("append to a checkpoint-based (vacuumed-head) table") {
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    DeltaFixture.plantDataFile(spark, kv(0, 4), t, "a.parquet"): Unit
+    DeltaFixture.writeCheckpoint(spark, t, 2, schema,
+      adds = Seq("a.parquet" -> Map.empty))
+    val v = DeltaWrite.append(kv(10, 12), t)
+    assert(v == 3L)
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 10L, 11L))
+  }
+}
