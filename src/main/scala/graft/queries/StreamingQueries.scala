@@ -889,9 +889,68 @@ object StreamingQueries {
     },
     q51.oracle)
 
+  /** Exactly-once streaming Delta sink parity: documents drain in two
+    * micro-batches (maxFilesPerTrigger=1) through
+    * [[StreamingOps.deltaAppendSink]], each batch an
+    * `idempotentAppend` carrying (appId, batchId) as the protocol
+    * `txn` marker. After the drain, batch 0 is REPLAYED through the
+    * same idempotent path and must no-op — then the table read back
+    * through DeltaRead must hold every document exactly once, which
+    * the batch oracle checks by hash. This is the "stream the corpus
+    * into the lake" composition: streaming surface × Delta write
+    * interop in one gate.
+    */
+  val q236 = Q(
+    "q236_stream_delta_sink_parity",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val watch = Scratch.dir(s, "q236_watch_")
+      val table = Scratch.dir(s, "q236_table_")
+      val ckpt = Scratch.dir(s, "q236_ckpt_")
+      val hc = s.sessionState.newHadoopConf()
+      (0 until 2).foreach { k =>
+        val stage = Scratch.dir(s, s"q236_stage${k}_")
+        src.where(pmod(col("doc_id"), lit(2)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val p = new org.apache.hadoop.fs.Path(stage)
+        val part = p.getFileSystem(hc).listStatus(p).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        graft.ScratchSpace.copyIn(s, part.toString, watch,
+          f"docs_$k%03d.parquet")
+      }
+      val appId = "q236app"
+      val sink = graft.streaming.StreamingOps.deltaAppendSink(table, appId)
+      val q = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      // crash-replay immunity: re-offer batch 0's exact content under
+      // its original txn version — must no-op
+      val replay = DeltaWrite.idempotentAppend(
+        src.where(pmod(col("doc_id"), lit(2)) === 0), table, appId, 0L)
+      require(replay.isEmpty,
+        "replayed batch 0 double-committed — txn idempotence broken")
+      require(DeltaRead.versions(s, table).size == 2,
+        "expected exactly one commit per micro-batch")
+      DeltaRead.read(s, table)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text")).as("txt_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, md5(text) AS txt_md5
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223)
+      q196, q202, q216, q223, q236)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays

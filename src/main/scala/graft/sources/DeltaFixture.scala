@@ -90,6 +90,18 @@ object DeltaFixture {
     mapper.writeValueAsString(root)
   }
 
+  /** A `txn` action — the streaming-sink idempotence marker
+    * ([[DeltaWrite.idempotentAppend]]).
+    */
+  def txnLine(appId: String, version: Long): String = {
+    val root = mapper.createObjectNode()
+    val t = root.putObject("txn")
+    t.put("appId", appId)
+    t.put("version", version)
+    t.put("lastUpdated", 0L)
+    mapper.writeValueAsString(root)
+  }
+
   def removeLine(path: String): String = {
     val root = mapper.createObjectNode()
     val r = root.putObject("remove")
@@ -125,7 +137,8 @@ object DeltaFixture {
       schema: StructType,
       partitionColumns: Seq[String] = Seq.empty,
       adds: Seq[(String, Map[String, Option[String]])] = Seq.empty,
-      minReader: Int = 1): Unit = {
+      minReader: Int = 1,
+      txns: Seq[(String, Long)] = Seq.empty): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val protocolT = StructType(Seq(
@@ -144,18 +157,26 @@ object DeltaFixture {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val cpT = StructType(Seq(
       StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaT, nullable = true),
-      StructField("add", addT, nullable = true)))
+      StructField("add", addT, nullable = true),
+      StructField("txn", txnT, nullable = true)))
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(Row(minReader, 2), null, null))
+    rows.add(Row(Row(minReader, 2), null, null, null))
     rows.add(Row(null,
       Row("cp-fixture", Row("parquet"), schema.json, partitionColumns),
-      null))
+      null, null))
     adds.foreach { case (p, pvs) =>
       rows.add(Row(null, null,
-        Row(p, pvs.map { case (k, v) => k -> v.orNull }, 1L, 0L, true)))
+        Row(p, pvs.map { case (k, v) => k -> v.orNull }, 1L, 0L, true),
+        null))
+    }
+    txns.foreach { case (app, v) =>
+      rows.add(Row(null, null, null, Row(app, v)))
     }
     val df = spark.createDataFrame(rows, cpT)
     plantDataFile(spark, df, tablePath,

@@ -68,7 +68,32 @@ object DeltaWrite {
       maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Long =
     write(df, tablePath, partitionBy, overwrite = false, collectStats,
-      maxRetries, beforeCommit)
+      maxRetries, beforeCommit, txn = None).get
+
+  /** Idempotent append — the protocol's `txn` action: the commit
+    * carries (appId, txnVersion), and an append whose txnVersion is
+    * already <= the table's last committed version for that appId is
+    * SKIPPED (returns None). This is the exactly-once streaming sink
+    * primitive: foreachBatch replays after a crash re-offer the same
+    * (appId, batchId) and no-op instead of duplicating rows. The check
+    * re-runs inside the version-race retry loop, so a concurrent
+    * replay of the same batch cannot double-commit either.
+    */
+  def idempotentAppend(
+      df: DataFrame,
+      tablePath: String,
+      appId: String,
+      txnVersion: Long,
+      partitionBy: Seq[String] = Seq.empty,
+      collectStats: Boolean = true,
+      maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Option[Long] = {
+    val spark = df.sparkSession
+    if (lastTxnVersion(spark, tablePath, appId) >= txnVersion) None
+    else write(df, tablePath, partitionBy, overwrite = false,
+      collectStats, maxRetries, beforeCommit,
+      txn = Some((appId, txnVersion)))
+  }
 
   /** Replace the table's live content with `df` (remove every live
     * file + add the new ones, one atomic commit). The table must
@@ -82,7 +107,7 @@ object DeltaWrite {
       maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Long =
     write(df, tablePath, partitionBy, overwrite = true, collectStats,
-      maxRetries, beforeCommit)
+      maxRetries, beforeCommit, txn = None).get
 
   private def write(
       df: DataFrame,
@@ -91,7 +116,8 @@ object DeltaWrite {
       overwrite: Boolean,
       collectStats: Boolean,
       maxRetries: Int,
-      beforeCommit: () => Unit): Long = {
+      beforeCommit: () => Unit,
+      txn: Option[(String, Long)]): Option[Long] = {
     val spark = df.sparkSession
     partitionBy.foreach { c =>
       if (!df.columns.contains(c))
@@ -135,24 +161,82 @@ object DeltaWrite {
         lines += DeltaFixture.metaDataLine(
           java.util.UUID.randomUUID().toString, df.schema, partitionBy)
       }
+      txn.foreach { case (app, v) =>
+        lines += DeltaFixture.txnLine(app, v)
+      }
       removes.foreach(lines += DeltaFixture.removeLine(_))
       newFiles.foreach { f =>
         lines += DeltaFixture.addLine(
           f.relPath, f.size, f.partitionValues, stats = f.stats)
       }
       if (tryCommit(fs, logDir, version, lines.result()))
-        return version
+        return Some(version)
       attempt += 1
       if (attempt > maxRetries)
         fail(tablePath, s"commit lost $maxRetries version races — " +
           "giving up (staged files are inert orphans)")
       // a concurrent writer took this version: re-validate at the tip
+      txn.foreach { case (app, v) =>
+        if (lastTxnVersion(spark, tablePath, app) >= v)
+          return None // the racer WAS this txn — already committed
+      }
       val snap = DeltaRead.snapshot(spark, tablePath)
       checkSchema(tablePath, df.schema, partitionBy, snap)
       if (overwrite) removes = snap.liveFiles.map(_.path)
       version = DeltaRead.versions(spark, tablePath).max + 1
     }
-    -1L // unreachable
+    None // unreachable
+  }
+
+  /** The table's highest committed `txn` version for `appId`, or -1
+    * when none exists — from the JSON commit chain plus (when present)
+    * single-part classic checkpoints' txn rows.
+    */
+  def lastTxnVersion(
+      spark: SparkSession,
+      tablePath: String,
+      appId: String): Long = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(fs.makeQualified(p), "_delta_log")
+    if (!fs.exists(logDir)) return -1L
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    var best = -1L
+    names.filter(_.matches("\\d{20}\\.json")).foreach { n =>
+      val bytes = {
+        val fp = new Path(logDir, n)
+        val st = fs.getFileStatus(fp)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(fp)
+        try in.readFully(0L, buf) finally in.close()
+        buf
+      }
+      new String(bytes, "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case _: Exception => null }
+          val t = if (node == null) null else node.get("txn")
+          if (t != null &&
+            Option(t.get("appId")).exists(_.asText() == appId)) {
+            val v = Option(t.get("version")).map(_.asLong(-1L))
+              .getOrElse(-1L)
+            if (v > best) best = v
+          }
+        }
+    }
+    names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet")).foreach { n =>
+      val cp = spark.read.parquet(new Path(logDir, n).toString)
+      if (cp.schema.fieldNames.contains("txn")) {
+        cp.where(col("txn").isNotNull &&
+            col("txn.appId") === lit(appId))
+          .select(max(col("txn.version")))
+          .collect().foreach { r =>
+            if (!r.isNullAt(0) && r.getLong(0) > best) best = r.getLong(0)
+          }
+      }
+    }
+    best
   }
 
   /** Exact schema + partitioning match against the table (names and

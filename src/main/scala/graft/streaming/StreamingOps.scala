@@ -600,6 +600,27 @@ object StreamingOps {
       .groupBy(keyCol)
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("val_sum")).as("val_sum"))
+
+  /** Exactly-once streaming append sink into a Delta table — the
+    * "stream the crawl into the lake" primitive. Each micro-batch
+    * commits through [[graft.sources.DeltaWrite.idempotentAppend]]
+    * with (appId, batchId) as the protocol `txn` marker: a replayed
+    * batch (crash between commit and checkpoint ack, or an operator
+    * re-offer) finds its txn already committed and no-ops, so the
+    * table holds every batch exactly once regardless of restarts.
+    * Pair with `.option("checkpointLocation", ...)` so batchIds are
+    * stable across restarts — that is what makes the replay hit the
+    * SAME txn version.
+    */
+  def deltaAppendSink(
+      tablePath: String,
+      appId: String,
+      partitionBy: Seq[String] = Seq.empty): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        graft.sources.DeltaWrite.idempotentAppend(
+          batch, tablePath, appId, batchId, partitionBy): Unit
+      }
 }
 
 /** State-API-v2 sessionizer (the [[StreamingOps.sessionizeTws]]

@@ -188,6 +188,55 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(DeltaRead.read(spark, t).count() == 3L)
   }
 
+  test("idempotentAppend: replayed txn versions no-op") {
+    val t = fresh()
+    assert(DeltaWrite.idempotentAppend(kv(0, 3), t, "app", 0L)
+      .contains(0L))
+    // replay of batch 0: skipped
+    assert(DeltaWrite.idempotentAppend(kv(0, 3), t, "app", 0L).isEmpty)
+    // next batch commits
+    assert(DeltaWrite.idempotentAppend(kv(3, 5), t, "app", 1L)
+      .contains(1L))
+    // stale replay of batch 0 after batch 1: still skipped
+    assert(DeltaWrite.idempotentAppend(kv(0, 3), t, "app", 0L).isEmpty)
+    // a DIFFERENT app's version counter is independent
+    assert(DeltaWrite.idempotentAppend(kv(50, 51), t, "other", 0L)
+      .contains(2L))
+    assert(DeltaRead.read(spark, t).count() == 6L)
+    assert(DeltaWrite.lastTxnVersion(spark, t, "app") == 1L)
+    assert(DeltaWrite.lastTxnVersion(spark, t, "none") == -1L)
+  }
+
+  test("idempotentAppend race: concurrent replay of the SAME txn " +
+    "cannot double-commit") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    var raced = false
+    val r = DeltaWrite.idempotentAppend(kv(10, 13), t, "app", 7L,
+      beforeCommit = { () =>
+        if (!raced) {
+          raced = true
+          // the same batch commits from "another executor" first
+          DeltaWrite.idempotentAppend(kv(10, 13), t, "app", 7L): Unit
+        }
+      })
+    assert(r.isEmpty) // our attempt discovered the winner and no-op'd
+    assert(DeltaRead.read(spark, t).count() == 6L) // no duplicates
+  }
+
+  test("lastTxnVersion reads checkpoint txn rows too") {
+    val t = fresh()
+    DeltaFixture.plantDataFile(spark, kv(0, 4), t, "a.parquet"): Unit
+    DeltaFixture.writeCheckpoint(spark, t, 2, kv(0, 1).schema,
+      adds = Seq("a.parquet" -> Map.empty),
+      txns = Seq("app" -> 41L, "zzz" -> 9L))
+    assert(DeltaWrite.lastTxnVersion(spark, t, "app") == 41L)
+    // a replay below the checkpointed version no-ops
+    assert(DeltaWrite.idempotentAppend(kv(9, 10), t, "app", 41L).isEmpty)
+    assert(DeltaWrite.idempotentAppend(kv(9, 10), t, "app", 42L)
+      .contains(3L))
+  }
+
   test("append to a checkpoint-based (vacuumed-head) table") {
     val t = fresh()
     val schema = kv(0, 1).schema
