@@ -4508,7 +4508,95 @@ object PipelineQueries {
         FROM wpsrc)
       ORDER BY tokenizer, source"""))
 
+  // ---- q237: end-to-end crawl curation pipeline ----
+  // The composition every other row is a piece of, run as ONE flow on
+  // real container formats: WARC shards in (incl. a shard that REPLAYS
+  // ten documents — the crawl-recrawl duplication), HTTP-response
+  // filter, byte-length quality gate, exact dedup at the engine's
+  // digest convention, curated gzip-JSONL out through the engine's own
+  // sink, then read BACK from the JSONL as the graded result — so the
+  // gate hashes the pipeline's persisted product, not an intermediate.
+  // The oracle replays every stage from the documents table. 100 TB:
+  // ingest is file-grain (no shuffle), the dedup aggregate is the one
+  // shuffle, the JSONL write is partition-parallel — the whole
+  // pipeline moves each byte through exactly one exchange.
+
+  val q237 = Q(
+    "q237_crawl_curation_pipeline",
+    (s, dir) => {
+      import graft.sources.{Jsonl, Warc, WarcFixture => WFx}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val fixture = docs(s, dir)
+        .where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def resp(d: (Long, String)): Array[Byte] =
+        WFx.response(s"http://example.com/doc/${d._1}", 200,
+          d._2.getBytes(utf8))
+      val t = Scratch.dir(s, "q237_warc_")
+      (0 until 3).foreach { k =>
+        val part = fixture.filter(d => d._1 >= k * 20 && d._1 < (k + 1) * 20)
+        graft.ScratchSpace.writeBytes(s, t, s"w$k.warc.gz",
+          WFx.gzMembers(part.map(resp).toSeq))
+      }
+      // the recrawl shard: docs 0-9 again under refetch URIs
+      graft.ScratchSpace.writeBytes(s, t, "w3.warc.gz",
+        WFx.gzMembers(fixture.filter(_._1 < 10).map { d =>
+          WFx.response(s"http://mirror.example.com/doc/${d._1}", 200,
+            d._2.getBytes(utf8))
+        }.toSeq))
+      val texts = Warc.readDir(s, t)
+        .where(col("warc_type") === "response" && col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"),
+          col("payload_len"))
+        .where(col("payload_len") >= 50) // byte-length quality gate
+      val curated = texts
+        .groupBy(Dedup.contentDigest(col("text")).as("digest"))
+        .agg(
+          min(col("doc_id")).as("doc_id"),
+          min(col("text")).as("text"),
+          count(lit(1)).as("n_copies"))
+        .select("doc_id", "text", "n_copies")
+      val out = Scratch.dir(s, "q237_jsonl_")
+      Jsonl.write(curated, out, gzip = true)
+      val (good, bad) = Jsonl.split(Jsonl.readDir(s, out, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("n_copies", LongType))), glob = "part-*"))
+      val nBad = bad.count()
+      require(nBad == 0, s"curated JSONL produced $nBad corrupt lines")
+      good.select(
+          col("doc_id"), col("n_copies"),
+          md5(col("text")).as("txt_md5"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60),
+      fed AS (
+        SELECT doc_id, text FROM t
+        UNION ALL
+        SELECT doc_id, text FROM t WHERE doc_id < 10),
+      f AS (SELECT * FROM fed WHERE strlen(text) >= 50),
+      g AS (
+        SELECT md5(lower(trim(text))) AS digest,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               min(text) AS text,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM f GROUP BY 1)
+      SELECT doc_id, n_copies, md5(text) AS txt_md5,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
+    q237,
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,
