@@ -948,9 +948,70 @@ object StreamingQueries {
       SELECT doc_id, lang, md5(text) AS txt_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** Streaming WARC intake parity: crawl shards land in a watched
+    * directory and parse to record rows through
+    * [[graft.sources.Warc.readStreamDir]] — the SAME parser as the
+    * batch reader (one code path), executed as a real micro-batch
+    * job into a memory sink. The third shard carries a truncated
+    * tail, so the streaming path must reproduce the batch
+    * prefix-salvage decline row too. Hash-compared against the
+    * documents-table replay.
+    */
+  val q238 = Q(
+    "q238_stream_warc_ingest_parity",
+    (s, dir) => {
+      import graft.sources.{Warc, WarcFixture => WFx}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val fixture = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def resp(d: (Long, String)): Array[Byte] =
+        WFx.response(s"http://example.com/doc/${d._1}", 200,
+          d._2.getBytes(utf8))
+      val watch = Scratch.dir(s, "q238_watch_")
+      (0 until 3).foreach { k =>
+        val part = fixture
+          .filter(d => d._1 >= k * 10 && d._1 < (k + 1) * 10)
+          .map(resp).toSeq
+        val tail =
+          if (k < 2) Seq.empty
+          else Seq(WFx.record(Seq("WARC-Type" -> "resource"),
+            Array.fill[Byte](64)(7)).dropRight(40))
+        graft.ScratchSpace.writeBytes(s, watch, s"w${k + 1}.warc.gz",
+          WFx.gzMembers(part ++ tail))
+      }
+      drainToTable(s, "q238_mem",
+        Warc.readStreamDir(s, watch,
+            idFromPath = p => regexp_extract(p, "w(\\d+)\\.warc", 1))
+          .select(
+            col("file_id"), col("rec_idx"), col("warc_type"),
+            col("target_uri"), col("http_status"), col("payload_len"),
+            md5(col("payload")).as("payload_md5")),
+        "append")
+        .orderBy("file_id", "rec_idx")
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(doc_id // 10 + 1 AS BIGINT) AS file_id,
+               CAST(doc_id % 10 AS INTEGER) AS rec_idx,
+               'response' AS warc_type,
+               'http://example.com/doc/' || doc_id AS target_uri,
+               CAST(200 AS INTEGER) AS http_status,
+               CAST(strlen(text) AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT 3, NULL, NULL, NULL, NULL, NULL, NULL)
+      SELECT file_id, rec_idx, warc_type, target_uri, http_status,
+             payload_len, payload_md5
+      FROM r ORDER BY file_id, rec_idx NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236)
+      q196, q202, q216, q223, q236, q238)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays

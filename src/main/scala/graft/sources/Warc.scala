@@ -279,13 +279,52 @@ object Warc {
       glob: String = "*",
       idFromPath: Column => Column = p => xxhash64(p)): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
+    recordsOf(spark, spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
         col("content"))
-      .as[(Long, Array[Byte])]
+      .as[(Long, Array[Byte])])
+  }
+
+  /** Streaming twin of [[readDir]] — the continuous crawl-intake
+    * shape: new `.warc(.gz)` objects landing in `dir` parse into
+    * record rows per micro-batch through the SAME parser (one code
+    * path, so every [[readDir]] exactness/decline guarantee holds).
+    * Parsing is stateless, so any downstream stateful op (dedup sink,
+    * windowed agg) owns its own watermarks.
+    */
+  def readStreamDir(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*",
+      idFromPath: Column => Column = p => xxhash64(p)): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    recordsOf(spark, spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        idFromPath(col("path")).cast("long").as("file_id"),
+        col("content"))
+      .as[(Long, Array[Byte])])
+  }
+
+  /** The shared file→records transform of [[readDir]] /
+    * [[readStreamDir]].
+    */
+  private def recordsOf(
+      spark: SparkSession,
+      files: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    import spark.implicits._
     files.mapPartitions { it =>
       it.flatMap { case (fileId, bytes) =>
         parseBytes(bytes).map {
