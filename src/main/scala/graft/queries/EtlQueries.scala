@@ -930,6 +930,60 @@ object EtlQueries {
         FROM nation WHERE n_nationkey % 2 = 0)
       ORDER BY at, k"""))
 
+  // ---- q239: Delta MERGE (CDC upsert into the lake) ----
+  // Row 90/109's CDC merge-apply, persisted into the table format the
+  // lake actually stores: one DeltaWrite.merge call carries updates
+  // (key-matched row replacement), deletes (marker column), and
+  // inserts (unmatched keys) in ONE atomic commit, copy-on-write —
+  // only data files containing matched keys rewrite. Read back via
+  // DeltaRead; the oracle replays the merged state from nation.
+
+  val q239 = Q(
+    "q239_delta_merge",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q239_deltam")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("src"))
+      require(DeltaWrite.append(base, t, partitionBy = Seq("src")) == 0L)
+      val upd = base.where(col("k") % 3 === 0)
+        .select(col("k"),
+          concat(lit("UPD_"), col("name")).as("name"),
+          col("src"), lit(false).as("del"))
+      val del = base.where(col("k") % 3 === 1)
+        .select(col("k"), col("name"), col("src"), lit(true).as("del"))
+      val ins = base.where(col("k") % 5 === 2)
+        .select((col("k") + 500).as("k"),
+          concat(lit("NEW_"), col("name")).as("name"),
+          col("src"), lit(false).as("del"))
+      val v = DeltaWrite.merge(
+        upd.unionAll(del).unionAll(ins), t, Seq("k"),
+        deleteCol = Some("del"))
+      require(v == 1L, s"merge committed at $v, expected 1")
+      // merged stats keep the metadata-count path alive
+      val expect = nation.where(col("n_nationkey") % 3 =!= 1).count() +
+        nation.where(col("n_nationkey") % 5 === 2).count()
+      require(DeltaRead.countRows(s, t) == expect,
+        "metadata count after merge != expected merged rows")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+               CASE WHEN n_nationkey % 3 = 0 THEN 'UPD_' || n_name
+                    ELSE n_name END AS name,
+               'r' || n_regionkey AS src
+        FROM nation WHERE n_nationkey % 3 <> 1
+        UNION ALL
+        SELECT CAST(n_nationkey + 500 AS BIGINT), 'NEW_' || n_name,
+               'r' || n_regionkey
+        FROM nation WHERE n_nationkey % 5 = 2)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
-    q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235)
+    q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
+    q239)
 }

@@ -405,6 +405,34 @@ object DeltaRead {
     scanFiles(spark, path, snap, snap.liveFiles)
   }
 
+  /** [[read]] plus a `__delta_file` column carrying each row's source
+    * file in the normalized form of [[fileKey]] — the copy-on-write
+    * primitive ([[DeltaWrite.merge]] uses it to find and rewrite only
+    * the files that contain matched keys).
+    */
+  def readWithFilePath(
+      spark: SparkSession,
+      path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    scanFiles(spark, path, snap, snap.liveFiles, keepFile = true)
+  }
+
+  /** The normalized identity of a live file — matches both the scan's
+    * `_metadata.file_path` (URI-encoded) and [[readWithFilePath]]'s
+    * `__delta_file` values.
+    */
+  private[sources] def fileKey(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      f: DeltaFile): String = {
+    val fp =
+      if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+        new Path(new java.net.URI(f.path))
+      else new Path(root, decodePath(f.path))
+    normalizeStr(fs.makeQualified(fp).toUri.toString)
+  }
+
   /** Partition-pruned + zone-map-skipped scan — the scan that makes
     * the log's metadata pay at 100 TB: [[read]] scans EVERY live file
     * regardless of predicate, this one prunes the file list
@@ -513,16 +541,20 @@ object DeltaRead {
       spark: SparkSession,
       path: String,
       snap: DeltaSnapshot,
-      liveList: Seq[DeltaFile]): DataFrame = {
+      liveList: Seq[DeltaFile],
+      keepFile: Boolean = false): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
     val partCols = snap.partitionColumns
     val dataSchema = StructType(
       snap.schema.filterNot(f => partCols.contains(f.name)))
+    val outSchema =
+      if (!keepFile) snap.schema
+      else snap.schema.add("__delta_file", StringType)
     if (liveList.isEmpty)
       return spark.createDataFrame(
-        new java.util.ArrayList[Row](), snap.schema)
+        new java.util.ArrayList[Row](), outSchema)
     val files = liveList.map { f =>
       val fp =
         if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
@@ -532,8 +564,15 @@ object DeltaRead {
     }
     val scan = spark.read.schema(dataSchema)
       .parquet(files.map(_._1.toString): _*)
-    if (partCols.isEmpty) return scan.select(
-      snap.schema.map(f => col(f.name)): _*)
+    if (partCols.isEmpty) {
+      val base = scan.select(
+        (snap.schema.map(f => col(f.name)) ++
+          (if (keepFile)
+            Seq(normalizeCol(col("_metadata.file_path"))
+              .as("__delta_file"))
+          else Seq.empty)): _*)
+      return base
+    }
     // partition attach: (normalized file path -> partition values)
     // is log-grain metadata — broadcast it against the scan
     val mapSchema = StructType(
@@ -554,10 +593,11 @@ object DeltaRead {
     scan
       .withColumn("__file", normalizeCol(col("_metadata.file_path")))
       .join(broadcast(mapDf), "__file")
-      .select(snap.schema.map { f =>
+      .select((snap.schema.map { f =>
         if (partCols.contains(f.name))
           col(s"__pv_${f.name}").cast(byName(f.name).dataType).as(f.name)
         else col(f.name)
-      }: _*)
+      } ++ (if (keepFile) Seq(col("__file").as("__delta_file"))
+      else Seq.empty)): _*)
   }
 }

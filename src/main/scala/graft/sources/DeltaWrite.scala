@@ -109,6 +109,117 @@ object DeltaWrite {
     write(df, tablePath, partitionBy, overwrite = true, collectStats,
       maxRetries, beforeCommit, txn = None).get
 
+  /** MERGE (CDC upsert) — copy-on-write, the real engines' shape:
+    * rows of `updates` matched on `keyCols` REPLACE the table's rows,
+    * unmatched rows INSERT, and rows whose `deleteCol` (when given) is
+    * true DELETE their key. Only data files that actually CONTAIN a
+    * matched key are rewritten (found by one semi-join over a
+    * file-path-carrying scan); every other file rides along untouched
+    * — at 100 TB a merge touching 0.1% of keys rewrites ~0.1% of the
+    * table, not all of it. One atomic commit: removes(affected files)
+    * + adds(rewritten survivors ∪ upserts).
+    *
+    * Guards: `updates` must be key-unique (an ambiguous multi-update
+    * of one key refuses — SQL MERGE semantics); keys must be
+    * non-partition data columns; schema (minus `deleteCol`) must
+    * match the table; `delta.appendOnly` refuses (a merge removes
+    * files). A concurrent commit between snapshot and commit refuses
+    * with a rerun message UNLESS it provably changed nothing about
+    * the live file set — merge correctness is defined against the
+    * snapshot it read, and silently retrying against a moved table
+    * would re-apply the merge to state it never saw.
+    *
+    * Returns the committed version.
+    */
+  def merge(
+      updates: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      deleteCol: Option[String] = None,
+      collectStats: Boolean = true,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val spark = updates.sparkSession
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      fail(tablePath, "merge into a non-existent table")
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    val dataDf = deleteCol.fold(updates)(updates.drop(_))
+    checkSchema(tablePath, dataDf.schema, snap.partitionColumns, snap)
+    writerGate(spark, fs, logDir, root, overwrite = true)
+    keyCols.foreach { k =>
+      if (!dataDf.columns.contains(k))
+        fail(tablePath, s"merge key '$k' not in updates")
+      if (snap.partitionColumns.contains(k))
+        fail(tablePath, s"merge key '$k' is a partition column — " +
+          "key lookup happens inside data files; repartition-key " +
+          "merges are an overwrite, not a merge")
+    }
+    deleteCol.foreach { d =>
+      if (!updates.columns.contains(d))
+        fail(tablePath, s"deleteCol '$d' not in updates")
+    }
+    // updates is referenced three times (dup check, semi, anti) —
+    // stage it once (scratch-truncation rule)
+    val upd = graft.ScratchSpace.materialize(updates, "delta_merge_upd_")
+    val keyExprs = keyCols.map(col)
+    val dup = upd.groupBy(keyExprs: _*).count()
+      .where(col("count") > 1).limit(1).count()
+    if (dup > 0)
+      fail(tablePath, "updates contain duplicate keys — an ambiguous " +
+        "multi-update of one key; dedupe upstream (keep-latest) first")
+    // affected files: those holding at least one matched key
+    val tbl = DeltaRead.readWithFilePath(spark, tablePath)
+    val affected = tbl
+      .join(upd.select(keyExprs: _*), keyCols, "left_semi")
+      .select(col("__delta_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affectedFiles = snap.liveFiles
+      .filter(f => affected.contains(DeltaRead.fileKey(fs, root, f)))
+    // rewrite: survivors of the affected files + non-delete upserts.
+    // The affected list is log-grain metadata (<= MaxLogFiles), so it
+    // broadcasts; never an In-list in the plan.
+    val affectedDf = {
+      import spark.implicits._
+      affected.toSeq.toDF("__delta_file")
+    }
+    val survivors = tbl
+      .join(broadcast(affectedDf), Seq("__delta_file"), "left_semi")
+      .join(upd.select(keyExprs: _*), keyCols, "left_anti")
+      .drop("__delta_file")
+    val inserts = deleteCol.fold(upd)(d =>
+      upd.where(!coalesce(col(d).cast("boolean"), lit(false))).drop(d))
+    val newData = survivors.unionByName(
+      inserts.select(snap.schema.map(f => col(f.name)): _*))
+    val newFiles = writeData(spark, fs, root, newData,
+      snap.partitionColumns, collectStats)
+    beforeCommit()
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoLine("Merge")
+    affectedFiles.foreach(f => lines += DeltaFixture.removeLine(f.path))
+    newFiles.foreach { f =>
+      lines += DeltaFixture.addLine(
+        f.relPath, f.size, f.partitionValues, stats = f.stats)
+    }
+    var version = snap.version + 1
+    while (!tryCommit(fs, logDir, version, lines.result())) {
+      // a concurrent commit exists: safe only if the live set is
+      // provably unchanged (metadata/commitInfo-only commit)
+      val now = DeltaRead.snapshot(spark, tablePath)
+      val same =
+        now.liveFiles.map(_.path).sorted == snap.liveFiles.map(_.path).sorted
+      if (!same)
+        fail(tablePath, "concurrent commit changed the live file set " +
+          "during merge — rerun the merge against the new state " +
+          "(staged files are inert orphans)")
+      version = DeltaRead.versions(spark, tablePath).max + 1
+    }
+    version
+  }
+
   private def write(
       df: DataFrame,
       tablePath: String,
@@ -419,15 +530,25 @@ object DeltaWrite {
             r.getString(0) -> DeltaFixture.statsJson(r.getAs[Long]("__n"), mm)
           }.toMap
       }
-    files.map { case (rel, pvs, size, uriPath) =>
+    files.flatMap { case (rel, pvs, size, uriPath) =>
       val stats = statsByPath.get(uriPath)
-      if (collectStats && stats.isEmpty && files.nonEmpty &&
-        statsByPath.nonEmpty)
-        fail(root.toString, s"stats pass missed file $uriPath (have " +
-          s"${statsByPath.keys.take(2).mkString(", ")} ...) — path-form " +
-          "mismatch between writer and scan; refusing a partial-stats " +
-          "commit")
-      NewFile(encodeRelPath(rel), size, pvs, stats)
+      if (collectStats && stats.isEmpty) {
+        // no stats group = the file produced no rows in the aggregate.
+        // A ZERO-ROW part file (Spark writes them when a shuffle
+        // partition lands empty) is dropped from the commit — real
+        // writers never add empty files. A NON-empty file missing its
+        // stats would be a writer/scan path-form mismatch: fail loudly
+        // rather than commit partial stats.
+        val dest = new Path(root, rel)
+        val n = spark.read.parquet(dest.toString).count()
+        if (n > 0)
+          fail(root.toString, s"stats pass missed non-empty file " +
+            s"$uriPath (${statsByPath.size} stats rows) — path-form " +
+            "mismatch between writer and scan; refusing a " +
+            "partial-stats commit")
+        fs.delete(dest, false): Unit
+        None
+      } else Some(NewFile(encodeRelPath(rel), size, pvs, stats))
     }
   }
 

@@ -237,6 +237,115 @@ class DeltaWriteSpec extends SparkTestBase {
       .contains(3L))
   }
 
+  test("merge: update + insert + delete in one atomic commit") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 6), t): Unit
+    val updates = Seq(
+      (2L, "UPDATED2", false),
+      (4L, "ignored", true), // delete key 4
+      (100L, "NEW100", false)) // insert
+      .toDF("k", "name", "del")
+    val v = DeltaWrite.merge(updates, t, Seq("k"), deleteCol = Some("del"))
+    assert(v == 1L)
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      0L -> "row0", 1L -> "row1", 2L -> "UPDATED2", 3L -> "row3",
+      5L -> "row5", 100L -> "NEW100"))
+    // time travel still sees the pre-merge state
+    assert(DeltaRead.read(spark, t, asOf = Some(0L)).count() == 6L)
+    // merged stats keep the metadata count path alive
+    assert(DeltaRead.countRows(spark, t) == 6L)
+  }
+
+  test("merge rewrites ONLY files containing matched keys") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit // file(s) A
+    DeltaWrite.append(kv(10, 13), t): Unit // file(s) B
+    val before = DeltaRead.snapshot(spark, t).liveFiles.map(_.path).toSet
+    val ss = spark
+    import ss.implicits._
+    val v = DeltaWrite.merge(
+      Seq((11L, "UPD")).toDF("k", "name"), t, Seq("k"))
+    assert(v == 2L)
+    val after = DeltaRead.snapshot(spark, t).liveFiles.map(_.path).toSet
+    // every file of the untouched append is still live verbatim
+    val keptA = before.filter(after.contains)
+    assert(keptA.nonEmpty, "expected unaffected files to survive")
+    val gone = before -- after
+    assert(gone.nonEmpty, "expected the matched file to be rewritten")
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(0L -> "row0", 1L -> "row1", 2L -> "row2",
+      10L -> "row10", 11L -> "UPD", 12L -> "row12"))
+  }
+
+  test("merge guards: duplicate keys, partition keys, " +
+    "concurrent live-set change") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 4), t): Unit
+    val dup = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(
+        Seq((1L, "a"), (1L, "b")).toDF("k", "name"), t, Seq("k"))
+    }
+    assert(dup.getMessage.contains("duplicate keys"))
+    // partition-column key refused
+    val tp = fresh()
+    DeltaWrite.append(kv(0, 4, "s").select(col("k"), col("name"),
+      col("src")), tp, partitionBy = Seq("src")): Unit
+    val pk = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(
+        Seq((1L, "a", "s")).toDF("k", "name", "src"), tp, Seq("src"))
+    }
+    assert(pk.getMessage.contains("partition column"))
+    // concurrent live-set change refuses with a rerun message
+    var raced = false
+    val cc = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(
+        Seq((1L, "UPD")).toDF("k", "name"), t, Seq("k"),
+        beforeCommit = { () =>
+          if (!raced) { raced = true; DeltaWrite.append(kv(50, 52), t): Unit }
+        })
+    }
+    assert(cc.getMessage.contains("rerun the merge"))
+  }
+
+  test("merge with partitioned table rewrites within partitions") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val df = kv(0, 6).withColumn("src",
+      when(col("k") < 3, "a").otherwise("b"))
+    DeltaWrite.append(df, t, partitionBy = Seq("src")): Unit
+    DeltaWrite.merge(
+      Seq((1L, "UPD", "a"), (77L, "NEW", "b")).toDF("k", "name", "src"),
+      t, Seq("k")): Unit
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (0L, "row0", "a"), (1L, "UPD", "a"), (2L, "row2", "a"),
+      (3L, "row3", "b"), (4L, "row4", "b"), (5L, "row5", "b"),
+      (77L, "NEW", "b")))
+  }
+
+  test("merge that deletes a whole file removes it without " +
+    "replacement rows") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 2), t): Unit
+    DeltaWrite.append(kv(10, 12), t): Unit
+    DeltaWrite.merge(
+      Seq((0L, "x", true), (1L, "x", true)).toDF("k", "name", "del"),
+      t, Seq("k"), deleteCol = Some("del")): Unit
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 11L))
+  }
+
   test("append to a checkpoint-based (vacuumed-head) table") {
     val t = fresh()
     val schema = kv(0, 1).schema
