@@ -983,7 +983,83 @@ object EtlQueries {
         FROM nation WHERE n_nationkey % 5 = 2)
       ORDER BY k"""))
 
+  // ---- q240: Delta VACUUM ----
+  // The cleanup verb for rows 240/244's write paths: after an
+  // overwrite, the superseded files are dead weight the log still
+  // names; crashed writers leave staging orphans. VACUUM deletes
+  // unreferenced-and-older-than-retention files, keeps the live set
+  // bit-identical, and (like the real engines) sacrifices time travel
+  // to vacuumed versions. Engine requires pin the report arithmetic;
+  // the graded rows prove the CURRENT state survived the deletion
+  // pass untouched.
+
+  val q240 = Q(
+    "q240_delta_vacuum",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture, DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q240_deltav")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DeltaWrite.append(base.where(col("k") < 13), t): Unit
+      val deadFiles = DeltaRead.snapshot(s, t).liveFiles.size
+      DeltaWrite.overwrite(base, t): Unit
+      val liveFiles = DeltaRead.snapshot(s, t).liveFiles.size
+      DeltaFixture.plantDataFile(s, base.where(col("k") < 2), t,
+        "_staging-crashed/part-orphan.parquet"): Unit
+      val rep = DeltaWrite.vacuum(s, t, retainMs = 0)
+      require(rep.removed.size == deadFiles + 1,
+        s"vacuum removed ${rep.removed.size}, expected ${deadFiles + 1}")
+      require(rep.liveKept == liveFiles.toLong,
+        s"vacuum kept ${rep.liveKept} live, expected $liveFiles")
+      require(DeltaWrite.vacuum(s, t, retainMs = 0).removed.isEmpty,
+        "second vacuum found leftovers")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation ORDER BY k"""))
+
+  // ---- q241: Delta schema-evolution append ----
+  // The additive mergeSchema append: a later producer ships an extra
+  // column; the commit carries a new metaData action with the merged
+  // schema and historical files read the new column as null (parquet
+  // missing-column semantics — the protocol's own behavior).
+  // Destructive changes (drop/retype) refuse in DeltaWrite.
+
+  val q241 = Q(
+    "q241_delta_evolve",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q241_deltae")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DeltaWrite.append(base, t): Unit
+      val v = DeltaWrite.appendEvolve(
+        nation.select(
+          (col("n_nationkey").cast("long") + 100).as("k"),
+          col("n_name").as("name"),
+          concat(lit("r"), col("n_regionkey").cast("string"))
+            .as("region")),
+        t)
+      require(v == 1L, s"evolve committed at $v, expected 1")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+               NULL AS region
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
+               'r' || n_regionkey
+        FROM nation)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239)
+    q239, q240, q241)
 }

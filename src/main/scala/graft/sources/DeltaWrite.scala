@@ -220,6 +220,143 @@ object DeltaWrite {
     version
   }
 
+  /** What [[vacuum]] found and (unless dryRun) deleted. */
+  final case class VacuumReport(
+      removed: Seq[String],
+      liveKept: Long,
+      recentKept: Long)
+
+  /** VACUUM — delete data files under the table that the CURRENT
+    * snapshot does not reference and whose modification time is older
+    * than `retainMs` (default 7 days, the engines' standard): the
+    * cleanup pass for overwrite/merge tombstones and crashed-writer
+    * orphans (staging dirs included). The retention window is what
+    * keeps this safe against in-flight writers — their staged-but-
+    * uncommitted files are younger than any sane retention — and,
+    * exactly like the real engines, time travel to versions whose
+    * files were vacuumed stops working (the LOG stays; the data is
+    * gone). Never touches `_delta_log`.
+    */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      retainMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): VacuumReport = {
+    require(retainMs >= 0, s"retainMs $retainMs < 0")
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    val live = snap.liveFiles.map(f => DeltaRead.fileKey(fs, root, f)).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    val removed = Seq.newBuilder[String]
+    var liveKept = 0L
+    var recentKept = 0L
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_delta_log") {
+            walk(st.getPath)
+            // drop now-empty dirs (spent partitions, staging shells)
+            if (!dryRun && fs.listStatus(st.getPath).isEmpty)
+              fs.delete(st.getPath, false): Unit
+          }
+        } else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val key = DeltaRead.fileKey(fs, root,
+            DeltaRead.DeltaFile(
+              fs.makeQualified(st.getPath).toUri.toString, Map.empty))
+          if (live.contains(key)) liveKept += 1
+          else if (st.getModificationTime >= cutoff) recentKept += 1
+          else {
+            removed += key
+            if (!dryRun) fs.delete(st.getPath, false): Unit
+          }
+        }
+      }
+    walk(root)
+    VacuumReport(removed.result().sorted, liveKept, recentKept)
+  }
+
+  /** Schema-evolution append: like [[append]], but NEW columns in `df`
+    * (absent from the table) extend the schema via a new `metaData`
+    * action in the same commit — the standard mergeSchema append.
+    * Strictly additive: every EXISTING table column must still be
+    * present with its exact type, partition columns cannot change, and
+    * dropped/retyped columns refuse. Historical files simply read the
+    * new columns as null (parquet missing-column semantics), which is
+    * the protocol's own behavior.
+    */
+  def appendEvolve(
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      collectStats: Boolean = true,
+      maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val spark = df.sparkSession
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      return append(df, tablePath, partitionBy, collectStats,
+        maxRetries, beforeCommit)
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    if (partitionBy != snap.partitionColumns)
+      fail(tablePath, s"partitionBy ${partitionBy.mkString(",")} != " +
+        s"table's ${snap.partitionColumns.mkString(",")}")
+    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    snap.schema.foreach { f =>
+      incoming.get(f.name) match {
+        case None =>
+          fail(tablePath, s"appendEvolve drops column '${f.name}' — " +
+            "evolution is strictly additive")
+        case Some(dt) if dt != f.dataType =>
+          fail(tablePath, s"appendEvolve retypes '${f.name}' " +
+            s"(${f.dataType.simpleString} -> ${dt.simpleString}) — " +
+            "evolution is strictly additive")
+        case _ => ()
+      }
+    }
+    val existing = snap.schema.fieldNames.toSet
+    val newCols = df.schema.filterNot(f => existing.contains(f.name))
+    if (newCols.isEmpty)
+      return append(df, tablePath, partitionBy, collectStats,
+        maxRetries, beforeCommit)
+    val merged = StructType(snap.schema.fields ++ newCols)
+    writerGate(spark, fs, logDir, root, overwrite = false)
+    val newFiles = writeData(spark, fs, root,
+      df.select(merged.map(f => col(f.name)): _*),
+      partitionBy, collectStats)
+    var version = DeltaRead.versions(spark, tablePath).max + 1
+    beforeCommit()
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoLine("AppendEvolve")
+    lines += DeltaFixture.metaDataLine(
+      java.util.UUID.randomUUID().toString, merged, partitionBy)
+    newFiles.foreach { f =>
+      lines += DeltaFixture.addLine(
+        f.relPath, f.size, f.partitionValues, stats = f.stats)
+    }
+    var attempts = 0
+    while (!tryCommit(fs, logDir, version, lines.result())) {
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"appendEvolve lost $maxRetries version races")
+      // re-validate: a racer may have evolved the schema themselves
+      val now = DeltaRead.snapshot(spark, tablePath)
+      now.schema.foreach { f =>
+        if (!merged.fieldNames.contains(f.name) ||
+          merged(f.name).dataType != f.dataType)
+          fail(tablePath, "concurrent schema change during " +
+            "appendEvolve — rerun against the new schema")
+      }
+      version = DeltaRead.versions(spark, tablePath).max + 1
+    }
+    version
+  }
+
   private def write(
       df: DataFrame,
       tablePath: String,

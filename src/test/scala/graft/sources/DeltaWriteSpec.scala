@@ -346,6 +346,83 @@ class DeltaWriteSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq == Seq(10L, 11L))
   }
 
+  test("vacuum removes dead + orphan files, keeps live and recent; " +
+    "time travel dies, current state survives") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    val v0Files = DeltaRead.snapshot(spark, t).liveFiles.size
+    DeltaWrite.overwrite(kv(10, 13), t): Unit // v0's files now dead
+    val liveFiles = DeltaRead.snapshot(spark, t).liveFiles.size
+    DeltaFixture.plantDataFile(spark, kv(900, 902), t,
+      "_staging-dead/part-orphan.parquet"): Unit
+    DeltaFixture.plantDataFile(spark, kv(900, 902), t,
+      "loose-orphan.parquet"): Unit
+    // dry run reports, deletes nothing
+    val dry = DeltaWrite.vacuum(spark, t, retainMs = 0, dryRun = true)
+    assert(dry.removed.size == v0Files + 2) // dead v0 files + 2 orphans
+    assert(DeltaRead.read(spark, t, asOf = Some(0L)).count() == 3L)
+    // real vacuum
+    val rep = DeltaWrite.vacuum(spark, t, retainMs = 0)
+    assert(rep.removed == dry.removed && rep.liveKept == liveFiles.toLong)
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+    // time travel to v0 now fails on the data scan
+    intercept[Exception] {
+      DeltaRead.read(spark, t, asOf = Some(0L)).count()
+    }
+    // a fresh vacuum finds nothing
+    assert(DeltaWrite.vacuum(spark, t, retainMs = 0).removed.isEmpty)
+  }
+
+  test("vacuum retention window protects recent uncommitted files") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    DeltaFixture.plantDataFile(spark, kv(900, 902), t,
+      "_staging-inflight/part-x.parquet"): Unit
+    val rep = DeltaWrite.vacuum(spark, t) // default 7-day retention
+    assert(rep.removed.isEmpty && rep.recentKept == 1L)
+  }
+
+  test("appendEvolve adds nullable columns; history reads them null") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 2), t): Unit
+    val v = DeltaWrite.appendEvolve(
+      Seq((10L, "row10", "en")).toDF("k", "name", "lang"), t)
+    assert(v == 1L)
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got.toSeq == Seq(
+      (0L, "row0", null), (1L, "row1", null), (10L, "row10", "en")))
+    // plain append must now match the EVOLVED schema
+    intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(20, 21), t)
+    }
+    assert(DeltaWrite.appendEvolve(
+      Seq((20L, "row20", "de")).toDF("k", "name", "lang"), t) == 2L)
+    // destructive evolution refuses
+    val drop = intercept[IllegalArgumentException] {
+      DeltaWrite.appendEvolve(Seq((30L, "x")).toDF("k", "name"), t)
+    }
+    assert(drop.getMessage.contains("drops column"))
+    val retype = intercept[IllegalArgumentException] {
+      DeltaWrite.appendEvolve(
+        Seq((30, "x", "fr")).toDF("k", "name", "lang")
+          .withColumn("k", col("k").cast("int")), t)
+    }
+    assert(retype.getMessage.contains("retypes"))
+  }
+
+  test("appendEvolve without new columns degrades to plain append; " +
+    "on a fresh path it creates the table") {
+    val t = fresh()
+    assert(DeltaWrite.appendEvolve(kv(0, 2), t) == 0L)
+    assert(DeltaWrite.appendEvolve(kv(2, 4), t) == 1L)
+    assert(DeltaRead.read(spark, t).count() == 4L)
+  }
+
   test("append to a checkpoint-based (vacuumed-head) table") {
     val t = fresh()
     val schema = kv(0, 1).schema
