@@ -318,6 +318,114 @@ object Multimodal {
     Some((end - i).toLong * 8000L / (kbps * 1000L))
   }
 
+  /** One indexed MPEG-audio frame. */
+  private[multimodal] final case class Mp3Frame(
+      frameNo: Int,
+      offset: Long,
+      size: Int,
+      kbps: Int,
+      sampleRate: Int,
+      samples: Int)
+
+  /** MP3 frame index — the audio twin of the MP4 keyframe walk
+    * (row 212): per-frame byte ranges + header fields, the index an
+    * audio decode/sampling stage slices on, no codec. Walks
+    * back-to-back frame headers from the first sync (ID3v2 preamble
+    * skipped, ID3v1 trailer tolerated), each length from the public
+    * layer formulas — L1 `((12·bps/sr)+pad)·4`, L2 and MPEG1-L3
+    * `144·bps/sr+pad`, MPEG2/2.5-L3 `72·bps/sr+pad` (integer
+    * division). VBR streams index naturally — every frame carries its
+    * own bitrate. ANY mid-stream violation (bad sync, reserved field,
+    * free-format bitrate, frame overrunning EOF) declines the whole
+    * file: real decoders resync heuristically, and heuristic output
+    * is not something an exactness gate should bless.
+    */
+  private[multimodal] def mp3FrameWalk(
+      media: Array[Byte],
+      everyK: Int,
+      maxFrames: Int): Option[Seq[Mp3Frame]] = {
+    require(everyK >= 1 && maxFrames >= 1, "everyK/maxFrames must be >= 1")
+    def u8(i: Int): Int = media(i) & 0xFF
+    val n = media.length
+    var i =
+      if (n >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3')
+        10 + (((u8(6) & 0x7F) << 21) | ((u8(7) & 0x7F) << 14) |
+          ((u8(8) & 0x7F) << 7) | (u8(9) & 0x7F))
+      else 0
+    if (i + 4 > n) return None
+    val scanEnd = math.min(n - 4, i + 4096)
+    while (i <= scanEnd && !(u8(i) == 0xFF && (u8(i + 1) & 0xE0) == 0xE0))
+      i += 1
+    if (i > scanEnd) return None
+    val end =
+      if (n - i > 128 && u8(n - 128) == 'T' && u8(n - 127) == 'A' &&
+        u8(n - 126) == 'G') n - 128
+      else n
+    val out = Seq.newBuilder[Mp3Frame]
+    var kept = 0
+    var no = 0
+    while (i < end) {
+      if (i + 4 > end) return None
+      if (!(u8(i) == 0xFF && (u8(i + 1) & 0xE0) == 0xE0)) return None
+      val b1 = u8(i + 1); val b2 = u8(i + 2)
+      val ver = (b1 >> 3) & 3
+      val layerBits = (b1 >> 1) & 3
+      if (ver == 1 || layerBits == 0) return None
+      val srIdx = (b2 >> 2) & 3
+      if (srIdx == 3) return None
+      val sampleRate = MpegSampleRates(ver)(srIdx)
+      val kbps = ((ver, layerBits) match {
+        case (3, 3) => Mpeg1L1Kbps
+        case (3, 2) => Mpeg1L2Kbps
+        case (3, 1) => Mpeg1L3Kbps
+        case (_, 3) => Mpeg2L1Kbps
+        case _ => Mpeg2L23Kbps
+      })((b2 >> 4) & 0xF)
+      if (kbps == 0) return None
+      val pad = (b2 >> 1) & 1
+      val (size, samples) =
+        if (layerBits == 3) ((12 * kbps * 1000 / sampleRate + pad) * 4, 384)
+        else if (layerBits == 2) (144 * kbps * 1000 / sampleRate + pad, 1152)
+        else if (ver == 3) (144 * kbps * 1000 / sampleRate + pad, 1152)
+        else (72 * kbps * 1000 / sampleRate + pad, 576)
+      if (i + size > end) return None
+      no += 1
+      if ((no - 1) % everyK == 0 && kept < maxFrames) {
+        out += Mp3Frame(no, i.toLong, size, kbps, sampleRate, samples)
+        kept += 1
+      }
+      i += size
+    }
+    Some(out.result())
+  }
+
+  /** Record-grain MP3 frame indexing over a media Dataset: one row per
+    * sampled frame (every `everyK`-th, capped at `maxFrames`), one
+    * all-null row per undecodable file.
+    */
+  def mp3FrameIndex(
+      ds: Dataset[MediaRecord],
+      everyK: Int = 1,
+      maxFrames: Int = 16): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        (if (isMp3(rec.media)) mp3FrameWalk(rec.media, everyK, maxFrames)
+        else None) match {
+          case Some(fs) =>
+            fs.map(f => (rec.doc_id, Some(f.frameNo), Some(f.offset),
+              Some(f.size.toLong), Some(f.kbps), Some(f.sampleRate),
+              Some(f.samples)))
+          case None =>
+            Seq((rec.doc_id, None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Int], None: Option[Int],
+              None: Option[Int]))
+        }
+      }
+    }.toDF("doc_id", "frame_no", "byte_offset", "byte_size", "kbps",
+      "sample_rate", "samples")
+  }
+
   /** MP3-shaped bytes: an ID3v2 preamble or an immediate frame sync.
     * (JPEG's FFD8 magic fails the sync test: 0xD8 & 0xE0 != 0xE0.)
     */

@@ -4595,8 +4595,72 @@ object PipelineQueries {
              CAST(strlen(text) AS BIGINT) AS n_bytes
       FROM g ORDER BY doc_id"""))
 
+  // ---- q242: MP3 frame index ----
+  // The audio twin of q207's MP4 keyframe walk: per-frame byte ranges
+  // + header fields from back-to-back MPEG-audio frame headers (the
+  // public layer length formulas), ID3v2 preamble skipped, ID3v1
+  // trailer tolerated, VBR indexed naturally since every frame
+  // carries its own bitrate. Any mid-stream violation declines the
+  // whole file — heuristic resync output is not something an
+  // exactness gate should bless. Fixtures via the Mp3 encoder twin;
+  // every oracle value is analytic.
+
+  val q242 = Q(
+    "q242_mp3_frame_index",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mp3
+      import graft.multimodal.Mp3.FrameSpec
+      val mdir = Scratch.dir(s, "q242_mp3_")
+      val vbr = Mp3.file(Seq(
+        FrameSpec(3, 1, 9, 0), FrameSpec(3, 1, 5, 0),
+        FrameSpec(3, 1, 10, 0)))
+      Seq(
+        // CBR with ID3v2 preamble + ID3v1 trailer
+        "fr_1.mp3" -> Mp3.file(Seq(
+          FrameSpec(3, 1, 9, 0), FrameSpec(3, 1, 9, 0, pad = 1),
+          FrameSpec(3, 1, 9, 0)), id3v2Pad = 20, id3v1 = true),
+        // VBR: per-frame bitrates
+        "fr_2.mp3" -> vbr,
+        // MPEG2.5 Layer 3 mono telephony rate
+        "fr_3.mp3" -> Mp3.file(Seq(
+          FrameSpec(0, 1, 5, 2, mono = true),
+          FrameSpec(0, 1, 5, 2, mono = true))),
+        // MPEG1 Layer 1
+        "fr_4.mp3" -> Mp3.file(Seq(FrameSpec(3, 3, 4, 1))),
+        // truncated mid-frame -> decline row
+        "fr_5.mp3" -> vbr.dropRight(100),
+        // MPEG1 Layer 2
+        "fr_6.mp3" -> Mp3.file(Seq(FrameSpec(3, 2, 8, 0)))
+      ).foreach { case (name, bs) =>
+        graft.ScratchSpace.writeBytes(s, mdir, name, bs)
+      }
+      Multimodal.mp3FrameIndex(
+          Multimodal.readBinaryDir(s, mdir, idFromPath = Multimodal.digitId)
+            .as[graft.multimodal.MediaRecord])
+        .orderBy("doc_id", "frame_no")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(30 AS BIGINT),
+         CAST(417 AS BIGINT), CAST(128 AS INTEGER),
+         CAST(44100 AS INTEGER), CAST(1152 AS INTEGER)),
+        (1, 2, 447, 418, 128, 44100, 1152),
+        (1, 3, 865, 417, 128, 44100, 1152),
+        (2, 1, 0, 417, 128, 44100, 1152),
+        (2, 2, 417, 208, 64, 44100, 1152),
+        (2, 3, 625, 522, 160, 44100, 1152),
+        (3, 1, 0, 360, 40, 8000, 576),
+        (3, 2, 360, 360, 40, 8000, 576),
+        (4, 1, 0, 128, 128, 48000, 384),
+        (5, NULL, NULL, NULL, NULL, NULL, NULL),
+        (6, 1, 0, 417, 128, 44100, 1152))
+        AS t(doc_id, frame_no, byte_offset, byte_size, kbps,
+             sample_rate, samples)
+      ORDER BY doc_id, frame_no NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    q237,
+    q237, q242,
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,
