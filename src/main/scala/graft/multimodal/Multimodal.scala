@@ -426,6 +426,43 @@ object Multimodal {
       "sample_rate", "samples")
   }
 
+  /** Exact audio resampling at record grain — the sample-rate
+    * normalization verb (every training pipeline resamples its corpus
+    * to one rate before feature extraction). Each WAV decodes through
+    * the [[Wav.decodeSamples]] kernel and linear-resamples to
+    * `dstRate` via [[Wav.resampleLinear]]: one row per output sample
+    * (capped at `maxOutFrames` frames) carrying the EXACT integer
+    * numerator over the constant `denom` = dstRate — no float in the
+    * pipeline, so the gate hashes interpolation arithmetic itself.
+    * Undecodable files emit one all-null row.
+    */
+  def audioResample(
+      ds: Dataset[MediaRecord],
+      dstRate: Int,
+      maxOutFrames: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        (if (Wav.isWav(rec.media)) Wav.decodeSamples(rec.media)
+        else None) match {
+          case Some(pcm) =>
+            val (nums, denom) = Wav.resampleLinear(pcm, dstRate)
+            val ch = pcm.channels
+            val frames = nums.length / ch
+            (0 until math.min(frames, maxOutFrames)).flatMap { j =>
+              (0 until ch).map { c =>
+                (rec.doc_id, Some(j), Some(c),
+                  Some(nums(j * ch + c)), Some(denom))
+              }
+            }
+          case None =>
+            Seq((rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long]))
+        }
+      }
+    }.toDF("doc_id", "out_idx", "ch", "num", "denom")
+  }
+
   /** MP3-shaped bytes: an ID3v2 preamble or an immediate frame sync.
     * (JPEG's FFD8 magic fails the sync test: 0xD8 & 0xE0 != 0xE0.)
     */

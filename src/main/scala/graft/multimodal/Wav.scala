@@ -97,6 +97,64 @@ object Wav {
       media: Array[Byte],
       windowFrames: Long): Option[WavWindows] = try {
     if (windowFrames < 1) return None
+    parsePcm(media) match {
+      case None => None
+      case Some(pcm) =>
+        val out = Seq.newBuilder[WavWindow]
+        var peak = 0L
+        var sumsq = 0L
+        var clipped = 0L
+        var wf = 0L
+        var widx = 0
+        var f = 0L
+        var p = pcm.dataAt
+        while (f < pcm.frames) {
+          var c = 0
+          while (c < pcm.channels) {
+            val v = pcm.readSample(p)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            // exact-or-decline: 24-bit full-scale squares times a
+            // 256 MiB payload CAN exceed a Long — overflow throws
+            // ArithmeticException into the catch-all None instead of
+            // emitting wrong statistics
+            sumsq = Math.addExact(sumsq, Math.multiplyExact(v, v))
+            if (a >= pcm.fullScale) clipped += 1
+            p += pcm.bytesPerSample
+            c += 1
+          }
+          f += 1
+          wf += 1
+          if (wf == windowFrames) {
+            out += WavWindow(widx, wf, peak, sumsq, clipped)
+            widx += 1
+            peak = 0L; sumsq = 0L; clipped = 0L; wf = 0L
+          }
+        }
+        if (wf > 0) out += WavWindow(widx, wf, peak, sumsq, clipped)
+        Some(WavWindows(pcm.rate, pcm.channels, pcm.bits, out.result()))
+    }
+  } catch { case _: Throwable => None }
+
+  /** Parsed RIFF header + a positional per-sample decoder: the ONE
+    * kernel behind [[decodeWindowStats]]/[[decodeStats]] and
+    * [[decodeSamples]]. `readSample` throws [[WavDecline]] on
+    * corrupt sample payloads (NaN/Inf/absurd floats) — callers wrap
+    * in the try/catch→None decline.
+    */
+  private final case class Pcm(
+      rate: Int,
+      channels: Int,
+      bits: Int,
+      frames: Long,
+      fullScale: Long,
+      dataAt: Int,
+      bytesPerSample: Int,
+      readSample: Int => Long)
+
+  private final class WavDecline extends Exception
+
+  private def parsePcm(media: Array[Byte]): Option[Pcm] = {
     if (!isWav(media)) return None
     def u8(i: Int): Int = media(i) & 0xFF
     def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -150,57 +208,102 @@ object Wav {
       else if (isAlaw) 32256L
       else if (isUlaw) 32124L
       else (1L << (bits - 1)) - 1
-    val out = Seq.newBuilder[WavWindow]
-    var peak = 0L
-    var sumsq = 0L
-    var clipped = 0L
-    var wf = 0L
-    var widx = 0
-    var f = 0L
-    var p = dataAt
-    while (f < frames) {
+    val readSample: Int => Long =
+      if (isFloat) { p =>
+        val fl = java.lang.Float.intBitsToFloat(leU32(p).toInt)
+        if (!java.lang.Float.isFinite(fl)) throw new WavDecline // NaN/Inf
+        val q = math.rint(fl.toDouble * 32768.0)
+        // finite-but-absurd payloads (e.g. 1e30) would silently
+        // saturate toLong and overflow the exact sums: any sample
+        // beyond 2^31 on the grid (65536x full scale) is corrupt,
+        // not audio — decline the file like NaN/Inf does
+        if (math.abs(q) > (1L << 31).toDouble) throw new WavDecline
+        q.toLong
+      }
+      else if (isUlaw) p => ulawToLinear(u8(p)).toLong
+      else if (isAlaw) p => alawToLinear(u8(p)).toLong
+      else bits match {
+        case 8 => p => (u8(p) - 128).toLong
+        case 16 => p => leU16(p).toShort.toLong
+        case _ => p => // 24-bit LE signed: sign-extend via <<8 then >>8
+          (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
+      }
+    Some(Pcm(rate, channels, bits, frames, fullScale, dataAt,
+      bytesPerSample, readSample))
+  }
+
+  /** Decoded interleaved samples (exact linear values, the same
+    * decode as [[decodeStats]]).
+    */
+  final case class WavPcm(
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      samples: Array[Long])
+
+  /** Decode the raw sample stream — the input of DSP verbs like
+    * [[resampleLinear]]. Bounded by `maxFrames` (whole-file refusal,
+    * not truncation: a partial sample dump is not "the samples").
+    * Same format scope and exact-or-decline contract as
+    * [[decodeStats]]; they share [[parsePcm]].
+    */
+  def decodeSamples(
+      media: Array[Byte],
+      maxFrames: Long = 1L << 22): Option[WavPcm] = try {
+    parsePcm(media) match {
+      case None => None
+      case Some(pcm) =>
+        if (pcm.frames > maxFrames) return None
+        val total = (pcm.frames * pcm.channels).toInt
+        val out = new Array[Long](total)
+        var k = 0
+        var p = pcm.dataAt
+        while (k < total) {
+          out(k) = pcm.readSample(p)
+          p += pcm.bytesPerSample
+          k += 1
+        }
+        Some(WavPcm(pcm.rate, pcm.channels, pcm.bits, out))
+    }
+  } catch { case _: Throwable => None }
+
+  /** Exact linear resample of interleaved PCM: output frame j sits at
+    * source position j·src/dst (a rational); with i = ⌊j·src/dst⌋ and
+    * r = (j·src) mod dst, each channel's value is the EXACT integer
+    * numerator `s[i]·(dst−r) + s[i+1]·r` over the constant
+    * denominator dst — no float ever, so resampled fixtures stay
+    * analytically exact cross-engine (the caller divides by `denom`
+    * when it wants the value). Output frames: ⌊(frames−1)·dst/src⌋+1
+    * (every position that does not read past the last source frame).
+    */
+  def resampleLinear(
+      pcm: WavPcm,
+      dstRate: Int): (Array[Long], Long) = {
+    require(dstRate > 0, s"dstRate $dstRate <= 0")
+    val src = pcm.sampleRate.toLong
+    val dst = dstRate.toLong
+    val ch = pcm.channels
+    val frames = pcm.samples.length / ch
+    if (frames == 0) return (Array.emptyLongArray, dst)
+    val outFrames = ((frames - 1) * dst / src + 1).toInt
+    val out = new Array[Long]((outFrames * ch).toInt)
+    var j = 0
+    while (j < outFrames) {
+      val num = j * src
+      val i = (num / dst).toInt
+      val r = num % dst
       var c = 0
-      while (c < channels) {
-        val v: Long =
-          if (isFloat) {
-            val fl = java.lang.Float.intBitsToFloat(leU32(p).toInt)
-            if (!java.lang.Float.isFinite(fl)) return None // NaN/Inf declines
-            val q = math.rint(fl.toDouble * 32768.0)
-            // finite-but-absurd payloads (e.g. 1e30) would silently
-            // saturate toLong and overflow the exact sums: any sample
-            // beyond 2^31 on the grid (65536x full scale) is corrupt,
-            // not audio — decline the file like NaN/Inf does
-            if (math.abs(q) > (1L << 31).toDouble) return None
-            q.toLong
-          } else if (isUlaw) ulawToLinear(u8(p)).toLong
-          else if (isAlaw) alawToLinear(u8(p)).toLong
-          else bits match {
-            case 8 => (u8(p) - 128).toLong
-            case 16 => leU16(p).toShort.toLong
-            case _ => // 24-bit LE signed: sign-extend via <<8 then >>8
-              (((u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)) << 8) >> 8).toLong
-          }
-        val a = math.abs(v)
-        if (a > peak) peak = a
-        // exact-or-decline: 24-bit full-scale squares times a 256 MiB
-        // payload CAN exceed a Long — overflow throws ArithmeticException
-        // into the catch-all None instead of emitting wrong statistics
-        sumsq = Math.addExact(sumsq, Math.multiplyExact(v, v))
-        if (a >= fullScale) clipped += 1
-        p += bytesPerSample
+      while (c < ch) {
+        val a = pcm.samples(i * ch + c)
+        out(j * ch + c) =
+          if (r == 0L) a * dst
+          else a * (dst - r) + pcm.samples((i + 1) * ch + c) * r
         c += 1
       }
-      f += 1
-      wf += 1
-      if (wf == windowFrames) {
-        out += WavWindow(widx, wf, peak, sumsq, clipped)
-        widx += 1
-        peak = 0L; sumsq = 0L; clipped = 0L; wf = 0L
-      }
+      j += 1
     }
-    if (wf > 0) out += WavWindow(widx, wf, peak, sumsq, clipped)
-    Some(WavWindows(rate, channels, bits, out.result()))
-  } catch { case _: Throwable => None }
+    (out, dst)
+  }
 
   /** µ-law byte → exact 14-bit linear value, the public ITU G.711 /
     * classic Sun `g711.c` expansion: complement the byte, then

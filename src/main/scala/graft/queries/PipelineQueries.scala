@@ -4659,8 +4659,67 @@ object PipelineQueries {
              sample_rate, samples)
       ORDER BY doc_id, frame_no NULLS FIRST"""))
 
+  // ---- q243: exact audio resample ----
+  // Sample-rate normalization with NO float anywhere: output frame j
+  // sits at source position j·src/dst, and each emitted value is the
+  // exact integer numerator s[i]·(dst−r) + s[i+1]·r over denominator
+  // dst — so the oracle replays the interpolation arithmetic itself.
+  // Fixtures: int16 mono upsample 8000→12000 (hand-checked midpoints),
+  // 16-bit stereo downsample 44100→8000 (both channels interpolate at
+  // the same rational position), µ-law telephony upsample through the
+  // G.711 expansion, and a truncated file's decline row.
+
+  val q243 = Q(
+    "q243_audio_resample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Wav
+      val mdir = Scratch.dir(s, "q243_rs_")
+      graft.ScratchSpace.writeBytes(s, mdir, "rs_1.wav",
+        Wav.encode(8000, 1, 16, Array(0, 300, -600, 900)))
+      graft.ScratchSpace.writeBytes(s, mdir, "rs_2.wav",
+        Wav.encode(44100, 2, 16,
+          (0 until 12).flatMap(k => Seq(10 * (k + 1), -10 * (k + 1)))
+            .toArray))
+      graft.ScratchSpace.writeBytes(s, mdir, "rs_3.wav",
+        Wav.encodeG711(8000, 1, aLaw = false, Array(0xFF, 0x80, 0x00)))
+      graft.ScratchSpace.writeBytes(s, mdir, "rs_4.wav",
+        Wav.encode(8000, 1, 16, Array(1, 2, 3)).dropRight(3))
+      val recs = Multimodal.readBinaryDir(s, mdir,
+        idFromPath = Multimodal.digitId)
+        .as[graft.multimodal.MediaRecord]
+      // per-file target rates exercised by splitting the directory:
+      // docs 1/2 -> 12000/8000, doc 3 -> 16000, doc 4 declines anywhere
+      Multimodal.audioResample(recs.filter(col("doc_id") === 1), 12000)
+        .unionAll(Multimodal.audioResample(
+          recs.filter(col("doc_id") === 2), 8000))
+        .unionAll(Multimodal.audioResample(
+          recs.filter(col("doc_id").isin(3, 4)), 16000))
+        .orderBy("doc_id", "out_idx", "ch")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+         CAST(0 AS BIGINT), CAST(12000 AS BIGINT)),
+        (1, 1, 0, 2400000, 12000),
+        (1, 2, 0, 0, 12000),
+        (1, 3, 0, -7200000, 12000),
+        (1, 4, 0, 4800000, 12000),
+        (2, 0, 0, 80000, 8000),
+        (2, 0, 1, -80000, 8000),
+        (2, 1, 0, 521000, 8000),
+        (2, 1, 1, -521000, 8000),
+        (3, 0, 0, 0, 16000),
+        (3, 1, 0, 256992000, 16000),
+        (3, 2, 0, 513984000, 16000),
+        (3, 3, 0, 0, 16000),
+        (3, 4, 0, -513984000, 16000),
+        (4, NULL, NULL, NULL, NULL))
+        AS t(doc_id, out_idx, ch, num, denom)
+      ORDER BY doc_id, out_idx NULLS FIRST, ch"""))
+
   val all: Seq[Q] = Seq(
-    q237, q242,
+    q237, q242, q243,
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,

@@ -237,6 +237,50 @@ class WavSpec extends SparkTestBase {
       Wav.encode(8000, 1, 16, Array(1)), 0L).isEmpty)
   }
 
+  test("decodeSamples: exact values at every format, folds to " +
+    "decodeStats, refuses past maxFrames") {
+    val i16 = Wav.decodeSamples(
+      Wav.encode(8000, 2, 16, Array(0, 100, -200, 32767))).get
+    assert(i16.samples.toSeq == Seq(0L, 100L, -200L, 32767L))
+    assert(i16.channels == 2 && i16.sampleRate == 8000)
+    val g711 = Wav.decodeSamples(
+      Wav.encodeG711(8000, 1, aLaw = false, Array(0xFF, 0x80, 0x00))).get
+    assert(g711.samples.toSeq == Seq(0L, 32124L, -32124L))
+    // the two kernels agree: stats(samples) == decodeStats
+    val wav = Wav.encode(44100, 2, 8, Array(10, -10, 127, -128, 3, 4))
+    val pcm = Wav.decodeSamples(wav).get
+    val st = Wav.decodeStats(wav).get
+    assert(pcm.samples.map(v => v * v).sum == st.sumSquares)
+    assert(pcm.samples.map(math.abs).max == st.peakAbs)
+    // refusal, not truncation, past the frame bound
+    assert(Wav.decodeSamples(wav, maxFrames = 2).isEmpty)
+    // corrupt input declines
+    assert(Wav.decodeSamples(wav.take(20)).isEmpty)
+  }
+
+  test("resampleLinear: exact rational interpolation, identity at " +
+    "equal rates, channel independence") {
+    val pcm = Wav.decodeSamples(
+      Wav.encode(8000, 1, 16, Array(0, 300, -600, 900))).get
+    val (nums, denom) = Wav.resampleLinear(pcm, 12000)
+    assert(denom == 12000L)
+    assert(nums.toSeq ==
+      Seq(0L, 2400000L, 0L, -7200000L, 4800000L))
+    // identity: same rate reproduces samples x rate
+    val (id, d2) = Wav.resampleLinear(pcm, 8000)
+    assert(id.toSeq == pcm.samples.map(_ * 8000L).toSeq && d2 == 8000L)
+    // stereo: both channels interpolate at the same position
+    val st = Wav.decodeSamples(Wav.encode(4000, 2, 16,
+      Array(100, -100, 300, -300))).get
+    val (sn, _) = Wav.resampleLinear(st, 8000)
+    assert(sn.toSeq == Seq(800000L, -800000L, 1600000L, -1600000L,
+      2400000L, -2400000L))
+    // empty input
+    val empty = Wav.decodeSamples(
+      Wav.encode(8000, 1, 16, Array.empty[Int])).get
+    assert(Wav.resampleLinear(empty, 16000)._1.isEmpty)
+  }
+
   test("decodeAudioStats: dataset pass, nulls for corrupt rows") {
     val ss = spark
     import ss.implicits._
