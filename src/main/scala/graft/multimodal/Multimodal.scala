@@ -923,6 +923,101 @@ object Multimodal {
       "byte_size")
   }
 
+  /** Horizontal mirror — exact pixel permutation. */
+  def flipH(r: PngRaster): PngRaster = {
+    val out = new Array[Byte](r.rgba.length)
+    var y = 0
+    while (y < r.height) {
+      var x = 0
+      while (x < r.width) {
+        System.arraycopy(r.rgba, 4 * (y * r.width + x),
+          out, 4 * (y * r.width + (r.width - 1 - x)), 4)
+        x += 1
+      }
+      y += 1
+    }
+    PngRaster(r.width, r.height, out)
+  }
+
+  /** Vertical mirror — exact row permutation. */
+  def flipV(r: PngRaster): PngRaster = {
+    val out = new Array[Byte](r.rgba.length)
+    var y = 0
+    while (y < r.height) {
+      System.arraycopy(r.rgba, 4 * y * r.width,
+        out, 4 * (r.height - 1 - y) * r.width, 4 * r.width)
+      y += 1
+    }
+    PngRaster(r.width, r.height, out)
+  }
+
+  /** Rectangular crop; None when the box exceeds the image — with a
+    * fixed box over a variable-size corpus, too-small images DECLINE
+    * rather than silently clamp (a clamped crop is a different
+    * augmentation than the one asked for).
+    */
+  def crop(r: PngRaster, x: Int, y: Int, w: Int, h: Int): Option[PngRaster] = {
+    if (x < 0 || y < 0 || w < 1 || h < 1 ||
+      x + w > r.width || y + h > r.height) return None
+    val out = new Array[Byte](4 * w * h)
+    var row = 0
+    while (row < h) {
+      System.arraycopy(r.rgba, 4 * ((y + row) * r.width + x),
+        out, 4 * row * w, 4 * w)
+      row += 1
+    }
+    Some(PngRaster(w, h, out))
+  }
+
+  /** Image augmentation at record grain — the vision-training
+    * preprocessing pair (flip + crop) with exact integer evidence:
+    * decode (PNG/GIF/JPEG by magic), optionally mirror, optionally
+    * crop a fixed box, and emit output dims + exact per-channel sums.
+    * Flips are pixel permutations (whole-image sums invariant), so
+    * an OFF-CENTER crop is what makes the gate flip-sensitive: the
+    * left-crop of a mirrored image must equal the mirrored right-crop
+    * of the original. Corrupt files and too-small-for-the-box images
+    * emit one all-null row each.
+    */
+  def augmentPixelStats(
+      ds: Dataset[MediaRecord],
+      flipHorizontal: Boolean = false,
+      flipVertical: Boolean = false,
+      cropBox: Option[(Int, Int, Int, Int)] = None): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val decoded =
+          if (GifDecoder.isGif(rec.media)) GifDecoder.decode(rec.media)
+          else if (JpegDecoder.isJpeg(rec.media)) JpegDecoder.decode(rec.media)
+          else PngDecoder.decode(rec.media)
+        val transformed = decoded
+          .map(r => if (flipHorizontal) flipH(r) else r)
+          .map(r => if (flipVertical) flipV(r) else r)
+          .flatMap(r => cropBox.fold(Option(r)) { case (x, y, w, h) =>
+            crop(r, x, y, w, h)
+          })
+        transformed match {
+          case Some(r) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var px = 0
+            val n = r.width * r.height
+            while (px < n) {
+              sr += r.rgba(4 * px) & 0xFF
+              sg += r.rgba(4 * px + 1) & 0xFF
+              sb += r.rgba(4 * px + 2) & 0xFF
+              px += 1
+            }
+            (rec.doc_id, Some(r.width), Some(r.height), Some(sr),
+              Some(sg), Some(sb))
+          case None =>
+            (rec.doc_id, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      }
+    }.toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Nearest-neighbor raster resize: src pixel = floor(dst·src/out) —
     * pure integer index arithmetic, so resized fixtures stay
     * analytically exact (the resize verb of the multimodal mandate).

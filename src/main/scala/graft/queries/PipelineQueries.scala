@@ -4718,8 +4718,61 @@ object PipelineQueries {
         AS t(doc_id, out_idx, ch, num, denom)
       ORDER BY doc_id, out_idx NULLS FIRST, ch"""))
 
+  // ---- q244: image augmentation (flip + crop) ----
+  // The vision-training preprocessing pair with exact integer
+  // evidence: flips are pixel permutations (whole-image sums
+  // invariant), so every gated call pairs a flip with an OFF-CENTER
+  // crop — the left-crop of a mirrored image must equal the original's
+  // mirrored right columns, which the analytic oracle sums directly.
+  // A too-small-for-the-box image and a corrupt file each emit one
+  // null row (a clamped crop would be a different augmentation than
+  // the one asked for — decline, never clamp).
+
+  val q244 = Q(
+    "q244_image_augment",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.PngEncoder
+      val mdir = Scratch.dir(s, "q244_aug_")
+      // 4x3 RGB raster: R=10x+y, G=100+x, B=200-y
+      val samples = (for (y <- 0 until 3; x <- 0 until 4)
+        yield Seq((10 * x + y).toByte, (100 + x).toByte,
+          (200 - y).toByte)).flatten.toArray
+      val png = PngEncoder.encode(4, 3, 2, samples)
+      graft.ScratchSpace.writeBytes(s, mdir, "ag_1.png", png)
+      graft.ScratchSpace.writeBytes(s, mdir, "ag_2.png", png)
+      graft.ScratchSpace.writeBytes(s, mdir, "ag_3.png", png)
+      graft.ScratchSpace.writeBytes(s, mdir, "ag_4.png",
+        PngEncoder.encode(2, 1, 2, Array[Byte](1, 2, 3, 4, 5, 6)))
+      graft.ScratchSpace.writeBytes(s, mdir, "ag_5.png",
+        "not a png".getBytes("US-ASCII"))
+      val recs = Multimodal.readBinaryDir(s, mdir,
+        idFromPath = Multimodal.digitId)
+        .as[graft.multimodal.MediaRecord]
+      Multimodal.augmentPixelStats(
+          recs.filter(col("doc_id").isin(1, 4, 5)),
+          flipHorizontal = true, cropBox = Some((0, 0, 2, 3)))
+        .unionAll(Multimodal.augmentPixelStats(
+          recs.filter(col("doc_id") === 2),
+          flipVertical = true, cropBox = Some((0, 0, 4, 1))))
+        .unionAll(Multimodal.augmentPixelStats(
+          recs.filter(col("doc_id") === 3),
+          cropBox = Some((1, 1, 2, 2))))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+         CAST(156 AS BIGINT), CAST(615 AS BIGINT), CAST(1194 AS BIGINT)),
+        (2, 4, 1, 68, 406, 792),
+        (3, 2, 2, 66, 406, 794),
+        (4, NULL, NULL, NULL, NULL, NULL),
+        (5, NULL, NULL, NULL, NULL, NULL))
+        AS t(doc_id, out_w, out_h, sum_r, sum_g, sum_b)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q237, q242, q243,
+    q237, q242, q243, q244,
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,
