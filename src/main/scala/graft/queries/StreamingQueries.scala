@@ -1009,9 +1009,65 @@ object StreamingQueries {
              payload_len, payload_md5
       FROM r ORDER BY file_id, rec_idx NULLS FIRST"""))
 
+  /** Streaming WebDataset intake parity: tar shards land in a watched
+    * directory and parse to member rows via
+    * [[graft.sources.Tar.readStreamDir]] — the SAME parser as the
+    * batch reader — through a real micro-batch job. The second shard
+    * is gzipped and the third truncated mid-member, so gzip sniffing
+    * and the prefix-salvage decline row are exercised under streaming
+    * execution. Hash-compared against the documents-table replay.
+    */
+  val q245 = Q(
+    "q245_stream_tar_ingest_parity",
+    (s, dir) => {
+      import graft.sources.{Tar, TarFixture => TFx}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val fixture = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def member(d: (Long, String)): Array[Byte] =
+        TFx.member(f"${d._1}%06d.txt", d._2.getBytes(utf8))
+      val watch = Scratch.dir(s, "q245_watch_")
+      graft.ScratchSpace.writeBytes(s, watch, "t1.tar",
+        TFx.archive(fixture.filter(_._1 < 10).map(member).toSeq))
+      graft.ScratchSpace.writeBytes(s, watch, "t2.tar.gz",
+        TFx.archiveGz(fixture.filter(_._1 >= 10).map(member).toSeq))
+      graft.ScratchSpace.writeBytes(s, watch, "t3.tar",
+        Array.concat((fixture.filter(_._1 < 3).map(member) :+
+          TFx.member("cut.bin", new Array[Byte](600)).dropRight(700))
+          .toSeq: _*))
+      drainToTable(s, "q245_mem",
+        Tar.readStreamDir(s, watch,
+            idFromPath = p => regexp_extract(p, "t(\\d+)\\.tar", 1))
+          .select(
+            col("file_id"), col("entry_idx"), col("name"), col("size"),
+            md5(col("payload")).as("payload_md5")),
+        "append")
+        .orderBy("file_id", "entry_idx")
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(doc_id // 10 + 1 AS BIGINT) AS file_id,
+               CAST(doc_id % 10 AS INTEGER) AS entry_idx,
+               printf('%06d.txt', doc_id) AS name,
+               CAST(strlen(text) AS BIGINT) AS size,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT 3, CAST(doc_id AS INTEGER), printf('%06d.txt', doc_id),
+               strlen(text), md5(text)
+        FROM documents WHERE doc_id < 3
+        UNION ALL
+        SELECT 3, NULL, NULL, NULL, NULL)
+      SELECT file_id, entry_idx, name, size, payload_md5
+      FROM r ORDER BY file_id, entry_idx NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236, q238)
+      q196, q202, q216, q223, q236, q238, q245)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays

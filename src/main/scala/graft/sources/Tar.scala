@@ -216,13 +216,51 @@ object Tar {
       glob: String = "*",
       idFromPath: Column => Column = p => xxhash64(p)): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
+    membersOf(spark, spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
         col("content"))
-      .as[(Long, Array[Byte])]
+      .as[(Long, Array[Byte])])
+  }
+
+  /** Streaming twin of [[readDir]] — new shards landing in `dir` parse
+    * to member rows per micro-batch through the SAME parser (one code
+    * path; every [[readDir]] guarantee holds). [[groupSamples]]
+    * composes on top when the consumer wants sample grain with its own
+    * output mode/watermark policy.
+    */
+  def readStreamDir(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*",
+      idFromPath: Column => Column = p => xxhash64(p)): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    membersOf(spark, spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        idFromPath(col("path")).cast("long").as("file_id"),
+        col("content"))
+      .as[(Long, Array[Byte])])
+  }
+
+  /** The shared shard→members transform of [[readDir]] /
+    * [[readStreamDir]].
+    */
+  private def membersOf(
+      spark: SparkSession,
+      files: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : DataFrame = {
+    import spark.implicits._
     files.mapPartitions { it =>
       it.flatMap { case (fileId, bytes) =>
         parseBytes(bytes).map {
