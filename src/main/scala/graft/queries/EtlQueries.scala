@@ -1059,7 +1059,60 @@ object EtlQueries {
         FROM nation)
       ORDER BY k"""))
 
+  // ---- q246: Delta checkpoint write + log cleanup ----
+  // The log-compaction half of the writer: after appends, an
+  // idempotent (txn-marked) append, and an overwrite, ONE checkpoint
+  // parquet captures protocol + metaData (id/configuration) + every
+  // live add with stats/size + every appId's txn counter, and
+  // cleanupLog retires the JSON commits at or below it. The graded
+  // read then comes from the CHECKPOINT alone (q224 proved the read
+  // path on fixtures; this proves the engine's own compaction is
+  // readable), with engine requires pinning that metadata counts and
+  // txn idempotence survive, and that the table keeps committing past
+  // the checkpoint.
+
+  val q246 = Q(
+    "q246_delta_checkpoint_write",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q246_deltacp")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DeltaWrite.append(base.where(col("k") < 13), t): Unit
+      DeltaWrite.idempotentAppend(
+        base.where(col("k") >= 13), t, "feeder", 0L): Unit
+      DeltaWrite.overwrite(
+        base.where(col("k") % 2 === 0), t): Unit
+      val cv = DeltaWrite.checkpoint(s, t)
+      require(cv == 2L, s"checkpoint at $cv, expected 2")
+      val removed = DeltaWrite.cleanupLog(s, t)
+      require(removed == 3, s"cleanup removed $removed JSONs, expected 3")
+      require(DeltaRead.versions(s, t) == Seq(2L),
+        "post-cleanup versions != [checkpoint]")
+      val nEven = nation.where(col("n_nationkey") % 2 === 0).count()
+      require(DeltaRead.countRows(s, t) == nEven,
+        "metadata count lost through compaction")
+      require(DeltaWrite.idempotentAppend(
+        base.where(col("k") >= 13), t, "feeder", 0L).isEmpty,
+        "txn idempotence lost through compaction")
+      // the table keeps accepting commits past the checkpoint
+      require(DeltaWrite.append(
+        base.where(col("k") === 1).withColumn("k", col("k") + 900),
+        t) == 3L, "post-cleanup append did not land at v3")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+        FROM nation WHERE n_nationkey % 2 = 0
+        UNION ALL
+        SELECT CAST(n_nationkey + 900 AS BIGINT), n_name
+        FROM nation WHERE n_nationkey = 1)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239, q240, q241)
+    q239, q240, q241, q246)
 }

@@ -56,14 +56,22 @@ object DeltaRead {
   final case class DeltaFile(
       path: String,
       partitionValues: Map[String, Option[String]],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      size: Long = 0L)
 
-  /** The replayed state of the log at a version. */
+  /** The replayed state of the log at a version. `metaId` and
+    * `configuration` are the metaData action's identity and table
+    * properties — a checkpoint writer must carry BOTH through (losing
+    * `delta.appendOnly` in a checkpoint would erase the constraint
+    * for every post-cleanup reader).
+    */
   final case class DeltaSnapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      liveFiles: Seq[DeltaFile])
+      liveFiles: Seq[DeltaFile],
+      metaId: String = "",
+      configuration: Map[String, String] = Map.empty)
 
   private val MaxLogFiles = 100000
   private val MaxLogFileBytes = 64L << 20
@@ -169,10 +177,14 @@ object DeltaRead {
       }
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var metaId = ""
+    var config: Map[String, String] = Map.empty
     val live = mutable.LinkedHashMap.empty[String, DeltaFile]
+    val setMetaInfo: (String, Map[String, String]) => Unit =
+      (id, cfg) => { metaId = id; config = cfg }
     base.foreach { c =>
       loadCheckpoint(spark, path, logDir, c,
-        s => schema = Some(s), pc => partCols = pc, live)
+        s => schema = Some(s), pc => partCols = pc, setMetaInfo, live)
     }
     val firstJson = base.map(_ + 1).getOrElse(0L)
     (firstJson to upTo).foreach { v =>
@@ -191,12 +203,12 @@ object DeltaRead {
               fail(path, s"commit $v: unparseable action line (${e.getMessage})")
             }
           applyAction(path, v, node,
-            s => schema = Some(s), pc => partCols = pc, live)
+            s => schema = Some(s), pc => partCols = pc, setMetaInfo, live)
         }
     }
     val sch = schema.getOrElse(
       fail(path, "no metaData action in log — schema unknown"))
-    DeltaSnapshot(upTo, sch, partCols, live.values.toSeq)
+    DeltaSnapshot(upTo, sch, partCols, live.values.toSeq, metaId, config)
   }
 
   /** Load the net replay state from a single-part classic checkpoint:
@@ -214,6 +226,7 @@ object DeltaRead {
       version: Long,
       setSchema: StructType => Unit,
       setPartCols: Seq[String] => Unit,
+      setMetaInfo: (String, Map[String, String]) => Unit,
       live: mutable.LinkedHashMap[String, DeltaFile]): Unit = {
     val cp = new Path(logDir, f"$version%020d.checkpoint.parquet")
     val df = spark.read.parquet(cp.toString)
@@ -245,10 +258,18 @@ object DeltaRead {
     }
     if (!top.contains("metaData"))
       fail(path, s"checkpoint $version: no metaData column")
+    val mf = fieldsOf("metaData")
+    val idCol =
+      if (mf.contains("id")) col("metaData.id")
+      else lit(null).cast("string")
+    val cfgCol =
+      if (mf.contains("configuration")) col("metaData.configuration")
+      else lit(null).cast("map<string,string>")
     val metas = df.where(col("metaData").isNotNull)
       .select(col("metaData.schemaString"),
         col("metaData.partitionColumns"),
-        col("metaData.format.provider"))
+        col("metaData.format.provider"),
+        idCol, cfgCol)
       .collect()
     if (metas.isEmpty)
       fail(path, s"checkpoint $version: no metaData row")
@@ -266,6 +287,10 @@ object DeltaRead {
       }
       setPartCols(
         if (r.isNullAt(1)) Seq.empty else r.getSeq[String](1).toSeq)
+      setMetaInfo(
+        if (r.isNullAt(3)) "" else r.getString(3),
+        if (r.isNullAt(4)) Map.empty
+        else r.getMap[String, String](4).toMap)
     }
     if (top.contains("add")) {
       val adds0 = df.where(col("add").isNotNull)
@@ -281,8 +306,12 @@ object DeltaRead {
       val statsCol =
         if (fieldsOf("add").contains("stats")) col("add.stats")
         else lit(null).cast("string")
+      val sizeCol =
+        if (fieldsOf("add").contains("size")) col("add.size")
+        else lit(0L)
       val rows = adds0
-        .select(col("add.path"), col("add.partitionValues"), statsCol)
+        .select(col("add.path"), col("add.partitionValues"), statsCol,
+          sizeCol)
         .collect()
       rows.foreach { r =>
         val raw = r.getString(0)
@@ -295,7 +324,8 @@ object DeltaRead {
         val stats =
           if (r.isNullAt(2)) None
           else Option(r.getString(2)).filter(_.nonEmpty)
-        live(raw) = DeltaFile(raw, pvs, stats)
+        val size = if (r.isNullAt(3)) 0L else r.getLong(3)
+        live(raw) = DeltaFile(raw, pvs, stats, size)
       }
     }
   }
@@ -306,6 +336,7 @@ object DeltaRead {
       node: JsonNode,
       setSchema: StructType => Unit,
       setPartCols: Seq[String] => Unit,
+      setMetaInfo: (String, Map[String, String]) => Unit,
       live: mutable.LinkedHashMap[String, DeltaFile]): Unit = {
     val protocol = node.get("protocol")
     if (protocol != null) {
@@ -338,6 +369,19 @@ object DeltaRead {
         (0 until arr.size()).map(arr.get(_).asText())
       }.getOrElse(Seq.empty)
       setPartCols(pcs.toSeq)
+      val id = Option(meta.get("id")).filter(!_.isNull)
+        .map(_.asText()).getOrElse("")
+      val cfg = Option(meta.get("configuration")).filter(!_.isNull)
+        .map { o =>
+          val it = o.properties().iterator()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> e.getValue.asText()
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, String])
+      setMetaInfo(id, cfg)
     }
     val add = node.get("add")
     if (add != null) {
@@ -361,7 +405,9 @@ object DeltaRead {
         }
       val stats = Option(add.get("stats")).filter(!_.isNull)
         .map(_.asText()).filter(_.nonEmpty)
-      live(raw) = DeltaFile(raw, pvs, stats)
+      val size = Option(add.get("size")).filter(_.isNumber)
+        .map(_.asLong(0L)).getOrElse(0L)
+      live(raw) = DeltaFile(raw, pvs, stats, size)
     }
     val remove = node.get("remove")
     if (remove != null) {

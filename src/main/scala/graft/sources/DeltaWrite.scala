@@ -437,19 +437,31 @@ object DeltaWrite {
   }
 
   /** The table's highest committed `txn` version for `appId`, or -1
-    * when none exists — from the JSON commit chain plus (when present)
-    * single-part classic checkpoints' txn rows.
+    * when none exists.
     */
   def lastTxnVersion(
       spark: SparkSession,
       tablePath: String,
-      appId: String): Long = {
+      appId: String): Long =
+    txnVersions(spark, tablePath).getOrElse(appId, -1L)
+
+  /** Every appId's highest committed `txn` version — from the JSON
+    * commit chain plus (when present) single-part classic
+    * checkpoints' txn rows. A checkpoint writer must persist this map
+    * or log cleanup would reset every streaming sink's idempotence
+    * counter.
+    */
+  def txnVersions(
+      spark: SparkSession,
+      tablePath: String): Map[String, Long] = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(fs.makeQualified(p), "_delta_log")
-    if (!fs.exists(logDir)) return -1L
+    if (!fs.exists(logDir)) return Map.empty
     val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-    var best = -1L
+    val best = scala.collection.mutable.Map.empty[String, Long]
+    def offer(app: String, v: Long): Unit =
+      if (v > best.getOrElse(app, Long.MinValue)) best(app) = v
     names.filter(_.matches("\\d{20}\\.json")).foreach { n =>
       val bytes = {
         val fp = new Path(logDir, n)
@@ -465,26 +477,140 @@ object DeltaWrite {
             try mapper.readTree(line)
             catch { case _: Exception => null }
           val t = if (node == null) null else node.get("txn")
-          if (t != null &&
-            Option(t.get("appId")).exists(_.asText() == appId)) {
+          if (t != null) {
+            val app = Option(t.get("appId")).filter(!_.isNull)
+              .map(_.asText()).getOrElse("")
             val v = Option(t.get("version")).map(_.asLong(-1L))
               .getOrElse(-1L)
-            if (v > best) best = v
+            if (app.nonEmpty) offer(app, v)
           }
         }
     }
     names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet")).foreach { n =>
       val cp = spark.read.parquet(new Path(logDir, n).toString)
       if (cp.schema.fieldNames.contains("txn")) {
-        cp.where(col("txn").isNotNull &&
-            col("txn.appId") === lit(appId))
-          .select(max(col("txn.version")))
+        cp.where(col("txn").isNotNull)
+          .groupBy(col("txn.appId").as("__a"))
+          .agg(max(col("txn.version")).as("__v"))
           .collect().foreach { r =>
-            if (!r.isNullAt(0) && r.getLong(0) > best) best = r.getLong(0)
+            if (!r.isNullAt(0) && !r.isNullAt(1))
+              offer(r.getString(0), r.getLong(1))
           }
       }
     }
-    best
+    best.toMap
+  }
+
+  /** Write a single-part CLASSIC checkpoint at the table's latest
+    * version (+ the `_last_checkpoint` pointer) — the log-compaction
+    * step that lets [[cleanupLog]] retire old JSON commits while
+    * [[DeltaRead]]'s checkpoint path keeps the table readable. The
+    * checkpoint carries everything replay needs: protocol, metaData
+    * with the table's ORIGINAL id and configuration (losing
+    * `delta.appendOnly` here would erase the constraint for every
+    * post-cleanup reader), every live add WITH its stats and size
+    * (metadata-only counts and zone-map pruning survive compaction),
+    * and every appId's highest txn version (idempotent streaming
+    * sinks keep their replay protection). Returns the checkpointed
+    * version.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    writerGate(spark, fs, logDir, root, overwrite = false)
+    val txns = txnVersions(spark, tablePath)
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format",
+        StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration",
+        MapType(StringType, StringType, valueContainsNull = true))))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues",
+        MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
+    val cpT = StructType(Seq(
+      StructField("protocol", protocolT, nullable = true),
+      StructField("metaData", metaT, nullable = true),
+      StructField("add", addT, nullable = true),
+      StructField("txn", txnT, nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null, null))
+    rows.add(Row(null,
+      Row(if (snap.metaId.nonEmpty) snap.metaId
+      else java.util.UUID.randomUUID().toString,
+        Row("parquet"), snap.schema.json, snap.partitionColumns,
+        snap.configuration),
+      null, null))
+    snap.liveFiles.foreach { f =>
+      rows.add(Row(null, null,
+        Row(f.path, f.partitionValues.map { case (k, v) => k -> v.orNull },
+          f.size, 0L, true, f.stats.orNull),
+        null))
+    }
+    txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
+      rows.add(Row(null, null, null, Row(app, v)))
+    }
+    val df = spark.createDataFrame(rows, cpT)
+    DeltaFixture.plantDataFile(spark, df, tablePath,
+      f"_delta_log/${snap.version}%020d.checkpoint.parquet"): Unit
+    // verify the written checkpoint replays before advertising it
+    val check = DeltaRead.snapshot(spark, tablePath)
+    if (check.liveFiles.map(_.path).sorted !=
+      snap.liveFiles.map(_.path).sorted)
+      fail(tablePath, "checkpoint verification failed — live sets differ")
+    val lc = mapper.createObjectNode()
+    lc.put("version", snap.version)
+    lc.put("size", rows.size().toLong)
+    graft.ScratchSpace.writeBytes(spark, tablePath,
+      "_delta_log/_last_checkpoint",
+      (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
+    snap.version
+  }
+
+  /** Retire JSON commits at or below the newest single-part classic
+    * checkpoint — the log-cleanup half of [[checkpoint]]. Refuses
+    * when no checkpoint exists; verifies the post-cleanup chain
+    * replays (by construction it must: base = checkpoint, tail =
+    * surviving JSONs). Returns the number of commit files removed.
+    * Time travel below the checkpoint stops working, exactly like the
+    * real engines' log retention.
+    */
+  def cleanupLog(spark: SparkSession, tablePath: String): Int = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(fs.makeQualified(p), "_delta_log")
+    if (!fs.exists(logDir)) fail(tablePath, "no _delta_log")
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val cps = names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(_.take(20).toLong)
+    if (cps.isEmpty)
+      fail(tablePath, "cleanupLog without a checkpoint — write one " +
+        "first (DeltaWrite.checkpoint)")
+    val c = cps.max
+    val victims = names.filter(_.matches("\\d{20}\\.json"))
+      .filter(_.take(20).toLong <= c)
+    victims.foreach(n => fs.delete(new Path(logDir, n), false): Unit)
+    // the surviving chain must still replay to the same tip
+    DeltaRead.snapshot(spark, tablePath): Unit
+    victims.size
   }
 
   /** Exact schema + partitioning match against the table (names and

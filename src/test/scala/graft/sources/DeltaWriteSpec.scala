@@ -423,6 +423,70 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(DeltaRead.read(spark, t).count() == 4L)
   }
 
+  test("checkpoint + cleanupLog: table replays from the checkpoint, " +
+    "stats/config/txns survive compaction") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 5), t): Unit
+    DeltaWrite.idempotentAppend(kv(5, 8), t, "app", 3L): Unit
+    DeltaWrite.overwrite(kv(100, 104), t): Unit
+    DeltaWrite.idempotentAppend(kv(104, 106), t, "app", 4L): Unit
+    val cv = DeltaWrite.checkpoint(spark, t)
+    assert(cv == 3L)
+    val removed = DeltaWrite.cleanupLog(spark, t)
+    assert(removed == 4) // JSONs 0..3 retired
+    // replay now comes from the checkpoint alone
+    assert(DeltaRead.versions(spark, t) == Seq(3L))
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == (100L until 106L))
+    // stats survived: metadata-only count still works
+    assert(DeltaRead.countRows(spark, t) == 6L)
+    // txn counters survived: replay of batch 4 still no-ops
+    assert(DeltaWrite.idempotentAppend(kv(104, 106), t, "app", 4L).isEmpty)
+    // and the table keeps accepting commits past the checkpoint
+    assert(DeltaWrite.append(kv(200, 201), t) == 4L)
+    assert(DeltaRead.read(spark, t).count() == 7L)
+    // a second checkpoint at the new tip + cleanup again
+    assert(DeltaWrite.checkpoint(spark, t) == 4L)
+    assert(DeltaWrite.cleanupLog(spark, t) == 1)
+    assert(DeltaRead.read(spark, t).count() == 7L)
+  }
+
+  test("checkpoint preserves configuration (appendOnly survives " +
+    "log cleanup)") {
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
+    val metaLine = DeltaFixture.metaDataLine("ao-id", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.appendOnly\":\"true\"}")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(), metaLine,
+      DeltaFixture.addLine("a.parquet", size,
+        stats = Some(DeltaFixture.statsJson(3, Map.empty)))))
+    DeltaWrite.checkpoint(spark, t): Unit
+    DeltaWrite.cleanupLog(spark, t): Unit
+    // the constraint must still be visible post-cleanup
+    val snap = DeltaRead.snapshot(spark, t)
+    assert(snap.configuration.get("delta.appendOnly").contains("true"))
+    assert(snap.metaId == "ao-id")
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(kv(0, 1), t)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+    assert(DeltaWrite.append(kv(10, 11), t) == 1L)
+  }
+
+  test("cleanupLog without a checkpoint refuses") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 2), t): Unit
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.cleanupLog(spark, t)
+    }
+    assert(e.getMessage.contains("without a checkpoint"))
+  }
+
   test("append to a checkpoint-based (vacuumed-head) table") {
     val t = fresh()
     val schema = kv(0, 1).schema
