@@ -1112,7 +1112,68 @@ object EtlQueries {
         FROM nation WHERE n_nationkey = 1)
       ORDER BY k"""))
 
+  // ---- q247: zip container ingestion ----
+  // The third corpus container (scraped datasets, Kaggle-style drops,
+  // document dumps): streaming local-header walk — members decompress
+  // WITHOUT the central directory, so a truncated upload salvages its
+  // prefix (one decline row ends the file, the WARC/tar contract).
+  // Plant two healthy archives of documents members plus one cut
+  // inside an incompressible member's deflate data; the oracle
+  // replays names/sizes/md5 from the documents table.
+
+  val q247 = Q(
+    "q247_zip_ingest",
+    (s, dir) => {
+      import graft.sources.{Zip, ZipFixture}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val fixture = Tables(s, dir, "documents")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def member(d: (Long, String)): (String, Array[Byte]) =
+        f"${d._1}%06d.txt" -> d._2.getBytes(utf8)
+      val t = scratch(s, "q247_zip_")
+      graft.ScratchSpace.writeBytes(s, t, "z1.zip",
+        ZipFixture.archive(fixture.filter(_._1 < 10).map(member).toSeq))
+      graft.ScratchSpace.writeBytes(s, t, "z2.zip",
+        ZipFixture.archive(fixture.filter(_._1 >= 10).map(member).toSeq))
+      // incompressible LCG member so the cut lands mid-deflate-data
+      var seed = 98765L
+      val noise = Array.fill[Byte](100000) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 33).toByte
+      }
+      graft.ScratchSpace.writeBytes(s, t, "z3.zip",
+        ZipFixture.archive(
+          fixture.filter(_._1 < 3).map(member).toSeq :+
+            ("noise.bin" -> noise)).dropRight(50000))
+      Zip.readDir(s, t,
+          idFromPath = p => regexp_extract(p, "z(\\d+)\\.zip", 1))
+        .select(
+          col("file_id"), col("entry_idx"), col("name"), col("size"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("file_id", "entry_idx")
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(doc_id // 10 + 1 AS BIGINT) AS file_id,
+               CAST(doc_id % 10 AS INTEGER) AS entry_idx,
+               printf('%06d.txt', doc_id) AS name,
+               CAST(strlen(text) AS BIGINT) AS size,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT 3, CAST(doc_id AS INTEGER), printf('%06d.txt', doc_id),
+               strlen(text), md5(text)
+        FROM documents WHERE doc_id < 3
+        UNION ALL
+        SELECT 3, NULL, NULL, NULL, NULL)
+      SELECT file_id, entry_idx, name, size, payload_md5
+      FROM r ORDER BY file_id, entry_idx NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239, q240, q241, q246)
+    q239, q240, q241, q246, q247)
 }
