@@ -583,7 +583,7 @@ object DeltaRead {
     * enforced and partition columns re-attached (broadcast equi-join
     * on the scan's `_metadata.file_path`).
     */
-  private def scanFiles(
+  private[sources] def scanFiles(
       spark: SparkSession,
       path: String,
       snap: DeltaSnapshot,

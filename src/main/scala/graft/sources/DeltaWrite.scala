@@ -171,8 +171,30 @@ object DeltaWrite {
     if (dup > 0)
       fail(tablePath, "updates contain duplicate keys — an ambiguous " +
         "multi-update of one key; dedupe upstream (keep-latest) first")
+    // candidate pruning BEFORE the scan: with a single long-typed key
+    // and written stats, a file whose [min,max] cannot overlap the
+    // update keys' global range provably contains no match — the
+    // zone-map prune every real engine runs. At 100 TB this turns the
+    // affected-file discovery from a full-table key scan into a scan
+    // of the candidate files only (conservative superset: the
+    // semi-join below still computes the EXACT affected set).
+    val candidates: Seq[DeltaRead.DeltaFile] =
+      if (keyCols.size == 1 &&
+        snap.schema(keyCols.head).dataType ==
+          org.apache.spark.sql.types.LongType) {
+        val k = keyCols.head
+        val mm = upd.agg(
+          min(col(k)).cast("long"), max(col(k)).cast("long")).head()
+        if (mm.isNullAt(0)) Seq.empty // no update keys at all
+        else {
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          snap.liveFiles.filter(f =>
+            DeltaRead.statsOverlap(f.stats, k, lo, hi))
+        }
+      } else snap.liveFiles
     // affected files: those holding at least one matched key
-    val tbl = DeltaRead.readWithFilePath(spark, tablePath)
+    val tbl = DeltaRead.scanFiles(spark, tablePath, snap, candidates,
+      keepFile = true)
     val affected = tbl
       .join(upd.select(keyExprs: _*), keyCols, "left_semi")
       .select(col("__delta_file")).distinct()

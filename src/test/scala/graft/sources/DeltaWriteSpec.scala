@@ -314,6 +314,23 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(cc.getMessage.contains("rerun the merge"))
   }
 
+  test("merge candidate pruning: stats-less files stay candidates " +
+    "(never skipped on missing evidence); empty update set no-ops") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t, collectStats = false): Unit
+    DeltaWrite.merge(Seq((1L, "UPD")).toDF("k", "name"), t, Seq("k")): Unit
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(0L -> "row0", 1L -> "UPD", 2L -> "row2"))
+    // empty updates: no removes, no adds beyond none — a no-op commit
+    val v = DeltaWrite.merge(
+      Seq.empty[(Long, String)].toDF("k", "name"), t, Seq("k"))
+    assert(DeltaRead.read(spark, t).count() == 3L)
+    assert(v == DeltaRead.versions(spark, t).max)
+  }
+
   test("merge with partitioned table rewrites within partitions") {
     val ss = spark
     import ss.implicits._
