@@ -1065,9 +1065,68 @@ object StreamingQueries {
       SELECT file_id, entry_idx, name, size, payload_md5
       FROM r ORDER BY file_id, entry_idx NULLS FIRST"""))
 
+  /** Streaming zip intake parity — completes the container matrix
+    * (every batch reader has a streaming twin through the same
+    * parser): archives land in a watched directory, members parse per
+    * micro-batch, the third archive is cut mid-deflate so the
+    * salvage decline row is exercised under streaming execution.
+    */
+  val q248 = Q(
+    "q248_stream_zip_ingest_parity",
+    (s, dir) => {
+      import graft.sources.{Zip, ZipFixture}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val fixture = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def member(d: (Long, String)): (String, Array[Byte]) =
+        f"${d._1}%06d.txt" -> d._2.getBytes(utf8)
+      val watch = Scratch.dir(s, "q248_watch_")
+      graft.ScratchSpace.writeBytes(s, watch, "z1.zip",
+        ZipFixture.archive(fixture.filter(_._1 < 10).map(member).toSeq))
+      graft.ScratchSpace.writeBytes(s, watch, "z2.zip",
+        ZipFixture.archive(fixture.filter(_._1 >= 10).map(member).toSeq))
+      var seed = 424242L
+      val noise = Array.fill[Byte](100000) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 33).toByte
+      }
+      graft.ScratchSpace.writeBytes(s, watch, "z3.zip",
+        ZipFixture.archive(
+          fixture.filter(_._1 < 3).map(member).toSeq :+
+            ("noise.bin" -> noise)).dropRight(50000))
+      drainToTable(s, "q248_mem",
+        Zip.readStreamDir(s, watch,
+            idFromPath = p => regexp_extract(p, "z(\\d+)\\.zip", 1))
+          .select(
+            col("file_id"), col("entry_idx"), col("name"), col("size"),
+            md5(col("payload")).as("payload_md5")),
+        "append")
+        .orderBy("file_id", "entry_idx")
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(doc_id // 10 + 1 AS BIGINT) AS file_id,
+               CAST(doc_id % 10 AS INTEGER) AS entry_idx,
+               printf('%06d.txt', doc_id) AS name,
+               CAST(strlen(text) AS BIGINT) AS size,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT 3, CAST(doc_id AS INTEGER), printf('%06d.txt', doc_id),
+               strlen(text), md5(text)
+        FROM documents WHERE doc_id < 3
+        UNION ALL
+        SELECT 3, NULL, NULL, NULL, NULL)
+      SELECT file_id, entry_idx, name, size, payload_md5
+      FROM r ORDER BY file_id, entry_idx NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236, q238, q245)
+      q196, q202, q216, q223, q236, q238, q245, q248)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
