@@ -65,6 +65,39 @@ class S3aSchemeSpec extends SparkTestBase {
     }
   }
 
+  test("Delta write lifecycle end-to-end on s3a:// URIs: append, " +
+    "idempotent txn, merge, checkpoint + cleanup, vacuum, read back") {
+    withMockS3a { base =>
+      val ss = spark
+      import ss.implicits._
+      val t = s"$base/lake/delta_tbl"
+      def kv(lo: Int, hi: Int) =
+        (lo until hi).map(i => (i.toLong, s"row$i")).toDF("k", "name")
+      assert(DeltaWrite.append(kv(0, 5), t) == 0L)
+      assert(DeltaWrite.idempotentAppend(kv(5, 8), t, "app", 0L)
+        .contains(1L))
+      assert(DeltaWrite.idempotentAppend(kv(5, 8), t, "app", 0L).isEmpty)
+      DeltaWrite.merge(
+        Seq((2L, "UPD", false), (100L, "NEW", false), (4L, "x", true))
+          .toDF("k", "name", "del"),
+        t, Seq("k"), deleteCol = Some("del")): Unit
+      assert(DeltaWrite.checkpoint(spark, t) == 2L)
+      assert(DeltaWrite.cleanupLog(spark, t) == 3)
+      DeltaWrite.vacuum(spark, t, retainMs = 0): Unit
+      val got = DeltaRead.read(spark, t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq(0L -> "row0", 1L -> "row1", 2L -> "UPD",
+        3L -> "row3", 5L -> "row5", 6L -> "row6", 7L -> "row7",
+        100L -> "NEW"))
+      assert(DeltaRead.countRows(spark, t) == 8L)
+      // txn idempotence survives checkpoint+cleanup on the s3a scheme
+      assert(DeltaWrite.idempotentAppend(kv(5, 8), t, "app", 0L).isEmpty)
+      // every path the log references stays on the object-store scheme
+      DeltaRead.snapshot(spark, t).liveFiles.foreach(f =>
+        assert(!f.path.startsWith("file:"), f.path))
+    }
+  }
+
   test("dynamic-partition overwrite honors partition grain on s3a://") {
     withMockS3a { base =>
       val io = new DatasetIO(spark)
