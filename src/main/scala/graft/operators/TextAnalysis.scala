@@ -1645,4 +1645,73 @@ object TextAnalysis {
             col("__anchor_len") / length(col("text")))
             .otherwise(lit(0.0))).as("link_density"))
   }
+
+  /** Packing constant for the unigram dp: dp = K·total_cost + tokens,
+    * making (cost, token count) ONE integer minimization — path ties
+    * cannot change the value, so no tie-break rule needs cross-engine
+    * agreement.
+    */
+  private val UnigramK = 1000000L
+
+  /** Unigram-LM tokenization (the SentencePiece default) — the THIRD
+    * tokenizer family after BPE (q128/q188) and WordPiece greedy
+    * longest-match (q220/q226): Viterbi MINIMUM-COST segmentation
+    * over a (token → integer cost) vocabulary, costs being scaled
+    * negative log-probs on a fixed integer grid (the fix-grid
+    * convention — float Viterbi would be a cross-engine landmine),
+    * with a single-character fallback at `unkCost` so every string
+    * segments (byte-fallback semantics). Greedy longest-match can be
+    * globally suboptimal; Viterbi is the optimum by construction —
+    * dp[i] = min over candidate tokens t ending at i of
+    * dp[i−|t|] + K·cost(t) + 1. Emits (id, n_chars, total_cost,
+    * n_tokens) per row, normalized via [[Texts.normText]].
+    *
+    * Scale: one typed pass, O(len·maxTokenLen) per row; the vocab
+    * ships in the task closure (a real 100k-entry unigram vocab is
+    * MB-scale — dim-sized, like the broadcast side of any dim join).
+    */
+  def unigramEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Map[String, Long],
+      unkCost: Long): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.keys.forall(_.nonEmpty), "empty token in vocabulary")
+    require(vocab.values.forall(c => c >= 1 && c <= 100000) &&
+      unkCost >= 1 && unkCost <= 100000,
+      "costs must sit in [1, 100000] (scaled log-prob grid)")
+    val maxLen = vocab.keys.map(_.length).max
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), Texts.normText(col(textCol)))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, s) =>
+          val n = s.length
+          val dp = new Array[Long](n + 1)
+          var i = 1
+          while (i <= n) {
+            // single-char fallback first, vocab candidates beat it
+            var best = dp(i - 1) + UnigramK * unkCost + 1
+            var l = 1
+            val lMax = math.min(maxLen, i)
+            while (l <= lMax) {
+              vocab.get(s.substring(i - l, i)) match {
+                case Some(c) =>
+                  val v = dp(i - l) + UnigramK * c + 1
+                  if (v < best) best = v
+                case None => ()
+              }
+              l += 1
+            }
+            dp(i) = best
+            i += 1
+          }
+          (id, n.toLong, dp(n) / UnigramK, dp(n) % UnigramK)
+        }
+      }
+      .toDF(idCol, "n_chars", "total_cost", "n_tokens")
+  }
 }

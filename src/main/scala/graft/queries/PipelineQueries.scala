@@ -4771,8 +4771,58 @@ object PipelineQueries {
         AS t(doc_id, out_w, out_h, sum_r, sum_g, sum_b)
       ORDER BY doc_id"""))
 
+  // ---- q249: unigram-LM (SentencePiece-style) tokenization ----
+  // The THIRD tokenizer family (BPE q128/q188, WordPiece q220/q226):
+  // Viterbi minimum-cost segmentation over a (token -> integer cost)
+  // vocabulary with single-char fallback — integer costs on a fixed
+  // grid so the optimum is exact, and the K-packed dp makes (cost,
+  // token count) one minimization where path ties cannot change the
+  // value. The oracle is a TRUE algorithm differential: DuckDB
+  // replays the dp as a recursive CTE carrying the dp vector as a
+  // LIST with a per-position comprehension over the vocab map — a
+  // different evaluation strategy than the Spark typed pass.
+
+  private val unigramVocab: Seq[(String, Long)] = Seq(
+    " " -> 5L, "the" -> 10L, "ing" -> 12L, "and" -> 11L, "er" -> 14L,
+    "in" -> 9L, "re" -> 14L, "tion" -> 18L, "ed" -> 13L, "es" -> 13L,
+    "at" -> 13L, "on" -> 12L, "or" -> 14L, "en" -> 13L, "of" -> 11L,
+    "to" -> 12L, "it" -> 13L)
+
+  val q249 = Q(
+    "q249_unigram_encode",
+    (s, dir) =>
+      TextAnalysis.unigramEncode(
+          docs(s, dir).where(col("doc_id") < 100),
+          "doc_id", "text", unigramVocab.toMap, unkCost = 35L)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, lower(trim(text)) AS s
+            FROM documents WHERE doc_id < 100),
+      vocab(tok, cost) AS (VALUES ${unigramVocab.map {
+        case (t, c) => s"('$t',$c)"
+      }.mkString(",")}),
+      vm AS (SELECT map_from_entries(list((tok, cost))) AS m FROM vocab),
+      dp AS (
+        SELECT doc_id, s, 0 AS pos, [CAST(0 AS BIGINT)] AS dps FROM d
+        UNION ALL
+        SELECT doc_id, s, pos + 1,
+          list_append(dps, least(
+            coalesce(list_min(
+              [dps[j + 1] + 1000000 * m[substr(s, j + 1, pos + 1 - j)][1] + 1
+               for j in range(greatest(0, pos - 3), pos + 1)
+               if m[substr(s, j + 1, pos + 1 - j)][1] IS NOT NULL]),
+              9223372036854775807),
+            dps[pos + 1] + 35000001))
+        FROM dp, vm WHERE pos < strlen(s))
+      SELECT doc_id, CAST(strlen(s) AS BIGINT) AS n_chars,
+             CAST(dps[-1] // 1000000 AS BIGINT) AS total_cost,
+             CAST(dps[-1] % 1000000 AS BIGINT) AS n_tokens
+      FROM dp WHERE pos = strlen(s)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    q237, q242, q243, q244,
+    q237, q242, q243, q244, q249,
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,
