@@ -1124,9 +1124,63 @@ object StreamingQueries {
       SELECT file_id, entry_idx, name, size, payload_md5
       FROM r ORDER BY file_id, entry_idx NULLS FIRST"""))
 
+  /** Streaming JSONL intake parity — the LAST container twin
+    * (WARC/tar/zip/JSONL now all read batch AND streaming through one
+    * parser each): gzipped JSONL written by the engine's own sink
+    * plus a hand file with corrupt lines drain through a micro-batch
+    * job; the streaming quarantine must preserve raw corrupt lines
+    * exactly like the batch reader.
+    */
+  val q250 = Q(
+    "q250_stream_jsonl_ingest_parity",
+    (s, dir) => {
+      import graft.sources.Jsonl
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val watch = Scratch.dir(s, "q250_watch_")
+      Jsonl.write(
+        s.read.parquet(s"$dir/documents.parquet")
+          .where(col("doc_id") < 40)
+          .select(col("doc_id").as("id"), col("text"), col("lang")),
+        watch, gzip = true)
+      graft.ScratchSpace.writeBytes(s, watch, "extra.jsonl", Seq(
+        """{"id":900,"text":"niner hundred","lang":"en"}""",
+        """not json at all {{{""",
+        """{"id":12,""",
+        "").mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = drainToTable(s, "q250_mem",
+        Jsonl.readStreamDir(s, watch, schema), "append")
+      val (good, bad) = Jsonl.split(parsed)
+      good.select(
+          col("id"), col("lang"), md5(col("text")).as("txt_md5"),
+          lit(false).as("is_corrupt"))
+        .unionAll(bad.select(
+          lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("lang"),
+          md5(col(Jsonl.Corrupt)).as("txt_md5"),
+          lit(true).as("is_corrupt")))
+        .orderBy("is_corrupt", "id", "txt_md5")
+    },
+    Some("""
+      WITH rows_all AS (
+        SELECT doc_id AS id, lang, md5(text) AS txt_md5,
+               FALSE AS is_corrupt
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT CAST(900 AS BIGINT), 'en', md5('niner hundred'), FALSE
+        UNION ALL
+        SELECT NULL, NULL, md5('not json at all {{{'), TRUE
+        UNION ALL
+        SELECT NULL, NULL, md5('{"id":12,'), TRUE)
+      SELECT id, lang, txt_md5, is_corrupt
+      FROM rows_all
+      ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236, q238, q245, q248)
+      q196, q202, q216, q223, q236, q238, q245, q248, q250)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays

@@ -54,9 +54,16 @@ object Jsonl {
       glob: String = "*"): DataFrame = {
     require(!schema.fieldNames.contains(Corrupt),
       s"schema already contains reserved column '$Corrupt'")
-    spark.read
-      .option("pathGlobFilter", glob)
-      .text(dir)
+    parseLines(
+      spark.read
+        .option("pathGlobFilter", glob)
+        .text(dir),
+      schema)
+  }
+
+  /** The shared lines→rows transform of [[readDir]]/[[readStreamDir]]. */
+  private def parseLines(lines: DataFrame, schema: StructType): DataFrame =
+    lines
       .where(length(trim(col("value"))) > 0)
       .select(from_json(
         col("value"),
@@ -65,6 +72,24 @@ object Jsonl {
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> Corrupt)).as("j"))
       .select(col("j.*"))
+
+  /** Streaming twin of [[readDir]] — the text streaming source feeds
+    * the same from_json parse (one code path), so PERMISSIVE
+    * quarantine semantics hold per micro-batch; [[split]] composes on
+    * top unchanged.
+    */
+  def readStreamDir(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      glob: String = "*"): DataFrame = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema already contains reserved column '$Corrupt'")
+    parseLines(
+      spark.readStream
+        .option("pathGlobFilter", glob)
+        .text(dir),
+      schema)
   }
 
   /** Split a [[readDir]] result into (good, quarantine): good rows
