@@ -1690,6 +1690,17 @@ object TextAnalysis {
       .mapPartitions { it =>
         it.map { case (id, s) =>
           val n = s.length
+          // the packed dp reserves UnigramK token-count slots; a doc
+          // of >= UnigramK chars could emit >= UnigramK tokens and
+          // overflow the count into the cost digits — refuse loudly
+          // rather than return silently-wrong numbers (dp magnitude
+          // itself stays < 1e17 under this bound: cost<=1e5 · K=1e6
+          // per token · <1e6 tokens)
+          if (n >= UnigramK)
+            throw new IllegalArgumentException(
+              s"unigramEncode: doc $id has $n chars >= $UnigramK — " +
+                "exceeds the packed-dp token-count radix; chunk the " +
+                "document first")
           val dp = new Array[Long](n + 1)
           var i = 1
           while (i <= n) {

@@ -137,6 +137,7 @@ object DeltaWrite {
       keyCols: Seq[String],
       deleteCol: Option[String] = None,
       collectStats: Boolean = true,
+      maxRetries: Int = 10,
       beforeCommit: () => Unit = () => ()): Long = {
     val spark = updates.sparkSession
     require(keyCols.nonEmpty, "merge needs at least one key column")
@@ -227,14 +228,27 @@ object DeltaWrite {
         f.relPath, f.size, f.partitionValues, stats = f.stats)
     }
     var version = snap.version + 1
+    var attempts = 0
     while (!tryCommit(fs, logDir, version, lines.result())) {
-      // a concurrent commit exists: safe only if the live set is
-      // provably unchanged (metadata/commitInfo-only commit)
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"merge lost $maxRetries version races — " +
+          "a committer is racing this merge; rerun against the new state")
+      // a concurrent commit exists: safe only if the table state this
+      // merge computed against is PROVABLY unchanged — live file set
+      // AND schema AND partition columns AND configuration (a
+      // metadata-only commit that flips delta.appendOnly or evolves
+      // the schema invalidates the constraints this merge validated)
       val now = DeltaRead.snapshot(spark, tablePath)
       val same =
-        now.liveFiles.map(_.path).sorted == snap.liveFiles.map(_.path).sorted
+        now.liveFiles.map(_.path).sorted ==
+          snap.liveFiles.map(_.path).sorted &&
+        now.schema == snap.schema &&
+        now.partitionColumns == snap.partitionColumns &&
+        now.configuration == snap.configuration
       if (!same)
-        fail(tablePath, "concurrent commit changed the live file set " +
+        fail(tablePath, "concurrent commit changed the table state " +
+          "(live files, schema, partitioning, or configuration) " +
           "during merge — rerun the merge against the new state " +
           "(staged files are inert orphans)")
       version = DeltaRead.versions(spark, tablePath).max + 1
@@ -682,11 +696,17 @@ object DeltaWrite {
     names.filter(_.matches("\\d{20}\\.json")).foreach { n =>
       val bytes = graft.ScratchSpace.readBytes(
         spark, new Path(logDir, n).toString)
+      // an unparseable line skips ONLY itself: pre-checkpoint commits
+      // are never replayed by the reader, so bailing out of the whole
+      // gate on first garbage would let one bad line disable the
+      // protocol/appendOnly check for every later commit
       new String(bytes, "UTF-8").linesIterator
-        .map(_.trim).filter(_.nonEmpty).foreach { line =>
-          val node =
-            try mapper.readTree(line)
-            catch { case _: Exception => return } // reader already gated
+        .map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          try Some(mapper.readTree(line))
+          catch { case _: Exception => None }
+        }
+        .foreach { node =>
           val proto = node.get("protocol")
           if (proto != null)
             gateProtocol(
@@ -874,10 +894,30 @@ object DeltaWrite {
     mapper.writeValueAsString(root)
   }
 
+  /** Torn-write debris younger than this is NEVER healed: a racing
+    * committer's file is legitimately visible-but-partial between its
+    * `fs.create()` and `close()`, and deleting it would let two
+    * writers both succeed at one version (losing a commit's adds).
+    * One hour is far beyond any close() latency and far below any
+    * operational cleanup cadence.
+    */
+  private[sources] val HealStalenessMs = 3600L * 1000
+
   /** One create-exclusive commit file; false = version taken. A
-    * leftover file that fails even a JSON-line parse is a torn write
-    * from a crashed committer: deleted and retried once (the
-    * [[DatasetIO]] manifest self-heal rule).
+    * leftover file that fails even a JSON-line parse AND is older than
+    * [[HealStalenessMs]] is a torn write from a committer that crashed
+    * long ago: deleted and retried once (the [[DatasetIO]] manifest
+    * self-heal rule). A RECENT unparseable file is treated as an
+    * in-flight concurrent commit — never deleted; the caller loses the
+    * version race and retries at the next version.
+    *
+    * Mutual-exclusion caveat (mirrors the real Delta LogStore
+    * requirement): `fs.create(path, overwrite=false)` is only atomic
+    * on HDFS-class filesystems. On raw S3 (and RawLocalFileSystem)
+    * it is check-then-create, so concurrent committers from SEPARATE
+    * processes can race undetected; single-writer-per-table (or an
+    * external lock) is the deployment contract there, exactly as
+    * delta-io documents for S3 without a coordinating LogStore.
     */
   private def tryCommit(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -896,21 +936,28 @@ object DeltaWrite {
         case _: java.io.IOException if fs.exists(dest) => false
       }
     if (attempt()) return true
-    // parseable existing file = a committed (or committing) version;
-    // unparseable garbage = torn crash debris, heal once
-    val healthy =
+    // parseable existing file = a committed version; unparseable AND
+    // stale = torn crash debris, heal once; unparseable but FRESH =
+    // a concurrent committer mid-close — hands off
+    val healable =
       try {
         val st = fs.getFileStatus(dest)
-        val buf = new Array[Byte](st.getLen.toInt)
-        val in = fs.open(dest)
-        try in.readFully(0L, buf) finally in.close()
-        val text = new String(buf, "UTF-8")
-        buf.nonEmpty && text.endsWith("\n") &&
-          text.linesIterator.filter(_.trim.nonEmpty)
-            .forall(l => try { mapper.readTree(l); true }
-              catch { case _: Exception => false })
-      } catch { case _: Exception => true }
-    if (healthy) false
+        val stale =
+          System.currentTimeMillis() - st.getModificationTime >
+            HealStalenessMs
+        if (!stale) false
+        else {
+          val buf = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(dest)
+          try in.readFully(0L, buf) finally in.close()
+          val text = new String(buf, "UTF-8")
+          !(buf.nonEmpty && text.endsWith("\n") &&
+            text.linesIterator.filter(_.trim.nonEmpty)
+              .forall(l => try { mapper.readTree(l); true }
+                catch { case _: Exception => false }))
+        }
+      } catch { case _: Exception => false }
+    if (!healable) false
     else {
       fs.delete(dest, false)
       attempt()

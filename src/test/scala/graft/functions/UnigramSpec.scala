@@ -51,4 +51,20 @@ class UnigramSpec extends SparkTestBase {
       run(Seq("x"), Map("" -> 5L), 35L)
     }
   }
+
+  test("a document at the packed-dp radix bound refuses loudly " +
+    "instead of overflowing token count into cost digits") {
+    // 1M chars => up to 1M tokens >= UnigramK slots — must refuse
+    val huge = "a" * 1000000
+    val e = intercept[Exception] {
+      run(Seq(huge), Map("a" -> 2L), 35L)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) ""
+      else Option(t.getMessage).getOrElse("") + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("packed-dp token-count radix"))
+    // just under the bound still encodes correctly
+    val ok = run(Seq("a" * 999999), Map("a" -> 2L), 35L)
+    assert(ok == Seq((0L, 999999L, 2L * 999999L, 999999L)))
+  }
 }

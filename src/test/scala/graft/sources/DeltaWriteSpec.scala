@@ -515,4 +515,122 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(DeltaRead.read(spark, t).orderBy("k")
       .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 10L, 11L))
   }
+
+  test("FRESH torn commit debris is never deleted (an in-flight " +
+    "concurrent committer is indistinguishable from a torn crash)") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = new Path(new Path(t, "_delta_log"), f"${1L}%020d.json")
+    var planted = false
+    // plant fresh unparseable bytes at version 1 AFTER the initial
+    // snapshot — simulating a concurrent committer visible mid-close
+    val e = intercept[Exception] {
+      DeltaWrite.append(kv(10, 12), t, beforeCommit = { () =>
+        if (!planted) {
+          planted = true
+          val out = fs.create(v1, false)
+          try out.write("{not json".getBytes("UTF-8")) finally out.close()
+        }
+      })
+    }
+    // the writer loses the race and fails loudly at the retry's
+    // re-snapshot (the tip is unreadable) — but NEVER deletes the file
+    assert(fs.exists(v1), "fresh in-flight commit file was deleted")
+    val buf = new Array[Byte](9)
+    val in = fs.open(v1)
+    try in.readFully(0L, buf) finally in.close()
+    assert(new String(buf, "UTF-8") == "{not json",
+      s"in-flight commit content clobbered (${e.getMessage})")
+  }
+
+  test("STALE torn commit debris (older than the staleness window) " +
+    "heals: the writer deletes it and commits at that version") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 3), t): Unit
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = new Path(new Path(t, "_delta_log"), f"${1L}%020d.json")
+    var planted = false
+    val v = DeltaWrite.append(kv(10, 12), t, beforeCommit = { () =>
+      if (!planted) {
+        planted = true
+        val out = fs.create(v1, false)
+        try out.write("{not json".getBytes("UTF-8")) finally out.close()
+        // age it past the heal threshold — a crash from long ago
+        val old = System.currentTimeMillis() -
+          DeltaWrite.HealStalenessMs - 60000L
+        fs.setTimes(v1, old, old)
+      }
+    })
+    assert(v == 1L)
+    assert(DeltaRead.read(spark, t).count() == 5L)
+  }
+
+  test("writerGate survives a garbage line below the checkpoint: " +
+    "appendOnly declared only in checkpoint metaData still gates") {
+    val t = fresh()
+    // v0 with appendOnly, v1 append, checkpoint at 1 (carries config)
+    val schema = kv(0, 1).schema
+    val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
+    val metaLine = DeltaFixture.metaDataLine("ao2", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.appendOnly\":\"true\"}")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(), metaLine,
+      DeltaFixture.addLine("a.parquet", size)))
+    DeltaWrite.append(kv(10, 12), t): Unit
+    DeltaWrite.checkpoint(spark, t): Unit
+    // simulate a crashed cleanupLog: v1's json is gone, v0's remains —
+    // the reader now replays from the checkpoint and NEVER parses v0
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(t, "_delta_log")
+    fs.delete(new Path(logDir, f"${1L}%020d.json"), false): Unit
+    // corrupt v0 with a LEADING garbage line: only the writer gate
+    // parses this file — one bad line must not disable the gate for
+    // the appendOnly metaData line below it
+    val v0 = new Path(logDir, f"${0L}%020d.json")
+    val st = fs.getFileStatus(v0)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(v0)
+    try in.readFully(0L, buf) finally in.close()
+    val out = fs.create(v0, true)
+    try {
+      out.write("garbage-not-json\n".getBytes("UTF-8"))
+      out.write(buf)
+    } finally out.close()
+    // reads fine (checkpoint replay), append fine, overwrite REFUSED
+    assert(DeltaRead.read(spark, t).count() == 5L)
+    assert(DeltaWrite.append(kv(20, 21), t) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(kv(0, 1), t)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+  }
+
+  test("merge refuses after a concurrent METADATA-only commit " +
+    "(configuration change invalidates validated constraints)") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 4), t): Unit
+    var raced = false
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(Seq((1L, "UPD")).toDF("k", "name"), t, Seq("k"),
+        beforeCommit = { () =>
+          if (!raced) {
+            raced = true
+            // concurrent metadata-only commit: same live files, new
+            // configuration (flips appendOnly)
+            val snap = DeltaRead.snapshot(spark, t)
+            val metaLine = DeltaFixture
+              .metaDataLine(snap.metaId, snap.schema)
+              .replace("\"configuration\":{}",
+                "\"configuration\":{\"delta.appendOnly\":\"true\"}")
+            DeltaFixture.writeCommit(spark, t, snap.version + 1,
+              Seq(metaLine))
+          }
+        })
+    }
+    assert(e.getMessage.contains("concurrent commit changed the table"))
+  }
 }
