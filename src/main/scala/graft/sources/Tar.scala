@@ -221,8 +221,8 @@ object Tar {
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
-        col("content"))
-      .as[(Long, Array[Byte])])
+        col("path"))
+      .as[(Long, String)])
   }
 
   /** Streaming twin of [[readDir]] — new shards landing in `dir` parse
@@ -249,28 +249,39 @@ object Tar {
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
-        col("content"))
-      .as[(Long, Array[Byte])])
+        col("path"))
+      .as[(Long, String)])
   }
 
   /** The shared shard→members transform of [[readDir]] /
-    * [[readStreamDir]].
+    * [[readStreamDir]]: (file_id, path) rows only — the binaryFile
+    * lister prunes the content column — and each task opens its shards
+    * through the Hadoop FS API and STREAMS the parse ([[FileStreams]]),
+    * so there is no per-shard size bound and task heap holds one member
+    * payload at a time.
     */
   private def membersOf(
       spark: SparkSession,
-      files: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      files: org.apache.spark.sql.Dataset[(Long, String)])
       : DataFrame = {
     import spark.implicits._
+    val confH = new graft.operators.HadoopConfHolder(
+      spark.sessionState.newHadoopConf())
+    def decline(fileId: Long) =
+      (fileId, None: Option[Int], None: Option[String],
+        None: Option[Long], None: Option[String],
+        None: Option[Array[Byte]])
     files.mapPartitions { it =>
-      it.flatMap { case (fileId, bytes) =>
-        parseBytes(bytes).map {
-          case Some(e) =>
-            (fileId, Some(e.entry_idx), Some(e.name), Some(e.size),
-              Some(e.type_flag), Some(e.payload))
-          case None =>
-            (fileId, None: Option[Int], None: Option[String],
-              None: Option[Long], None: Option[String],
-              None: Option[Array[Byte]])
+      it.flatMap { case (fileId, path) =>
+        FileStreams.openSniffed(confH.value, path) match {
+          case None => Iterator.single(decline(fileId))
+          case Some(in) =>
+            FileStreams.closing(in, parseStream(in).map {
+              case Some(e) =>
+                (fileId, Some(e.entry_idx), Some(e.name), Some(e.size),
+                  Some(e.type_flag), Some(e.payload))
+              case None => decline(fileId)
+            })
         }
       }
     }.toDF("file_id", "entry_idx", "name", "size", "type_flag", "payload")
@@ -292,7 +303,18 @@ object Tar {
         regexp_replace(col("name"), "\\.[A-Za-z0-9]+$", ""))
       .withColumn("ext",
         lower(regexp_extract(col("name"), "\\.([A-Za-z0-9]+)$", 1)))
-    files
+    // duplicate member names are LEGAL in tar (extract overwrites, last
+    // wins) — dedupe per (file_id, sample_key, ext) keeping the highest
+    // entry_idx BEFORE the map build, or map_from_entries throws on the
+    // duplicate key and one odd shard fails the whole job
+    val deduped = files
+      .groupBy(col("file_id"), col("sample_key"), col("ext"))
+      .agg(
+        max_by(struct(col("payload"), col("size")), col("entry_idx"))
+          .as("__last"))
+      .select(col("file_id"), col("sample_key"), col("ext"),
+        col("__last.payload").as("payload"), col("__last.size").as("size"))
+    deduped
       .groupBy(col("file_id"), col("sample_key"))
       .agg(
         map_from_entries(array_sort(collect_list(
@@ -317,7 +339,7 @@ object TarFixture {
 
   private def putOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit =
     // (len-1)-digit zero-padded octal + NUL terminator, the ustar shape
-    putStr(h, off, ("%0" + (len - 1) + "o").format(v) + " ")
+    putStr(h, off, ("%0" + (len - 1) + "o").format(v) + "\u0000")
 
   /** One ustar header block for a member of `size` bytes. */
   def header(name: String, size: Long, typeFlag: Char = '0'): Array[Byte] = {
@@ -330,13 +352,13 @@ object TarFixture {
     putOctal(h, 124, 12, size)
     putOctal(h, 136, 12, 0) // mtime
     h(156) = typeFlag.toByte
-    putStr(h, 257, "ustar ")
+    putStr(h, 257, "ustar\u0000")
     putStr(h, 263, "00") // version
     // checksum: sum with the checksum field as spaces, 6-digit octal
     // + NUL + space at 148
     java.util.Arrays.fill(h, 148, 156, ' '.toByte)
     val sum = h.map(_ & 0xFF).sum
-    putStr(h, 148, "%06o".format(sum) + "  ")
+    putStr(h, 148, "%06o".format(sum) + "\u0000 ")
     h
   }
 

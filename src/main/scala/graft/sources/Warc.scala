@@ -48,9 +48,10 @@ final case class WarcParsed(
   * a shuffle). Within a file, parsing is STREAMING — one record's
   * payload in memory at a time over the (multi-member) gzip stream,
   * so a 1 GB segment never materializes its ~5 GB uncompressed form.
-  * The `binaryFile` source bounds individual files at 2 GB; larger
-  * archives must be re-sharded upstream (Common Crawl segments are
-  * sized ~1 GB for precisely this reason).
+  * Files are opened through the Hadoop FS API and streamed per task
+  * ([[FileStreams]]) — no per-file size bound, no whole-shard heap
+  * cost; the `binaryFile` source acts only as the file LISTER (its
+  * content column is pruned away).
   *
   * Error contract (prefix-salvage): records stream out until the
   * first framing violation; a violated or truncated tail emits ONE
@@ -284,8 +285,8 @@ object Warc {
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
-        col("content"))
-      .as[(Long, Array[Byte])])
+        col("path"))
+      .as[(Long, String)])
   }
 
   /** Streaming twin of [[readDir]] — the continuous crawl-intake
@@ -313,30 +314,42 @@ object Warc {
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
-        col("content"))
-      .as[(Long, Array[Byte])])
+        col("path"))
+      .as[(Long, String)])
   }
 
   /** The shared file→records transform of [[readDir]] /
-    * [[readStreamDir]].
+    * [[readStreamDir]]: the scan carries only (file_id, path) — the
+    * binaryFile lister prunes the content column away — and each task
+    * opens its files through the Hadoop FS API and STREAMS the parse
+    * ([[FileStreams]]), so there is no per-file size bound and task
+    * heap holds one record payload at a time. An unopenable or
+    * codec-header-damaged file is the whole-file decline row.
     */
   private def recordsOf(
       spark: SparkSession,
-      files: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      files: org.apache.spark.sql.Dataset[(Long, String)])
       : DataFrame = {
     import spark.implicits._
+    val confH = new graft.operators.HadoopConfHolder(
+      spark.sessionState.newHadoopConf())
+    def decline(fileId: Long) =
+      (fileId, None: Option[Int], None: Option[Long],
+        None: Option[String], None: Option[String],
+        None: Option[String], None: Option[Int],
+        None: Option[Long], None: Option[Array[Byte]])
     files.mapPartitions { it =>
-      it.flatMap { case (fileId, bytes) =>
-        parseBytes(bytes).map {
-          case Some(r) =>
-            (fileId, Some(r.rec_idx), Some(r.offset), r.warc_type,
-              r.target_uri, r.content_type, r.http_status,
-              Some(r.payload.length.toLong), Some(r.payload))
-          case None =>
-            (fileId, None: Option[Int], None: Option[Long],
-              None: Option[String], None: Option[String],
-              None: Option[String], None: Option[Int],
-              None: Option[Long], None: Option[Array[Byte]])
+      it.flatMap { case (fileId, path) =>
+        FileStreams.openSniffed(confH.value, path) match {
+          case None => Iterator.single(decline(fileId))
+          case Some(in) =>
+            FileStreams.closing(in, parseStream(in).map {
+              case Some(r) =>
+                (fileId, Some(r.rec_idx), Some(r.offset), r.warc_type,
+                  r.target_uri, r.content_type, r.http_status,
+                  Some(r.payload.length.toLong), Some(r.payload))
+              case None => decline(fileId)
+            })
         }
       }
     }.toDF("file_id", "rec_idx", "offset", "warc_type", "target_uri",

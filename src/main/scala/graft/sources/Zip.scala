@@ -34,8 +34,15 @@ object Zip {
   private val MaxMemberBytes = 256 << 20
 
   private[sources] def parseBytes(
-      bytes: Array[Byte]): Iterator[Option[ZipMember]] = {
-    val in = new ZipInputStream(new ByteArrayInputStream(bytes))
+      bytes: Array[Byte]): Iterator[Option[ZipMember]] =
+    parseStream(new ByteArrayInputStream(bytes))
+
+  /** Lazily parse one zip stream into members, appending ONE decline
+    * marker (None) at the first framing/deflate violation.
+    */
+  private[sources] def parseStream(
+      raw: InputStream): Iterator[Option[ZipMember]] = {
+    val in = new ZipInputStream(raw)
     var idx = 0
     var done = false
 
@@ -106,8 +113,8 @@ object Zip {
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
-        col("content"))
-      .as[(Long, Array[Byte])])
+        col("path"))
+      .as[(Long, String)])
   }
 
   /** Streaming twin of [[readDir]] — same parser, one code path. */
@@ -129,25 +136,37 @@ object Zip {
       .load(dir)
       .select(
         idFromPath(col("path")).cast("long").as("file_id"),
-        col("content"))
-      .as[(Long, Array[Byte])])
+        col("path"))
+      .as[(Long, String)])
   }
 
+  /** The shared archive→members transform: (file_id, path) rows only
+    * (content pruned from the lister); tasks open archives through the
+    * Hadoop FS API and stream the member walk ([[FileStreams]]) — no
+    * per-archive size bound.
+    */
   private def membersOf(
       spark: SparkSession,
-      files: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      files: org.apache.spark.sql.Dataset[(Long, String)])
       : DataFrame = {
     import spark.implicits._
+    val confH = new graft.operators.HadoopConfHolder(
+      spark.sessionState.newHadoopConf())
+    def decline(fileId: Long) =
+      (fileId, None: Option[Int], None: Option[String],
+        None: Option[Long], None: Option[Boolean],
+        None: Option[Array[Byte]])
     files.mapPartitions { it =>
-      it.flatMap { case (fileId, bytes) =>
-        parseBytes(bytes).map {
-          case Some(m) =>
-            (fileId, Some(m.entry_idx), Some(m.name), Some(m.size),
-              Some(m.is_dir), Some(m.payload))
-          case None =>
-            (fileId, None: Option[Int], None: Option[String],
-              None: Option[Long], None: Option[Boolean],
-              None: Option[Array[Byte]])
+      it.flatMap { case (fileId, path) =>
+        FileStreams.openSniffed(confH.value, path) match {
+          case None => Iterator.single(decline(fileId))
+          case Some(in) =>
+            FileStreams.closing(in, parseStream(in).map {
+              case Some(m) =>
+                (fileId, Some(m.entry_idx), Some(m.name), Some(m.size),
+                  Some(m.is_dir), Some(m.payload))
+              case None => decline(fileId)
+            })
         }
       }
     }.toDF("file_id", "entry_idx", "name", "size", "is_dir", "payload")

@@ -100,4 +100,84 @@ class JsonlSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((1L, "1"), (2L, "2")))
   }
+
+  private def zst(lines: Seq[String]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(
+      (lines.mkString("\n") + "\n").getBytes(UTF_8))
+
+  test("zstd objects read through the same parse; a MIXED dir of " +
+    "plain + gzip + zstd unions cleanly") {
+    val t = graft.ScratchSpace.dir(spark, "jsonlzst_")
+    graft.ScratchSpace.writeBytes(spark, t, "a.jsonl",
+      """{"id":1,"text":"plain","lang":"en"}""".getBytes(UTF_8))
+    val gz = new java.io.ByteArrayOutputStream()
+    val go = new java.util.zip.GZIPOutputStream(gz)
+    go.write("""{"id":2,"text":"gzipped","lang":"de"}""".getBytes(UTF_8))
+    go.close()
+    graft.ScratchSpace.writeBytes(spark, t, "b.jsonl.gz", gz.toByteArray)
+    graft.ScratchSpace.writeBytes(spark, t, "c.jsonl.zst", zst(Seq(
+      """{"id":3,"text":"zstd","lang":"fr"}""",
+      """broken line""",
+      """{"id":4,"text":"more","lang":"fr"}""")))
+    val (good, bad) = Jsonl.split(Jsonl.readDir(spark, t, schema))
+    val got = good.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "plain"), (2L, "gzipped"),
+      (3L, "zstd"), (4L, "more")))
+    // the zst file's bad line quarantines like any other
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("broken line"))
+  }
+
+  test("multi-frame zstd decodes end-to-end; container damage " +
+    "salvages the prefix and quarantines a marker line") {
+    val t = graft.ScratchSpace.dir(spark, "jsonlzst2_")
+    // two independent frames concatenated — the Dolma shard layout
+    val twoFrames = zst(Seq("""{"id":1,"text":"f1","lang":"en"}""")) ++
+      zst(Seq("""{"id":2,"text":"f2","lang":"en"}"""))
+    graft.ScratchSpace.writeBytes(spark, t, "m.jsonl.zst", twoFrames)
+    val (good, _) = Jsonl.split(Jsonl.readDir(spark, t, schema))
+    assert(good.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+    // damaged tail: a ~100 KB valid frame + garbage that still sniffs
+    // as zstd. Prefix-salvage is WINDOW-bounded (FileStreams caps the
+    // decode window at 8 KB): every line outside the final window
+    // survives, the marker line quarantines.
+    val t2 = graft.ScratchSpace.dir(spark, "jsonlzst3_")
+    val pad = "x" * 1000
+    val lines = (1 to 100).map(i =>
+      s"""{"id":$i,"text":"$pad","lang":"en"}""")
+    val damaged = zst(lines) ++
+      Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, 9, 9, 9, 9)
+    graft.ScratchSpace.writeBytes(spark, t2, "d.jsonl.zst", damaged)
+    val (good2, bad2) = Jsonl.split(Jsonl.readDir(spark, t2, schema))
+    val ids = good2.collect().map(_.getLong(0)).sorted
+    // loss bound: 8 KB window + one partial line ≈ 9 lines of ~1 KB
+    assert(ids.length >= 85, s"salvaged only ${ids.length} lines")
+    assert(ids.take(ids.length).sameElements(1L to ids.length.toLong),
+      "salvage must be a PREFIX — no holes")
+    val markers = bad2.collect().map(_.getString(0))
+      .filter(_.contains("zstd-damage"))
+    assert(markers.length == 1, markers.mkString("; "))
+  }
+
+  test("zstd streaming twin: a .zst glob reads per micro-batch " +
+    "through the same parse") {
+    val t = graft.ScratchSpace.dir(spark, "jsonlzststream_")
+    graft.ScratchSpace.writeBytes(spark, t, "s1.jsonl.zst", zst(Seq(
+      """{"id":11,"text":"s-one","lang":"en"}""",
+      """{"id":12,"text":"s-two","lang":"en"}""")))
+    val out = graft.ScratchSpace.dir(spark, "jsonlzststream_out_")
+    val q = Jsonl.readStreamDir(spark, t, schema, glob = "*.zst")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        graft.ScratchSpace.dir(spark, "jsonlzststream_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.schema(schema.add("_corrupt", StringType))
+      .parquet(out).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((11L, "s-one"), (12L, "s-two")))
+  }
 }

@@ -136,6 +136,51 @@ class TarSpec extends SparkTestBase {
     assert(r3.getLong(4) == 7L) // sample_bytes = 5 + 2
   }
 
+  test("duplicate member names (legal in tar, extract overwrites): " +
+    "last entry wins, map build never throws") {
+    val t = graft.ScratchSpace.dir(spark, "tardup_")
+    val s = TarFixture.archive(Seq(
+      TarFixture.member("000001.txt", b("first")),
+      TarFixture.member("000001.json", b("{}")),
+      TarFixture.member("000001.txt", b("second-wins"))))
+    graft.ScratchSpace.writeBytes(spark, t, "d1.tar", s)
+    val members = Tar.readDir(spark, t,
+      idFromPath = p => regexp_extract(p, "d(\\d+)\\.tar", 1))
+    val samples = Tar.groupSamples(members).collect()
+    assert(samples.length == 1)
+    val r = samples(0)
+    val parts = r.getMap[String, Array[Byte]](2)
+    assert(new String(parts("txt"), UTF_8) == "second-wins")
+    assert(r.getLong(3) == 2L) // n_parts: txt + json, deduped
+  }
+
+  test("a shard BEYOND the old binaryFile 2 GB bound reads: the " +
+    "lister prunes content and the task streams the file") {
+    // a 2.5 GB SPARSE file: one valid member, then the zero-block
+    // terminator — the streaming parser stops at the terminator, so
+    // only KBs are actually read; the old whole-file-buffer path
+    // would have refused the size outright
+    val t = graft.ScratchSpace.dir(spark, "tarbig_")
+    val local = java.nio.file.Paths.get(
+      new java.net.URI(new org.apache.hadoop.fs.Path(t, "big.tar")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(new org.apache.hadoop.fs.Path(t, "big.tar"))
+        .toUri.toString))
+    val head = TarFixture.archive(Seq(
+      TarFixture.member("huge/sample.txt", b("still-parses"))))
+    val raf = new java.io.RandomAccessFile(local.toFile, "rw")
+    try {
+      raf.write(head)
+      raf.setLength(2684354560L) // 2.5 GB, sparse tail of zeros
+    } finally raf.close()
+    assert(local.toFile.length() > Int.MaxValue.toLong)
+    val members = Tar.readDir(spark, t).collect()
+    assert(members.length == 1)
+    assert(members(0).getString(2) == "huge/sample.txt")
+    assert(new String(members(0).getAs[Array[Byte]](5), UTF_8) ==
+      "still-parses")
+  }
+
   test("fixture checksum is valid (external-reader compatibility)") {
     val h = TarFixture.header("f.txt", 7)
     val stored = new String(h, 148, 6, UTF_8)
