@@ -28,7 +28,8 @@ object DeltaFixture {
       id: String,
       schema: StructType,
       partitionColumns: Seq[String] = Seq.empty,
-      provider: String = "parquet"): String = {
+      provider: String = "parquet",
+      configuration: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     val m = root.putObject("metaData")
     m.put("id", id)
@@ -38,8 +39,26 @@ object DeltaFixture {
     m.put("schemaString", schema.json)
     val pc = m.putArray("partitionColumns")
     partitionColumns.foreach(pc.add)
-    m.putObject("configuration")
+    val cfg = m.putObject("configuration")
+    configuration.foreach { case (k, v) => cfg.put(k, v): Unit }
     m.put("createdTime", 0L)
+    mapper.writeValueAsString(root)
+  }
+
+  /** A protocol line with reader/writer FEATURES (version 3/7 era). */
+  def protocolFeaturesLine(
+      minReader: Int,
+      minWriter: Int,
+      readerFeatures: Seq[String],
+      writerFeatures: Seq[String] = Seq.empty): String = {
+    val root = mapper.createObjectNode()
+    val p = root.putObject("protocol")
+    p.put("minReaderVersion", minReader)
+    p.put("minWriterVersion", minWriter)
+    val rf = p.putArray("readerFeatures")
+    readerFeatures.foreach(rf.add)
+    val wf = p.putArray("writerFeatures")
+    writerFeatures.foreach(wf.add)
     mapper.writeValueAsString(root)
   }
 
@@ -48,7 +67,8 @@ object DeltaFixture {
       size: Long,
       partitionValues: Map[String, Option[String]] = Map.empty,
       withDeletionVector: Boolean = false,
-      stats: Option[String] = None): String = {
+      stats: Option[String] = None,
+      dv: Option[DeletionVectors.DvDescriptor] = None): String = {
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
@@ -61,13 +81,17 @@ object DeltaFixture {
     a.put("modificationTime", 0L)
     a.put("dataChange", true)
     stats.foreach(s => a.put("stats", s): Unit)
-    if (withDeletionVector) {
-      val dv = a.putObject("deletionVector")
-      dv.put("storageType", "u")
-      dv.put("pathOrInlineDv", "x")
-      dv.put("offset", 0)
-      dv.put("sizeInBytes", 1)
-      dv.put("cardinality", 1L)
+    val dvDesc = dv.orElse(
+      if (withDeletionVector) // a descriptor whose payload is garbage
+        Some(DeletionVectors.DvDescriptor("u", "x", Some(0), 1, 1L))
+      else None)
+    dvDesc.foreach { d =>
+      val n = a.putObject("deletionVector")
+      n.put("storageType", d.storageType)
+      n.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => n.put("offset", o): Unit)
+      n.put("sizeInBytes", d.sizeInBytes)
+      n.put("cardinality", d.cardinality)
     }
     mapper.writeValueAsString(root)
   }
@@ -184,6 +208,71 @@ object DeltaFixture {
     val lc = mapper.createObjectNode()
     lc.put("version", version)
     lc.put("size", rows.size().toLong)
+    graft.ScratchSpace.writeBytes(spark, tablePath,
+      "_delta_log/_last_checkpoint",
+      (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
+  }
+
+  /** Write a MULTI-PART classic checkpoint at
+    * `_delta_log/<version>.checkpoint.<i>.<n>.parquet` (the layout
+    * large production tables write routinely): protocol + metaData
+    * rows land in part 1, add rows split round-robin across parts —
+    * any part may carry any action type per the protocol; readers
+    * must union all n parts. Plus the `_last_checkpoint` pointer with
+    * its `parts` field.
+    */
+  def writeMultiCheckpoint(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      schema: StructType,
+      nParts: Int,
+      partitionColumns: Seq[String] = Seq.empty,
+      adds: Seq[(String, Map[String, Option[String]])] = Seq.empty,
+      minReader: Int = 1): Unit = {
+    require(nParts >= 2, "multi-part checkpoint needs >= 2 parts")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format",
+        StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues",
+        MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpT = StructType(Seq(
+      StructField("protocol", protocolT, nullable = true),
+      StructField("metaData", metaT, nullable = true),
+      StructField("add", addT, nullable = true)))
+    val partRows =
+      Array.fill(nParts)(new java.util.ArrayList[Row]())
+    partRows(0).add(Row(Row(minReader, 2), null, null))
+    partRows(0).add(Row(null,
+      Row("cp-fixture-multi", Row("parquet"), schema.json,
+        partitionColumns), null))
+    adds.zipWithIndex.foreach { case ((p, pvs), i) =>
+      partRows(i % nParts).add(Row(null, null,
+        Row(p, pvs.map { case (k, v) => k -> v.orNull }, 1L, 0L, true)))
+    }
+    (1 to nParts).foreach { i =>
+      val df = spark.createDataFrame(partRows(i - 1), cpT)
+      plantDataFile(spark, df, tablePath,
+        f"_delta_log/$version%020d.checkpoint.$i%010d.$nParts%010d" +
+          ".parquet"): Unit
+    }
+    val lc = mapper.createObjectNode()
+    lc.put("version", version)
+    lc.put("size", partRows.map(_.size().toLong).sum)
+    lc.put("parts", nParts)
     graft.ScratchSpace.writeBytes(spark, tablePath,
       "_delta_log/_last_checkpoint",
       (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))

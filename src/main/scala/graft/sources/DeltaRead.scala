@@ -19,17 +19,23 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   *
   * Scope (refuse-loudly outside it):
   *  - contiguous `_delta_log/<20-digit>.json` commits from version 0,
-  *    OR a single-part CLASSIC checkpoint
-  *    (`<20-digit>.checkpoint.parquet` — the net replay state Delta
-  *    writes every N commits) whose JSON tail reaches the requested
-  *    version: base state loads from the checkpoint's add/metaData/
-  *    protocol rows, then commits checkpoint+1.. replay as JSON.
-  *    Multi-part (`.checkpoint.<i>.<n>.parquet`) and v2 (sidecar /
+  *    OR a CLASSIC checkpoint — single-part
+  *    (`<20-digit>.checkpoint.parquet`) or multi-part
+  *    (`.checkpoint.<i>.<n>.parquet`, all n parts required, torn sets
+  *    refused) — whose JSON tail reaches the requested version: base
+  *    state loads from the checkpoint's add/metaData/protocol rows,
+  *    then commits checkpoint+1.. replay as JSON. V2 (sidecar /
   *    checkpointMetadata) checkpoints are refused loudly, as is a
   *    vacuumed-head log with no usable checkpoint;
-  *  - protocol minReaderVersion 1 (no column mapping, no deletion
-  *    vectors, no readerFeatures) — enforced on JSON and checkpoint
-  *    protocol rows alike;
+  *  - protocol minReaderVersion 1, 2 with `delta.columnMapping.mode =
+  *    name` (physical parquet names mapped back to logical schema
+  *    names from the schemaString field metadata; `id` mode refused),
+  *    and 3 when readerFeatures ⊆ {columnMapping, deletionVectors}.
+  *    Deletion vectors (PROTOCOL.md z85/roaring format,
+  *    [[DeletionVectors]]) fold into the scan as a distributed
+  *    anti-join on `_metadata.row_index` — bitmap parsing happens on
+  *    EXECUTORS (one bitmap in memory per task), never a driver
+  *    expansion;
   *  - parquet data files, relative or absolute URI-encoded paths;
   *  - partitioned tables: partition values come from the add actions'
   *    `partitionValues` (Delta data files do NOT contain partition
@@ -40,7 +46,10 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * Replay is last-action-wins in (version, line) order: the live file
   * set folds add/remove by path; `metaData` updates the schema;
   * `commitInfo`/`txn`/`cdc`/`domainMetadata` actions are ignored (cdc
-  * files are change-feed data, not table data). The log is
+  * files are change-feed data, not table data). Protocol requirements
+  * are COLLECTED during replay and validated against the final
+  * metaData configuration (a protocol action can precede the metaData
+  * that makes it satisfiable, even within one commit). The log is
   * driver-read (it is metadata, like the reference's key listing);
   * the DATA scan is a distributed Spark parquet read of the live
   * files with the log schema enforced.
@@ -49,21 +58,24 @@ object DeltaRead {
 
   /** One live data file: the add action's RAW (still URI-encoded)
     * relative-or-absolute path + its partition values (None = null
-    * partition value) + the add's per-file `stats` JSON when present
-    * (numRecords/minValues/maxValues — the zone-map [[readPruned]]
-    * skips files with).
+    * partition value; keys are PHYSICAL names under column mapping) +
+    * the add's per-file `stats` JSON when present (numRecords/
+    * minValues/maxValues — the zone-map [[readPruned]] skips files
+    * with) + the deletion-vector descriptor when the file carries one.
     */
   final case class DeltaFile(
       path: String,
       partitionValues: Map[String, Option[String]],
       stats: Option[String] = None,
-      size: Long = 0L)
+      size: Long = 0L,
+      dv: Option[DeletionVectors.DvDescriptor] = None)
 
   /** The replayed state of the log at a version. `metaId` and
     * `configuration` are the metaData action's identity and table
     * properties — a checkpoint writer must carry BOTH through (losing
     * `delta.appendOnly` in a checkpoint would erase the constraint
-    * for every post-cleanup reader).
+    * for every post-cleanup reader). `columnMappingMode` is the
+    * validated `delta.columnMapping.mode` ("none" or "name").
     */
   final case class DeltaSnapshot(
       version: Long,
@@ -71,7 +83,25 @@ object DeltaRead {
       partitionColumns: Seq[String],
       liveFiles: Seq[DeltaFile],
       metaId: String = "",
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty) {
+
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+
+    /** logical column name → PHYSICAL parquet name (identity map
+      * outside name mode).
+      */
+    def physicalNames: Map[String, String] =
+      schema.map { f =>
+        f.name -> (
+          if (columnMappingMode == "name" &&
+            f.metadata.contains(PhysicalNameKey))
+            f.metadata.getString(PhysicalNameKey)
+          else f.name)
+      }.toMap
+  }
+
+  private[sources] val PhysicalNameKey = "delta.columnMapping.physicalName"
 
   private val MaxLogFiles = 100000
   private val MaxLogFileBytes = 64L << 20
@@ -89,8 +119,9 @@ object DeltaRead {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(fs.makeQualified(p), "_delta_log")
     if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
-    val (singles, _) = listCheckpoints(fs, logDir)
-    (listJsonVersions(fs, logDir, path) ++ singles).distinct.sorted
+    val (singles, multis) = listCheckpoints(fs, logDir)
+    (listJsonVersions(fs, logDir, path) ++ singles ++ multis)
+      .distinct.sorted
   }
 
   private def listJsonVersions(
@@ -122,10 +153,52 @@ object DeltaRead {
     (singles, multis)
   }
 
+  /** Reader requirements collected during replay — validated against
+    * the FINAL metaData configuration once replay completes.
+    */
+  private final class ReaderReqs {
+    var minReader: Int = 1
+    val features = mutable.Set.empty[String]
+    def record(mr: Int, feats: Iterable[String]): Unit = {
+      if (mr > minReader) minReader = mr
+      features ++= feats
+    }
+  }
+
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "deletionVectors")
+
+  private def validateReaderReqs(
+      path: String,
+      reqs: ReaderReqs,
+      config: Map[String, String]): Unit = {
+    val mode = config.getOrElse("delta.columnMapping.mode", "none")
+    if (mode == "id")
+      fail(path, "delta.columnMapping.mode = id is unsupported " +
+        "(name mode only); read this table with a full engine")
+    if (mode != "none" && mode != "name")
+      fail(path, s"unknown delta.columnMapping.mode '$mode'")
+    reqs.minReader match {
+      case 1 | 2 => () // v2 = column mapping, validated via mode above
+      case 3 =>
+        val unsupported = reqs.features -- SupportedReaderFeatures
+        if (unsupported.nonEmpty)
+          fail(path, "table requires reader features " +
+            s"${unsupported.toSeq.sorted.mkString(",")} — only " +
+            s"${SupportedReaderFeatures.toSeq.sorted.mkString(",")} " +
+            "are supported")
+      case mr =>
+        fail(path, s"table requires reader version $mr — only reader " +
+          "versions 1-3 (column mapping name mode, deletion vectors) " +
+          "are supported")
+    }
+  }
+
   /** Replay the log to `asOf` (default: latest). Base state comes from
     * version-0 JSON when the JSON chain is complete, else from the
-    * newest single-part classic checkpoint whose JSON tail reaches the
-    * target version.
+    * newest classic checkpoint (single-part preferred; complete
+    * multi-part sets accepted) whose JSON tail reaches the target
+    * version.
     */
   def snapshot(
       spark: SparkSession,
@@ -149,44 +222,51 @@ object DeltaRead {
     val jsonSet = jsons.toSet
     val pureJson =
       jsons.headOption.contains(0L) && (0L to upTo).forall(jsonSet.contains)
-    val base: Option[Long] =
+    def reaches(c: Long): Boolean =
+      c <= upTo && ((c + 1) to upTo).forall(jsonSet.contains)
+    // base = the newest usable checkpoint version; at a tie, the
+    // single-part file wins (one read instead of n)
+    val base: Option[(Long, Boolean)] =
       if (pureJson) None
-      else singles
-        .filter(c => c <= upTo && ((c + 1) to upTo).forall(jsonSet.contains))
-        .lastOption match {
-        case some @ Some(_) => some
-        case None =>
-          if (multis.exists(c =>
-              c <= upTo && ((c + 1) to upTo).forall(jsonSet.contains)))
-            fail(path, s"only a MULTI-PART checkpoint reaches version " +
-              s"$upTo — multi-part/v2 checkpoint replay is unsupported " +
-              "(single-part classic only); read this table with a full " +
-              "engine")
-          else if (jsons.isEmpty || jsons.head != 0L)
-            fail(path, s"log starts at version " +
-              s"${jsons.headOption.getOrElse(-1L)}, not 0, and no usable " +
-              s"single-part checkpoint reaches version $upTo — early " +
-              "commits were vacuumed after a checkpoint; read this " +
-              "table with a full engine")
-          else {
-            val missing = (0L to upTo).find(v => !jsonSet.contains(v)).get
-            fail(path, s"log gap: version $missing missing — truncated " +
-              "or checkpoint-compacted log without a usable single-part " +
-              "checkpoint is unsupported")
-          }
+      else {
+        val usableSingle = singles.filter(reaches).lastOption
+        val usableMulti = multis.filter(reaches).lastOption
+        (usableSingle, usableMulti) match {
+          case (Some(s), Some(m)) if m > s => Some((m, true))
+          case (Some(s), _) => Some((s, false))
+          case (None, Some(m)) => Some((m, true))
+          case (None, None) =>
+            if (jsons.isEmpty || jsons.head != 0L)
+              fail(path, s"log starts at version " +
+                s"${jsons.headOption.getOrElse(-1L)}, not 0, and no " +
+                s"usable checkpoint reaches version $upTo — early " +
+                "commits were vacuumed after a checkpoint; read this " +
+                "table with a full engine")
+            else {
+              val missing = (0L to upTo).find(v => !jsonSet.contains(v)).get
+              fail(path, s"log gap: version $missing missing — " +
+                "truncated or checkpoint-compacted log without a " +
+                "usable checkpoint is unsupported")
+            }
+        }
       }
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var metaId = ""
     var config: Map[String, String] = Map.empty
+    val reqs = new ReaderReqs
     val live = mutable.LinkedHashMap.empty[String, DeltaFile]
     val setMetaInfo: (String, Map[String, String]) => Unit =
       (id, cfg) => { metaId = id; config = cfg }
-    base.foreach { c =>
-      loadCheckpoint(spark, path, logDir, c,
-        s => schema = Some(s), pc => partCols = pc, setMetaInfo, live)
+    base.foreach { case (c, isMulti) =>
+      val parts =
+        if (!isMulti) Seq(new Path(logDir, f"$c%020d.checkpoint.parquet"))
+        else multiPartFiles(fs, logDir, path, c)
+      loadCheckpoint(spark, path, parts, c,
+        s => schema = Some(s), pc => partCols = pc, setMetaInfo, live,
+        reqs)
     }
-    val firstJson = base.map(_ + 1).getOrElse(0L)
+    val firstJson = base.map(_._1 + 1).getOrElse(0L)
     (firstJson to upTo).foreach { v =>
       val mp = new Path(logDir, f"$v%020d.json")
       val st = fs.getFileStatus(mp)
@@ -203,57 +283,116 @@ object DeltaRead {
               fail(path, s"commit $v: unparseable action line (${e.getMessage})")
             }
           applyAction(path, v, node,
-            s => schema = Some(s), pc => partCols = pc, setMetaInfo, live)
+            s => schema = Some(s), pc => partCols = pc, setMetaInfo, live,
+            reqs)
         }
     }
     val sch = schema.getOrElse(
       fail(path, "no metaData action in log — schema unknown"))
-    DeltaSnapshot(upTo, sch, partCols, live.values.toSeq, metaId, config)
+    validateReaderReqs(path, reqs, config)
+    val snap = DeltaSnapshot(upTo, sch, partCols, live.values.toSeq,
+      metaId, config)
+    if (snap.columnMappingMode == "name") requireFlatMapping(path, sch)
+    snap
   }
 
-  /** Load the net replay state from a single-part classic checkpoint:
-    * protocol rows re-run the reader-version gate, the metaData row
-    * sets schema/partition columns, add rows ARE the live file set
-    * (remove rows are vacuum tombstones, already applied — ignored).
-    * The checkpoint is read as parquet through Spark and collected —
-    * log state is driver metadata by design, and the live-file count
-    * is capped; v2 columns (`sidecar`/`checkpointMetadata`) refuse.
+  /** All parts of a complete multi-part checkpoint at `version`, in
+    * part order; a torn set (missing part, inconsistent n) refuses.
+    */
+  private def multiPartFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path,
+      path: String,
+      version: Long): Seq[Path] = {
+    val prefix = f"$version%020d.checkpoint."
+    val re = "\\d{20}\\.checkpoint\\.(\\d+)\\.(\\d+)\\.parquet".r
+    val parts = fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".parquet"))
+      .flatMap {
+        case nm @ re(i, n) => Some((i.toInt, n.toInt, nm))
+        case _ => None
+      }
+    if (parts.isEmpty)
+      fail(path, s"multi-part checkpoint $version: no parts found")
+    val ns = parts.map(_._2).distinct
+    if (ns.size != 1)
+      fail(path, s"multi-part checkpoint $version: inconsistent part " +
+        s"counts ${ns.sorted.mkString(",")} — torn checkpoint")
+    val n = ns.head
+    val byPart = parts.map(t => t._1 -> t._3).toMap
+    val missing = (1 to n).filterNot(byPart.contains)
+    if (missing.nonEmpty)
+      fail(path, s"multi-part checkpoint $version: missing part(s) " +
+        s"${missing.mkString(",")} of $n — torn checkpoint")
+    (1 to n).map(i => new Path(logDir, byPart(i)))
+  }
+
+  /** Refuse (loudly) when a name-mode schema maps NESTED fields:
+    * top-level mapping is the implemented scope; silently reading a
+    * nested physical name as its logical name would be wrong.
+    */
+  private def requireFlatMapping(path: String, schema: StructType): Unit = {
+    def hasNestedMapping(dt: DataType): Boolean = dt match {
+      case st: StructType =>
+        st.exists(f => f.metadata.contains(PhysicalNameKey) ||
+          hasNestedMapping(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        hasNestedMapping(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasNestedMapping(m.keyType) || hasNestedMapping(m.valueType)
+      case _ => false
+    }
+    schema.foreach { f =>
+      if (hasNestedMapping(f.dataType))
+        fail(path, s"column '${f.name}' carries column-mapping " +
+          "metadata on NESTED fields — only top-level name mapping is " +
+          "supported; read this table with a full engine")
+    }
+  }
+
+  /** Load the net replay state from a classic checkpoint (one or more
+    * part files read as ONE parquet scan): protocol rows feed the
+    * deferred reader gate, the metaData row sets schema/partition
+    * columns, add rows ARE the live file set (remove rows are vacuum
+    * tombstones, already applied — ignored; deletionVector structs
+    * parse into the file entries). The checkpoint is read as parquet
+    * through Spark and collected — log state is driver metadata by
+    * design, and the live-file count is capped; v2 columns
+    * (`sidecar`/`checkpointMetadata`) refuse.
     */
   private def loadCheckpoint(
       spark: SparkSession,
       path: String,
-      logDir: Path,
+      parts: Seq[Path],
       version: Long,
       setSchema: StructType => Unit,
       setPartCols: Seq[String] => Unit,
       setMetaInfo: (String, Map[String, String]) => Unit,
-      live: mutable.LinkedHashMap[String, DeltaFile]): Unit = {
-    val cp = new Path(logDir, f"$version%020d.checkpoint.parquet")
-    val df = spark.read.parquet(cp.toString)
+      live: mutable.LinkedHashMap[String, DeltaFile],
+      reqs: ReaderReqs): Unit = {
+    val df = spark.read.parquet(parts.map(_.toString): _*)
     val top = df.schema.fieldNames.toSet
     Seq("sidecar", "checkpointMetadata").foreach { c =>
       if (top.contains(c))
         fail(path, s"checkpoint $version carries a '$c' column — v2 " +
-          "checkpoints are unsupported (single-part classic only)")
+          "checkpoints are unsupported (classic only)")
     }
     def fieldsOf(c: String): Set[String] =
       df.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
     if (top.contains("protocol")) {
       val pf = fieldsOf("protocol")
       val featCol =
-        if (pf.contains("readerFeatures"))
-          col("protocol.readerFeatures").cast("string")
-        else lit(null).cast("string")
+        if (pf.contains("readerFeatures")) col("protocol.readerFeatures")
+        else lit(null).cast("array<string>")
       df.where(col("protocol").isNotNull)
         .select(col("protocol.minReaderVersion"), featCol)
         .collect().foreach { r =>
           val mr = if (r.isNullAt(0)) 1 else r.getInt(0)
-          val feats = if (r.isNullAt(1)) "" else r.getString(1)
-          if (mr > 1 || feats.nonEmpty)
-            fail(path, s"checkpoint $version requires reader version $mr" +
-              (if (feats.nonEmpty) s" with features $feats" else "") +
-              " — only reader version 1 (no column mapping / deletion " +
-              "vectors / v2 checkpoints) is supported")
+          val feats =
+            if (r.isNullAt(1)) Seq.empty[String]
+            else r.getSeq[String](1).toSeq
+          reqs.record(mr, feats)
         }
     }
     if (!top.contains("metaData"))
@@ -294,24 +433,31 @@ object DeltaRead {
     }
     if (top.contains("add")) {
       val adds0 = df.where(col("add").isNotNull)
-      if (fieldsOf("add").contains("deletionVector") &&
-        !adds0.where(col("add.deletionVector").isNotNull).isEmpty)
-        fail(path, s"checkpoint $version: add with a deletion vector — " +
-          "DV-masked files cannot be scanned verbatim; unsupported")
       val n = adds0.count()
       if (n > MaxLogFiles)
         fail(path, s"checkpoint $version holds $n live " +
           s"files (> $MaxLogFiles) — driver replay refused; read this " +
           "table with a full engine")
+      val af = fieldsOf("add")
       val statsCol =
-        if (fieldsOf("add").contains("stats")) col("add.stats")
+        if (af.contains("stats")) col("add.stats")
         else lit(null).cast("string")
       val sizeCol =
-        if (fieldsOf("add").contains("size")) col("add.size")
+        if (af.contains("size")) col("add.size")
         else lit(0L)
+      val dvCols =
+        if (af.contains("deletionVector"))
+          Seq(col("add.deletionVector.storageType"),
+            col("add.deletionVector.pathOrInlineDv"),
+            col("add.deletionVector.offset"),
+            col("add.deletionVector.sizeInBytes"),
+            col("add.deletionVector.cardinality"))
+        else Seq(lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("int"), lit(null).cast("int"),
+          lit(null).cast("long"))
       val rows = adds0
-        .select(col("add.path"), col("add.partitionValues"), statsCol,
-          sizeCol)
+        .select((Seq(col("add.path"), col("add.partitionValues"),
+          statsCol, sizeCol) ++ dvCols): _*)
         .collect()
       rows.foreach { r =>
         val raw = r.getString(0)
@@ -325,7 +471,21 @@ object DeltaRead {
           if (r.isNullAt(2)) None
           else Option(r.getString(2)).filter(_.nonEmpty)
         val size = if (r.isNullAt(3)) 0L else r.getLong(3)
-        live(raw) = DeltaFile(raw, pvs, stats, size)
+        val dv =
+          if (r.isNullAt(4)) None
+          else Some(DeletionVectors.DvDescriptor(
+            r.getString(4),
+            r.getString(5),
+            if (r.isNullAt(6)) None else Some(r.getInt(6)),
+            if (r.isNullAt(7))
+              fail(path, s"checkpoint $version: deletionVector " +
+                "without sizeInBytes")
+            else r.getInt(7),
+            if (r.isNullAt(8))
+              fail(path, s"checkpoint $version: deletionVector " +
+                "without cardinality")
+            else r.getLong(8)))
+        live(raw) = DeltaFile(raw, pvs, stats, size, dv)
       }
     }
   }
@@ -337,18 +497,17 @@ object DeltaRead {
       setSchema: StructType => Unit,
       setPartCols: Seq[String] => Unit,
       setMetaInfo: (String, Map[String, String]) => Unit,
-      live: mutable.LinkedHashMap[String, DeltaFile]): Unit = {
+      live: mutable.LinkedHashMap[String, DeltaFile],
+      reqs: ReaderReqs): Unit = {
     val protocol = node.get("protocol")
     if (protocol != null) {
       val r = Option(protocol.get("minReaderVersion")).map(_.asInt(1))
         .getOrElse(1)
       val feats = Option(protocol.get("readerFeatures"))
-        .filter(!_.isNull).map(_.toString).getOrElse("")
-      if (r > 1 || feats.nonEmpty)
-        fail(path, s"commit $v requires reader version $r" +
-          (if (feats.nonEmpty) s" with features $feats" else "") +
-          " — only reader version 1 (no column mapping / deletion " +
-          "vectors / v2 checkpoints) is supported")
+        .filter(!_.isNull).toSeq.flatMap { arr =>
+          (0 until arr.size()).map(arr.get(_).asText())
+        }
+      reqs.record(r, feats)
     }
     val meta = node.get("metaData")
     if (meta != null) {
@@ -385,9 +544,22 @@ object DeltaRead {
     }
     val add = node.get("add")
     if (add != null) {
-      if (Option(add.get("deletionVector")).exists(!_.isNull))
-        fail(path, s"commit $v: add with a deletion vector — " +
-          "DV-masked files cannot be scanned verbatim; unsupported")
+      val dv = Option(add.get("deletionVector")).filter(!_.isNull)
+        .map { d =>
+          DeletionVectors.DvDescriptor(
+            Option(d.get("storageType")).map(_.asText()).getOrElse(
+              fail(path, s"commit $v: deletionVector without storageType")),
+            Option(d.get("pathOrInlineDv")).map(_.asText()).getOrElse(
+              fail(path, s"commit $v: deletionVector without " +
+                "pathOrInlineDv")),
+            Option(d.get("offset")).filter(_.isNumber).map(_.asInt()),
+            Option(d.get("sizeInBytes")).filter(_.isNumber).map(_.asInt())
+              .getOrElse(fail(path,
+                s"commit $v: deletionVector without sizeInBytes")),
+            Option(d.get("cardinality")).filter(_.isNumber).map(_.asLong())
+              .getOrElse(fail(path,
+                s"commit $v: deletionVector without cardinality")))
+        }
       val raw = Option(add.get("path")).map(_.asText())
         .getOrElse(fail(path, s"commit $v: add without path"))
       val pvNode = add.get("partitionValues")
@@ -407,7 +579,7 @@ object DeltaRead {
         .map(_.asText()).filter(_.nonEmpty)
       val size = Option(add.get("size")).filter(_.isNumber)
         .map(_.asLong(0L)).getOrElse(0L)
-      live(raw) = DeltaFile(raw, pvs, stats, size)
+      live(raw) = DeltaFile(raw, pvs, stats, size, dv)
     }
     val remove = node.get("remove")
     if (remove != null) {
@@ -515,14 +687,17 @@ object DeltaRead {
         fail(path, s"range filter on unknown column '$c'")
       if (lo > hi) fail(path, s"range filter on '$c': lo $lo > hi $hi")
     }
+    // add-action partitionValues and stats are keyed by PHYSICAL
+    // column names under column mapping — translate before matching
+    val phys = snap.physicalNames
     val pruned = snap.liveFiles
       .filter { f =>
         partitionEquals.forall { case (k, v) =>
-          f.partitionValues.get(k).flatten.contains(v)
+          f.partitionValues.get(phys(k)).flatten.contains(v)
         }
       }
       .filter(f => range.forall { case (c, lo, hi) =>
-        statsOverlap(f.stats, c, lo, hi)
+        statsOverlap(f.stats, phys(c), lo, hi)
       })
     val base = scanFiles(spark, path, snap, pruned)
     val withPart = partitionEquals.foldLeft(base) { case (df, (k, v)) =>
@@ -534,11 +709,13 @@ object DeltaRead {
   }
 
   /** Metadata-only row count — `SELECT count(*)` without touching a
-    * data file: the sum of the live adds' `stats.numRecords`, the
-    * path every real Delta reader takes for unfiltered counts (at
-    * 100 TB the difference between a log read and a full scan).
-    * REFUSES (loudly) when any live file lacks numRecords — a partial
-    * metadata count would be silently wrong; scan instead.
+    * data file: the sum of the live adds' `stats.numRecords` MINUS
+    * each file's deletion-vector cardinality (numRecords counts
+    * physical rows; DV'd rows are logically deleted), the path every
+    * real Delta reader takes for unfiltered counts (at 100 TB the
+    * difference between a log read and a full scan). REFUSES (loudly)
+    * when any live file lacks numRecords — a partial metadata count
+    * would be silently wrong; scan instead.
     */
   def countRows(
       spark: SparkSession,
@@ -551,9 +728,10 @@ object DeltaRead {
           .filter(_.isNumber).map(_.asLong())
         catch { case _: Exception => None }
       }
-      n.getOrElse(fail(path, s"live file ${f.path} carries no " +
-        "numRecords stats — a metadata-only count would be wrong; " +
-        "scan the table instead"))
+      val physical = n.getOrElse(fail(path, s"live file ${f.path} " +
+        "carries no numRecords stats — a metadata-only count would be " +
+        "wrong; scan the table instead"))
+      physical - f.dv.map(_.cardinality).getOrElse(0L)
     }.sum
   }
 
@@ -580,8 +758,13 @@ object DeltaRead {
   }
 
   /** One distributed parquet scan of `live` with the snapshot schema
-    * enforced and partition columns re-attached (broadcast equi-join
-    * on the scan's `_metadata.file_path`).
+    * enforced, partition columns re-attached (broadcast equi-join on
+    * the scan's `_metadata.file_path`), physical parquet names mapped
+    * back to logical names (column-mapping name mode), and
+    * deletion-vector rows dropped via ONE distributed anti-join on
+    * `_metadata.row_index` (bitmaps parse on executors — descriptor
+    * rows are log-grain metadata; expanded row indexes flow straight
+    * into the join's shuffle, never through the driver).
     */
   private[sources] def scanFiles(
       spark: SparkSession,
@@ -593,8 +776,12 @@ object DeltaRead {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
     val partCols = snap.partitionColumns
+    val phys = snap.physicalNames
+    if (phys.values.toSeq.distinct.size != phys.size)
+      fail(path, "column mapping assigns duplicate physical names")
     val dataSchema = StructType(
-      snap.schema.filterNot(f => partCols.contains(f.name)))
+      snap.schema.filterNot(f => partCols.contains(f.name))
+        .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
     val outSchema =
       if (!keepFile) snap.schema
       else snap.schema.add("__delta_file", StringType)
@@ -606,21 +793,63 @@ object DeltaRead {
         if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
           new Path(new java.net.URI(f.path))
         else new Path(root, decodePath(f.path))
-      (fs.makeQualified(fp), f.partitionValues)
+      (fs.makeQualified(fp), f)
     }
-    val scan = spark.read.schema(dataSchema)
+    val scan0 = spark.read.schema(dataSchema)
       .parquet(files.map(_._1.toString): _*)
-    if (partCols.isEmpty) {
-      val base = scan.select(
-        (snap.schema.map(f => col(f.name)) ++
-          (if (keepFile)
-            Seq(normalizeCol(col("_metadata.file_path"))
-              .as("__delta_file"))
+    val dvFiles = files.filter(_._2.dv.nonEmpty)
+    val needFile = keepFile || partCols.nonEmpty || dvFiles.nonEmpty
+    val scan1 =
+      if (!needFile) scan0
+      else scan0.withColumn("__file",
+        normalizeCol(col("_metadata.file_path")))
+    val scan =
+      if (dvFiles.isEmpty) scan1
+      else {
+        import spark.implicits._
+        // descriptor rows: log-grain metadata (one per DV'd file)
+        val descRows = dvFiles.map { case (fp, f) =>
+          val d = f.dv.get
+          (normalizeStr(fp.toUri.toString), d.storageType,
+            d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes,
+            d.cardinality)
+        }
+        val confH = new graft.operators.HadoopConfHolder(
+          spark.sessionState.newHadoopConf())
+        val rootStr = root.toString
+        val deleted = spark.createDataset(descRows)
+          .repartition(math.min(descRows.size,
+            spark.sparkContext.defaultParallelism))
+          .mapPartitions { it =>
+            val tableRoot = new Path(rootStr)
+            lazy val dfs = tableRoot.getFileSystem(confH.value)
+            it.flatMap { case (fileKey, st, pd, off, size, card) =>
+              val desc = DeletionVectors.DvDescriptor(st, pd,
+                if (off < 0) None else Some(off), size, card)
+              val rows = DeletionVectors.load(dfs, tableRoot, desc)
+              require(rows.length == card,
+                s"DV for $fileKey holds ${rows.length} rows, " +
+                  s"descriptor says $card")
+              rows.iterator.map(ri => (fileKey, ri))
+            }
+          }.toDF("__dv_file", "__dv_ri")
+        scan1
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(deleted,
+            scan1("__file") === deleted("__dv_file") &&
+              col("__ri") === deleted("__dv_ri"),
+            "left_anti")
+          .drop("__ri")
+      }
+    val byName = snap.schema.map(f => f.name -> f).toMap
+    if (partCols.isEmpty)
+      return scan.select(
+        (snap.schema.map(f => col(phys(f.name)).as(f.name)) ++
+          (if (keepFile) Seq(col("__file").as("__delta_file"))
           else Seq.empty)): _*)
-      return base
-    }
     // partition attach: (normalized file path -> partition values)
-    // is log-grain metadata — broadcast it against the scan
+    // is log-grain metadata — broadcast it against the scan.
+    // partitionValues keys are PHYSICAL names under column mapping.
     val mapSchema = StructType(
       StructField("__file", StringType, nullable = false) +:
         partCols.map(c => StructField(s"__pv_$c", StringType,
@@ -628,21 +857,19 @@ object DeltaRead {
     // the scan's `_metadata.file_path` is the URI-ENCODED form
     // (Path.toUri — a literal '%' in a dir name arrives as %25), so
     // the map key must be the same encoding, not Path.toString
-    val rows = files.map { case (fp, pvs) =>
+    val rows = files.map { case (fp, f) =>
       Row.fromSeq(normalizeStr(fp.toUri.toString) +:
-        partCols.map(c => pvs.get(c).flatten.orNull))
+        partCols.map(c => f.partitionValues.get(phys(c)).flatten.orNull))
     }
     val javaRows = new java.util.ArrayList[Row](rows.length)
     rows.foreach(javaRows.add)
     val mapDf = spark.createDataFrame(javaRows, mapSchema)
-    val byName = snap.schema.map(f => f.name -> f).toMap
     scan
-      .withColumn("__file", normalizeCol(col("_metadata.file_path")))
       .join(broadcast(mapDf), "__file")
       .select((snap.schema.map { f =>
         if (partCols.contains(f.name))
           col(s"__pv_${f.name}").cast(byName(f.name).dataType).as(f.name)
-        else col(f.name)
+        else col(phys(f.name)).as(f.name)
       } ++ (if (keepFile) Seq(col("__file").as("__delta_file"))
       else Seq.empty)): _*)
   }

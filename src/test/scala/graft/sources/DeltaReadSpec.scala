@@ -190,16 +190,24 @@ class DeltaReadSpec extends SparkTestBase {
       DeltaRead.read(spark, t1)
     }
     assert(e1.getMessage.contains("sidecar"), e1.getMessage)
-    // reader version 3 recorded IN the checkpoint protocol row
+    // reader version 4 recorded IN the checkpoint protocol row
+    // (v3 with no unsupported features now READS — see below)
     val t2 = freshTable()
     plantKv(t2, "a.parquet", 0, 2): Unit
     DeltaFixture.writeCheckpoint(spark, t2, 0,
       StructType(schema.dropRight(1)),
-      adds = Seq("a.parquet" -> Map.empty), minReader = 3)
+      adds = Seq("a.parquet" -> Map.empty), minReader = 4)
     val e2 = intercept[IllegalArgumentException] {
       DeltaRead.read(spark, t2)
     }
-    assert(e2.getMessage.contains("reader version 3"), e2.getMessage)
+    assert(e2.getMessage.contains("reader version 4"), e2.getMessage)
+    // v3 checkpoint with empty features reads fine
+    val t2b = freshTable()
+    plantKv(t2b, "a.parquet", 0, 2): Unit
+    DeltaFixture.writeCheckpoint(spark, t2b, 0,
+      StructType(schema.dropRight(1)),
+      adds = Seq("a.parquet" -> Map.empty), minReader = 3)
+    assert(DeltaRead.read(spark, t2b).count() == 2L)
     // multi-part checkpoint is refused loudly
     val t3 = freshTable()
     plantKv(t3, "a.parquet", 0, 2): Unit
@@ -328,20 +336,41 @@ class DeltaReadSpec extends SparkTestBase {
       assert(e.getMessage.contains(needle), e.getMessage)
     }
     val meta = DeltaFixture.metaDataLine("spec", StructType(schema.dropRight(1)))
-    // reader version 2 (column mapping era)
+    // column mapping ID mode (reader v2 era) — name mode is supported,
+    // id mode refuses
     expectRefusal(Seq(0L -> Seq(
-      DeltaFixture.protocolLine(minReader = 2), meta,
-      DeltaFixture.addLine("a.parquet", 1))), "reader version 2")
-    // readerFeatures present
+      DeltaFixture.protocolLine(minReader = 2),
+      DeltaFixture.metaDataLine("spec", StructType(schema.dropRight(1)),
+        configuration = Map("delta.columnMapping.mode" -> "id")),
+      DeltaFixture.addLine("a.parquet", 1))), "id")
+    // unsupported reader FEATURE (v2 checkpoints)
     expectRefusal(Seq(0L -> Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"]}}""", meta,
-      DeltaFixture.addLine("a.parquet", 1))), "deletionVectors")
-    // deletion vector on an add
+      DeltaFixture.protocolFeaturesLine(3, 7, Seq("v2Checkpoint")), meta,
+      DeltaFixture.addLine("a.parquet", 1))), "v2Checkpoint")
+    // reader version beyond 3
     expectRefusal(Seq(0L -> Seq(
-      DeltaFixture.protocolLine(), meta,
-      DeltaFixture.addLine("a.parquet", 1,
-        withDeletionVector = true))), "deletion vector")
+      DeltaFixture.protocolLine(minReader = 4), meta,
+      DeltaFixture.addLine("a.parquet", 1))), "reader version 4")
+    // a CORRUPT deletion vector declines at scan time, loudly (the
+    // fixture's garbage descriptor carries an undecodable payload)
+    locally {
+      val tt = freshTable()
+      val s2 = plantKv(tt, "a.parquet", 0, 2)
+      DeltaFixture.writeCommit(spark, tt, 0, Seq(
+        DeltaFixture.protocolFeaturesLine(3, 7, Seq("deletionVectors")),
+        meta,
+        DeltaFixture.addLine("a.parquet", s2,
+          withDeletionVector = true)))
+      // snapshot replays fine; the damage surfaces on data access
+      assert(DeltaRead.snapshot(spark, tt).liveFiles.head.dv.nonEmpty)
+      val e = intercept[Exception] {
+        DeltaRead.read(spark, tt).count()
+      }
+      def msgs(x: Throwable): String =
+        if (x == null) ""
+        else Option(x.getMessage).getOrElse("") + "|" + msgs(x.getCause)
+      assert(msgs(e).contains("too short"), msgs(e))
+    }
     // log gap (version 1 missing)
     expectRefusal(Seq(
       0L -> Seq(DeltaFixture.protocolLine(), meta,
@@ -374,5 +403,145 @@ class DeltaReadSpec extends SparkTestBase {
       DeltaRead.read(spark, t, asOf = Some(9L))
     }
     assert(e2.getMessage.contains("version 9"), e2.getMessage)
+  }
+
+  private def mappedField(
+      name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      phys: String,
+      id: Long): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id)
+        .build())
+
+  test("column mapping (name mode): physical parquet names map back " +
+    "to logical; partition values keyed by physical name") {
+    val ss = spark
+    import ss.implicits._
+    val t = freshTable()
+    // data files carry PHYSICAL names; the schema maps them
+    val sa = DeltaFixture.plantDataFile(spark,
+      Seq((1L, "one"), (2L, "two")).toDF("col-k9x", "col-n2y"),
+      t, "a.parquet")
+    val mapped = StructType(Seq(
+      mappedField("k", LongType, "col-k9x", 1),
+      mappedField("name", StringType, "col-n2y", 2),
+      mappedField("src", StringType, "col-s3z", 3)))
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataLine("cm", mapped,
+        partitionColumns = Seq("src"),
+        configuration = Map("delta.columnMapping.mode" -> "name")),
+      // partitionValues keyed by the PHYSICAL partition column name
+      DeltaFixture.addLine("a.parquet", sa,
+        partitionValues = Map("col-s3z" -> Some("alpha")))))
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "one", "alpha"), (2L, "two", "alpha")))
+    // logical names drive readPruned's partitionEquals and range
+    val pruned = DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "alpha"))
+    assert(pruned.count() == 2L)
+    assert(DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "beta")).count() == 0L)
+  }
+
+  test("column mapping: id mode and nested mappings refuse loudly") {
+    val ss = spark
+    import ss.implicits._
+    val t = freshTable()
+    val sa = plantKv(t, "a.parquet", 0, 2)
+    val nested = StructType(Seq(
+      mappedField("k", LongType, "pk", 1),
+      StructField("obj", StructType(Seq(
+        mappedField("inner", StringType, "pi", 2))))))
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataLine("cmn", nested,
+        configuration = Map("delta.columnMapping.mode" -> "name")),
+      DeltaFixture.addLine("a.parquet", sa)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.read(spark, t)
+    }
+    assert(e.getMessage.contains("NESTED"), e.getMessage)
+  }
+
+  test("deletion vectors: inline and on-disk DVs drop exactly the " +
+    "masked row indexes; countRows subtracts cardinality") {
+    val ss = spark
+    import ss.implicits._
+    val t = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(t))
+    // file a: rows k=0..4, inline DV kills row indexes 1 and 3
+    val sa = DeltaFixture.plantDataFile(spark,
+      (0 until 5).map(i => (i.toLong, s"row$i")).toDF("k", "name")
+        .coalesce(1).orderBy("k"),
+      t, "a.parquet")
+    val inlineData = DeletionVectors.serialize(Array(1L, 3L))
+    val dvInline = DeletionVectors.DvDescriptor("i",
+      DeletionVectors.z85Encode(inlineData), None, inlineData.length, 2L)
+    // file b: rows k=10..14, on-disk 'u' DV kills row index 0
+    val sb = DeltaFixture.plantDataFile(spark,
+      (10 until 15).map(i => (i.toLong, s"row$i")).toDF("k", "name")
+        .coalesce(1).orderBy("k"),
+      t, "b.parquet")
+    val uuid = java.util.UUID.randomUUID()
+    val spans = DeletionVectors.writeDvFile(fs,
+      new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin"),
+      Seq(Array(0L)))
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val dvU = DeletionVectors.DvDescriptor("u",
+      DeletionVectors.z85Encode(ub.array()),
+      Some(spans.head._1), spans.head._2, 1L)
+    val schema2 = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType)))
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7, Seq("deletionVectors")),
+      DeltaFixture.metaDataLine("dv", schema2),
+      DeltaFixture.addLine("a.parquet", sa, dv = Some(dvInline),
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> (0L, 4L))))),
+      DeltaFixture.addLine("b.parquet", sb, dv = Some(dvU),
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> (10L, 14L)))))))
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 2L, 4L, 11L, 12L, 13L, 14L))
+    // metadata count = physical rows minus DV cardinality
+    assert(DeltaRead.countRows(spark, t) == 7L)
+    // pruning composes with DVs (file b pruned by range; a's DV holds)
+    val pruned = DeltaRead.readPruned(spark, t,
+      range = Some(("k", 0L, 4L)))
+    assert(pruned.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 2L, 4L))
+  }
+
+  test("multi-part checkpoint: all parts union into the base state; " +
+    "JSON tail replays on top") {
+    val ss = spark
+    import ss.implicits._
+    val t = freshTable()
+    val schema2 = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType)))
+    // three one-file adds spread across 2 checkpoint parts at v5
+    Seq(("a.parquet", 0), ("b.parquet", 10), ("c.parquet", 20)).foreach {
+      case (n, lo) => plantKv(t, n, lo, lo + 2): Unit
+    }
+    DeltaFixture.writeMultiCheckpoint(spark, t, 5, schema2, nParts = 2,
+      adds = Seq("a.parquet" -> Map.empty, "b.parquet" -> Map.empty,
+        "c.parquet" -> Map.empty))
+    // JSON tail: v6 removes c
+    DeltaFixture.writeCommit(spark, t, 6, Seq(
+      DeltaFixture.removeLine("c.parquet")))
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 10L, 11L))
+    assert(DeltaRead.versions(spark, t) == Seq(5L, 6L))
+    // time travel to the checkpoint version sees all three files
+    assert(DeltaRead.read(spark, t, asOf = Some(5L)).count() == 6L)
   }
 }
