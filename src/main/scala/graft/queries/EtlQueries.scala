@@ -1173,7 +1173,287 @@ object EtlQueries {
       SELECT file_id, entry_idx, name, size, payload_md5
       FROM r ORDER BY file_id, entry_idx NULLS FIRST"""))
 
+  // ---- q251: Delta column-mapping (name mode) read ----
+  // The most common real-lake table state after plain v1: one column
+  // rename by any modern writer flips the table to reader v2 with
+  // delta.columnMapping.mode=name — physical parquet names diverge
+  // from the logical schema. Fixture: data files carry PHYSICAL
+  // column names (col-xxxx), the metaData schemaString maps them back
+  // via field metadata, partition values key by the physical
+  // partition name, and a post-rename commit proves the mapping is
+  // replay-consistent. The oracle replays the logical content from
+  // nation.
+
+  val q251 = Q(
+    "q251_delta_column_mapping",
+    (s, dir) => {
+      import org.apache.spark.sql.types.MetadataBuilder
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      def mf(name: String, dt: org.apache.spark.sql.types.DataType,
+          phys: String, id: Long) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q251_deltacm")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("col-4b1"),
+        col("n_name").as("col-9f2"))
+      val a = DFx.plantDataFile(s,
+        base.where(col("`col-4b1`") < 13), t, "a.parquet")
+      val b = DFx.plantDataFile(s,
+        base.where(col("`col-4b1`") >= 13), t, "b.parquet")
+      val c = DFx.plantDataFile(s,
+        base.withColumn("col-4b1", col("`col-4b1`") + 100),
+        t, "c.parquet")
+      val schemaV0 = StructType(Seq(
+        mf("k", LongType, "col-4b1", 1),
+        mf("name", StringType, "col-9f2", 2),
+        mf("src", StringType, "col-7e3", 3)))
+      val cmCfg = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(minReader = 2, minWriter = 5),
+        DFx.metaDataLine("q251-fixture", schemaV0, Seq("src"),
+          configuration = cmCfg),
+        DFx.addLine("a.parquet", a, Map("col-7e3" -> Some("n0"))),
+        DFx.addLine("b.parquet", b, Map("col-7e3" -> Some("n0")))))
+      // v1: RENAME k -> key (the operation that creates name mode in
+      // real lakes: logical name changes, physical name is stable)
+      val schemaV1 = StructType(Seq(
+        mf("key", LongType, "col-4b1", 1),
+        mf("name", StringType, "col-9f2", 2),
+        mf("src", StringType, "col-7e3", 3)))
+      DFx.writeCommit(s, t, 1, Seq(
+        DFx.metaDataLine("q251-fixture", schemaV1, Seq("src"),
+          configuration = cmCfg)))
+      DFx.writeCommit(s, t, 2, Seq(
+        DFx.removeLine("b.parquet"),
+        DFx.addLine("c.parquet", c, Map("col-7e3" -> Some("n1")))))
+      // prove the pruned path translates logical -> physical too
+      require(DeltaRead.readPruned(s, t,
+        partitionEquals = Map("src" -> "n1")).count() ==
+        nation.count(), "q251: partition pruning through the mapping")
+      DeltaRead.read(s, t).orderBy("key", "src")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
+               'n0' AS src
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'n1'
+        FROM nation)
+      ORDER BY key, src"""))
+
+  // ---- q252: Delta deletion-vector read ----
+  // DML-heavy lakehouse tables carry DVs by default now: a DELETE
+  // rewrites nothing, it attaches a roaring bitmap of dead row
+  // indexes to the add. Fixture: two data files; file a gets an
+  // INLINE DV (z85 payload in the descriptor), file b an on-disk
+  // 'u'-type DV file (uuid-derived name, CRC-framed) — a remove/add
+  // pair at v1 attaches them, exactly the commit shape a real DELETE
+  // produces. The gate proves surviving-row content AND the
+  // metadata-count path (numRecords minus cardinality) against the
+  // oracle's replay of the same predicate.
+
+  val q252 = Q(
+    "q252_delta_deletion_vectors",
+    (s, dir) => {
+      import graft.sources.{DeletionVectors => DVs,
+        DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q252_deltadv")
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val root = fs.makeQualified(p)
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      // deterministic row order inside each file: single part, sorted
+      val a = DFx.plantDataFile(s,
+        base.where(col("k") < 13).coalesce(1).sortWithinPartitions("k"),
+        t, "a.parquet")
+      val b = DFx.plantDataFile(s,
+        base.where(col("k") >= 13).coalesce(1).sortWithinPartitions("k"),
+        t, "b.parquet")
+      val nA = 13L
+      val nB = nation.count() - nA
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolFeaturesLine(3, 7, Seq("deletionVectors")),
+        DFx.metaDataLine("q252-fixture", schema),
+        DFx.addLine("a.parquet", a,
+          stats = Some(DFx.statsJson(nA, Map("k" -> (0L, 12L))))),
+        DFx.addLine("b.parquet", b,
+          stats = Some(DFx.statsJson(nB, Map("k" -> (13L, nA + nB - 1)))))))
+      // v1, the DELETE: kill k in {1,3,5} (file a row indexes 1,3,5 —
+      // inline DV) and the LAST row of b (on-disk 'u' DV)
+      val inline = DVs.serialize(Array(1L, 3L, 5L))
+      val dvA = DVs.DvDescriptor("i", DVs.z85Encode(inline), None,
+        inline.length, 3L)
+      val uuid = java.util.UUID.nameUUIDFromBytes(
+        "q252-dv".getBytes("UTF-8"))
+      val spans = DVs.writeDvFile(fs,
+        new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin"),
+        Seq(Array(nB - 1)))
+      val ub = java.nio.ByteBuffer.allocate(16)
+      ub.putLong(uuid.getMostSignificantBits)
+      ub.putLong(uuid.getLeastSignificantBits)
+      val dvB = DVs.DvDescriptor("u", DVs.z85Encode(ub.array()),
+        Some(spans.head._1), spans.head._2, 1L)
+      DFx.writeCommit(s, t, 1, Seq(
+        DFx.removeLine("a.parquet"),
+        DFx.addLine("a.parquet", a, dv = Some(dvA),
+          stats = Some(DFx.statsJson(nA, Map("k" -> (0L, 12L))))),
+        DFx.removeLine("b.parquet"),
+        DFx.addLine("b.parquet", b, dv = Some(dvB),
+          stats = Some(DFx.statsJson(nB, Map("k" -> (13L, nA + nB - 1)))))))
+      // the metadata-only count path must subtract DV cardinality
+      require(DeltaRead.countRows(s, t) == nA + nB - 4,
+        "q252: countRows must be numRecords minus DV cardinality")
+      // time travel BEFORE the delete still sees every row
+      require(DeltaRead.read(s, t, asOf = Some(0L)).count() == nA + nB,
+        "q252: pre-DV version must be intact")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey NOT IN (1, 3, 5)
+        AND n_nationkey <> (SELECT max(n_nationkey) FROM nation)
+      ORDER BY k"""))
+
+  // ---- q253: Delta multi-part checkpoint read ----
+  // Large production tables write classic checkpoints SPLIT across n
+  // parquet parts; any part may hold any action type and a reader
+  // must union all of them (and refuse torn sets). Fixture: a
+  // vacuumed-head log whose base state exists ONLY as a 2-part
+  // checkpoint at v5 (protocol+metaData in part 1, adds round-robin
+  // across both parts), plus a JSON tail at v6 that removes a
+  // checkpoint-era file and appends a new one — the base/tail seam
+  // and the cross-part union both gate the hash.
+
+  val q253 = Q(
+    "q253_delta_multipart_checkpoint",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q253_deltamp")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        StructField("src", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DFx.plantDataFile(s, base.where(col("k") < 13), t, "a.parquet"): Unit
+      DFx.plantDataFile(s, base.where(col("k") >= 13), t, "b.parquet"): Unit
+      val c = DFx.plantDataFile(s,
+        base.withColumn("k", col("k") + 100), t, "c.parquet")
+      val d = DFx.plantDataFile(s,
+        nation.where(col("n_regionkey") === 2).select(
+          (col("n_nationkey").cast("long") + 200).as("k"),
+          col("n_name").as("name")), t, "d.parquet")
+      DFx.writeMultiCheckpoint(s, t, 5, schema, nParts = 2,
+        partitionColumns = Seq("src"),
+        adds = Seq(
+          "a.parquet" -> Map("src" -> Some("n0")),
+          "b.parquet" -> Map("src" -> Some("n0")),
+          "c.parquet" -> Map("src" -> Some("n1"))))
+      DFx.writeCommit(s, t, 6, Seq(
+        DFx.removeLine("b.parquet"),
+        DFx.addLine("d.parquet", d, Map("src" -> Some("n2")))))
+      require(DeltaRead.versions(s, t) == Seq(5L, 6L),
+        "q253: checkpoint version must be visible")
+      DeltaRead.read(s, t).orderBy("k", "src")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+               'n0' AS src
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'n1'
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey + 200 AS BIGINT), n_name, 'n2'
+        FROM nation WHERE n_regionkey = 2)
+      ORDER BY k, src"""))
+
+  // ---- q254: zstd-JSONL ingestion ----
+  // The codec the dominant open LLM corpora actually ship (Dolma,
+  // RedPajama releases): .jsonl.zst objects, often multi-frame.
+  // Fixture: one gzip object (the engine's own sink), one two-frame
+  // zstd object, one plain object with corrupt lines — the MIXED dir
+  // a real bucket is. All three read through ONE from_json parse;
+  // quarantine preserves raw bytes. The oracle replays good rows from
+  // documents and the corrupt lines by md5.
+
+  val q254 = Q(
+    "q254_jsonl_zstd",
+    (s, dir) => {
+      import graft.sources.Jsonl
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      def zstFrame(lines: Seq[String]): Array[Byte] =
+        com.github.luben.zstd.Zstd.compress(
+          (lines.mkString("\n") + "\n").getBytes(utf8))
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val t = scratch(s, "q254_jsonlzst_")
+      Jsonl.write(
+        Tables(s, dir, "documents")
+          .where(col("doc_id") < 20)
+          .select(col("doc_id").as("id"), col("text"), col("lang")),
+        t, gzip = true)
+      // two-frame zstd: rows 20-39 split across independent frames
+      // (the Dolma shard layout — frames must decode end-to-end)
+      val docRows = Tables(s, dir, "documents")
+        .where(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select(to_json(struct(
+          col("doc_id").as("id"), col("text"), col("lang"))).as("j"))
+        .orderBy(col("j"))
+        .collect().map(_.getString(0)).toSeq
+      val (f1, f2) = docRows.splitAt(docRows.size / 2)
+      graft.ScratchSpace.writeBytes(s, t, "shard.jsonl.zst",
+        zstFrame(f1) ++ zstFrame(f2))
+      graft.ScratchSpace.writeBytes(s, t, "extra.jsonl", Seq(
+        """{"id":900,"text":"niner hundred","lang":"en"}""",
+        """zst mixed dir garbage [[[""",
+        "7").mkString("\n").getBytes(utf8))
+      val (good, bad) = Jsonl.split(Jsonl.readDir(s, t, schema))
+      good.select(
+          col("id"), col("lang"), md5(col("text")).as("txt_md5"),
+          lit(false).as("is_corrupt"))
+        .unionAll(bad.select(
+          lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("lang"),
+          md5(col(Jsonl.Corrupt)).as("txt_md5"),
+          lit(true).as("is_corrupt")))
+        .orderBy("is_corrupt", "id", "txt_md5")
+    },
+    Some("""
+      WITH rows_all AS (
+        SELECT doc_id AS id, lang, md5(text) AS txt_md5,
+               FALSE AS is_corrupt
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT CAST(900 AS BIGINT), 'en', md5('niner hundred'), FALSE
+        UNION ALL
+        SELECT NULL, NULL, md5('zst mixed dir garbage [[['), TRUE
+        UNION ALL
+        SELECT NULL, NULL, md5('7'), TRUE)
+      SELECT id, lang, txt_md5, is_corrupt
+      FROM rows_all
+      ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239, q240, q241, q246, q247)
+    q239, q240, q241, q246, q247, q251, q252, q253, q254)
 }
