@@ -86,14 +86,13 @@ object Experiments {
     * label; exactly two variants enforced like [[welchTTest]].
     *
     * Scale shape: one hash aggregate by (value) with map-side combine,
-    * one |V|-bounded cumulative window, one 2-row rollup. Output:
-    * 1 row (n_a, n_b, u_a, z_stat). GRAIN BOUND for that
-    * unpartitioned window: the metric is cast to LONG (integer cents
-    * / counts), so |V| is bounded by the metric's value range, not by
-    * row count — a continuous metric must be pre-quantized (fix4 or
-    * coarser) by the caller or the distinct-value table degenerates
-    * to row grain; for vocabulary-like unbounded grains use the
-    * distributed-rank shape ([[TextAnalysis.vocabCoverage]]).
+    * then a DISTRIBUTED cumulative pass over the distinct-value table
+    * (range shuffle + per-partition cumsum + partition-count-grain
+    * prefix offsets — no unpartitioned data-grain window anywhere),
+    * one 2-row rollup. A continuous metric therefore degrades to an
+    * honest shuffle over |V| ≈ N rows, never to a single task; cast
+    * to LONG keeps |V| value-range-bounded for integer metrics.
+    * Output: 1 row (n_a, n_b, u_a, z_stat).
     */
   def mannWhitneyU(
       df: DataFrame,
@@ -117,13 +116,14 @@ object Experiments {
         count(when(col("v") === col("va"), 1)).as("ta"),
         first(col("va")).as("va"),
         first(col("n_variants")).as("n_variants"))
-    // |V|-bounded cumulative pass: group average rank doubled is
-    // 2·cum − t + 1 (an exact long); decimal(38,0) accumulators keep
-    // rank sums and Σ(t³−t) exact far past Long range
-    val cum = sum(col("t"))
-      .over(Window.orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val m = g.withColumn("cum", cum)
+    // DISTRIBUTED cumulative pass (the Encodings.equiDepth shape —
+    // no unpartitioned data-grain window, so an unexpectedly
+    // continuous metric degrades to a real shuffle, never to one
+    // task): group average rank doubled is 2·cum − t + 1 (an exact
+    // long); decimal(38,0) accumulators keep rank sums and Σ(t³−t)
+    // exact far past Long range
+    val (withCum, pinned) = distributedCumsum(g, "x", "t")
+    val m = withCum
       .agg(
         sum(col("ta")).as("n_a"),
         sum(col("t")).as("n"),
@@ -144,12 +144,50 @@ object Experiments {
       raise_error(concat(
         lit("mannWhitneyU requires exactly 2 variants, got "),
         col("n_variants").cast("string"))))
-    m.select(
+    val out = m.select(
       (col("n_a") * guard).as("n_a"),
       (col("n") - col("n_a")).as("n_b"),
       Numerics.fix4(u2 / 2.0).as("u_a"),
       Numerics.fix4((u2 - nA * nB) / (sqrt(variance) * 2.0))
         .as("z_stat"))
+    val staged = graft.ScratchSpace.materialize(out, "mannwhitney_")
+    pinned.unpersist()
+    staged
+  }
+
+  /** Cumulative sum of `tCol` over `orderCol` ascending WITHOUT an
+    * unpartitioned data-grain window: range-shuffle by the order
+    * column, per-partition local cumsum, per-partition totals roll to
+    * prefix offsets (a partition-COUNT-grain window — ~32 rows of
+    * metadata, never data), broadcast back. The ranged rows are
+    * persisted so every branch sees ONE boundary sample
+    * (repartitionByRange re-samples per execution and
+    * spark_partition_id is nondeterministic-tagged — the round-12
+    * equiDepth lesson). Returns (rows + "cum", the pinned DF to
+    * unpersist after the consuming action).
+    */
+  private def distributedCumsum(
+      g: DataFrame,
+      orderCol: String,
+      tCol: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wLoc = Window.partitionBy("__pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = g
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lc", sum(col(tCol)).over(wLoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wPre = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = local.groupBy("__pid")
+      .agg(sum(col(tCol)).as("__c"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(wPre), lit(0L)).as("__pre"))
+    val withCum = local.join(broadcast(prefix), "__pid")
+      .withColumn("cum", col("__pre") + col("__lc"))
+      .drop("__pid", "__lc", "__pre")
+    (withCum, local)
   }
 
   /** Rank AUC — the evaluation a learned quality classifier (q191's
@@ -159,22 +197,19 @@ object Experiments {
     * Mann-Whitney U statistic with average ranks for ties
     * (AUC = U/(n₁·n₀) — the standard ROC-AUC identity). Same
     * value-histogram reduction as [[mannWhitneyU]]: one aggregate to
-    * |distinct scores| rows, a |V|-bounded cumulative pass with
-    * decimal(38,0) accumulators, closed-form on exact integers —
-    * AUC's single float division is of two exact integer-valued
-    * doubles.
+    * |distinct scores| rows, then the DISTRIBUTED cumulative pass
+    * (range shuffle + per-partition cumsum + partition-count-grain
+    * prefix offsets) with decimal(38,0) accumulators, closed-form on
+    * exact integers — AUC's single float division is of two exact
+    * integer-valued doubles. A raw continuous score degrades to an
+    * honest shuffle over |V| ≈ N rows, never to a single task
+    * (quantizing through fix4 first still shrinks |V| to the grid
+    * and is the cheaper call).
     *
     * `labelCol` must be boolean-like (cast to boolean; true =
     * positive); requires both classes present. `scoreCol` may be any
     * orderable numeric — ties get average rank, so fix4'd float
     * scores group identically cross-engine.
-    *
-    * GRAIN BOUND for the unpartitioned cumulative window: classifier
-    * scores must arrive QUANTIZED (fix4 = ≤20,001 distinct values in
-    * [−1, 1]; any fixed-point grid is similarly bounded) so the
-    * distinct-score table is grid-bounded, not row-bounded; feed a
-    * raw continuous score through fix4 first or the histogram
-    * degenerates to row grain.
     *
     * Output: 1 row (n_pos, n_neg, auc fix4).
     */
@@ -190,11 +225,11 @@ object Experiments {
     val g = rows.groupBy("x")
       .agg(count(lit(1)).as("t"),
         count(when(col("y"), 1)).as("tp"))
-    val cum = sum(col("t"))
-      .over(Window.orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    // doubled average rank of a tie group = 2·cum − t + 1 (exact long)
-    val m = g.withColumn("cum", cum)
+    // doubled average rank of a tie group = 2·cum − t + 1 (exact
+    // long); cum via the distributed shape — no unpartitioned
+    // data-grain window even on an unquantized score column
+    val (withCum, pinned) = distributedCumsum(g, "x", "t")
+    val m = withCum
       .agg(
         sum(col("tp")).as("n_pos"),
         sum(col("t")).as("n"),
@@ -206,10 +241,13 @@ object Experiments {
     val guard = when(col("n_pos") > 0 && col("n") > col("n_pos"), lit(1))
       .otherwise(raise_error(lit(
         "rankAuc requires both classes present")))
-    m.select(
+    val out = m.select(
       (col("n_pos") * guard).as("n_pos"),
       (col("n") - col("n_pos")).as("n_neg"),
       Numerics.fix4(u2 / (nPos * nNeg * 2.0)).as("auc"))
+    val staged = graft.ScratchSpace.materialize(out, "rankauc_")
+    pinned.unpersist()
+    staged
   }
 
   /** CUPED (Controlled-experiment Using Pre-Experiment Data) — the

@@ -61,6 +61,22 @@ class ExperimentsSpec extends SparkTestBase {
     assert(r.getDouble(3) == -0.8885)
   }
 
+  test("mannWhitneyU: a fully-continuous metric (every value distinct) " +
+    "runs the DISTRIBUTED cumulative pass, no single-task window") {
+    val ss = spark
+    import ss.implicits._
+    // 50k distinct values, no ties: U_a has a closed form when A's
+    // values all exceed B's: U_a = n_a * n_b (A wins every pair)
+    val nA = 25000
+    val df = ((0 until nA).map(i => ("a", (100000 + i).toLong)) ++
+      (0 until nA).map(i => ("b", i.toLong))).toDF("variant", "x")
+      .repartition(8)
+    val out = Experiments.mannWhitneyU(df, "variant", "x")
+    val r = out.collect().head
+    assert(r.getLong(0) == nA.toLong && r.getLong(1) == nA.toLong)
+    assert(r.getDouble(2) == nA.toDouble * nA) // U_a = n_a * n_b
+  }
+
   test("mannWhitneyU: three variants FAIL instead of silently merging") {
     val ss = spark
     import ss.implicits._
