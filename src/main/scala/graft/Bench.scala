@@ -26,6 +26,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-load evidence (VERDICT r15: contention adjudication must
+    // come from the artifact, not prose): 1-minute system load average
+    // sampled BEFORE and AFTER the pass. A pass whose load numbers
+    // rival the core count is a contended pass — read its totals
+    // accordingly.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     // Process-level warmup: JVM, parquet reader and shuffle paths.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // A throwing query must NOT bench as a ~0 s "win": record the error
@@ -214,6 +223,19 @@ object Bench {
     // lines; "runs" likewise. Every envelope byte competes with one
     // more per-query entry fitting inside the 2 KB driver tail.
     val sfName = new java.io.File(sfDir).getName
+    // Self-describing envelope (VERDICT r15 item 7): the pin-sum over
+    // exactly the queries this pass ran rides NEXT TO the measured
+    // total under explicit labels, and the before/after load averages
+    // let a judge adjudicate contention from the artifact alone.
+    val loadEnd = loadAvg()
+    val pinSum = results.keys.flatMap { k =>
+      pins.get(k.takeWhile(_ != '_')).orElse(pins.get(k))
+    }.sum
+    val pinJson =
+      if (pins.isEmpty) ""
+      else s""","pin_sum":${fmtq(pinSum)}"""
+    val loadJson =
+      s""","load":[${fmtq(loadStart)},${fmtq(loadEnd)}]"""
     // The surface outgrew the ~1926-char driver tail again at 201
     // queries (round 13; round 11 crossed it at 170 with full-name
     // keys). Final lever from SURVEY §6: the headline keeps as many
@@ -229,7 +251,8 @@ object Bench {
     def envelope(qs: String, overflow: Int) =
       s"""{"metric":"total","value":${fmtq(warmTotal)},"unit":"sec","queries":{$qs},""" +
         (if (overflow > 0) s""""overflow":$overflow,""" else "") +
-        s""""cold_total":${fmtq(coldTotal)},"errors":$errJson$reqJson,"sf":"$sfName"}"""
+        s""""cold_total":${fmtq(coldTotal)}$pinJson$loadJson,""" +
+        s""""errors":$errJson$reqJson,"sf":"$sfName"}"""
     var kept = entryStrs.length
     while (kept > 0 &&
       envelope(entryStrs.take(kept).mkString(","), entryStrs.length - kept)
