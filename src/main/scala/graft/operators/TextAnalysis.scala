@@ -1653,6 +1653,160 @@ object TextAnalysis {
     */
   private val UnigramK = 1000000L
 
+  /** Unigram-LM Viterbi-EM TRAINER — closes tokenizer family #3's
+    * train+encode symmetry (BPE q128/q188 and WordPiece q226/q228
+    * both have it; [[unigramEncode]] was encode-only until now).
+    *
+    * Hard-EM (Viterbi-EM) on the fix-grid integer costs
+    * [[unigramEncode]] consumes — every step cross-engine exact:
+    *
+    *  1. SEED: all single characters plus the top `seedSize`
+    *     substrings of length 2..`maxTokenLen` by corpus-weighted
+    *     occurrence count (ties by token ascending). Seed costs come
+    *     from the count distribution via
+    *     cost = clamp(1, 100000, floor(−ln(count/total)·10⁴ + 0.5)) —
+    *     the fix4 grid; integer count ratios make exact half-boundary
+    *     hits impossible (ln of a rational is irrational except at 1).
+    *  2. E-step: Viterbi-segment every DISTINCT word with the current
+    *     costs (single-char fallback at `unkCost`), then BACKTRACK
+    *     deterministically: at position i take the SMALLEST token
+    *     length l whose dp equality dp(i−l) + K·cost + 1 = dp(i)
+    *     holds (vocab beats fallback at equal value). Token usage is
+    *     weighted by word frequency.
+    *  3. M-step: single chars keep max(count, 1) (never dropped —
+    *     byte-fallback semantics need them priced); multi-char tokens
+    *     with zero uses drop; costs recompute from the new counts.
+    *  4. Repeat `emRounds` times; the final (token → cost) map feeds
+    *     [[unigramEncode]] directly.
+    *
+    * Scale shape: corpus work is ONE word-frequency aggregate; every
+    * EM pass runs at distinct-WORD grain (mapPartitions with the
+    * vocab in the task closure — vocabulary-grain, dim-sized) and
+    * reduces to a (token, count) aggregate. Driver state is the
+    * vocab artifact only, exactly like the BPE/WordPiece trainers.
+    */
+  def unigramTrain(
+      df: DataFrame,
+      textCol: String,
+      seedSize: Int = 20,
+      maxTokenLen: Int = 4,
+      emRounds: Int = 2,
+      unkCost: Long = 100000L): Seq[(String, Long)] = {
+    require(seedSize >= 1 && maxTokenLen >= 2 && emRounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = df
+      .select(explode(Texts.words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+      val total = counts.map(_._2).sum.toDouble
+      counts.map { case (t, c) =>
+        t -> math.min(100000L, math.max(1L,
+          math.floor(-math.log(c / total) * 10000 + 0.5).toLong))
+      }.toMap
+    }
+    // seed counts: chars + top multi-char substrings
+    val charCounts = wf.toDF("word", "freq")
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("tok"), col("freq"))
+      .groupBy("tok").agg(sum(col("freq")).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val multiAgg = (2 to maxTokenLen).map { l =>
+      wf.toDF("word", "freq").where(length(col("word")) >= l)
+        .select(explode(expr(
+          s"transform(sequence(1, length(word) - ${l - 1}), " +
+            s"i -> substring(word, i, $l))")).as("tok"), col("freq"))
+    }.reduce(_ unionByName _)
+      .groupBy("tok").agg(sum(col("freq")).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val topMulti = multiAgg
+      .sortBy { case (t, c) => (-c, t) }
+      .take(seedSize)
+    val charSet = charCounts.map(_._1).toSet
+    var costs = costsOf(charCounts ++ topMulti)
+    (1 to emRounds).foreach { _ =>
+      val vocab = costs
+      val counts = wf.mapPartitions { it =>
+        it.flatMap { case (word, freq) =>
+          segmentUses(word, vocab, maxTokenLen, unkCost)
+            .map { case (t, u) => (t, u * freq) }
+        }
+      }.toDF("tok", "cnt")
+        .groupBy("tok").agg(sum(col("cnt")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val next =
+        charCounts.map { case (t, _) =>
+          t -> math.max(1L, counts.getOrElse(t, 0L))
+        } ++
+          counts.toSeq.filter { case (t, c) => t.length >= 2 && c > 0 }
+      costs = costsOf(next)
+    }
+    wf.unpersist()
+    // single chars always survive; sorted artifact for determinism
+    costs.toSeq.sortBy(_._1).filter { case (t, _) =>
+      t.length >= 2 || charSet.contains(t)
+    }
+  }
+
+  /** One word's Viterbi segmentation token uses under `vocab` — the
+    * E-step kernel. Backtrack rule (cross-engine pinned): at position
+    * i the chosen step is the SMALLEST l whose dp equality
+    * dp(i−l) + K·cost(sub) + 1 == dp(i) holds; no vocab l ⇒ the
+    * fallback char (uncounted).
+    */
+  private def segmentUses(
+      word: String,
+      vocab: Map[String, Long],
+      maxTokenLen: Int,
+      unkCost: Long): Seq[(String, Long)] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val dp = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = dp(i - 1) + UnigramK * unkCost + 1
+      var l = 1
+      val lMax = math.min(maxTokenLen, i)
+      while (l <= lMax) {
+        vocab.get(word.substring(i - l, i)) match {
+          case Some(c) =>
+            val v = dp(i - l) + UnigramK * c + 1
+            if (v < best) best = v
+          case None => ()
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    val uses = scala.collection.mutable.Map.empty[String, Long]
+    var pos = n
+    while (pos > 0) {
+      var chosen = -1
+      var l = 1
+      val lMax = math.min(maxTokenLen, pos)
+      while (l <= lMax && chosen < 0) {
+        val sub = word.substring(pos - l, pos)
+        vocab.get(sub) match {
+          case Some(c) if dp(pos - l) + UnigramK * c + 1 == dp(pos) =>
+            chosen = l
+          case _ => ()
+        }
+        l += 1
+      }
+      if (chosen > 0) {
+        val sub = word.substring(pos - chosen, pos)
+        uses(sub) = uses.getOrElse(sub, 0L) + 1
+        pos -= chosen
+      } else pos -= 1 // fallback char, uncounted
+    }
+    uses.toSeq
+  }
+
   /** Unigram-LM tokenization (the SentencePiece default) — the THIRD
     * tokenizer family after BPE (q128/q188) and WordPiece greedy
     * longest-match (q220/q226): Viterbi MINIMUM-COST segmentation

@@ -4788,6 +4788,158 @@ object PipelineQueries {
     "at" -> 13L, "on" -> 12L, "or" -> 14L, "en" -> 13L, "of" -> 11L,
     "to" -> 12L, "it" -> 13L)
 
+  // ---- q255: unigram-LM trainer (Viterbi-EM), train → encode ----
+  // Closes tokenizer family #3's train+encode symmetry (BPE q128/q188
+  // and WordPiece q226/q228 already have it): seed vocab from
+  // corpus-weighted substring counts (all chars + top-20 multi-char,
+  // ties by token asc), two hard-EM rounds — Viterbi-segment every
+  // DISTINCT word, deterministic dp-equality backtrack (smallest
+  // matching length, vocab before fallback), recount, re-price on the
+  // fix-grid −ln(count/total)·10⁴ — then ENCODE docs with the trained
+  // costs. The oracle replays the ENTIRE lifecycle in SQL: seeding,
+  // both EM rounds (recursive dp LIST per word + a backtrack walk
+  // whose steps re-derive their tokens from the dp equality), and the
+  // q249-style encode dp; vocab_size/vocab_cost_sum pin the trained
+  // artifact itself, the per-source encode totals pin what it does.
+  // Heavy reused CTEs are MATERIALIZED — without it DuckDB re-inlines
+  // the recursive upstream per reference and the plan goes
+  // exponential.
+
+  /** One EM round's oracle CTEs: vocab v{prev} → v{r}. */
+  private def unigramEmRoundCte(r: Int, prev: Int): String = s"""
+      vm$prev AS (SELECT map_from_entries(list((tok, cost))) AS m
+                  FROM v$prev),
+      dp$r(word, pos, dps) AS (
+        SELECT word, 0, [CAST(0 AS BIGINT)] FROM wf
+        UNION ALL
+        SELECT word, pos + 1, list_append(dps, least(
+            coalesce(list_min(
+              [dps[j + 1] + 1000000 * m[substr(word, j + 1, pos + 1 - j)][1] + 1
+               for j in range(greatest(0, pos - 3), pos + 1)
+               if m[substr(word, j + 1, pos + 1 - j)][1] IS NOT NULL]),
+              9223372036854775807),
+            dps[pos + 1] + 100000000001))
+        FROM dp$r, vm$prev WHERE pos < len(word)),
+      dpw$r AS MATERIALIZED (
+        SELECT word, dps FROM dp$r WHERE pos = len(word)),
+      walk$r(word, pos) AS (
+        SELECT word, CAST(len(word) AS BIGINT) FROM wf
+        UNION ALL
+        SELECT k.word, k.pos - coalesce(list_min(
+            [l for l in range(1, least(4, k.pos) + 1)
+             if m[substr(k.word, CAST(k.pos - l + 1 AS INT), CAST(l AS INT))][1] IS NOT NULL
+                AND d.dps[CAST(k.pos - l + 1 AS INT)]
+                    + 1000000 * m[substr(k.word, CAST(k.pos - l + 1 AS INT), CAST(l AS INT))][1] + 1
+                    = d.dps[CAST(k.pos + 1 AS INT)]]), 1)
+        FROM walk$r k JOIN dpw$r d USING (word), vm$prev
+        WHERE k.pos > 0),
+      steps$r AS MATERIALIZED (
+        SELECT w1.word, w1.pos AS hi,
+               (SELECT max(w2.pos) FROM walk$r w2
+                WHERE w2.word = w1.word AND w2.pos < w1.pos) AS lo
+        FROM walk$r w1 WHERE w1.pos > 0),
+      uses$r AS MATERIALIZED (
+        SELECT s.word,
+               substr(s.word, CAST(s.lo + 1 AS INT),
+                 CAST(s.hi - s.lo AS INT)) AS tok,
+               CAST(count(*) AS BIGINT) AS uses
+        FROM steps$r s JOIN dpw$r d USING (word), vm$prev
+        WHERE m[substr(s.word, CAST(s.lo + 1 AS INT),
+                CAST(s.hi - s.lo AS INT))][1] IS NOT NULL
+          AND d.dps[CAST(s.lo + 1 AS INT)]
+              + 1000000 * m[substr(s.word, CAST(s.lo + 1 AS INT),
+                  CAST(s.hi - s.lo AS INT))][1] + 1
+              = d.dps[CAST(s.hi + 1 AS INT)]
+        GROUP BY 1, 2),
+      cnt$r AS MATERIALIZED (
+        SELECT u.tok, CAST(sum(u.uses * f.freq) AS BIGINT) AS cnt
+        FROM uses$r u JOIN wf f USING (word) GROUP BY 1),
+      c$r AS MATERIALIZED (
+        SELECT c.tok, GREATEST(1, coalesce(k.cnt, 0)) AS cnt
+        FROM cc c LEFT JOIN cnt$r k USING (tok)
+        UNION ALL
+        SELECT tok, cnt FROM cnt$r WHERE len(tok) >= 2),
+      v$r AS MATERIALIZED (
+        SELECT tok, LEAST(100000, GREATEST(1,
+          CAST(floor(-ln(CAST(cnt AS DOUBLE) /
+            (SELECT sum(cnt) FROM c$r)) * 10000 + 0.5) AS BIGINT))) AS cost
+        FROM c$r)"""
+
+  val q255 = Q(
+    "q255_unigram_train",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.unigramTrain(d, "text").toMap
+      TextAnalysis.unigramEncode(
+          d.where(col("doc_id") < 100),
+          "doc_id", "text", vocab, unkCost = 100000L)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_cost")).as("total_cost"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("total_cost"),
+          col("n_tokens"),
+          lit(vocab.size.toLong).as("vocab_size"),
+          lit(vocab.values.sum).as("vocab_cost_sum"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
+              AS ws FROM documents),
+      occ AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM occ WHERE word <> '' GROUP BY 1),
+      cc AS MATERIALIZED (
+        SELECT substr(word, CAST(i AS INT), 1) AS tok,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM wf, unnest(range(1, len(word) + 1)) AS t(i) GROUP BY 1),
+      mc AS MATERIALIZED (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS tok,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM wf, unnest(range(2, 5)) AS tl(l),
+             unnest(range(1, len(word) + 1)) AS tp(i)
+        WHERE i + l - 1 <= len(word) GROUP BY 1),
+      seedm AS MATERIALIZED (
+        SELECT tok, cnt FROM mc ORDER BY cnt DESC, tok ASC LIMIT 20),
+      c0 AS MATERIALIZED (
+        SELECT tok, cnt FROM cc UNION ALL SELECT tok, cnt FROM seedm),
+      v0 AS MATERIALIZED (
+        SELECT tok, LEAST(100000, GREATEST(1,
+          CAST(floor(-ln(CAST(cnt AS DOUBLE) /
+            (SELECT sum(cnt) FROM c0)) * 10000 + 0.5) AS BIGINT))) AS cost
+        FROM c0),
+      ${unigramEmRoundCte(1, 0)},
+      ${unigramEmRoundCte(2, 1)},
+      d3 AS MATERIALIZED (
+        SELECT doc_id, lower(trim(text)) AS s
+        FROM documents WHERE doc_id < 100),
+      vmf AS (SELECT map_from_entries(list((tok, cost))) AS m FROM v2),
+      dpe(doc_id, s, pos, dps) AS (
+        SELECT doc_id, s, 0, [CAST(0 AS BIGINT)] FROM d3
+        UNION ALL
+        SELECT doc_id, s, pos + 1, list_append(dps, least(
+            coalesce(list_min(
+              [dps[j + 1] + 1000000 * m[substr(s, j + 1, pos + 1 - j)][1] + 1
+               for j in range(greatest(0, pos - 3), pos + 1)
+               if m[substr(s, j + 1, pos + 1 - j)][1] IS NOT NULL]),
+              9223372036854775807),
+            dps[pos + 1] + 100000000001))
+        FROM dpe, vmf WHERE pos < strlen(s)),
+      enc AS MATERIALIZED (
+        SELECT doc_id, dps[-1] // 1000000 AS total_cost,
+               dps[-1] % 1000000 AS n_tokens
+        FROM dpe WHERE pos = strlen(s))
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(e.total_cost) AS BIGINT) AS total_cost,
+             CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM v2) AS vocab_size,
+             (SELECT CAST(sum(cost) AS BIGINT) FROM v2) AS vocab_cost_sum
+      FROM enc e JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY 1"""))
+
   val q249 = Q(
     "q249_unigram_encode",
     (s, dir) =>
@@ -4822,7 +4974,7 @@ object PipelineQueries {
       ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    q237, q242, q243, q244, q249,
+    q237, q242, q243, q244, q249, q255,
     q185, q186, q187, q188, q190, q191, q192, q193, q194, q195, q198,
     q200, q201, q205, q206, q207, q208, q209, q210, q211, q212, q214,
     q215, q217, q218, q220, q221, q222, q226, q228, q229, q230, q231,

@@ -52,6 +52,31 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("unigramTrain: hand-checked Viterbi-EM on a tiny corpus") {
+    val ss = spark
+    import ss.implicits._
+    // words: abab (freq 2), cd (freq 1)
+    val df = Seq("abab abab cd").toDF("text")
+    val vocab = TextAnalysis.unigramTrain(df, "text",
+      seedSize = 20, maxTokenLen = 4, emRounds = 2).toMap
+    // seed counts: a4 b4 c1 d1 ab4 ba2 aba2 bab2 abab2 cd1 (total 23)
+    // E1: 'abab' segments as [abab] (24423 < ab+ab 34984);
+    //     'cd' as [cd] (31355 < c+d 62710)
+    // M1: chars floor to 1 each, abab=2, cd=1, total 7
+    //     cost(abab) = floor(ln(7/2)*1e4+0.5) = 12528
+    //     cost(others) = floor(ln(7)*1e4+0.5) = 19459
+    // round 2: same segmentation, fixed point
+    assert(vocab == Map(
+      "a" -> 19459L, "b" -> 19459L, "c" -> 19459L, "d" -> 19459L,
+      "abab" -> 12528L, "cd" -> 19459L))
+    // the trained artifact feeds the encoder directly
+    val enc = TextAnalysis.unigramEncode(
+      Seq((0L, "ababcd")).toDF("id", "text"), "id", "text", vocab,
+      unkCost = 100000L).collect().head
+    // abab + cd: cost 12528 + 19459 = 31987, 2 tokens
+    assert(enc.getLong(2) == 31987L && enc.getLong(3) == 2L)
+  }
+
   test("a document at the packed-dp radix bound refuses loudly " +
     "instead of overflowing token count into cost digits") {
     // 1M chars => up to 1M tokens >= UnigramK slots — must refuse
