@@ -1453,7 +1453,69 @@ object EtlQueries {
       FROM rows_all
       ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
 
+  // ---- q256: Iceberg table read ----
+  // The lake's OTHER table format: metadata JSON → manifest-list
+  // (Avro OCF) → manifests (Avro OCF) → live parquet files, per the
+  // public Iceberg spec. Fixture: a two-snapshot table planted from
+  // nation — snapshot 1 adds files a+b, snapshot 2 carries a as
+  // EXISTING, marks b DELETED, and adds c through a SECOND manifest,
+  // so the gate exercises the manifest-list union, all three entry
+  // statuses, and snapshot time travel (require()-gated) plus the
+  // record_count metadata-only count. The oracle replays the live
+  // content from nation.
+
+  val q256 = Q(
+    "q256_iceberg_read",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, IcebergFixture => IFx,
+        IcebergRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q256_iceberg")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "data/a.parquet"): Unit
+      DFx.plantDataFile(s, base.where(col("k") >= 13),
+        t, "data/b.parquet"): Unit
+      DFx.plantDataFile(s, base.withColumn("k", col("k") + 100),
+        t, "data/c.parquet"): Unit
+      val nAll = nation.count()
+      val nA = 13L
+      val nB = nAll - nA
+      val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
+        IFx.Entry(1, "data/a.parquet", nA),
+        IFx.Entry(1, "data/b.parquet", nB)))
+      IFx.writeManifestList(s, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+      val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
+        IFx.Entry(0, "data/a.parquet", nA),
+        IFx.Entry(2, "data/b.parquet", nB)))
+      val m3 = IFx.writeManifest(s, t, "m3.avro", Seq(
+        IFx.Entry(1, "data/c.parquet", nAll)))
+      IFx.writeManifestList(s, t, "ml2.avro", Seq(
+        ("m2.avro", m2, 0), ("m3.avro", m3, 0)))
+      IFx.writeMetadata(s, t, 2, Map(0 -> schema), Seq(
+        IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+      // record_count metadata path + time travel both gate
+      require(IcebergRead.countRows(s, t) == nA + nAll,
+        "q256: metadata-only count")
+      require(IcebergRead.read(s, t, snapshotId = Some(101L))
+        .count() == nAll, "q256: snapshot time travel")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name
+        FROM nation)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239, q240, q241, q246, q247, q251, q252, q253, q254)
+    q239, q240, q241, q246, q247, q251, q252, q253, q254, q256)
 }

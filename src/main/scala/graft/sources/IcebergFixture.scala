@@ -1,0 +1,200 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Spec-shaped Iceberg table authoring twin of [[IcebergRead]] — the
+  * [[DeltaFixture]] pattern: plant REAL bytes (metadata JSON, Avro
+  * OCF manifest list + manifests via the Apache Avro reference
+  * library, parquet data files) so the reader is exercised against
+  * the public spec's physical layout, and the driver's DuckDB oracle
+  * replays the planted content from the source tables. Not a
+  * transactional writer — fixtures and gates only.
+  */
+object IcebergFixture {
+
+  private val mapper = new ObjectMapper()
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"}]}""".stripMargin)
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  /** One manifest entry: status (1 added / 0 existing / 2 deleted),
+    * data-file path relative to the table root (or absolute URI),
+    * record count, and the data_file content code (0 = data).
+    */
+  final case class Entry(
+      status: Int,
+      filePath: String,
+      recordCount: Long,
+      content: Int = 0)
+
+  /** Write one Avro OCF manifest holding `entries`; returns the
+    * manifest's byte length (the manifest-list field).
+    */
+  def writeManifest(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      entries: Seq[Entry]): Long = {
+    val p = new Path(new Path(tablePath, "metadata"), name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestSchema))
+    w.create(manifestSchema, out)
+    entries.foreach { e =>
+      val df = new GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("content", e.content)
+      df.put("file_path", e.filePath)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", 1L)
+      val rec = new GenericData.Record(manifestSchema)
+      rec.put("status", e.status)
+      rec.put("data_file", df)
+      w.append(rec)
+    }
+    w.close()
+    fs.getFileStatus(p).getLen
+  }
+
+  /** Write one Avro OCF manifest LIST naming `(manifestName, length,
+    * content)` manifests (content 1 = a delete manifest, for refusal
+    * fixtures).
+    */
+  def writeManifestList(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      manifests: Seq[(String, Long, Int)]): Unit = {
+    val p = new Path(new Path(tablePath, "metadata"), name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchema))
+    w.create(manifestListSchema, out)
+    manifests.foreach { case (mName, len, content) =>
+      val rec = new GenericData.Record(manifestListSchema)
+      rec.put("manifest_path", s"metadata/$mName")
+      rec.put("manifest_length", len)
+      rec.put("partition_spec_id", 0)
+      rec.put("content", content)
+      w.append(rec)
+    }
+    w.close()
+  }
+
+  /** One snapshot for [[writeMetadata]]. */
+  final case class Snap(
+      snapshotId: Long,
+      manifestListName: String,
+      schemaId: Int = 0)
+
+  /** Spark → Iceberg type JSON for the fixture's schema block. */
+  private def icebergType(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.BooleanType => "boolean"
+      case org.apache.spark.sql.types.IntegerType => "int"
+      case org.apache.spark.sql.types.LongType => "long"
+      case org.apache.spark.sql.types.FloatType => "float"
+      case org.apache.spark.sql.types.DoubleType => "double"
+      case org.apache.spark.sql.types.DateType => "date"
+      case org.apache.spark.sql.types.StringType => "string"
+      case org.apache.spark.sql.types.BinaryType => "binary"
+      case d: org.apache.spark.sql.types.DecimalType =>
+        s"decimal(${d.precision}, ${d.scale})"
+      case other =>
+        throw new IllegalArgumentException(
+          s"fixture cannot express Spark type $other")
+    }
+
+  /** Write `v<version>.metadata.json` + `version-hint.text` for a
+    * table whose schema(s) and snapshots are given; `currentSnapshot`
+    * defaults to the last snapshot. `schemas` maps schema-id →
+    * StructType (flat primitive fields).
+    */
+  def writeMetadata(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      schemas: Map[Int, StructType],
+      snapshots: Seq[Snap],
+      currentSchemaId: Int = 0,
+      currentSnapshot: Option[Long] = None,
+      formatVersion: Int = 2): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", formatVersion)
+    root.put("table-uuid", "00000000-0000-0000-0000-00000000abcd")
+    root.put("location", tablePath)
+    root.put("last-sequence-number", snapshots.size.toLong)
+    root.put("last-updated-ms", 0L)
+    root.put("last-column-id",
+      schemas.values.map(_.size).maxOption.getOrElse(0))
+    root.put("current-schema-id", currentSchemaId)
+    val schemasArr = root.putArray("schemas")
+    schemas.toSeq.sortBy(_._1).foreach { case (id, st) =>
+      val s = schemasArr.addObject()
+      s.put("type", "struct")
+      s.put("schema-id", id)
+      val fields = s.putArray("fields")
+      st.zipWithIndex.foreach { case (StructField(n, dt, nullable, _), i) =>
+        val f = fields.addObject()
+        f.put("id", i + 1)
+        f.put("name", n)
+        f.put("required", !nullable)
+        f.put("type", icebergType(dt))
+      }
+    }
+    root.put("default-spec-id", 0)
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val orders = root.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    root.put("current-snapshot-id",
+      currentSnapshot.getOrElse(snapshots.last.snapshotId))
+    val snapsArr = root.putArray("snapshots")
+    snapshots.zipWithIndex.foreach { case (s, i) =>
+      val n = snapsArr.addObject()
+      n.put("snapshot-id", s.snapshotId)
+      n.put("sequence-number", (i + 1).toLong)
+      n.put("timestamp-ms", 0L)
+      n.put("schema-id", s.schemaId)
+      val sum = n.putObject("summary")
+      sum.put("operation", "append")
+      n.put("manifest-list", s"metadata/${s.manifestListName}")
+    }
+    graft.ScratchSpace.writeBytes(spark, tablePath,
+      s"metadata/v$version.metadata.json",
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes("UTF-8"))
+    graft.ScratchSpace.writeBytes(spark, tablePath,
+      "metadata/version-hint.text",
+      version.toString.getBytes("UTF-8"))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.sources.{IcebergFixture => IFx}
+
+class IcebergReadSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("name", StringType)))
+
+  private def fresh(): String =
+    graft.ScratchSpace.dir(spark, "icespec_")
+
+  private def plantKv(t: String, name: String, lo: Int, hi: Int): Long = {
+    val ss = spark
+    import ss.implicits._
+    DeltaFixture.plantDataFile(spark,
+      (lo until hi).map(i => (i.toLong, s"row$i")).toDF("k", "name"),
+      t, name)
+    (hi - lo).toLong
+  }
+
+  test("two-snapshot table: manifest walk, live set, time travel, " +
+    "metadata-only count") {
+    val t = fresh()
+    val nA = plantKv(t, "data/a.parquet", 0, 5)
+    val nB = plantKv(t, "data/b.parquet", 10, 13)
+    val nC = plantKv(t, "data/c.parquet", 20, 24)
+    // snapshot 1: a + b (one manifest)
+    val m1 = IFx.writeManifest(spark, t, "m1.avro", Seq(
+      IFx.Entry(1, "data/a.parquet", nA),
+      IFx.Entry(1, "data/b.parquet", nB)))
+    IFx.writeManifestList(spark, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+    // snapshot 2: b deleted, c added (two manifests: carried + new)
+    val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
+      IFx.Entry(0, "data/a.parquet", nA),
+      IFx.Entry(2, "data/b.parquet", nB)))
+    val m3 = IFx.writeManifest(spark, t, "m3.avro", Seq(
+      IFx.Entry(1, "data/c.parquet", nC)))
+    IFx.writeManifestList(spark, t, "ml2.avro", Seq(
+      ("m2.avro", m2, 0), ("m3.avro", m3, 0)))
+    IFx.writeMetadata(spark, t, 3, Map(0 -> schema), Seq(
+      IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+    // current = snapshot 202: a + c
+    val got = IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq ==
+      ((0 until 5) ++ (20 until 24)).map(i => (i.toLong, s"row$i")))
+    assert(IcebergRead.countRows(spark, t) == nA + nC)
+    // time travel to snapshot 101: a + b
+    val past = IcebergRead.read(spark, t, snapshotId = Some(101L))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(past.toSeq == ((0 until 5) ++ (10 until 13)).map(_.toLong))
+    assert(IcebergRead.countRows(spark, t, Some(101L)) == nA + nB)
+    assert(IcebergRead.snapshots(spark, t) == Seq(101L, 202L))
+  }
+
+  test("per-snapshot schema-id: an added column reads with ITS " +
+    "snapshot's schema") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaFixture.plantDataFile(spark,
+      Seq((1L, "one")).toDF("k", "name"), t, "data/a.parquet")
+    DeltaFixture.plantDataFile(spark,
+      Seq((2L, "two", "x")).toDF("k", "name", "tag"), t, "data/b.parquet")
+    val wide = schema.add(StructField("tag", StringType))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 1L)))
+    IFx.writeManifestList(spark, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+    val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
+      IFx.Entry(0, "data/a.parquet", 1L),
+      IFx.Entry(1, "data/b.parquet", 1L)))
+    IFx.writeManifestList(spark, t, "ml2.avro", Seq(("m2.avro", m2, 0)))
+    IFx.writeMetadata(spark, t, 2, Map(0 -> schema, 1 -> wide), Seq(
+      IFx.Snap(1L, "ml1.avro", schemaId = 0),
+      IFx.Snap(2L, "ml2.avro", schemaId = 1)),
+      currentSchemaId = 1)
+    val now = IcebergRead.read(spark, t).orderBy("k").collect()
+    assert(now.map(_.length).toSeq == Seq(3, 3))
+    assert(now(0).isNullAt(2) && now(1).getString(2) == "x")
+    // the old snapshot reads with the NARROW schema
+    val old = IcebergRead.read(spark, t, Some(1L))
+    assert(old.schema.fieldNames.toSeq == Seq("k", "name"))
+    assert(old.count() == 1L)
+  }
+
+  test("refusals: delete manifest, delete data_file content, " +
+    "non-parquet format, unknown snapshot, not a table, bad type") {
+    val t = fresh()
+    plantKv(t, "data/a.parquet", 0, 2): Unit
+    // delete manifest in the list (content = 1)
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    IFx.writeManifestList(spark, t, "ml1.avro", Seq(
+      ("m1.avro", m1, 0), ("m1.avro", m1, 1)))
+    IFx.writeMetadata(spark, t, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t)
+    }
+    assert(e1.getMessage.contains("DELETE manifest"), e1.getMessage)
+    // data_file with content=1 inside a data manifest
+    val t2 = fresh()
+    plantKv(t2, "data/a.parquet", 0, 2): Unit
+    val m2 = IFx.writeManifest(spark, t2, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L, content = 1)))
+    IFx.writeManifestList(spark, t2, "ml1.avro", Seq(("m1.avro", m2, 0)))
+    IFx.writeMetadata(spark, t2, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t2)
+    }
+    assert(e2.getMessage.contains("delete file"), e2.getMessage)
+    // unknown snapshot id
+    val t3 = fresh()
+    plantKv(t3, "data/a.parquet", 0, 2): Unit
+    val m3 = IFx.writeManifest(spark, t3, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    IFx.writeManifestList(spark, t3, "ml1.avro", Seq(("m1.avro", m3, 0)))
+    IFx.writeMetadata(spark, t3, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t3, Some(99L))
+    }
+    assert(e3.getMessage.contains("snapshot 99"), e3.getMessage)
+    // not a table
+    val e4 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, fresh())
+    }
+    assert(e4.getMessage.contains("metadata/"), e4.getMessage)
+    // unsupported type in schema JSON
+    val t5 = fresh()
+    plantKv(t5, "data/a.parquet", 0, 2): Unit
+    val m5 = IFx.writeManifest(spark, t5, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    IFx.writeManifestList(spark, t5, "ml1.avro", Seq(("m1.avro", m5, 0)))
+    IFx.writeMetadata(spark, t5, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val fs = new org.apache.hadoop.fs.Path(t5)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(t5, "metadata/v1.metadata.json")
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val out = fs.create(mf, true)
+    try out.write(txt.replace("\"long\"", "\"uuid\"").getBytes("UTF-8"))
+    finally out.close()
+    val e5 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t5)
+    }
+    assert(e5.getMessage.contains("uuid"), e5.getMessage)
+  }
+
+  test("v1 metadata with an inline manifests array reads") {
+    val t = fresh()
+    plantKv(t, "data/a.parquet", 0, 3): Unit
+    IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 3L))): Unit
+    // hand-author v1 metadata: "schema" (no schemas), inline manifests
+    val metaJson =
+      s"""{"format-version": 1,
+         |"table-uuid": "00000000-0000-0000-0000-000000000001",
+         |"location": "$t",
+         |"last-updated-ms": 0,
+         |"last-column-id": 2,
+         |"schema": {"type": "struct", "fields": [
+         |  {"id": 1, "name": "k", "required": false, "type": "long"},
+         |  {"id": 2, "name": "name", "required": false,
+         |   "type": "string"}]},
+         |"partition-spec": [],
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "timestamp-ms": 0,
+         |  "manifests": ["metadata/m1.avro"]}]}""".stripMargin
+    graft.ScratchSpace.writeBytes(spark, t, "metadata/v1.metadata.json",
+      metaJson.getBytes("UTF-8"))
+    // no version-hint: discovery falls back to the highest v<N>
+    assert(IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(IcebergRead.countRows(spark, t) == 3L)
+  }
+}
