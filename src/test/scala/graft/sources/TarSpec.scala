@@ -181,6 +181,20 @@ class TarSpec extends SparkTestBase {
       "still-parses")
   }
 
+  test("zstd-compressed shards read transparently (.tar.zst — the " +
+    "WebDataset-on-zstd layout)") {
+    val t = graft.ScratchSpace.dir(spark, "tarzst_")
+    val shard = TarFixture.archive(Seq(
+      TarFixture.member("000001.txt", b("zstd-sample")),
+      TarFixture.member("000001.cls", b("en"))))
+    graft.ScratchSpace.writeBytes(spark, t, "s1.tar.zst",
+      com.github.luben.zstd.Zstd.compress(shard))
+    val samples = Tar.groupSamples(Tar.readDir(spark, t)).collect()
+    assert(samples.length == 1)
+    val parts = samples(0).getMap[String, Array[Byte]](2)
+    assert(new String(parts("txt"), UTF_8) == "zstd-sample")
+  }
+
   test("fixture checksum is valid (external-reader compatibility)") {
     val h = TarFixture.header("f.txt", 7)
     val stored = new String(h, 148, 6, UTF_8)

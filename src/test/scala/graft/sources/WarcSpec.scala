@@ -188,4 +188,18 @@ class WarcSpec extends SparkTestBase {
     graft.ScratchSpace.writeBytes(spark, t, "b.txt", body("not warc"))
     assert(Warc.readDir(spark, t, glob = "*.warc").count() == 1L)
   }
+
+  test("zstd-compressed archives read transparently (magic-sniffed " +
+    "by FileStreams, same parser)") {
+    val t = graft.ScratchSpace.dir(spark, "warcspec_zst_")
+    val plain = WarcFixture.plain(Seq(
+      WarcFixture.response("http://z/1", 200, body("zeta")),
+      WarcFixture.response("http://z/2", 404, body("eta"))))
+    graft.ScratchSpace.writeBytes(spark, t, "w1.warc.zst",
+      com.github.luben.zstd.Zstd.compress(plain))
+    val out = Warc.readDir(spark, t).orderBy("rec_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(4) == "http://z/1" && out(0).getInt(6) == 200)
+    assert(new String(out(1).getAs[Array[Byte]]("payload"), UTF_8) == "eta")
+  }
 }
