@@ -228,7 +228,7 @@ object Bench {
     // total under explicit labels, and the before/after load averages
     // let a judge adjudicate contention from the artifact alone.
     val loadEnd = loadAvg()
-    val pinSum = results.keys.flatMap { k =>
+    val pinSum = results.keys.toSeq.flatMap { k =>
       pins.get(k.takeWhile(_ != '_')).orElse(pins.get(k))
     }.sum
     val pinJson =

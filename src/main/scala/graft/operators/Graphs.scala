@@ -246,6 +246,84 @@ object Graphs {
       maxIter: Int = 50): KcoreRun = {
     require(k >= 1, "k must be >= 1")
     val spark = pairs.sparkSession
+    // same undirected-simple-graph hygiene as triangleRun: normalize
+    // orientation, drop self-loops, dedup, THEN symmetrize
+    val e = graft.SparkUtil.ensureParallelism(pairs)
+      .select(col(aCol).cast("long").as("a0"), col(bCol).cast("long").as("b0"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    // ADAPTIVE local path (the clustersFromPairs round-13 lesson,
+    // same conf key): the distributed peel costs rounds × fixed job
+    // latency (degree agg + anti-joins + a scratch round-trip per
+    // round — q125 measured 12.5 s over a graph of a few thousand
+    // edges). The near-dup graph is the detector's OUTPUT — orders of
+    // magnitude under the corpus — so "tiny" is the common case even
+    // at 100 TB; under `spark.graft.cc.localEdgeMax` (default 2M,
+    // ~100 MB transient) the edges stream through a driver peel with
+    // IDENTICAL output (the k-core is unique — removal order cannot
+    // change the fixed point, and survivor degrees are alive-neighbor
+    // counts either way).
+    val localMax = spark.conf.getOption("spark.graft.cc.localEdgeMax")
+      .map(_.toLong).getOrElse(2000000L)
+    val eMat = e.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = eMat.count()
+    if (edgeCount <= localMax) {
+      val idx = new java.util.HashMap[Long, Integer](
+        math.min(edgeCount * 2 + 16L, Int.MaxValue.toLong).toInt)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val adj = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Int]]
+      def node(id: Long): Int = {
+        val got = idx.get(id)
+        if (got != null) got.intValue()
+        else {
+          val n = ids.length
+          idx.put(id, Integer.valueOf(n))
+          ids += id
+          adj += scala.collection.mutable.ArrayBuffer.empty[Int]
+          n
+        }
+      }
+      val it = eMat.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val a = node(r.getLong(0))
+        val b = node(r.getLong(1))
+        adj(a) += b
+        adj(b) += a
+      }
+      eMat.unpersist()
+      val n = ids.length
+      val deg = Array.tabulate(n)(adj(_).length)
+      val dead = new Array[Boolean](n)
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < n) {
+        if (deg(i) < k) { dead(i) = true; stack += i }
+        i += 1
+      }
+      while (stack.nonEmpty) {
+        val u = stack.remove(stack.length - 1)
+        adj(u).foreach { v =>
+          if (!dead(v)) {
+            deg(v) -= 1
+            if (deg(v) < k) { dead(v) = true; stack += v }
+          }
+        }
+      }
+      val out = Seq.newBuilder[(Long, Long)]
+      i = 0
+      while (i < n) {
+        if (!dead(i)) out += ((ids(i), deg(i).toLong))
+        i += 1
+      }
+      val result = spark.createDataFrame(out.result())
+        .toDF("node", "core_degree")
+      return new KcoreRun(result, () => ())
+    }
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     // Round-file root via ScratchSpace (conf'd URI → checkpoint dir →
     // per-JVM local temp with one shutdown hook): cluster-safe when
@@ -266,17 +344,10 @@ object Graphs {
     }
     def cleanup(): Unit =
       scratch.foreach(graft.ScratchSpace.delete(spark, _))
-    // same undirected-simple-graph hygiene as triangleRun: normalize
-    // orientation, drop self-loops, dedup, THEN symmetrize
-    val e = graft.SparkUtil.ensureParallelism(pairs)
-      .select(col(aCol).cast("long").as("a0"), col(bCol).cast("long").as("b0"))
-      .select(least(col("a0"), col("b0")).as("a"),
-        greatest(col("a0"), col("b0")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
     var alive = materialize(
-      e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst"))))
+      eMat.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(eMat.select(col("b").as("src"), col("a").as("dst"))))
+    eMat.unpersist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

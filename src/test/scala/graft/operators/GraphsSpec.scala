@@ -93,6 +93,24 @@ class GraphsSpec extends SparkTestBase {
     run.release()
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
+  test("kcoreDegrees: distributed peel (localEdgeMax=0) matches the " +
+    "local path exactly") {
+    val ss = spark
+    import ss.implicits._
+    // triangle + pendant chain: cascade peel, survivors {1,2,3}@2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val local = Graphs.kcoreDegrees(edges, "id_a", "id_b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try {
+      val dist = Graphs.kcoreDegrees(edges, "id_a", "id_b", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dist == local)
+      assert(local == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+  }
+
   test("labelPropagation: bridged triangles split where CC would merge") {
     val ss = spark
     import ss.implicits._
