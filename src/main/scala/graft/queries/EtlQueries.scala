@@ -1515,7 +1515,66 @@ object EtlQueries {
         FROM nation)
       ORDER BY k"""))
 
+  // ---- q257: Avro OCF ingestion ----
+  // The fourth record container (event exports, Kafka dumps, Hive-era
+  // datasets): null + deflate codecs through the Avro reference
+  // reader, explicit caller schema, name-resolved fields with
+  // null-union unwrapping. Damage contract is STRONGER than the
+  // reference reader's: Avro's DataFileStream treats a truncated
+  // final block as clean EOF (silent data loss) — the engine proves
+  // container integrity with a trailing-sync check and appends a loud
+  // quarantine marker row, here gated as the all-null corrupt row.
+
+  val q257 = Q(
+    "q257_avro_ingest",
+    (s, dir) => {
+      import graft.sources.{AvroOcf, AvroOcfFixture => AFx}
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val t = scratch(s, "q257_avro_")
+      val rows = Tables(s, dir, "documents")
+        .where(col("doc_id") < 30)
+        .select(col("doc_id").as("id"), col("text"), col("lang"))
+        .orderBy("id")
+        .collect().map(r => Seq[Any](r.getLong(0), r.getString(1),
+          r.getString(2))).toSeq
+      AFx.write(s, t, "a.avro", schema, rows.take(15))
+      AFx.write(s, t, "b.avro", schema, rows.drop(15), deflate = true)
+      // damaged object: single block, truncated tail — the reference
+      // reader would END CLEANLY here; the sync check must not
+      AFx.write(s, t, "d.avro", schema, Seq(
+        Seq[Any](900L, "lost one", "en"), Seq[Any](901L, "lost two", "de")))
+      val p = new org.apache.hadoop.fs.Path(t, "d.avro")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val len = fs.getFileStatus(p).getLen
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      val out = fs.create(p, true)
+      try out.write(bytes, 0, len.toInt - 8) finally out.close()
+      val (good, bad) = AvroOcf.split(AvroOcf.readDir(s, t, schema))
+      good.select(
+          col("id"), col("lang"), md5(col("text")).as("txt_md5"),
+          lit(false).as("is_corrupt"))
+        .unionAll(bad.select(
+          lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("txt_md5"),
+          lit(true).as("is_corrupt")))
+        .orderBy("is_corrupt", "id", "txt_md5")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT doc_id AS id, lang, md5(text) AS txt_md5,
+               FALSE AS is_corrupt
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT NULL, NULL, NULL, TRUE)
+      ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239, q240, q241, q246, q247, q251, q252, q253, q254, q256)
+    q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257)
 }

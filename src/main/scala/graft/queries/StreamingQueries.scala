@@ -1178,9 +1178,64 @@ object StreamingQueries {
       FROM rows_all
       ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
 
+  // ---- q258: streaming Avro OCF intake parity ----
+  // The Avro twin of q250: new .avro objects landing in a watched dir
+  // parse per micro-batch through the SAME per-file reader as batch
+  // q257 — including the trailing-sync truncation marker, which must
+  // reproduce under streaming execution.
+  val q258 = Q(
+    "q258_stream_avro_ingest_parity",
+    (s, dir) => {
+      import graft.sources.{AvroOcf, AvroOcfFixture => AFx}
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val watch = Scratch.dir(s, "q258_watch_")
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 30)
+        .select(col("doc_id").as("id"), col("text"), col("lang"))
+        .orderBy("id")
+        .collect().map(r => Seq[Any](r.getLong(0), r.getString(1),
+          r.getString(2))).toSeq
+      AFx.write(s, watch, "a.avro", schema, rows.take(15))
+      AFx.write(s, watch, "b.avro", schema, rows.drop(15), deflate = true)
+      AFx.write(s, watch, "d.avro", schema, Seq(
+        Seq[Any](900L, "lost one", "en"),
+        Seq[Any](901L, "lost two", "de")))
+      val p = new org.apache.hadoop.fs.Path(watch, "d.avro")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val len = fs.getFileStatus(p).getLen
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      val out = fs.create(p, true)
+      try out.write(bytes, 0, len.toInt - 8) finally out.close()
+      val parsed = drainToTable(s, "q258_mem",
+        AvroOcf.readStreamDir(s, watch, schema), "append")
+      val (good, bad) = AvroOcf.split(parsed)
+      good.select(
+          col("id"), col("lang"), md5(col("text")).as("txt_md5"),
+          lit(false).as("is_corrupt"))
+        .unionAll(bad.select(
+          lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("txt_md5"),
+          lit(true).as("is_corrupt")))
+        .orderBy("is_corrupt", "id", "txt_md5")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT doc_id AS id, lang, md5(text) AS txt_md5,
+               FALSE AS is_corrupt
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT NULL, NULL, NULL, TRUE)
+      ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236, q238, q245, q248, q250)
+      q196, q202, q216, q223, q236, q238, q245, q248, q250, q258)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
