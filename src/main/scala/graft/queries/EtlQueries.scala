@@ -1574,7 +1574,78 @@ object EtlQueries {
         SELECT NULL, NULL, NULL, TRUE)
       ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
 
+  // ---- q259: Iceberg position-delete read (v2 merge-on-read) ----
+  // The Iceberg twin of q252's Delta DVs: a v2 DELETE writes no data,
+  // it adds a delete manifest pointing at parquet files of
+  // (file_path, pos) rows. Fixture: snapshot 1 = two data files;
+  // snapshot 2 adds a position-delete file masking three rows of one
+  // file plus a STALE row referencing a vanished path (must be
+  // harmless — immutable unique paths make sequence-number
+  // bookkeeping unnecessary, the documented reasoning). Time travel
+  // and the metadata-count refusal are require()-gated.
+
+  val q259 = Q(
+    "q259_iceberg_pos_deletes",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, IcebergFixture => IFx,
+        IcebergRead}
+      import s.implicits._
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q259_icedel")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DFx.plantDataFile(s,
+        base.where(col("k") < 13).coalesce(1).sortWithinPartitions("k"),
+        t, "data/a.parquet"): Unit
+      DFx.plantDataFile(s,
+        base.where(col("k") >= 13).coalesce(1).sortWithinPartitions("k"),
+        t, "data/b.parquet"): Unit
+      val nAll = nation.count()
+      val nA = 13L
+      val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
+        IFx.Entry(1, "data/a.parquet", nA),
+        IFx.Entry(1, "data/b.parquet", nAll - nA)))
+      IFx.writeManifestList(s, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+      // the DELETE: a.parquet positions 2, 4, 6 (= k 2, 4, 6 — the
+      // file is k-sorted single-part) + one stale row
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(t))
+      val aUri = new org.apache.hadoop.fs.Path(root, "data/a.parquet")
+        .toUri.toString
+      DFx.plantDataFile(s,
+        Seq((aUri, 2L), (aUri, 4L), (aUri, 6L),
+          (s"$root/data/vanished.parquet", 0L)).toDF("file_path", "pos"),
+        t, "data/del1.parquet"): Unit
+      val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
+        IFx.Entry(0, "data/a.parquet", nA),
+        IFx.Entry(0, "data/b.parquet", nAll - nA)))
+      val md = IFx.writeManifest(s, t, "md.avro", Seq(
+        IFx.Entry(1, "data/del1.parquet", 4L, content = 1)))
+      IFx.writeManifestList(s, t, "ml2.avro", Seq(
+        ("m2.avro", m2, 0), ("md.avro", md, 1)))
+      IFx.writeMetadata(s, t, 2, Map(0 -> schema), Seq(
+        IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+      require(IcebergRead.read(s, t, Some(101L)).count() == nAll,
+        "q259: pre-delete snapshot must be intact")
+      require(
+        try { IcebergRead.countRows(s, t); false }
+        catch { case _: IllegalArgumentException => true },
+        "q259: metadata count must refuse under merge-on-read")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey NOT IN (2, 4, 6)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
-    q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257)
+    q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
+    q259)
 }

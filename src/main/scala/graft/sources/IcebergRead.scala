@@ -26,10 +26,10 @@ import org.apache.spark.sql.types._
   *  - snapshots via `manifest-list` (the modern shape) or the v1
   *    inline `manifests` array; time travel by snapshot-id (each
   *    snapshot reads with ITS schema-id when present);
-  *  - data manifests only: a manifest-list entry with `content = 1`
-  *    (row-level delete manifests) refuses — merge-on-read deletes
-  *    cannot be ignored silently; likewise any data_file whose
-  *    `content != 0` or whose format is not parquet;
+  *  - v2 merge-on-read POSITION deletes read (delete manifests'
+  *    parquet files of (file_path, pos) anti-join the scan on
+  *    `_metadata.row_index`); EQUALITY delete files refuse loudly,
+  *    as does any non-parquet file format;
   *  - schema: primitives (boolean/int/long/float/double/date/string/
   *    binary/decimal/timestamp/timestamptz) + struct/list/map,
   *    converted from the Iceberg schema JSON; uuid/fixed/time refuse.
@@ -58,11 +58,15 @@ object IcebergRead {
   /** One live data file from the manifest walk. */
   final case class IcebergFile(path: String, recordCount: Long)
 
-  /** The resolved state of a snapshot. */
+  /** The resolved state of a snapshot. `deleteFiles` are live
+    * POSITION-delete parquet files (v2 merge-on-read): rows of
+    * (file_path, pos) masking data rows by file + row position.
+    */
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
-      liveFiles: Seq[IcebergFile])
+      liveFiles: Seq[IcebergFile],
+      deleteFiles: Seq[IcebergFile] = Seq.empty)
 
   /** Snapshot ids present in the table metadata, ascending. */
   def snapshots(spark: SparkSession, path: String): Seq[Long] = {
@@ -139,30 +143,27 @@ object IcebergRead {
       .getOrElse(fail(path, s"snapshot $wantId not in metadata (have " +
         s"${snaps.map(_.get("snapshot-id").asLong()).sorted.mkString(",")})"))
     val schema = schemaFor(path, meta, snap)
-    // manifest paths: the modern manifest-list Avro, or v1's inline list
-    val manifestPaths: Seq[String] =
+    // manifest paths with their manifest-list content code (0 = data,
+    // 1 = deletes): the modern manifest-list Avro, or v1's inline list
+    val manifestPaths: Seq[(String, Long)] =
       Option(snap.get("manifest-list")).filter(!_.isNull) match {
         case Some(ml) =>
-          readAvro(fs, conf, resolve(root, ml.asText()), path).flatMap {
+          readAvro(fs, conf, resolve(root, ml.asText()), path).map {
             rec =>
               val mp = str(rec, "manifest_path").getOrElse(
                 fail(path, "manifest_file without manifest_path"))
-              val content = long(rec, "content").getOrElse(0L)
-              if (content == 1L)
-                fail(path, "snapshot carries a DELETE manifest " +
-                  "(row-level deletes / merge-on-read) — reading would " +
-                  "silently resurrect deleted rows; unsupported")
-              Some(mp)
+              (mp, long(rec, "content").getOrElse(0L))
           }
         case None =>
           Option(snap.get("manifests")).filter(_.isArray)
-            .map(a => (0 until a.size()).map(a.get(_).asText()))
+            .map(a => (0 until a.size()).map(i => (a.get(i).asText(), 0L)))
             .getOrElse(fail(path,
               "snapshot has neither manifest-list nor manifests"))
       }
     val live = Seq.newBuilder[IcebergFile]
+    val deletes = Seq.newBuilder[IcebergFile]
     var n = 0
-    manifestPaths.foreach { mp =>
+    manifestPaths.foreach { case (mp, mContent) =>
       readAvro(fs, conf, resolve(root, mp), path).foreach { rec =>
         val status = long(rec, "status").getOrElse(0L)
         if (status != 2L) { // 2 = DELETED
@@ -170,9 +171,6 @@ object IcebergRead {
             .collect { case r: GenericRecord => r }
             .getOrElse(fail(path, "manifest_entry without data_file"))
           val content = long(df, "content").getOrElse(0L)
-          if (content != 0L)
-            fail(path, s"data_file with content=$content (delete file) " +
-              "— row-level deletes are unsupported")
           val fp = str(df, "file_path").getOrElse(
             fail(path, "data_file without file_path"))
           val fmt = str(df, "file_format").getOrElse("PARQUET")
@@ -181,7 +179,17 @@ object IcebergRead {
               "(parquet only)")
           val rc = long(df, "record_count").getOrElse(
             fail(path, "data_file without record_count"))
-          live += IcebergFile(fp, rc)
+          (mContent, content) match {
+            case (0L, 0L) => live += IcebergFile(fp, rc)
+            case (1L, 1L) => deletes += IcebergFile(fp, rc)
+            case (1L, 2L) =>
+              fail(path, "snapshot carries EQUALITY delete files — " +
+                "equality-delete merge-on-read is unsupported " +
+                "(position deletes are); read with a full engine")
+            case (mc, dc) =>
+              fail(path, s"manifest content=$mc carries a data_file " +
+                s"with content=$dc — malformed manifest")
+          }
           n += 1
           if (n > MaxFiles)
             fail(path, s"snapshot holds > $MaxFiles live files — " +
@@ -189,18 +197,26 @@ object IcebergRead {
         }
       }
     }
-    IcebergSnapshot(wantId, schema, live.result())
+    IcebergSnapshot(wantId, schema, live.result(), deletes.result())
   }
 
   /** Scan the live data of an Iceberg table (optionally at a past
     * snapshot): ONE distributed parquet read with the metadata schema
     * enforced (identity partition columns live IN the files — no
-    * re-attach join needed).
+    * re-attach join needed). POSITION deletes (v2 merge-on-read) fold
+    * in as ONE distributed anti-join of the data scan's
+    * (`_metadata.file_path`, `_metadata.row_index`) against the
+    * delete files' (file_path, pos) rows — both sides normalized
+    * scheme-insensitively. Sequence numbers need no bookkeeping here:
+    * Iceberg data files are immutable with unique paths, so a delete
+    * row can never alias a LATER data file's rows — it either matches
+    * its original target or nothing.
     */
   def read(
       spark: SparkSession,
       path: String,
       snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
     val snap = snapshot(spark, path, snapshotId)
     if (snap.liveFiles.isEmpty)
       return spark.createDataFrame(
@@ -209,19 +225,53 @@ object IcebergRead {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
     val files = snap.liveFiles.map(f => resolve(root, f.path).toString)
-    spark.read.schema(snap.schema).parquet(files: _*)
-      .select(snap.schema.map(f => org.apache.spark.sql.functions
-        .col(f.name)): _*)
+    val scan0 = spark.read.schema(snap.schema).parquet(files: _*)
+    val scan =
+      if (snap.deleteFiles.isEmpty) scan0
+      else {
+        val delPaths = snap.deleteFiles
+          .map(f => resolve(root, f.path).toString)
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType)))
+        val dels = spark.read.schema(delSchema).parquet(delPaths: _*)
+          .select(normalizeCol(col("file_path")).as("__del_file"),
+            col("pos").as("__del_pos"))
+        val tagged = scan0
+          .withColumn("__file", normalizeCol(col("_metadata.file_path")))
+          .withColumn("__ri", col("_metadata.row_index"))
+        tagged.join(dels,
+          tagged("__file") === dels("__del_file") &&
+            tagged("__ri") === dels("__del_pos"),
+          "left_anti")
+      }
+    scan.select(snap.schema.map(f =>
+      org.apache.spark.sql.functions.col(f.name)): _*)
   }
+
+  private def normalizeCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   /** Metadata-only row count from the manifests' per-file
     * `record_count` — the Iceberg twin of [[DeltaRead.countRows]].
+    * REFUSES when the snapshot carries delete files: delete rows may
+    * be stale (their target vanished) or duplicated, so a metadata
+    * subtraction would be silently wrong — scan instead (exactly the
+    * stance real Iceberg engines take for merge-on-read counts).
     */
   def countRows(
       spark: SparkSession,
       path: String,
-      snapshotId: Option[Long] = None): Long =
-    snapshot(spark, path, snapshotId).liveFiles.map(_.recordCount).sum
+      snapshotId: Option[Long] = None): Long = {
+    val snap = snapshot(spark, path, snapshotId)
+    if (snap.deleteFiles.nonEmpty)
+      fail(path, "snapshot carries position-delete files — a " +
+        "metadata-only count cannot subtract them exactly (stale/" +
+        "duplicate delete rows); scan the table instead")
+    snap.liveFiles.map(_.recordCount).sum
+  }
 
   // ----------------------------------------------------------------
   // helpers

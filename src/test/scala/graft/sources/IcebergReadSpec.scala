@@ -88,22 +88,68 @@ class IcebergReadSpec extends SparkTestBase {
     assert(old.count() == 1L)
   }
 
-  test("refusals: delete manifest, delete data_file content, " +
+  test("position deletes: (file_path, pos) rows mask exactly their " +
+    "targets; metadata count refuses; pre-delete snapshot intact") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    plantKv(t, "data/a.parquet", 0, 5): Unit
+    plantKv(t, "data/b.parquet", 10, 13): Unit
+    val m1 = IFx.writeManifest(spark, t, "m1.avro", Seq(
+      IFx.Entry(1, "data/a.parquet", 5L),
+      IFx.Entry(1, "data/b.parquet", 3L)))
+    IFx.writeManifestList(spark, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+    // the DELETE: kill a.parquet rows at pos 1 and 3, plus one STALE
+    // row referencing a vanished file (must be harmless)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(t))
+    val aUri = new org.apache.hadoop.fs.Path(root, "data/a.parquet")
+      .toUri.toString
+    DeltaFixture.plantDataFile(spark,
+      Seq((aUri, 1L), (aUri, 3L), (s"$root/data/gone.parquet", 0L))
+        .toDF("file_path", "pos"),
+      t, "data/del1.parquet"): Unit
+    val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
+      IFx.Entry(0, "data/a.parquet", 5L),
+      IFx.Entry(0, "data/b.parquet", 3L)))
+    val md = IFx.writeManifest(spark, t, "md.avro", Seq(
+      IFx.Entry(1, "data/del1.parquet", 3L, content = 1)))
+    IFx.writeManifestList(spark, t, "ml2.avro", Seq(
+      ("m2.avro", m2, 0), ("md.avro", md, 1)))
+    IFx.writeMetadata(spark, t, 2, Map(0 -> schema), Seq(
+      IFx.Snap(1L, "ml1.avro"), IFx.Snap(2L, "ml2.avro")))
+    val got = IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 2L, 4L, 10L, 11L, 12L))
+    // pre-delete snapshot reads everything
+    assert(IcebergRead.read(spark, t, Some(1L)).count() == 8L)
+    assert(IcebergRead.countRows(spark, t, Some(1L)) == 8L)
+    // metadata-only count refuses under merge-on-read
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.countRows(spark, t)
+    }
+    assert(e.getMessage.contains("position-delete"), e.getMessage)
+  }
+
+  test("refusals: equality deletes, malformed manifest, " +
     "non-parquet format, unknown snapshot, not a table, bad type") {
     val t = fresh()
     plantKv(t, "data/a.parquet", 0, 2): Unit
-    // delete manifest in the list (content = 1)
+    // EQUALITY delete file (content=2) in a delete manifest
+    val me = IFx.writeManifest(spark, t, "me.avro",
+      Seq(IFx.Entry(1, "data/eq.parquet", 1L, content = 2)))
     val m1 = IFx.writeManifest(spark, t, "m1.avro",
       Seq(IFx.Entry(1, "data/a.parquet", 2L)))
     IFx.writeManifestList(spark, t, "ml1.avro", Seq(
-      ("m1.avro", m1, 0), ("m1.avro", m1, 1)))
+      ("m1.avro", m1, 0), ("me.avro", me, 1)))
     IFx.writeMetadata(spark, t, 1, Map(0 -> schema),
       Seq(IFx.Snap(1L, "ml1.avro")))
     val e1 = intercept[IllegalArgumentException] {
       IcebergRead.read(spark, t)
     }
-    assert(e1.getMessage.contains("DELETE manifest"), e1.getMessage)
-    // data_file with content=1 inside a data manifest
+    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
+    // malformed: data_file with content=1 inside a DATA manifest
     val t2 = fresh()
     plantKv(t2, "data/a.parquet", 0, 2): Unit
     val m2 = IFx.writeManifest(spark, t2, "m1.avro",
@@ -114,7 +160,7 @@ class IcebergReadSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException] {
       IcebergRead.read(spark, t2)
     }
-    assert(e2.getMessage.contains("delete file"), e2.getMessage)
+    assert(e2.getMessage.contains("malformed"), e2.getMessage)
     // unknown snapshot id
     val t3 = fresh()
     plantKv(t3, "data/a.parquet", 0, 2): Unit
