@@ -1644,8 +1644,45 @@ object EtlQueries {
       WHERE n_nationkey NOT IN (2, 4, 6)
       ORDER BY k"""))
 
+  // ---- q260: Delta incremental (version-range) read ----
+  // The streaming-source verb: consume a lake table's CHANGES since a
+  // version instead of rescanning it — at 100 TB the difference
+  // between one day's appends and the whole table. Three real
+  // DeltaWrite appends, then readChanges(from v1) returns exactly the
+  // later appends' rows tagged with their __commit_version; the
+  // pure-append guard and compaction-invisibility are
+  // require()-gated, the row set + version attribution hash-gated.
+
+  val q260 = Q(
+    "q260_delta_incremental",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q260_deltainc")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DeltaWrite.append(base.where(col("k") < 10), t): Unit // v0
+      DeltaWrite.append(
+        base.where(col("k") >= 10 && col("k") < 18), t): Unit // v1
+      DeltaWrite.append(base.where(col("k") >= 18), t): Unit // v2
+      // bounded range + full-range sanity
+      require(DeltaRead.readChanges(s, t, 1, Some(1L)).count() == 8L,
+        "q260: bounded range")
+      require(DeltaRead.readChanges(s, t, 0).count() == nation.count(),
+        "q260: full range = full table")
+      DeltaRead.readChanges(s, t, fromVersion = 1)
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             CAST(CASE WHEN n_nationkey < 18 THEN 1 ELSE 2 END
+               AS BIGINT) AS __commit_version
+      FROM nation WHERE n_nationkey >= 10
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
-    q259)
+    q259, q260)
 }

@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Read-only Delta Lake table scan — `_delta_log` JSON replay.
   *
@@ -733,6 +733,131 @@ object DeltaRead {
         "wrong; scan the table instead"))
       physical - f.dv.map(_.cardinality).getOrElse(0L)
     }.sum
+  }
+
+  /** Incremental (version-range) read — the Delta streaming-source
+    * verb: the rows ADDED in commits `fromVersion..toVersion`
+    * (inclusive; default to = latest), each tagged with its
+    * `__commit_version`. This is how a downstream pipeline consumes a
+    * lake table without rescanning it: at 100 TB the difference
+    * between reading one day's appends and re-reading the table.
+    *
+    * Semantics mirror the real Delta source's strict default: the
+    * range must be PURE APPEND — a remove action with
+    * dataChange=true in range means updates/deletes happened, and
+    * silently emitting their adds would double-count rewritten rows,
+    * so it refuses loudly unless `ignoreDeletes` (the engines'
+    * escape hatch for retention-driven deletes). Adds with
+    * dataChange=false (compaction rewrites) are skipped — they move
+    * bytes, not data. The range must exist as JSON commits
+    * (checkpoint-compacted history refuses: the per-version
+    * attribution is gone). Column-mapped tables read through the
+    * same physical-name mapping as [[read]]; DV-carrying adds refuse
+    * (a DV'd add is an update, not an append).
+    */
+  def readChanges(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Option[Long] = None,
+      ignoreDeletes: Boolean = false): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
+    val jsons = listJsonVersions(fs, logDir, path).toSet
+    val known = versions(spark, path)
+    val upTo = toVersion.getOrElse(known.max)
+    if (fromVersion < 0 || fromVersion > upTo)
+      fail(path, s"version range $fromVersion..$upTo is empty/invalid")
+    (fromVersion to upTo).foreach { v =>
+      if (!jsons.contains(v))
+        fail(path, s"version $v has no JSON commit (checkpoint-" +
+          "compacted history) — per-version change attribution is " +
+          "gone; re-read the full table instead")
+    }
+    // schema/mapping/protocol state at the END of the range
+    val snap = snapshot(spark, path, asOf = Some(upTo))
+    val adds = Seq.newBuilder[(Long, DeltaFile)]
+    (fromVersion to upTo).foreach { v =>
+      val mp = new Path(logDir, f"$v%020d.json")
+      val st = fs.getFileStatus(mp)
+      if (st.getLen > MaxLogFileBytes)
+        fail(path, s"commit $v is ${st.getLen} bytes — hostile size")
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(mp)
+      try in.readFully(0, bytes) finally in.close()
+      new String(bytes, "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case e: Exception =>
+              fail(path, s"commit $v: unparseable action line " +
+                s"(${e.getMessage})")
+            }
+          val remove = node.get("remove")
+          if (remove != null) {
+            val dataChange = Option(remove.get("dataChange"))
+              .forall(_.asBoolean(true))
+            if (dataChange && !ignoreDeletes)
+              fail(path, s"commit $v REMOVES data in the requested " +
+                "range — not pure append (updates/deletes would " +
+                "double-count); pass ignoreDeletes for " +
+                "retention-driven deletes or re-read the table")
+          }
+          val add = node.get("add")
+          if (add != null) {
+            val dataChange = Option(add.get("dataChange"))
+              .forall(_.asBoolean(true))
+            if (dataChange) {
+              if (Option(add.get("deletionVector")).exists(!_.isNull))
+                fail(path, s"commit $v adds a DV-carrying file — an " +
+                  "update, not an append; incremental read refused")
+              val raw = Option(add.get("path")).map(_.asText())
+                .getOrElse(fail(path, s"commit $v: add without path"))
+              val pvNode = add.get("partitionValues")
+              val pvs: Map[String, Option[String]] =
+                if (pvNode == null || pvNode.isNull) Map.empty
+                else {
+                  val it = pvNode.properties().iterator()
+                  val b = Map.newBuilder[String, Option[String]]
+                  while (it.hasNext) {
+                    val e = it.next()
+                    b += e.getKey -> (if (e.getValue.isNull) None
+                    else Some(e.getValue.asText()))
+                  }
+                  b.result()
+                }
+              adds += ((v, DeltaFile(raw, pvs)))
+            }
+          }
+        }
+    }
+    // a path re-added within the range keeps its LAST add (the file is
+    // scanned once; last-action-wins, same rule as replay). toSeq
+    // BEFORE mapping: Map.map over (version, file) tuples would
+    // re-key by version and collapse same-version files.
+    val added = adds.result()
+      .groupBy(_._2.path).toSeq.map(_._2.maxBy(_._1)).sortBy(_._1)
+    val outSchema = snap.schema.add("__commit_version", LongType)
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+    // one distributed scan of the added files; the version tag rides
+    // the same broadcast-attach shape as partition values
+    val scan = scanFiles(spark, path, snap,
+      added.map(_._2), keepFile = true)
+    val verRows = added.map { case (v, f) =>
+      Row(fileKey(fs, root, f), v)
+    }
+    val javaRows = new java.util.ArrayList[Row](verRows.length)
+    verRows.foreach(javaRows.add)
+    val verDf = spark.createDataFrame(javaRows, StructType(Seq(
+      StructField("__delta_file", StringType, nullable = false),
+      StructField("__commit_version", LongType, nullable = false))))
+    scan.join(broadcast(verDf), "__delta_file")
+      .select(outSchema.map(f => col(f.name)): _*)
   }
 
   /** True unless the file's stats JSON PROVES [lo, hi] cannot match:

@@ -520,6 +520,57 @@ class DeltaReadSpec extends SparkTestBase {
       Seq(0L, 2L, 4L))
   }
 
+  test("readChanges: version-range incremental read tags commit " +
+    "versions; deletes refuse without ignoreDeletes; compaction " +
+    "rewrites are skipped") {
+    val ss = spark
+    import ss.implicits._
+    def kv(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"row$i")).toDF("k", "name")
+    val t = freshTable()
+    DeltaWrite.append(kv(0, 3), t): Unit // v0
+    DeltaWrite.append(kv(10, 12), t): Unit // v1
+    DeltaWrite.append(kv(20, 21), t): Unit // v2
+    val got = DeltaRead.readChanges(spark, t, fromVersion = 1)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L), (11L, 1L), (20L, 2L)))
+    // full range = full table
+    assert(DeltaRead.readChanges(spark, t, 0).count() == 6L)
+    // toVersion bounds the range
+    assert(DeltaRead.readChanges(spark, t, 1, Some(1L)).count() == 2L)
+    // a dataChange remove in range refuses...
+    DeltaWrite.overwrite(kv(50, 51), t): Unit // v3: removes + adds
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readChanges(spark, t, 3)
+    }
+    assert(e.getMessage.contains("REMOVES"), e.getMessage)
+    // ...unless ignoreDeletes (emits the overwrite's adds)
+    assert(DeltaRead.readChanges(spark, t, 3, ignoreDeletes = true)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(50L))
+    // dataChange=false actions (compaction shape) are invisible
+    val snap = DeltaRead.snapshot(spark, t)
+    val fLine = DeltaFixture
+      .addLine(snap.liveFiles.head.path, 1L)
+      .replace("\"dataChange\":true", "\"dataChange\":false")
+    val rLine = DeltaFixture.removeLine(snap.liveFiles.head.path)
+      .replace("\"dataChange\":true", "\"dataChange\":false")
+    DeltaFixture.writeCommit(spark, t, 4, Seq(rLine, fLine))
+    assert(DeltaRead.readChanges(spark, t, 4).count() == 0L)
+    // checkpoint-compacted history refuses (version has no JSON)
+    val t2 = freshTable()
+    val schema2 = kv(0, 1).schema
+    DeltaFixture.plantDataFile(spark, kv(0, 4), t2, "a.parquet"): Unit
+    DeltaFixture.writeCheckpoint(spark, t2, 2, schema2,
+      adds = Seq("a.parquet" -> Map.empty))
+    DeltaWrite.append(kv(10, 11), t2): Unit // v3
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaRead.readChanges(spark, t2, 2)
+    }
+    assert(e2.getMessage.contains("no JSON commit"), e2.getMessage)
+    assert(DeltaRead.readChanges(spark, t2, 3).count() == 1L)
+  }
+
   test("multi-part checkpoint: all parts union into the base state; " +
     "JSON tail replays on top") {
     val ss = spark
