@@ -247,13 +247,39 @@ object DeletionVectors {
   // DV file layout + descriptor resolution
   // ---------------------------------------------------------------
 
-  /** Resolve a descriptor to its bitmap's 64-bit row indexes.
-    * storageType 'i' decodes inline; 'u' derives
+  /** The ON-DISK sidecar path a descriptor references, None for
+    * inline DVs. storageType 'u' derives
     * `[prefix/]deletion_vector_<uuid>.bin` under the table root from
     * the z85 `[prefix]<20-char uuid>` payload; 'p' is an absolute
-    * path. File frames are `[4-byte BE size][data][4-byte BE crc32]`
-    * at `offset`, after a 1-byte format version (01) at file start;
-    * the CRC is verified.
+    * path. [[load]] reads through this, and table maintenance
+    * ([[DeltaWrite.vacuum]]) must treat these paths as LIVE — a DV
+    * sidecar is as load-bearing as the data file it masks.
+    */
+  def sidecarPath(tableRoot: Path, dv: DvDescriptor): Option[Path] =
+    dv.storageType match {
+      case "i" => None
+      case "p" => Some(new Path(dv.pathOrInlineDv))
+      case "u" =>
+        val enc = dv.pathOrInlineDv
+        require(enc.length >= 20,
+          s"DV uuid payload too short: '$enc'")
+        val prefix = enc.dropRight(20)
+        val uuidBytes = z85Decode(enc.takeRight(20))
+        val bb = ByteBuffer.wrap(uuidBytes)
+        val uuid = new java.util.UUID(bb.getLong(), bb.getLong())
+        val name = s"deletion_vector_$uuid.bin"
+        Some(if (prefix.isEmpty) new Path(tableRoot, name)
+        else new Path(new Path(tableRoot, prefix), name))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown DV storageType '$other'")
+    }
+
+  /** Resolve a descriptor to its bitmap's 64-bit row indexes.
+    * storageType 'i' decodes inline; 'u'/'p' read the sidecar file
+    * ([[sidecarPath]]). File frames are
+    * `[4-byte BE size][data][4-byte BE crc32]` at `offset`, after a
+    * 1-byte format version (01) at file start; the CRC is verified.
     */
   def load(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -266,20 +292,7 @@ object DeletionVectors {
           s"${dv.sizeInBytes}")
       deserialize(data)
     case "u" | "p" =>
-      val path =
-        if (dv.storageType == "p") new Path(dv.pathOrInlineDv)
-        else {
-          val enc = dv.pathOrInlineDv
-          require(enc.length >= 20,
-            s"DV uuid payload too short: '$enc'")
-          val prefix = enc.dropRight(20)
-          val uuidBytes = z85Decode(enc.takeRight(20))
-          val bb = ByteBuffer.wrap(uuidBytes)
-          val uuid = new java.util.UUID(bb.getLong(), bb.getLong())
-          val name = s"deletion_vector_$uuid.bin"
-          if (prefix.isEmpty) new Path(tableRoot, name)
-          else new Path(new Path(tableRoot, prefix), name)
-        }
+      val path = sidecarPath(tableRoot, dv).get
       val in = fs.open(path)
       try {
         val offset = dv.offset.getOrElse(

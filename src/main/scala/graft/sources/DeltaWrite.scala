@@ -283,7 +283,15 @@ object DeltaWrite {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
     val snap = DeltaRead.snapshot(spark, tablePath)
-    val live = snap.liveFiles.map(f => DeltaRead.fileKey(fs, root, f)).toSet
+    // live = data paths PLUS their deletion-vector sidecars: a DV
+    // file is as load-bearing as the data file it masks — vacuuming
+    // it would silently resurrect deleted rows on the next scan
+    val live = (snap.liveFiles.map(f => DeltaRead.fileKey(fs, root, f)) ++
+      snap.liveFiles.flatMap(_.dv)
+        .flatMap(d => DeletionVectors.sidecarPath(root, d))
+        .map(p => DeltaRead.fileKey(fs, root,
+          DeltaRead.DeltaFile(fs.makeQualified(p).toUri.toString,
+            Map.empty)))).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     val removed = Seq.newBuilder[String]
     var liveKept = 0L

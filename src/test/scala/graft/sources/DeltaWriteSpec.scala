@@ -607,6 +607,44 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(e.getMessage.contains("appendOnly"))
   }
 
+  test("vacuum keeps LIVE deletion-vector sidecars (they are as " +
+    "load-bearing as the data files they mask); orphan DV files go") {
+    val t = fresh()
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(t))
+    val size = DeltaFixture.plantDataFile(spark,
+      kv(0, 5).coalesce(1).sortWithinPartitions("k"), t, "a.parquet")
+    val uuid = java.util.UUID.nameUUIDFromBytes("vac-dv".getBytes)
+    val spans = DeletionVectors.writeDvFile(fs,
+      new Path(root, s"deletion_vector_$uuid.bin"), Seq(Array(1L)))
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val dv = DeletionVectors.DvDescriptor("u",
+      DeletionVectors.z85Encode(ub.array()),
+      Some(spans.head._1), spans.head._2, 1L)
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 2, Seq("deletionVectors")),
+      DeltaFixture.metaDataLine("vacdv", kv(0, 1).schema),
+      DeltaFixture.addLine("a.parquet", size, dv = Some(dv),
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> (0L, 4L)))))))
+    // an ORPHAN dv file nobody references
+    DeletionVectors.writeDvFile(fs,
+      new Path(root, "deletion_vector_orphan.bin"), Seq(Array(0L))): Unit
+    // age everything past retention
+    val old = System.currentTimeMillis() - 1000000L
+    fs.listStatus(root).filter(_.isFile)
+      .foreach(st => fs.setTimes(st.getPath, old, old))
+    val report = DeltaWrite.vacuum(spark, t, retainMs = 500000L)
+    assert(report.removed.exists(_.contains("orphan")),
+      s"orphan DV should go: ${report.removed}")
+    assert(!report.removed.exists(_.contains(uuid.toString)),
+      s"LIVE DV sidecar must survive: ${report.removed}")
+    // the table still reads with the mask applied
+    assert(DeltaRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
   test("merge refuses after a concurrent METADATA-only commit " +
     "(configuration change invalidates validated constraints)") {
     val ss = spark
