@@ -567,6 +567,15 @@ object DeltaWrite {
     val logDir = new Path(root, "_delta_log")
     val snap = DeltaRead.snapshot(spark, tablePath)
     writerGate(spark, fs, logDir, root, overwrite = false)
+    // the classic checkpoint rows this writer emits carry no
+    // deletionVector struct — checkpointing a DV-carrying live set
+    // would ERASE the masks and resurrect deleted rows for every
+    // post-cleanup reader. Real DV tables are already refused by the
+    // writer gate (minWriterVersion 7); this guards the
+    // protocol-inconsistent hand-planted case too.
+    if (snap.liveFiles.exists(_.dv.nonEmpty))
+      fail(tablePath, "live files carry deletion vectors — this " +
+        "writer's checkpoint format would erase the masks; refuse")
     val txns = txnVersions(spark, tablePath)
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -720,7 +729,10 @@ object DeltaWrite {
             gateProtocol(
               Option(proto.get("minWriterVersion")).map(_.asInt(2))
                 .getOrElse(2),
-              Option(proto.get("writerFeatures")).filter(!_.isNull)
+              // a present-but-EMPTY writerFeatures array declares
+              // nothing — stringify only the non-empty case
+              Option(proto.get("writerFeatures"))
+                .filter(n => !n.isNull && n.size() > 0)
                 .map(_.toString).getOrElse(""))
           val meta = node.get("metaData")
           if (meta != null) {

@@ -643,6 +643,12 @@ class DeltaWriteSpec extends SparkTestBase {
     // the table still reads with the mask applied
     assert(DeltaRead.read(spark, t).orderBy("k")
       .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 4L))
+    // and checkpointing it refuses: this writer's checkpoint rows
+    // carry no DV struct, so a checkpoint would erase the mask
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.checkpoint(spark, t)
+    }
+    assert(e.getMessage.contains("erase the masks"), e.getMessage)
   }
 
   test("merge refuses after a concurrent METADATA-only commit " +
