@@ -1715,17 +1715,19 @@ object TextAnalysis {
         .as("tok"), col("freq"))
       .groupBy("tok").agg(sum(col("freq")).as("cnt"))
       .as[(String, Long)].collect().toSeq
-    val multiAgg = (2 to maxTokenLen).map { l =>
+    // distributed top-k (TakeOrderedAndProject): the distinct
+    // (substring, count) table is corpus-scale — only seedSize rows
+    // may reach the driver; tie rule (-count, token) preserved
+    val topMulti = (2 to maxTokenLen).map { l =>
       wf.toDF("word", "freq").where(length(col("word")) >= l)
         .select(explode(expr(
           s"transform(sequence(1, length(word) - ${l - 1}), " +
             s"i -> substring(word, i, $l))")).as("tok"), col("freq"))
     }.reduce(_ unionByName _)
       .groupBy("tok").agg(sum(col("freq")).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(seedSize)
       .as[(String, Long)].collect().toSeq
-    val topMulti = multiAgg
-      .sortBy { case (t, c) => (-c, t) }
-      .take(seedSize)
     val charSet = charCounts.map(_._1).toSet
     var costs = costsOf(charCounts ++ topMulti)
     (1 to emRounds).foreach { _ =>

@@ -278,11 +278,22 @@ object AvroOcf {
     rec.get(name) match {
       case null => null
       case v => (v, dt) match {
+        // numeric coercion follows the Avro schema-resolution
+        // promotion directions ONLY (int→long/float/double,
+        // long→float/double, float→double): a narrowing read (e.g.
+        // Avro long into an int target) nulls rather than silently
+        // wrapping or truncating
         case (b: java.lang.Boolean, BooleanType) => b
-        case (n: java.lang.Number, IntegerType) => n.intValue()
-        case (n: java.lang.Number, LongType) => n.longValue()
-        case (n: java.lang.Number, FloatType) => n.floatValue()
-        case (n: java.lang.Number, DoubleType) => n.doubleValue()
+        case (n: java.lang.Integer, IntegerType) => n
+        case (n: java.lang.Integer, LongType) => n.longValue()
+        case (n: java.lang.Long, LongType) => n
+        case (n: java.lang.Integer, FloatType) => n.floatValue()
+        case (n: java.lang.Long, FloatType) => n.floatValue()
+        case (n: java.lang.Float, FloatType) => n
+        case (n: java.lang.Integer, DoubleType) => n.doubleValue()
+        case (n: java.lang.Long, DoubleType) => n.doubleValue()
+        case (n: java.lang.Float, DoubleType) => n.doubleValue()
+        case (n: java.lang.Double, DoubleType) => n
         case (s: CharSequence, StringType) => s.toString
         case (b: java.nio.ByteBuffer, BinaryType) =>
           val out = new Array[Byte](b.remaining())

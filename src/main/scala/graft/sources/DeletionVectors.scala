@@ -9,8 +9,10 @@ import org.apache.hadoop.fs.Path
   * section: Z85 descriptor encoding, the on-disk DV file layout
   * (version byte, per-DV [size][data][crc32] frames), and the
   * RoaringBitmapArray "portable" serialization (magic 1681511377,
-  * 64-bit keys as an array of standard 32-bit roaring bitmaps, each in
-  * the official RoaringFormatSpec portable format).
+  * then a count of NON-EMPTY bitmaps, then per bitmap a 4-byte
+  * little-endian key — the high 32 bits of the row indexes it holds —
+  * followed by a standard 32-bit roaring bitmap in the official
+  * RoaringFormatSpec portable format; keys ascend and may have gaps).
   *
   * Scope: enough to READ any DV a conformant writer produces (array,
   * bitmap, and run containers all decode) and to AUTHOR spec-exact DV
@@ -108,8 +110,14 @@ object DeletionVectors {
       s"bitmap count $nBitmaps out of range")
     val out = Array.newBuilder[Long]
     var b = 0L
+    var lastKey = -1
     while (b < nBitmaps) {
-      val high = b << 32
+      // per-bitmap key (4-byte LE): high 32 bits; sparse, ascending
+      val key = buf.getInt()
+      require(key > lastKey,
+        s"RoaringBitmapArray keys must ascend: $key after $lastKey")
+      lastKey = key
+      val high = key.toLong << 32
       readRoaring32(buf, v => out += (high | (v & 0xFFFFFFFFL)))
       b += 1
     }
@@ -193,20 +201,21 @@ object DeletionVectors {
     require(values.sameElements(values.distinct.sorted),
       "serialize needs sorted distinct values")
     values.foreach(v => require(v >= 0, s"negative row index $v"))
-    val byBitmap = values.groupBy(v => (v >>> 32).toInt)
-    val maxBitmap = if (values.isEmpty) -1 else (values.last >>> 32).toInt
-    val bitmaps = (0 to maxBitmap).map { b =>
-      serializeRoaring32(
-        byBitmap.getOrElse(b, Array.empty[Long]).map(v => (v & 0xFFFFFFFFL).toInt))
+    // only NON-EMPTY bitmaps are written, each prefixed by its 4-byte
+    // key (ascending, gaps allowed) — the RoaringBitmapArray portable
+    // layout real Delta writers emit
+    val byBitmap = values.groupBy(v => (v >>> 32).toInt).toSeq.sortBy(_._1)
+    val bitmaps = byBitmap.map { case (key, vs) =>
+      (key, serializeRoaring32(vs.map(v => (v & 0xFFFFFFFFL).toInt)))
     }
-    val raw = 12 + bitmaps.map(_.length).sum
+    val raw = 12 + bitmaps.map { case (_, b) => 4 + b.length }.sum
     // pad to 4-byte alignment: inline DVs are z85-encoded (4-byte
     // groups); [[deserialize]] reads structurally and ignores slack
     val total = (raw + 3) / 4 * 4
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(MagicNumber)
-    buf.putLong((maxBitmap + 1).toLong)
-    bitmaps.foreach(buf.put)
+    buf.putLong(bitmaps.size.toLong)
+    bitmaps.foreach { case (key, b) => buf.putInt(key); buf.put(b) }
     buf.array()
   }
 

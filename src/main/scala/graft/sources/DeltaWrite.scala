@@ -377,8 +377,13 @@ object DeltaWrite {
     beforeCommit()
     val lines = Seq.newBuilder[String]
     lines += commitInfoLine("AppendEvolve")
+    // the metaData action REPLACES table metadata on replay: carry the
+    // table id (protocol requires it stable for the table's lifetime)
+    // and the existing configuration (delta.appendOnly etc.) through —
+    // only the schemaString changes
     lines += DeltaFixture.metaDataLine(
-      java.util.UUID.randomUUID().toString, merged, partitionBy)
+      snap.metaId, merged, partitionBy,
+      configuration = snap.configuration)
     newFiles.foreach { f =>
       lines += DeltaFixture.addLine(
         f.relPath, f.size, f.partitionValues, stats = f.stats)

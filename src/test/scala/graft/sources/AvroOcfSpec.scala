@@ -63,6 +63,22 @@ class AvroOcfSpec extends SparkTestBase {
     assert(r.getLong(0) == 7L && r.getDouble(1) == 9.0)
   }
 
+  test("narrowing reads NULL instead of wrapping/truncating: " +
+    "Avro long into int target, double into float target") {
+    val t = graft.ScratchSpace.dir(spark, "avrospec3n_")
+    val writer = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType)))
+    val target = StructType(Seq(
+      StructField("id", IntegerType), StructField("x", FloatType)))
+    // id wraps to a NEGATIVE int under Number.intValue; x truncates
+    // under floatValue — both must null per the coercion contract
+    AvroOcfFixture.write(spark, t, "w.avro", writer,
+      Seq(Seq[Any](Int.MaxValue.toLong + 7L, 1.0e300)))
+    val r = AvroOcf.readDir(spark, t, target).collect().head
+    assert(r.isNullAt(0), "long->int must null, not wrap")
+    assert(r.isNullAt(1), "double->float must null, not truncate")
+  }
+
   test("container damage: salvaged prefix + ONE quarantine marker " +
     "row; a truncated header quarantines alone") {
     val t = graft.ScratchSpace.dir(spark, "avrospec4_")

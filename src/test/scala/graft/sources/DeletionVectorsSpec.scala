@@ -65,12 +65,13 @@ class DeletionVectorsSpec extends AnyFunSuite {
 
   test("roaring: RUN containers decode (hand-authored 12347 cookie)") {
     // one run container: values 10..14 and 100..101 — two runs.
-    // layout: cookie (12347 | (n-1)<<16), runFlags, desc pairs,
-    // NO offset header (n=1 < 4), then nRuns + (start,len) pairs
-    val buf = ByteBuffer.allocate(12 + 4 + 1 + 4 + 2 + 8)
+    // layout: bitmap key, cookie (12347 | (n-1)<<16), runFlags, desc
+    // pairs, NO offset header (n=1 < 4), then nRuns + (start,len) pairs
+    val buf = ByteBuffer.allocate(12 + 4 + 4 + 1 + 4 + 2 + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(DVTestAccess.magic)
     buf.putLong(1L)
+    buf.putInt(0) // bitmap key (high 32 bits)
     buf.putInt(12347) // n-1 = 0 in high bits
     buf.put(1.toByte) // container 0 is a run
     buf.putShort(0) // key
@@ -80,6 +81,40 @@ class DeletionVectorsSpec extends AnyFunSuite {
     buf.putShort(100); buf.putShort(1) // 100..101
     val got = DV.deserialize(buf.array())
     assert(got.sameElements(Array[Long](10, 11, 12, 13, 14, 100, 101)))
+  }
+
+  test("portable format is byte-exact against a hand-authored external " +
+    "fixture (keyed sparse bitmaps, gap keys)") {
+    // Bytes authored field-by-field from the published layout (magic,
+    // non-empty-bitmap count, per-bitmap 4-byte LE key + standard
+    // 32-bit portable roaring), INDEPENDENT of the serializer — rows
+    // {1, 3, 70} in bitmap 0 and {7} in bitmap 5 (keys have a gap, as
+    // a real engine's DV over a >4-billion-row file produces).
+    val buf = ByteBuffer.allocate(60).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(DVTestAccess.magic)
+    buf.putLong(2L) // two NON-EMPTY bitmaps (keys 1..4 absent)
+    buf.putInt(0) // key 0
+    buf.putInt(12346); buf.putInt(1) // no-run cookie, 1 container
+    buf.putShort(0); buf.putShort(2) // container key, cardinality-1
+    buf.putInt(16) // offset header (8 + 4n + 4n)
+    buf.putShort(1); buf.putShort(3); buf.putShort(70)
+    buf.putInt(5) // key 5 — gap after 0
+    buf.putInt(12346); buf.putInt(1)
+    buf.putShort(0); buf.putShort(0)
+    buf.putInt(16)
+    buf.putShort(7)
+    val external = buf.array()
+    val rows = Array[Long](1L, 3L, 70L, (5L << 32) + 7L)
+    assert(DV.deserialize(external).sameElements(rows))
+    // and the authoring twin reproduces the external bytes EXACTLY
+    assert(DV.serialize(rows).sameElements(external))
+    // descending / duplicate keys refuse loudly
+    val bad = external.clone()
+    // overwrite the second bitmap's key (offset 12 + 4 + 22 = 38) to 0
+    val bb = ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(38, 0)
+    val e = intercept[IllegalArgumentException](DV.deserialize(bad))
+    assert(e.getMessage.contains("ascend"))
   }
 
   test("bad magic and garbage refuse loudly") {

@@ -432,6 +432,38 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(retype.getMessage.contains("retypes"))
   }
 
+  test("appendEvolve preserves the table id and configuration " +
+    "(only schemaString changes in the new metaData)") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    // plant a v0 with a STABLE id and a load-bearing configuration
+    val schema = kv(0, 1).schema
+    val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
+    val metaLine = DeltaFixture.metaDataLine("stable-id", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.appendOnly\":\"true\"}")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(),
+      metaLine,
+      DeltaFixture.addLine("a.parquet", size)))
+    val v = DeltaWrite.appendEvolve(
+      Seq((10L, "row10", "en")).toDF("k", "name", "lang"), t)
+    assert(v == 1L)
+    val snap = DeltaRead.snapshot(spark, t)
+    assert(snap.metaId == "stable-id",
+      "table id must survive schema evolution")
+    assert(snap.configuration.get("delta.appendOnly").contains("true"),
+      "configuration must survive schema evolution")
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "name", "lang"))
+    // the preserved appendOnly still gates a later overwrite
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(
+        Seq((0L, "x", "y")).toDF("k", "name", "lang"), t)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+  }
+
   test("appendEvolve without new columns degrades to plain append; " +
     "on a fresh path it creates the table") {
     val t = fresh()
