@@ -1471,32 +1471,33 @@ object EtlQueries {
         IcebergRead}
       val nation = Tables(s, dir, "nation")
       val t = scratch(s, "q256_iceberg")
-      val schema = StructType(Seq(
+      val schema = IFx.withFieldIds(StructType(Seq(
         StructField("k", LongType),
-        StructField("name", StringType)))
+        StructField("name", StringType))), Seq(1, 2))
       val base = nation.select(
         col("n_nationkey").cast("long").as("k"),
         col("n_name").as("name"))
-      DFx.plantDataFile(s, base.where(col("k") < 13),
-        t, "data/a.parquet"): Unit
-      DFx.plantDataFile(s, base.where(col("k") >= 13),
-        t, "data/b.parquet"): Unit
-      DFx.plantDataFile(s, base.withColumn("k", col("k") + 100),
-        t, "data/c.parquet"): Unit
+      IFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "data/a.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s, base.where(col("k") >= 13),
+        t, "data/b.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s, base.withColumn("k", col("k") + 100),
+        t, "data/c.parquet", Seq(1, 2)): Unit
       val nAll = nation.count()
       val nA = 13L
       val nB = nAll - nA
       val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
         IFx.Entry(1, "data/a.parquet", nA),
         IFx.Entry(1, "data/b.parquet", nB)))
-      IFx.writeManifestList(s, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+      IFx.writeManifestList(s, t, "ml1.avro",
+        Seq(("m1.avro", m1, 0, 1L)))
       val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
         IFx.Entry(0, "data/a.parquet", nA),
         IFx.Entry(2, "data/b.parquet", nB)))
       val m3 = IFx.writeManifest(s, t, "m3.avro", Seq(
         IFx.Entry(1, "data/c.parquet", nAll)))
       IFx.writeManifestList(s, t, "ml2.avro", Seq(
-        ("m2.avro", m2, 0), ("m3.avro", m3, 0)))
+        ("m2.avro", m2, 0, 1L), ("m3.avro", m3, 0, 2L)))
       IFx.writeMetadata(s, t, 2, Map(0 -> schema), Seq(
         IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
       // record_count metadata path + time travel both gate
@@ -1592,24 +1593,25 @@ object EtlQueries {
       import s.implicits._
       val nation = Tables(s, dir, "nation")
       val t = scratch(s, "q259_icedel")
-      val schema = StructType(Seq(
+      val schema = IFx.withFieldIds(StructType(Seq(
         StructField("k", LongType),
-        StructField("name", StringType)))
+        StructField("name", StringType))), Seq(1, 2))
       val base = nation.select(
         col("n_nationkey").cast("long").as("k"),
         col("n_name").as("name"))
-      DFx.plantDataFile(s,
+      IFx.plantDataFile(s,
         base.where(col("k") < 13).coalesce(1).sortWithinPartitions("k"),
-        t, "data/a.parquet"): Unit
-      DFx.plantDataFile(s,
+        t, "data/a.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s,
         base.where(col("k") >= 13).coalesce(1).sortWithinPartitions("k"),
-        t, "data/b.parquet"): Unit
+        t, "data/b.parquet", Seq(1, 2)): Unit
       val nAll = nation.count()
       val nA = 13L
       val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
         IFx.Entry(1, "data/a.parquet", nA),
         IFx.Entry(1, "data/b.parquet", nAll - nA)))
-      IFx.writeManifestList(s, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+      IFx.writeManifestList(s, t, "ml1.avro",
+        Seq(("m1.avro", m1, 0, 1L)))
       // the DELETE: a.parquet positions 2, 4, 6 (= k 2, 4, 6 — the
       // file is k-sorted single-part) + one stale row
       val fs = new org.apache.hadoop.fs.Path(t)
@@ -1627,7 +1629,7 @@ object EtlQueries {
       val md = IFx.writeManifest(s, t, "md.avro", Seq(
         IFx.Entry(1, "data/del1.parquet", 4L, content = 1)))
       IFx.writeManifestList(s, t, "ml2.avro", Seq(
-        ("m2.avro", m2, 0), ("md.avro", md, 1)))
+        ("m2.avro", m2, 0, 1L), ("md.avro", md, 1, 2L)))
       IFx.writeMetadata(s, t, 2, Map(0 -> schema), Seq(
         IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
       require(IcebergRead.read(s, t, Some(101L)).count() == nAll,
@@ -1681,8 +1683,151 @@ object EtlQueries {
       FROM nation WHERE n_nationkey >= 10
       ORDER BY k"""))
 
+  // ---- q261: Iceberg renamed-column read (field-id resolution) ----
+  // Renaming a column is Iceberg's headline feature: old data files
+  // keep the OLD physical name, and the spec requires readers to
+  // resolve columns by FIELD ID, never by name. Fixture: schema 0
+  // names field 1 "k"; a.parquet is written under that name; schema 1
+  // renames field 1 to "key_renamed" and b.parquet is written under
+  // the new name. The current snapshot must read BOTH files into the
+  // renamed column with correct values — a by-name reader nulls (or
+  // refuses) the old file's column, so the value hash gates the id
+  // resolution end-to-end. The old snapshot still reads with its own
+  // schema (old name), require()-gated.
+
+  val q261 = Q(
+    "q261_iceberg_renamed_read",
+    (s, dir) => {
+      import graft.sources.{IcebergFixture => IFx, IcebergRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q261_icerename")
+      val schema0 = IFx.withFieldIds(StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType))), Seq(1, 2))
+      val schema1 = IFx.withFieldIds(StructType(Seq(
+        StructField("key_renamed", LongType),
+        StructField("name", StringType))), Seq(1, 2))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      IFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "data/a.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s,
+        base.where(col("k") >= 13).withColumnRenamed("k", "key_renamed"),
+        t, "data/b.parquet", Seq(1, 2)): Unit
+      val nAll = nation.count()
+      val nA = 13L
+      val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
+        IFx.Entry(1, "data/a.parquet", nA)))
+      IFx.writeManifestList(s, t, "ml1.avro",
+        Seq(("m1.avro", m1, 0, 1L)))
+      val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
+        IFx.Entry(0, "data/a.parquet", nA, seq = Some(1L)),
+        IFx.Entry(1, "data/b.parquet", nAll - nA)))
+      IFx.writeManifestList(s, t, "ml2.avro",
+        Seq(("m2.avro", m2, 0, 2L)))
+      IFx.writeMetadata(s, t, 2, Map(0 -> schema0, 1 -> schema1), Seq(
+        IFx.Snap(101L, "ml1.avro", schemaId = 0),
+        IFx.Snap(202L, "ml2.avro", schemaId = 1)),
+        currentSchemaId = 1)
+      // the pre-rename snapshot reads under the OLD name
+      val old = IcebergRead.read(s, t, Some(101L))
+      require(old.schema.fieldNames.toSeq == Seq("k", "name"),
+        "q261: old snapshot must read with its own schema")
+      require(old.count() == nA, "q261: old snapshot row count")
+      // current: both files resolve field 1 by ID into key_renamed
+      IcebergRead.read(s, t).orderBy("key_renamed")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS key_renamed, n_name AS name
+      FROM nation
+      ORDER BY key_renamed"""))
+
+  // ---- q262: Iceberg equality-delete read ----
+  // Flink/CDC-written v2 tables are equality-delete heavy: a delete
+  // file carries VALUES of its equality_ids columns, deleting any
+  // matching row in data files with a STRICTLY SMALLER data sequence
+  // number. Fixture: seq-1 data (a+b), a seq-2 delete on k {1,3,5}
+  // (with a duplicate row and a stale k=999 — both must be harmless),
+  // a seq-2 delete keyed on a DIFFERENT column set (name, deleting
+  // k=20's name), and a seq-3 re-insert of k=3 that must SURVIVE the
+  // earlier delete (the strict < rule). Expected: all nation rows
+  // except k in {1,5,20}, with k=3 present exactly once (deleted,
+  // then re-inserted).
+
+  val q262 = Q(
+    "q262_iceberg_eq_deletes",
+    (s, dir) => {
+      import graft.sources.{IcebergFixture => IFx, IcebergRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q262_iceeq")
+      val schema = IFx.withFieldIds(StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType))), Seq(1, 2))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      IFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "data/a.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s, base.where(col("k") >= 13),
+        t, "data/b.parquet", Seq(1, 2)): Unit
+      // delete files: k-keyed (ids [1]) with duplicate + stale rows;
+      // name-keyed (ids [2]) deleting nation 20's name
+      val delK = base.where(col("k").isin(1L, 3L, 5L))
+        .select(col("k"))
+        .unionByName(s.range(1).select(lit(3L).as("k"))) // duplicate
+        .unionByName(s.range(1).select(lit(999L).as("k"))) // stale
+      IFx.plantDataFile(s, delK, t, "data/eqdel_k.parquet", Seq(1))
+      val delName = base.where(col("k") === 20L).select(col("name"))
+      IFx.plantDataFile(s, delName, t, "data/eqdel_name.parquet", Seq(2))
+      // seq-3 re-insert of k=3 (survives the seq-2 delete: 3 is NOT
+      // strictly smaller than 2... it is the delete that is older)
+      IFx.plantDataFile(s, base.where(col("k") === 3L),
+        t, "data/c.parquet", Seq(1, 2)): Unit
+      val nAll = nation.count()
+      val nA = 13L
+      val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
+        IFx.Entry(1, "data/a.parquet", nA),
+        IFx.Entry(1, "data/b.parquet", nAll - nA)))
+      IFx.writeManifestList(s, t, "ml1.avro",
+        Seq(("m1.avro", m1, 0, 1L)))
+      val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
+        IFx.Entry(0, "data/a.parquet", nA, seq = Some(1L)),
+        IFx.Entry(0, "data/b.parquet", nAll - nA, seq = Some(1L))))
+      val me = IFx.writeManifest(s, t, "me.avro", Seq(
+        IFx.Entry(1, "data/eqdel_k.parquet", 5L, content = 2,
+          equalityIds = Seq(1)),
+        IFx.Entry(1, "data/eqdel_name.parquet", 1L, content = 2,
+          equalityIds = Seq(2))))
+      val m3 = IFx.writeManifest(s, t, "m3.avro", Seq(
+        IFx.Entry(1, "data/c.parquet", 1L)))
+      IFx.writeManifestList(s, t, "ml2.avro", Seq(
+        ("m2.avro", m2, 0, 1L), ("me.avro", me, 1, 2L)))
+      IFx.writeManifestList(s, t, "ml3.avro", Seq(
+        ("m2.avro", m2, 0, 1L), ("me.avro", me, 1, 2L),
+        ("m3.avro", m3, 0, 3L)))
+      IFx.writeMetadata(s, t, 3, Map(0 -> schema), Seq(
+        IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro"),
+        IFx.Snap(303L, "ml3.avro")))
+      // pre-delete snapshot intact; metadata count refuses under MOR
+      require(IcebergRead.read(s, t, Some(101L)).count() == nAll,
+        "q262: pre-delete snapshot must be intact")
+      require(IcebergRead.read(s, t, Some(202L)).count() == nAll - 4,
+        "q262: post-delete pre-reinsert count")
+      require(
+        try { IcebergRead.countRows(s, t); false }
+        catch { case _: IllegalArgumentException => true },
+        "q262: metadata count must refuse under merge-on-read")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey NOT IN (1, 5, 20)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
-    q259, q260)
+    q259, q260, q261, q262)
 }

@@ -7,7 +7,8 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 
 /** Read-only Apache Iceberg table scan — the lake's OTHER table
@@ -25,19 +26,28 @@ import org.apache.spark.sql.types._
   *    `v<N>.metadata.json`;
   *  - snapshots via `manifest-list` (the modern shape) or the v1
   *    inline `manifests` array; time travel by snapshot-id (each
-  *    snapshot reads with ITS schema-id when present);
-  *  - v2 merge-on-read POSITION deletes read (delete manifests'
-  *    parquet files of (file_path, pos) anti-join the scan on
-  *    `_metadata.row_index`); EQUALITY delete files refuse loudly,
-  *    as does any non-parquet file format;
+  *    snapshot reads with ITS schema-id when present) or by
+  *    timestamp ([[snapshotIdAt]] — latest `timestamp-ms` at or
+  *    before the asked instant);
+  *  - columns resolve BY FIELD ID, the spec's rule: the schema JSON's
+  *    per-field `id` rides into the requested Spark schema as
+  *    `parquet.field.id` metadata and Spark's parquet reader matches
+  *    footer field ids — renamed columns read correctly (old files
+  *    keep old physical names, same ids). Data files WITHOUT footer
+  *    field ids refuse loudly (Spark's ignoreMissing=false path)
+  *    rather than silently resolving by name;
+  *  - v2 merge-on-read POSITION deletes read: delete files' rows of
+  *    (file_path, pos) anti-join the scan on the file's canonical
+  *    identity + `_metadata.row_index`. EQUALITY deletes read too:
+  *    per equality-id group, a distributed anti-join on null-safe
+  *    column equality gated by the spec's sequence-number rule
+  *    (a delete applies only to data files with a STRICTLY SMALLER
+  *    data sequence number). Partition-scoped equality deletes (a
+  *    non-empty partition spec) refuse loudly — applying them
+  *    table-wide could over-delete;
   *  - schema: primitives (boolean/int/long/float/double/date/string/
   *    binary/decimal/timestamp/timestamptz) + struct/list/map,
   *    converted from the Iceberg schema JSON; uuid/fixed/time refuse.
-  *    Column resolution is BY NAME: tables that renamed columns keep
-  *    old names inside old data files (Iceberg resolves by field id —
-  *    parquet field-id resolution is out of scope), so renamed tables
-  *    read wrong and are the caller's contract to avoid — documented
-  *    bound, same class as [[DeltaRead]]'s nested-mapping refusal.
   *
   * Unlike Delta/Hive, Iceberg data files CONTAIN their identity
   * partition columns, so the scan needs no partition re-attach: the
@@ -45,7 +55,10 @@ import org.apache.spark.sql.types._
   * metadata schema enforced. The metadata walk is driver-side (it is
   * metadata, like the reference's key listing); manifests carry
   * `record_count` per file, which powers the metadata-only
-  * [[countRows]] exactly like Delta's stats path.
+  * [[countRows]] exactly like Delta's stats path. Delete application
+  * is fully distributed: the only driver-grain state is the
+  * manifest-bounded file list (≤ MaxFiles), broadcast as the
+  * file-identity map.
   */
 object IcebergRead {
 
@@ -55,27 +68,72 @@ object IcebergRead {
   private def fail(path: String, why: String): Nothing =
     throw new IllegalArgumentException(s"IcebergRead: $path — $why")
 
-  /** One live data file from the manifest walk. */
-  final case class IcebergFile(path: String, recordCount: Long)
+  /** One live data file from the manifest walk. `seq` is the data
+    * sequence number (entry's own, else inherited from its
+    * manifest-list row when ADDED); None when unresolvable — benign
+    * unless equality deletes are present (then the read refuses).
+    */
+  final case class IcebergFile(
+      path: String,
+      recordCount: Long,
+      seq: Option[Long] = None)
+
+  /** One live equality-delete file: its rows delete any data row
+    * whose `equalityIds` columns all match (null-safe) in data files
+    * with data sequence number < `seq`.
+    */
+  final case class EqDeleteFile(
+      path: String,
+      seq: Long,
+      equalityIds: Seq[Int])
 
   /** The resolved state of a snapshot. `deleteFiles` are live
     * POSITION-delete parquet files (v2 merge-on-read): rows of
-    * (file_path, pos) masking data rows by file + row position.
+    * (file_path, pos) masking data rows by file + row position;
+    * `eqDeleteFiles` are EQUALITY-delete files.
     */
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
       liveFiles: Seq[IcebergFile],
-      deleteFiles: Seq[IcebergFile] = Seq.empty)
+      deleteFiles: Seq[IcebergFile] = Seq.empty,
+      eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
 
   /** Snapshot ids present in the table metadata, ascending. */
   def snapshots(spark: SparkSession, path: String): Seq[Long] = {
     val (meta, _, _) = loadMetadata(spark, path)
-    val snaps = Option(meta.get("snapshots")).filter(_.isArray)
+    snapshotNodes(meta).map(_.get("snapshot-id").asLong()).sorted
+  }
+
+  /** Resolve a timestamp (epoch millis) to the snapshot the table was
+    * at: the LATEST snapshot whose `timestamp-ms` <= the instant —
+    * the resolution humans use for time travel. Refuses before the
+    * first snapshot (the table did not exist yet).
+    */
+  def snapshotIdAt(
+      spark: SparkSession,
+      path: String,
+      timestampMs: Long): Long = {
+    val (meta, _, _) = loadMetadata(spark, path)
+    val stamped = snapshotNodes(meta).map { s =>
+      val ts = Option(s.get("timestamp-ms")).filter(_.isNumber)
+        .map(_.asLong())
+        .getOrElse(fail(path,
+          s"snapshot ${s.get("snapshot-id")} without timestamp-ms"))
+      (ts, s.get("snapshot-id").asLong())
+    }.sorted
+    if (stamped.isEmpty) fail(path, "table has no snapshots")
+    val atOrBefore = stamped.takeWhile(_._1 <= timestampMs)
+    if (atOrBefore.isEmpty)
+      fail(path, s"timestamp $timestampMs precedes the first snapshot " +
+        s"(${stamped.head._1}) — the table did not exist yet")
+    atOrBefore.last._2
+  }
+
+  private def snapshotNodes(meta: JsonNode): Seq[JsonNode] =
+    Option(meta.get("snapshots")).filter(_.isArray)
       .map(a => (0 until a.size()).map(a.get(_)))
       .getOrElse(Seq.empty)
-    snaps.map(s => s.get("snapshot-id").asLong()).sorted
-  }
 
   private def loadMetadata(
       spark: SparkSession,
@@ -122,6 +180,21 @@ object IcebergRead {
     (node, root, fs)
   }
 
+  /** True when any partition spec in the metadata carries fields —
+    * the table is (or was) partitioned. v2 `partition-specs`, v1
+    * `partition-spec`.
+    */
+  private def hasPartitionFields(meta: JsonNode): Boolean = {
+    val v2 = Option(meta.get("partition-specs")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get(_)))
+      .getOrElse(Seq.empty)
+      .exists(s => Option(s.get("fields")).exists(f =>
+        f.isArray && f.size() > 0))
+    val v1 = Option(meta.get("partition-spec"))
+      .exists(f => f.isArray && f.size() > 0)
+    v2 || v1
+  }
+
   /** Resolve a snapshot (default: current) to its schema + live data
     * files via the manifest-list / manifest Avro walk.
     */
@@ -131,9 +204,7 @@ object IcebergRead {
       snapshotId: Option[Long] = None): IcebergSnapshot = {
     val (meta, root, fs) = loadMetadata(spark, path)
     val conf = spark.sessionState.newHadoopConf()
-    val snaps = Option(meta.get("snapshots")).filter(_.isArray)
-      .map(a => (0 until a.size()).map(a.get(_)))
-      .getOrElse(Seq.empty)
+    val snaps = snapshotNodes(meta)
     if (snaps.isEmpty) fail(path, "table has no snapshots")
     val wantId = snapshotId.orElse(
       Option(meta.get("current-snapshot-id")).filter(_.isNumber)
@@ -144,26 +215,30 @@ object IcebergRead {
         s"${snaps.map(_.get("snapshot-id").asLong()).sorted.mkString(",")})"))
     val schema = schemaFor(path, meta, snap)
     // manifest paths with their manifest-list content code (0 = data,
-    // 1 = deletes): the modern manifest-list Avro, or v1's inline list
-    val manifestPaths: Seq[(String, Long)] =
+    // 1 = deletes) and sequence number: the modern manifest-list
+    // Avro, or v1's inline list (no sequence numbers there)
+    val manifestPaths: Seq[(String, Long, Option[Long])] =
       Option(snap.get("manifest-list")).filter(!_.isNull) match {
         case Some(ml) =>
           readAvro(fs, conf, resolve(root, ml.asText()), path).map {
             rec =>
               val mp = str(rec, "manifest_path").getOrElse(
                 fail(path, "manifest_file without manifest_path"))
-              (mp, long(rec, "content").getOrElse(0L))
+              (mp, long(rec, "content").getOrElse(0L),
+                long(rec, "sequence_number"))
           }
         case None =>
           Option(snap.get("manifests")).filter(_.isArray)
-            .map(a => (0 until a.size()).map(i => (a.get(i).asText(), 0L)))
+            .map(a => (0 until a.size()).map(i =>
+              (a.get(i).asText(), 0L, None: Option[Long])))
             .getOrElse(fail(path,
               "snapshot has neither manifest-list nor manifests"))
       }
     val live = Seq.newBuilder[IcebergFile]
     val deletes = Seq.newBuilder[IcebergFile]
+    val eqDeletes = Seq.newBuilder[EqDeleteFile]
     var n = 0
-    manifestPaths.foreach { case (mp, mContent) =>
+    manifestPaths.foreach { case (mp, mContent, mSeq) =>
       readAvro(fs, conf, resolve(root, mp), path).foreach { rec =>
         val status = long(rec, "status").getOrElse(0L)
         if (status != 2L) { // 2 = DELETED
@@ -179,13 +254,20 @@ object IcebergRead {
               "(parquet only)")
           val rc = long(df, "record_count").getOrElse(
             fail(path, "data_file without record_count"))
+          // spec inheritance: an entry's own sequence_number wins; an
+          // ADDED (status 1) entry without one inherits its manifest's
+          val seq = long(rec, "sequence_number")
+            .orElse(if (status == 1L) mSeq else None)
           (mContent, content) match {
-            case (0L, 0L) => live += IcebergFile(fp, rc)
-            case (1L, 1L) => deletes += IcebergFile(fp, rc)
+            case (0L, 0L) => live += IcebergFile(fp, rc, seq)
+            case (1L, 1L) => deletes += IcebergFile(fp, rc, seq)
             case (1L, 2L) =>
-              fail(path, "snapshot carries EQUALITY delete files — " +
-                "equality-delete merge-on-read is unsupported " +
-                "(position deletes are); read with a full engine")
+              eqDeletes += EqDeleteFile(fp,
+                seq.getOrElse(fail(path,
+                  s"equality-delete file $fp without a resolvable " +
+                    "sequence number")),
+                ints(df, "equality_ids").getOrElse(fail(path,
+                  s"equality-delete file $fp without equality_ids")))
             case (mc, dc) =>
               fail(path, s"manifest content=$mc carries a data_file " +
                 s"with content=$dc — malformed manifest")
@@ -197,26 +279,43 @@ object IcebergRead {
         }
       }
     }
-    IcebergSnapshot(wantId, schema, live.result(), deletes.result())
+    val eq = eqDeletes.result()
+    if (eq.nonEmpty && hasPartitionFields(meta))
+      fail(path, "snapshot carries EQUALITY delete files on a " +
+        "PARTITIONED table — partition-scoped equality deletes are " +
+        "unsupported (applying them table-wide could over-delete); " +
+        "read with a full engine")
+    IcebergSnapshot(wantId, schema, live.result(), deletes.result(), eq)
   }
 
   /** Scan the live data of an Iceberg table (optionally at a past
     * snapshot): ONE distributed parquet read with the metadata schema
-    * enforced (identity partition columns live IN the files — no
-    * re-attach join needed). POSITION deletes (v2 merge-on-read) fold
-    * in as ONE distributed anti-join of the data scan's
-    * (`_metadata.file_path`, `_metadata.row_index`) against the
-    * delete files' (file_path, pos) rows — both sides normalized
-    * scheme-insensitively. Sequence numbers need no bookkeeping here:
-    * Iceberg data files are immutable with unique paths, so a delete
-    * row can never alias a LATER data file's rows — it either matches
-    * its original target or nothing.
+    * enforced, columns resolved by FIELD ID (identity partition
+    * columns live IN the files — no re-attach join needed).
+    *
+    * POSITION deletes (v2 merge-on-read) fold in as ONE distributed
+    * anti-join keyed on the file's CANONICAL identity: the manifest
+    * walk yields every live file's spec-verbatim `file_path` AND its
+    * qualified-URI forms, broadcast as a (variant → canonical) map;
+    * the scan side keys by `_metadata.file_path` (an exact
+    * qualified-URI match — no lossy string normalization, so paths
+    * with spaces/percent/unicode match exactly), the delete side
+    * translates its raw `file_path` strings through the same map
+    * (stale rows referencing vanished files drop in the translate
+    * join — harmless by construction). Sequence numbers need no
+    * bookkeeping for position deletes: data files are immutable with
+    * unique paths, so a delete row either matches its original
+    * target or nothing.
+    *
+    * EQUALITY deletes apply after: per distinct equality-id set, the
+    * delete files' rows anti-join the scan on null-safe equality of
+    * the id-resolved columns, gated by data_seq < delete_seq (the
+    * spec's strict rule — rows re-inserted AFTER the delete survive).
     */
   def read(
       spark: SparkSession,
       path: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions._
     val snap = snapshot(spark, path, snapshotId)
     if (snap.liveFiles.isEmpty)
       return spark.createDataFrame(
@@ -224,52 +323,129 @@ object IcebergRead {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
+    // field-id resolution: inert for schemas without id metadata,
+    // load-bearing here — the session flag is how Spark's parquet
+    // reader is told to match footer ids instead of names
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val files = snap.liveFiles.map(f => resolve(root, f.path).toString)
     val scan0 = spark.read.schema(snap.schema).parquet(files: _*)
-    val scan =
-      if (snap.deleteFiles.isEmpty) scan0
+    if (snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty)
+      return scan0.select(snap.schema.map(f => col(f.name)): _*)
+
+    // canonical file identity: the qualified URI (what
+    // _metadata.file_path carries), with every spelling a writer may
+    // have used as a variant key
+    def canonical(raw: String): String =
+      fs.makeQualified(resolve(root, raw)).toUri.toString
+    def variants(raw: String): Seq[String] = {
+      val q = fs.makeQualified(resolve(root, raw))
+      Seq(raw, q.toString, q.toUri.toString).distinct
+    }
+    val ss = spark
+    import ss.implicits._
+    val tagged = scan0
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__ri", col("_metadata.row_index"))
+
+    val afterPos =
+      if (snap.deleteFiles.isEmpty) tagged
       else {
+        val variantRows = snap.liveFiles.flatMap { f =>
+          val canon = canonical(f.path)
+          variants(f.path).map(v => (v, canon))
+        }.distinct
+        val variantDf = variantRows.toDF("__variant", "__canon")
         val delPaths = snap.deleteFiles
           .map(f => resolve(root, f.path).toString)
         val delSchema = StructType(Seq(
           StructField("file_path", StringType),
           StructField("pos", LongType)))
         val dels = spark.read.schema(delSchema).parquet(delPaths: _*)
-          .select(normalizeCol(col("file_path")).as("__del_file"),
+          .join(broadcast(variantDf),
+            col("file_path") === col("__variant"))
+          .select(col("__canon").as("__del_file"),
             col("pos").as("__del_pos"))
-        val tagged = scan0
-          .withColumn("__file", normalizeCol(col("_metadata.file_path")))
-          .withColumn("__ri", col("_metadata.row_index"))
         tagged.join(dels,
-          tagged("__file") === dels("__del_file") &&
+          tagged("__fp") === dels("__del_file") &&
             tagged("__ri") === dels("__del_pos"),
           "left_anti")
       }
-    scan.select(snap.schema.map(f =>
-      org.apache.spark.sql.functions.col(f.name)): _*)
+
+    val afterEq =
+      if (snap.eqDeleteFiles.isEmpty) afterPos
+      else {
+        // data-side sequence numbers: broadcast (canonical → seq);
+        // refuse if any live file's seq is unresolvable — applying
+        // the strict < rule against a guessed seq would be silently
+        // wrong in one direction or the other
+        val seqRows = snap.liveFiles.map { f =>
+          (canonical(f.path), f.seq.getOrElse(fail(path,
+            s"data file ${f.path} has no resolvable sequence number " +
+              "but the snapshot carries equality deletes")))
+        }
+        val seqDf = seqRows.toDF("__seq_canon", "__data_seq")
+        val withSeq = afterPos.join(broadcast(seqDf),
+          col("__fp") === col("__seq_canon"))
+          .drop("__seq_canon")
+        val idToName = fieldNamesById(snap.schema)
+        snap.eqDeleteFiles.groupBy(_.equalityIds.sorted).toSeq
+          .sortBy(_._1.mkString(","))
+          .foldLeft(withSeq) { case (acc, (ids, delFiles)) =>
+            val cols = ids.map(id => idToName.getOrElse(id,
+              fail(path, s"equality_ids field id $id not in the " +
+                "snapshot schema")))
+            val delSchema = StructType(
+              cols.map(c => snap.schema(c)))
+            val dels = delFiles.map { d =>
+              spark.read.schema(delSchema)
+                .parquet(resolve(root, d.path).toString)
+                .withColumn("__del_seq", lit(d.seq))
+            }.reduce(_ unionByName _)
+              .select(cols.map(c =>
+                col(c).as(s"__del_$c")) :+ col("__del_seq"): _*)
+            val cond = cols.map(c =>
+              acc(c) <=> dels(s"__del_$c")).reduce(_ && _) &&
+              acc("__data_seq") < dels("__del_seq")
+            acc.join(dels, cond, "left_anti")
+          }
+      }
+    afterEq.select(snap.schema.map(f => col(f.name)): _*)
   }
 
-  private def normalizeCol(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.regexp_replace(
-      c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+  /** [[read]] at the snapshot the table was at a given instant
+    * (epoch millis) — [[snapshotIdAt]] resolution.
+    */
+  def readAsOfTimestamp(
+      spark: SparkSession,
+      path: String,
+      timestampMs: Long): DataFrame =
+    read(spark, path, Some(snapshotIdAt(spark, path, timestampMs)))
+
+  /** field-id → field name for a schema produced by [[schemaFor]]
+    * (ids ride in `parquet.field.id` metadata).
+    */
+  private def fieldNamesById(schema: StructType): Map[Int, String] =
+    schema.fields.flatMap { f =>
+      IcebergFixture.fieldIdOf(f).map(id => id.toInt -> f.name)
+    }.toMap
 
   /** Metadata-only row count from the manifests' per-file
     * `record_count` — the Iceberg twin of [[DeltaRead.countRows]].
-    * REFUSES when the snapshot carries delete files: delete rows may
-    * be stale (their target vanished) or duplicated, so a metadata
-    * subtraction would be silently wrong — scan instead (exactly the
-    * stance real Iceberg engines take for merge-on-read counts).
+    * REFUSES when the snapshot carries delete files of either kind:
+    * delete rows may be stale (their target vanished) or duplicated,
+    * so a metadata subtraction would be silently wrong — scan instead
+    * (exactly the stance real Iceberg engines take for merge-on-read
+    * counts).
     */
   def countRows(
       spark: SparkSession,
       path: String,
       snapshotId: Option[Long] = None): Long = {
     val snap = snapshot(spark, path, snapshotId)
-    if (snap.deleteFiles.nonEmpty)
-      fail(path, "snapshot carries position-delete files — a " +
-        "metadata-only count cannot subtract them exactly (stale/" +
-        "duplicate delete rows); scan the table instead")
+    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty)
+      fail(path, "snapshot carries position-delete or equality-delete " +
+        "files — a metadata-only count cannot subtract them exactly " +
+        "(stale/duplicate delete rows); scan the table instead")
     snap.liveFiles.map(_.recordCount).sum
   }
 
@@ -291,6 +467,14 @@ object IcebergRead {
     else Option(rec.get(field)).collect {
       case n: java.lang.Number => n.longValue()
     }
+
+  private def ints(rec: GenericRecord, field: String): Option[Seq[Int]] =
+    if (rec.getSchema.getField(field) == null) None
+    else Option(rec.get(field)).collect {
+      // GenericArray implements java.util.List — one case covers both
+      case l: java.util.List[_] =>
+        l.asScala.toSeq.collect { case n: java.lang.Number => n.intValue() }
+    }.filter(_.nonEmpty)
 
   /** All records of one Avro OCF file through the Hadoop FS API. */
   private def readAvro(
@@ -343,7 +527,13 @@ object IcebergRead {
     StructType(fields.map { f =>
       val name = f.get("name").asText()
       val required = Option(f.get("required")).exists(_.asBoolean(false))
-      StructField(name, toType(path, f.get("type")), !required)
+      // the field id rides into the Spark schema: this is what makes
+      // the parquet scan resolve columns by id (the spec's rule)
+      val md = Option(f.get("id")).filter(_.isNumber)
+        .map(id => new MetadataBuilder()
+          .putLong(IcebergFixture.FieldIdKey, id.asLong()).build())
+        .getOrElse(Metadata.empty)
+      StructField(name, toType(path, f.get("type")), !required, md)
     })
   }
 

@@ -7,9 +7,9 @@ import graft.sources.{IcebergFixture => IFx}
 
 class IcebergReadSpec extends SparkTestBase {
 
-  private val schema = StructType(Seq(
+  private val schema = IFx.withFieldIds(StructType(Seq(
     StructField("k", LongType),
-    StructField("name", StringType)))
+    StructField("name", StringType))), Seq(1, 2))
 
   private def fresh(): String =
     graft.ScratchSpace.dir(spark, "icespec_")
@@ -17,9 +17,9 @@ class IcebergReadSpec extends SparkTestBase {
   private def plantKv(t: String, name: String, lo: Int, hi: Int): Long = {
     val ss = spark
     import ss.implicits._
-    DeltaFixture.plantDataFile(spark,
+    IFx.plantDataFile(spark,
       (lo until hi).map(i => (i.toLong, s"row$i")).toDF("k", "name"),
-      t, name)
+      t, name, Seq(1, 2))
     (hi - lo).toLong
   }
 
@@ -33,7 +33,8 @@ class IcebergReadSpec extends SparkTestBase {
     val m1 = IFx.writeManifest(spark, t, "m1.avro", Seq(
       IFx.Entry(1, "data/a.parquet", nA),
       IFx.Entry(1, "data/b.parquet", nB)))
-    IFx.writeManifestList(spark, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
     // snapshot 2: b deleted, c added (two manifests: carried + new)
     val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
       IFx.Entry(0, "data/a.parquet", nA),
@@ -41,7 +42,7 @@ class IcebergReadSpec extends SparkTestBase {
     val m3 = IFx.writeManifest(spark, t, "m3.avro", Seq(
       IFx.Entry(1, "data/c.parquet", nC)))
     IFx.writeManifestList(spark, t, "ml2.avro", Seq(
-      ("m2.avro", m2, 0), ("m3.avro", m3, 0)))
+      ("m2.avro", m2, 0, 1L), ("m3.avro", m3, 0, 2L)))
     IFx.writeMetadata(spark, t, 3, Map(0 -> schema), Seq(
       IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
     // current = snapshot 202: a + c
@@ -58,23 +59,60 @@ class IcebergReadSpec extends SparkTestBase {
     assert(IcebergRead.snapshots(spark, t) == Seq(101L, 202L))
   }
 
+  test("timestamp time travel: latest snapshot at-or-before; " +
+    "pre-table instants refuse") {
+    val t = fresh()
+    val nA = plantKv(t, "data/a.parquet", 0, 3)
+    val nB = plantKv(t, "data/b.parquet", 10, 12)
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", nA)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
+      IFx.Entry(0, "data/a.parquet", nA),
+      IFx.Entry(1, "data/b.parquet", nB)))
+    IFx.writeManifestList(spark, t, "ml2.avro",
+      Seq(("m2.avro", m2, 0, 2L)))
+    // default Snap timestamps: 1000, 2000
+    IFx.writeMetadata(spark, t, 2, Map(0 -> schema), Seq(
+      IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+    assert(IcebergRead.snapshotIdAt(spark, t, 1000L) == 101L)
+    assert(IcebergRead.snapshotIdAt(spark, t, 1999L) == 101L)
+    assert(IcebergRead.snapshotIdAt(spark, t, 2000L) == 202L)
+    assert(IcebergRead.snapshotIdAt(spark, t, 99999L) == 202L)
+    assert(IcebergRead.readAsOfTimestamp(spark, t, 1500L).count() == nA)
+    assert(IcebergRead.readAsOfTimestamp(spark, t, 2500L)
+      .count() == nA + nB)
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.snapshotIdAt(spark, t, 999L)
+    }
+    assert(e.getMessage.contains("precedes the first snapshot"),
+      e.getMessage)
+  }
+
   test("per-snapshot schema-id: an added column reads with ITS " +
     "snapshot's schema") {
     val ss = spark
     import ss.implicits._
     val t = fresh()
-    DeltaFixture.plantDataFile(spark,
-      Seq((1L, "one")).toDF("k", "name"), t, "data/a.parquet")
-    DeltaFixture.plantDataFile(spark,
-      Seq((2L, "two", "x")).toDF("k", "name", "tag"), t, "data/b.parquet")
-    val wide = schema.add(StructField("tag", StringType))
+    IFx.plantDataFile(spark,
+      Seq((1L, "one")).toDF("k", "name"), t, "data/a.parquet", Seq(1, 2))
+    IFx.plantDataFile(spark,
+      Seq((2L, "two", "x")).toDF("k", "name", "tag"),
+      t, "data/b.parquet", Seq(1, 2, 3))
+    val wide = IFx.withFieldIds(StructType(Seq(
+      StructField("k", LongType),
+      StructField("name", StringType),
+      StructField("tag", StringType))), Seq(1, 2, 3))
     val m1 = IFx.writeManifest(spark, t, "m1.avro",
       Seq(IFx.Entry(1, "data/a.parquet", 1L)))
-    IFx.writeManifestList(spark, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
     val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
       IFx.Entry(0, "data/a.parquet", 1L),
       IFx.Entry(1, "data/b.parquet", 1L)))
-    IFx.writeManifestList(spark, t, "ml2.avro", Seq(("m2.avro", m2, 0)))
+    IFx.writeManifestList(spark, t, "ml2.avro",
+      Seq(("m2.avro", m2, 0, 2L)))
     IFx.writeMetadata(spark, t, 2, Map(0 -> schema, 1 -> wide), Seq(
       IFx.Snap(1L, "ml1.avro", schemaId = 0),
       IFx.Snap(2L, "ml2.avro", schemaId = 1)),
@@ -88,6 +126,59 @@ class IcebergReadSpec extends SparkTestBase {
     assert(old.count() == 1L)
   }
 
+  test("renamed column resolves by FIELD ID: old files' physical " +
+    "name reads into the renamed logical column") {
+    val t = fresh()
+    val ss = spark
+    import ss.implicits._
+    // a.parquet written under the OLD name "k" (field id 1)
+    plantKv(t, "data/a.parquet", 0, 4): Unit
+    // b.parquet written under the NEW name (same id)
+    IFx.plantDataFile(spark,
+      (10 until 12).map(i => (i.toLong, s"row$i"))
+        .toDF("key_renamed", "name"),
+      t, "data/b.parquet", Seq(1, 2))
+    val renamed = IFx.withFieldIds(StructType(Seq(
+      StructField("key_renamed", LongType),
+      StructField("name", StringType))), Seq(1, 2))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro", Seq(
+      IFx.Entry(1, "data/a.parquet", 4L),
+      IFx.Entry(1, "data/b.parquet", 2L)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    IFx.writeMetadata(spark, t, 1, Map(1 -> renamed),
+      Seq(IFx.Snap(1L, "ml1.avro", schemaId = 1)),
+      currentSchemaId = 1)
+    val got = IcebergRead.read(spark, t).orderBy("key_renamed")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq ==
+      ((0 until 4) ++ (10 until 12)).map(i => (i.toLong, s"row$i")))
+  }
+
+  test("data files WITHOUT footer field ids refuse loudly instead " +
+    "of silently resolving by name") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    // planted via the PLAIN writer — no footer ids
+    DeltaFixture.plantDataFile(spark,
+      Seq((1L, "one")).toDF("k", "name"), t, "data/a.parquet"): Unit
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 1L)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    IFx.writeMetadata(spark, t, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val e = intercept[Exception] {
+      IcebergRead.read(spark, t).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.toLowerCase.contains("field id")), messages(e).mkString(" | "))
+  }
+
   test("position deletes: (file_path, pos) rows mask exactly their " +
     "targets; metadata count refuses; pre-delete snapshot intact") {
     val ss = spark
@@ -98,7 +189,8 @@ class IcebergReadSpec extends SparkTestBase {
     val m1 = IFx.writeManifest(spark, t, "m1.avro", Seq(
       IFx.Entry(1, "data/a.parquet", 5L),
       IFx.Entry(1, "data/b.parquet", 3L)))
-    IFx.writeManifestList(spark, t, "ml1.avro", Seq(("m1.avro", m1, 0)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
     // the DELETE: kill a.parquet rows at pos 1 and 3, plus one STALE
     // row referencing a vanished file (must be harmless)
     val fs = new org.apache.hadoop.fs.Path(t)
@@ -116,7 +208,7 @@ class IcebergReadSpec extends SparkTestBase {
     val md = IFx.writeManifest(spark, t, "md.avro", Seq(
       IFx.Entry(1, "data/del1.parquet", 3L, content = 1)))
     IFx.writeManifestList(spark, t, "ml2.avro", Seq(
-      ("m2.avro", m2, 0), ("md.avro", md, 1)))
+      ("m2.avro", m2, 0, 1L), ("md.avro", md, 1, 2L)))
     IFx.writeMetadata(spark, t, 2, Map(0 -> schema), Seq(
       IFx.Snap(1L, "ml1.avro"), IFx.Snap(2L, "ml2.avro")))
     val got = IcebergRead.read(spark, t).orderBy("k")
@@ -132,29 +224,152 @@ class IcebergReadSpec extends SparkTestBase {
     assert(e.getMessage.contains("position-delete"), e.getMessage)
   }
 
-  test("refusals: equality deletes, malformed manifest, " +
-    "non-parquet format, unknown snapshot, not a table, bad type") {
+  test("position deletes match files with SPACES and PERCENT in the " +
+    "path exactly (canonical-identity join, no lossy normalization)") {
+    val ss = spark
+    import ss.implicits._
     val t = fresh()
-    plantKv(t, "data/a.parquet", 0, 2): Unit
-    // EQUALITY delete file (content=2) in a delete manifest
-    val me = IFx.writeManifest(spark, t, "me.avro",
-      Seq(IFx.Entry(1, "data/eq.parquet", 1L, content = 2)))
+    // a path Path.toUri percent-encodes: space and literal percent
+    val dataName = "data dir %x/a b %20.parquet"
+    IFx.plantDataFile(spark,
+      (0 until 4).map(i => (i.toLong, s"row$i")).toDF("k", "name"),
+      t, dataName, Seq(1, 2))
     val m1 = IFx.writeManifest(spark, t, "m1.avro",
-      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+      Seq(IFx.Entry(1, dataName, 4L)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    // delete rows reference the file by its RAW (unencoded) absolute
+    // path string — the spec-verbatim manifest form
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(t))
+    val rawAbs = new org.apache.hadoop.fs.Path(root, dataName).toString
+    DeltaFixture.plantDataFile(spark,
+      Seq((rawAbs, 1L), (rawAbs, 2L)).toDF("file_path", "pos"),
+      t, "data/del1.parquet"): Unit
+    val m2 = IFx.writeManifest(spark, t, "m2.avro",
+      Seq(IFx.Entry(0, dataName, 4L)))
+    val md = IFx.writeManifest(spark, t, "md.avro",
+      Seq(IFx.Entry(1, "data/del1.parquet", 2L, content = 1)))
+    IFx.writeManifestList(spark, t, "ml2.avro", Seq(
+      ("m2.avro", m2, 0, 1L), ("md.avro", md, 1, 2L)))
+    IFx.writeMetadata(spark, t, 2, Map(0 -> schema), Seq(
+      IFx.Snap(1L, "ml1.avro"), IFx.Snap(2L, "ml2.avro")))
+    val got = IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 3L),
+      "rows 1 and 2 must be masked despite the encodable path")
+  }
+
+  test("equality deletes: null-safe column match gated by the " +
+    "strict sequence rule; re-inserted rows survive; stale and " +
+    "duplicate delete rows harmless") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    plantKv(t, "data/a.parquet", 0, 6): Unit // seq 1
+    // delete k in {1,3} (+ dup 3, + stale 99) at seq 2
+    IFx.plantDataFile(spark,
+      Seq(1L, 3L, 3L, 99L).toDF("k"), t, "data/eq1.parquet", Seq(1))
+    // re-insert k=3 at seq 3 — survives the seq-2 delete
+    IFx.plantDataFile(spark,
+      Seq((3L, "row3b")).toDF("k", "name"), t, "data/c.parquet",
+      Seq(1, 2))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 6L)))
+    val me = IFx.writeManifest(spark, t, "me.avro",
+      Seq(IFx.Entry(1, "data/eq1.parquet", 4L, content = 2,
+        equalityIds = Seq(1))))
+    val m3 = IFx.writeManifest(spark, t, "m3.avro",
+      Seq(IFx.Entry(1, "data/c.parquet", 1L)))
     IFx.writeManifestList(spark, t, "ml1.avro", Seq(
-      ("m1.avro", m1, 0), ("me.avro", me, 1)))
+      ("m1.avro", m1, 0, 1L), ("me.avro", me, 1, 2L),
+      ("m3.avro", m3, 0, 3L)))
     IFx.writeMetadata(spark, t, 1, Map(0 -> schema),
       Seq(IFx.Snap(1L, "ml1.avro")))
+    val got = IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((0L, "row0"), (2L, "row2"), (3L, "row3b"),
+      (4L, "row4"), (5L, "row5")))
+    // metadata count refuses under equality MOR too
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.countRows(spark, t)
+    }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+  }
+
+  test("equality-delete refusals: partitioned table; unresolvable " +
+    "sequence numbers") {
+    val ss = spark
+    import ss.implicits._
+    // partitioned table + eq deletes -> refuse (partition-scoped
+    // deletes applied table-wide could over-delete)
+    val t = fresh()
+    plantKv(t, "data/a.parquet", 0, 2): Unit
+    IFx.plantDataFile(spark, Seq(1L).toDF("k"),
+      t, "data/eq1.parquet", Seq(1))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    val me = IFx.writeManifest(spark, t, "me.avro",
+      Seq(IFx.Entry(1, "data/eq1.parquet", 1L, content = 2,
+        equalityIds = Seq(1))))
+    IFx.writeManifestList(spark, t, "ml1.avro", Seq(
+      ("m1.avro", m1, 0, 1L), ("me.avro", me, 1, 2L)))
+    IFx.writeMetadata(spark, t, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")),
+      partitionFieldNames = Seq("name"))
     val e1 = intercept[IllegalArgumentException] {
       IcebergRead.read(spark, t)
     }
-    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
-    // malformed: data_file with content=1 inside a DATA manifest
+    assert(e1.getMessage.contains("PARTITIONED"), e1.getMessage)
+    // a data file whose sequence number cannot resolve (EXISTING
+    // entry, no explicit seq) + eq deletes -> refuse at read
     val t2 = fresh()
     plantKv(t2, "data/a.parquet", 0, 2): Unit
+    IFx.plantDataFile(spark, Seq(1L).toDF("k"),
+      t2, "data/eq1.parquet", Seq(1))
+    val m2 = IFx.writeManifest(spark, t2, "m1.avro",
+      Seq(IFx.Entry(0, "data/a.parquet", 2L))) // EXISTING, no seq
+    val me2 = IFx.writeManifest(spark, t2, "me.avro",
+      Seq(IFx.Entry(1, "data/eq1.parquet", 1L, content = 2,
+        equalityIds = Seq(1))))
+    IFx.writeManifestList(spark, t2, "ml1.avro", Seq(
+      ("m1.avro", m2, 0, 1L), ("me.avro", me2, 1, 2L)))
+    IFx.writeMetadata(spark, t2, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t2)
+    }
+    assert(e2.getMessage.contains("sequence number"), e2.getMessage)
+    // an eq-delete ENTRY with no resolvable seq refuses at the walk
+    val t3 = fresh()
+    plantKv(t3, "data/a.parquet", 0, 2): Unit
+    IFx.plantDataFile(spark, Seq(1L).toDF("k"),
+      t3, "data/eq1.parquet", Seq(1))
+    val m3 = IFx.writeManifest(spark, t3, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    val me3 = IFx.writeManifest(spark, t3, "me.avro",
+      Seq(IFx.Entry(0, "data/eq1.parquet", 1L, content = 2,
+        equalityIds = Seq(1)))) // EXISTING, no inherit
+    IFx.writeManifestList(spark, t3, "ml1.avro", Seq(
+      ("m1.avro", m3, 0, 1L), ("me.avro", me3, 1, 2L)))
+    IFx.writeMetadata(spark, t3, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergRead.snapshot(spark, t3)
+    }
+    assert(e3.getMessage.contains("sequence number"), e3.getMessage)
+  }
+
+  test("refusals: malformed manifest, unknown snapshot, not a " +
+    "table, bad type") {
+    val t2 = fresh()
+    plantKv(t2, "data/a.parquet", 0, 2): Unit
+    // malformed: data_file with content=1 inside a DATA manifest
     val m2 = IFx.writeManifest(spark, t2, "m1.avro",
       Seq(IFx.Entry(1, "data/a.parquet", 2L, content = 1)))
-    IFx.writeManifestList(spark, t2, "ml1.avro", Seq(("m1.avro", m2, 0)))
+    IFx.writeManifestList(spark, t2, "ml1.avro",
+      Seq(("m1.avro", m2, 0, 1L)))
     IFx.writeMetadata(spark, t2, 1, Map(0 -> schema),
       Seq(IFx.Snap(1L, "ml1.avro")))
     val e2 = intercept[IllegalArgumentException] {
@@ -166,7 +381,8 @@ class IcebergReadSpec extends SparkTestBase {
     plantKv(t3, "data/a.parquet", 0, 2): Unit
     val m3 = IFx.writeManifest(spark, t3, "m1.avro",
       Seq(IFx.Entry(1, "data/a.parquet", 2L)))
-    IFx.writeManifestList(spark, t3, "ml1.avro", Seq(("m1.avro", m3, 0)))
+    IFx.writeManifestList(spark, t3, "ml1.avro",
+      Seq(("m1.avro", m3, 0, 1L)))
     IFx.writeMetadata(spark, t3, 1, Map(0 -> schema),
       Seq(IFx.Snap(1L, "ml1.avro")))
     val e3 = intercept[IllegalArgumentException] {
@@ -183,7 +399,8 @@ class IcebergReadSpec extends SparkTestBase {
     plantKv(t5, "data/a.parquet", 0, 2): Unit
     val m5 = IFx.writeManifest(spark, t5, "m1.avro",
       Seq(IFx.Entry(1, "data/a.parquet", 2L)))
-    IFx.writeManifestList(spark, t5, "ml1.avro", Seq(("m1.avro", m5, 0)))
+    IFx.writeManifestList(spark, t5, "ml1.avro",
+      Seq(("m1.avro", m5, 0, 1L)))
     IFx.writeMetadata(spark, t5, 1, Map(0 -> schema),
       Seq(IFx.Snap(1L, "ml1.avro")))
     val fs = new org.apache.hadoop.fs.Path(t5)
