@@ -1826,8 +1826,235 @@ object EtlQueries {
       WHERE n_nationkey NOT IN (1, 5, 20)
       ORDER BY k"""))
 
+  // ---- q263: Delta change-data-feed read ----
+  // readChanges (q260) covers pure appends; real downstream consumers
+  // poll MERGE/UPDATE commits too — that takes the change-data-feed.
+  // Fixture: a CDF-enabled table (writer v4 + delta.
+  // enableChangeDataFeed=true), one append, then the repo's own
+  // DeltaWrite.merge (2 updates, 1 insert, 1 delete) which WRITES the
+  // cdc files + actions; readCdf replays v0 as derived inserts and v1
+  // from its cdc files — per-row _change_type/_commit_version
+  // attribution hash-gated. readChanges refusing the same commit is
+  // require()-gated (the two consumers are complements).
+
+  val q263 = Q(
+    "q263_delta_cdf",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q263_deltacdf")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val a = DFx.plantDataFile(s, base, t, "a.parquet")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(minWriter = 4),
+        DFx.metaDataLine("q263-fixture", schema,
+          configuration = Map("delta.enableChangeDataFeed" -> "true")),
+        DFx.addLine("a.parquet", a)))
+      // the merge: update names of k 2 and 4, delete k 7, insert 200
+      val updates = base.where(col("k").isin(2L, 4L))
+        .withColumn("name", concat(col("name"), lit("_v2")))
+        .withColumn("__del", lit(false))
+        .unionByName(s.range(1).select(
+          lit(200L).as("k"), lit("NEWROW").as("name"),
+          lit(false).as("__del")))
+        .unionByName(base.where(col("k") === 7L)
+          .withColumn("__del", lit(true)))
+      val v = DeltaWrite.merge(updates, t, keyCols = Seq("k"),
+        deleteCol = Some("__del"))
+      require(v == 1L, "q263: merge version")
+      // the append-only consumer refuses the merge commit...
+      require(
+        try { DeltaRead.readChanges(s, t, 0).count(); false }
+        catch { case _: IllegalArgumentException => true },
+        "q263: readChanges must refuse the update-shape commit")
+      // ...and the CDF consumer replays it: 2 pre + 2 post + 1 del +
+      // 1 ins
+      require(DeltaRead.readCdf(s, t, 1).count() == 6L,
+        "q263: merge commit change-row count")
+      DeltaRead.readCdf(s, t, 0)
+        .orderBy("_commit_version", "_change_type", "k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+               'insert' AS _change_type,
+               CAST(0 AS BIGINT) AS _commit_version
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name,
+               'update_preimage', CAST(1 AS BIGINT)
+        FROM nation WHERE n_nationkey IN (2, 4)
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name || '_v2',
+               'update_postimage', CAST(1 AS BIGINT)
+        FROM nation WHERE n_nationkey IN (2, 4)
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name,
+               'delete', CAST(1 AS BIGINT)
+        FROM nation WHERE n_nationkey = 7
+        UNION ALL
+        SELECT CAST(200 AS BIGINT), 'NEWROW', 'insert',
+               CAST(1 AS BIGINT))
+      ORDER BY _commit_version, _change_type, k"""))
+
+  // ---- q264: Delta column-mapping mode=id read ----
+  // Tables column-mapped FROM BIRTH by some engines use id mode: the
+  // reader must resolve columns by parquet footer FIELD ID against
+  // the schemaString's delta.columnMapping.id — physical column
+  // NAMES are free to differ per file. Fixture: two data files with
+  // the same field ids but DIFFERENT physical column names (spec-
+  // legal under id mode); a by-name or by-physicalName reader cannot
+  // read both — the value hash gates true id resolution.
+
+  val q264 = Q(
+    "q264_delta_id_mapping",
+    (s, dir) => {
+      import org.apache.spark.sql.types.MetadataBuilder
+      import graft.sources.{DeltaFixture => DFx,
+        IcebergFixture => IFx, DeltaRead}
+      def mf(name: String, dt: org.apache.spark.sql.types.DataType,
+          phys: String, id: Long) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q264_deltaid")
+      // file a: physical names col-4b1/col-9f2; file b: x1/x2 — SAME
+      // field ids (1, 2). Footer ids ride in via the Iceberg
+      // fixture's id-tagged planting (the parquet mechanics are
+      // format-agnostic).
+      val baseA = nation.where(col("n_nationkey") < 13).select(
+        col("n_nationkey").cast("long").as("col-4b1"),
+        col("n_name").as("col-9f2"))
+      val baseB = nation.where(col("n_nationkey") >= 13).select(
+        col("n_nationkey").cast("long").as("x1"),
+        col("n_name").as("x2"))
+      val a = IFx.plantDataFile(s, baseA, t, "a.parquet", Seq(1, 2))
+      val b = IFx.plantDataFile(s, baseB, t, "b.parquet", Seq(1, 2))
+      val schema = StructType(Seq(
+        mf("k", LongType, "col-4b1", 1),
+        mf("name", StringType, "col-9f2", 2)))
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(minReader = 2, minWriter = 5),
+        DFx.metaDataLine("q264-fixture", schema,
+          configuration = Map(
+            "delta.columnMapping.mode" -> "id",
+            "delta.columnMapping.maxColumnId" -> "2")),
+        DFx.addLine("a.parquet", a),
+        DFx.addLine("b.parquet", b)))
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      ORDER BY k"""))
+
+  // ---- q265: Delta time travel by TIMESTAMP ----
+  // Humans time-travel by instant, not version number. Resolution:
+  // the latest commit whose commitInfo.timestamp (file mtime
+  // fallback, monotonicity-adjusted) is at or before the instant —
+  // fixture commits carry planted timestamps 1000/2000/3000, the
+  // gate reads the table as of 2500 (= version 1's state);
+  // boundary/refusal semantics require()-gated.
+
+  val q265 = Q(
+    "q265_delta_ts_travel",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q265_deltats")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      def ci(ts: Long) =
+        s"""{"commitInfo":{"timestamp":$ts,"operation":"fixture"}}"""
+      val a = DFx.plantDataFile(s, base.where(col("k") < 10),
+        t, "a.parquet")
+      val b = DFx.plantDataFile(s,
+        base.where(col("k") >= 10 && col("k") < 18), t, "b.parquet")
+      val c = DFx.plantDataFile(s, base.where(col("k") >= 18),
+        t, "c.parquet")
+      DFx.writeCommit(s, t, 0, Seq(ci(1000L),
+        DFx.protocolLine(), DFx.metaDataLine("q265-fixture", schema),
+        DFx.addLine("a.parquet", a)))
+      DFx.writeCommit(s, t, 1, Seq(ci(2000L),
+        DFx.addLine("b.parquet", b)))
+      DFx.writeCommit(s, t, 2, Seq(ci(3000L),
+        DFx.addLine("c.parquet", c)))
+      require(DeltaRead.versionAt(s, t, 1000L) == 0L &&
+        DeltaRead.versionAt(s, t, 2999L) == 1L &&
+        DeltaRead.versionAt(s, t, 99999L) == 2L,
+        "q265: boundary resolution")
+      require(
+        try { DeltaRead.versionAt(s, t, 999L); false }
+        catch { case _: IllegalArgumentException => true },
+        "q265: pre-table instants must refuse")
+      DeltaRead.readAsOfTimestamp(s, t, 2500L).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation WHERE n_nationkey < 18
+      ORDER BY k"""))
+
+  // ---- q266: Iceberg time travel by TIMESTAMP ----
+  // The Iceberg twin of q265: snapshots carry timestamp-ms; the gate
+  // reads the table as of an instant between the two snapshots.
+
+  val q266 = Q(
+    "q266_iceberg_ts_travel",
+    (s, dir) => {
+      import graft.sources.{IcebergFixture => IFx, IcebergRead}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q266_icets")
+      val schema = IFx.withFieldIds(StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType))), Seq(1, 2))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      IFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "data/a.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s, base.where(col("k") >= 13),
+        t, "data/b.parquet", Seq(1, 2)): Unit
+      val nAll = nation.count()
+      val nA = 13L
+      val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
+        IFx.Entry(1, "data/a.parquet", nA)))
+      IFx.writeManifestList(s, t, "ml1.avro",
+        Seq(("m1.avro", m1, 0, 1L)))
+      val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
+        IFx.Entry(0, "data/a.parquet", nA),
+        IFx.Entry(1, "data/b.parquet", nAll - nA)))
+      IFx.writeManifestList(s, t, "ml2.avro",
+        Seq(("m2.avro", m2, 0, 2L)))
+      // Snap default timestamp ladder: 1000, 2000
+      IFx.writeMetadata(s, t, 2, Map(0 -> schema), Seq(
+        IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+      require(IcebergRead.snapshotIdAt(s, t, 1999L) == 101L &&
+        IcebergRead.snapshotIdAt(s, t, 2000L) == 202L,
+        "q266: boundary resolution")
+      require(
+        try { IcebergRead.snapshotIdAt(s, t, 999L); false }
+        catch { case _: IllegalArgumentException => true },
+        "q266: pre-table instants must refuse")
+      IcebergRead.readAsOfTimestamp(s, t, 1500L).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation WHERE n_nationkey < 13
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
-    q259, q260, q261, q262)
+    q259, q260, q261, q262, q263, q264, q265, q266)
 }

@@ -126,6 +126,20 @@ object DeltaFixture {
     mapper.writeValueAsString(root)
   }
 
+  /** A `cdc` action (change-data-feed file reference, PROTOCOL.md
+    * "Add CDC File"): dataChange=false — cdc files are change
+    * metadata, never table data in replay.
+    */
+  def cdcLine(path: String, size: Long): String = {
+    val root = mapper.createObjectNode()
+    val c = root.putObject("cdc")
+    c.put("path", path)
+    c.putObject("partitionValues")
+    c.put("size", size)
+    c.put("dataChange", false)
+    mapper.writeValueAsString(root)
+  }
+
   def removeLine(path: String): String = {
     val root = mapper.createObjectNode()
     val r = root.putObject("remove")

@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, Metadata, MetadataBuilder, StringType, StructField, StructType, TimestampType}
 
 /** Read-only Delta Lake table scan — `_delta_log` JSON replay.
   *
@@ -27,10 +27,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   *    then commits checkpoint+1.. replay as JSON. V2 (sidecar /
   *    checkpointMetadata) checkpoints are refused loudly, as is a
   *    vacuumed-head log with no usable checkpoint;
-  *  - protocol minReaderVersion 1, 2 with `delta.columnMapping.mode =
-  *    name` (physical parquet names mapped back to logical schema
-  *    names from the schemaString field metadata; `id` mode refused),
-  *    and 3 when readerFeatures ⊆ {columnMapping, deletionVectors}.
+  *  - protocol minReaderVersion 1, 2 with `delta.columnMapping.mode`
+  *    `name` (physical parquet names mapped back to logical schema
+  *    names from the schemaString field metadata) or `id` (columns
+  *    resolved by parquet footer field id against the schemaString's
+  *    `delta.columnMapping.id`), and 3 when readerFeatures ⊆
+  *    {columnMapping, deletionVectors}. Nested-field mapping refuses.
   *    Deletion vectors (PROTOCOL.md z85/roaring format,
   *    [[DeletionVectors]]) fold into the scan as a distributed
   *    anti-join on `_metadata.row_index` — bitmap parsing happens on
@@ -75,7 +77,7 @@ object DeltaRead {
     * properties — a checkpoint writer must carry BOTH through (losing
     * `delta.appendOnly` in a checkpoint would erase the constraint
     * for every post-cleanup reader). `columnMappingMode` is the
-    * validated `delta.columnMapping.mode` ("none" or "name").
+    * validated `delta.columnMapping.mode` ("none", "name" or "id").
     */
   final case class DeltaSnapshot(
       version: Long,
@@ -89,12 +91,14 @@ object DeltaRead {
       configuration.getOrElse("delta.columnMapping.mode", "none")
 
     /** logical column name → PHYSICAL parquet name (identity map
-      * outside name mode).
+      * outside column mapping; under BOTH name and id mode the
+      * physicalName metadata names the on-disk column — id mode still
+      * assigns physical names, it just RESOLVES by field id).
       */
     def physicalNames: Map[String, String] =
       schema.map { f =>
         f.name -> (
-          if (columnMappingMode == "name" &&
+          if (columnMappingMode != "none" &&
             f.metadata.contains(PhysicalNameKey))
             f.metadata.getString(PhysicalNameKey)
           else f.name)
@@ -102,6 +106,7 @@ object DeltaRead {
   }
 
   private[sources] val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private[sources] val ColumnIdKey = "delta.columnMapping.id"
 
   private val MaxLogFiles = 100000
   private val MaxLogFileBytes = 64L << 20
@@ -173,10 +178,7 @@ object DeltaRead {
       reqs: ReaderReqs,
       config: Map[String, String]): Unit = {
     val mode = config.getOrElse("delta.columnMapping.mode", "none")
-    if (mode == "id")
-      fail(path, "delta.columnMapping.mode = id is unsupported " +
-        "(name mode only); read this table with a full engine")
-    if (mode != "none" && mode != "name")
+    if (mode != "none" && mode != "name" && mode != "id")
       fail(path, s"unknown delta.columnMapping.mode '$mode'")
     reqs.minReader match {
       case 1 | 2 => () // v2 = column mapping, validated via mode above
@@ -292,7 +294,13 @@ object DeltaRead {
     validateReaderReqs(path, reqs, config)
     val snap = DeltaSnapshot(upTo, sch, partCols, live.values.toSeq,
       metaId, config)
-    if (snap.columnMappingMode == "name") requireFlatMapping(path, sch)
+    if (snap.columnMappingMode != "none") requireFlatMapping(path, sch)
+    if (snap.columnMappingMode == "id")
+      sch.foreach { f =>
+        if (!f.metadata.contains(ColumnIdKey))
+          fail(path, s"column mapping mode=id but column '${f.name}' " +
+            "carries no delta.columnMapping.id — malformed schema")
+      }
     snap
   }
 
@@ -328,14 +336,16 @@ object DeltaRead {
     (1 to n).map(i => new Path(logDir, byPart(i)))
   }
 
-  /** Refuse (loudly) when a name-mode schema maps NESTED fields:
+  /** Refuse (loudly) when a column-mapped schema maps NESTED fields:
     * top-level mapping is the implemented scope; silently reading a
-    * nested physical name as its logical name would be wrong.
+    * nested physical name (or field id) as its logical name would be
+    * wrong.
     */
   private def requireFlatMapping(path: String, schema: StructType): Unit = {
     def hasNestedMapping(dt: DataType): Boolean = dt match {
       case st: StructType =>
         st.exists(f => f.metadata.contains(PhysicalNameKey) ||
+          f.metadata.contains(ColumnIdKey) ||
           hasNestedMapping(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType =>
         hasNestedMapping(a.elementType)
@@ -545,36 +555,10 @@ object DeltaRead {
     val add = node.get("add")
     if (add != null) {
       val dv = Option(add.get("deletionVector")).filter(!_.isNull)
-        .map { d =>
-          DeletionVectors.DvDescriptor(
-            Option(d.get("storageType")).map(_.asText()).getOrElse(
-              fail(path, s"commit $v: deletionVector without storageType")),
-            Option(d.get("pathOrInlineDv")).map(_.asText()).getOrElse(
-              fail(path, s"commit $v: deletionVector without " +
-                "pathOrInlineDv")),
-            Option(d.get("offset")).filter(_.isNumber).map(_.asInt()),
-            Option(d.get("sizeInBytes")).filter(_.isNumber).map(_.asInt())
-              .getOrElse(fail(path,
-                s"commit $v: deletionVector without sizeInBytes")),
-            Option(d.get("cardinality")).filter(_.isNumber).map(_.asLong())
-              .getOrElse(fail(path,
-                s"commit $v: deletionVector without cardinality")))
-        }
+        .map(dvDescriptorOf(path, v, _))
       val raw = Option(add.get("path")).map(_.asText())
         .getOrElse(fail(path, s"commit $v: add without path"))
-      val pvNode = add.get("partitionValues")
-      val pvs: Map[String, Option[String]] =
-        if (pvNode == null || pvNode.isNull) Map.empty
-        else {
-          val it = pvNode.properties().iterator()
-          val b = Map.newBuilder[String, Option[String]]
-          while (it.hasNext) {
-            val e = it.next()
-            b += e.getKey ->
-              (if (e.getValue.isNull) None else Some(e.getValue.asText()))
-          }
-          b.result()
-        }
+      val pvs = partitionValuesOf(add)
       val stats = Option(add.get("stats")).filter(!_.isNull)
         .map(_.asText()).filter(_.nonEmpty)
       val size = Option(add.get("size")).filter(_.isNumber)
@@ -587,6 +571,41 @@ object DeltaRead {
     }
     // commitInfo / txn / cdc / domainMetadata: ignored by design
   }
+
+  /** An action's `partitionValues` object as (name → Option(value)). */
+  private def partitionValuesOf(
+      node: JsonNode): Map[String, Option[String]] = {
+    val pvNode = node.get("partitionValues")
+    if (pvNode == null || pvNode.isNull) Map.empty
+    else {
+      val it = pvNode.properties().iterator()
+      val b = Map.newBuilder[String, Option[String]]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey ->
+          (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+      }
+      b.result()
+    }
+  }
+
+  /** An add action's `deletionVector` node as a descriptor. */
+  private def dvDescriptorOf(
+      path: String,
+      v: Long,
+      d: JsonNode): DeletionVectors.DvDescriptor =
+    DeletionVectors.DvDescriptor(
+      Option(d.get("storageType")).map(_.asText()).getOrElse(
+        fail(path, s"commit $v: deletionVector without storageType")),
+      Option(d.get("pathOrInlineDv")).map(_.asText()).getOrElse(
+        fail(path, s"commit $v: deletionVector without pathOrInlineDv")),
+      Option(d.get("offset")).filter(_.isNumber).map(_.asInt()),
+      Option(d.get("sizeInBytes")).filter(_.isNumber).map(_.asInt())
+        .getOrElse(fail(path,
+          s"commit $v: deletionVector without sizeInBytes")),
+      Option(d.get("cardinality")).filter(_.isNumber).map(_.asLong())
+        .getOrElse(fail(path,
+          s"commit $v: deletionVector without cardinality")))
 
   /** Delta RELATIVE paths are RFC 2396 URI-encoded (spaces as %20
     * etc.); decode percent escapes, keep raw on malformed input.
@@ -816,20 +835,7 @@ object DeltaRead {
                   "update, not an append; incremental read refused")
               val raw = Option(add.get("path")).map(_.asText())
                 .getOrElse(fail(path, s"commit $v: add without path"))
-              val pvNode = add.get("partitionValues")
-              val pvs: Map[String, Option[String]] =
-                if (pvNode == null || pvNode.isNull) Map.empty
-                else {
-                  val it = pvNode.properties().iterator()
-                  val b = Map.newBuilder[String, Option[String]]
-                  while (it.hasNext) {
-                    val e = it.next()
-                    b += e.getKey -> (if (e.getValue.isNull) None
-                    else Some(e.getValue.asText()))
-                  }
-                  b.result()
-                }
-              adds += ((v, DeltaFile(raw, pvs)))
+              adds += ((v, DeltaFile(raw, partitionValuesOf(add))))
             }
           }
         }
@@ -859,6 +865,214 @@ object DeltaRead {
     scan.join(broadcast(verDf), "__delta_file")
       .select(outSchema.map(f => col(f.name)): _*)
   }
+
+  /** Change-data-feed read — row-level changes for commits
+    * `fromVersion..toVersion`, each row tagged `_change_type`
+    * (insert / update_preimage / update_postimage / delete) and
+    * `_commit_version`. The consumable form of MERGE/UPDATE history:
+    * [[readChanges]] refuses any in-range remove, this replays them.
+    *
+    * Per the public CDF semantics: a commit WITH `cdc` actions is
+    * described COMPLETELY by its cdc files (read as-is); a commit
+    * without them derives — add-only commits are inserts, remove-only
+    * commits are deletes (the removed files' content, which must
+    * still exist: vacuumed change history is gone, exactly like the
+    * real feed past its retention). A commit that BOTH adds and
+    * removes data without cdc files refuses loudly: change data was
+    * never recorded (the table lacked
+    * `delta.enableChangeDataFeed=true`), and per-row attribution is
+    * unrecoverable. Column-mapped tables and cdc files on partitioned
+    * tables refuse (documented bound).
+    */
+  def readCdf(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
+    val jsons = listJsonVersions(fs, logDir, path).toSet
+    val known = versions(spark, path)
+    val upTo = toVersion.getOrElse(known.max)
+    if (fromVersion < 0 || fromVersion > upTo)
+      fail(path, s"version range $fromVersion..$upTo is empty/invalid")
+    (fromVersion to upTo).foreach { v =>
+      if (!jsons.contains(v))
+        fail(path, s"version $v has no JSON commit (checkpoint-" +
+          "compacted history) — per-version change attribution is " +
+          "gone; re-read the full table instead")
+    }
+    val snap = snapshot(spark, path, asOf = Some(upTo))
+    if (snap.columnMappingMode != "none")
+      fail(path, "CDF read on a column-mapped table is unsupported; " +
+        "read with a full engine")
+    val outSchema = snap.schema
+      .add("_change_type", StringType)
+      .add("_commit_version", LongType)
+    val parts = Seq.newBuilder[DataFrame]
+    (fromVersion to upTo).foreach { v =>
+      val mp = new Path(logDir, f"$v%020d.json")
+      val st = fs.getFileStatus(mp)
+      if (st.getLen > MaxLogFileBytes)
+        fail(path, s"commit $v is ${st.getLen} bytes — hostile size")
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(mp)
+      try in.readFully(0, bytes) finally in.close()
+      val cdcPaths = Seq.newBuilder[String]
+      val adds = Seq.newBuilder[DeltaFile]
+      val removes = Seq.newBuilder[String]
+      new String(bytes, "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node =
+            try mapper.readTree(line)
+            catch { case e: Exception =>
+              fail(path, s"commit $v: unparseable action line " +
+                s"(${e.getMessage})")
+            }
+          Option(node.get("cdc")).filter(!_.isNull).foreach { c =>
+            cdcPaths += Option(c.get("path")).map(_.asText())
+              .getOrElse(fail(path, s"commit $v: cdc without path"))
+          }
+          Option(node.get("add")).filter(!_.isNull).foreach { add =>
+            if (Option(add.get("dataChange")).forall(_.asBoolean(true)))
+              adds += DeltaFile(
+                Option(add.get("path")).map(_.asText()).getOrElse(
+                  fail(path, s"commit $v: add without path")),
+                partitionValuesOf(add),
+                dv = Option(add.get("deletionVector"))
+                  .filter(!_.isNull).map(dvDescriptorOf(path, v, _)))
+          }
+          Option(node.get("remove")).filter(!_.isNull).foreach { rm =>
+            if (Option(rm.get("dataChange")).forall(_.asBoolean(true)))
+              removes += Option(rm.get("path")).map(_.asText())
+                .getOrElse(fail(path, s"commit $v: remove without path"))
+          }
+        }
+      val cdcs = cdcPaths.result()
+      val a = adds.result()
+      val r = removes.result()
+      if (cdcs.nonEmpty) {
+        // cdc files are the commit's COMPLETE change description
+        if (snap.partitionColumns.nonEmpty)
+          fail(path, s"commit $v carries cdc files on a PARTITIONED " +
+            "table — partition-valued cdc reads are unsupported")
+        val files = cdcs.map { raw =>
+          val fp =
+            if (raw.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+              new Path(new java.net.URI(raw))
+            else new Path(root, decodePath(raw))
+          fs.makeQualified(fp).toString
+        }
+        val cdcSchema = snap.schema.add("_change_type", StringType)
+        parts += spark.read.schema(cdcSchema).parquet(files: _*)
+          .withColumn("_commit_version", lit(v))
+      } else if (a.nonEmpty && r.nonEmpty) {
+        fail(path, s"commit $v rewrites data (adds AND removes) " +
+          "without cdc files — change data was never recorded " +
+          "(enable delta.enableChangeDataFeed); per-row changes are " +
+          "unrecoverable")
+      } else if (a.nonEmpty) {
+        if (a.exists(_.dv.nonEmpty))
+          fail(path, s"commit $v adds a DV-carrying file without cdc " +
+            "files — an update whose change data was never recorded")
+        parts += scanFiles(spark, path, snap, a)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+      } else if (r.nonEmpty) {
+        // delete rows = the removed files' content at v-1
+        val prev = snapshot(spark, path, asOf = Some(v - 1))
+        val prevByPath = prev.liveFiles.map(f => f.path -> f).toMap
+        val files = r.map(rp => prevByPath.getOrElse(rp,
+          fail(path, s"commit $v removes '$rp' which is not live at " +
+            s"version ${v - 1} — malformed log")))
+        parts += scanFiles(spark, path, snap, files)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v))
+      }
+    }
+    val ps = parts.result()
+    if (ps.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    else ps.reduce(_ unionByName _)
+      .select(outSchema.map(f => col(f.name)): _*)
+  }
+
+  /** (version, timestampMs) per log version, ascending, with the
+    * engines' monotonicity adjustment (a commit never reads as older
+    * than its predecessor). The timestamp is the commit's
+    * `commitInfo.timestamp` when present, else the commit (or
+    * checkpoint) file's modification time.
+    */
+  def versionTimestamps(
+      spark: SparkSession,
+      path: String): Seq[(Long, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(fs.makeQualified(p), "_delta_log")
+    if (!fs.exists(logDir)) fail(path, "no _delta_log — not a Delta table")
+    val jsons = listJsonVersions(fs, logDir, path).toSet
+    var prev = Long.MinValue
+    versions(spark, path).map { v =>
+      val f =
+        if (jsons.contains(v)) new Path(logDir, f"$v%020d.json")
+        else {
+          val single = new Path(logDir, f"$v%020d.checkpoint.parquet")
+          if (fs.exists(single)) single
+          else new Path(logDir,
+            multiPartFiles(fs, logDir, path, v).head.getName)
+        }
+      val fromCommitInfo: Option[Long] =
+        if (!jsons.contains(v)) None
+        else {
+          val st = fs.getFileStatus(f)
+          if (st.getLen > MaxLogFileBytes)
+            fail(path, s"commit $v is ${st.getLen} bytes — hostile size")
+          val bytes = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(f)
+          try in.readFully(0, bytes) finally in.close()
+          new String(bytes, "UTF-8").linesIterator
+            .map(_.trim).filter(_.nonEmpty)
+            .flatMap { line =>
+              try Option(mapper.readTree(line).get("commitInfo"))
+                .filter(!_.isNull)
+                .flatMap(ci => Option(ci.get("timestamp"))
+                  .filter(_.isNumber).map(_.asLong()))
+              catch { case _: Exception => None }
+            }.nextOption()
+        }
+      val ts = fromCommitInfo.getOrElse(
+        fs.getFileStatus(f).getModificationTime)
+      val mono = math.max(ts, prev)
+      prev = mono
+      (v, mono)
+    }
+  }
+
+  /** Resolve an instant (epoch millis) to the version the table was
+    * at — the LATEST version whose commit timestamp <= the instant.
+    * Refuses before the first commit (the table did not exist yet).
+    */
+  def versionAt(
+      spark: SparkSession,
+      path: String,
+      timestampMs: Long): Long = {
+    val stamped = versionTimestamps(spark, path)
+    val atOrBefore = stamped.takeWhile(_._2 <= timestampMs)
+    if (atOrBefore.isEmpty)
+      fail(path, s"timestamp $timestampMs precedes the first commit " +
+        s"(${stamped.head._2}) — the table did not exist yet")
+    atOrBefore.last._1
+  }
+
+  /** [[read]] at the version the table was at a given instant. */
+  def readAsOfTimestamp(
+      spark: SparkSession,
+      path: String,
+      timestampMs: Long): DataFrame =
+    read(spark, path, asOf = Some(versionAt(spark, path, timestampMs)))
 
   /** True unless the file's stats JSON PROVES [lo, hi] cannot match:
     * min > hi or max < lo on the column's long-valued min/max. Any
@@ -901,12 +1115,29 @@ object DeltaRead {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
     val partCols = snap.partitionColumns
+    val mode = snap.columnMappingMode
     val phys = snap.physicalNames
     if (phys.values.toSeq.distinct.size != phys.size)
       fail(path, "column mapping assigns duplicate physical names")
+    // the name the data scan exposes per logical column: the PHYSICAL
+    // name under name mode; the LOGICAL name under id mode, where the
+    // parquet reader matches footer field ids instead of names (the
+    // requested schema carries parquet.field.id from the log's
+    // delta.columnMapping.id)
+    val readName: String => String =
+      if (mode == "name") phys else identity[String]
     val dataSchema = StructType(
       snap.schema.filterNot(f => partCols.contains(f.name))
-        .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
+        .map { f =>
+          val md =
+            if (mode == "id")
+              new MetadataBuilder().putLong("parquet.field.id",
+                f.metadata.getLong(ColumnIdKey)).build()
+            else Metadata.empty
+          StructField(readName(f.name), f.dataType, f.nullable, md)
+        })
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val outSchema =
       if (!keepFile) snap.schema
       else snap.schema.add("__delta_file", StringType)
@@ -969,7 +1200,7 @@ object DeltaRead {
     val byName = snap.schema.map(f => f.name -> f).toMap
     if (partCols.isEmpty)
       return scan.select(
-        (snap.schema.map(f => col(phys(f.name)).as(f.name)) ++
+        (snap.schema.map(f => col(readName(f.name)).as(f.name)) ++
           (if (keepFile) Seq(col("__file").as("__delta_file"))
           else Seq.empty)): _*)
     // partition attach: (normalized file path -> partition values)
@@ -994,7 +1225,7 @@ object DeltaRead {
       .select((snap.schema.map { f =>
         if (partCols.contains(f.name))
           col(s"__pv_${f.name}").cast(byName(f.name).dataType).as(f.name)
-        else col(phys(f.name)).as(f.name)
+        else col(readName(f.name)).as(f.name)
       } ++ (if (keepFile) Seq(col("__file").as("__delta_file"))
       else Seq.empty)): _*)
   }

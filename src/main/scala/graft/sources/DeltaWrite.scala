@@ -219,9 +219,52 @@ object DeltaWrite {
       inserts.select(snap.schema.map(f => col(f.name)): _*))
     val newFiles = writeData(spark, fs, root, newData,
       snap.partitionColumns, collectStats)
+    // change-data-feed obligation: when the table enables CDF, a
+    // merge commit must carry cdc actions describing every row-level
+    // change — downstream [[DeltaRead.readCdf]] consumers replay them
+    // instead of refusing on the update-shape (remove+add) commit
+    val cdfEnabled = snap.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcActions: Seq[String] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        if (snap.partitionColumns.nonEmpty)
+          fail(tablePath, "CDF merge on a PARTITIONED table is " +
+            "unsupported (cdc files would need per-partition layout); " +
+            "merge refused rather than dropping change data")
+        val isDel = deleteCol
+          .map(d => coalesce(col(d).cast("boolean"), lit(false)))
+          .getOrElse(lit(false))
+        val updKeyFlag = upd
+          .withColumn("__is_del", isDel)
+          .select((keyExprs :+ col("__is_del")): _*)
+        // matched pre-rows: delete rows emit 'delete', updated rows
+        // emit 'update_preimage'; the post-rows split by whether the
+        // key existed (postimage) or is new (insert)
+        val pre = tbl.drop("__delta_file")
+          .join(updKeyFlag, keyCols, "inner")
+          .withColumn("_change_type",
+            when(col("__is_del"), lit("delete"))
+              .otherwise(lit("update_preimage")))
+          .drop("__is_del")
+        val tblKeys = tbl.select(keyExprs: _*).distinct()
+        val postExisting = inserts
+          .join(tblKeys, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val postNew = inserts
+          .join(tblKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        val changes = pre.unionByName(postExisting).unionByName(postNew)
+          .select(snap.schema.map(f => col(f.name)) :+
+            col("_change_type"): _*)
+        writeChangeData(spark, fs, root, changes).map {
+          case (rel, size) => DeltaFixture.cdcLine(rel, size)
+        }
+      }
     beforeCommit()
     val lines = Seq.newBuilder[String]
     lines += commitInfoLine("Merge")
+    cdcActions.foreach(lines += _)
     affectedFiles.foreach(f => lines += DeltaFixture.removeLine(f.path))
     newFiles.foreach { f =>
       lines += DeltaFixture.addLine(
@@ -697,6 +740,14 @@ object DeltaWrite {
   /** Writer-side protocol gate over everything the log chain declares:
     * JSON commits' protocol/metaData actions plus (when the readable
     * head is a checkpoint) the checkpoint's protocol/metaData rows.
+    * Writer versions 1-2 pass unconditionally (append/overwrite
+    * honors appendOnly); versions 3-4 pass ONLY when none of their
+    * obligations are actually declared — no `delta.constraints.*`
+    * CHECK constraints (v3) and no generated columns (v4,
+    * `delta.generationExpression` field metadata) — because this
+    * writer cannot enforce them; v4's change-data-feed obligation IS
+    * honored ([[merge]] writes cdc actions when
+    * `delta.enableChangeDataFeed=true`). Writer features (v7) refuse.
     */
   private def writerGate(
       spark: SparkSession,
@@ -705,12 +756,14 @@ object DeltaWrite {
       root: Path,
       overwrite: Boolean): Unit = {
     val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    var needsV34 = false
     def gateProtocol(minWriter: Int, feats: String): Unit =
-      if (minWriter > 2 || feats.nonEmpty)
+      if (minWriter > 4 || feats.nonEmpty)
         fail(root.toString, s"table requires writer version $minWriter" +
           (if (feats.nonEmpty) s" with features $feats" else "") +
-          " — only writer version <= 2 (no invariants beyond " +
-          "append/overwrite, no writer features) is supported")
+          " — only writer versions <= 4 (no writer features) are " +
+          "supported")
+      else if (minWriter > 2) needsV34 = true
     def gateConfig(cfg: Map[String, String]): Unit =
       if (overwrite && cfg.get("delta.appendOnly").contains("true"))
         fail(root.toString,
@@ -784,12 +837,64 @@ object DeltaWrite {
             }
       }
     }
+    if (needsV34) {
+      // v3/v4 pass only when their enforcement obligations are absent
+      // from the CURRENT table state
+      val snap = DeltaRead.snapshot(spark, root.toString)
+      val constraints = snap.configuration.keys
+        .filter(_.startsWith("delta.constraints.")).toSeq.sorted
+      if (constraints.nonEmpty)
+        fail(root.toString, "table declares CHECK constraints " +
+          s"(${constraints.mkString(",")}) — this writer cannot " +
+          "enforce them; write refused")
+      snap.schema.foreach { f =>
+        if (f.metadata.contains("delta.generationExpression"))
+          fail(root.toString, s"column '${f.name}' is a GENERATED " +
+            "column — this writer cannot compute it; write refused")
+      }
+    }
   }
 
   /** Stage-write the DataFrame inside the table, rename part files to
     * their final partition locations, and (optionally) collect
     * per-file stats with one aggregate over the fresh files.
     */
+  /** Stage-write change rows into `_change_data/` (unpartitioned cdc
+    * files for [[DeltaRead.readCdf]]); returns (relPath, size) per
+    * file for the commit's cdc actions. Distributed write — no
+    * single-file coalesce; empty change sets produce no files.
+    */
+  private def writeChangeData(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      df: DataFrame): Seq[(String, Long)] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"_staging-cdc-$nonce")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val out = Seq.newBuilder[(String, Long)]
+    var i = 0
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        // zero-row part files carry no change rows — drop them
+        if (st.getLen > 0 &&
+          spark.read.parquet(st.getPath.toString).limit(1).count() > 0) {
+          val rel = s"_change_data/cdc-$nonce-$i.parquet"
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            fail(root.toString, s"rename to $dest failed")
+          out += ((rel, fs.getFileStatus(dest).getLen))
+          i += 1
+        }
+      }
+    fs.delete(stage, true): Unit
+    out.result()
+  }
+
   private def writeData(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,

@@ -336,13 +336,13 @@ class DeltaReadSpec extends SparkTestBase {
       assert(e.getMessage.contains(needle), e.getMessage)
     }
     val meta = DeltaFixture.metaDataLine("spec", StructType(schema.dropRight(1)))
-    // column mapping ID mode (reader v2 era) — name mode is supported,
-    // id mode refuses
+    // column mapping ID mode whose schema lacks delta.columnMapping.id
+    // metadata — malformed; well-formed id mode reads (own test below)
     expectRefusal(Seq(0L -> Seq(
       DeltaFixture.protocolLine(minReader = 2),
       DeltaFixture.metaDataLine("spec", StructType(schema.dropRight(1)),
         configuration = Map("delta.columnMapping.mode" -> "id")),
-      DeltaFixture.addLine("a.parquet", 1))), "id")
+      DeltaFixture.addLine("a.parquet", 1))), "delta.columnMapping.id")
     // unsupported reader FEATURE (v2 checkpoints)
     expectRefusal(Seq(0L -> Seq(
       DeltaFixture.protocolFeaturesLine(3, 7, Seq("v2Checkpoint")), meta,
@@ -448,7 +448,7 @@ class DeltaReadSpec extends SparkTestBase {
       partitionEquals = Map("src" -> "beta")).count() == 0L)
   }
 
-  test("column mapping: id mode and nested mappings refuse loudly") {
+  test("column mapping: nested mappings refuse loudly") {
     val ss = spark
     import ss.implicits._
     val t = freshTable()
@@ -467,6 +467,130 @@ class DeltaReadSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("NESTED"), e.getMessage)
   }
+
+  test("column mapping (id mode): columns resolve by parquet footer " +
+    "FIELD ID — physical names free to differ per file; partitioned") {
+    val ss = spark
+    import ss.implicits._
+    val t = freshTable()
+    // two files, SAME field ids, DIFFERENT physical column names —
+    // only id resolution can read both
+    val sa = IcebergFixture.plantDataFile(spark,
+      Seq((1L, "one"), (2L, "two")).toDF("col-k9x", "col-n2y"),
+      t, "a.parquet", Seq(1, 2))
+    val sb = IcebergFixture.plantDataFile(spark,
+      Seq((10L, "ten")).toDF("x1", "x2"),
+      t, "b.parquet", Seq(1, 2))
+    val mapped = StructType(Seq(
+      mappedField("k", LongType, "col-k9x", 1),
+      mappedField("name", StringType, "col-n2y", 2),
+      mappedField("src", StringType, "col-s3z", 3)))
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataLine("cmid", mapped,
+        partitionColumns = Seq("src"),
+        configuration = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "3")),
+      // partitionValues keyed by the PHYSICAL partition column name
+      DeltaFixture.addLine("a.parquet", sa,
+        partitionValues = Map("col-s3z" -> Some("alpha"))),
+      DeltaFixture.addLine("b.parquet", sb,
+        partitionValues = Map("col-s3z" -> Some("beta")))))
+    val got = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "one", "alpha"), (2L, "two", "alpha"),
+      (10L, "ten", "beta")))
+    // logical names drive readPruned through the id mapping too
+    assert(DeltaRead.readPruned(spark, t,
+      partitionEquals = Map("src" -> "beta")).count() == 1L)
+  }
+
+  test("readCdf: cdc files replay verbatim, add-only derives " +
+    "inserts, remove-only derives deletes; update-shape without " +
+    "cdc refuses") {
+    val ss = spark
+    import ss.implicits._
+    val t = freshTable()
+    val meta2 = DeltaFixture.metaDataLine("cdf",
+      StructType(schema.dropRight(1)))
+    // v0: add-only -> derived inserts
+    val sa = plantKv(t, "a.parquet", 0, 3)
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(), meta2,
+      DeltaFixture.addLine("a.parquet", sa)))
+    // v1: an update commit WITH a cdc file (replayed verbatim)
+    val sb = plantKv(t, "b.parquet", 10, 12)
+    val cdcSize = DeltaFixture.plantDataFile(spark,
+      Seq((0L, "row0", "update_preimage"), (0L, "row0x", "update_postimage"))
+        .toDF("k", "name", "_change_type"),
+      t, "_change_data/cdc-spec.parquet")
+    DeltaFixture.writeCommit(spark, t, 1, Seq(
+      DeltaFixture.cdcLine("_change_data/cdc-spec.parquet", cdcSize),
+      DeltaFixture.removeLine("a.parquet"),
+      DeltaFixture.addLine("b.parquet", sb)))
+    // v2: remove-only -> derived deletes (b's content at v1)
+    DeltaFixture.writeCommit(spark, t, 2, Seq(
+      DeltaFixture.removeLine("b.parquet")))
+    val got = DeltaRead.readCdf(spark, t, 0)
+      .orderBy("_commit_version", "_change_type", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "row0", "insert", 0L), (1L, "row1", "insert", 0L),
+      (2L, "row2", "insert", 0L),
+      (0L, "row0x", "update_postimage", 1L),
+      (0L, "row0", "update_preimage", 1L),
+      (10L, "row10", "delete", 2L), (11L, "row11", "delete", 2L)))
+    // a bounded range reads only its commits
+    assert(DeltaRead.readCdf(spark, t, 2).count() == 2L)
+    // update-shape commit WITHOUT cdc refuses loudly
+    val t2 = freshTable()
+    val s2a = plantKv(t2, "a.parquet", 0, 2)
+    val s2b = plantKv(t2, "b.parquet", 5, 6)
+    DeltaFixture.writeCommit(spark, t2, 0, Seq(
+      DeltaFixture.protocolLine(), meta2,
+      DeltaFixture.addLine("a.parquet", s2a)))
+    DeltaFixture.writeCommit(spark, t2, 1, Seq(
+      DeltaFixture.removeLine("a.parquet"),
+      DeltaFixture.addLine("b.parquet", s2b)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readCdf(spark, t2, 0)
+    }
+    assert(e.getMessage.contains("never recorded"), e.getMessage)
+  }
+
+  test("versionTimestamps: monotonic; versionAt resolves instants " +
+    "and refuses pre-table ones") {
+    val t = freshTable()
+    val sa = plantKv(t, "a.parquet", 0, 2)
+    def ci(ts: Long) =
+      s"""{"commitInfo":{"timestamp":$ts,"operation":"spec"}}"""
+    DeltaFixture.writeCommit(spark, t, 0, Seq(ci(5000L),
+      DeltaFixture.protocolLine(),
+      DeltaFixture.metaDataLine("ts", StructType(schema.dropRight(1))),
+      DeltaFixture.addLine("a.parquet", sa)))
+    // v1's planted timestamp goes BACKWARD — monotonicity clamps it
+    val sb = plantKv(t, "b.parquet", 5, 7)
+    DeltaFixture.writeCommit(spark, t, 1, Seq(ci(3000L),
+      DeltaFixture.addLine("b.parquet", sb)))
+    val sc = plantKv(t, "c.parquet", 8, 9)
+    DeltaFixture.writeCommit(spark, t, 2, Seq(ci(7000L),
+      DeltaFixture.addLine("c.parquet", sc)))
+    val stamped = versionTs(t)
+    assert(stamped.map(_._1) == Seq(0L, 1L, 2L))
+    assert(stamped.map(_._2) == Seq(5000L, 5000L, 7000L))
+    assert(DeltaRead.versionAt(spark, t, 5000L) == 1L) // clamp ties
+    assert(DeltaRead.versionAt(spark, t, 6999L) == 1L)
+    assert(DeltaRead.versionAt(spark, t, 7000L) == 2L)
+    assert(DeltaRead.readAsOfTimestamp(spark, t, 5000L).count() == 4L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.versionAt(spark, t, 4999L)
+    }
+    assert(e.getMessage.contains("precedes"), e.getMessage)
+  }
+
+  private def versionTs(t: String): Seq[(Long, Long)] =
+    DeltaRead.versionTimestamps(spark, t)
 
   test("deletion vectors: inline and on-disk DVs drop exactly the " +
     "masked row indexes; countRows subtracts cardinality") {

@@ -143,6 +143,94 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(e.getMessage.contains("appendOnly"))
   }
 
+  test("CDF merge: cdc files + actions written; readCdf replays the " +
+    "per-row changes; overwrite-era gate unaffected") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    // CDF-enabled table: writer v4 + enableChangeDataFeed
+    val schema = kv(0, 1).schema
+    val size = DeltaFixture.plantDataFile(spark, kv(0, 5), t, "a.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 4),
+      DeltaFixture.metaDataLine("cdf", schema,
+        configuration = Map("delta.enableChangeDataFeed" -> "true")),
+      DeltaFixture.addLine("a.parquet", size)))
+    // merge: update k=1, delete k=3, insert k=50
+    val updates = Seq(
+      (1L, "row1-new", false), (3L, "x", true), (50L, "row50", false))
+      .toDF("k", "name", "__del")
+    assert(DeltaWrite.merge(updates, t, Seq("k"),
+      deleteCol = Some("__del")) == 1L)
+    // table state is the merge's result
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "row0"), (1L, "row1-new"), (2L, "row2"),
+        (4L, "row4"), (50L, "row50")))
+    // cdc sidecars exist under _change_data/
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(t, "_change_data")),
+      "merge must write cdc files when CDF is enabled")
+    // and the feed replays the changes
+    val feed = DeltaRead.readCdf(spark, t, 1)
+      .orderBy("_change_type", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(feed.toSeq == Seq(
+      (3L, "row3", "delete"),
+      (50L, "row50", "insert"),
+      (1L, "row1-new", "update_postimage"),
+      (1L, "row1", "update_preimage")))
+  }
+
+  test("writer gate: v3/v4 pass when their obligations are absent; " +
+    "CHECK constraints and generated columns refuse") {
+    val ss = spark
+    import ss.implicits._
+    // clean v4 table: append works
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val s0 = DeltaFixture.plantDataFile(spark, kv(0, 2), t, "a.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 4),
+      DeltaFixture.metaDataLine("v4", schema),
+      DeltaFixture.addLine("a.parquet", s0)))
+    assert(DeltaWrite.append(kv(5, 7), t) == 1L)
+    // v3 table WITH a declared constraint: refuse
+    val t2 = fresh()
+    val s2 = DeltaFixture.plantDataFile(spark, kv(0, 2), t2, "a.parquet")
+    val constrained = DeltaFixture.metaDataLine("v3", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.constraints.kpos\":\"k >= 0\"}")
+    DeltaFixture.writeCommit(spark, t2, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 3),
+      constrained,
+      DeltaFixture.addLine("a.parquet", s2)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(5, 7), t2)
+    }
+    assert(e2.getMessage.contains("CHECK constraints"), e2.getMessage)
+    // v4 table with a GENERATED column: refuse
+    val t3 = fresh()
+    val s3 = DeltaFixture.plantDataFile(spark, kv(0, 2), t3, "a.parquet")
+    val genSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+      if (f.name == "name")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "CAST(k AS STRING)")
+          .build())
+      else f
+    })
+    DeltaFixture.writeCommit(spark, t3, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 4),
+      DeltaFixture.metaDataLine("v4g", genSchema),
+      DeltaFixture.addLine("a.parquet", s3)))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(5, 7), t3)
+    }
+    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+  }
+
   test("writer version > 2 refuses") {
     val t = fresh()
     val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
