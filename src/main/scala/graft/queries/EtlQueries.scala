@@ -2053,8 +2053,40 @@ object EtlQueries {
       FROM nation WHERE n_nationkey < 13
       ORDER BY k"""))
 
+  // ---- q267: transactional Iceberg APPEND write ----
+  // The produce-side gap: the engine wrote Delta but was read-only on
+  // Iceberg. IcebergWrite.append creates the table (v2 metadata,
+  // footer field ids, real Avro manifests) and appends with the
+  // create-exclusive metadata-version commit; the gate round-trips
+  // two appends through the repo's own reader — content hash-gated,
+  // metadata-only count + snapshot time travel require()-gated.
+
+  val q267 = Q(
+    "q267_iceberg_write",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val t = scratch(s, "q267_icewrite")
+      require(IcebergWrite.append(base.where(col("k") < 13), t) == 1L,
+        "q267: create snapshot id")
+      require(IcebergWrite.append(base.where(col("k") >= 13), t) == 2L,
+        "q267: append snapshot id")
+      require(IcebergRead.countRows(s, t) == nation.count(),
+        "q267: metadata-only count over written record_count stats")
+      require(IcebergRead.read(s, t, Some(1L)).count() == 13L,
+        "q267: snapshot time travel over written history")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
-    q259, q260, q261, q262, q263, q264, q265, q266)
+    q259, q260, q261, q262, q263, q264, q265, q266, q267)
 }

@@ -141,9 +141,23 @@ object IcebergFixture {
   /** Write one Avro OCF manifest LIST naming `(manifestName, length,
     * content, sequenceNumber)` manifests — content 1 marks a delete
     * manifest; the sequence number is what ADDED entries without an
-    * explicit one inherit.
+    * explicit one inherit. Names resolve under `metadata/`.
     */
   def writeManifestList(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      manifests: Seq[(String, Long, Int, Long)]): Unit =
+    writeManifestListPaths(spark, tablePath, name,
+      manifests.map { case (mName, len, content, seq) =>
+        (s"metadata/$mName", len, content, seq)
+      })
+
+  /** [[writeManifestList]] with VERBATIM manifest paths — the form
+    * [[IcebergWrite]] needs to carry forward a previous snapshot's
+    * manifest entries whatever spelling they used.
+    */
+  def writeManifestListPaths(
       spark: SparkSession,
       tablePath: String,
       name: String,
@@ -154,9 +168,9 @@ object IcebergFixture {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestListSchema))
     w.create(manifestListSchema, out)
-    manifests.foreach { case (mName, len, content, seq) =>
+    manifests.foreach { case (mPath, len, content, seq) =>
       val rec = new GenericData.Record(manifestListSchema)
-      rec.put("manifest_path", s"metadata/$mName")
+      rec.put("manifest_path", mPath)
       rec.put("manifest_length", len)
       rec.put("partition_spec_id", 0)
       rec.put("content", content)

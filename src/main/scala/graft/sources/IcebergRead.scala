@@ -135,7 +135,7 @@ object IcebergRead {
       .map(a => (0 until a.size()).map(a.get(_)))
       .getOrElse(Seq.empty)
 
-  private def loadMetadata(
+  private[sources] def loadMetadata(
       spark: SparkSession,
       path: String): (JsonNode, Path, org.apache.hadoop.fs.FileSystem) = {
     val p = new Path(path)
@@ -144,29 +144,34 @@ object IcebergRead {
     val metaDir = new Path(root, "metadata")
     if (!fs.exists(metaDir))
       fail(path, "no metadata/ directory — not an Iceberg table")
+    // the hint is ADVISORY: commits are create-exclusive monotonic
+    // version files, so the true current version is the newer of the
+    // hint and the highest listed v<N> — a hint gone stale mid-commit
+    // (or planted) must never fork history for readers or appenders
     val hint = new Path(metaDir, "version-hint.text")
-    val metaFile =
-      if (fs.exists(hint)) {
+    val hinted: Option[Long] =
+      if (!fs.exists(hint)) None
+      else {
         val in = fs.open(hint)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        val v = txt.toLongOption.getOrElse(
-          fail(path, s"unparseable version-hint.text: '$txt'"))
-        new Path(metaDir, s"v$v.metadata.json")
-      } else {
-        val re = "v(\\d+)\\.metadata\\.json".r
-        val versions = fs.listStatus(metaDir).toSeq
-          .map(_.getPath.getName)
-          .flatMap {
-            case re(n) => Some(n.toLong)
-            case _ => None
-          }
-        if (versions.isEmpty)
-          fail(path, "no v<N>.metadata.json and no version-hint.text — " +
-            "unrecognized metadata layout")
-        new Path(metaDir, s"v${versions.max}.metadata.json")
+        Some(txt.toLongOption.getOrElse(
+          fail(path, s"unparseable version-hint.text: '$txt'")))
       }
+    val re = "v(\\d+)\\.metadata\\.json".r
+    val listed = fs.listStatus(metaDir).toSeq
+      .map(_.getPath.getName)
+      .flatMap {
+        case re(n) => Some(n.toLong)
+        case _ => None
+      }
+    val metaFile = (hinted ++ listed).maxOption match {
+      case None =>
+        fail(path, "no v<N>.metadata.json and no version-hint.text — " +
+          "unrecognized metadata layout")
+      case Some(v) => new Path(metaDir, s"v$v.metadata.json")
+    }
     if (!fs.exists(metaFile))
       fail(path, s"metadata file ${metaFile.getName} missing")
     val in = fs.open(metaFile)
@@ -477,7 +482,7 @@ object IcebergRead {
     }.filter(_.nonEmpty)
 
   /** All records of one Avro OCF file through the Hadoop FS API. */
-  private def readAvro(
+  private[sources] def readAvro(
       fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       p: Path,

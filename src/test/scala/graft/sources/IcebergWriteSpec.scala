@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.sources.{IcebergFixture => IFx}
+
+class IcebergWriteSpec extends SparkTestBase {
+
+  private def fresh(): String =
+    graft.ScratchSpace.dir(spark, "icewspec_")
+
+  private def kv(lo: Int, hi: Int) = {
+    val ss = spark
+    import ss.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i")).toDF("k", "name")
+  }
+
+  test("create + append roundtrip: the reader walks real manifests, " +
+    "counts from record_count, time-travels to the first snapshot") {
+    val t = fresh()
+    assert(IcebergWrite.append(kv(0, 5), t) == 1L)
+    assert(IcebergWrite.append(kv(10, 13), t) == 2L)
+    val got = IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq ==
+      ((0 until 5) ++ (10 until 13)).map(i => (i.toLong, s"row$i")))
+    // metadata-only count and snapshot time travel work on OUR output
+    assert(IcebergRead.countRows(spark, t) == 8L)
+    assert(IcebergRead.snapshots(spark, t) == Seq(1L, 2L))
+    assert(IcebergRead.read(spark, t, Some(1L)).count() == 5L)
+    assert(IcebergRead.countRows(spark, t, Some(1L)) == 5L)
+    // a third append keeps carrying manifests forward
+    assert(IcebergWrite.append(kv(20, 22), t) == 3L)
+    assert(IcebergRead.countRows(spark, t) == 10L)
+  }
+
+  test("written files carry footer field ids (renamed-read safe)") {
+    val t = fresh()
+    IcebergWrite.append(kv(0, 3), t): Unit
+    // simulate a rename by rewriting metadata with a renamed schema at
+    // the same field ids — the data must still resolve
+    val renamed = IFx.withFieldIds(StructType(Seq(
+      StructField("key_renamed", LongType),
+      StructField("name", StringType))), Seq(1, 2))
+    val (meta, root, fs) = IcebergRead.loadMetadata(spark, t)
+    val snap = meta.get("snapshots").get(0)
+    val ml = snap.get("manifest-list").asText()
+      .stripPrefix("metadata/")
+    IFx.writeMetadata(spark, t, 2, Map(0 -> renamed),
+      Seq(IFx.Snap(1L, ml)))
+    val got = IcebergRead.read(spark, t).orderBy("key_renamed")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 2L))
+    assert(root != null && fs != null)
+  }
+
+  test("schema mismatch, partitioned tables and v1 tables refuse") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    IcebergWrite.append(kv(0, 2), t): Unit
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergWrite.append(Seq((1L, "x", "y")).toDF("k", "name", "z"), t)
+    }
+    assert(e1.getMessage.contains("schema mismatch"), e1.getMessage)
+    // partitioned table (fixture-authored spec with fields)
+    val t2 = fresh()
+    val schema = IFx.withFieldIds(StructType(Seq(
+      StructField("k", LongType),
+      StructField("name", StringType))), Seq(1, 2))
+    IFx.plantDataFile(spark, kv(0, 2), t2, "data/a.parquet", Seq(1, 2))
+    val m = IFx.writeManifest(spark, t2, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    IFx.writeManifestList(spark, t2, "ml1.avro",
+      Seq(("m1.avro", m, 0, 1L)))
+    IFx.writeMetadata(spark, t2, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")),
+      partitionFieldNames = Seq("name"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWrite.append(kv(5, 6), t2)
+    }
+    assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    // v1 table
+    val t3 = fresh()
+    IFx.plantDataFile(spark, kv(0, 2), t3, "data/a.parquet", Seq(1, 2))
+    val m3 = IFx.writeManifest(spark, t3, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    IFx.writeManifestList(spark, t3, "ml1.avro",
+      Seq(("m1.avro", m3, 0, 1L)))
+    IFx.writeMetadata(spark, t3, 1, Map(0 -> schema),
+      Seq(IFx.Snap(1L, "ml1.avro")), formatVersion = 1)
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergWrite.append(kv(5, 6), t3)
+    }
+    assert(e3.getMessage.contains("format-version 1"), e3.getMessage)
+  }
+
+  test("commit is create-exclusive: a claimed version loses the race " +
+    "and retries onto the next one") {
+    val t = fresh()
+    IcebergWrite.append(kv(0, 2), t): Unit
+    // claim v2 out from under the next append (a racer's commit)
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val racer = IcebergRead.loadMetadata(spark, t)._1.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val out = fs.create(
+      new Path(t, "metadata/v2.metadata.json"), false)
+    try out.write(racer.toString.getBytes("UTF-8")) finally out.close()
+    // the append must land on v3, not clobber v2
+    assert(IcebergWrite.append(kv(10, 12), t) == 2L)
+    assert(fs.exists(new Path(t, "metadata/v3.metadata.json")))
+    assert(IcebergRead.read(spark, t).count() == 4L)
+  }
+
+  test("zero-row appends commit no data files but advance the " +
+    "snapshot; hint never rolls backward") {
+    val t = fresh()
+    IcebergWrite.append(kv(0, 3), t): Unit
+    assert(IcebergWrite.append(kv(0, 0), t) == 2L)
+    assert(IcebergRead.countRows(spark, t) == 3L)
+    assert(IcebergRead.snapshots(spark, t) == Seq(1L, 2L))
+    // hint forward-only: plant a stale hint, next append overwrites
+    graft.ScratchSpace.writeBytes(spark, t,
+      "metadata/version-hint.text", "1".getBytes("UTF-8"))
+    IcebergWrite.append(kv(5, 6), t): Unit
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(t, "metadata/version-hint.text"))
+    val hint = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    assert(hint == "3")
+  }
+}
