@@ -2085,8 +2085,153 @@ object EtlQueries {
       FROM nation
       ORDER BY k"""))
 
+  // ---- q268: Delta RESTORE ----
+  // The undo verb: revert the table to an earlier version as a NEW
+  // commit — history stays time-travelable, nothing is rewritten
+  // (removes for files the target lacks, verbatim re-adds for files
+  // it had). Fixture: append all nation, merge mutates (2 updates,
+  // 1 delete, 1 insert), restore to v0 — the read must be the
+  // ORIGINAL content; the merge state staying reachable at v1 is
+  // require()-gated, as is the vacuumed-target refusal elsewhere
+  // (spec).
+
+  val q268 = Q(
+    "q268_delta_restore",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q268_deltarestore")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DeltaWrite.append(base, t): Unit // v0
+      val updates = base.where(col("k").isin(2L, 4L))
+        .withColumn("name", concat(col("name"), lit("_v2")))
+        .withColumn("__del", lit(false))
+        .unionByName(s.range(1).select(
+          lit(300L).as("k"), lit("NEW").as("name"),
+          lit(false).as("__del")))
+        .unionByName(base.where(col("k") === 7L)
+          .withColumn("__del", lit(true)))
+      require(DeltaWrite.merge(updates, t, Seq("k"),
+        deleteCol = Some("__del")) == 1L, "q268: merge version")
+      require(DeltaWrite.restore(s, t, 0L) == 2L, "q268: restore version")
+      // the merge state is STILL time travel-reachable
+      require(DeltaRead.read(s, t, asOf = Some(1L)).count() ==
+        nation.count(), "q268: in-between state reachable")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      ORDER BY k"""))
+
+  // ---- q269: Delta OPTIMIZE (bin-packing compaction) ----
+  // The maintenance verb every 100 TB table needs daily: small live
+  // files rewrite into few, committed as dataChange=false remove/add
+  // pairs so incremental consumers (q260 readChanges, q263 readCdf)
+  // stay blind — bytes moved, data didn't. Stats re-collect so the
+  // metadata count and zone-map pruning survive; content equality is
+  // the hash gate.
+
+  val q269 = Q(
+    "q269_delta_optimize",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q269_deltaopt")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      DeltaWrite.append(base.repartition(8), t): Unit // 8 small files
+      val before = DeltaRead.snapshot(s, t).liveFiles.size
+      val rep = DeltaWrite.optimize(s, t)
+      require(rep.rewrittenFiles == before.toLong &&
+        DeltaRead.snapshot(s, t).liveFiles.size < before,
+        "q269: compaction must shrink the live file count")
+      // incremental consumers see NOTHING from the optimize commit
+      require(DeltaRead.readChanges(s, t, 1, Some(1L)).count() == 0L,
+        "q269: readChanges must be blind to compaction")
+      require(DeltaRead.readCdf(s, t, 1, Some(1L)).count() == 0L,
+        "q269: readCdf must be blind to compaction")
+      // stats survived the rewrite: metadata-only count still works
+      require(DeltaRead.countRows(s, t) == nation.count(),
+        "q269: stats re-collected")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      ORDER BY k"""))
+
+  // ---- q270: Iceberg snapshot expiration ----
+  // The Iceberg vacuum twin: expire old snapshots, commit the
+  // shrunken metadata (create-exclusive), THEN garbage-collect
+  // everything reachable only from expired snapshots — expired-only
+  // data files, unreferenced manifests, manifest lists. Kept
+  // snapshots stay whole (shared files survive); expired ids stop
+  // resolving, require()-gated; surviving content is the hash gate.
+
+  val q270 = Q(
+    "q270_iceberg_expire",
+    (s, dir) => {
+      import graft.sources.{IcebergFixture => IFx, IcebergRead,
+        IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q270_iceexpire")
+      val schema = IFx.withFieldIds(StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType))), Seq(1, 2))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      IFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "data/a.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s, base.where(col("k") >= 13),
+        t, "data/b.parquet", Seq(1, 2)): Unit
+      IFx.plantDataFile(s, base.withColumn("k", col("k") + 100),
+        t, "data/c.parquet", Seq(1, 2)): Unit
+      val nAll = nation.count()
+      val nA = 13L
+      // snap 1 = {a, b}; snap 2 = {a EXISTING, b DELETED, c ADDED}
+      val m1 = IFx.writeManifest(s, t, "m1.avro", Seq(
+        IFx.Entry(1, "data/a.parquet", nA),
+        IFx.Entry(1, "data/b.parquet", nAll - nA)))
+      IFx.writeManifestList(s, t, "ml1.avro",
+        Seq(("m1.avro", m1, 0, 1L)))
+      val m2 = IFx.writeManifest(s, t, "m2.avro", Seq(
+        IFx.Entry(0, "data/a.parquet", nA, seq = Some(1L)),
+        IFx.Entry(2, "data/b.parquet", nAll - nA)))
+      val m3 = IFx.writeManifest(s, t, "m3.avro", Seq(
+        IFx.Entry(1, "data/c.parquet", nAll)))
+      IFx.writeManifestList(s, t, "ml2.avro", Seq(
+        ("m2.avro", m2, 0, 1L), ("m3.avro", m3, 0, 2L)))
+      IFx.writeMetadata(s, t, 1, Map(0 -> schema), Seq(
+        IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+      val rep = IcebergWrite.expireSnapshots(s, t, keepLast = 1)
+      require(rep.expiredSnapshots == Seq(101L) &&
+        rep.deletedFiles == 3L, // b.parquet, ml1.avro, m1.avro
+        s"q270: expected exactly the expired-only files gone, got $rep")
+      require(IcebergRead.snapshots(s, t) == Seq(202L),
+        "q270: expired id must stop resolving")
+      require(
+        try { IcebergRead.read(s, t, Some(101L)); false }
+        catch { case _: IllegalArgumentException => true },
+        "q270: expired snapshot read must refuse")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name
+        FROM nation)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
-    q259, q260, q261, q262, q263, q264, q265, q266, q267)
+    q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
+    q270)
 }

@@ -68,7 +68,8 @@ object DeltaFixture {
       partitionValues: Map[String, Option[String]] = Map.empty,
       withDeletionVector: Boolean = false,
       stats: Option[String] = None,
-      dv: Option[DeletionVectors.DvDescriptor] = None): String = {
+      dv: Option[DeletionVectors.DvDescriptor] = None,
+      dataChange: Boolean = true): String = {
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
     a.put("path", path)
@@ -79,7 +80,7 @@ object DeltaFixture {
     }
     a.put("size", size)
     a.put("modificationTime", 0L)
-    a.put("dataChange", true)
+    a.put("dataChange", dataChange)
     stats.foreach(s => a.put("stats", s): Unit)
     val dvDesc = dv.orElse(
       if (withDeletionVector) // a descriptor whose payload is garbage
@@ -140,12 +141,12 @@ object DeltaFixture {
     mapper.writeValueAsString(root)
   }
 
-  def removeLine(path: String): String = {
+  def removeLine(path: String, dataChange: Boolean = true): String = {
     val root = mapper.createObjectNode()
     val r = root.putObject("remove")
     r.put("path", path)
     r.put("deletionTimestamp", 0L)
-    r.put("dataChange", true)
+    r.put("dataChange", dataChange)
     mapper.writeValueAsString(root)
   }
 

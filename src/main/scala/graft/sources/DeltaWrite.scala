@@ -449,6 +449,156 @@ object DeltaWrite {
     version
   }
 
+  /** RESTORE the table to the state it had at `toVersion` — as a NEW
+    * commit (history stays intact; time travel still reaches the
+    * states in between): removes for live files the target lacks,
+    * re-adds (verbatim partitionValues/stats/size/DV) for target
+    * files no longer live, and a metaData action restoring the target
+    * schema/partitioning/configuration when they differ (table id
+    * stays — protocol requires it stable). Every re-added file (and
+    * its DV sidecar) must still exist on disk: vacuum beyond the
+    * target version makes that state unrestorable, exactly like the
+    * real engines — refused loudly, never a silent partial restore.
+    */
+  def restore(
+      spark: SparkSession,
+      tablePath: String,
+      toVersion: Long,
+      maxRetries: Int = 10): Long = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      fail(tablePath, "restore of a non-existent table")
+    val target = DeltaRead.snapshot(spark, tablePath, Some(toVersion))
+    writerGate(spark, fs, logDir, root, overwrite = true)
+    var attempts = 0
+    while (true) {
+      val now = DeltaRead.snapshot(spark, tablePath)
+      if (now.configuration.get("delta.enableChangeDataFeed")
+        .contains("true"))
+        fail(tablePath, "restore of a change-data-feed-enabled table " +
+          "would need full cdc files — unsupported; disable CDF first")
+      val nowPaths = now.liveFiles.map(_.path).toSet
+      val targetPaths = target.liveFiles.map(_.path).toSet
+      val removes = now.liveFiles.filterNot(f => targetPaths(f.path))
+      val readds = target.liveFiles.filterNot(f => nowPaths(f.path))
+      // unrestorable once vacuumed: check data files AND DV sidecars
+      readds.foreach { f =>
+        val fp =
+          if (f.path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+            new Path(new java.net.URI(f.path))
+          else new Path(root, DeltaRead.decodePath(f.path))
+        if (!fs.exists(fp))
+          fail(tablePath, s"restore target file ${f.path} was " +
+            s"vacuumed — version $toVersion is unrestorable")
+        f.dv.flatMap(DeletionVectors.sidecarPath(root, _)).foreach { dvp =>
+          if (!fs.exists(dvp))
+            fail(tablePath, s"restore target DV sidecar $dvp was " +
+              s"vacuumed — version $toVersion is unrestorable")
+        }
+      }
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoLine("Restore")
+      if (now.schema != target.schema ||
+        now.partitionColumns != target.partitionColumns ||
+        now.configuration != target.configuration)
+        lines += DeltaFixture.metaDataLine(
+          now.metaId, target.schema, target.partitionColumns,
+          configuration = target.configuration)
+      removes.foreach(f => lines += DeltaFixture.removeLine(f.path))
+      readds.foreach { f =>
+        lines += DeltaFixture.addLine(
+          f.path, f.size, f.partitionValues, stats = f.stats, dv = f.dv)
+      }
+      val version = now.version + 1
+      if (tryCommit(fs, logDir, version, lines.result()))
+        return version
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"restore lost $maxRetries version races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** What [[optimize]] rewrote. */
+  final case class OptimizeReport(
+      rewrittenFiles: Long,
+      newFiles: Long,
+      version: Option[Long])
+
+  /** OPTIMIZE — bin-packing small-file compaction as a Delta commit:
+    * live files under `targetFileBytes` (skipping DV-carrying files —
+    * materializing deletes is a rewrite, not a compaction) group by
+    * partition; groups of ≥2 rewrite through ONE distributed scan
+    * into ~totalBytes/target files, committed as dataChange=false
+    * remove/add pairs — the shape [[DeltaRead.readChanges]] and
+    * [[DeltaRead.readCdf]] correctly treat as invisible (bytes move,
+    * data does not). Allowed on delta.appendOnly tables for the same
+    * reason. Stats re-collect so zone-map pruning survives
+    * compaction.
+    */
+  def optimize(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L << 20,
+      maxRetries: Int = 10): OptimizeReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      fail(tablePath, "optimize of a non-existent table")
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    writerGate(spark, fs, logDir, root, overwrite = false)
+    val groups = snap.liveFiles
+      .filter(f => f.size > 0 && f.size < targetFileBytes && f.dv.isEmpty)
+      .groupBy(_.partitionValues)
+      .filter(_._2.size >= 2)
+    val toRewrite = groups.values.flatten.toSeq
+    if (toRewrite.isEmpty) return OptimizeReport(0, 0, None)
+    val data = DeltaRead.scanFiles(spark, tablePath, snap, toRewrite)
+    val totalBytes = toRewrite.map(_.size).sum
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val packed =
+      if (snap.partitionColumns.nonEmpty)
+        data.repartition(math.max(n, groups.size),
+          snap.partitionColumns.map(col): _*)
+      else data.repartition(n)
+    val newFiles = writeData(spark, fs, root, packed,
+      snap.partitionColumns, collectStats = true)
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoLine("Optimize")
+    toRewrite.foreach(f =>
+      lines += DeltaFixture.removeLine(f.path, dataChange = false))
+    newFiles.foreach { f =>
+      lines += DeltaFixture.addLine(
+        f.relPath, f.size, f.partitionValues, stats = f.stats,
+        dataChange = false)
+    }
+    var version = snap.version + 1
+    var attempts = 0
+    while (!tryCommit(fs, logDir, version, lines.result())) {
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"optimize lost $maxRetries version races")
+      // safe to retry ONLY if every rewritten file is still live (a
+      // racing merge/overwrite may have removed one — its content
+      // would resurrect through the compacted files)
+      val now = DeltaRead.snapshot(spark, tablePath)
+      val nowLive = now.liveFiles.map(_.path).toSet
+      if (!toRewrite.forall(f => nowLive(f.path)))
+        fail(tablePath, "concurrent commit removed a file mid-" +
+          "optimize — rerun (staged files are inert orphans)")
+      version = DeltaRead.versions(spark, tablePath).max + 1
+    }
+    OptimizeReport(toRewrite.size.toLong, newFiles.size.toLong,
+      Some(version))
+  }
+
   private def write(
       df: DataFrame,
       tablePath: String,
@@ -481,6 +631,15 @@ object DeltaWrite {
         val snap = DeltaRead.snapshot(spark, tablePath)
         checkSchema(tablePath, df.schema, partitionBy, snap)
         writerGate(spark, fs, logDir, root, overwrite)
+        // an overwrite is an update-shape commit (removes + adds):
+        // under CDF the protocol requires cdc files for it, and this
+        // writer does not synthesize full-table change rows — refuse
+        // rather than silently breaking the feed (appends derive)
+        if (overwrite && snap.configuration
+          .get("delta.enableChangeDataFeed").contains("true"))
+          fail(tablePath, "overwrite of a change-data-feed-enabled " +
+            "table would need full-table cdc files — unsupported; " +
+            "merge writes the feed, or disable CDF first")
         Some(snap)
       } else None
 

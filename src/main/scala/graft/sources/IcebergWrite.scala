@@ -182,6 +182,126 @@ object IcebergWrite {
     sys.error("unreachable")
   }
 
+  /** What [[expireSnapshots]] removed. */
+  final case class ExpireReport(
+      expiredSnapshots: Seq[Long],
+      deletedFiles: Long,
+      version: Long)
+
+  /** EXPIRE old snapshots — the Iceberg maintenance verb (the vacuum
+    * twin): keep the newest `keepLast` snapshots (by timestamp, then
+    * id), commit a metadata version WITHOUT the expired ones
+    * (create-exclusive, same rule as [[append]]), then physically
+    * delete everything reachable ONLY from expired snapshots —
+    * their manifest lists, manifests no kept snapshot references,
+    * and data/delete files no kept snapshot's non-DELETED entries
+    * reference. Deletion happens strictly AFTER the commit point, so
+    * a crash leaves inert orphans, never a kept snapshot missing
+    * files. Time travel to expired snapshots stops working — exactly
+    * the engines' contract. The current snapshot must survive; v2
+    * manifest-list tables only.
+    */
+  def expireSnapshots(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      keepLast: Int,
+      maxRetries: Int = 10): ExpireReport = {
+    require(keepLast >= 1, s"keepLast $keepLast < 1")
+    val conf = spark.sessionState.newHadoopConf()
+    var attempts = 0
+    while (true) {
+      val (meta, root, fs) = IcebergRead.loadMetadata(spark, tablePath)
+      if (meta.get("format-version").asInt() != 2)
+        fail(tablePath, "expire on a format-version 1 table is " +
+          "unsupported")
+      val snaps = Option(meta.get("snapshots")).filter(_.isArray)
+        .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
+      val ordered = snaps.sortBy(s => (
+        Option(s.get("timestamp-ms")).filter(_.isNumber)
+          .map(_.asLong()).getOrElse(0L),
+        s.get("snapshot-id").asLong()))
+      val keep = ordered.takeRight(keepLast)
+      val expired = ordered.dropRight(keepLast)
+      if (expired.isEmpty)
+        return ExpireReport(Seq.empty, 0L,
+          currentVersion(fs, root))
+      val currentId = Option(meta.get("current-snapshot-id"))
+        .filter(_.isNumber).map(_.asLong()).getOrElse(-1L)
+      if (!keep.exists(_.get("snapshot-id").asLong() == currentId))
+        fail(tablePath, s"expire would drop the CURRENT snapshot " +
+          s"$currentId — keepLast $keepLast is too aggressive")
+      // reachability walks: qualified-path keyed
+      def qual(raw: String): String =
+        fs.makeQualified(resolve(root, raw)).toUri.toString
+      def walk(snapNodes: Seq[com.fasterxml.jackson.databind.JsonNode],
+          liveOnly: Boolean): Set[String] = {
+        val out = Set.newBuilder[String]
+        snapNodes.foreach { s =>
+          val ml = Option(s.get("manifest-list")).filter(!_.isNull)
+            .map(_.asText())
+            .getOrElse(fail(tablePath,
+              "snapshot without manifest-list (v1 inline shape) — " +
+                "expire unsupported"))
+          out += qual(ml)
+          IcebergRead.readAvro(fs, conf, resolve(root, ml), tablePath)
+            .foreach { mrec =>
+              val mp = mrec.get("manifest_path").toString
+              out += qual(mp)
+              IcebergRead.readAvro(fs, conf, resolve(root, mp),
+                tablePath).foreach { e =>
+                val status = Option(e.get("status"))
+                  .collect { case n: java.lang.Number => n.intValue() }
+                  .getOrElse(0)
+                if (!liveOnly || status != 2) {
+                  val df = e.get("data_file")
+                    .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                  out += qual(df.get("file_path").toString)
+                }
+              }
+            }
+        }
+        out.result()
+      }
+      val keepSet = walk(keep, liveOnly = true)
+      val expiredReachable = walk(expired, liveOnly = false)
+      val deleteSet = expiredReachable -- keepSet
+      // commit the shrunken snapshot list FIRST (deletes are then
+      // garbage collection of unreferenced objects)
+      val newRoot = meta.deepCopy[ObjectNode]()
+      val arr = newRoot.putArray("snapshots")
+      keep.foreach(s => arr.add(s.deepCopy
+        [com.fasterxml.jackson.databind.JsonNode]()): Unit)
+      newRoot.put("last-updated-ms", System.currentTimeMillis())
+      val version = currentVersion(fs, root) + 1
+      if (tryCommit(fs, root, version,
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(newRoot))) {
+        writeHint(spark, fs, root, version)
+        var deleted = 0L
+        deleteSet.foreach { uri =>
+          val fp = new Path(new java.net.URI(uri))
+          if (fs.exists(fp)) { fs.delete(fp, false); deleted += 1 }
+        }
+        return ExpireReport(
+          expired.map(_.get("snapshot-id").asLong()), deleted, version)
+      }
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"expire lost $maxRetries commit races")
+    }
+    sys.error("unreachable")
+  }
+
+  private def currentVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Long = {
+    val re = "v(\\d+)\\.metadata\\.json".r
+    fs.listStatus(new Path(root, "metadata")).toSeq
+      .map(_.getPath.getName)
+      .flatMap { case re(n) => Some(n.toLong); case _ => None }
+      .maxOption.getOrElse(fail(root.toString, "no metadata versions"))
+  }
+
   /** Stage-write `df` as parquet with the table's footer field ids,
     * rename parts to `data/<uuid>-<i>.parquet`, and return (relPath,
     * recordCount, size) per non-empty file — record counts from ONE

@@ -231,7 +231,82 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
   }
 
-  test("writer version > 2 refuses") {
+  test("restore: table state reverts as a NEW commit; history stays " +
+    "readable; schema/config revert too; vacuumed targets refuse") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 5), t): Unit // v0
+    // v1: merge rewrites (update k=1, delete k=3)
+    DeltaWrite.merge(
+      Seq((1L, "row1-new", false), (3L, "x", true)).toDF("k", "name", "__del"),
+      t, Seq("k"), deleteCol = Some("__del")): Unit
+    assert(DeltaRead.read(spark, t).count() == 4L)
+    // restore to v0
+    assert(DeltaWrite.restore(spark, t, 0L) == 2L)
+    val back = DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == (0 until 5).map(i => (i.toLong, s"row$i")))
+    // the in-between state is STILL time-travelable
+    assert(DeltaRead.read(spark, t, asOf = Some(1L)).count() == 4L)
+    // schema evolution reverts: evolve, restore, schema is narrow again
+    val t2 = fresh()
+    DeltaWrite.append(kv(0, 2), t2): Unit
+    DeltaWrite.appendEvolve(
+      Seq((10L, "row10", "en")).toDF("k", "name", "lang"), t2): Unit
+    assert(DeltaRead.snapshot(spark, t2).schema.size == 3)
+    DeltaWrite.restore(spark, t2, 0L): Unit
+    assert(DeltaRead.snapshot(spark, t2).schema.fieldNames.toSeq ==
+      Seq("k", "name"))
+    assert(DeltaRead.read(spark, t2).count() == 2L)
+    // vacuum makes old versions unrestorable — loudly
+    val t3 = fresh()
+    DeltaWrite.append(kv(0, 3), t3): Unit
+    DeltaWrite.overwrite(kv(10, 12), t3): Unit
+    DeltaWrite.vacuum(spark, t3, retainMs = 0L): Unit
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, t3, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("optimize: small files bin-pack as dataChange=false; content " +
+    "identical; incremental readers stay blind; partitioned layout " +
+    "and pruning survive") {
+    val t = fresh()
+    val ss = spark
+    import ss.implicits._
+    DeltaWrite.append(kv(0, 40).repartition(8), t): Unit
+    assert(DeltaRead.snapshot(spark, t).liveFiles.size == 8)
+    val rep = DeltaWrite.optimize(spark, t)
+    assert(rep.rewrittenFiles == 8L && rep.version.contains(1L))
+    val snap = DeltaRead.snapshot(spark, t)
+    assert(snap.liveFiles.size < 8,
+      s"compaction must shrink the file count, got ${snap.liveFiles.size}")
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == (0L until 40L))
+    // stats re-collected: metadata count still works
+    assert(DeltaRead.countRows(spark, t) == 40L)
+    // the incremental reader sees NO changes from the optimize commit
+    assert(DeltaRead.readChanges(spark, t, 1, Some(1L)).count() == 0L)
+    assert(DeltaRead.readCdf(spark, t, 1, Some(1L)).count() == 0L)
+    // idempotent-ish: nothing left to compact at the default target
+    assert(DeltaWrite.optimize(spark, t).rewrittenFiles <= 1L)
+    // partitioned: per-partition packing, pruning survives
+    val t2 = fresh()
+    val df = kv(0, 20).withColumn("src",
+      when(col("k") < 10, "a").otherwise("b")).repartition(6)
+    DeltaWrite.append(df, t2, partitionBy = Seq("src")): Unit
+    val before = DeltaRead.snapshot(spark, t2).liveFiles.size
+    val rep2 = DeltaWrite.optimize(spark, t2)
+    assert(rep2.rewrittenFiles >= 2L)
+    assert(DeltaRead.snapshot(spark, t2).liveFiles.size < before)
+    assert(DeltaRead.readPruned(spark, t2,
+      partitionEquals = Map("src" -> "a")).count() == 10L)
+    assert(DeltaRead.read(spark, t2).count() == 20L)
+  }
+
+  test("writer version > 4 refuses") {
     val t = fresh()
     val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
     DeltaFixture.writeCommit(spark, t, 0, Seq(

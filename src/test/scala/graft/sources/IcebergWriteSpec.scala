@@ -115,6 +115,83 @@ class IcebergWriteSpec extends SparkTestBase {
     assert(IcebergRead.read(spark, t).count() == 4L)
   }
 
+  test("expireSnapshots: expired-only files delete AFTER the commit, " +
+    "kept snapshots stay whole, expired ids stop resolving") {
+    val t = fresh()
+    // fixture shape: snap 1 = {a, b}; snap 2 = {a EXISTING, b DELETED,
+    // c ADDED} — expiring snap 1 must delete ONLY b and snap 1's
+    // manifest list (m1 and a are still referenced/live via snap 2)
+    val schema = IFx.withFieldIds(StructType(Seq(
+      StructField("k", LongType),
+      StructField("name", StringType))), Seq(1, 2))
+    IFx.plantDataFile(spark, kv(0, 4), t, "data/a.parquet", Seq(1, 2))
+    IFx.plantDataFile(spark, kv(10, 12), t, "data/b.parquet", Seq(1, 2))
+    IFx.plantDataFile(spark, kv(20, 22), t, "data/c.parquet", Seq(1, 2))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro", Seq(
+      IFx.Entry(1, "data/a.parquet", 4L),
+      IFx.Entry(1, "data/b.parquet", 2L)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    val m2 = IFx.writeManifest(spark, t, "m2.avro", Seq(
+      IFx.Entry(0, "data/a.parquet", 4L, seq = Some(1L)),
+      IFx.Entry(2, "data/b.parquet", 2L)))
+    val m3 = IFx.writeManifest(spark, t, "m3.avro", Seq(
+      IFx.Entry(1, "data/c.parquet", 2L)))
+    IFx.writeManifestList(spark, t, "ml2.avro", Seq(
+      ("m2.avro", m2, 0, 1L), ("m3.avro", m3, 0, 2L)))
+    IFx.writeMetadata(spark, t, 1, Map(0 -> schema), Seq(
+      IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")))
+    val rep = IcebergWrite.expireSnapshots(spark, t, keepLast = 1)
+    assert(rep.expiredSnapshots == Seq(101L))
+    // deleted: b.parquet, ml1.avro AND m1.avro (only ml1 referenced
+    // it); a survives — snap 2's own m2 lists it EXISTING
+    assert(rep.deletedFiles == 3L, rep.toString)
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(t, "data/b.parquet")))
+    assert(!fs.exists(new Path(t, "metadata/ml1.avro")))
+    assert(!fs.exists(new Path(t, "metadata/m1.avro")))
+    assert(fs.exists(new Path(t, "data/a.parquet")))
+    assert(fs.exists(new Path(t, "metadata/m2.avro")))
+    // the kept snapshot reads whole; the expired id stops resolving
+    assert(IcebergRead.snapshots(spark, t) == Seq(202L))
+    assert(IcebergRead.read(spark, t).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 20L, 21L))
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.read(spark, t, Some(101L))
+    }
+    assert(e.getMessage.contains("snapshot 101"), e.getMessage)
+    // nothing left to expire
+    assert(IcebergWrite.expireSnapshots(spark, t, 1)
+      .expiredSnapshots.isEmpty)
+  }
+
+  test("expireSnapshots refuses to drop the CURRENT snapshot") {
+    val t = fresh()
+    val schema = IFx.withFieldIds(StructType(Seq(
+      StructField("k", LongType),
+      StructField("name", StringType))), Seq(1, 2))
+    IFx.plantDataFile(spark, kv(0, 2), t, "data/a.parquet", Seq(1, 2))
+    IFx.plantDataFile(spark, kv(5, 6), t, "data/b.parquet", Seq(1, 2))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    val m2 = IFx.writeManifest(spark, t, "m2.avro",
+      Seq(IFx.Entry(1, "data/b.parquet", 1L)))
+    IFx.writeManifestList(spark, t, "ml2.avro",
+      Seq(("m2.avro", m2, 0, 2L)))
+    // CURRENT pinned to the OLDER snapshot
+    IFx.writeMetadata(spark, t, 1, Map(0 -> schema), Seq(
+      IFx.Snap(101L, "ml1.avro"), IFx.Snap(202L, "ml2.avro")),
+      currentSnapshot = Some(101L))
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.expireSnapshots(spark, t, 1)
+    }
+    assert(e.getMessage.contains("CURRENT"), e.getMessage)
+  }
+
   test("zero-row appends commit no data files but advance the " +
     "snapshot; hint never rolls backward") {
     val t = fresh()
