@@ -2229,9 +2229,102 @@ object EtlQueries {
         FROM nation)
       ORDER BY k"""))
 
+  // ---- q271: Delta DELETE via deletion vectors ----
+  // The DML write side of q252's DV read: a DELETE attaches per-file
+  // roaring bitmaps instead of rewriting files. DV authoring is
+  // DISTRIBUTED (matched rows group by file, each task serializes +
+  // writes its file's sidecar; only log-grain descriptors reach the
+  // driver); a second delete MERGES with the first file's existing
+  // DV; survivors are the hash gate, the metadata count and
+  // no-rewrite property require()-gated.
+
+  val q271 = Q(
+    "q271_delta_dv_delete",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q271_dvdelete")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val nAll = nation.count()
+      val nA = 13L
+      val a = DFx.plantDataFile(s, base.where(col("k") < 13),
+        t, "a.parquet")
+      val b = DFx.plantDataFile(s, base.where(col("k") >= 13),
+        t, "b.parquet")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolFeaturesLine(3, 7,
+          Seq("deletionVectors"), Seq("deletionVectors")),
+        DFx.metaDataLine("q271-fixture", schema),
+        DFx.addLine("a.parquet", a,
+          stats = Some(DFx.statsJson(nA, Map("k" -> ((0L, 12L)))))),
+        DFx.addLine("b.parquet", b,
+          stats = Some(DFx.statsJson(nAll - nA,
+            Map("k" -> ((13L, nAll - 1))))))))
+      val r1 = DeltaWrite.deleteWhere(s, t, col("k").isin(1L, 3L, 20L))
+      require(r1.deletedRows == 3L && r1.filesTouched == 2L &&
+        r1.filesFullyRemoved == 0L, s"q271: first delete $r1")
+      // second delete MERGES with file a's existing DV
+      val r2 = DeltaWrite.deleteWhere(s, t, col("k") === 5L)
+      require(r2.deletedRows == 1L, s"q271: merge delete $r2")
+      // nothing was rewritten: the ORIGINAL two data files are still
+      // the live set
+      require(DeltaRead.snapshot(s, t).liveFiles.map(_.path).sorted ==
+        Seq("a.parquet", "b.parquet"), "q271: no rewrite")
+      require(DeltaRead.countRows(s, t) == nAll - 4,
+        "q271: metadata count subtracts DV cardinality")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey NOT IN (1, 3, 5, 20)
+      ORDER BY k"""))
+
+  // ---- q272: Iceberg DELETE via position-delete files ----
+  // The DML write side of q259's position-delete read: matched rows
+  // become spec-verbatim (file_path, pos) delete parquet committed as
+  // a content=1 delete manifest in a new snapshot — no data rewrite,
+  // history intact, deletes accumulate, and a LATER re-insert of a
+  // deleted key is untouched (position deletes target the original
+  // file only).
+
+  val q272 = Q(
+    "q272_iceberg_delete",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q272_icedelete")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      require(IcebergWrite.append(base, t) == 1L, "q272: create")
+      require(IcebergWrite.deleteWhere(s, t,
+        col("k").isin(2L, 4L, 6L)) == 2L, "q272: delete snapshot")
+      // re-insert k=4 AFTER the delete: must survive
+      require(IcebergWrite.append(base.where(col("k") === 4L), t) == 3L,
+        "q272: re-insert")
+      require(IcebergRead.read(s, t, Some(1L)).count() == nation.count(),
+        "q272: pre-delete history intact")
+      require(
+        try { IcebergRead.countRows(s, t); false }
+        catch { case _: IllegalArgumentException => true },
+        "q272: metadata count refuses under merge-on-read")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey NOT IN (2, 6)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
-    q270)
+    q270, q271, q272)
 }

@@ -1110,7 +1110,8 @@ object DeltaRead {
       path: String,
       snap: DeltaSnapshot,
       liveList: Seq[DeltaFile],
-      keepFile: Boolean = false): DataFrame = {
+      keepFile: Boolean = false,
+      keepRowIndex: Boolean = false): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
@@ -1138,9 +1139,10 @@ object DeltaRead {
         })
     if (mode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val outSchema =
+    var outSchema =
       if (!keepFile) snap.schema
       else snap.schema.add("__delta_file", StringType)
+    if (keepRowIndex) outSchema = outSchema.add("__row_index", LongType)
     if (liveList.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), outSchema)
@@ -1154,11 +1156,15 @@ object DeltaRead {
     val scan0 = spark.read.schema(dataSchema)
       .parquet(files.map(_._1.toString): _*)
     val dvFiles = files.filter(_._2.dv.nonEmpty)
-    val needFile = keepFile || partCols.nonEmpty || dvFiles.nonEmpty
-    val scan1 =
+    val needFile = keepFile || partCols.nonEmpty || dvFiles.nonEmpty ||
+      keepRowIndex
+    val scan1a =
       if (!needFile) scan0
       else scan0.withColumn("__file",
         normalizeCol(col("_metadata.file_path")))
+    val scan1 =
+      if (!keepRowIndex) scan1a
+      else scan1a.withColumn("__row_index", col("_metadata.row_index"))
     val scan =
       if (dvFiles.isEmpty) scan1
       else {
@@ -1198,11 +1204,14 @@ object DeltaRead {
           .drop("__ri")
       }
     val byName = snap.schema.map(f => f.name -> f).toMap
+    val extras =
+      (if (keepFile) Seq(col("__file").as("__delta_file"))
+      else Seq.empty) ++
+        (if (keepRowIndex) Seq(col("__row_index")) else Seq.empty)
     if (partCols.isEmpty)
       return scan.select(
         (snap.schema.map(f => col(readName(f.name)).as(f.name)) ++
-          (if (keepFile) Seq(col("__file").as("__delta_file"))
-          else Seq.empty)): _*)
+          extras): _*)
     // partition attach: (normalized file path -> partition values)
     // is log-grain metadata — broadcast it against the scan.
     // partitionValues keys are PHYSICAL names under column mapping.
@@ -1226,7 +1235,6 @@ object DeltaRead {
         if (partCols.contains(f.name))
           col(s"__pv_${f.name}").cast(byName(f.name).dataType).as(f.name)
         else col(readName(f.name)).as(f.name)
-      } ++ (if (keepFile) Seq(col("__file").as("__delta_file"))
-      else Seq.empty)): _*)
+      } ++ extras): _*)
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
@@ -599,6 +599,182 @@ object DeltaWrite {
       Some(version))
   }
 
+  /** What [[deleteWhere]] did. */
+  final case class DeleteReport(
+      deletedRows: Long,
+      filesTouched: Long,
+      filesFullyRemoved: Long,
+      version: Option[Long])
+
+  /** DELETE without rewrite — the deletion-vector DML every
+    * DML-heavy lakehouse runs: rows matching `predicate` get masked
+    * by per-file roaring bitmaps ([[DeletionVectors]]) attached via
+    * remove/re-add pairs; no data file is rewritten. DV AUTHORING IS
+    * DISTRIBUTED: matched (file, row_index) pairs group by file and
+    * each task serializes + writes that file's DV sidecar (merging
+    * the file's existing DV — scans only yield live rows, so fresh
+    * and old indexes are disjoint); only the log-grain descriptor
+    * rows (one per touched file) reach the driver. A file whose
+    * every physical row is dead (DV cardinality = stats numRecords)
+    * is plainly REMOVED instead of carrying an all-dead DV. Under
+    * CDF, the commit carries cdc delete rows (computed from the same
+    * matched scan). Refuses unless the table's protocol DECLARES
+    * deletionVectors (writing DVs a v1 reader would ignore silently
+    * resurrects rows downstream) and on delta.appendOnly tables.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: Column,
+      maxRetries: Int = 10): DeleteReport = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      fail(tablePath, "deleteWhere on a non-existent table")
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    writerGate(spark, fs, logDir, root, overwrite = true)
+    if (!dvDeclared(spark, fs, logDir))
+      fail(tablePath, "table protocol does not declare the " +
+        "deletionVectors feature — DVs written here would be " +
+        "silently IGNORED by non-DV readers (resurrected rows); " +
+        "use merge for copy-on-write deletes")
+    // matched (file, row) pairs over LIVE rows only: scanFiles
+    // already applies existing DVs, so fresh indexes are disjoint
+    // from each file's old DV by construction
+    val scan = DeltaRead.scanFiles(spark, tablePath, snap,
+      snap.liveFiles, keepFile = true, keepRowIndex = true)
+    val matchedAll = scan.where(predicate)
+    val cdfEnabled = snap.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcActions: Seq[String] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        if (snap.partitionColumns.nonEmpty)
+          fail(tablePath, "CDF deleteWhere on a PARTITIONED table " +
+            "is unsupported; refused rather than dropping change data")
+        writeChangeData(spark, fs, root,
+          matchedAll.select(snap.schema.map(f => col(f.name)) :+
+            lit("delete").as("_change_type"): _*)).map {
+          case (rel, size) => DeltaFixture.cdcLine(rel, size)
+        }
+      }
+    val matched = matchedAll
+      .select(col("__delta_file"), col("__row_index"))
+    import spark.implicits._
+    val confH = new graft.operators.HadoopConfHolder(
+      spark.sessionState.newHadoopConf())
+    val rootStr = root.toString
+    val byKey = snap.liveFiles
+      .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
+    val oldDvs: Map[String, DeletionVectors.DvDescriptor] =
+      byKey.collect { case (k, f) if f.dv.nonEmpty => k -> f.dv.get }
+    val touched = matched.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fileKey, it) =>
+        val tableRoot = new Path(rootStr)
+        val dfs = tableRoot.getFileSystem(confH.value)
+        val fresh = it.map(_._2).toArray
+        val old = oldDvs.get(fileKey)
+          .map(d => DeletionVectors.load(dfs, tableRoot, d))
+          .getOrElse(Array.empty[Long])
+        val all = (fresh ++ old).distinct.sorted
+        val uuid = java.util.UUID.randomUUID()
+        val sidecar = new Path(tableRoot, s"deletion_vector_$uuid.bin")
+        val spans = DeletionVectors.writeDvFile(dfs, sidecar, Seq(all))
+        val ub = java.nio.ByteBuffer.allocate(16)
+        ub.putLong(uuid.getMostSignificantBits)
+        ub.putLong(uuid.getLeastSignificantBits)
+        (fileKey, DeletionVectors.z85Encode(ub.array()),
+          spans.head._1, spans.head._2, all.length.toLong,
+          fresh.length.toLong)
+      }.collect() // log grain: ONE row per touched file
+    if (touched.isEmpty)
+      return DeleteReport(0L, 0L, 0L, None)
+    def numRecords(f: DeltaRead.DeltaFile): Option[Long] =
+      f.stats.flatMap { s =>
+        try Option(mapper.readTree(s).get("numRecords"))
+          .filter(_.isNumber).map(_.asLong())
+        catch { case _: Exception => None }
+      }
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoLine("Delete")
+    cdcActions.foreach(lines += _)
+    var fullyRemoved = 0L
+    touched.foreach { case (key, enc, off, size, card, _) =>
+      val f = byKey.getOrElse(key,
+        fail(tablePath, s"matched rows from unknown file $key"))
+      lines += DeltaFixture.removeLine(f.path)
+      if (numRecords(f).contains(card)) fullyRemoved += 1
+      else lines += DeltaFixture.addLine(
+        f.path, f.size, f.partitionValues, stats = f.stats,
+        dv = Some(DeletionVectors.DvDescriptor(
+          "u", enc, Some(off), size, card)))
+    }
+    var version = snap.version + 1
+    var attempts = 0
+    while (!tryCommit(fs, logDir, version, lines.result())) {
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"deleteWhere lost $maxRetries version races")
+      // retry is safe only if the touched files are all still live
+      // with the SAME DVs this pass merged
+      val now = DeltaRead.snapshot(spark, tablePath)
+      val nowByKey = now.liveFiles
+        .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
+      val stable = touched.forall { case (key, _, _, _, _, _) =>
+        nowByKey.get(key).exists(f => f.dv == byKey(key).dv)
+      }
+      if (!stable)
+        fail(tablePath, "concurrent commit changed a touched file " +
+          "mid-delete — rerun against the new state")
+      version = DeltaRead.versions(spark, tablePath).max + 1
+    }
+    DeleteReport(touched.map(_._6).sum, touched.length.toLong,
+      fullyRemoved, Some(version))
+  }
+
+  /** True when any protocol action in the log chain declares the
+    * deletionVectors reader feature (JSON commits or checkpoint
+    * protocol rows).
+    */
+  private def dvDeclared(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path): Boolean = {
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val inJson = names.filter(_.matches("\\d{20}\\.json")).exists { n =>
+      val bytes = graft.ScratchSpace.readBytes(
+        spark, new Path(logDir, n).toString)
+      new String(bytes, "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          try Some(mapper.readTree(line))
+          catch { case _: Exception => None }
+        }
+        .exists { node =>
+          Option(node.get("protocol")).exists(p =>
+            Option(p.get("readerFeatures")).exists(rf =>
+              rf.toString.contains("deletionVectors")))
+        }
+    }
+    inJson || names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .exists { n =>
+        val cp = spark.read.parquet(new Path(logDir, n).toString)
+        cp.schema.fieldNames.contains("protocol") && {
+          val pf = cp.schema("protocol").dataType
+            .asInstanceOf[StructType].fieldNames.toSet
+          pf.contains("readerFeatures") &&
+          cp.where(col("protocol").isNotNull)
+            .select(col("protocol.readerFeatures").cast("string"))
+            .collect()
+            .exists(r => !r.isNullAt(0) &&
+              r.getString(0).contains("deletionVectors"))
+        }
+      }
+  }
+
   private def write(
       df: DataFrame,
       tablePath: String,
@@ -916,13 +1092,24 @@ object DeltaWrite {
       overwrite: Boolean): Unit = {
     val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
     var needsV34 = false
-    def gateProtocol(minWriter: Int, feats: String): Unit =
-      if (minWriter > 4 || feats.nonEmpty)
+    // v7 feature lists are EXPLICIT obligations: accept only the ones
+    // this writer honors (DV-aware scans/merges, DV-safe vacuum)
+    val supportedWriterFeatures = Set("deletionVectors")
+    def gateProtocol(minWriter: Int, feats: String): Unit = {
+      val featSet = feats.replaceAll("[\\[\\]\"\\s]", "")
+        .split(",").filter(_.nonEmpty).toSet
+      if (minWriter == 7 && featSet.nonEmpty &&
+        featSet.subsetOf(supportedWriterFeatures))
+        () // explicit features, all honored (featureless v7 refuses —
+      // a v7 table that listed nothing is malformed, not trusted)
+      else if (minWriter > 4 || featSet.nonEmpty)
         fail(root.toString, s"table requires writer version $minWriter" +
           (if (feats.nonEmpty) s" with features $feats" else "") +
-          " — only writer versions <= 4 (no writer features) are " +
-          "supported")
+          " — only writer versions <= 4 (no writer features) or v7 " +
+          s"with features ⊆ ${supportedWriterFeatures.mkString(",")} " +
+          "are supported")
       else if (minWriter > 2) needsV34 = true
+    }
     def gateConfig(cfg: Map[String, String]): Unit =
       if (overwrite && cfg.get("delta.appendOnly").contains("true"))
         fail(root.toString,

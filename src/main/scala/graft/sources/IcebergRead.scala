@@ -320,11 +320,33 @@ object IcebergRead {
   def read(
       spark: SparkSession,
       path: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None): DataFrame =
+    readInternal(spark, path, snapshotId, keepPos = false)
+
+  /** [[read]] plus each row's source identity for DML writers:
+    * `__file_path` (the data file's MANIFEST-VERBATIM path spelling —
+    * what a position-delete file must reference per the spec) and
+    * `__pos` (the row's position in its file).
+    */
+  private[sources] def readWithPos(
+      spark: SparkSession,
+      path: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    readInternal(spark, path, snapshotId, keepPos = true)
+
+  private def readInternal(
+      spark: SparkSession,
+      path: String,
+      snapshotId: Option[Long],
+      keepPos: Boolean): DataFrame = {
     val snap = snapshot(spark, path, snapshotId)
+    val outSchema =
+      if (!keepPos) snap.schema
+      else snap.schema.add("__file_path", StringType)
+        .add("__pos", LongType)
     if (snap.liveFiles.isEmpty)
       return spark.createDataFrame(
-        new java.util.ArrayList[Row](), snap.schema)
+        new java.util.ArrayList[Row](), outSchema)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
@@ -334,7 +356,8 @@ object IcebergRead {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val files = snap.liveFiles.map(f => resolve(root, f.path).toString)
     val scan0 = spark.read.schema(snap.schema).parquet(files: _*)
-    if (snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty)
+    if (!keepPos && snap.deleteFiles.isEmpty &&
+      snap.eqDeleteFiles.isEmpty)
       return scan0.select(snap.schema.map(f => col(f.name)): _*)
 
     // canonical file identity: the qualified URI (what
@@ -414,7 +437,19 @@ object IcebergRead {
             acc.join(dels, cond, "left_anti")
           }
       }
-    afterEq.select(snap.schema.map(f => col(f.name)): _*)
+    if (!keepPos)
+      afterEq.select(snap.schema.map(f => col(f.name)): _*)
+    else {
+      // attach the MANIFEST-VERBATIM file path (what delete files
+      // must reference) via the same log-grain broadcast map shape
+      val verbatim = snap.liveFiles
+        .map(f => (canonical(f.path), f.path)).distinct
+        .toDF("__v_canon", "__v_path")
+      afterEq.join(broadcast(verbatim), col("__fp") === col("__v_canon"))
+        .select(snap.schema.map(f => col(f.name)) ++ Seq(
+          col("__v_path").as("__file_path"),
+          col("__ri").as("__pos")): _*)
+    }
   }
 
   /** [[read]] at the snapshot the table was at a given instant

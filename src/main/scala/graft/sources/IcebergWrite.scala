@@ -91,36 +91,70 @@ object IcebergWrite {
       root: Path,
       maxRetries: Int): Long = {
     val spark = df.sparkSession
+    val snap = validateV2Unpartitioned(spark, tablePath)
+    val want = snap.schema.map(f => f.name -> f.dataType)
+    val got = df.schema.map(f => f.name -> f.dataType)
+    if (want != got)
+      fail(tablePath, "schema mismatch — table has " +
+        s"${want.map { case (n, t) => s"$n:${t.simpleString}" }
+          .mkString(",")} vs incoming " +
+        s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
+          .mkString(",")}; evolution is not a silent write side " +
+        "effect")
+    val ids = snap.schema.fields.map(f =>
+      IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(
+        fail(tablePath, s"table schema field '${f.name}' has no " +
+          "field id — cannot write conformant data files"))).toSeq
+    // data + manifest write ONCE; only the commit tail retries
+    val files = writeDataFiles(
+      df.select(snap.schema.map(f => col(f.name)): _*), fs, root, ids)
+    val mName = s"m-${java.util.UUID.randomUUID()}.avro"
+    val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
+      files.map { case (rel, rc, _) => IcebergFixture.Entry(1, rel, rc) })
+    commitNewSnapshot(spark, tablePath, fs, root, mName, mLen,
+      content = 0, maxRetries)
+  }
+
+  /** The shared v2 precondition: current metadata is format-version 2
+    * with an UNPARTITIONED spec; returns the current snapshot.
+    */
+  private def validateV2Unpartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): IcebergRead.IcebergSnapshot = {
+    val (meta, _, _) = IcebergRead.loadMetadata(spark, tablePath)
+    val fv = meta.get("format-version").asInt()
+    if (fv != 2)
+      fail(tablePath, s"write to a format-version $fv table is " +
+        "unsupported (v2 only — v1 manifests lack sequence numbers)")
+    val specs = Option(meta.get("partition-specs")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
+    if (specs.exists(s => Option(s.get("fields"))
+      .exists(f => f.isArray && f.size() > 0)))
+      fail(tablePath, "write to a PARTITIONED table is unsupported")
+    IcebergRead.snapshot(spark, tablePath)
+  }
+
+  /** The commit tail shared by append and delete: carry the CURRENT
+    * snapshot's manifests verbatim, add the new manifest (data or
+    * delete by `content`) at the next sequence number, write the
+    * manifest list + metadata, and CREATE-EXCLUSIVE the next version
+    * file — re-reading the latest state on every race retry (the
+    * already-written data/manifest files are reused; losers never
+    * rewrite data).
+    */
+  private def commitNewSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      mName: String,
+      mLen: Long,
+      content: Int,
+      maxRetries: Int): Long = {
+    val conf = spark.sessionState.newHadoopConf()
     var attempts = 0
     while (true) {
       val (meta, _, _) = IcebergRead.loadMetadata(spark, tablePath)
-      val fv = meta.get("format-version").asInt()
-      if (fv != 2)
-        fail(tablePath, s"append to a format-version $fv table is " +
-          "unsupported (v2 only — v1 manifests lack sequence numbers)")
-      val snap = IcebergRead.snapshot(spark, tablePath)
-      // partition spec with fields -> the data layout contract this
-      // writer does not produce
-      val specs = Option(meta.get("partition-specs")).filter(_.isArray)
-        .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
-      if (specs.exists(s => Option(s.get("fields"))
-        .exists(f => f.isArray && f.size() > 0)))
-        fail(tablePath, "append to a PARTITIONED table is unsupported")
-      val want = snap.schema.map(f => f.name -> f.dataType)
-      val got = df.schema.map(f => f.name -> f.dataType)
-      if (want != got)
-        fail(tablePath, "schema mismatch — table has " +
-          s"${want.map { case (n, t) => s"$n:${t.simpleString}" }
-            .mkString(",")} vs incoming " +
-          s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
-            .mkString(",")}; evolution is not a silent write side " +
-          "effect")
-      val ids = snap.schema.fields.map(f =>
-        IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(
-          fail(tablePath, s"table schema field '${f.name}' has no " +
-            "field id — cannot write conformant data files"))).toSeq
-      val files = writeDataFiles(
-        df.select(snap.schema.map(f => col(f.name)): _*), fs, root, ids)
       val lastSeq = Option(meta.get("last-sequence-number"))
         .filter(_.isNumber).map(_.asLong()).getOrElse(0L)
       val newSeq = lastSeq + 1
@@ -128,21 +162,17 @@ object IcebergWrite {
         .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
       val snapshotId = snaps.map(_.get("snapshot-id").asLong())
         .maxOption.getOrElse(0L) + 1
-      val mName = s"m-${java.util.UUID.randomUUID()}.avro"
-      val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
-        files.map { case (rel, rc, _) =>
-          IcebergFixture.Entry(1, rel, rc)
-        })
-      // carry the current snapshot's manifests VERBATIM + the new one
+      val currentId = Option(meta.get("current-snapshot-id"))
+        .filter(_.isNumber).map(_.asLong()).getOrElse(
+          fail(tablePath, "no current-snapshot-id"))
       val current = snaps.find(
-        _.get("snapshot-id").asLong() == snap.snapshotId).getOrElse(
+        _.get("snapshot-id").asLong() == currentId).getOrElse(
         fail(tablePath, "current snapshot vanished from metadata"))
       val prevMl = Option(current.get("manifest-list")).filter(!_.isNull)
         .map(_.asText())
         .getOrElse(fail(tablePath,
           "current snapshot has no manifest-list (v1 inline shape) — " +
-            "append unsupported"))
-      val conf = spark.sessionState.newHadoopConf()
+            "write unsupported"))
       val prevManifests = IcebergRead.readAvro(fs, conf,
         resolve(root, prevMl), tablePath).map { rec =>
         (rec.get("manifest_path").toString,
@@ -157,18 +187,13 @@ object IcebergWrite {
       }
       val mlName = s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"
       IcebergFixture.writeManifestListPaths(spark, tablePath, mlName,
-        prevManifests :+ (s"metadata/$mName", mLen, 0, newSeq))
+        prevManifests :+ (s"metadata/$mName", mLen, content, newSeq))
       val prevTs = snaps.map(s =>
         Option(s.get("timestamp-ms")).filter(_.isNumber)
           .map(_.asLong()).getOrElse(0L)).maxOption.getOrElse(0L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
       val newMeta = nextMetadata(meta, snapshotId, newSeq, ts, mlName)
-      // the commit point: create-exclusive of the next version file
-      val re = "v(\\d+)\\.metadata\\.json".r
-      val version = fs.listStatus(new Path(root, "metadata")).toSeq
-        .map(_.getPath.getName)
-        .flatMap { case re(n) => Some(n.toLong); case _ => None }
-        .max + 1
+      val version = currentVersion(fs, root) + 1
       if (tryCommit(fs, root, version, newMeta)) {
         writeHint(spark, fs, root, version)
         return snapshotId
@@ -176,10 +201,73 @@ object IcebergWrite {
       attempts += 1
       if (attempts > maxRetries)
         fail(tablePath, s"lost $maxRetries commit races — a committer " +
-          "is racing this append; rerun (staged files are inert " +
+          "is racing this write; rerun (staged files are inert " +
           "orphans)")
     }
     sys.error("unreachable")
+  }
+
+  /** DELETE rows matching `predicate` via POSITION-DELETE files (v2
+    * merge-on-read — no data rewrite): the live scan (existing
+    * deletes applied) yields matched (file_path, pos) pairs with the
+    * file path in its MANIFEST-VERBATIM spelling per the spec; they
+    * sort by (file_path, pos), write as delete parquet under `data/`
+    * (distributed), and commit as a delete manifest (content 1) in a
+    * new snapshot. Returns the committed snapshot id, or the current
+    * one when nothing matched (no empty commits).
+    */
+  def deleteWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 10): Long = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val snap = validateV2Unpartitioned(spark, tablePath)
+    val matched = IcebergRead.readWithPos(spark, tablePath)
+      .where(predicate)
+      .select(col("__file_path").as("file_path"), col("__pos").as("pos"))
+      .sort("file_path", "pos")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"_staging-icedel-$nonce")
+    matched.write.mode("overwrite").parquet(stage.toString)
+    val moved = Seq.newBuilder[(String, Path)]
+    var i = 0
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        val rel = s"data/delete-$nonce-$i.parquet"
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          fail(root.toString, s"rename to $dest failed")
+        moved += ((rel, dest))
+        i += 1
+      }
+    fs.delete(stage, true): Unit
+    val files = moved.result()
+    val counts =
+      if (files.isEmpty) Map.empty[String, Long]
+      else spark.read.parquet(files.map(_._2.toString): _*)
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val entries = files.flatMap { case (rel, dest) =>
+      val rc = counts.getOrElse(
+        fs.makeQualified(dest).toUri.toString, 0L)
+      if (rc == 0L) { fs.delete(dest, false); None }
+      else Some(IcebergFixture.Entry(1, rel, rc, content = 1))
+    }
+    if (entries.isEmpty) return snap.snapshotId // nothing matched
+    val mName = s"m-${java.util.UUID.randomUUID()}.avro"
+    val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
+      entries)
+    commitNewSnapshot(spark, tablePath, fs, root, mName, mLen,
+      content = 1, maxRetries)
   }
 
   /** What [[expireSnapshots]] removed. */

@@ -306,6 +306,56 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(DeltaRead.read(spark, t2).count() == 20L)
   }
 
+  test("deleteWhere: DV DML — no rewrite, per-file executor-authored " +
+    "bitmaps, merged on repeat deletes, all-dead files plainly " +
+    "removed; non-DV tables refuse") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val sa = DeltaFixture.plantDataFile(spark, kv(0, 5), t, "a.parquet")
+    val sb = DeltaFixture.plantDataFile(spark, kv(10, 13), t, "b.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7,
+        Seq("deletionVectors"), Seq("deletionVectors")),
+      DeltaFixture.metaDataLine("dvdml", schema),
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((0L, 4L)))))),
+      DeltaFixture.addLine("b.parquet", sb,
+        stats = Some(DeltaFixture.statsJson(3, Map("k" -> ((10L, 12L))))))))
+    // delete k in {1,3}: touches a only, DV attached, nothing rewritten
+    val r1 = DeltaWrite.deleteWhere(spark, t, col("k").isin(1L, 3L))
+    assert(r1 == DeltaWrite.DeleteReport(2L, 1L, 0L, Some(1L)), r1)
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 10L, 11L, 12L))
+    // metadata count subtracts the DV cardinality
+    assert(DeltaRead.countRows(spark, t) == 6L)
+    // repeat delete MERGES with the existing DV
+    val r2 = DeltaWrite.deleteWhere(spark, t, col("k") === 2L)
+    assert(r2.deletedRows == 1L && r2.version.contains(2L))
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 4L, 10L, 11L, 12L))
+    assert(DeltaRead.countRows(spark, t) == 5L)
+    // deleting ALL of b's rows removes the file instead of an
+    // all-dead DV
+    val r3 = DeltaWrite.deleteWhere(spark, t, col("k") >= 10L)
+    assert(r3 == DeltaWrite.DeleteReport(3L, 1L, 1L, Some(3L)), r3)
+    val live = DeltaRead.snapshot(spark, t).liveFiles
+    assert(live.map(_.path) == Seq("a.parquet"))
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 4L))
+    // no matches -> no commit
+    assert(DeltaWrite.deleteWhere(spark, t, col("k") === 999L) ==
+      DeltaWrite.DeleteReport(0L, 0L, 0L, None))
+    // a table WITHOUT the DV feature refuses loudly
+    val t2 = fresh()
+    DeltaWrite.append(kv(0, 3), t2): Unit
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, t2, col("k") === 1L)
+    }
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+  }
+
   test("writer version > 4 refuses") {
     val t = fresh()
     val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")

@@ -167,6 +167,37 @@ class IcebergWriteSpec extends SparkTestBase {
       .expiredSnapshots.isEmpty)
   }
 
+  test("deleteWhere: position-delete DML — no rewrite, deletes " +
+    "accumulate, history intact, counts refuse under MOR") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    assert(IcebergWrite.append(kv(0, 6), t) == 1L)
+    assert(IcebergWrite.append(kv(10, 12), t) == 2L)
+    val s3 = IcebergWrite.deleteWhere(spark, t,
+      col("k").isin(1L, 3L, 10L))
+    assert(s3 == 3L)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 5L, 11L))
+    // pre-delete history still reads whole
+    assert(IcebergRead.read(spark, t, Some(2L)).count() == 8L)
+    // metadata-only counts refuse under merge-on-read
+    intercept[IllegalArgumentException] {
+      IcebergRead.countRows(spark, t)
+    }
+    // deletes ACCUMULATE across snapshots
+    assert(IcebergWrite.deleteWhere(spark, t, col("k") === 2L) == 4L)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 4L, 5L, 11L))
+    // appends AFTER a delete: re-inserted rows are NOT masked (the
+    // position delete targets the ORIGINAL file only)
+    assert(IcebergWrite.append(kv(1, 2), t) == 5L)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L, 5L, 11L))
+    // nothing matched -> no new snapshot
+    assert(IcebergWrite.deleteWhere(spark, t, col("k") === 999L) == 5L)
+    assert(IcebergRead.snapshots(spark, t) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("expireSnapshots refuses to drop the CURRENT snapshot") {
     val t = fresh()
     val schema = IFx.withFieldIds(StructType(Seq(
