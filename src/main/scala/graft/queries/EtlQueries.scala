@@ -2322,9 +2322,62 @@ object EtlQueries {
       WHERE n_nationkey NOT IN (2, 6)
       ORDER BY k"""))
 
+  // ---- q273: Delta UPDATE via deletion vectors ----
+  // Completes the DV DML triangle (DELETE q271, MERGE q239): matched
+  // rows get DV-masked in their original files and their UPDATED
+  // images append as new data files in ONE commit — untouched rows
+  // never rewrite. The CDF feed carries update_preimage/postimage
+  // rows from the same commit, require()-gated; updated content is
+  // the hash gate.
+
+  val q273 = Q(
+    "q273_delta_dv_update",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q273_dvupdate")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val nAll = nation.count()
+      val a = DFx.plantDataFile(s, base, t, "a.parquet")
+      val metaLine = DFx.metaDataLine("q273-fixture", schema,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolFeaturesLine(3, 7,
+          Seq("deletionVectors"), Seq("deletionVectors")),
+        metaLine,
+        DFx.addLine("a.parquet", a,
+          stats = Some(DFx.statsJson(nAll, Map("k" -> ((0L, nAll - 1))))))))
+      val rep = DeltaWrite.updateWhere(s, t,
+        col("k").isin(2L, 4L, 17L),
+        Map("name" -> concat(col("name"), lit("_u"))))
+      require(rep.updatedRows == 3L && rep.filesTouched == 1L,
+        s"q273: $rep")
+      // the original file is still live, DV'd — no rewrite
+      require(DeltaRead.snapshot(s, t).liveFiles
+        .exists(f => f.path == "a.parquet" && f.dv.nonEmpty),
+        "q273: original file must stay, DV-masked")
+      // the CDF feed from the SAME commit carries pre+post images
+      require(DeltaRead.readCdf(s, t, 1).count() == 6L,
+        "q273: cdc pre/post rows")
+      require(DeltaRead.countRows(s, t) == nAll,
+        "q273: metadata count unchanged by an update")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+             CASE WHEN n_nationkey IN (2, 4, 17)
+               THEN n_name || '_u' ELSE n_name END AS name
+      FROM nation
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
-    q270, q271, q272)
+    q270, q271, q272, q273)
 }

@@ -660,36 +660,10 @@ object DeltaWrite {
           case (rel, size) => DeltaFixture.cdcLine(rel, size)
         }
       }
-    val matched = matchedAll
-      .select(col("__delta_file"), col("__row_index"))
-    import spark.implicits._
-    val confH = new graft.operators.HadoopConfHolder(
-      spark.sessionState.newHadoopConf())
-    val rootStr = root.toString
     val byKey = snap.liveFiles
       .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
-    val oldDvs: Map[String, DeletionVectors.DvDescriptor] =
-      byKey.collect { case (k, f) if f.dv.nonEmpty => k -> f.dv.get }
-    val touched = matched.as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (fileKey, it) =>
-        val tableRoot = new Path(rootStr)
-        val dfs = tableRoot.getFileSystem(confH.value)
-        val fresh = it.map(_._2).toArray
-        val old = oldDvs.get(fileKey)
-          .map(d => DeletionVectors.load(dfs, tableRoot, d))
-          .getOrElse(Array.empty[Long])
-        val all = (fresh ++ old).distinct.sorted
-        val uuid = java.util.UUID.randomUUID()
-        val sidecar = new Path(tableRoot, s"deletion_vector_$uuid.bin")
-        val spans = DeletionVectors.writeDvFile(dfs, sidecar, Seq(all))
-        val ub = java.nio.ByteBuffer.allocate(16)
-        ub.putLong(uuid.getMostSignificantBits)
-        ub.putLong(uuid.getLeastSignificantBits)
-        (fileKey, DeletionVectors.z85Encode(ub.array()),
-          spans.head._1, spans.head._2, all.length.toLong,
-          fresh.length.toLong)
-      }.collect() // log grain: ONE row per touched file
+    val touched = authorDvs(spark, fs, root, byKey,
+      matchedAll.select(col("__delta_file"), col("__row_index")))
     if (touched.isEmpty)
       return DeleteReport(0L, 0L, 0L, None)
     def numRecords(f: DeltaRead.DeltaFile): Option[Long] =
@@ -733,6 +707,165 @@ object DeltaWrite {
     }
     DeleteReport(touched.map(_._6).sum, touched.length.toLong,
       fullyRemoved, Some(version))
+  }
+
+  /** Distributed DV authoring shared by [[deleteWhere]] and
+    * [[updateWhere]]: matched (fileKey, row_index) pairs group by
+    * file; each executor task merges the file's EXISTING DV rows
+    * (scans yield live rows only, so the sets are disjoint),
+    * serializes the bitmap and writes the sidecar. Returns ONE
+    * log-grain row per touched file: (fileKey, z85 uuid payload,
+    * offset, sizeInBytes, total cardinality, fresh rows this pass).
+    */
+  private def authorDvs(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      byKey: Map[String, DeltaRead.DeltaFile],
+      matched: DataFrame): Array[(String, String, Int, Int, Long, Long)] = {
+    import spark.implicits._
+    val confH = new graft.operators.HadoopConfHolder(
+      spark.sessionState.newHadoopConf())
+    val rootStr = root.toString
+    val oldDvs: Map[String, DeletionVectors.DvDescriptor] =
+      byKey.collect { case (k, f) if f.dv.nonEmpty => k -> f.dv.get }
+    matched.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fileKey, it) =>
+        val tableRoot = new Path(rootStr)
+        val dfs = tableRoot.getFileSystem(confH.value)
+        val fresh = it.map(_._2).toArray
+        val old = oldDvs.get(fileKey)
+          .map(d => DeletionVectors.load(dfs, tableRoot, d))
+          .getOrElse(Array.empty[Long])
+        val all = (fresh ++ old).distinct.sorted
+        val uuid = java.util.UUID.randomUUID()
+        val sidecar = new Path(tableRoot, s"deletion_vector_$uuid.bin")
+        val spans = DeletionVectors.writeDvFile(dfs, sidecar, Seq(all))
+        val ub = java.nio.ByteBuffer.allocate(16)
+        ub.putLong(uuid.getMostSignificantBits)
+        ub.putLong(uuid.getLeastSignificantBits)
+        (fileKey, DeletionVectors.z85Encode(ub.array()),
+          spans.head._1, spans.head._2, all.length.toLong,
+          fresh.length.toLong)
+      }.collect() // log grain: ONE row per touched file
+  }
+
+  /** What [[updateWhere]] did. */
+  final case class UpdateReport(
+      updatedRows: Long,
+      filesTouched: Long,
+      newFiles: Long,
+      version: Option[Long])
+
+  /** UPDATE via deletion vectors — matched rows get DV-masked in
+    * their original files (no rewrite of the untouched rows) and
+    * their UPDATED images append as new data files, ONE commit: the
+    * remove/re-add-with-DV pairs plus dataChange adds. `set` maps
+    * column name → new-value expression (evaluated over the matched
+    * row); partition columns cannot change (that is a move, not an
+    * update). Under CDF the commit carries update_preimage/
+    * update_postimage cdc rows. Same preconditions as
+    * [[deleteWhere]]: the protocol must declare deletionVectors,
+    * appendOnly refuses.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: Column,
+      set: Map[String, Column],
+      maxRetries: Int = 10): UpdateReport = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      fail(tablePath, "updateWhere on a non-existent table")
+    val snap = DeltaRead.snapshot(spark, tablePath)
+    set.keys.foreach { c =>
+      if (!snap.schema.fieldNames.contains(c))
+        fail(tablePath, s"SET column '$c' not in the table schema")
+      if (snap.partitionColumns.contains(c))
+        fail(tablePath, s"SET column '$c' is a partition column — " +
+          "moving rows between partitions is not an in-place update")
+    }
+    writerGate(spark, fs, logDir, root, overwrite = true)
+    if (!dvDeclared(spark, fs, logDir))
+      fail(tablePath, "table protocol does not declare the " +
+        "deletionVectors feature — use merge for copy-on-write updates")
+    val scan = DeltaRead.scanFiles(spark, tablePath, snap,
+      snap.liveFiles, keepFile = true, keepRowIndex = true)
+    val matchedAll = scan.where(predicate)
+    val updatedRowsDf = matchedAll.select(snap.schema.map(f =>
+      set.getOrElse(f.name, col(f.name)).as(f.name)): _*)
+    val cdfEnabled = snap.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcActions: Seq[String] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        if (snap.partitionColumns.nonEmpty)
+          fail(tablePath, "CDF updateWhere on a PARTITIONED table " +
+            "is unsupported; refused rather than dropping change data")
+        val pre = matchedAll.select(snap.schema.map(f =>
+          col(f.name)) :+ lit("update_preimage").as("_change_type"): _*)
+        val post = updatedRowsDf
+          .withColumn("_change_type", lit("update_postimage"))
+        writeChangeData(spark, fs, root, pre.unionByName(post)).map {
+          case (rel, size) => DeltaFixture.cdcLine(rel, size)
+        }
+      }
+    val byKey = snap.liveFiles
+      .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
+    val touched = authorDvs(spark, fs, root, byKey,
+      matchedAll.select(col("__delta_file"), col("__row_index")))
+    if (touched.isEmpty)
+      return UpdateReport(0L, 0L, 0L, None)
+    // the updated images append as ordinary data files
+    val newFiles = writeData(spark, fs, root, updatedRowsDf,
+      snap.partitionColumns, collectStats = true)
+    def numRecords(f: DeltaRead.DeltaFile): Option[Long] =
+      f.stats.flatMap { s =>
+        try Option(mapper.readTree(s).get("numRecords"))
+          .filter(_.isNumber).map(_.asLong())
+        catch { case _: Exception => None }
+      }
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoLine("Update")
+    cdcActions.foreach(lines += _)
+    touched.foreach { case (key, enc, off, size, card, _) =>
+      val f = byKey.getOrElse(key,
+        fail(tablePath, s"matched rows from unknown file $key"))
+      lines += DeltaFixture.removeLine(f.path)
+      if (!numRecords(f).contains(card))
+        lines += DeltaFixture.addLine(
+          f.path, f.size, f.partitionValues, stats = f.stats,
+          dv = Some(DeletionVectors.DvDescriptor(
+            "u", enc, Some(off), size, card)))
+    }
+    newFiles.foreach { f =>
+      lines += DeltaFixture.addLine(
+        f.relPath, f.size, f.partitionValues, stats = f.stats)
+    }
+    var version = snap.version + 1
+    var attempts = 0
+    while (!tryCommit(fs, logDir, version, lines.result())) {
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"updateWhere lost $maxRetries version races")
+      val now = DeltaRead.snapshot(spark, tablePath)
+      val nowByKey = now.liveFiles
+        .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
+      val stable = touched.forall { case (key, _, _, _, _, _) =>
+        nowByKey.get(key).exists(f => f.dv == byKey(key).dv)
+      }
+      if (!stable)
+        fail(tablePath, "concurrent commit changed a touched file " +
+          "mid-update — rerun against the new state")
+      version = DeltaRead.versions(spark, tablePath).max + 1
+    }
+    UpdateReport(touched.map(_._6).sum, touched.length.toLong,
+      newFiles.size.toLong, Some(version))
   }
 
   /** True when any protocol action in the log chain declares the

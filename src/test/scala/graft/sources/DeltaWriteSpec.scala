@@ -356,6 +356,63 @@ class DeltaWriteSpec extends SparkTestBase {
     assert(e.getMessage.contains("deletionVectors"), e.getMessage)
   }
 
+  test("updateWhere: DV-masked originals + appended images in ONE " +
+    "commit; CDF pre/post rows; partition SET refuses") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val sa = DeltaFixture.plantDataFile(spark, kv(0, 5), t, "a.parquet")
+    val metaLine = DeltaFixture.metaDataLine("dvu", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.enableChangeDataFeed\":\"true\"}")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7,
+        Seq("deletionVectors"), Seq("deletionVectors")),
+      metaLine,
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((0L, 4L))))))))
+    val rep = DeltaWrite.updateWhere(spark, t,
+      col("k").isin(1L, 3L),
+      Map("name" -> concat(col("name"), lit("_u"))))
+    assert(rep.updatedRows == 2L && rep.filesTouched == 1L &&
+      rep.version.contains(1L), rep.toString)
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "row0"), (1L, "row1_u"), (2L, "row2"),
+        (3L, "row3_u"), (4L, "row4")))
+    // original file is STILL live (DV'd), plus the new image file
+    val live = DeltaRead.snapshot(spark, t).liveFiles
+    assert(live.exists(f => f.path == "a.parquet" && f.dv.nonEmpty))
+    assert(live.size == 2)
+    // the CDF feed carries pre+post images
+    val feed = DeltaRead.readCdf(spark, t, 1)
+      .orderBy("_change_type", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(feed.toSeq == Seq(
+      (1L, "row1_u", "update_postimage"),
+      (3L, "row3_u", "update_postimage"),
+      (1L, "row1", "update_preimage"),
+      (3L, "row3", "update_preimage")))
+    // a second update over an already-updated row hits the NEW file
+    val rep2 = DeltaWrite.updateWhere(spark, t,
+      col("name") === "row1_u",
+      Map("name" -> lit("row1_uu")))
+    assert(rep2.updatedRows == 1L)
+    assert(DeltaRead.read(spark, t).where(col("k") === 1L)
+      .collect().head.getString(1) == "row1_uu")
+    // SET on a partition column refuses
+    val t2 = fresh()
+    val df = kv(0, 4).withColumn("src",
+      when(col("k") < 2, "a").otherwise("b"))
+    DeltaWrite.append(df, t2, partitionBy = Seq("src")): Unit
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, t2, col("k") === 1L,
+        Map("src" -> lit("c")))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
   test("writer version > 4 refuses") {
     val t = fresh()
     val size = DeltaFixture.plantDataFile(spark, kv(0, 3), t, "a.parquet")
