@@ -645,9 +645,15 @@ object DeltaWrite {
     // from each file's old DV by construction
     val scan = DeltaRead.scanFiles(spark, tablePath, snap,
       snap.liveFiles, keepFile = true, keepRowIndex = true)
-    val matchedAll = scan.where(predicate)
     val cdfEnabled = snap.configuration
       .get("delta.enableChangeDataFeed").contains("true")
+    // scratch-truncation rule: under CDF the matched set feeds BOTH
+    // the cdc write and the DV authoring — stage it once (matched
+    // volume, not table volume) instead of scanning the table twice
+    val matchedAll =
+      if (!cdfEnabled) scan.where(predicate)
+      else graft.ScratchSpace.materialize(
+        scan.where(predicate), "delta_del_matched_")
     val cdcActions: Seq[String] =
       if (!cdfEnabled) Seq.empty
       else {
@@ -796,7 +802,12 @@ object DeltaWrite {
         "deletionVectors feature — use merge for copy-on-write updates")
     val scan = DeltaRead.scanFiles(spark, tablePath, snap,
       snap.liveFiles, keepFile = true, keepRowIndex = true)
-    val matchedAll = scan.where(predicate)
+    // scratch-truncation rule: the matched set feeds the image write,
+    // the DV authoring AND (under CDF) the cdc write — stage it once
+    // at matched-volume grain instead of re-scanning the table per
+    // consumer
+    val matchedAll = graft.ScratchSpace.materialize(
+      scan.where(predicate), "delta_upd_matched_")
     val updatedRowsDf = matchedAll.select(snap.schema.map(f =>
       set.getOrElse(f.name, col(f.name)).as(f.name)): _*)
     val cdfEnabled = snap.configuration

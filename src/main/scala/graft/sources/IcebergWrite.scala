@@ -359,6 +359,21 @@ object IcebergWrite {
       val arr = newRoot.putArray("snapshots")
       keep.foreach(s => arr.add(s.deepCopy
         [com.fasterxml.jackson.databind.JsonNode]()): Unit)
+      // externally-written tables may carry a snapshot-log: trim the
+      // entries that now point at expired snapshots
+      val keepIds = keep.map(_.get("snapshot-id").asLong()).toSet
+      Option(newRoot.get("snapshot-log")).filter(_.isArray).foreach {
+        logArr =>
+          val trimmed = newRoot.putArray("__snapshot-log-trim")
+          (0 until logArr.size()).map(logArr.get(_)).foreach { e =>
+            if (Option(e.get("snapshot-id")).filter(_.isNumber)
+              .exists(id => keepIds(id.asLong())))
+              trimmed.add(e.deepCopy
+                [com.fasterxml.jackson.databind.JsonNode]()): Unit
+          }
+          newRoot.set("snapshot-log", trimmed): Unit
+          newRoot.remove("__snapshot-log-trim"): Unit
+      }
       newRoot.put("last-updated-ms", System.currentTimeMillis())
       val version = currentVersion(fs, root) + 1
       if (tryCommit(fs, root, version,
