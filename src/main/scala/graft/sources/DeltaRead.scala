@@ -623,7 +623,7 @@ object DeltaRead {
     */
   private def normalizeCol(c: Column): Column =
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-  private def normalizeStr(s: String): String =
+  private[sources] def normalizeStr(s: String): String =
     s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   /** Scan the live data of a Delta table (optionally at a past
@@ -1138,7 +1138,7 @@ object DeltaRead {
           StructField(readName(f.name), f.dataType, f.nullable, md)
         })
     if (mode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      FieldIds.ensureReadEnabled(spark)
     var outSchema =
       if (!keepFile) snap.schema
       else snap.schema.add("__delta_file", StringType)

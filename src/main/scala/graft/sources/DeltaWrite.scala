@@ -217,6 +217,9 @@ object DeltaWrite {
       upd.where(!coalesce(col(d).cast("boolean"), lit(false))).drop(d))
     val newData = survivors.unionByName(
       inserts.select(snap.schema.map(f => col(f.name)): _*))
+    // CHECK obligation: survivors pass by induction, but the upserts
+    // are fresh rows — one aggregate over the whole rewrite set
+    enforceConstraints(tablePath, snap, newData)
     val newFiles = writeData(spark, fs, root, newData,
       snap.partitionColumns, collectStats)
     // change-data-feed obligation: when the table enables CDF, a
@@ -278,14 +281,16 @@ object DeltaWrite {
         fail(tablePath, s"merge lost $maxRetries version races — " +
           "a committer is racing this merge; rerun against the new state")
       // a concurrent commit exists: safe only if the table state this
-      // merge computed against is PROVABLY unchanged — live file set
-      // AND schema AND partition columns AND configuration (a
-      // metadata-only commit that flips delta.appendOnly or evolves
-      // the schema invalidates the constraints this merge validated)
+      // merge computed against is PROVABLY unchanged — live (path, DV)
+      // set AND schema AND partition columns AND configuration. The DV
+      // half matters: a concurrent DV deleteWhere keeps the PATH set
+      // identical while masking rows, and this merge's survivors were
+      // computed from the pre-DV scan — committing them would
+      // resurrect the concurrently deleted rows.
       val now = DeltaRead.snapshot(spark, tablePath)
       val same =
-        now.liveFiles.map(_.path).sorted ==
-          snap.liveFiles.map(_.path).sorted &&
+        now.liveFiles.map(f => (f.path, f.dv)).sortBy(_._1) ==
+          snap.liveFiles.map(f => (f.path, f.dv)).sortBy(_._1) &&
         now.schema == snap.schema &&
         now.partitionColumns == snap.partitionColumns &&
         now.configuration == snap.configuration
@@ -413,6 +418,9 @@ object DeltaWrite {
         maxRetries, beforeCommit)
     val merged = StructType(snap.schema.fields ++ newCols)
     writerGate(spark, fs, logDir, root, overwrite = false)
+    // constraints reference existing columns only — the evolved frame
+    // carries them all, so the obligation survives evolution
+    enforceConstraints(tablePath, snap, df)
     val newFiles = writeData(spark, fs, root,
       df.select(merged.map(f => col(f.name)): _*),
       partitionBy, collectStats)
@@ -543,7 +551,8 @@ object DeltaWrite {
       spark: SparkSession,
       tablePath: String,
       targetFileBytes: Long = 128L << 20,
-      maxRetries: Int = 10): OptimizeReport = {
+      maxRetries: Int = 10,
+      beforeCommit: () => Unit = () => ()): OptimizeReport = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -570,6 +579,7 @@ object DeltaWrite {
       else data.repartition(n)
     val newFiles = writeData(spark, fs, root, packed,
       snap.partitionColumns, collectStats = true)
+    beforeCommit()
     val lines = Seq.newBuilder[String]
     lines += commitInfoLine("Optimize")
     toRewrite.foreach(f =>
@@ -585,14 +595,16 @@ object DeltaWrite {
       attempts += 1
       if (attempts > maxRetries)
         fail(tablePath, s"optimize lost $maxRetries version races")
-      // safe to retry ONLY if every rewritten file is still live (a
-      // racing merge/overwrite may have removed one — its content
-      // would resurrect through the compacted files)
+      // safe to retry ONLY if every rewritten file is still live WITH
+      // ITS DV UNCHANGED: a racing merge/overwrite may have removed
+      // one, and a racing deleteWhere/updateWhere re-adds the SAME
+      // path with a DV attached — either way the compacted files were
+      // written from the pre-race scan and would resurrect rows
       val now = DeltaRead.snapshot(spark, tablePath)
-      val nowLive = now.liveFiles.map(_.path).toSet
-      if (!toRewrite.forall(f => nowLive(f.path)))
-        fail(tablePath, "concurrent commit removed a file mid-" +
-          "optimize — rerun (staged files are inert orphans)")
+      val nowDv = now.liveFiles.map(f => f.path -> f.dv).toMap
+      if (!toRewrite.forall(f => nowDv.get(f.path).contains(f.dv)))
+        fail(tablePath, "concurrent commit removed or DV-masked a " +
+          "file mid-optimize — rerun (staged files are inert orphans)")
       version = DeltaRead.versions(spark, tablePath).max + 1
     }
     OptimizeReport(toRewrite.size.toLong, newFiles.size.toLong,
@@ -810,6 +822,8 @@ object DeltaWrite {
       scan.where(predicate), "delta_upd_matched_")
     val updatedRowsDf = matchedAll.select(snap.schema.map(f =>
       set.getOrElse(f.name, col(f.name)).as(f.name)): _*)
+    // CHECK obligation over the updated images (the only fresh rows)
+    enforceConstraints(tablePath, snap, updatedRowsDf)
     val cdfEnabled = snap.configuration
       .get("delta.enableChangeDataFeed").contains("true")
     val cdcActions: Seq[String] =
@@ -938,6 +952,7 @@ object DeltaWrite {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
     val logDir = new Path(root, "_delta_log")
+    LakeCommit.gate(spark, root) // table-create path has no writerGate
     val exists = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
     if (!exists && overwrite)
       fail(tablePath, "overwrite of a non-existent table — create it " +
@@ -951,6 +966,7 @@ object DeltaWrite {
         val snap = DeltaRead.snapshot(spark, tablePath)
         checkSchema(tablePath, df.schema, partitionBy, snap)
         writerGate(spark, fs, logDir, root, overwrite)
+        enforceConstraints(tablePath, snap, df)
         // an overwrite is an update-shape commit (removes + adds):
         // under CDF the protocol requires cdc files for it, and this
         // writer does not synthesize full-table change rows — refuse
@@ -1193,6 +1209,201 @@ object DeltaWrite {
     victims.size
   }
 
+  /** The table's CURRENT protocol after log replay: (minReader,
+    * minWriter, readerFeatures, writerFeatures). Replay order: the
+    * newest classic checkpoint's protocol row (when present), then
+    * every later JSON commit's protocol action ascending — last wins,
+    * the reader's own rule.
+    */
+  private def currentProtocol(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path): (Int, Int, Set[String], Set[String]) = {
+    var state = (1, 2, Set.empty[String], Set.empty[String])
+    def featSet(s: String): Set[String] =
+      s.replaceAll("[\\[\\]\"\\s]", "").split(",").filter(_.nonEmpty).toSet
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val cpVersions = names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(_.take(20).toLong)
+    val base = cpVersions.maxOption
+    base.foreach { v =>
+      val cp = spark.read.parquet(
+        new Path(logDir, f"$v%020d.checkpoint.parquet").toString)
+      if (cp.schema.fieldNames.contains("protocol")) {
+        val pf = cp.schema("protocol").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val rCol = if (pf.contains("readerFeatures"))
+          col("protocol.readerFeatures").cast("string")
+        else lit(null).cast("string")
+        val wCol = if (pf.contains("writerFeatures"))
+          col("protocol.writerFeatures").cast("string")
+        else lit(null).cast("string")
+        cp.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            col("protocol.minWriterVersion"), rCol, wCol)
+          .collect().foreach { r =>
+            state = (
+              if (r.isNullAt(0)) 1 else r.getInt(0),
+              if (r.isNullAt(1)) 2 else r.getInt(1),
+              if (r.isNullAt(2)) Set.empty else featSet(r.getString(2)),
+              if (r.isNullAt(3)) Set.empty else featSet(r.getString(3)))
+          }
+      }
+    }
+    names.filter(_.matches("\\d{20}\\.json"))
+      .map(n => (n.take(20).toLong, n))
+      .filter { case (v, _) => base.forall(v > _) }
+      .sortBy(_._1)
+      .foreach { case (_, n) =>
+        val bytes = graft.ScratchSpace.readBytes(
+          spark, new Path(logDir, n).toString)
+        new String(bytes, "UTF-8").linesIterator
+          .map(_.trim).filter(_.nonEmpty)
+          .flatMap { line =>
+            try Some(mapper.readTree(line))
+            catch { case _: Exception => None }
+          }
+          .foreach { node =>
+            val p = node.get("protocol")
+            if (p != null) {
+              state = (
+                Option(p.get("minReaderVersion")).map(_.asInt(1))
+                  .getOrElse(1),
+                Option(p.get("minWriterVersion")).map(_.asInt(2))
+                  .getOrElse(2),
+                Option(p.get("readerFeatures")).filter(!_.isNull)
+                  .map(n => featSet(n.toString)).getOrElse(Set.empty),
+                Option(p.get("writerFeatures")).filter(!_.isNull)
+                  .map(n => featSet(n.toString)).getOrElse(Set.empty))
+            }
+          }
+      }
+    state
+  }
+
+  /** The legacy writer features a pre-v7 minWriterVersion IMPLIES
+    * (public protocol's table-features appendix) — an upgrade to v7
+    * must list them explicitly or their obligations silently vanish
+    * for future writers.
+    */
+  private def legacyWriterFeatures(minWriter: Int): Set[String] = {
+    val ladder = Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+    ladder.filter(_._1 <= minWriter).flatMap(_._2).toSet
+  }
+
+  private def legacyReaderFeatures(minReader: Int): Set[String] =
+    if (minReader >= 2) Set("columnMapping") else Set.empty
+
+  /** Feature-upgrade verb — the "ALTER TABLE enable feature" step the
+    * real engines run implicitly on SET TBLPROPERTIES: ONE commit
+    * whose protocol action raises the version and lists the feature,
+    * so the DV DML verbs ([[deleteWhere]]/[[updateWhere]] — which
+    * refuse unless the protocol DECLARES deletionVectors) work on
+    * ordinary tables, not only fixture-born ones.
+    *
+    * Supported: `deletionVectors` (minReader→3 / minWriter→7,
+    * reader+writer feature, sets `delta.enableDeletionVectors=true`)
+    * and `changeDataFeed` (minWriter→7 writer feature + the
+    * `delta.enableChangeDataFeed=true` configuration in the same
+    * commit — config without protocol would be half an upgrade).
+    * The upgrade carries existing v7 features forward and lists the
+    * legacy features the old writer version implied (spec rule —
+    * dropping them would erase their obligations for future writers);
+    * readers below the new minReaderVersion refuse the table
+    * afterward, exactly the engines' contract. Returns the committed
+    * version; a feature already declared returns the current version
+    * (no empty commits).
+    */
+  def enableFeature(
+      spark: SparkSession,
+      tablePath: String,
+      feature: String,
+      maxRetries: Int = 10): Long = {
+    val supported = Map(
+      "deletionVectors" -> (3, true),
+      "changeDataFeed" -> (1, false))
+    val (reqReader, isReaderFeature) = supported.getOrElse(feature,
+      fail(tablePath, s"enableFeature('$feature') unsupported — " +
+        s"supported: ${supported.keys.toSeq.sorted.mkString(", ")}"))
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
+      fail(tablePath, "enableFeature on a non-existent table")
+    writerGate(spark, fs, logDir, root, overwrite = false)
+    var attempts = 0
+    while (true) {
+      val (minR, minW, rFeats, wFeats) =
+        currentProtocol(spark, fs, logDir)
+      if (wFeats.contains(feature) &&
+        (!isReaderFeature || rFeats.contains(feature)))
+        return DeltaRead.versions(spark, tablePath).max
+      val newMinR = math.max(minR, reqReader)
+      val newRFeats =
+        (if (newMinR >= 3)
+          legacyReaderFeatures(minR) ++ rFeats ++
+            (if (isReaderFeature) Set(feature) else Set.empty)
+        else Set.empty[String]).toSeq.sorted
+      val newWFeats = (legacyWriterFeatures(minW) ++ wFeats +
+        feature).toSeq.sorted
+      val snap = DeltaRead.snapshot(spark, tablePath)
+      val cfgKey = feature match {
+        case "deletionVectors" => "delta.enableDeletionVectors"
+        case "changeDataFeed" => "delta.enableChangeDataFeed"
+      }
+      val lines = Seq(
+        commitInfoLine("EnableFeature"),
+        DeltaFixture.protocolFeaturesLine(newMinR, 7,
+          newRFeats, newWFeats),
+        DeltaFixture.metaDataLine(snap.metaId, snap.schema,
+          snap.partitionColumns,
+          configuration = snap.configuration + (cfgKey -> "true")))
+      val version = snap.version + 1
+      if (tryCommit(fs, logDir, version, lines)) return version
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"enableFeature lost $maxRetries version races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Enforce the table's declared CHECK constraints
+    * (`delta.constraints.<name>` = SQL predicate, writer v3's
+    * obligation — honored here rather than refused) over freshly
+    * written rows: ONE aggregate counts violations for every
+    * constraint; any violation refuses the commit loudly with the
+    * constraint name. NULL predicate results PASS (SQL CHECK
+    * semantics). Deletes need no check (removing rows cannot violate
+    * a row predicate).
+    */
+  private def enforceConstraints(
+      tablePath: String,
+      snap: DeltaRead.DeltaSnapshot,
+      df: DataFrame): Unit = {
+    val cs = snap.configuration.toSeq
+      .filter(_._1.startsWith("delta.constraints."))
+      .map { case (k, v) => k.stripPrefix("delta.constraints.") -> v }
+      .sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, sql) =>
+      count(when(!coalesce(expr(sql).cast("boolean"), lit(true)),
+        lit(1))).as(s"__viol_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, sql), i) =>
+      val v = row.getLong(i)
+      if (v > 0)
+        fail(tablePath, s"CHECK constraint '$n' ($sql) violated by " +
+          s"$v incoming row(s) — commit refused")
+    }
+  }
+
   /** Exact schema + partitioning match against the table (names and
     * types positionally by name; nullability ignored — parquet makes
     * no promises there anyway).
@@ -1234,25 +1445,36 @@ object DeltaWrite {
       logDir: Path,
       root: Path,
       overwrite: Boolean): Unit = {
+    LakeCommit.gate(spark, root)
     val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-    var needsV34 = false
+    var needsObligations = false
     // v7 feature lists are EXPLICIT obligations: accept only the ones
-    // this writer honors (DV-aware scans/merges, DV-safe vacuum)
-    val supportedWriterFeatures = Set("deletionVectors")
+    // this writer honors — deletionVectors (DV-aware scans/merges,
+    // DV-safe vacuum), changeDataFeed (cdc actions on merge/DML),
+    // appendOnly (gateConfig), checkConstraints (enforced on every
+    // write path via enforceConstraints), and invariants /
+    // generatedColumns (honored by REFUSAL when the schema actually
+    // declares one — the obligation-absence check below)
+    val supportedWriterFeatures = Set("deletionVectors",
+      "changeDataFeed", "appendOnly", "invariants", "checkConstraints",
+      "generatedColumns")
     def gateProtocol(minWriter: Int, feats: String): Unit = {
       val featSet = feats.replaceAll("[\\[\\]\"\\s]", "")
         .split(",").filter(_.nonEmpty).toSet
       if (minWriter == 7 && featSet.nonEmpty &&
-        featSet.subsetOf(supportedWriterFeatures))
-        () // explicit features, all honored (featureless v7 refuses —
-      // a v7 table that listed nothing is malformed, not trusted)
+        featSet.subsetOf(supportedWriterFeatures)) {
+        // explicit features, all honored (featureless v7 refuses —
+        // a v7 table that listed nothing is malformed, not trusted)
+        if (featSet.contains("invariants") ||
+          featSet.contains("generatedColumns")) needsObligations = true
+      }
       else if (minWriter > 4 || featSet.nonEmpty)
         fail(root.toString, s"table requires writer version $minWriter" +
           (if (feats.nonEmpty) s" with features $feats" else "") +
           " — only writer versions <= 4 (no writer features) or v7 " +
           s"with features ⊆ ${supportedWriterFeatures.mkString(",")} " +
           "are supported")
-      else if (minWriter > 2) needsV34 = true
+      else if (minWriter > 2) needsObligations = true
     }
     def gateConfig(cfg: Map[String, String]): Unit =
       if (overwrite && cfg.get("delta.appendOnly").contains("true"))
@@ -1327,32 +1549,30 @@ object DeltaWrite {
             }
       }
     }
-    if (needsV34) {
-      // v3/v4 pass only when their enforcement obligations are absent
-      // from the CURRENT table state
+    if (needsObligations) {
+      // v3/v4 (and v7 tables declaring invariants/generatedColumns)
+      // pass only when the obligations this writer cannot COMPUTE are
+      // absent from the CURRENT table state. CHECK constraints no
+      // longer refuse here: every write path runs
+      // [[enforceConstraints]] over its fresh rows.
       val snap = DeltaRead.snapshot(spark, root.toString)
-      val constraints = snap.configuration.keys
-        .filter(_.startsWith("delta.constraints.")).toSeq.sorted
-      if (constraints.nonEmpty)
-        fail(root.toString, "table declares CHECK constraints " +
-          s"(${constraints.mkString(",")}) — this writer cannot " +
-          "enforce them; write refused")
       snap.schema.foreach { f =>
         if (f.metadata.contains("delta.generationExpression"))
           fail(root.toString, s"column '${f.name}' is a GENERATED " +
             "column — this writer cannot compute it; write refused")
+        if (f.metadata.contains("delta.invariants"))
+          fail(root.toString, s"column '${f.name}' declares an " +
+            "INVARIANT — this writer cannot enforce it; write refused")
       }
     }
   }
 
-  /** Stage-write the DataFrame inside the table, rename part files to
-    * their final partition locations, and (optionally) collect
-    * per-file stats with one aggregate over the fresh files.
-    */
   /** Stage-write change rows into `_change_data/` (unpartitioned cdc
     * files for [[DeltaRead.readCdf]]); returns (relPath, size) per
     * file for the commit's cdc actions. Distributed write — no
-    * single-file coalesce; empty change sets produce no files.
+    * single-file coalesce; empty change sets produce no files
+    * (zero-row parts drop via ONE aggregated per-file count, the
+    * [[writeData]] shape — never a driver-side job per part file).
     */
   private def writeChangeData(
       spark: SparkSession,
@@ -1362,29 +1582,40 @@ object DeltaWrite {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(root, s"_staging-cdc-$nonce")
     df.write.mode("overwrite").parquet(stage.toString)
-    val out = Seq.newBuilder[(String, Long)]
-    var i = 0
-    fs.listStatus(stage).toSeq
+    val parts = fs.listStatus(stage).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
         st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .foreach { st =>
-        // zero-row part files carry no change rows — drop them
-        if (st.getLen > 0 &&
-          spark.read.parquet(st.getPath.toString).limit(1).count() > 0) {
-          val rel = s"_change_data/cdc-$nonce-$i.parquet"
-          val dest = new Path(root, rel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            fail(root.toString, s"rename to $dest failed")
-          out += ((rel, fs.getFileStatus(dest).getLen))
-          i += 1
-        }
+    // path forms differ between the scan's _metadata.file_path and
+    // makeQualified().toUri (file:/ vs file:///) — match on the
+    // scheme-normalized form, DeltaRead's file-identity rule
+    val nonEmpty: Set[String] =
+      if (parts.isEmpty) Set.empty
+      else spark.read.parquet(parts.map(_.getPath.toString): _*)
+        .groupBy(col("_metadata.file_path")).count()
+        .collect().map(r => DeltaRead.normalizeStr(r.getString(0))).toSet
+    val out = Seq.newBuilder[(String, Long)]
+    var i = 0
+    parts.foreach { st =>
+      if (nonEmpty.contains(DeltaRead.normalizeStr(
+        fs.makeQualified(st.getPath).toUri.toString))) {
+        val rel = s"_change_data/cdc-$nonce-$i.parquet"
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          fail(root.toString, s"rename to $dest failed")
+        out += ((rel, fs.getFileStatus(dest).getLen))
+        i += 1
       }
+    }
     fs.delete(stage, true): Unit
     out.result()
   }
 
+  /** Stage-write the DataFrame inside the table, rename part files to
+    * their final partition locations, and (optionally) collect
+    * per-file stats with one aggregate over the fresh files.
+    */
   private def writeData(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,

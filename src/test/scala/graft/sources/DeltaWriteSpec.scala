@@ -196,7 +196,8 @@ class DeltaWriteSpec extends SparkTestBase {
       DeltaFixture.metaDataLine("v4", schema),
       DeltaFixture.addLine("a.parquet", s0)))
     assert(DeltaWrite.append(kv(5, 7), t) == 1L)
-    // v3 table WITH a declared constraint: refuse
+    // v3 table WITH a declared constraint: ENFORCED, not refused —
+    // passing rows commit, violating rows refuse with the name
     val t2 = fresh()
     val s2 = DeltaFixture.plantDataFile(spark, kv(0, 2), t2, "a.parquet")
     val constrained = DeltaFixture.metaDataLine("v3", schema)
@@ -206,10 +207,15 @@ class DeltaWriteSpec extends SparkTestBase {
       DeltaFixture.protocolLine(minWriter = 3),
       constrained,
       DeltaFixture.addLine("a.parquet", s2)))
+    assert(DeltaWrite.append(kv(5, 7), t2) == 1L)
     val e2 = intercept[IllegalArgumentException] {
-      DeltaWrite.append(kv(5, 7), t2)
+      DeltaWrite.append(Seq((-3L, "bad"), (8L, "ok")).toDF("k", "name"),
+        t2)
     }
-    assert(e2.getMessage.contains("CHECK constraints"), e2.getMessage)
+    assert(e2.getMessage.contains("CHECK constraint 'kpos'") &&
+      e2.getMessage.contains("1 incoming row"), e2.getMessage)
+    // the violating commit never landed
+    assert(DeltaRead.read(spark, t2).count() == 4L)
     // v4 table with a GENERATED column: refuse
     val t3 = fresh()
     val s3 = DeltaFixture.plantDataFile(spark, kv(0, 2), t3, "a.parquet")
@@ -978,5 +984,186 @@ class DeltaWriteSpec extends SparkTestBase {
         })
     }
     assert(e.getMessage.contains("concurrent commit changed the table"))
+  }
+
+  test("merge retry guard sees DVs: a concurrent DV deleteWhere " +
+    "keeps the path set identical but must still refuse the merge") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val sa = DeltaFixture.plantDataFile(spark, kv(0, 5), t, "a.parquet")
+    val sb = DeltaFixture.plantDataFile(spark, kv(10, 13), t, "b.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7,
+        Seq("deletionVectors"), Seq("deletionVectors")),
+      DeltaFixture.metaDataLine("mdvrace", schema),
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((0L, 4L)))))),
+      DeltaFixture.addLine("b.parquet", sb,
+        stats = Some(DeltaFixture.statsJson(3, Map("k" -> ((10L, 12L))))))))
+    var raced = false
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(Seq((1L, "UPD")).toDF("k", "name"), t, Seq("k"),
+        beforeCommit = { () =>
+          if (!raced) {
+            raced = true
+            // concurrent DV delete in file b: remove+re-add of the
+            // SAME path — the pre-fix path-only guard passed here and
+            // silently resurrected k=11 through the merge's survivors
+            DeltaWrite.deleteWhere(spark, t, col("k") === 11L): Unit
+          }
+        })
+    }
+    assert(e.getMessage.contains("concurrent commit changed the table"),
+      e.getMessage)
+    // the concurrent delete survived — k=11 stays dead
+    assert(!DeltaRead.read(spark, t).collect().map(_.getLong(0))
+      .contains(11L))
+  }
+
+  test("optimize retry guard sees DVs: a concurrent deleteWhere on a " +
+    "to-be-compacted file refuses the optimize instead of " +
+    "resurrecting the deleted rows") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val sa = DeltaFixture.plantDataFile(spark, kv(0, 5), t, "a.parquet")
+    val sb = DeltaFixture.plantDataFile(spark, kv(10, 13), t, "b.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7,
+        Seq("deletionVectors"), Seq("deletionVectors")),
+      DeltaFixture.metaDataLine("odvrace", schema),
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(5, Map("k" -> ((0L, 4L)))))),
+      DeltaFixture.addLine("b.parquet", sb,
+        stats = Some(DeltaFixture.statsJson(3, Map("k" -> ((10L, 12L))))))))
+    var raced = false
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.optimize(spark, t, beforeCommit = { () =>
+        if (!raced) {
+          raced = true
+          // the delete re-adds a.parquet at the SAME path with a DV —
+          // optimize's compacted files were scanned pre-DV
+          DeltaWrite.deleteWhere(spark, t, col("k") === 1L): Unit
+        }
+      })
+    }
+    assert(e.getMessage.contains("DV-masked"), e.getMessage)
+    // the delete's effect survives; nothing resurrected
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 4L, 10L, 11L, 12L))
+  }
+
+  test("enableFeature(deletionVectors): ordinary tables upgrade to " +
+    "v7 and DV DML works; legacy obligations listed; idempotent") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 6), t): Unit
+    // pre-upgrade: DV DML refuses
+    intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, t, col("k") === 1L)
+    }
+    val v = DeltaWrite.enableFeature(spark, t, "deletionVectors")
+    assert(v == 1L)
+    // re-enabling is a no-op (no empty commits)
+    assert(DeltaWrite.enableFeature(spark, t, "deletionVectors") == 1L)
+    // DV DML now works on the ordinary table
+    val rep = DeltaWrite.deleteWhere(spark, t, col("k").isin(1L, 3L))
+    assert(rep.deletedRows == 2L, rep.toString)
+    assert(DeltaRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 5L))
+    // the protocol commit lists the legacy writer obligations the old
+    // v2 implied (appendOnly, invariants) — spec upgrade rule
+    val logTxt = new String(graft.ScratchSpace.readBytes(spark,
+      new Path(new Path(t), "_delta_log/00000000000000000001.json")
+        .toString), "UTF-8")
+    assert(logTxt.contains("\"appendOnly\"") &&
+      logTxt.contains("\"invariants\"") &&
+      logTxt.contains("\"deletionVectors\""), logTxt)
+    assert(logTxt.contains("\"minReaderVersion\":3") &&
+      logTxt.contains("\"minWriterVersion\":7"), logTxt)
+    // ordinary writes still pass the upgraded gate
+    assert(DeltaWrite.append(kv(20, 22), t) > v)
+    // unknown features refuse
+    intercept[IllegalArgumentException] {
+      DeltaWrite.enableFeature(spark, t, "unknownFeature")
+    }
+  }
+
+  test("enableFeature(changeDataFeed): config + protocol in ONE " +
+    "commit; CDF DML records change rows afterward") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    DeltaWrite.append(kv(0, 4), t): Unit
+    val v = DeltaWrite.enableFeature(spark, t, "changeDataFeed")
+    assert(v == 1L)
+    val snap = DeltaRead.snapshot(spark, t)
+    assert(snap.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"))
+    // merge after the upgrade writes cdc actions readCdf replays
+    DeltaWrite.merge(Seq((1L, "UPD")).toDF("k", "name"), t,
+      Seq("k")): Unit
+    val feed = DeltaRead.readCdf(spark, t, 2).orderBy("_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(feed.toSeq == Seq((1L, "update_postimage"),
+      (1L, "update_preimage")), feed.mkString(";"))
+  }
+
+  test("CHECK constraints: enforced across merge, updateWhere and " +
+    "appendEvolve; NULL predicate passes; constraint survives " +
+    "evolution") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val sa = DeltaFixture.plantDataFile(spark, kv(0, 4), t, "a.parquet")
+    val constrained = DeltaFixture.metaDataLine("ck", schema)
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.constraints.kpos\":\"k >= 0\"}")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7,
+        Seq("deletionVectors"),
+        Seq("deletionVectors", "checkConstraints", "appendOnly",
+          "invariants")),
+      constrained,
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(4, Map("k" -> ((0L, 3L))))))))
+    // merge: violating upsert refuses, valid one lands
+    val em = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(Seq((-9L, "bad")).toDF("k", "name"), t, Seq("k"))
+    }
+    assert(em.getMessage.contains("CHECK constraint 'kpos'"))
+    DeltaWrite.merge(Seq((9L, "ok")).toDF("k", "name"), t, Seq("k")): Unit
+    // updateWhere: a SET that breaks the constraint refuses
+    val eu = intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, t, col("k") === 2L,
+        Map("k" -> lit(-5L)))
+    }
+    assert(eu.getMessage.contains("CHECK constraint 'kpos'"))
+    // NULL predicate result passes (SQL CHECK semantics): null key
+    val vN = DeltaWrite.append(
+      Seq((null.asInstanceOf[java.lang.Long], "nullk"))
+        .toDF("k", "name").select(col("k").cast("long"), col("name")),
+      t)
+    assert(vN > 0L)
+    // appendEvolve keeps enforcing: the constraint survives the
+    // metaData replacement (configuration carried through)
+    val ee = intercept[IllegalArgumentException] {
+      DeltaWrite.appendEvolve(
+        Seq((-1L, "bad", "x")).toDF("k", "name", "extra"), t)
+    }
+    assert(ee.getMessage.contains("CHECK constraint 'kpos'"))
+    DeltaWrite.appendEvolve(
+      Seq((30L, "ok", "x")).toDF("k", "name", "extra"), t): Unit
+    val snap = DeltaRead.snapshot(spark, t)
+    assert(snap.configuration.contains("delta.constraints.kpos"))
+    // post-evolution appends still enforce
+    val ep = intercept[IllegalArgumentException] {
+      DeltaWrite.append(
+        Seq((-2L, "bad", "y")).toDF("k", "name", "extra"), t)
+    }
+    assert(ep.getMessage.contains("CHECK constraint 'kpos'"))
   }
 }

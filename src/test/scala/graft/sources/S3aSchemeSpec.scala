@@ -65,9 +65,45 @@ class S3aSchemeSpec extends SparkTestBase {
     }
   }
 
+  test("lake commits REFUSE s3a:// roots without the single-writer " +
+    "acknowledgement — the typed commit-safety statement") {
+    withMockS3a { base =>
+      val ss = spark
+      import ss.implicits._
+      spark.conf.unset(LakeCommit.SingleWriterAckKey)
+      val df = Seq((1L, "a")).toDF("k", "name")
+      val eD = intercept[UnsafeCommitStoreException] {
+        DeltaWrite.append(df, s"$base/lake/refuse_delta")
+      }
+      assert(eD.getMessage.contains("create-exclusive") &&
+        eD.getMessage.contains(LakeCommit.SingleWriterAckKey),
+        eD.getMessage)
+      val eI = intercept[UnsafeCommitStoreException] {
+        IcebergWrite.append(df, s"$base/lake/refuse_ice")
+      }
+      assert(eI.getMessage.contains(LakeCommit.SingleWriterAckKey))
+      // nothing landed
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$base/lake/refuse_delta/_delta_log")))
+    }
+  }
+
   test("Delta write lifecycle end-to-end on s3a:// URIs: append, " +
     "idempotent txn, merge, checkpoint + cleanup, vacuum, read back") {
     withMockS3a { base =>
+      val ss = spark
+      import ss.implicits._
+      // single-writer acknowledgement: the documented S3 deployment
+      // contract under which create-exclusive commits are race-free
+      spark.conf.set(LakeCommit.SingleWriterAckKey, "true")
+      try testDeltaLifecycle(base)
+      finally spark.conf.unset(LakeCommit.SingleWriterAckKey)
+    }
+  }
+
+  private def testDeltaLifecycle(base: String): Unit = {
       val ss = spark
       import ss.implicits._
       val t = s"$base/lake/delta_tbl"
@@ -95,7 +131,6 @@ class S3aSchemeSpec extends SparkTestBase {
       // every path the log references stays on the object-store scheme
       DeltaRead.snapshot(spark, t).liveFiles.foreach(f =>
         assert(!f.path.startsWith("file:"), f.path))
-    }
   }
 
   test("dynamic-partition overwrite honors partition grain on s3a://") {
