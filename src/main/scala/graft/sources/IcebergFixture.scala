@@ -47,12 +47,55 @@ object IcebergFixture {
       |  {"type":"array","items":"int"}],"default":null}]}}]}"""
       .stripMargin)
 
+  /** Avro type name for an identity-partition column (the supported
+    * partition value types).
+    */
+  private def avroPartitionType(
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"identity partition value type $other unsupported " +
+        "(int/long/string only)")
+  }
+
+  /** [[manifestSchema]] extended with the spec's `partition` record
+    * (named r102, one nullable field per partition column) — the form
+    * partitioned writers emit and the pruning walk reads.
+    */
+  private[sources] def manifestSchemaWithPartition(
+      partitionFields: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Schema = {
+    val fields = partitionFields.map { case (n, dt) =>
+      s"""{"name":"${n}","type":["null","${avroPartitionType(dt)}"],""" +
+        """"default":null}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"sequence_number","type":["null","long"],"default":null},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int"},
+         |{"name":"file_path","type":"string"},
+         |{"name":"file_format","type":"string"},
+         |{"name":"partition","type":{"type":"record","name":"r102",
+         |  "fields":[$fields]}},
+         |{"name":"record_count","type":"long"},
+         |{"name":"file_size_in_bytes","type":"long"},
+         |{"name":"equality_ids","type":["null",
+         |  {"type":"array","items":"int"}],"default":null}]}}]}"""
+        .stripMargin)
+  }
+
   /** One manifest entry: status (1 added / 0 existing / 2 deleted),
     * data-file path relative to the table root (or absolute URI),
     * record count, the data_file content code (0 data / 1 position
     * deletes / 2 equality deletes), the entry's explicit data
-    * sequence number (None = inherit the manifest's when ADDED), and
-    * the equality-field ids for content=2 files.
+    * sequence number (None = inherit the manifest's when ADDED), the
+    * equality-field ids for content=2 files, and the real file size
+    * ([[IcebergWrite]] records actual byte lengths; fixtures that
+    * never read the field back may keep the placeholder).
     */
   final case class Entry(
       status: Int,
@@ -60,7 +103,9 @@ object IcebergFixture {
       recordCount: Long,
       content: Int = 0,
       seq: Option[Long] = None,
-      equalityIds: Seq[Int] = Seq.empty)
+      equalityIds: Seq[Int] = Seq.empty,
+      sizeBytes: Long = 1L,
+      partition: Map[String, Option[String]] = Map.empty)
 
   /** Attach explicit Iceberg field ids to a flat Spark schema (as
     * `parquet.field.id` metadata): [[plantDataFile]] then writes them
@@ -95,10 +140,11 @@ object IcebergFixture {
     val tagged = withFieldIds(df.schema, fieldIds)
     val withMeta = df.select(tagged.fields.map(f =>
       col(f.name).as(f.name, f.metadata)).toSeq: _*)
-    // default-on in Spark 4; set defensively — the footer ids are the
-    // whole point of this planting path
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    DeltaFixture.plantDataFile(spark, withMeta, tablePath, name)
+    // the footer ids are the whole point of this planting path; the
+    // write is eager, so the flag save/restores around it
+    FieldIds.withWriteEnabled(spark) {
+      DeltaFixture.plantDataFile(spark, withMeta, tablePath, name)
+    }
   }
 
   /** Write one Avro OCF manifest holding `entries`; returns the
@@ -108,27 +154,49 @@ object IcebergFixture {
       spark: SparkSession,
       tablePath: String,
       name: String,
-      entries: Seq[Entry]): Long = {
+      entries: Seq[Entry],
+      partitionFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq.empty): Long = {
+    val schema =
+      if (partitionFields.isEmpty) manifestSchema
+      else manifestSchemaWithPartition(partitionFields)
     val p = new Path(new Path(tablePath, "metadata"), name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](manifestSchema))
-    w.create(manifestSchema, out)
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
     entries.foreach { e =>
-      val dfSchema = manifestSchema.getField("data_file").schema()
+      val dfSchema = schema.getField("data_file").schema()
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.filePath)
       df.put("file_format", "PARQUET")
       df.put("record_count", e.recordCount)
-      df.put("file_size_in_bytes", 1L)
+      df.put("file_size_in_bytes", e.sizeBytes)
+      if (partitionFields.nonEmpty) {
+        val pSchema = dfSchema.getField("partition").schema()
+        val pRec = new GenericData.Record(pSchema)
+        partitionFields.foreach { case (n, dt) =>
+          e.partition.getOrElse(n, None).foreach { v =>
+            val typed: AnyRef = dt match {
+              case org.apache.spark.sql.types.IntegerType =>
+                Integer.valueOf(v.toInt)
+              case org.apache.spark.sql.types.LongType =>
+                java.lang.Long.valueOf(v.toLong)
+              case _ => v
+            }
+            pRec.put(n, typed)
+          }
+        }
+        df.put("partition", pRec)
+      }
       if (e.equalityIds.nonEmpty) {
         val arr = new java.util.ArrayList[Integer]()
         e.equalityIds.foreach(i => arr.add(Integer.valueOf(i)))
         df.put("equality_ids", arr)
       }
-      val rec = new GenericData.Record(manifestSchema)
+      val rec = new GenericData.Record(schema)
       rec.put("status", e.status)
       e.seq.foreach(s => rec.put("sequence_number", java.lang.Long.valueOf(s)))
       rec.put("data_file", df)

@@ -72,11 +72,15 @@ object IcebergRead {
     * sequence number (entry's own, else inherited from its
     * manifest-list row when ADDED); None when unresolvable — benign
     * unless equality deletes are present (then the read refuses).
+    * `partition` carries the manifest entry's identity-partition
+    * values, stringified (null values absent) — what [[readPruned]]
+    * skips files by.
     */
   final case class IcebergFile(
       path: String,
       recordCount: Long,
-      seq: Option[Long] = None)
+      seq: Option[Long] = None,
+      partition: Map[String, String] = Map.empty)
 
   /** One live equality-delete file: its rows delete any data row
     * whose `equalityIds` columns all match (null-safe) in data files
@@ -263,8 +267,17 @@ object IcebergRead {
           // ADDED (status 1) entry without one inherits its manifest's
           val seq = long(rec, "sequence_number")
             .orElse(if (status == 1L) mSeq else None)
+          // identity-partition values ride in the entry's partition
+          // record (absent field or null values = unpartitioned)
+          val pvals: Map[String, String] =
+            if (df.getSchema.getField("partition") == null) Map.empty
+            else Option(df.get("partition"))
+              .collect { case r: GenericRecord => r }
+              .map(r => r.getSchema.getFields.asScala.flatMap { f =>
+                Option(r.get(f.name)).map(v => f.name -> v.toString)
+              }.toMap).getOrElse(Map.empty)
           (mContent, content) match {
-            case (0L, 0L) => live += IcebergFile(fp, rc, seq)
+            case (0L, 0L) => live += IcebergFile(fp, rc, seq, pvals)
             case (1L, 1L) => deletes += IcebergFile(fp, rc, seq)
             case (1L, 2L) =>
               eqDeletes += EqDeleteFile(fp,
@@ -334,12 +347,37 @@ object IcebergRead {
       snapshotId: Option[Long] = None): DataFrame =
     readInternal(spark, path, snapshotId, keepPos = true)
 
+  /** Partition-pruned scan: files whose manifest identity-partition
+    * values match EVERY (column → stringified value) pair scan; every
+    * other file is SKIPPED at the manifest walk — the metadata prune
+    * that makes a partitioned 100 TB table pay for only the
+    * partitions a query names. Matching is exact on the stringified
+    * identity value (int/long/string transforms — the ones
+    * [[IcebergWrite]] produces); a column absent from a file's
+    * partition record never matches (partition evolution is not
+    * guessed around).
+    */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      partitionEquals: Map[String, String],
+      snapshotId: Option[Long] = None): DataFrame =
+    readInternal(spark, path, snapshotId, keepPos = false,
+      partitionEquals = partitionEquals)
+
   private def readInternal(
       spark: SparkSession,
       path: String,
       snapshotId: Option[Long],
-      keepPos: Boolean): DataFrame = {
-    val snap = snapshot(spark, path, snapshotId)
+      keepPos: Boolean,
+      partitionEquals: Map[String, String] = Map.empty): DataFrame = {
+    val snap0 = snapshot(spark, path, snapshotId)
+    val snap =
+      if (partitionEquals.isEmpty) snap0
+      else snap0.copy(liveFiles = snap0.liveFiles.filter(f =>
+        partitionEquals.forall { case (k, v) =>
+          f.partition.get(k).contains(v)
+        }))
     val outSchema =
       if (!keepPos) snap.schema
       else snap.schema.add("__file_path", StringType)
@@ -352,8 +390,9 @@ object IcebergRead {
     val root = fs.makeQualified(p)
     // field-id resolution: inert for schemas without id metadata,
     // load-bearing here — the session flag is how Spark's parquet
-    // reader is told to match footer ids instead of names
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // reader is told to match footer ids instead of names (per-read
+    // options are ignored for this key; see [[FieldIds]])
+    FieldIds.ensureReadEnabled(spark)
     val files = snap.liveFiles.map(f => resolve(root, f.path).toString)
     val scan0 = spark.read.schema(snap.schema).parquet(files: _*)
     if (!keepPos && snap.deleteFiles.isEmpty &&

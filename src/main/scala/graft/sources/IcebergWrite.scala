@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
 
 /** Transactional APPEND-ONLY Apache Iceberg writer — the produce-side
   * twin of [[IcebergRead]], per the public table spec's
@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions.{col, count, lit}
   * specs preserved) appending one snapshot.
   *
   * Scope (refuse-loudly outside it):
-  *  - append only — no overwrite/delete/compaction;
-  *  - unpartitioned tables (a partition spec with fields refuses);
+  *  - verbs: append (incl. table create), position-delete DML
+  *    ([[deleteWhere]]), equality-delete upsert ([[upsert]]),
+  *    delete-compaction ([[rewriteDataFiles]]), snapshot expiration
+  *    ([[expireSnapshots]]);
+  *  - partitioning: IDENTITY transforms over int/long/string columns
+  *    (created or appended; every data file holds exactly ONE
+  *    partition tuple, manifest entries carry the spec's partition
+  *    record for [[IcebergRead.readPruned]]'s metadata prune).
+  *    Non-identity transforms (bucket/truncate/days/...) refuse; the
+  *    DML verbs refuse partitioned tables (delete manifests would
+  *    need per-partition scoping);
   *  - format-version 2 (created tables are v2; appends to v1 tables
   *    refuse — their sequence-number-less manifests would corrupt
   *    delete semantics);
@@ -32,31 +41,57 @@ object IcebergWrite {
   private def fail(path: String, why: String): Nothing =
     throw new IllegalArgumentException(s"IcebergWrite: $path — $why")
 
+  /** The spec's RESERVED field ids for position-delete file columns
+    * (iceberg.apache.org/spec — 2147483546 `file_path`, 2147483545
+    * `pos`): conformant external engines resolve delete columns by
+    * these ids, so they ride into the delete parquet footers.
+    */
+  val PosDeleteFilePathId = 2147483546
+  val PosDeletePosId = 2147483545
+
   /** Append `df` to the Iceberg table at `tablePath`, creating the
-    * table (format-version 2, field ids 1..n) when absent. Returns
-    * the committed snapshot id. The data write is distributed (no
-    * single-file coalesce); the metadata walk and commit are
+    * table (format-version 2, field ids 1..n, identity partition spec
+    * over `partitionBy`) when absent. For existing tables
+    * `partitionBy` must NAME the table's identity partition columns
+    * exactly (explicitness over inference — [[DeltaWrite]]'s stance).
+    * Returns the committed snapshot id. The data write is distributed
+    * (no single-file coalesce); the metadata walk and commit are
     * driver-side, like every metadata operation here.
     */
   def append(
       df: DataFrame,
       tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
       maxRetries: Int = 10): Long = {
     val spark = df.sparkSession
+    partitionBy.foreach { c =>
+      if (!df.columns.contains(c))
+        fail(tablePath, s"partition column '$c' not in DataFrame")
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.StringType => ()
+        case other =>
+          fail(tablePath, s"identity partition column '$c' has type " +
+            s"${other.simpleString} — int/long/string only")
+      }
+    }
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
+    LakeCommit.gate(spark, root)
     val metaDir = new Path(root, "metadata")
     val exists = fs.exists(metaDir) &&
       fs.listStatus(metaDir).exists(
         _.getPath.getName.matches("v\\d+\\.metadata\\.json"))
-    if (!exists) create(df, tablePath, fs, root, maxRetries)
-    else appendExisting(df, tablePath, fs, root, maxRetries)
+    if (!exists) create(df, tablePath, partitionBy, fs, root, maxRetries)
+    else appendExisting(df, tablePath, partitionBy, fs, root, maxRetries)
   }
 
   private def create(
       df: DataFrame,
       tablePath: String,
+      partitionBy: Seq[String],
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
       maxRetries: Int): Long = {
@@ -65,33 +100,42 @@ object IcebergWrite {
       IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(i + 1)
     }.toSeq
     val schema = IcebergFixture.withFieldIds(df.schema, ids)
-    val files = writeDataFiles(df, fs, root, ids)
+    val files = writeDataFiles(df, fs, root, ids, partitionBy)
     val snapshotId = 1L
     val mName = s"m-${java.util.UUID.randomUUID()}.avro"
     val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
-      files.map { case (rel, rc, _) => IcebergFixture.Entry(1, rel, rc) })
+      files.map { case (rel, rc, sz, pvs) =>
+        IcebergFixture.Entry(1, rel, rc, sizeBytes = sz,
+          partition = pvs) },
+      partitionFields = partitionBy.map(c =>
+        (c, df.schema(c).dataType)))
     val mlName = s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"
     IcebergFixture.writeManifestList(spark, tablePath, mlName,
       Seq((mName, mLen, 0, 1L)))
-    val meta = freshMetadata(tablePath, schema, snapshotId, mlName)
+    val meta = freshMetadata(tablePath, schema, snapshotId, mlName,
+      partitionBy)
     if (tryCommit(fs, root, 1L, meta)) {
       writeHint(spark, fs, root, 1L)
       snapshotId
     } else {
       // a racer created the table first — this becomes an append and
       // must satisfy the append contract against THEIR schema
-      appendExisting(df, tablePath, fs, root, maxRetries)
+      appendExisting(df, tablePath, partitionBy, fs, root, maxRetries)
     }
   }
 
   private def appendExisting(
       df: DataFrame,
       tablePath: String,
+      partitionBy: Seq[String],
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
       maxRetries: Int): Long = {
     val spark = df.sparkSession
-    val snap = validateV2Unpartitioned(spark, tablePath)
+    val (snap, specCols) = validateV2(spark, tablePath)
+    if (partitionBy != specCols)
+      fail(tablePath, s"partitionBy ${partitionBy.mkString(",")} != " +
+        s"table's identity partition columns ${specCols.mkString(",")}")
     val want = snap.schema.map(f => f.name -> f.dataType)
     val got = df.schema.map(f => f.name -> f.dataType)
     if (want != got)
@@ -107,49 +151,69 @@ object IcebergWrite {
           "field id — cannot write conformant data files"))).toSeq
     // data + manifest write ONCE; only the commit tail retries
     val files = writeDataFiles(
-      df.select(snap.schema.map(f => col(f.name)): _*), fs, root, ids)
+      df.select(snap.schema.map(f => col(f.name)): _*), fs, root, ids,
+      partitionBy)
     val mName = s"m-${java.util.UUID.randomUUID()}.avro"
     val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
-      files.map { case (rel, rc, _) => IcebergFixture.Entry(1, rel, rc) })
-    commitNewSnapshot(spark, tablePath, fs, root, mName, mLen,
-      content = 0, maxRetries)
+      files.map { case (rel, rc, sz, pvs) =>
+        IcebergFixture.Entry(1, rel, rc, sizeBytes = sz,
+          partition = pvs) },
+      partitionFields = partitionBy.map(c =>
+        (c, snap.schema(c).dataType)))
+    commitNewSnapshot(spark, tablePath, fs, root,
+      Seq((mName, mLen, 0)), maxRetries)
   }
 
-  /** The shared v2 precondition: current metadata is format-version 2
-    * with an UNPARTITIONED spec; returns the current snapshot.
+  /** The shared v2 precondition: current metadata is format-version
+    * 2; the DEFAULT partition spec must be empty or identity-only
+    * (non-identity transforms refuse). Returns the current snapshot
+    * plus the spec's identity partition column names in spec order.
     */
-  private def validateV2Unpartitioned(
+  private def validateV2(
       spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): IcebergRead.IcebergSnapshot = {
+      tablePath: String)
+      : (IcebergRead.IcebergSnapshot, Seq[String]) = {
     val (meta, _, _) = IcebergRead.loadMetadata(spark, tablePath)
     val fv = meta.get("format-version").asInt()
     if (fv != 2)
       fail(tablePath, s"write to a format-version $fv table is " +
         "unsupported (v2 only — v1 manifests lack sequence numbers)")
+    val specId = Option(meta.get("default-spec-id")).filter(_.isNumber)
+      .map(_.asInt()).getOrElse(0)
     val specs = Option(meta.get("partition-specs")).filter(_.isArray)
       .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
-    if (specs.exists(s => Option(s.get("fields"))
-      .exists(f => f.isArray && f.size() > 0)))
-      fail(tablePath, "write to a PARTITIONED table is unsupported")
-    IcebergRead.snapshot(spark, tablePath)
+    val spec = specs.find(s => Option(s.get("spec-id"))
+      .exists(_.asInt() == specId))
+    val fields = spec.flatMap(s => Option(s.get("fields")))
+      .filter(_.isArray)
+      .map(f => (0 until f.size()).map(f.get(_)))
+      .getOrElse(Seq.empty)
+    val cols = fields.map { f =>
+      val transform = Option(f.get("transform")).map(_.asText())
+        .getOrElse("identity")
+      if (transform != "identity")
+        fail(tablePath, s"partition transform '$transform' is " +
+          "unsupported (identity only)")
+      Option(f.get("name")).map(_.asText()).getOrElse(
+        fail(tablePath, "partition field without a name"))
+    }
+    (IcebergRead.snapshot(spark, tablePath), cols)
   }
 
-  /** The commit tail shared by append and delete: carry the CURRENT
-    * snapshot's manifests verbatim, add the new manifest (data or
-    * delete by `content`) at the next sequence number, write the
-    * manifest list + metadata, and CREATE-EXCLUSIVE the next version
-    * file — re-reading the latest state on every race retry (the
-    * already-written data/manifest files are reused; losers never
-    * rewrite data).
+  /** The commit tail shared by append, delete and upsert: carry the
+    * CURRENT snapshot's manifests verbatim, add the new manifests
+    * (`(name, length, content)` — data and/or delete) at the next
+    * sequence number, write the manifest list + metadata, and
+    * CREATE-EXCLUSIVE the next version file — re-reading the latest
+    * state on every race retry (the already-written data/manifest
+    * files are reused; losers never rewrite data).
     */
   private def commitNewSnapshot(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
-      mName: String,
-      mLen: Long,
-      content: Int,
+      newManifests: Seq[(String, Long, Int)],
       maxRetries: Int): Long = {
     val conf = spark.sessionState.newHadoopConf()
     var attempts = 0
@@ -187,7 +251,9 @@ object IcebergWrite {
       }
       val mlName = s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"
       IcebergFixture.writeManifestListPaths(spark, tablePath, mlName,
-        prevManifests :+ (s"metadata/$mName", mLen, content, newSeq))
+        prevManifests ++ newManifests.map { case (mName, mLen, content) =>
+          (s"metadata/$mName", mLen, content, newSeq)
+        })
       val prevTs = snaps.map(s =>
         Option(s.get("timestamp-ms")).filter(_.isNumber)
           .map(_.asLong()).getOrElse(0L)).maxOption.getOrElse(0L)
@@ -224,14 +290,32 @@ object IcebergWrite {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
-    val snap = validateV2Unpartitioned(spark, tablePath)
+    LakeCommit.gate(spark, root)
+    val (snap, specCols) = validateV2(spark, tablePath)
+    if (specCols.nonEmpty)
+      fail(tablePath, "deleteWhere on a PARTITIONED table is " +
+        "unsupported (delete manifests would need per-partition " +
+        "scoping)")
+    // the delete columns carry the spec's RESERVED field ids in the
+    // parquet footers — external engines resolve them by id
+    val delSchema = IcebergFixture.withFieldIds(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))),
+      Seq(PosDeleteFilePathId, PosDeletePosId))
     val matched = IcebergRead.readWithPos(spark, tablePath)
       .where(predicate)
-      .select(col("__file_path").as("file_path"), col("__pos").as("pos"))
+      .select(
+        col("__file_path").as("file_path", delSchema(0).metadata),
+        col("__pos").as("pos", delSchema(1).metadata))
       .sort("file_path", "pos")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(root, s"_staging-icedel-$nonce")
-    matched.write.mode("overwrite").parquet(stage.toString)
+    FieldIds.withWriteEnabled(spark) {
+      matched.write.mode("overwrite").parquet(stage.toString)
+    }
     val moved = Seq.newBuilder[(String, Path)]
     var i = 0
     fs.listStatus(stage).toSeq
@@ -255,19 +339,299 @@ object IcebergWrite {
         .groupBy(col("_metadata.file_path").as("__f"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
         .collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => DeltaRead.normalizeStr(r.getString(0)) -> r.getLong(1))
+        .toMap
     val entries = files.flatMap { case (rel, dest) =>
-      val rc = counts.getOrElse(
-        fs.makeQualified(dest).toUri.toString, 0L)
+      val rc = counts.getOrElse(DeltaRead.normalizeStr(
+        fs.makeQualified(dest).toUri.toString), 0L)
       if (rc == 0L) { fs.delete(dest, false); None }
-      else Some(IcebergFixture.Entry(1, rel, rc, content = 1))
+      else Some(IcebergFixture.Entry(1, rel, rc, content = 1,
+        sizeBytes = fs.getFileStatus(dest).getLen))
     }
     if (entries.isEmpty) return snap.snapshotId // nothing matched
     val mName = s"m-${java.util.UUID.randomUUID()}.avro"
     val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
       entries)
-    commitNewSnapshot(spark, tablePath, fs, root, mName, mLen,
-      content = 1, maxRetries)
+    commitNewSnapshot(spark, tablePath, fs, root,
+      Seq((mName, mLen, 1)), maxRetries)
+  }
+
+  /** UPSERT via EQUALITY-delete files — the CDC-ingest produce shape
+    * (Flink-style): ONE snapshot carrying (a) an equality-delete
+    * manifest whose rows name every incoming key on the key columns,
+    * and (b) a data manifest with the upserted rows — both at the
+    * same NEW sequence number, so the spec's strict
+    * `data_seq < delete_seq` rule makes the delete mask only OLDER
+    * rows while the batch's own rows survive. Rows whose `deleteCol`
+    * (when given) is true contribute their key to the delete file but
+    * no data row — a CDC delete event. Re-inserting a previously
+    * deleted key in a later batch works by the same rule.
+    *
+    * Guards: table must exist (append first — an upsert that silently
+    * creates hides path typos), be v2 and UNPARTITIONED (the reader
+    * refuses partition-scoped equality deletes), schema must match,
+    * keys must be non-null data columns, and the batch must be
+    * key-unique (SQL MERGE semantics). Returns the committed snapshot
+    * id, or the current one when the batch is empty.
+    */
+  def upsert(
+      updates: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      deleteCol: Option[String] = None,
+      maxRetries: Int = 10): Long = {
+    val spark = updates.sparkSession
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    LakeCommit.gate(spark, root)
+    if (!fs.exists(new Path(root, "metadata")))
+      fail(tablePath, "upsert into a non-existent table — create it " +
+        "with append first")
+    val (snap, specCols) = validateV2(spark, tablePath)
+    if (specCols.nonEmpty)
+      fail(tablePath, "upsert on a PARTITIONED table is unsupported " +
+        "(partition-scoped equality deletes are refused by the reader)")
+    val dataDf = deleteCol.fold(updates)(updates.drop(_))
+    val want = snap.schema.map(f => f.name -> f.dataType)
+    val got = dataDf.schema.map(f => f.name -> f.dataType)
+    if (want != got)
+      fail(tablePath, "schema mismatch — upsert rows must match the " +
+        s"table schema exactly (have ${got.map(_._1).mkString(",")}, " +
+        s"want ${want.map(_._1).mkString(",")})")
+    keyCols.foreach { k =>
+      if (!dataDf.columns.contains(k))
+        fail(tablePath, s"upsert key '$k' not in updates")
+    }
+    deleteCol.foreach { d =>
+      if (!updates.columns.contains(d))
+        fail(tablePath, s"deleteCol '$d' not in updates")
+    }
+    val keyIds = keyCols.map { k =>
+      val sf = snap.schema(k)
+      IcebergFixture.fieldIdOf(sf).map(_.toInt).getOrElse(
+        fail(tablePath, s"key column '$k' has no field id"))
+    }
+    // the batch is referenced twice (delete keys + data rows) and
+    // must be key-unique — stage once, then ONE duplicate probe
+    val upd = graft.ScratchSpace.materialize(updates, "ice_upsert_")
+    if (upd.isEmpty) return snap.snapshotId
+    val dup = upd.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    if (dup > 0)
+      fail(tablePath, "updates contain duplicate keys — an ambiguous " +
+        "multi-update of one key; dedupe upstream (keep-latest) first")
+    val nullKeys = upd.where(keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count()
+    if (nullKeys > 0)
+      fail(tablePath, "null upsert key — equality deletes match " +
+        "null-safely and a null key would mask every null-keyed row")
+    // (a) equality-delete file: ALL batch keys, key columns tagged
+    // with THEIR table field ids (external engines resolve by id)
+    val delSchema = IcebergFixture.withFieldIds(
+      org.apache.spark.sql.types.StructType(
+        keyCols.map(k => snap.schema(k))), keyIds)
+    val delDf = upd.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col(k).as(k, delSchema(i).metadata)
+    }: _*)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"_staging-iceeq-$nonce")
+    FieldIds.withWriteEnabled(spark) {
+      delDf.write.mode("overwrite").parquet(stage.toString)
+    }
+    val moved = Seq.newBuilder[(String, Path)]
+    var i = 0
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        val rel = s"data/eqdelete-$nonce-$i.parquet"
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          fail(root.toString, s"rename to $dest failed")
+        moved += ((rel, dest))
+        i += 1
+      }
+    fs.delete(stage, true): Unit
+    val delFiles = moved.result()
+    val delCounts =
+      if (delFiles.isEmpty) Map.empty[String, Long]
+      else spark.read.parquet(delFiles.map(_._2.toString): _*)
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => DeltaRead.normalizeStr(r.getString(0)) -> r.getLong(1))
+        .toMap
+    val delEntries = delFiles.flatMap { case (rel, dest) =>
+      val rc = delCounts.getOrElse(DeltaRead.normalizeStr(
+        fs.makeQualified(dest).toUri.toString), 0L)
+      if (rc == 0L) { fs.delete(dest, false); None }
+      else Some(IcebergFixture.Entry(1, rel, rc, content = 2,
+        equalityIds = keyIds,
+        sizeBytes = fs.getFileStatus(dest).getLen))
+    }
+    if (delEntries.isEmpty) return snap.snapshotId // empty batch
+    // (b) the surviving data rows of the batch
+    val inserts = deleteCol.fold(upd)(d =>
+      upd.where(!coalesce(col(d).cast("boolean"), lit(false))).drop(d))
+    val ids = snap.schema.fields.map(f =>
+      IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(
+        fail(tablePath, s"field '${f.name}' has no field id"))).toSeq
+    val dataFiles = writeDataFiles(
+      inserts.select(snap.schema.map(f => col(f.name)): _*),
+      fs, root, ids)
+    val manifests = Seq.newBuilder[(String, Long, Int)]
+    val dmName = s"m-${java.util.UUID.randomUUID()}.avro"
+    val dmLen = IcebergFixture.writeManifest(spark, tablePath, dmName,
+      delEntries)
+    manifests += ((dmName, dmLen, 1))
+    if (dataFiles.nonEmpty) {
+      val aName = s"m-${java.util.UUID.randomUUID()}.avro"
+      val aLen = IcebergFixture.writeManifest(spark, tablePath, aName,
+        dataFiles.map { case (rel, rc, sz, _) =>
+          IcebergFixture.Entry(1, rel, rc, sizeBytes = sz) })
+      manifests += ((aName, aLen, 0))
+    }
+    commitNewSnapshot(spark, tablePath, fs, root, manifests.result(),
+      maxRetries)
+  }
+
+  /** What [[rewriteDataFiles]] did. */
+  final case class RewriteReport(
+      rewrittenDataFiles: Long,
+      droppedDeleteFiles: Long,
+      newFiles: Long,
+      version: Option[Long])
+
+  /** Delete-compaction — the OPTIMIZE twin of
+    * [[DeltaWrite.optimize]]: rewrite the data files that position
+    * deletes currently mask WITH those deletes applied, and drop
+    * EVERY delete file in the same snapshot, so scans stop paying the
+    * merge-on-read anti-join forever (at 100 TB of DML churn the
+    * accumulated delete files are a real scale cliff). Untouched data
+    * files carry forward as EXISTING entries with their original
+    * sequence numbers in ONE consolidated manifest; the new snapshot
+    * has zero delete manifests; older snapshots keep their manifest
+    * lists — time travel intact. Content is bit-identical by
+    * construction (the rewrite scans the same resolved rows a normal
+    * read yields).
+    *
+    * Scope: v2, unpartitioned, position deletes only (equality
+    * deletes refuse — compacting them needs the upsert-aware rewrite
+    * and is a different maintenance verb). A concurrent commit
+    * mid-rewrite refuses loudly (the consolidated manifest was built
+    * from the snapshot this rewrite read).
+    */
+  def rewriteDataFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      maxRetries: Int = 10): RewriteReport = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    LakeCommit.gate(spark, root)
+    val (snap, specCols) = validateV2(spark, tablePath)
+    if (specCols.nonEmpty)
+      fail(tablePath, "rewriteDataFiles on a PARTITIONED table is " +
+        "unsupported")
+    if (snap.eqDeleteFiles.nonEmpty)
+      fail(tablePath, "snapshot carries EQUALITY delete files — " +
+        "rewrite supports position deletes only")
+    if (snap.deleteFiles.isEmpty)
+      return RewriteReport(0L, 0L, 0L, None)
+    // the affected files: those any LIVE delete row actually targets
+    // (stale rows referencing vanished files drop in the variant
+    // translate — same rule as the scan)
+    def canonical(raw: String): String =
+      fs.makeQualified(resolve(root, raw)).toUri.toString
+    val variantToCanon = snap.liveFiles.flatMap { f =>
+      val canon = canonical(f.path)
+      val q = fs.makeQualified(resolve(root, f.path))
+      Seq(f.path, q.toString, q.toUri.toString).distinct
+        .map(v => v -> canon)
+    }.toMap
+    val delPaths = snap.deleteFiles
+      .map(f => resolve(root, f.path).toString)
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType)))
+    val targeted = spark.read.schema(delSchema).parquet(delPaths: _*)
+      .distinct().collect().map(_.getString(0))
+      .flatMap(variantToCanon.get).toSet // file-grain (≤ MaxFiles)
+    val affected = snap.liveFiles.filter(f =>
+      targeted.contains(canonical(f.path)))
+    val untouched = snap.liveFiles.filterNot(f =>
+      targeted.contains(canonical(f.path)))
+    // survivors of the affected files, deletes applied — the same
+    // resolved scan a normal read produces, restricted by a BROADCAST
+    // semi-join on the file identity (never a driver In-list)
+    val withPos = IcebergRead.readWithPos(spark, tablePath)
+    val affectedDf = {
+      import spark.implicits._
+      affected.map(f => f.path).toDF("__aff_path")
+    }
+    val survivors = withPos
+      .join(broadcast(affectedDf),
+        col("__file_path") === col("__aff_path"), "left_semi")
+      .select(snap.schema.map(f => col(f.name)): _*)
+    val ids = snap.schema.fields.map(f =>
+      IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(
+        fail(tablePath, s"field '${f.name}' has no field id"))).toSeq
+    val newFiles = writeDataFiles(survivors, fs, root, ids)
+    // ONE consolidated data manifest REPLACES all previous manifests:
+    // untouched files as EXISTING (status 0, original seqs), new
+    // files as ADDED (inherit the new seq); no delete manifests
+    val entries =
+      untouched.map { f =>
+        IcebergFixture.Entry(0, f.path, f.recordCount,
+          seq = Some(f.seq.getOrElse(fail(tablePath,
+            s"file ${f.path} has no resolvable sequence number"))))
+      } ++ newFiles.map { case (rel, rc, sz, _) =>
+        IcebergFixture.Entry(1, rel, rc, sizeBytes = sz)
+      }
+    val mName = s"m-${java.util.UUID.randomUUID()}.avro"
+    val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
+      entries)
+    // commit tail: REPLACE manifests (not carry+append); any
+    // concurrent commit invalidates the consolidation — refuse
+    var attempts = 0
+    while (true) {
+      val (meta, _, _) = IcebergRead.loadMetadata(spark, tablePath)
+      val currentId = Option(meta.get("current-snapshot-id"))
+        .filter(_.isNumber).map(_.asLong()).getOrElse(-1L)
+      if (currentId != snap.snapshotId)
+        fail(tablePath, "concurrent commit moved the table mid-" +
+          "rewrite — rerun (staged files are inert orphans)")
+      val lastSeq = Option(meta.get("last-sequence-number"))
+        .filter(_.isNumber).map(_.asLong()).getOrElse(0L)
+      val newSeq = lastSeq + 1
+      val snaps = Option(meta.get("snapshots")).filter(_.isArray)
+        .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
+      val snapshotId = snaps.map(_.get("snapshot-id").asLong())
+        .maxOption.getOrElse(0L) + 1
+      val mlName = s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro"
+      IcebergFixture.writeManifestListPaths(spark, tablePath, mlName,
+        Seq((s"metadata/$mName", mLen, 0, newSeq)))
+      val prevTs = snaps.map(s =>
+        Option(s.get("timestamp-ms")).filter(_.isNumber)
+          .map(_.asLong()).getOrElse(0L)).maxOption.getOrElse(0L)
+      val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      val newMeta = nextMetadata(meta, snapshotId, newSeq, ts, mlName)
+      val version = currentVersion(fs, root) + 1
+      if (tryCommit(fs, root, version, newMeta)) {
+        writeHint(spark, fs, root, version)
+        return RewriteReport(affected.size.toLong,
+          snap.deleteFiles.size.toLong, newFiles.size.toLong,
+          Some(snapshotId))
+      }
+      attempts += 1
+      if (attempts > maxRetries)
+        fail(tablePath, s"rewrite lost $maxRetries commit races")
+    }
+    sys.error("unreachable")
   }
 
   /** What [[expireSnapshots]] removed. */
@@ -299,6 +663,7 @@ object IcebergWrite {
     var attempts = 0
     while (true) {
       val (meta, root, fs) = IcebergRead.loadMetadata(spark, tablePath)
+      LakeCommit.gate(spark, root)
       if (meta.get("format-version").asInt() != 2)
         fail(tablePath, "expire on a format-version 1 table is " +
           "unsupported")
@@ -406,38 +771,76 @@ object IcebergWrite {
   }
 
   /** Stage-write `df` as parquet with the table's footer field ids,
-    * rename parts to `data/<uuid>-<i>.parquet`, and return (relPath,
-    * recordCount, size) per non-empty file — record counts from ONE
-    * distributed per-file count, the manifests' statistics source.
+    * rename parts to `data/[<col>=<val>/...]<uuid>-<i>.parquet`, and
+    * return (relPath, recordCount, size, partitionValues) per
+    * non-empty file — record counts from ONE distributed per-file
+    * count, the manifests' statistics source.
+    *
+    * Partitioned tables: unlike Hive/Delta, Iceberg data files
+    * CONTAIN their identity partition columns, so the stage write
+    * partitions by DUPLICATED `__gp_<col>` columns (Spark drops only
+    * the duplicates from the files) and recovers each file's
+    * partition tuple from its staged directory names — every final
+    * file holds exactly one partition tuple, the reader's contract.
     */
   private def writeDataFiles(
       df: DataFrame,
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
-      ids: Seq[Int]): Seq[(String, Long, Long)] = {
+      ids: Seq[Int],
+      partitionBy: Seq[String] = Seq.empty)
+      : Seq[(String, Long, Long, Map[String, Option[String]])] = {
     val spark = df.sparkSession
     val tagged = IcebergFixture.withFieldIds(df.schema, ids)
     val withMeta = df.select(tagged.fields.map(f =>
       col(f.name).as(f.name, f.metadata)).toSeq: _*)
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(root, s"_staging-ice-$nonce")
-    withMeta.write.mode("overwrite").parquet(stage.toString)
-    val moved = Seq.newBuilder[(String, Path)]
-    var i = 0
-    fs.listStatus(stage).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
-        st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .foreach { st =>
-        val rel = s"data/$nonce-$i.parquet"
-        val dest = new Path(root, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest))
-          fail(root.toString, s"rename to $dest failed")
-        moved += ((rel, dest))
-        i += 1
+    FieldIds.withWriteEnabled(spark) {
+      if (partitionBy.isEmpty)
+        withMeta.write.mode("overwrite").parquet(stage.toString)
+      else {
+        val dup = partitionBy.foldLeft(withMeta)((acc, c) =>
+          acc.withColumn(s"__gp_$c", col(c)))
+        dup.write.mode("overwrite")
+          .partitionBy(partitionBy.map(c => s"__gp_$c"): _*)
+          .parquet(stage.toString)
       }
+    }
+    // walk the staged tree: __gp_<col>=<val> dir segments carry each
+    // file's partition tuple; final layout uses the real column names
+    val moved =
+      Seq.newBuilder[(String, Path, Map[String, Option[String]])]
+    var i = 0
+    def walk(dir: Path, pvs: Map[String, Option[String]]): Unit =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name.startsWith("__gp_") && name.contains('=')) {
+            val c = name.drop(5).takeWhile(_ != '=')
+            val raw = DeltaWrite.unescapePathName(
+              name.drop(5 + c.length + 1))
+            val v =
+              if (raw == "__HIVE_DEFAULT_PARTITION__") None
+              else Some(raw)
+            walk(st.getPath, pvs + (c -> v))
+          } else walk(st.getPath, pvs)
+        } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+          val dirPart = partitionBy.map { c =>
+            val v = pvs.getOrElse(c, None)
+            s"$c=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+          }
+          val rel = (Seq("data") ++ dirPart ++
+            Seq(s"$nonce-$i.parquet")).mkString("/")
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            fail(root.toString, s"rename to $dest failed")
+          moved += ((rel, dest, pvs))
+          i += 1
+        }
+      }
+    walk(stage, Map.empty)
     fs.delete(stage, true): Unit
     val files = moved.result()
     if (files.isEmpty) return Seq.empty
@@ -446,14 +849,16 @@ object IcebergWrite {
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(count(lit(1)).as("__n"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    files.flatMap { case (rel, dest) =>
-      val key = fs.makeQualified(dest).toUri.toString
+      .map(r => DeltaRead.normalizeStr(r.getString(0)) -> r.getLong(1))
+      .toMap
+    files.flatMap { case (rel, dest, pvs) =>
+      val key = DeltaRead.normalizeStr(
+        fs.makeQualified(dest).toUri.toString)
       val rc = counts.getOrElse(key, 0L)
       // zero-row parts (empty shuffle partitions) carry nothing and
       // are dropped from the manifest rather than committed
       if (rc == 0L) { fs.delete(dest, false); None }
-      else Some((rel, rc, fs.getFileStatus(dest).getLen))
+      else Some((rel, rc, fs.getFileStatus(dest).getLen, pvs))
     }
   }
 
@@ -463,7 +868,8 @@ object IcebergWrite {
       tablePath: String,
       schema: org.apache.spark.sql.types.StructType,
       snapshotId: Long,
-      mlName: String): String = {
+      mlName: String,
+      partitionBy: Seq[String] = Seq.empty): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.randomUUID().toString)
@@ -501,8 +907,18 @@ object IcebergWrite {
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
-    root.put("last-partition-id", 999)
+    val specFields = spec0.putArray("fields")
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val sf = schema.fields.zipWithIndex.find(_._1.name == c)
+        .getOrElse(fail(tablePath, s"partition column '$c' missing"))
+      val pf = specFields.addObject()
+      pf.put("field-id", 1000 + i)
+      pf.put("name", c)
+      pf.put("transform", "identity")
+      pf.put("source-id",
+        IcebergFixture.fieldIdOf(sf._1).getOrElse((sf._2 + 1).toLong))
+    }
+    root.put("last-partition-id", 999 + partitionBy.size)
     root.put("default-sort-order-id", 0)
     val orders = root.putArray("sort-orders")
     val order0 = orders.addObject()

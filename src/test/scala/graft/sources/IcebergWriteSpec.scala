@@ -78,10 +78,14 @@ class IcebergWriteSpec extends SparkTestBase {
     IFx.writeMetadata(spark, t2, 1, Map(0 -> schema),
       Seq(IFx.Snap(1L, "ml1.avro")),
       partitionFieldNames = Seq("name"))
+    // an append that does not NAME the table's identity partitioning
+    // refuses (explicitness rule); non-identity transforms refuse in
+    // validateV2 (covered by the readers' transform gate)
     val e2 = intercept[IllegalArgumentException] {
       IcebergWrite.append(kv(5, 6), t2)
     }
-    assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    assert(e2.getMessage.contains("identity partition columns"),
+      e2.getMessage)
     // v1 table
     val t3 = fresh()
     IFx.plantDataFile(spark, kv(0, 2), t3, "data/a.parquet", Seq(1, 2))
@@ -196,6 +200,188 @@ class IcebergWriteSpec extends SparkTestBase {
     // nothing matched -> no new snapshot
     assert(IcebergWrite.deleteWhere(spark, t, col("k") === 999L) == 5L)
     assert(IcebergRead.snapshots(spark, t) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("partitioned append: identity spec in metadata, partition " +
+    "values in manifests, files contain the partition column, " +
+    "readPruned skips non-matching files") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val df = (0 until 12).map(i =>
+      (i.toLong, s"row$i", if (i % 3 == 0) "a" else if (i % 3 == 1) "b"
+      else "c")).toDF("k", "name", "src")
+    assert(IcebergWrite.append(df, t, partitionBy = Seq("src")) == 1L)
+    // full read: partition columns live IN the files
+    val back = IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(back.length == 12 && back.forall { case (k, s) =>
+      s == Seq("a", "b", "c")((k % 3).toInt) })
+    // manifest entries carry the partition tuple; every file maps to
+    // exactly one value
+    val snap = IcebergRead.snapshot(spark, t)
+    assert(snap.liveFiles.nonEmpty)
+    assert(snap.liveFiles.forall(f => f.partition.keySet == Set("src")))
+    val bySrc = snap.liveFiles.groupBy(_.partition("src"))
+    assert(bySrc.keySet == Set("a", "b", "c"))
+    // pruning: only 'a' files scan; rows correct
+    val pruned = IcebergRead.readPruned(spark, t, Map("src" -> "a"))
+    assert(pruned.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 3L, 6L, 9L))
+    // the prune really skips files (not a post-scan filter): the
+    // pruned file set is strictly smaller
+    assert(bySrc("a").size < snap.liveFiles.size)
+    // second append must name the same partitioning
+    intercept[IllegalArgumentException] {
+      IcebergWrite.append(df, t)
+    }
+    assert(IcebergWrite.append(
+      Seq((100L, "x", "a")).toDF("k", "name", "src"), t,
+      partitionBy = Seq("src")) == 2L)
+    assert(IcebergRead.readPruned(spark, t, Map("src" -> "a"))
+      .count() == 5L)
+    // physical layout: src=a dirs under data/
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new Path(t, "data"))
+      .map(_.getPath.getName).sorted
+    assert(dirs.toSeq == Seq("src=a", "src=b", "src=c"), dirs.toSeq)
+    // metadata-only count still works (record_count per file)
+    assert(IcebergRead.countRows(spark, t) == 13L)
+    // DML refuses on partitioned tables
+    intercept[IllegalArgumentException] {
+      IcebergWrite.deleteWhere(spark, t,
+        org.apache.spark.sql.functions.col("k") === 1L)
+    }
+  }
+
+  test("upsert: equality-delete + data manifests in ONE snapshot; " +
+    "strict seq rule keeps the batch's own rows; deletes and " +
+    "re-inserts work; duplicate keys refuse") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    assert(IcebergWrite.append(kv(0, 5), t) == 1L)
+    // batch 1: update k=1, insert k=10, delete k=3
+    val b1 = Seq((1L, "row1_v2", false), (10L, "row10", false),
+      (3L, "gone", true)).toDF("k", "name", "__del")
+    assert(IcebergWrite.upsert(b1, t, Seq("k"),
+      deleteCol = Some("__del")) == 2L)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "row0"), (1L, "row1_v2"), (2L, "row2"), (4L, "row4"),
+        (10L, "row10")))
+    // batch 2: RE-INSERT the deleted key 3 and update 1 again
+    val b2 = Seq((3L, "row3_back", false), (1L, "row1_v3", false))
+      .toDF("k", "name", "__del")
+    assert(IcebergWrite.upsert(b2, t, Seq("k"),
+      deleteCol = Some("__del")) == 3L)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "row0"), (1L, "row1_v3"), (2L, "row2"),
+        (3L, "row3_back"), (4L, "row4"), (10L, "row10")))
+    // history: pre-upsert snapshots still read whole
+    assert(IcebergRead.read(spark, t, Some(1L)).count() == 5L)
+    assert(IcebergRead.read(spark, t, Some(2L)).count() == 5L)
+    // duplicate keys in one batch refuse
+    intercept[IllegalArgumentException] {
+      IcebergWrite.upsert(Seq((7L, "a", false), (7L, "b", false))
+        .toDF("k", "name", "__del"), t, Seq("k"),
+        deleteCol = Some("__del"))
+    }
+    // null keys refuse
+    intercept[IllegalArgumentException] {
+      IcebergWrite.upsert(
+        Seq((null.asInstanceOf[java.lang.Long], "n"))
+          .toDF("k", "name").select(col("k").cast("long"), col("name")),
+        t, Seq("k"))
+    }
+    // the delete files carry the key field id as equality_ids
+    val snap = IcebergRead.snapshot(spark, t)
+    assert(snap.eqDeleteFiles.nonEmpty &&
+      snap.eqDeleteFiles.forall(_.equalityIds == Seq(1)))
+  }
+
+  test("rewriteDataFiles: position deletes fold into rewritten " +
+    "files, delete files drop, untouched files carry forward, time " +
+    "travel intact") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    assert(IcebergWrite.append(kv(0, 6), t) == 1L)
+    assert(IcebergWrite.append(kv(10, 14), t) == 2L)
+    // no deletes -> no-op
+    assert(IcebergWrite.rewriteDataFiles(spark, t) ==
+      IcebergWrite.RewriteReport(0L, 0L, 0L, None))
+    IcebergWrite.deleteWhere(spark, t, col("k").isin(1L, 3L)): Unit
+    IcebergWrite.deleteWhere(spark, t, col("k") === 11L): Unit
+    val before = IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    val snapBefore = IcebergRead.snapshot(spark, t)
+    assert(snapBefore.deleteFiles.nonEmpty)
+    val rep = IcebergWrite.rewriteDataFiles(spark, t)
+    assert(rep.rewrittenDataFiles > 0L && rep.droppedDeleteFiles ==
+      snapBefore.deleteFiles.size.toLong && rep.version.nonEmpty,
+      rep.toString)
+    val snapAfter = IcebergRead.snapshot(spark, t)
+    // zero delete files; content identical; counts work again
+    assert(snapAfter.deleteFiles.isEmpty &&
+      snapAfter.eqDeleteFiles.isEmpty)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == before)
+    assert(IcebergRead.countRows(spark, t) == before.size.toLong)
+    // old snapshots still time travel (pre-delete state whole)
+    assert(IcebergRead.read(spark, t, Some(2L)).count() == 10L)
+    // idempotent: nothing left to rewrite
+    assert(IcebergWrite.rewriteDataFiles(spark, t).version.isEmpty)
+  }
+
+  test("position-delete files carry the spec's RESERVED footer field " +
+    "ids and manifests record REAL file sizes") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    IcebergWrite.append(kv(0, 6), t): Unit
+    IcebergWrite.deleteWhere(spark, t, col("k").isin(1L, 3L)): Unit
+    val (meta, root, fs) = IcebergRead.loadMetadata(spark, t)
+    val conf = spark.sessionState.newHadoopConf()
+    // find the delete manifest (content=1) in the current snapshot
+    val snaps = meta.get("snapshots")
+    val cur = (0 until snaps.size()).map(snaps.get(_))
+      .find(_.get("snapshot-id").asLong() ==
+        meta.get("current-snapshot-id").asLong()).get
+    val mlPath = new Path(root, cur.get("manifest-list").asText())
+    val delManifests = IcebergRead.readAvro(fs, conf, mlPath, t)
+      .filter(r => r.get("content").asInstanceOf[Number].intValue() == 1)
+    assert(delManifests.nonEmpty)
+    val delEntries = delManifests.flatMap(m =>
+      IcebergRead.readAvro(fs, conf,
+        new Path(root, m.get("manifest_path").toString), t))
+    assert(delEntries.nonEmpty)
+    delEntries.foreach { e =>
+      val df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val rel = df.get("file_path").toString
+      val declared = df.get("file_size_in_bytes")
+        .asInstanceOf[Number].longValue()
+      val actual = fs.getFileStatus(new Path(root, rel)).getLen
+      assert(declared == actual && declared > 1L,
+        s"delete entry $rel declares $declared bytes, actual $actual")
+      // footer resolution by the RESERVED ids: request renamed
+      // columns tagged with the spec ids — values must still resolve
+      val want = IFx.withFieldIds(StructType(Seq(
+        StructField("renamed_path", StringType),
+        StructField("renamed_pos", LongType))),
+        Seq(IcebergWrite.PosDeleteFilePathId, IcebergWrite.PosDeletePosId))
+      FieldIds.ensureReadEnabled(spark)
+      val rows = spark.read.schema(want)
+        .parquet(new Path(root, rel).toString)
+        .orderBy("renamed_pos").collect()
+      assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+        "reserved-id resolution failed — footer ids missing")
+      assert(rows.length == 2 &&
+        rows.forall(_.getString(0).contains("data/")),
+        rows.mkString(";"))
+    }
   }
 
   test("expireSnapshots refuses to drop the CURRENT snapshot") {
