@@ -2375,9 +2375,267 @@ object EtlQueries {
       FROM nation
       ORDER BY k"""))
 
+  // ---- q274: Iceberg PARTITIONED append + partition-pruned read ----
+  // The produce-side partitioning real Iceberg tables almost always
+  // carry: identity spec in the metadata, every data file holds ONE
+  // partition tuple AND contains the partition column (Iceberg's
+  // physical shape — unlike Hive/Delta), manifest entries carry the
+  // partition record, and readPruned skips non-matching files at the
+  // MANIFEST walk (require()-gated file-level skip, not a post-scan
+  // filter). The pruned segment's content is the hash gate.
+
+  val q274 = Q(
+    "q274_iceberg_partitioned_write",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val customer = Tables(s, dir, "customer")
+      val t = scratch(s, "q274_icepart")
+      val base = customer.select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("segment"))
+      require(IcebergWrite.append(base, t,
+        partitionBy = Seq("segment")) == 1L, "q274: create")
+      // second append through the same spec
+      require(IcebergWrite.append(base.limit(0), t,
+        partitionBy = Seq("segment")) == 2L, "q274: empty append")
+      val snap = IcebergRead.snapshot(s, t)
+      val segFiles = snap.liveFiles.groupBy(_.partition("segment"))
+      require(segFiles.size >= 2, "q274: multiple partitions written")
+      // the prune SKIPS files at the manifest walk
+      require(segFiles("BUILDING").size < snap.liveFiles.size,
+        "q274: pruned file set must be strictly smaller")
+      // full read still whole (partition col lives IN the files)
+      require(IcebergRead.read(s, t).count() == customer.count(),
+        "q274: full read")
+      require(IcebergRead.countRows(s, t) == customer.count(),
+        "q274: metadata-only count")
+      IcebergRead.readPruned(s, t, Map("segment" -> "BUILDING"))
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS segment
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      ORDER BY k"""))
+
+  // ---- q275: Iceberg UPSERT via equality-delete files ----
+  // The CDC-ingest produce shape (Flink-style): each batch is ONE
+  // snapshot carrying an equality-delete manifest on the key columns
+  // plus the batch's data manifest at the SAME new sequence number —
+  // the spec's strict data_seq < delete_seq rule masks only OLDER
+  // rows. Two batches including a delete and a RE-INSERT of the
+  // deleted key prove the rule end-to-end through the repo's own
+  // eq-delete reader; final content is the hash gate.
+
+  val q275 = Q(
+    "q275_iceberg_upsert",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q275_iceupsert")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      require(IcebergWrite.append(base.where(col("k") < 20), t) == 1L,
+        "q275: create")
+      val b1 = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(2L, "A2", false),
+        org.apache.spark.sql.Row(4L, "A4", false),
+        org.apache.spark.sql.Row(7L, "gone", true),
+        org.apache.spark.sql.Row(300L, "N300", false)),
+        StructType(Seq(StructField("k", LongType),
+          StructField("name", StringType),
+          StructField("__del", BooleanType))))
+      require(IcebergWrite.upsert(b1, t, Seq("k"),
+        deleteCol = Some("__del")) == 2L, "q275: batch 1")
+      require(IcebergRead.read(s, t).where(col("k") === 7L).isEmpty,
+        "q275: k=7 deleted after batch 1")
+      val b2 = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(7L, "BACK7", false),
+        org.apache.spark.sql.Row(2L, "B2", false)),
+        b1.schema)
+      require(IcebergWrite.upsert(b2, t, Seq("k"),
+        deleteCol = Some("__del")) == 3L, "q275: batch 2 (re-insert)")
+      // pre-upsert history still reads whole
+      require(IcebergRead.read(s, t, Some(1L)).count() == 20L,
+        "q275: history intact")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT k, name FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+               CASE WHEN n_nationkey = 2 THEN 'B2'
+                    WHEN n_nationkey = 4 THEN 'A4'
+                    WHEN n_nationkey = 7 THEN 'BACK7'
+                    ELSE n_name END AS name
+        FROM nation WHERE n_nationkey < 20
+        UNION ALL
+        SELECT CAST(300 AS BIGINT), 'N300')
+      ORDER BY k"""))
+
+  // ---- q276: Iceberg delete-compaction (rewrite data files) ----
+  // The OPTIMIZE twin of q269 for the other lake format: data files
+  // masked by position deletes rewrite WITH the deletes applied and
+  // every delete file drops in the same snapshot — scans stop paying
+  // the merge-on-read anti-join, metadata-only counts work again
+  // (require()-gated), untouched files carry forward as EXISTING
+  // entries, and older snapshots stay time-travelable. Post-rewrite
+  // content is the hash gate (must equal the pre-rewrite live rows).
+
+  val q276 = Q(
+    "q276_iceberg_rewrite",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q276_icerewrite")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      require(IcebergWrite.append(base.where(col("k") < 13), t) == 1L,
+        "q276: create")
+      require(IcebergWrite.append(base.where(col("k") >= 13), t) == 2L,
+        "q276: second file set")
+      require(IcebergWrite.deleteWhere(s, t,
+        col("k").isin(2L, 4L, 17L)) == 3L, "q276: delete")
+      val before = IcebergRead.snapshot(s, t)
+      require(before.deleteFiles.nonEmpty, "q276: MOR state exists")
+      val rep = IcebergWrite.rewriteDataFiles(s, t)
+      require(rep.droppedDeleteFiles == before.deleteFiles.size.toLong &&
+        rep.version.nonEmpty, s"q276: $rep")
+      val after = IcebergRead.snapshot(s, t)
+      require(after.deleteFiles.isEmpty && after.eqDeleteFiles.isEmpty,
+        "q276: zero delete files after rewrite")
+      // the metadata-only count path works again post-compaction
+      require(IcebergRead.countRows(s, t) == nation.count() - 3,
+        "q276: metadata count restored")
+      // pre-delete history still whole
+      require(IcebergRead.read(s, t, Some(2L)).count() == nation.count(),
+        "q276: time travel intact")
+      // nothing left to rewrite
+      require(IcebergWrite.rewriteDataFiles(s, t).version.isEmpty,
+        "q276: idempotent")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey NOT IN (2, 4, 17)
+      ORDER BY k"""))
+
+  // ---- q278: Delta table-feature UPGRADE (enableFeature) ----
+  // The "ALTER TABLE enable feature" verb: an ORDINARY table (born
+  // minWriter=2) upgrades to v7 with deletionVectors declared —
+  // protocol lists the legacy obligations the old version implied —
+  // and the DV DML verbs work on it immediately (q271/q273 needed
+  // fixture-born tables before this). Idempotence and the
+  // post-upgrade append are require()-gated; post-DML content is the
+  // hash gate.
+
+  val q278 = Q(
+    "q278_delta_feature_upgrade",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q278_upgrade")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      require(DeltaWrite.append(base, t) == 0L, "q278: create")
+      // pre-upgrade: DV DML refuses
+      require(
+        try { DeltaWrite.deleteWhere(s, t, col("k") === 1L); false }
+        catch { case _: IllegalArgumentException => true },
+        "q278: DV DML must refuse before the upgrade")
+      require(DeltaWrite.enableFeature(s, t, "deletionVectors") == 1L,
+        "q278: upgrade commit")
+      require(DeltaWrite.enableFeature(s, t, "deletionVectors") == 1L,
+        "q278: idempotent (no empty commits)")
+      val rep = DeltaWrite.deleteWhere(s, t, col("k").isin(2L, 4L))
+      require(rep.deletedRows == 2L, s"q278: $rep")
+      // ordinary writes still pass the upgraded gate
+      require(DeltaWrite.append(base.where(col("k") === 2L), t) == 3L,
+        "q278: post-upgrade append")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      WHERE n_nationkey <> 4
+      ORDER BY k"""))
+
+  // ---- q279: Delta CHECK-constraint enforcement ----
+  // Writer v3's obligation HONORED instead of refused: a table
+  // declaring delta.constraints.* accepts conforming writes and
+  // refuses violating ones loudly (per-constraint aggregate over the
+  // fresh rows only — never a table rescan). The refusal, its
+  // atomicity (nothing lands), and survival through appendEvolve are
+  // require()-gated; surviving content is the hash gate.
+
+  val q279 = Q(
+    "q279_delta_check_constraints",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q279_check")
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType)))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val a = DFx.plantDataFile(s, base, t, "a.parquet")
+      val metaLine = DFx.metaDataLine("q279-fixture", schema)
+        .replace("\"configuration\":{}",
+          "\"configuration\":{\"delta.constraints.kpos\":\"k >= 0\"}")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(minWriter = 3),
+        metaLine,
+        DFx.addLine("a.parquet", a)))
+      // conforming append commits
+      require(DeltaWrite.append(base.where(col("k") === 0L)
+        .withColumn("k", col("k") + 1000), t) == 1L,
+        "q279: conforming append")
+      // violating append refuses LOUDLY and atomically
+      require(
+        try {
+          DeltaWrite.append(base.limit(2)
+            .withColumn("k", col("k") - 9999), t); false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("CHECK constraint 'kpos'")
+        },
+        "q279: violating append must refuse with the constraint name")
+      // the constraint SURVIVES schema evolution (configuration
+      // carried through the metaData replacement)
+      require(DeltaWrite.appendEvolve(base.where(col("k") === 1L)
+        .withColumn("extra", lit("x")), t) == 2L, "q279: evolve")
+      require(
+        try {
+          DeltaWrite.append(base.limit(1)
+            .withColumn("k", lit(-5L)).withColumn("extra", lit("y")),
+            t); false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("CHECK constraint 'kpos'")
+        },
+        "q279: post-evolution writes still enforce")
+      DeltaRead.read(s, t).select("k", "name").orderBy("k")
+    },
+    Some("""
+      SELECT k, name FROM (
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+        FROM nation
+        UNION ALL
+        SELECT CAST(1000 AS BIGINT), n_name FROM nation
+        WHERE n_nationkey = 0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), n_name FROM nation
+        WHERE n_nationkey = 1)
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
-    q270, q271, q272, q273)
+    q270, q271, q272, q273, q274, q275, q276, q278, q279)
 }

@@ -1233,9 +1233,69 @@ object StreamingQueries {
         SELECT NULL, NULL, NULL, TRUE)
       ORDER BY is_corrupt, id NULLS FIRST, txt_md5"""))
 
+  /** Streaming Delta SOURCE parity (the lake→lake pipeline loop,
+    * VERDICT r17 item 7): a source Delta table grows by appends; the
+    * driver-polled [[graft.sources.DeltaIncremental.drain]] consumes
+    * each new commit version EXACTLY ONCE into a sink Delta table via
+    * the idempotent-append sink (appId = the checkpoint's identity,
+    * txnVersion = SOURCE commit version). Crash-replay immunity is
+    * require()-gated by DELETING the last offset marker (simulating a
+    * crash between sink commit and cursor advance) and re-draining:
+    * the replayed version no-ops at the sink. An OPTIMIZE on the
+    * source mid-stream must stay invisible (dataChange=false). Final
+    * sink content hash-compares against the source's full batch read.
+    */
+  val q277 = Q(
+    "q277_stream_delta_source_parity",
+    (s, dir) => {
+      import graft.sources.{DeltaIncremental, DeltaRead, DeltaWrite}
+      val nation = graft.Tables(s, dir, "nation")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val src = Scratch.dir(s, "q277_src_")
+      val sink = Scratch.dir(s, "q277_sink_")
+      val ckpt = Scratch.dir(s, "q277_ckpt_")
+      val appId = s"q277-$ckpt"
+      def sinkBatch(df: DataFrame, v: Long): Unit =
+        DeltaWrite.idempotentAppend(
+          df.drop("__commit_version"), sink, appId, v): Unit
+      // two appends, drain both
+      DeltaWrite.append(base.where(col("k") < 10), src): Unit
+      DeltaWrite.append(base.where(col("k") >= 10 && col("k") < 20),
+        src): Unit
+      val r1 = DeltaIncremental.drain(s, src, ckpt, sinkBatch)
+      require(r1.processedVersions == Seq(0L, 1L), s"q277: $r1")
+      // crash simulation: the LAST marker vanishes (crash after sink
+      // commit, before cursor advance) — the replay must no-op
+      val hc = s.sessionState.newHadoopConf()
+      val off = new org.apache.hadoop.fs.Path(ckpt,
+        "offsets/v00000000000000000001")
+      require(off.getFileSystem(hc).delete(off, false),
+        "q277: marker delete")
+      val sinkVersionsBefore = DeltaRead.versions(s, sink).size
+      val r2 = DeltaIncremental.drain(s, src, ckpt, sinkBatch)
+      require(r2.processedVersions == Seq(1L) &&
+        DeltaRead.versions(s, sink).size == sinkVersionsBefore,
+        "q277: crash replay must no-op at the idempotent sink")
+      // source compaction stays invisible to the incremental consumer
+      DeltaWrite.append(base.where(col("k") >= 20), src): Unit
+      DeltaWrite.optimize(s, src): Unit
+      val r3 = DeltaIncremental.drain(s, src, ckpt, sinkBatch)
+      require(r3.processedVersions.size == 2,
+        s"q277: append + optimize versions, got $r3")
+      require(DeltaRead.read(s, sink).count() == nation.count(),
+        "q277: sink complete, no duplicates")
+      DeltaRead.read(s, sink).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      ORDER BY k"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236, q238, q245, q248, q250, q258)
+      q196, q202, q216, q223, q236, q238, q245, q248, q250, q258, q277)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays
