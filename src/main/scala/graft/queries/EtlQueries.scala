@@ -2633,9 +2633,55 @@ object EtlQueries {
         WHERE n_nationkey = 1)
       ORDER BY k"""))
 
+  // ---- q280: Iceberg incremental (snapshot-range) read ----
+  // The q260 twin for the other lake format — the same semantics real
+  // engines give start-snapshot-id: rows ADDED after a snapshot
+  // (exclusive) up to another (inclusive), tagged `__snapshot_id` by
+  // file-set difference between consecutive snapshots. Strict
+  // pure-append: a snapshot introducing delete files or dropping live
+  // files refuses loudly (require()-gated on a DML'd twin table);
+  // version attribution is the hash gate.
+
+  val q280 = Q(
+    "q280_iceberg_incremental",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q280_iceinc")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      require(IcebergWrite.append(base.where(col("k") < 10), t) == 1L,
+        "q280: snap 1")
+      require(IcebergWrite.append(
+        base.where(col("k") >= 10 && col("k") < 18), t) == 2L,
+        "q280: snap 2")
+      require(IcebergWrite.append(base.where(col("k") >= 18), t) == 3L,
+        "q280: snap 3")
+      // bounded range
+      require(IcebergRead.readIncremental(s, t, 1L, Some(2L))
+        .count() == 8L, "q280: bounded range")
+      // a DML'd table refuses mid-range (deletes cannot attribute)
+      val t2 = scratch(s, "q280_dml")
+      require(IcebergWrite.append(base.where(col("k") < 5), t2) == 1L,
+        "q280: dml twin")
+      IcebergWrite.deleteWhere(s, t2, col("k") === 1L): Unit
+      require(
+        try { IcebergRead.readIncremental(s, t2, 1L); false }
+        catch { case _: IllegalArgumentException => true },
+        "q280: delete-introducing snapshot must refuse")
+      IcebergRead.readIncremental(s, t, 1L).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             CAST(CASE WHEN n_nationkey < 18 THEN 2 ELSE 3 END
+               AS BIGINT) AS __snapshot_id
+      FROM nation WHERE n_nationkey >= 10
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
-    q270, q271, q272, q273, q274, q275, q276, q278, q279)
+    q270, q271, q272, q273, q274, q275, q276, q278, q279, q280)
 }

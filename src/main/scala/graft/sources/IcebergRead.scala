@@ -500,6 +500,98 @@ object IcebergRead {
       timestampMs: Long): DataFrame =
     read(spark, path, Some(snapshotIdAt(spark, path, timestampMs)))
 
+  /** Incremental (snapshot-range) read — the Iceberg twin of
+    * [[DeltaRead.readChanges]] and the same semantics real engines
+    * give `start-snapshot-id`: rows ADDED strictly AFTER
+    * `afterSnapshotId` (exclusive) up to `toSnapshotId` (inclusive,
+    * default current), each tagged `__snapshot_id` with the snapshot
+    * that added its file. At 100 TB this is the difference between
+    * consuming one day's appends and rescanning the table.
+    *
+    * Strict pure-append semantics: each in-range snapshot must be an
+    * APPEND against its predecessor — a snapshot that introduces
+    * delete files (position or equality) or drops live data files
+    * (rewrite/overwrite) refuses loudly, because its row-level
+    * changes cannot be attributed by file diff (updates/deletes would
+    * double-count). Attribution is the LIVE-FILE SET DIFFERENCE
+    * between consecutive snapshots (metadata-grain, driver-side —
+    * like every manifest walk); the scan is ONE distributed parquet
+    * read of the added files with the (file → snapshot) map
+    * broadcast-attached.
+    */
+  def readIncremental(
+      spark: SparkSession,
+      path: String,
+      afterSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val ids = snapshots(spark, path)
+    val upTo = toSnapshotId.getOrElse(ids.max)
+    if (!ids.contains(afterSnapshotId))
+      fail(path, s"afterSnapshotId $afterSnapshotId is not a known " +
+        s"snapshot (have ${ids.mkString(",")})")
+    if (!ids.contains(upTo))
+      fail(path, s"toSnapshotId $upTo is not a known snapshot")
+    // snapshot ids are not required to be ordered; RANGE means the
+    // metadata-order interval (ascending commit order = the snapshots
+    // seq as written, which [[snapshots]] returns ascending by id for
+    // this writer's monotonic ids)
+    val fromIdx = ids.indexOf(afterSnapshotId)
+    val toIdx = ids.indexOf(upTo)
+    if (toIdx < fromIdx)
+      fail(path, s"snapshot range $afterSnapshotId..$upTo is inverted")
+    val range = ids.slice(fromIdx, toIdx + 1)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    def canonical(raw: String): String =
+      fs.makeQualified(resolve(root, raw)).toUri.toString
+    val endSnap = snapshot(spark, path, Some(upTo))
+    val added = Seq.newBuilder[(String, Long)] // canonical -> snap id
+    range.sliding(2).foreach {
+      case Seq(a, b) =>
+        val sa = snapshot(spark, path, Some(a))
+        val sb = snapshot(spark, path, Some(b))
+        val newDeletes =
+          (sb.deleteFiles.map(f => canonical(f.path)).toSet --
+            sa.deleteFiles.map(f => canonical(f.path)).toSet) ++
+            (sb.eqDeleteFiles.map(f => canonical(f.path)).toSet --
+              sa.eqDeleteFiles.map(f => canonical(f.path)).toSet)
+        if (newDeletes.nonEmpty)
+          fail(path, s"snapshot $b introduces DELETE files — not a " +
+            "pure append (updates/deletes cannot be attributed by " +
+            "file diff); re-read the full table instead")
+        val aLive = sa.liveFiles.map(f => canonical(f.path)).toSet
+        val bLive = sb.liveFiles.map(f => canonical(f.path)).toSet
+        if (!(aLive -- bLive).isEmpty)
+          fail(path, s"snapshot $b DROPS live data files — a " +
+            "rewrite/overwrite, not an append; incremental read " +
+            "refused")
+        sb.liveFiles.filterNot(f => aLive(canonical(f.path)))
+          .foreach(f => added += ((canonical(f.path), b)))
+      case _ => () // single-snapshot range: nothing after `after`
+    }
+    val files = added.result()
+    val outSchema = endSnap.schema.add("__snapshot_id", LongType)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+    FieldIds.ensureReadEnabled(spark)
+    val ss = spark
+    import ss.implicits._
+    val tagMap = files.toDF("__inc_canon", "__snapshot_id")
+    // scan paths derive from the SAME canonical URIs as the map keys,
+    // so `_metadata.file_path` matches them exactly (the proven
+    // readInternal pattern — no lossy normalization)
+    val scan = spark.read.schema(endSnap.schema)
+      .parquet(files.map(f =>
+        new Path(new java.net.URI(f._1)).toString): _*)
+    scan
+      .withColumn("__fp", col("_metadata.file_path"))
+      .join(broadcast(tagMap), col("__fp") === col("__inc_canon"))
+      .select(endSnap.schema.map(f => col(f.name)) :+
+        col("__snapshot_id"): _*)
+  }
+
   /** field-id → field name for a schema produced by [[schemaFor]]
     * (ids ride in `parquet.field.id` metadata).
     */

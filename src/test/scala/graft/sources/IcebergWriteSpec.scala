@@ -336,6 +336,47 @@ class IcebergWriteSpec extends SparkTestBase {
     assert(IcebergWrite.rewriteDataFiles(spark, t).version.isEmpty)
   }
 
+  test("readIncremental: snapshot-range file-diff attribution; " +
+    "rewrites and deletes refuse; empty and bounded ranges") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    assert(IcebergWrite.append(kv(0, 3), t) == 1L)
+    assert(IcebergWrite.append(kv(3, 5), t) == 2L)
+    assert(IcebergWrite.append(kv(5, 9), t) == 3L)
+    val inc = IcebergRead.readIncremental(spark, t, 1L)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("__snapshot_id")))
+    assert(inc.toSeq == Seq((3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L),
+      (7L, 3L), (8L, 3L)))
+    // bounded + empty ranges
+    assert(IcebergRead.readIncremental(spark, t, 1L, Some(2L))
+      .count() == 2L)
+    assert(IcebergRead.readIncremental(spark, t, 3L).isEmpty)
+    // unknown / inverted ids refuse
+    intercept[IllegalArgumentException] {
+      IcebergRead.readIncremental(spark, t, 99L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergRead.readIncremental(spark, t, 3L, Some(1L))
+    }
+    // a delete-introducing snapshot refuses
+    IcebergWrite.deleteWhere(spark, t, col("k") === 3L): Unit
+    intercept[IllegalArgumentException] {
+      IcebergRead.readIncremental(spark, t, 2L)
+    }
+    // ...but a range STOPPING before it still reads
+    assert(IcebergRead.readIncremental(spark, t, 1L, Some(3L))
+      .count() == 6L)
+    // a rewrite (drops live files) refuses too
+    val t2 = fresh()
+    assert(IcebergWrite.append(kv(0, 4), t2) == 1L)
+    IcebergWrite.deleteWhere(spark, t2, col("k") === 0L): Unit
+    IcebergWrite.rewriteDataFiles(spark, t2): Unit
+    intercept[IllegalArgumentException] {
+      IcebergRead.readIncremental(spark, t2, 1L)
+    }
+  }
+
   test("position-delete files carry the spec's RESERVED footer field " +
     "ids and manifests record REAL file sizes") {
     import org.apache.spark.sql.functions.col
