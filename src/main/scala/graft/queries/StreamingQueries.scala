@@ -1293,9 +1293,121 @@ object StreamingQueries {
       FROM nation
       ORDER BY k"""))
 
+  /** Streaming Iceberg SOURCE parity — q277's twin for the other
+    * format: [[graft.sources.IcebergIncremental.drain]] consumes each
+    * new snapshot exactly once into a sink Delta table via the
+    * idempotent-append sink keyed by SOURCE snapshot id. Crash-replay
+    * immunity require()-gated by deleting the last snapshot marker
+    * and re-draining; final sink content hash-compares against the
+    * source's full batch read.
+    */
+  val q281 = Q(
+    "q281_stream_iceberg_source_parity",
+    (s, dir) => {
+      import graft.sources.{DeltaRead, DeltaWrite, IcebergIncremental,
+        IcebergWrite}
+      val nation = graft.Tables(s, dir, "nation")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      val src = Scratch.dir(s, "q281_src_")
+      val sink = Scratch.dir(s, "q281_sink_")
+      val ckpt = Scratch.dir(s, "q281_ckpt_")
+      val appId = s"q281-$ckpt"
+      def sinkBatch(df: DataFrame, snapId: Long): Unit =
+        DeltaWrite.idempotentAppend(
+          df.drop("__snapshot_id"), sink, appId, snapId): Unit
+      require(IcebergWrite.append(base.where(col("k") < 12), src) == 1L,
+        "q281: snap 1")
+      require(IcebergWrite.append(
+        base.where(col("k") >= 12 && col("k") < 20), src) == 2L,
+        "q281: snap 2")
+      val r1 = IcebergIncremental.drain(s, src, ckpt, sinkBatch)
+      require(r1.processedSnapshots == Seq(1L, 2L), s"q281: $r1")
+      // crash simulation: the last marker vanishes — replay must no-op
+      val hc = s.sessionState.newHadoopConf()
+      val off = new org.apache.hadoop.fs.Path(ckpt,
+        "offsets/s00000000000000000002")
+      require(off.getFileSystem(hc).delete(off, false),
+        "q281: marker delete")
+      val before = DeltaRead.versions(s, sink).size
+      val r2 = IcebergIncremental.drain(s, src, ckpt, sinkBatch)
+      require(r2.processedSnapshots == Seq(2L) &&
+        DeltaRead.versions(s, sink).size == before,
+        "q281: crash replay must no-op at the idempotent sink")
+      require(IcebergWrite.append(base.where(col("k") >= 20), src) == 3L,
+        "q281: snap 3")
+      val r3 = IcebergIncremental.drain(s, src, ckpt, sinkBatch)
+      require(r3.processedSnapshots == Seq(3L), s"q281: $r3")
+      require(DeltaRead.read(s, sink).count() == nation.count(),
+        "q281: sink complete, no duplicates")
+      DeltaRead.read(s, sink).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name
+      FROM nation
+      ORDER BY k"""))
+
+  /** Exactly-once streaming ICEBERG sink parity — q236's twin for the
+    * other format: micro-batches land as idempotent Iceberg appends
+    * (snapshot-summary txn guard keyed by batchId); a crash-replay of
+    * batch 0 must no-op. One snapshot per micro-batch; final table
+    * content hash-compares against the batch replay of the source.
+    */
+  val q282 = Q(
+    "q282_stream_iceberg_sink_parity",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType)))
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val watch = Scratch.dir(s, "q282_watch_")
+      val table = Scratch.dir(s, "q282_table_")
+      val ckpt = Scratch.dir(s, "q282_ckpt_")
+      val hc = s.sessionState.newHadoopConf()
+      (0 until 2).foreach { k =>
+        val stage = Scratch.dir(s, s"q282_stage${k}_")
+        src.where(pmod(col("doc_id"), lit(2)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val p = new org.apache.hadoop.fs.Path(stage)
+        val part = p.getFileSystem(hc).listStatus(p).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        graft.ScratchSpace.copyIn(s, part.toString, watch,
+          f"docs_$k%03d.parquet")
+      }
+      val appId = "q282app"
+      val q = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          IcebergWrite.idempotentAppend(batch, table, appId,
+            batchId): Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // crash-replay immunity: re-offer batch 0 under its original
+      // txn version — must no-op
+      require(IcebergWrite.idempotentAppend(
+        src.where(pmod(col("doc_id"), lit(2)) === 0), table, appId,
+        0L).isEmpty,
+        "q282: replayed batch 0 double-committed")
+      require(IcebergRead.snapshots(s, table).size == 2,
+        "q282: one snapshot per micro-batch")
+      IcebergRead.read(s, table)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text")).as("txt_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, md5(text) AS txt_md5
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q51, q52, q58, q59, q78, q108, q130, q132, q139, q140, q153, q189,
-      q196, q202, q216, q223, q236, q238, q245, q248, q250, q258, q277)
+      q196, q202, q216, q223, q236, q238, q245, q248, q250, q258, q277,
+      q281, q282)
 
   /** Drain-protocol cost model (SURVEY §6): per parity query, the
     * FIXED (micro-batches, stateful operators) the harness pays

@@ -84,8 +84,86 @@ object IcebergWrite {
     val exists = fs.exists(metaDir) &&
       fs.listStatus(metaDir).exists(
         _.getPath.getName.matches("v\\d+\\.metadata\\.json"))
-    if (!exists) create(df, tablePath, partitionBy, fs, root, maxRetries)
-    else appendExisting(df, tablePath, partitionBy, fs, root, maxRetries)
+    if (!exists)
+      // a plain append carries no txn guard, so the Option is always
+      // Some — .get is total here
+      create(df, tablePath, partitionBy, fs, root, maxRetries).get
+    else
+      appendExisting(df, tablePath, partitionBy, fs, root, maxRetries,
+        Map.empty, None).get
+  }
+
+  /** Idempotent append — the exactly-once streaming-sink primitive,
+    * [[DeltaWrite.idempotentAppend]]'s twin through Iceberg's own
+    * mechanism: the commit's snapshot SUMMARY carries
+    * (`graft-app-id`, `graft-txn-version`), and an append whose
+    * txnVersion is already <= the RETAINED history's latest for that
+    * appId is SKIPPED (None) — foreachBatch replays after a crash
+    * no-op instead of duplicating rows. The check re-runs inside the
+    * commit-race retry loop, so a concurrent replay of the same batch
+    * cannot double-commit either. Same approach as Flink's
+    * checkpoint-id summaries, with the same documented bound:
+    * [[expireSnapshots]] retention must exceed the sink's replay lag
+    * or the idempotence memory expires with the snapshots.
+    */
+  def idempotentAppend(
+      df: DataFrame,
+      tablePath: String,
+      appId: String,
+      txnVersion: Long,
+      partitionBy: Seq[String] = Seq.empty,
+      maxRetries: Int = 10): Option[Long] = {
+    val spark = df.sparkSession
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    LakeCommit.gate(spark, root)
+    if (lastTxnVersion(spark, tablePath, appId) >= txnVersion)
+      return None
+    val props = Map("graft-app-id" -> appId,
+      "graft-txn-version" -> txnVersion.toString)
+    val metaDir = new Path(root, "metadata")
+    val exists = fs.exists(metaDir) &&
+      fs.listStatus(metaDir).exists(
+        _.getPath.getName.matches("v\\d+\\.metadata\\.json"))
+    if (!exists)
+      // create carries the props; a lost create race falls through to
+      // appendExisting WITH the guard re-armed
+      create(df, tablePath, partitionBy, fs, root, maxRetries,
+        props, Some((appId, txnVersion)))
+    else appendExisting(df, tablePath, partitionBy, fs, root,
+      maxRetries, props, Some((appId, txnVersion)))
+  }
+
+  /** The latest committed `graft-txn-version` for `appId` across the
+    * RETAINED snapshots, -1 when none (or no table) exists.
+    */
+  def lastTxnVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      appId: String): Long = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(fs.makeQualified(p), "metadata")
+    if (!fs.exists(metaDir) || !fs.listStatus(metaDir).exists(
+      _.getPath.getName.matches("v\\d+\\.metadata\\.json"))) return -1L
+    val (meta, _, _) = IcebergRead.loadMetadata(spark, tablePath)
+    lastTxnFromMeta(meta, appId)
+  }
+
+  private def lastTxnFromMeta(
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      appId: String): Long = {
+    val snaps = Option(meta.get("snapshots")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get(_))).getOrElse(Seq.empty)
+    snaps.flatMap { s =>
+      Option(s.get("summary")).flatMap { sum =>
+        if (Option(sum.get("graft-app-id")).exists(_.asText() == appId))
+          Option(sum.get("graft-txn-version"))
+            .flatMap(v => v.asText().toLongOption)
+        else None
+      }
+    }.maxOption.getOrElse(-1L)
   }
 
   private def create(
@@ -94,7 +172,9 @@ object IcebergWrite {
       partitionBy: Seq[String],
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
-      maxRetries: Int): Long = {
+      maxRetries: Int,
+      summaryProps: Map[String, String] = Map.empty,
+      txnGuard: Option[(String, Long)] = None): Option[Long] = {
     val spark = df.sparkSession
     val ids = df.schema.fields.zipWithIndex.map { case (f, i) =>
       IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(i + 1)
@@ -113,14 +193,16 @@ object IcebergWrite {
     IcebergFixture.writeManifestList(spark, tablePath, mlName,
       Seq((mName, mLen, 0, 1L)))
     val meta = freshMetadata(tablePath, schema, snapshotId, mlName,
-      partitionBy)
+      partitionBy, summaryProps)
     if (tryCommit(fs, root, 1L, meta)) {
       writeHint(spark, fs, root, 1L)
-      snapshotId
+      Some(snapshotId)
     } else {
       // a racer created the table first — this becomes an append and
-      // must satisfy the append contract against THEIR schema
-      appendExisting(df, tablePath, partitionBy, fs, root, maxRetries)
+      // must satisfy the append contract against THEIR schema (the
+      // txn guard re-arms inside: the racer may BE this txn's replay)
+      appendExisting(df, tablePath, partitionBy, fs, root, maxRetries,
+        summaryProps, txnGuard)
     }
   }
 
@@ -130,7 +212,9 @@ object IcebergWrite {
       partitionBy: Seq[String],
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
-      maxRetries: Int): Long = {
+      maxRetries: Int,
+      summaryProps: Map[String, String],
+      txnGuard: Option[(String, Long)]): Option[Long] = {
     val spark = df.sparkSession
     val (snap, specCols) = validateV2(spark, tablePath)
     if (partitionBy != specCols)
@@ -161,7 +245,7 @@ object IcebergWrite {
       partitionFields = partitionBy.map(c =>
         (c, snap.schema(c).dataType)))
     commitNewSnapshot(spark, tablePath, fs, root,
-      Seq((mName, mLen, 0)), maxRetries)
+      Seq((mName, mLen, 0)), maxRetries, summaryProps, txnGuard)
   }
 
   /** The shared v2 precondition: current metadata is format-version
@@ -214,11 +298,18 @@ object IcebergWrite {
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
       newManifests: Seq[(String, Long, Int)],
-      maxRetries: Int): Long = {
+      maxRetries: Int,
+      summaryProps: Map[String, String] = Map.empty,
+      txnGuard: Option[(String, Long)] = None): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     var attempts = 0
     while (true) {
       val (meta, _, _) = IcebergRead.loadMetadata(spark, tablePath)
+      // txn idempotence re-check inside the race loop: the racer that
+      // took our version may have BEEN this txn's concurrent replay
+      txnGuard.foreach { case (appId, v) =>
+        if (lastTxnFromMeta(meta, appId) >= v) return None
+      }
       val lastSeq = Option(meta.get("last-sequence-number"))
         .filter(_.isNumber).map(_.asLong()).getOrElse(0L)
       val newSeq = lastSeq + 1
@@ -258,11 +349,12 @@ object IcebergWrite {
         Option(s.get("timestamp-ms")).filter(_.isNumber)
           .map(_.asLong()).getOrElse(0L)).maxOption.getOrElse(0L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
-      val newMeta = nextMetadata(meta, snapshotId, newSeq, ts, mlName)
+      val newMeta = nextMetadata(meta, snapshotId, newSeq, ts, mlName,
+        summaryProps)
       val version = currentVersion(fs, root) + 1
       if (tryCommit(fs, root, version, newMeta)) {
         writeHint(spark, fs, root, version)
-        return snapshotId
+        return Some(snapshotId)
       }
       attempts += 1
       if (attempts > maxRetries)
@@ -353,7 +445,7 @@ object IcebergWrite {
     val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
       entries)
     commitNewSnapshot(spark, tablePath, fs, root,
-      Seq((mName, mLen, 1)), maxRetries)
+      Seq((mName, mLen, 1)), maxRetries).get
   }
 
   /** UPSERT via EQUALITY-delete files — the CDC-ingest produce shape
@@ -496,7 +588,7 @@ object IcebergWrite {
       manifests += ((aName, aLen, 0))
     }
     commitNewSnapshot(spark, tablePath, fs, root, manifests.result(),
-      maxRetries)
+      maxRetries).get
   }
 
   /** What [[rewriteDataFiles]] did. */
@@ -869,7 +961,8 @@ object IcebergWrite {
       schema: org.apache.spark.sql.types.StructType,
       snapshotId: Long,
       mlName: String,
-      partitionBy: Seq[String] = Seq.empty): String = {
+      partitionBy: Seq[String] = Seq.empty,
+      summaryProps: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.randomUUID().toString)
@@ -933,6 +1026,9 @@ object IcebergWrite {
     n.put("schema-id", 0)
     val sum = n.putObject("summary")
     sum.put("operation", "append")
+    summaryProps.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sum.put(k, v): Unit
+    }
     n.put("manifest-list", s"metadata/$mlName")
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -946,7 +1042,8 @@ object IcebergWrite {
       snapshotId: Long,
       seq: Long,
       timestampMs: Long,
-      mlName: String): String = {
+      mlName: String,
+      summaryProps: Map[String, String] = Map.empty): String = {
     val root = prev.deepCopy[ObjectNode]()
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", timestampMs)
@@ -962,6 +1059,9 @@ object IcebergWrite {
       .foreach(id => n.put("schema-id", id.asInt()): Unit)
     val sum = n.putObject("summary")
     sum.put("operation", "append")
+    summaryProps.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sum.put(k, v): Unit
+    }
     n.put("manifest-list", s"metadata/$mlName")
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }

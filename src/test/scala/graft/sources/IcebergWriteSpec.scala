@@ -336,6 +336,35 @@ class IcebergWriteSpec extends SparkTestBase {
     assert(IcebergWrite.rewriteDataFiles(spark, t).version.isEmpty)
   }
 
+  test("idempotentAppend: snapshot-summary txn guard — replays " +
+    "no-op, create path included, expire bounds the memory") {
+    val t = fresh()
+    // first batch CREATES the table with the txn summary
+    assert(IcebergWrite.idempotentAppend(kv(0, 3), t, "app", 0L)
+      .contains(1L))
+    // exact replay: no-op
+    assert(IcebergWrite.idempotentAppend(kv(0, 3), t, "app", 0L).isEmpty)
+    // next batch commits; replay of BOTH no-ops
+    assert(IcebergWrite.idempotentAppend(kv(3, 5), t, "app", 1L)
+      .contains(2L))
+    assert(IcebergWrite.idempotentAppend(kv(3, 5), t, "app", 1L).isEmpty)
+    assert(IcebergWrite.idempotentAppend(kv(0, 3), t, "app", 0L).isEmpty)
+    assert(IcebergRead.read(spark, t).count() == 5L)
+    // a DIFFERENT app id is independent
+    assert(IcebergWrite.idempotentAppend(kv(10, 11), t, "other", 0L)
+      .contains(3L))
+    assert(IcebergWrite.lastTxnVersion(spark, t, "app") == 1L)
+    assert(IcebergWrite.lastTxnVersion(spark, t, "other") == 0L)
+    assert(IcebergWrite.lastTxnVersion(spark, t, "nope") == -1L)
+    // ordinary appends carry no txn and never collide
+    assert(IcebergWrite.append(kv(20, 21), t) == 4L)
+    assert(IcebergWrite.lastTxnVersion(spark, t, "app") == 1L)
+    // expire bounds the idempotence memory (documented contract):
+    // keeping only the newest snapshot forgets app's txn history
+    IcebergWrite.expireSnapshots(spark, t, keepLast = 1): Unit
+    assert(IcebergWrite.lastTxnVersion(spark, t, "app") == -1L)
+  }
+
   test("readIncremental: snapshot-range file-diff attribution; " +
     "rewrites and deletes refuse; empty and bounded ranges") {
     import org.apache.spark.sql.functions.col
