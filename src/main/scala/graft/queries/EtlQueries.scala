@@ -2679,9 +2679,50 @@ object EtlQueries {
       FROM nation WHERE n_nationkey >= 10
       ORDER BY k"""))
 
+  // ---- q283: Iceberg schema-evolution append ----
+  // The q241 (Delta appendEvolve) twin through Iceberg's own
+  // mechanism: new columns take FRESH field ids, a new schema joins
+  // the metadata under the next schema-id, and historical files read
+  // the new columns as NULL under field-id resolution (their footers
+  // carry ids; the new ids are simply absent). Past snapshots keep
+  // reading under THEIR schema-id, require()-gated; the evolved full
+  // read with nulls is the hash gate.
+
+  val q283 = Q(
+    "q283_iceberg_evolve",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q283_iceevolve")
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"))
+      require(IcebergWrite.append(base.where(col("k") < 20), t) == 1L,
+        "q283: create")
+      val evolved = base.where(col("k") >= 20)
+        .withColumn("extra", concat(lit("E"), col("k")))
+      require(IcebergWrite.appendEvolve(evolved, t) == 2L,
+        "q283: evolve")
+      // the pre-evolution snapshot reads under ITS schema
+      require(IcebergRead.read(s, t, Some(1L)).columns.toSeq ==
+        Seq("k", "name"), "q283: past snapshot keeps its schema")
+      // old-shape appends refuse after evolution
+      require(
+        try { IcebergWrite.append(base.limit(1), t); false }
+        catch { case _: IllegalArgumentException => true },
+        "q283: old-shape append must refuse")
+      IcebergRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             CASE WHEN n_nationkey >= 20
+               THEN 'E' || CAST(n_nationkey AS BIGINT) END AS extra
+      FROM nation
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
-    q270, q271, q272, q273, q274, q275, q276, q278, q279, q280)
+    q270, q271, q272, q273, q274, q275, q276, q278, q279, q280, q283)
 }

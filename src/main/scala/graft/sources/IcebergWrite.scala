@@ -135,6 +135,83 @@ object IcebergWrite {
       maxRetries, props, Some((appId, txnVersion)))
   }
 
+  /** Schema-evolution append — [[DeltaWrite.appendEvolve]]'s twin
+    * through Iceberg's own mechanism: NEW columns get FRESH field ids
+    * (`last-column-id`+1...), a new schema joins the metadata's
+    * `schemas` array under the next schema-id, `current-schema-id`
+    * moves, and the new snapshot stamps that schema-id. Historical
+    * files read the new columns as NULL (their footers carry ids, the
+    * new ids are simply absent — exactly the spec's evolution
+    * semantics under field-id resolution), and past snapshots keep
+    * reading under THEIR schema-id. Strictly additive: dropped or
+    * retyped columns refuse; a concurrent schema change mid-commit
+    * refuses loudly (the fresh ids were assigned against the
+    * pre-race `last-column-id`).
+    */
+  def appendEvolve(
+      df: DataFrame,
+      tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      maxRetries: Int = 10): Long = {
+    val spark = df.sparkSession
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    LakeCommit.gate(spark, root)
+    val metaDir = new Path(root, "metadata")
+    val exists = fs.exists(metaDir) &&
+      fs.listStatus(metaDir).exists(
+        _.getPath.getName.matches("v\\d+\\.metadata\\.json"))
+    if (!exists)
+      return append(df, tablePath, partitionBy, maxRetries)
+    val (snap, specCols) = validateV2(spark, tablePath)
+    if (partitionBy != specCols)
+      fail(tablePath, s"partitionBy ${partitionBy.mkString(",")} != " +
+        s"table's identity partition columns ${specCols.mkString(",")}")
+    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    snap.schema.foreach { f =>
+      incoming.get(f.name) match {
+        case None =>
+          fail(tablePath, s"appendEvolve drops column '${f.name}' — " +
+            "evolution is strictly additive")
+        case Some(dt) if dt != f.dataType =>
+          fail(tablePath, s"appendEvolve retypes '${f.name}' " +
+            s"(${f.dataType.simpleString} -> ${dt.simpleString}) — " +
+            "evolution is strictly additive")
+        case _ => ()
+      }
+    }
+    val existingNames = snap.schema.fieldNames.toSet
+    val newCols = df.schema.filterNot(f => existingNames(f.name))
+    if (newCols.isEmpty)
+      return append(df, tablePath, partitionBy, maxRetries)
+    val (meta0, _, _) = IcebergRead.loadMetadata(spark, tablePath)
+    val lastColId = Option(meta0.get("last-column-id"))
+      .filter(_.isNumber).map(_.asInt())
+      .getOrElse(snap.schema.size)
+    val oldIds = snap.schema.fields.map(f =>
+      IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(
+        fail(tablePath, s"field '${f.name}' has no field id")))
+    val newIds = newCols.indices.map(lastColId + 1 + _)
+    val evolved = IcebergFixture.withFieldIds(
+      org.apache.spark.sql.types.StructType(
+        snap.schema.fields ++ newCols),
+      (oldIds ++ newIds).toSeq)
+    val files = writeDataFiles(
+      df.select(evolved.map(f => col(f.name)): _*), fs, root,
+      (oldIds ++ newIds).toSeq, partitionBy)
+    val mName = s"m-${java.util.UUID.randomUUID()}.avro"
+    val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
+      files.map { case (rel, rc, sz, pvs) =>
+        IcebergFixture.Entry(1, rel, rc, sizeBytes = sz,
+          partition = pvs) },
+      partitionFields = partitionBy.map(c =>
+        (c, evolved(c).dataType)))
+    commitNewSnapshot(spark, tablePath, fs, root,
+      Seq((mName, mLen, 0)), maxRetries,
+      evolve = Some((evolved, lastColId))).get
+  }
+
   /** The latest committed `graft-txn-version` for `appId` across the
     * RETAINED snapshots, -1 when none (or no table) exists.
     */
@@ -300,7 +377,9 @@ object IcebergWrite {
       newManifests: Seq[(String, Long, Int)],
       maxRetries: Int,
       summaryProps: Map[String, String] = Map.empty,
-      txnGuard: Option[(String, Long)] = None): Option[Long] = {
+      txnGuard: Option[(String, Long)] = None,
+      evolve: Option[(org.apache.spark.sql.types.StructType, Int)] =
+        None): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     var attempts = 0
     while (true) {
@@ -309,6 +388,17 @@ object IcebergWrite {
       // took our version may have BEEN this txn's concurrent replay
       txnGuard.foreach { case (appId, v) =>
         if (lastTxnFromMeta(meta, appId) >= v) return None
+      }
+      // evolution race check: the fresh field ids were assigned
+      // against the pre-race last-column-id; a concurrent schema
+      // change would collide them — refuse loudly
+      evolve.foreach { case (_, expectedLastColId) =>
+        val cur = Option(meta.get("last-column-id"))
+          .filter(_.isNumber).map(_.asInt()).getOrElse(-1)
+        if (cur != expectedLastColId)
+          fail(tablePath, "concurrent schema change during " +
+            "appendEvolve — rerun against the new schema (staged " +
+            "files are inert orphans)")
       }
       val lastSeq = Option(meta.get("last-sequence-number"))
         .filter(_.isNumber).map(_.asLong()).getOrElse(0L)
@@ -350,7 +440,7 @@ object IcebergWrite {
           .map(_.asLong()).getOrElse(0L)).maxOption.getOrElse(0L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
       val newMeta = nextMetadata(meta, snapshotId, newSeq, ts, mlName,
-        summaryProps)
+        summaryProps, evolve.map(_._1))
       val version = currentVersion(fs, root) + 1
       if (tryCommit(fs, root, version, newMeta)) {
         writeHint(spark, fs, root, version)
@@ -1043,11 +1133,54 @@ object IcebergWrite {
       seq: Long,
       timestampMs: Long,
       mlName: String,
-      summaryProps: Map[String, String] = Map.empty): String = {
+      summaryProps: Map[String, String] = Map.empty,
+      evolveSchema: Option[org.apache.spark.sql.types.StructType] =
+        None): String = {
     val root = prev.deepCopy[ObjectNode]()
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", timestampMs)
     root.put("current-snapshot-id", snapshotId)
+    // schema evolution: the new schema joins `schemas` under the next
+    // schema-id, current-schema-id moves, last-column-id advances
+    evolveSchema.foreach { st =>
+      val schemasArr = Option(root.get("schemas"))
+        .collect {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+        }.getOrElse(root.putArray("schemas"))
+      val nextSchemaId = (0 until schemasArr.size())
+        .map(schemasArr.get(_))
+        .flatMap(s => Option(s.get("schema-id")).map(_.asInt()))
+        .maxOption.getOrElse(-1) + 1
+      val s = schemasArr.addObject()
+      s.put("type", "struct")
+      s.put("schema-id", nextSchemaId)
+      val fields = s.putArray("fields")
+      st.zipWithIndex.foreach { case (sf, i) =>
+        val f = fields.addObject()
+        f.put("id",
+          IcebergFixture.fieldIdOf(sf).getOrElse((i + 1).toLong))
+        f.put("name", sf.name)
+        f.put("required", !sf.nullable)
+        f.put("type", sf.dataType match {
+          case org.apache.spark.sql.types.BooleanType => "boolean"
+          case org.apache.spark.sql.types.IntegerType => "int"
+          case org.apache.spark.sql.types.LongType => "long"
+          case org.apache.spark.sql.types.FloatType => "float"
+          case org.apache.spark.sql.types.DoubleType => "double"
+          case org.apache.spark.sql.types.DateType => "date"
+          case org.apache.spark.sql.types.StringType => "string"
+          case org.apache.spark.sql.types.BinaryType => "binary"
+          case d: org.apache.spark.sql.types.DecimalType =>
+            s"decimal(${d.precision}, ${d.scale})"
+          case other => fail("appendEvolve",
+            s"cannot write Spark type $other")
+        })
+      }
+      root.put("current-schema-id", nextSchemaId)
+      root.put("last-column-id",
+        st.fields.flatMap(IcebergFixture.fieldIdOf).map(_.toInt)
+          .maxOption.getOrElse(st.size))
+    }
     val snaps = Option(root.get("snapshots"))
       .collect { case a: com.fasterxml.jackson.databind.node.ArrayNode => a }
       .getOrElse(root.putArray("snapshots"))

@@ -336,6 +336,47 @@ class IcebergWriteSpec extends SparkTestBase {
     assert(IcebergWrite.rewriteDataFiles(spark, t).version.isEmpty)
   }
 
+  test("appendEvolve: new columns get fresh field ids, old files " +
+    "read NULL, past snapshots keep their schema; drops/retypes " +
+    "refuse") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    assert(IcebergWrite.append(kv(0, 3), t) == 1L)
+    val evolved = Seq((10L, "row10", "x"), (11L, "row11", "y"))
+      .toDF("k", "name", "extra")
+    assert(IcebergWrite.appendEvolve(evolved, t) == 2L)
+    val got = IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(got.toSeq == Seq((0L, None), (1L, None), (2L, None),
+      (10L, Some("x")), (11L, Some("y"))))
+    // the past snapshot reads under ITS schema (no extra column)
+    assert(IcebergRead.read(spark, t, Some(1L)).columns.toSeq ==
+      Seq("k", "name"))
+    // the new column's field id is FRESH (last-column-id advanced)
+    val (meta, _, _) = IcebergRead.loadMetadata(spark, t)
+    assert(meta.get("last-column-id").asInt() == 3)
+    assert(meta.get("current-schema-id").asInt() == 1)
+    // further appends use the evolved schema; old-shape appends refuse
+    assert(IcebergWrite.append(
+      Seq((20L, "row20", "z")).toDF("k", "name", "extra"), t) == 3L)
+    intercept[IllegalArgumentException] {
+      IcebergWrite.append(kv(30, 31), t)
+    }
+    // drops and retypes refuse
+    intercept[IllegalArgumentException] {
+      IcebergWrite.appendEvolve(Seq((1L, "x")).toDF("k", "extra2"), t)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWrite.appendEvolve(
+        Seq((1, "a", "b")).toDF("k", "name", "extra"), t)
+    }
+    // no new columns -> plain append
+    assert(IcebergWrite.appendEvolve(
+      Seq((40L, "row40", "w")).toDF("k", "name", "extra"), t) == 4L)
+    assert(IcebergRead.read(spark, t).count() == 7L)
+  }
+
   test("idempotentAppend: snapshot-summary txn guard — replays " +
     "no-op, create path included, expire bounds the memory") {
     val t = fresh()
