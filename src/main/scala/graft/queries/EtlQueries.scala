@@ -2720,9 +2720,80 @@ object EtlQueries {
       FROM nation
       ORDER BY k"""))
 
+  // ---- q284: Delta GENERATED columns + column INVARIANTS ----
+  // The last two "cannot compute" writer refusals become honored
+  // obligations: a table declaring delta.generationExpression gets
+  // its generated column COMPUTED when the writer omits it and
+  // VALIDATED (null-safe equality) when provided; column invariants
+  // (delta.invariants field metadata) enforce like CHECK constraints.
+  // Inconsistent generated values and invariant violations refuse
+  // loudly, require()-gated; the computed content is the hash gate.
+
+  val q284 = Q(
+    "q284_delta_generated",
+    (s, dir) => {
+      import graft.sources.{DeltaFixture => DFx, DeltaRead, DeltaWrite}
+      val nation = Tables(s, dir, "nation")
+      val t = scratch(s, "q284_generated")
+      val genSchema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        StructField("k_bucket", LongType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.generationExpression", "k % 5").build()),
+        StructField("name_len", IntegerType, nullable = true,
+          new MetadataBuilder().putString("delta.invariants",
+            """{"expression":{"expression":"name_len >= 0"}}""")
+            .build())))
+      val base = nation.select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        (col("n_nationkey").cast("long") % 5).as("k_bucket"),
+        length(col("n_name")).as("name_len"))
+      val a = DFx.plantDataFile(s, base.where(col("k") < 10), t,
+        "a.parquet")
+      DFx.writeCommit(s, t, 0, Seq(
+        DFx.protocolLine(minWriter = 4),
+        DFx.metaDataLine("q284-fixture", genSchema),
+        DFx.addLine("a.parquet", a)))
+      // the writer OMITS the generated column — computed on append
+      require(DeltaWrite.append(
+        nation.where(col("n_nationkey") >= 10).select(
+          col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"),
+          length(col("n_name")).as("name_len")), t) == 1L,
+        "q284: append computing the generated column")
+      // a provided-but-INCONSISTENT generated value refuses
+      require(
+        try {
+          DeltaWrite.append(base.limit(1)
+            .withColumn("k_bucket", lit(99L)), t); false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("generated column 'k_bucket'")
+        }, "q284: inconsistent generated value must refuse")
+      // an invariant violation refuses with the column name
+      require(
+        try {
+          DeltaWrite.append(base.limit(1)
+            .withColumn("name_len", lit(-1)), t); false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("invariant on column 'name_len'")
+        }, "q284: invariant violation must refuse")
+      DeltaRead.read(s, t).orderBy("k")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             CAST(n_nationkey AS BIGINT) % 5 AS k_bucket,
+             CAST(length(n_name) AS INTEGER) AS name_len
+      FROM nation
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
-    q270, q271, q272, q273, q274, q275, q276, q278, q279, q280, q283)
+    q270, q271, q272, q273, q274, q275, q276, q278, q279, q280, q283,
+    q284)
 }

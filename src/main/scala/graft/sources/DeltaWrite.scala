@@ -148,7 +148,11 @@ object DeltaWrite {
     if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
       fail(tablePath, "merge into a non-existent table")
     val snap = DeltaRead.snapshot(spark, tablePath)
-    val dataDf = deleteCol.fold(updates)(updates.drop(_))
+    // missing generated columns compute (insert shape) before the
+    // schema gate; provided ones get validated with the other row
+    // obligations below
+    val updates2 = completeGenerated(snap, updates)
+    val dataDf = deleteCol.fold(updates2)(updates2.drop(_))
     checkSchema(tablePath, dataDf.schema, snap.partitionColumns, snap)
     writerGate(spark, fs, logDir, root, overwrite = true)
     keyCols.foreach { k =>
@@ -165,7 +169,7 @@ object DeltaWrite {
     }
     // updates is referenced three times (dup check, semi, anti) —
     // stage it once (scratch-truncation rule)
-    val upd = graft.ScratchSpace.materialize(updates, "delta_merge_upd_")
+    val upd = graft.ScratchSpace.materialize(updates2, "delta_merge_upd_")
     val keyExprs = keyCols.map(col)
     val dup = upd.groupBy(keyExprs: _*).count()
       .where(col("count") > 1).limit(1).count()
@@ -217,9 +221,9 @@ object DeltaWrite {
       upd.where(!coalesce(col(d).cast("boolean"), lit(false))).drop(d))
     val newData = survivors.unionByName(
       inserts.select(snap.schema.map(f => col(f.name)): _*))
-    // CHECK obligation: survivors pass by induction, but the upserts
+    // row obligations: survivors pass by induction, but the upserts
     // are fresh rows — one aggregate over the whole rewrite set
-    enforceConstraints(tablePath, snap, newData)
+    enforceRowObligations(tablePath, snap, newData)
     val newFiles = writeData(spark, fs, root, newData,
       snap.partitionColumns, collectStats)
     // change-data-feed obligation: when the table enables CDF, a
@@ -398,7 +402,10 @@ object DeltaWrite {
     if (partitionBy != snap.partitionColumns)
       fail(tablePath, s"partitionBy ${partitionBy.mkString(",")} != " +
         s"table's ${snap.partitionColumns.mkString(",")}")
-    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    // missing generated columns compute (insert shape) before the
+    // additive checks
+    val dfE = completeGenerated(snap, df)
+    val incoming = dfE.schema.map(f => f.name -> f.dataType).toMap
     snap.schema.foreach { f =>
       incoming.get(f.name) match {
         case None =>
@@ -412,17 +419,17 @@ object DeltaWrite {
       }
     }
     val existing = snap.schema.fieldNames.toSet
-    val newCols = df.schema.filterNot(f => existing.contains(f.name))
+    val newCols = dfE.schema.filterNot(f => existing.contains(f.name))
     if (newCols.isEmpty)
       return append(df, tablePath, partitionBy, collectStats,
         maxRetries, beforeCommit)
     val merged = StructType(snap.schema.fields ++ newCols)
     writerGate(spark, fs, logDir, root, overwrite = false)
-    // constraints reference existing columns only — the evolved frame
-    // carries them all, so the obligation survives evolution
-    enforceConstraints(tablePath, snap, df)
+    // row obligations reference existing columns only — the evolved
+    // frame carries them all, so they survive evolution
+    enforceRowObligations(tablePath, snap, dfE)
     val newFiles = writeData(spark, fs, root,
-      df.select(merged.map(f => col(f.name)): _*),
+      dfE.select(merged.map(f => col(f.name)): _*),
       partitionBy, collectStats)
     var version = DeltaRead.versions(spark, tablePath).max + 1
     beforeCommit()
@@ -826,12 +833,17 @@ object DeltaWrite {
     if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty)
       fail(tablePath, "updateWhere on a non-existent table")
     val snap = DeltaRead.snapshot(spark, tablePath)
+    val genMap = generatedCols(snap).toMap
     set.keys.foreach { c =>
       if (!snap.schema.fieldNames.contains(c))
         fail(tablePath, s"SET column '$c' not in the table schema")
       if (snap.partitionColumns.contains(c))
         fail(tablePath, s"SET column '$c' is a partition column — " +
           "moving rows between partitions is not an in-place update")
+      if (genMap.contains(c))
+        fail(tablePath, s"SET column '$c' is a GENERATED column — " +
+          "it is derived; update its source columns and the value " +
+          "recomputes automatically")
     }
     writerGate(spark, fs, logDir, root, overwrite = true)
     if (!dvDeclared(spark, fs, logDir))
@@ -845,10 +857,15 @@ object DeltaWrite {
     // consumer
     val matchedAll = graft.ScratchSpace.materialize(
       scan.where(predicate), "delta_upd_matched_")
-    val updatedRowsDf = matchedAll.select(snap.schema.map(f =>
+    // apply the SETs, then RECOMPUTE generated columns over the
+    // updated images (their sources may have changed)
+    val setApplied = matchedAll.select(snap.schema.map(f =>
       set.getOrElse(f.name, col(f.name)).as(f.name)): _*)
-    // CHECK obligation over the updated images (the only fresh rows)
-    enforceConstraints(tablePath, snap, updatedRowsDf)
+    val updatedRowsDf = setApplied.select(snap.schema.map(f =>
+      genMap.get(f.name).map(e => expr(e).as(f.name))
+        .getOrElse(col(f.name))): _*)
+    // row obligations over the updated images (the only fresh rows)
+    enforceRowObligations(tablePath, snap, updatedRowsDf)
     val cdfEnabled = snap.configuration
       .get("delta.enableChangeDataFeed").contains("true")
     val cdcActions: Seq[String] =
@@ -1007,26 +1024,29 @@ object DeltaWrite {
         "path typos)")
 
     // existing-table gates: reader replay (validates reader version),
-    // schema equality, writer version / features / appendOnly
+    // schema equality (after completing MISSING generated columns —
+    // the standard insert shape), writer version / features /
+    // appendOnly, and the row obligations (constraints, invariants,
+    // generated-value consistency)
     val existingSnap =
-      if (exists) {
-        val snap = DeltaRead.snapshot(spark, tablePath)
-        checkSchema(tablePath, df.schema, partitionBy, snap)
-        writerGate(spark, fs, logDir, root, overwrite)
-        enforceConstraints(tablePath, snap, df)
-        // an overwrite is an update-shape commit (removes + adds):
-        // under CDF the protocol requires cdc files for it, and this
-        // writer does not synthesize full-table change rows — refuse
-        // rather than silently breaking the feed (appends derive)
-        if (overwrite && snap.configuration
-          .get("delta.enableChangeDataFeed").contains("true"))
-          fail(tablePath, "overwrite of a change-data-feed-enabled " +
-            "table would need full-table cdc files — unsupported; " +
-            "merge writes the feed, or disable CDF first")
-        Some(snap)
-      } else None
+      if (exists) Some(DeltaRead.snapshot(spark, tablePath)) else None
+    val dfW = existingSnap.map(completeGenerated(_, df)).getOrElse(df)
+    existingSnap.foreach { snap =>
+      checkSchema(tablePath, dfW.schema, partitionBy, snap)
+      writerGate(spark, fs, logDir, root, overwrite)
+      enforceRowObligations(tablePath, snap, dfW)
+      // an overwrite is an update-shape commit (removes + adds):
+      // under CDF the protocol requires cdc files for it, and this
+      // writer does not synthesize full-table change rows — refuse
+      // rather than silently breaking the feed (appends derive)
+      if (overwrite && snap.configuration
+        .get("delta.enableChangeDataFeed").contains("true"))
+        fail(tablePath, "overwrite of a change-data-feed-enabled " +
+          "table would need full-table cdc files — unsupported; " +
+          "merge writes the feed, or disable CDF first")
+    }
 
-    val newFiles = writeData(spark, fs, root, df, partitionBy, collectStats)
+    val newFiles = writeData(spark, fs, root, dfW, partitionBy, collectStats)
 
     var attempt = 0
     var version =
@@ -1063,7 +1083,7 @@ object DeltaWrite {
           return None // the racer WAS this txn — already committed
       }
       val snap = DeltaRead.snapshot(spark, tablePath)
-      checkSchema(tablePath, df.schema, partitionBy, snap)
+      checkSchema(tablePath, dfW.schema, partitionBy, snap)
       if (overwrite) removes = snap.liveFiles.map(_.path)
       version = DeltaRead.versions(spark, tablePath).max + 1
     }
@@ -1420,34 +1440,90 @@ object DeltaWrite {
     sys.error("unreachable")
   }
 
-  /** Enforce the table's declared CHECK constraints
-    * (`delta.constraints.<name>` = SQL predicate, writer v3's
-    * obligation — honored here rather than refused) over freshly
-    * written rows: ONE aggregate counts violations for every
-    * constraint; any violation refuses the commit loudly with the
-    * constraint name. NULL predicate results PASS (SQL CHECK
-    * semantics). Deletes need no check (removing rows cannot violate
-    * a row predicate).
+  /** The schema's GENERATED columns: (column, generation SQL). */
+  private def generatedCols(
+      snap: DeltaRead.DeltaSnapshot): Seq[(String, String)] =
+    snap.schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("delta.generationExpression"))
+        Some(f.name -> f.metadata.getString("delta.generationExpression"))
+      else None
+    }
+
+  /** The schema's column INVARIANTS: (column, predicate SQL). Delta
+    * stores them as field metadata `delta.invariants` =
+    * `{"expression":{"expression":"<pred>"}}`; an unparseable
+    * invariant refuses loudly (an obligation we cannot read cannot be
+    * honored).
     */
-  private def enforceConstraints(
+  private def invariantsOf(
+      tablePath: String,
+      snap: DeltaRead.DeltaSnapshot): Seq[(String, String)] =
+    snap.schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.invariants")) None
+      else {
+        val raw = f.metadata.getString("delta.invariants")
+        val pred =
+          try Option(mapper.readTree(raw).path("expression")
+            .path("expression")).filter(_.isTextual).map(_.asText())
+          catch { case _: Exception => None }
+        Some(f.name -> pred.getOrElse(
+          fail(tablePath, s"column '${f.name}' declares an invariant " +
+            s"this writer cannot parse ($raw) — write refused")))
+      }
+    }
+
+  /** Fill MISSING generated columns by computing their expressions —
+    * the standard insert shape (real engines let writers omit them).
+    * Columns the caller DID provide pass through and get validated
+    * against the expression in [[enforceRowObligations]].
+    */
+  private def completeGenerated(
+      snap: DeltaRead.DeltaSnapshot,
+      df: DataFrame): DataFrame =
+    generatedCols(snap).foldLeft(df) { case (acc, (c, e)) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, expr(e))
+    }
+
+  /** Enforce every row-level write obligation the table declares over
+    * the freshly written rows, in ONE aggregate: CHECK constraints
+    * (`delta.constraints.<name>`, writer v3), column INVARIANTS
+    * (field metadata, writer v2), and GENERATED-column consistency
+    * (caller-provided values must null-safely equal the declared
+    * expression, writer v4) — honored rather than refused. Any
+    * violation refuses the commit loudly with the obligation's name.
+    * NULL CHECK/invariant results PASS (SQL CHECK semantics); deletes
+    * need no check (removing rows cannot violate a row predicate).
+    */
+  private def enforceRowObligations(
       tablePath: String,
       snap: DeltaRead.DeltaSnapshot,
       df: DataFrame): Unit = {
-    val cs = snap.configuration.toSeq
-      .filter(_._1.startsWith("delta.constraints."))
-      .map { case (k, v) => k.stripPrefix("delta.constraints.") -> v }
-      .sortBy(_._1)
-    if (cs.isEmpty) return
-    val aggs = cs.map { case (n, sql) =>
-      count(when(!coalesce(expr(sql).cast("boolean"), lit(true)),
-        lit(1))).as(s"__viol_$n")
+    val checks: Seq[(String, Column)] =
+      snap.configuration.toSeq
+        .filter(_._1.startsWith("delta.constraints."))
+        .map { case (k, v) =>
+          (s"CHECK constraint '${k.stripPrefix("delta.constraints.")}' ($v)",
+            !coalesce(expr(v).cast("boolean"), lit(true)))
+        } ++
+        invariantsOf(tablePath, snap).map { case (c, v) =>
+          (s"invariant on column '$c' ($v)",
+            !coalesce(expr(v).cast("boolean"), lit(true)))
+        } ++
+        generatedCols(snap).map { case (c, e) =>
+          (s"generated column '$c' ($e)", !(col(c) <=> expr(e)))
+        }
+    if (checks.isEmpty) return
+    val sorted = checks.sortBy(_._1)
+    val aggs = sorted.map { case (_, bad) =>
+      count(when(bad, lit(1)))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cs.zipWithIndex.foreach { case ((n, sql), i) =>
+    sorted.zipWithIndex.foreach { case ((name, _), i) =>
       val v = row.getLong(i)
       if (v > 0)
-        fail(tablePath, s"CHECK constraint '$n' ($sql) violated by " +
-          s"$v incoming row(s) — commit refused")
+        fail(tablePath, s"$name violated by $v incoming row(s) — " +
+          "commit refused")
     }
   }
 
@@ -1477,14 +1553,14 @@ object DeltaWrite {
   /** Writer-side protocol gate over everything the log chain declares:
     * JSON commits' protocol/metaData actions plus (when the readable
     * head is a checkpoint) the checkpoint's protocol/metaData rows.
-    * Writer versions 1-2 pass unconditionally (append/overwrite
-    * honors appendOnly); versions 3-4 pass ONLY when none of their
-    * obligations are actually declared — no `delta.constraints.*`
-    * CHECK constraints (v3) and no generated columns (v4,
-    * `delta.generationExpression` field metadata) — because this
-    * writer cannot enforce them; v4's change-data-feed obligation IS
-    * honored ([[merge]] writes cdc actions when
-    * `delta.enableChangeDataFeed=true`). Writer features (v7) refuse.
+    * Writer versions 1-4 pass with ALL their obligations honored:
+    * appendOnly (overwrites refuse), CHECK constraints + column
+    * invariants + generated-column consistency (enforced per commit
+    * via [[completeGenerated]] + [[enforceRowObligations]]), and
+    * change data feed ([[merge]]/DML write cdc actions under
+    * `delta.enableChangeDataFeed=true`). Writer version 7 passes when
+    * its EXPLICIT feature list is a subset of the features this
+    * writer honors; anything else refuses loudly.
     */
   private def writerGate(
       spark: SparkSession,
@@ -1494,14 +1570,12 @@ object DeltaWrite {
       overwrite: Boolean): Unit = {
     LakeCommit.gate(spark, root)
     val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-    var needsObligations = false
     // v7 feature lists are EXPLICIT obligations: accept only the ones
     // this writer honors — deletionVectors (DV-aware scans/merges,
     // DV-safe vacuum), changeDataFeed (cdc actions on merge/DML),
-    // appendOnly (gateConfig), checkConstraints (enforced on every
-    // write path via enforceConstraints), and invariants /
-    // generatedColumns (honored by REFUSAL when the schema actually
-    // declares one — the obligation-absence check below)
+    // appendOnly (gateConfig), and checkConstraints / invariants /
+    // generatedColumns (all ENFORCED on every write path via
+    // completeGenerated + enforceRowObligations)
     val supportedWriterFeatures = Set("deletionVectors",
       "changeDataFeed", "appendOnly", "invariants", "checkConstraints",
       "generatedColumns")
@@ -1509,19 +1583,15 @@ object DeltaWrite {
       val featSet = feats.replaceAll("[\\[\\]\"\\s]", "")
         .split(",").filter(_.nonEmpty).toSet
       if (minWriter == 7 && featSet.nonEmpty &&
-        featSet.subsetOf(supportedWriterFeatures)) {
-        // explicit features, all honored (featureless v7 refuses —
-        // a v7 table that listed nothing is malformed, not trusted)
-        if (featSet.contains("invariants") ||
-          featSet.contains("generatedColumns")) needsObligations = true
-      }
+        featSet.subsetOf(supportedWriterFeatures))
+        () // explicit features, all honored (featureless v7 refuses —
+      // a v7 table that listed nothing is malformed, not trusted)
       else if (minWriter > 4 || featSet.nonEmpty)
         fail(root.toString, s"table requires writer version $minWriter" +
           (if (feats.nonEmpty) s" with features $feats" else "") +
           " — only writer versions <= 4 (no writer features) or v7 " +
           s"with features ⊆ ${supportedWriterFeatures.mkString(",")} " +
           "are supported")
-      else if (minWriter > 2) needsObligations = true
     }
     def gateConfig(cfg: Map[String, String]): Unit =
       if (overwrite && cfg.get("delta.appendOnly").contains("true"))
@@ -1594,22 +1664,6 @@ object DeltaWrite {
               if (!r.isNullAt(0))
                 gateConfig(r.getMap[String, String](0).toMap)
             }
-      }
-    }
-    if (needsObligations) {
-      // v3/v4 (and v7 tables declaring invariants/generatedColumns)
-      // pass only when the obligations this writer cannot COMPUTE are
-      // absent from the CURRENT table state. CHECK constraints no
-      // longer refuse here: every write path runs
-      // [[enforceConstraints]] over its fresh rows.
-      val snap = DeltaRead.snapshot(spark, root.toString)
-      snap.schema.foreach { f =>
-        if (f.metadata.contains("delta.generationExpression"))
-          fail(root.toString, s"column '${f.name}' is a GENERATED " +
-            "column — this writer cannot compute it; write refused")
-        if (f.metadata.contains("delta.invariants"))
-          fail(root.toString, s"column '${f.name}' declares an " +
-            "INVARIANT — this writer cannot enforce it; write refused")
       }
     }
   }

@@ -216,7 +216,8 @@ class DeltaWriteSpec extends SparkTestBase {
       e2.getMessage.contains("1 incoming row"), e2.getMessage)
     // the violating commit never landed
     assert(DeltaRead.read(spark, t2).count() == 4L)
-    // v4 table with a GENERATED column: refuse
+    // v4 table with a GENERATED column: COMPUTED when missing,
+    // VALIDATED when provided (no longer a refusal)
     val t3 = fresh()
     val s3 = DeltaFixture.plantDataFile(spark, kv(0, 2), t3, "a.parquet")
     val genSchema = org.apache.spark.sql.types.StructType(
@@ -231,10 +232,117 @@ class DeltaWriteSpec extends SparkTestBase {
       DeltaFixture.protocolLine(minWriter = 4),
       DeltaFixture.metaDataLine("v4g", genSchema),
       DeltaFixture.addLine("a.parquet", s3)))
+    // append WITHOUT the generated column: computed
+    assert(DeltaWrite.append(
+      spark.range(5, 7).select(col("id").as("k")), t3) == 1L)
+    assert(DeltaRead.read(spark, t3).where(col("k") === 5L)
+      .head().getString(1) == "5")
+    // append WITH a consistent value: validated, passes
+    assert(DeltaWrite.append(
+      Seq((7L, "7")).toDF("k", "name"), t3) == 2L)
+    // append with an INCONSISTENT value: refuses with the column name
     val e3 = intercept[IllegalArgumentException] {
-      DeltaWrite.append(kv(5, 7), t3)
+      DeltaWrite.append(Seq((8L, "wrong")).toDF("k", "name"), t3)
     }
-    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+    assert(e3.getMessage.contains("generated column 'name'"),
+      e3.getMessage)
+  }
+
+  test("column INVARIANTS are enforced (not refused): violating " +
+    "rows refuse with the column name; NULL passes; unparseable " +
+    "invariants refuse loudly") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val schema = kv(0, 1).schema
+    val invSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+        if (f.name == "k")
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.invariants",
+                """{"expression":{"expression":"k < 1000"}}""")
+              .build())
+        else f
+      })
+    val sa = DeltaFixture.plantDataFile(spark, kv(0, 2), t, "a.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 2),
+      DeltaFixture.metaDataLine("inv", invSchema),
+      DeltaFixture.addLine("a.parquet", sa)))
+    assert(DeltaWrite.append(kv(5, 7), t) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.append(Seq((2000L, "big")).toDF("k", "name"), t)
+    }
+    assert(e.getMessage.contains("invariant on column 'k'"),
+      e.getMessage)
+    // NULL invariant result passes (SQL CHECK semantics)
+    assert(DeltaWrite.append(
+      Seq((null.asInstanceOf[java.lang.Long], "n")).toDF("k", "name")
+        .select(col("k").cast("long"), col("name")), t) == 2L)
+    // an unparseable invariant refuses loudly
+    val t2 = fresh()
+    val badSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+        if (f.name == "k")
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.invariants", "not-json").build())
+        else f
+      })
+    val sb = DeltaFixture.plantDataFile(spark, kv(0, 2), t2, "a.parquet")
+    DeltaFixture.writeCommit(spark, t2, 0, Seq(
+      DeltaFixture.protocolLine(minWriter = 2),
+      DeltaFixture.metaDataLine("badinv", badSchema),
+      DeltaFixture.addLine("a.parquet", sb)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.append(kv(5, 6), t2)
+    }
+    assert(e2.getMessage.contains("cannot parse"), e2.getMessage)
+  }
+
+  test("generated columns recompute through updateWhere and " +
+    "complete through merge; direct SET of a generated column " +
+    "refuses") {
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val genSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v2",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "v * 2").build())))
+    val sa = DeltaFixture.plantDataFile(spark,
+      base.withColumn("v2", col("v") * 2), t, "a.parquet")
+    DeltaFixture.writeCommit(spark, t, 0, Seq(
+      DeltaFixture.protocolFeaturesLine(3, 7,
+        Seq("deletionVectors"),
+        Seq("deletionVectors", "generatedColumns", "appendOnly",
+          "invariants")),
+      DeltaFixture.metaDataLine("genu", genSchema),
+      DeltaFixture.addLine("a.parquet", sa,
+        stats = Some(DeltaFixture.statsJson(1, Map("k" -> ((1L, 1L))))))))
+    // merge COMPLETES the generated column on upserts
+    DeltaWrite.merge(Seq((2L, 50L)).toDF("k", "v"), t, Seq("k")): Unit
+    assert(DeltaRead.read(spark, t).where(col("k") === 2L)
+      .head().getLong(2) == 100L)
+    // updateWhere RECOMPUTES it when a source column changes
+    val rep = DeltaWrite.updateWhere(spark, t, col("k") === 1L,
+      Map("v" -> lit(30L)))
+    assert(rep.updatedRows == 1L)
+    assert(DeltaRead.read(spark, t).where(col("k") === 1L)
+      .head().getLong(2) == 60L)
+    // direct SET of the generated column refuses
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, t, col("k") === 1L,
+        Map("v2" -> lit(999L)))
+    }
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
   }
 
   test("restore: table state reverts as a NEW commit; history stays " +
