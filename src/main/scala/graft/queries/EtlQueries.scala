@@ -2409,6 +2409,13 @@ object EtlQueries {
         "q274: full read")
       require(IcebergRead.countRows(s, t) == customer.count(),
         "q274: metadata-only count")
+      // eq-delete upsert refuses on partitioned tables (the reader
+      // refuses partition-scoped equality deletes)
+      require(
+        try {
+          IcebergWrite.upsert(base.limit(1), t, Seq("k")); false
+        } catch { case _: IllegalArgumentException => true },
+        "q274: upsert must refuse on a partitioned table")
       IcebergRead.readPruned(s, t, Map("segment" -> "BUILDING"))
         .orderBy("k")
     },
@@ -2790,10 +2797,60 @@ object EtlQueries {
       FROM nation
       ORDER BY k"""))
 
+  // ---- q285: Iceberg PARTITIONED DML (delete + rewrite) ----
+  // DML on the partitioned tables real deployments actually run:
+  // position deletes are PARTITION-SCOPED (every delete file holds
+  // one partition tuple, recorded in its manifest entry and its
+  // physical `<col>=<val>/` dir — the shape conformant writers emit),
+  // pruned reads apply them, and the delete-compaction rewrite folds
+  // them in per partition. The post-rewrite pruned segment is the
+  // hash gate; scoping, pruned-delete application, and history are
+  // require()-gated.
+
+  val q285 = Q(
+    "q285_iceberg_partitioned_dml",
+    (s, dir) => {
+      import graft.sources.{IcebergRead, IcebergWrite}
+      val customer = Tables(s, dir, "customer")
+      val t = scratch(s, "q285_icepdml")
+      val base = customer.select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("segment"))
+      require(IcebergWrite.append(base, t,
+        partitionBy = Seq("segment")) == 1L, "q285: create")
+      // delete across partitions: every 7th key
+      require(IcebergWrite.deleteWhere(s, t,
+        pmod(col("k"), lit(7)) === 0) == 2L, "q285: delete")
+      val snap = IcebergRead.snapshot(s, t)
+      require(snap.deleteFiles.nonEmpty &&
+        snap.deleteFiles.forall(_.path
+          .matches("data/segment=[A-Z]+/delete-.*\\.parquet")),
+        "q285: delete files must be partition-scoped")
+      // pruned reads apply the deletes
+      require(IcebergRead.readPruned(s, t, Map("segment" -> "BUILDING"))
+        .where(pmod(col("k"), lit(7)) === 0).isEmpty,
+        "q285: pruned scan applies deletes")
+      // rewrite folds them in per partition
+      val rep = IcebergWrite.rewriteDataFiles(s, t)
+      require(rep.droppedDeleteFiles == snap.deleteFiles.size.toLong,
+        s"q285: $rep")
+      require(IcebergRead.snapshot(s, t).deleteFiles.isEmpty,
+        "q285: zero delete files post-rewrite")
+      require(IcebergRead.read(s, t, Some(1L)).count() ==
+        customer.count(), "q285: history intact")
+      IcebergRead.readPruned(s, t, Map("segment" -> "BUILDING"))
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS segment
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 <> 0
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q16, q17, q18, q48, q50, q85,
     q134, q168, q203, q219, q224, q225, q227, q232, q233, q234, q235,
     q239, q240, q241, q246, q247, q251, q252, q253, q254, q256, q257,
     q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269,
     q270, q271, q272, q273, q274, q275, q276, q278, q279, q280, q283,
-    q284)
+    q284, q285)
 }

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
   *    (created or appended; every data file holds exactly ONE
   *    partition tuple, manifest entries carry the spec's partition
   *    record for [[IcebergRead.readPruned]]'s metadata prune).
-  *    Non-identity transforms (bucket/truncate/days/...) refuse; the
-  *    DML verbs refuse partitioned tables (delete manifests would
-  *    need per-partition scoping);
+  *    Non-identity transforms (bucket/truncate/days/...) refuse.
+  *    [[deleteWhere]] and [[rewriteDataFiles]] work on partitioned
+  *    tables (partition-scoped delete files, one partition tuple per
+  *    delete file — the shape real writers emit); [[upsert]] refuses
+  *    them (the reader refuses partition-scoped equality deletes);
   *  - format-version 2 (created tables are v2; appends to v1 tables
   *    refuse — their sequence-number-less manifests would corrupt
   *    delete semantics);
@@ -474,10 +476,6 @@ object IcebergWrite {
     val root = fs.makeQualified(p)
     LakeCommit.gate(spark, root)
     val (snap, specCols) = validateV2(spark, tablePath)
-    if (specCols.nonEmpty)
-      fail(tablePath, "deleteWhere on a PARTITIONED table is " +
-        "unsupported (delete manifests would need per-partition " +
-        "scoping)")
     // the delete columns carry the spec's RESERVED field ids in the
     // parquet footers — external engines resolve them by id
     val delSchema = IcebergFixture.withFieldIds(
@@ -487,32 +485,64 @@ object IcebergWrite {
         org.apache.spark.sql.types.StructField("pos",
           org.apache.spark.sql.types.LongType))),
       Seq(PosDeleteFilePathId, PosDeletePosId))
-    val matched = IcebergRead.readWithPos(spark, tablePath)
+    // partitioned tables: every delete FILE holds one partition's
+    // rows (the partition-scoped shape real writers emit) — each
+    // matched row's OWN identity-partition values are its target
+    // file's partition, so the stage write partitions by duplicated
+    // `__gp_<col>` columns and recovers the tuple from dir names
+    val withPos = IcebergRead.readWithPos(spark, tablePath)
       .where(predicate)
-      .select(
-        col("__file_path").as("file_path", delSchema(0).metadata),
-        col("__pos").as("pos", delSchema(1).metadata))
-      .sort("file_path", "pos")
+    val matched = withPos.select(
+      Seq(col("__file_path").as("file_path", delSchema(0).metadata),
+        col("__pos").as("pos", delSchema(1).metadata)) ++
+        specCols.map(c => col(c).as(s"__gp_$c")): _*)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(root, s"_staging-icedel-$nonce")
     FieldIds.withWriteEnabled(spark) {
-      matched.write.mode("overwrite").parquet(stage.toString)
-    }
-    val moved = Seq.newBuilder[(String, Path)]
-    var i = 0
-    fs.listStatus(stage).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
-        st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .foreach { st =>
-        val rel = s"data/delete-$nonce-$i.parquet"
-        val dest = new Path(root, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest))
-          fail(root.toString, s"rename to $dest failed")
-        moved += ((rel, dest))
-        i += 1
+      if (specCols.isEmpty)
+        matched.sort("file_path", "pos")
+          .write.mode("overwrite").parquet(stage.toString)
+      else {
+        val gp = specCols.map(c => s"__gp_$c")
+        matched.repartition(gp.map(col): _*)
+          .sortWithinPartitions(
+            (gp ++ Seq("file_path", "pos")).map(col): _*)
+          .write.mode("overwrite").partitionBy(gp: _*)
+          .parquet(stage.toString)
       }
+    }
+    val moved =
+      Seq.newBuilder[(String, Path, Map[String, Option[String]])]
+    var i = 0
+    def walk(dir: Path, pvs: Map[String, Option[String]]): Unit =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name.startsWith("__gp_") && name.contains('=')) {
+            val c = name.drop(5).takeWhile(_ != '=')
+            val raw = DeltaWrite.unescapePathName(
+              name.drop(5 + c.length + 1))
+            val v =
+              if (raw == "__HIVE_DEFAULT_PARTITION__") None
+              else Some(raw)
+            walk(st.getPath, pvs + (c -> v))
+          } else walk(st.getPath, pvs)
+        } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+          val dirPart = specCols.map { c =>
+            val v = pvs.getOrElse(c, None)
+            s"$c=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+          }
+          val rel = (Seq("data") ++ dirPart ++
+            Seq(s"delete-$nonce-$i.parquet")).mkString("/")
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            fail(root.toString, s"rename to $dest failed")
+          moved += ((rel, dest, pvs))
+          i += 1
+        }
+      }
+    walk(stage, Map.empty)
     fs.delete(stage, true): Unit
     val files = moved.result()
     val counts =
@@ -523,17 +553,18 @@ object IcebergWrite {
         .collect()
         .map(r => DeltaRead.normalizeStr(r.getString(0)) -> r.getLong(1))
         .toMap
-    val entries = files.flatMap { case (rel, dest) =>
+    val entries = files.flatMap { case (rel, dest, pvs) =>
       val rc = counts.getOrElse(DeltaRead.normalizeStr(
         fs.makeQualified(dest).toUri.toString), 0L)
       if (rc == 0L) { fs.delete(dest, false); None }
       else Some(IcebergFixture.Entry(1, rel, rc, content = 1,
-        sizeBytes = fs.getFileStatus(dest).getLen))
+        sizeBytes = fs.getFileStatus(dest).getLen, partition = pvs))
     }
     if (entries.isEmpty) return snap.snapshotId // nothing matched
     val mName = s"m-${java.util.UUID.randomUUID()}.avro"
     val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
-      entries)
+      entries,
+      partitionFields = specCols.map(c => (c, snap.schema(c).dataType)))
     commitNewSnapshot(spark, tablePath, fs, root,
       Seq((mName, mLen, 1)), maxRetries).get
   }
@@ -701,11 +732,13 @@ object IcebergWrite {
     * construction (the rewrite scans the same resolved rows a normal
     * read yields).
     *
-    * Scope: v2, unpartitioned, position deletes only (equality
-    * deletes refuse — compacting them needs the upsert-aware rewrite
-    * and is a different maintenance verb). A concurrent commit
-    * mid-rewrite refuses loudly (the consolidated manifest was built
-    * from the snapshot this rewrite read).
+    * Scope: v2, position deletes only (equality deletes refuse —
+    * compacting them needs the upsert-aware rewrite and is a
+    * different maintenance verb); identity-partitioned tables rewrite
+    * per partition (survivors re-stage through the partitioned write
+    * path, untouched entries keep their manifest partition tuples).
+    * A concurrent commit mid-rewrite refuses loudly (the consolidated
+    * manifest was built from the snapshot this rewrite read).
     */
   def rewriteDataFiles(
       spark: org.apache.spark.sql.SparkSession,
@@ -716,9 +749,6 @@ object IcebergWrite {
     val root = fs.makeQualified(p)
     LakeCommit.gate(spark, root)
     val (snap, specCols) = validateV2(spark, tablePath)
-    if (specCols.nonEmpty)
-      fail(tablePath, "rewriteDataFiles on a PARTITIONED table is " +
-        "unsupported")
     if (snap.eqDeleteFiles.nonEmpty)
       fail(tablePath, "snapshot carries EQUALITY delete files — " +
         "rewrite supports position deletes only")
@@ -762,21 +792,25 @@ object IcebergWrite {
     val ids = snap.schema.fields.map(f =>
       IcebergFixture.fieldIdOf(f).map(_.toInt).getOrElse(
         fail(tablePath, s"field '${f.name}' has no field id"))).toSeq
-    val newFiles = writeDataFiles(survivors, fs, root, ids)
+    val newFiles = writeDataFiles(survivors, fs, root, ids, specCols)
     // ONE consolidated data manifest REPLACES all previous manifests:
-    // untouched files as EXISTING (status 0, original seqs), new
-    // files as ADDED (inherit the new seq); no delete manifests
+    // untouched files as EXISTING (status 0, original seqs, their
+    // manifest partition tuples carried), new files as ADDED (inherit
+    // the new seq); no delete manifests
     val entries =
       untouched.map { f =>
         IcebergFixture.Entry(0, f.path, f.recordCount,
           seq = Some(f.seq.getOrElse(fail(tablePath,
-            s"file ${f.path} has no resolvable sequence number"))))
-      } ++ newFiles.map { case (rel, rc, sz, _) =>
-        IcebergFixture.Entry(1, rel, rc, sizeBytes = sz)
+            s"file ${f.path} has no resolvable sequence number"))),
+          partition = f.partition.map { case (k, v) => k -> Some(v) })
+      } ++ newFiles.map { case (rel, rc, sz, pvs) =>
+        IcebergFixture.Entry(1, rel, rc, sizeBytes = sz,
+          partition = pvs)
       }
     val mName = s"m-${java.util.UUID.randomUUID()}.avro"
     val mLen = IcebergFixture.writeManifest(spark, tablePath, mName,
-      entries)
+      entries,
+      partitionFields = specCols.map(c => (c, snap.schema(c).dataType)))
     // commit tail: REPLACE manifests (not carry+append); any
     // concurrent commit invalidates the consolidation — refuse
     var attempts = 0

@@ -248,11 +248,55 @@ class IcebergWriteSpec extends SparkTestBase {
     assert(dirs.toSeq == Seq("src=a", "src=b", "src=c"), dirs.toSeq)
     // metadata-only count still works (record_count per file)
     assert(IcebergRead.countRows(spark, t) == 13L)
-    // DML refuses on partitioned tables
+    // eq-delete upsert refuses on partitioned tables
     intercept[IllegalArgumentException] {
-      IcebergWrite.deleteWhere(spark, t,
-        org.apache.spark.sql.functions.col("k") === 1L)
+      IcebergWrite.upsert(
+        Seq((1L, "x", "a")).toDF("k", "name", "src"), t, Seq("k"))
     }
+  }
+
+  test("partitioned DML: position deletes are partition-scoped (one " +
+    "partition tuple per delete file), pruned reads apply them, and " +
+    "rewrite compacts per partition") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark
+    import ss.implicits._
+    val t = fresh()
+    val df = (0 until 12).map(i =>
+      (i.toLong, s"row$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "name", "src")
+    assert(IcebergWrite.append(df, t, partitionBy = Seq("src")) == 1L)
+    // delete keys across BOTH partitions
+    assert(IcebergWrite.deleteWhere(spark, t,
+      col("k").isin(0L, 1L, 2L)) == 2L)
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == (3L to 11L))
+    // each delete FILE holds one partition tuple, recorded in its
+    // manifest entry AND its physical dir
+    val snap = IcebergRead.snapshot(spark, t)
+    assert(snap.deleteFiles.nonEmpty)
+    snap.deleteFiles.foreach { f =>
+      assert(f.path.matches("data/src=[ab]/delete-.*\\.parquet"), f.path)
+    }
+    // pruned reads apply the deletes too
+    assert(IcebergRead.readPruned(spark, t, Map("src" -> "a"))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(4L, 6L, 8L, 10L))
+    // rewrite folds the deletes in, per partition
+    val rep = IcebergWrite.rewriteDataFiles(spark, t)
+    assert(rep.droppedDeleteFiles == snap.deleteFiles.size.toLong &&
+      rep.version.nonEmpty, rep.toString)
+    val after = IcebergRead.snapshot(spark, t)
+    assert(after.deleteFiles.isEmpty)
+    assert(after.liveFiles.forall(f => f.partition.keySet == Set("src")))
+    assert(IcebergRead.read(spark, t).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == (3L to 11L))
+    assert(IcebergRead.readPruned(spark, t, Map("src" -> "b"))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 5L, 7L, 9L, 11L))
+    assert(IcebergRead.countRows(spark, t) == 9L)
+    // pre-delete history still whole
+    assert(IcebergRead.read(spark, t, Some(1L)).count() == 12L)
   }
 
   test("upsert: equality-delete + data manifests in ONE snapshot; " +
