@@ -46,7 +46,9 @@ object IcebergIncremental {
       if (!fs.exists(offsets)) Set.empty
       else fs.listStatus(offsets).toSeq.map(_.getPath.getName)
         .collect { case re(n) => n.toLong }.toSet
-    val ids = IcebergRead.snapshots(spark, tablePath)
+    // COMMIT order, never id order (external snapshot ids are
+    // arbitrary longs)
+    val ids = IcebergRead.snapshotsInCommitOrder(spark, tablePath)
     val pending = ids.filterNot(done)
     pending.foreach { id =>
       val idx = ids.indexOf(id)

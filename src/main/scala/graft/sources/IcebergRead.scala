@@ -109,6 +109,25 @@ object IcebergRead {
     snapshotNodes(meta).map(_.get("snapshot-id").asLong()).sorted
   }
 
+  /** Snapshot ids in COMMIT order — by sequence number (monotonic per
+    * the v2 spec), ties/absences by timestamp then metadata-array
+    * position. Snapshot IDS are arbitrary (external writers use
+    * random longs), so id order must never stand in for history
+    * order; the incremental readers walk THIS order.
+    */
+  def snapshotsInCommitOrder(
+      spark: SparkSession,
+      path: String): Seq[Long] = {
+    val (meta, _, _) = loadMetadata(spark, path)
+    snapshotNodes(meta).zipWithIndex.sortBy { case (s, i) =>
+      (Option(s.get("sequence-number")).filter(_.isNumber)
+        .map(_.asLong()).getOrElse(Long.MinValue),
+        Option(s.get("timestamp-ms")).filter(_.isNumber)
+          .map(_.asLong()).getOrElse(Long.MinValue),
+        i.toLong)
+    }.map(_._1.get("snapshot-id").asLong())
+  }
+
   /** Resolve a timestamp (epoch millis) to the snapshot the table was
     * at: the LATEST snapshot whose `timestamp-ms` <= the instant —
     * the resolution humans use for time travel. Refuses before the
@@ -524,17 +543,15 @@ object IcebergRead {
       path: String,
       afterSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame = {
-    val ids = snapshots(spark, path)
-    val upTo = toSnapshotId.getOrElse(ids.max)
+    // COMMIT order, never id order: snapshot ids are arbitrary longs
+    // for external writers ([[snapshotsInCommitOrder]])
+    val ids = snapshotsInCommitOrder(spark, path)
+    val upTo = toSnapshotId.getOrElse(ids.last)
     if (!ids.contains(afterSnapshotId))
       fail(path, s"afterSnapshotId $afterSnapshotId is not a known " +
         s"snapshot (have ${ids.mkString(",")})")
     if (!ids.contains(upTo))
       fail(path, s"toSnapshotId $upTo is not a known snapshot")
-    // snapshot ids are not required to be ordered; RANGE means the
-    // metadata-order interval (ascending commit order = the snapshots
-    // seq as written, which [[snapshots]] returns ascending by id for
-    // this writer's monotonic ids)
     val fromIdx = ids.indexOf(afterSnapshotId)
     val toIdx = ids.indexOf(upTo)
     if (toIdx < fromIdx)

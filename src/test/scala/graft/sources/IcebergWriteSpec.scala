@@ -491,6 +491,39 @@ class IcebergWriteSpec extends SparkTestBase {
     }
   }
 
+  test("readIncremental walks COMMIT order (sequence numbers), " +
+    "never id order — external tables use arbitrary snapshot ids") {
+    val t = fresh()
+    val schema = IFx.withFieldIds(StructType(Seq(
+      StructField("k", LongType),
+      StructField("name", StringType))), Seq(1, 2))
+    // snapshot ids DESCEND while commit order ascends: id 900 first,
+    // id 5 second
+    IFx.plantDataFile(spark, kv(0, 2), t, "data/a.parquet", Seq(1, 2))
+    IFx.plantDataFile(spark, kv(2, 5), t, "data/b.parquet", Seq(1, 2))
+    val m1 = IFx.writeManifest(spark, t, "m1.avro",
+      Seq(IFx.Entry(1, "data/a.parquet", 2L)))
+    val m2 = IFx.writeManifest(spark, t, "m2.avro",
+      Seq(IFx.Entry(0, "data/a.parquet", 2L, seq = Some(1L)),
+        IFx.Entry(1, "data/b.parquet", 3L)))
+    IFx.writeManifestList(spark, t, "ml1.avro",
+      Seq(("m1.avro", m1, 0, 1L)))
+    IFx.writeManifestList(spark, t, "ml2.avro",
+      Seq(("m1.avro", m1, 0, 1L), ("m2.avro", m2, 0, 2L)))
+    IFx.writeMetadata(spark, t, 1, Map(0 -> schema),
+      Seq(IFx.Snap(900L, "ml1.avro"), IFx.Snap(5L, "ml2.avro")))
+    assert(IcebergRead.snapshotsInCommitOrder(spark, t) ==
+      Seq(900L, 5L))
+    // incremental after the FIRST commit (id 900) yields the SECOND
+    // commit's (id 5) additions — id order would invert this
+    val inc = IcebergRead.readIncremental(spark, t, 900L)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("__snapshot_id")))
+    assert(inc.toSeq == Seq((2L, 5L), (3L, 5L), (4L, 5L)),
+      inc.mkString(";"))
+    assert(IcebergRead.readIncremental(spark, t, 5L).isEmpty)
+  }
+
   test("position-delete files carry the spec's RESERVED footer field " +
     "ids and manifests record REAL file sizes") {
     import org.apache.spark.sql.functions.col
