@@ -31,6 +31,27 @@ object Texts {
     array_distinct(when(size(ws) >= n, sh).otherwise(array()))
   }
 
+  /** [[wordShingles]] as ONE native kernel over the raw text column
+    * ([[graft.functions.expressions.WordShingles]]): bit-identical
+    * output (WordShinglesSpec fuzz-differentials the two forms over
+    * the real corpus), but the per-shingle interpreted lambda
+    * machinery of transform/element_at/array_distinct collapses into
+    * a single per-doc call — measured ~4× per corpus pass, and the
+    * near-dup operators make three such passes per run.
+    */
+  def shinglesOf(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.expressions.WordShingles(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        n, distinct = true))
+
+  /** [[wordShingleBag]]'s native form (multiplicity kept). */
+  def shingleBagOf(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.expressions.WordShingles(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        n, distinct = false))
+
   /** n-word shingles WITH multiplicity (the term-frequency bag the
     * sparse-cosine postings need; [[wordShingles]] is the distinct-set
     * form Jaccard uses).

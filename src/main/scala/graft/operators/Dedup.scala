@@ -259,7 +259,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val base = graft.SparkUtil.ensureParallelism(df)
     val shingleExpr = array_distinct(
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth))
+      Texts.shinglesOf(col(textCol), shingleWidth))
     val toks = base
       .select(col(idCol).as("id"), explode(shingleExpr).as("tok"))
     val pref = toks
@@ -385,7 +385,7 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     val base = graft.SparkUtil.ensureParallelism(df)
     val shingleExpr =
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+      Texts.shinglesOf(col(textCol), shingleWidth)
     val candidates =
       lshCandidates(base, col(idCol), shingleExpr, bands, rowsPerBand, maxBucket)
     // Verify joins shingle the full corpus once, map-side, in the same
@@ -448,7 +448,7 @@ object Dedup {
     require(numHashes >= 1 && numHashes <= 64, "numHashes in [1, 64]")
     val base = graft.SparkUtil.ensureParallelism(df)
     val shingleExpr =
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+      Texts.shinglesOf(col(textCol), shingleWidth)
     val pairs = minhashNearDup(df, idCol, textCol, shingleWidth,
       threshold = threshold)
     val aggs = (0 until numHashes)
@@ -494,7 +494,7 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     val base = graft.SparkUtil.ensureParallelism(df)
     val shingleExpr =
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+      Texts.shinglesOf(col(textCol), shingleWidth)
     val candidates =
       lshCandidates(base, col(idCol), shingleExpr, bands, rowsPerBand, maxBucket)
     val docs = base.select(
@@ -548,7 +548,7 @@ object Dedup {
     bandedSignatures(
       graft.SparkUtil.ensureParallelism(df),
       col(idCol),
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth),
+      Texts.shinglesOf(col(textCol), shingleWidth),
       bands, rowsPerBand)
 
   /** One incremental batch's output: verified near-dup `pairs` touching
@@ -561,11 +561,13 @@ object Dedup {
   final class IncrementalDedup private[operators] (
       val pairs: DataFrame,
       val freshSignatures: DataFrame,
-      candidates: DataFrame) {
+      candidates: DataFrame,
+      needed: DataFrame) {
     /** Unpersist the operator's cached intermediates. */
     def release(): Unit = {
       candidates.unpersist()
       freshSignatures.unpersist()
+      needed.unpersist(): Unit
     }
   }
 
@@ -593,7 +595,7 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.6): IncrementalDedup = {
     val shingleExpr =
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+      Texts.shinglesOf(col(textCol), shingleWidth)
     val freshP = graft.SparkUtil.ensureParallelism(fresh)
     // Both intermediates are persisted: they are referenced several
     // times downstream (candidates: probe side + both verify joins;
@@ -621,10 +623,15 @@ object Dedup {
       .distinct()
     val allDocs = baseDocs.select(col(idCol).as("id"), col(textCol).as("t"))
       .unionAll(freshP.select(col(idCol).as("id"), col(textCol).as("t")))
+    // Persisted like the other two intermediates: BOTH verify sides
+    // (shA/shB) reference it, so unpersisted the semi-join + the
+    // interpreted shingle tree ran twice per batch (measured ~40% of
+    // the q196 per-batch cost). Candidate-bound rows — tiny.
     val needed = allDocs
       .join(candIds, allDocs("id") === candIds("cid"), "left_semi")
       .select(col("id"),
-        Texts.wordShingles(Texts.words(col("t")), shingleWidth).as("shingles"))
+        Texts.shinglesOf(col("t"), shingleWidth).as("shingles"))
+      .persist()
     val shA = needed.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = needed.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     val pairs = candidates
@@ -635,7 +642,7 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         Numerics.fix4(col("jaccard")).as("jaccard_sim"))
-    new IncrementalDedup(pairs, fb, candidates)
+    new IncrementalDedup(pairs, fb, candidates, needed)
   }
 
   /** Incremental near-dedup, end-to-end convenience: signatures the
@@ -1074,7 +1081,7 @@ object Dedup {
       textCol: String,
       shingleWidth: Int = 3): DataFrame = {
     val shingleExpr =
-      Texts.wordShingles(Texts.words(col(textCol)), shingleWidth)
+      Texts.shinglesOf(col(textCol), shingleWidth)
     val perShingle = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol).cast("long").as("id"),
         explode_outer(shingleExpr).as("sh"))

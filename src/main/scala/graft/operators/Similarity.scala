@@ -238,8 +238,8 @@ object Similarity {
     // — the same reason q21/q23 shingle before hashing
     val tf = graft.SparkUtil.ensureParallelism(docs)
       .select(col(idCol).cast("long").as("doc"),
-        explode(graft.functions.Texts.wordShingleBag(
-          graft.functions.Texts.words(col(textCol)), shingleN)).as("term"))
+        explode(graft.functions.Texts.shingleBagOf(
+          col(textCol), shingleN)).as("term"))
       .groupBy("doc", "term")
       .agg(count(lit(1)).as("tf"))
     val kept = tf.groupBy("term")

@@ -279,7 +279,7 @@ object TextAnalysis {
       n: Int = 3): DataFrame = {
     val sh = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(Texts.wordShingles(Texts.words(col(textCol)), n))
+        explode(Texts.shinglesOf(col(textCol), n))
           .as("term"))
     val first = sh.groupBy("term").agg(min(col("doc_id")).as("first_id"))
     sh.join(first, "term")
@@ -397,7 +397,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val grams = Texts.wordShingles(Texts.words(col(textCol)), n)
+    val grams = Texts.shinglesOf(col(textCol), n)
     val probeGrams = probe
       .select(explode(grams).as("gram"))
       .distinct()
@@ -499,7 +499,7 @@ object TextAnalysis {
       textCol: String,
       n: Int,
       minOverlap: Double): DataFrame = {
-    val grams = Texts.wordShingles(Texts.words(col(textCol)), n)
+    val grams = Texts.shinglesOf(col(textCol), n)
     val probeGrams = probe
       .select(col(idCol).cast("long").as("probe_id"), explode(grams).as("gram"))
     val probeSizes = probeGrams.groupBy("probe_id")
