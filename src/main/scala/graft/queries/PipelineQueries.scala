@@ -2942,9 +2942,15 @@ object PipelineQueries {
         .join(reps.select(col("rep").as("doc_id")), "doc_id")
         .write.mode("overwrite").parquet(repPath)
       val repDocs = s.read.parquet(repPath)
-      val pairs = Dedup
-        .minhashNearDup(repDocs, "doc_id", "text", 3, 8, 3, 0.6)
+      // Stage the pair set (the q176/q177 scratch-truncation
+      // discipline): stored AND fresh both reference it, and the CC +
+      // merge below would otherwise re-run the whole LSH pipeline per
+      // reference — measured ~2× the query at sf0.1.
+      val pairPath = s"${Scratch.dir(s, "q193_pairs_")}/p"
+      Dedup.minhashNearDup(repDocs, "doc_id", "text", 3, 8, 3, 0.6)
         .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(pairPath)
+      val pairs = s.read.parquet(pairPath)
       val stored = pairs.where((col("id_a") + col("id_b")) % 2 === 0)
       val fresh = pairs.where((col("id_a") + col("id_b")) % 2 === 1)
       val labels0 = Dedup.clustersFromPairs(
