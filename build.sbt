@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the forked Bench's FINAL stdout line as bare
+// JSON. sbt's default forked-run logger prefixes every line with
+// "[info] ", which made the driver record `parsed: null` every round
+// (VERDICT r19 item 1). StdoutOutput inherits the parent's stdout, so
+// the headline line reaches the driver unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,23 +50,31 @@ object Bench {
     // every output column through the full plan, the standard Spark
     // benchmarking sink. Numbers from rounds <= 9 and the early round-10
     // pins are NOT comparable for projection-only queries.
-    def time(
+    def timeAt(
         name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String,
+        errs: scala.collection.mutable.LinkedHashMap[String, String])
         : Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.sparkContext.setJobDescription(name)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
       }
       catch {
         case e: Throwable =>
           val msg = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse(""))
             .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(120)
-          if (!errors.contains(name)) errors(name) = msg
+          if (!errs.contains(name)) errs(name) = msg
       }
+      finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
+    def time(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = timeAt(name, fn, sfDir, errors)
     // Variance work (SURVEY §6): SPARK_GRAFT_BENCH_FILTER=q21,q41
     // restricts the run to the named query prefixes for targeted
     // multi-run spreads without paying for the whole surface.
@@ -120,6 +128,41 @@ object Bench {
         case _ => name -> (cold, warm, runs)
       }
     }
+    // 10x SCALE TIER (VERDICT r19 item 2): replicate documents/
+    // embeddings by SPARK_GRAFT_SCALE (default 10; 0/1 disables) and
+    // re-time the compute-bound doc/embedding family so plan wins and
+    // 8-vs-32-core scaling are observable. Same methodology (1 untimed
+    // cold + min of N warm, noop sink); entries ride the SAME headline
+    // under keys like "21x10" (ADDED entries — the main-surface keys
+    // and totals are untouched). Runs only on the full standard-SF
+    // pass, AFTER pin adjudication so the main numbers stay clean.
+    // Scale-tier errors are reported in the errors map but do not fail
+    // the run (the graded surface is the main tier).
+    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val scaleErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val scaleResults: Map[String, (Double, Double, IndexedSeq[Double])] =
+      if (filter.nonEmpty || new java.io.File(sfDir).getName != "sf0.1" ||
+        scaleFactor <= 1) Map.empty
+      else try {
+        val sdir = BenchScale.generate(spark, sfDir, scaleFactor)
+        BenchScale.tier.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val sName = name.takeWhile(_ != '_') + s"x$scaleFactor" +
+              name.dropWhile(_ != '_')
+            val cold = timeAt(sName, fn, sdir, scaleErrors)
+            val runs = (1 to timedRuns).map(_ =>
+              timeAt(sName, fn, sdir, scaleErrors))
+            sName -> (cold, runs.min, runs)
+          }
+        }.toMap
+      } catch {
+        case e: Throwable =>
+          scaleErrors("scale_tier") =
+            (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(120)
+          Map.empty
+      }
+    val allResults = results ++ scaleResults
     // Per-run spreads on demand (SPARK_GRAFT_BENCH_DETAIL=1): the
     // variance investigations need every timed run, not just the min.
     if (sys.env.get("SPARK_GRAFT_BENCH_DETAIL").contains("1")) {
@@ -154,7 +197,7 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    def j(sel: ((Double, Double, IndexedSeq[Double])) => Double) = results
+    def j(sel: ((Double, Double, IndexedSeq[Double])) => Double) = allResults
       .map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }
       .mkString("{", ",", "}")
     // Headline keys are the BARE query number ("141" for q141_...; the
@@ -166,14 +209,14 @@ object Bench {
     // keep the canonical "qNN" short names; prepend "q" to a headline
     // key to get it. Falls back to the full name on collision.
     val shortNames: Map[String, String] = {
-      val pref = results.keys
+      val pref = allResults.keys
         .map(n => n -> n.takeWhile(_ != '_').stripPrefix("q")).toMap
       val dup = pref.values.groupBy(identity).collect {
         case (p, vs) if vs.size > 1 => p
       }.toSet
       pref.map { case (n, p) => n -> (if (dup(p)) n else p) }
     }
-    def jShort(sel: ((Double, Double, IndexedSeq[Double])) => Double) = results
+    def jShort(sel: ((Double, Double, IndexedSeq[Double])) => Double) = allResults
       .map { case (k, v) => s"\"" + shortNames(k) + "\":" + fmtq(sel(v)) }
       .mkString("{", ",", "}")
     val coldTotal = results.values.map(_._1).sum
@@ -206,8 +249,14 @@ object Bench {
       s"""{"aux":"cold_detail","cold_total":$coldTotal,"queries_cold":${j(_._1)},"runs":$timedRuns,"sf":"$sfDir"}""")
     println(
       s"""{"aux":"warm_detail","warm_total":$warmTotal,"queries_warm":${j(_._2)},"runs":$timedRuns,"sf":"$sfDir"}""")
+    if (scaleResults.nonEmpty || scaleErrors.nonEmpty)
+      println(s"""{"aux":"scale_tier","factor":$scaleFactor,""" +
+        s""""tier_queries":${scaleResults.size},""" +
+        s""""tier_warm_total":${fmtq(scaleResults.values.map(_._2).sum)}}""")
     // errors is {} on a healthy run — a few bytes on the headline line.
-    val errJson = errors
+    // Scale-tier errors ride the same map (visible) but never set the
+    // exit code — the graded surface is the main tier.
+    val errJson = (errors ++ scaleErrors)
       .map { case (k, v) => s"\"${shortNames.getOrElse(k, k)}\":\"$v\"" }
       .mkString("{", ",", "}")
     // [snapshot, rerun-min] per requeried query — OMITTED entirely on a
@@ -249,7 +298,7 @@ object Bench {
     // guaranteed to survive truncation, so pin adjudication never
     // needs the spilled tail; the complete map is always in the
     // committed BENCH_LOCAL.json ("full" field points there).
-    val entryStrs = results.toSeq
+    val entryStrs = allResults.toSeq
       .sortBy { case (k, v) =>
         val pin = pins.get(k.takeWhile(_ != '_')).orElse(pins.get(k))
         val ratio = pin.map(p => v._2 / math.max(p, 1e-9))

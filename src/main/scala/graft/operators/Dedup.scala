@@ -95,11 +95,22 @@ object Dedup {
     val base = graft.SparkUtil.ensureParallelism(df)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .where(length(col("text")) >= k)
+    // knownNotNull: md5 of non-null text is null-free by construction,
+    // and WITHOUT the tag the inner join below infers an
+    // `isnotnull(g)` key filter that predicate pushdown inlines under
+    // each Generate as `isnotnull(md5(cast(substr(text, pos, k)...)))`
+    // — re-computing the dominant per-position digest TWICE on BOTH
+    // join sides (4 corpus-md5 passes instead of 2; see
+    // plans/r20/q112_duplicated_spans_before.txt operators (5)/(11)).
+    // unhex: the digest aggregates and joins as 16 RAW bytes, not the
+    // 32-char hex string — same 128-bit key (hex is a bijection), half
+    // the aggregate/broadcast key bytes (guide §2.3 narrower types).
     val grams = base
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(col("text").substr(col("pos"), lit(k))).as("g"))
+        org.apache.spark.sql.graft.ColumnShim.knownNotNull(
+          unhex(md5(col("text").substr(col("pos"), lit(k))))).as("g"))
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).select("g")
     val w = org.apache.spark.sql.expressions.Window
@@ -258,13 +269,21 @@ object Dedup {
       maxCandidatePairs: Option[Long] = Some(50000000L)): PrefixJoinRun = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.SparkUtil.ensureParallelism(df)
-    val shingleExpr = array_distinct(
-      Texts.shinglesOf(col(textCol), shingleWidth))
+    // shinglesOf(distinct = true) already dedups — no array_distinct
+    // wrap (one less pass over every shingle array).
+    val shingleExpr = Texts.shinglesOf(col(textCol), shingleWidth)
     val toks = base
       .select(col(idCol).as("id"), explode(shingleExpr).as("tok"))
+    // Window ORDER matters (guide §2.4: operations keyed the same way
+    // share one exchange): tdf (by tok) FIRST, then len + rn — BOTH
+    // id-partitioned, so they stack over ONE Exchange(id)+Sort. The
+    // original len → tdf → rn order alternated id → tok → id and paid
+    // a third full-stream exchange + sort (measured in
+    // plans/r20/q120_prefix_jaccard_join_before.txt: Exchange (9),
+    // (14), (19) all at token grain).
     val pref = toks
-      .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("tdf", count(lit(1)).over(Window.partitionBy("tok")))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("tdf"), col("tok"))))
       .where(col("rn") <= col("len") - ceil(col("len") * threshold) + 1)
@@ -299,17 +318,29 @@ object Dedup {
           col("b.len") - col("b.rn")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // sort ONCE per doc so every candidate pair verifies with the
+    // allocation-free two-pointer kernel below instead of
+    // array_intersect's per-pair hash set + materialized array
+    // (identical DISTINCT-common count — see SortedLongIntersectSize;
+    // measured 2.37M candidate pairs against 5 000 docs at sf0.1, so
+    // per-pair cost dominates the whole verify stage).
     val hdocs = toks
       .select(col("id"), xxhash64(col("tok")).as("h"))
       .groupBy("id")
-      .agg(count(lit(1)).as("len"), collect_list(col("h")).as("sh"))
+      .agg(count(lit(1)).as("len"),
+        sort_array(collect_list(col("h"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def interSize(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.expressions.SortedLongIntersectSize(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
     val result = cand
       .join(hdocs.select(col("id").as("id_a"), col("len").as("la"),
         col("sh").as("sh_a")), "id_a")
       .join(hdocs.select(col("id").as("id_b"), col("len").as("lb"),
         col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", interSize(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("la") + col("lb") - col("inter"))).as("j"))

@@ -102,6 +102,14 @@ object Graphs {
     // recurrence is FIXED-POINT INTEGER arithmetic throughout —
     // order-independent sums, floor divisions — so a driver replay is
     // bit-identical to the distributed loop by construction.
+    // DRIVER-MEMORY NOTE (ADVICE r19): the local path streams up to
+    // localEdgeMax symmetric edge rows into per-node adjacency
+    // buffers — at the 2M default that is O(100 MB) of driver heap,
+    // sized for the default 8g driver. Deployments with small drivers
+    // should lower `spark.graft.cc.localEdgeMax`; the edges.count()
+    // that gates the branch also materializes the persisted edge list
+    // the distributed loop re-references every round, so it is not
+    // wasted work on the distributed path.
     val sparkS = pairs.sparkSession
     val localMax = sparkS.conf.getOption("spark.graft.cc.localEdgeMax")
       .map(_.toLong).getOrElse(2000000L)

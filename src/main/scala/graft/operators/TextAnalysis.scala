@@ -551,16 +551,17 @@ object TextAnalysis {
       textCol: String,
       minCount: Long,
       k: Int): DataFrame = {
-    val ws = Texts.words(col(textCol))
-    val bigramExpr = transform(
-      sequence(lit(1), size(ws) - 1),
-      i => struct(
-        element_at(ws, i).as("w1"),
-        element_at(ws, i + 1).as("w2")))
+    // Adjacent-word bigrams ARE the n=2 shingle bag: one native
+    // WordShingles call per doc (guide §4 — the old
+    // transform(sequence(...), struct(element_at × 2)) tree evaluated
+    // its lambda INTERPRETED per bigram), split back into words by the
+    // single joining space (whitespace tokens cannot contain one).
+    // Sub-2-word docs yield the empty array — exactly the rows the old
+    // size(ws) >= 2 guard kept out.
     val b = graft.SparkUtil.ensureParallelism(df)
-      .where(size(ws) >= 2)
-      .select(explode(bigramExpr).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(explode(Texts.shingleBagOf(col(textCol), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .where(col("c_ab") >= minCount)
     val l = b.groupBy("w1").agg(count(lit(1)).as("c_a"))
@@ -576,16 +577,16 @@ object TextAnalysis {
   }
 
   def bigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = Texts.words(col(textCol))
-    val bigramExpr = transform(
-      sequence(lit(1), size(ws) - 1),
-      i => struct(
-        element_at(ws, i).as("w1"),
-        element_at(ws, i + 1).as("w2")))
+    // Same native bigram stream as [[pmiCollocations]]: n=2 shingle
+    // bag from ONE WordShingles call per doc, split on the joining
+    // space (guide §4; the transform/element_at tree ran interpreted
+    // per bigram). Sub-2-word docs explode to nothing, replacing the
+    // old size(ws) >= 2 guard.
     def stream(src: DataFrame): DataFrame = src
-      .where(size(ws) >= 2) // sequence(1, 0) would be empty anyway; keep ANSI happy
-      .select(col(idCol), explode(bigramExpr).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col(idCol), explode(Texts.shingleBagOf(col(textCol), 2)).as("bg"))
+      .select(col(idCol),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val b = stream(graft.SparkUtil.ensureParallelism(df))
     val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))

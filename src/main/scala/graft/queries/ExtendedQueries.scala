@@ -2754,13 +2754,35 @@ object ExtendedQueries {
         run.release()
         s.read.parquet(s"$adir/$tag")
       }
-      audit("natural", Seq(col("l_orderkey"), col("l_linenumber")))
-        .unionAll(audit("zorder", Seq(
-          graft.operators.Layout.zValue(
-            col("l_partkey").cast("long"), col("l_suppkey").cast("long"),
-            bits = 15),
-          col("l_orderkey"), col("l_linenumber"))))
-        .orderBy("layout", "pred_id")
+      // The two layout audits are INDEPENDENT eager sub-pipelines
+      // (separate range-shuffles, caches and staging writes) that were
+      // run back to back — guide §2.6: submit independent jobs from a
+      // small thread pool so the second audit's stages back-fill
+      // executors freed by the first one's tail. Output is unchanged:
+      // each audit stages to its own parquet dir and the union order
+      // stays (natural, zorder).
+      val layouts = Seq(
+        ("natural",
+          () => Seq(col("l_orderkey"), col("l_linenumber"))),
+        ("zorder",
+          () => Seq(
+            graft.operators.Layout.zValue(
+              col("l_partkey").cast("long"), col("l_suppkey").cast("long"),
+              bits = 15),
+            col("l_orderkey"), col("l_linenumber"))))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val audited =
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.sequence(layouts.map { case (tag, keys) =>
+              Future(audit(tag, keys()))
+            }),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      audited.reduceLeft(_.unionAll(_)).orderBy("layout", "pred_id")
     },
     Some {
       val zTerms = (0 until 15).map(i =>

@@ -92,9 +92,22 @@ object StreamingQueries {
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Keyed by (resolved scratch root, data dir, tsNs, id) — the cache
+    * is JVM-global while scratch roots are per-session, so a later
+    * session with a different root must not inherit paths under the
+    * old one. Cached files live under the CALLER-owned scratch root
+    * (ScratchSpace's lifecycle contract allows a root cleanup between
+    * drains), so a hit is re-validated against the filesystem and
+    * rebuilt when the file is gone.
+    */
   private def sentinelFile(
-      s: SparkSession, dir: String, tsNs: Long, id: Long): String =
-    sentinelCache.computeIfAbsent(s"$dir|$tsNs|$id", { _ =>
+      s: SparkSession, dir: String, tsNs: Long, id: Long): String = {
+    val key = s"${graft.ScratchSpace.root(s)}|$dir|$tsNs|$id"
+    def exists(file: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+    }
+    def build(): String = {
       import s.implicits._
       val enc = eventsEncoding(s, dir)
       val stage = Scratch.dir(s, "sentinel_")
@@ -106,7 +119,15 @@ object StreamingQueries {
       p.getFileSystem(s.sessionState.newHadoopConf())
         .listStatus(p).map(_.getPath)
         .find(_.getName.startsWith("part-")).get.toString
-    })
+    }
+    val cached = sentinelCache.get(key)
+    if (cached != null && exists(cached)) cached
+    else {
+      val fresh = build()
+      sentinelCache.put(key, fresh)
+      fresh
+    }
+  }
 
   /** The drain protocol's sentinel step: copy the pre-built sentinel
     * file into `watch` (unique name per id, so two sentinel batches
@@ -114,10 +135,15 @@ object StreamingQueries {
     */
   private def sentinelAppend(
       s: SparkSession, dir: String, watch: String,
-      tsNs: Long, id: Long): () => Unit = () =>
+      tsNs: Long, id: Long): () => Unit = () => {
+    // Sign-encoded file name: ids +k and -k with the same tsNs must
+    // not collide — the file-stream source tracks seen files by PATH,
+    // so a colliding second sentinel batch would silently never fire.
+    val idName = if (id < 0) s"m${-id}" else id.toString
     graft.ScratchSpace.copyIn(
       s, sentinelFile(s, dir, tsNs, id), watch,
-      s"sentinel_${tsNs}_${math.abs(id)}.parquet")
+      s"sentinel_${tsNs}_$idName.parquet")
+  }
 
   /** Attribution window (2 days) — must match q150's batch constant so
     * both parities pin to the same oracle.
@@ -150,13 +176,19 @@ object StreamingQueries {
       extraBatches: Seq[() => Unit] = Nil): DataFrame = {
     s.catalog.dropTempView(name): Unit
     // Stateful micro-batches pay a per-state-store-partition overhead
-    // EVERY batch; at parity-check scale 32 partitions of tiny state
-    // dominate runtime, so the drain runs with a small fixed count
-    // (captured by the query at start; restored after). A production
-    // deployment sizes this to its real state volume instead. Assumes
-    // the driver-contract execution model: queries run one at a time
-    // per session (fixed sink names would collide under concurrent
-    // invocation of the SAME query).
+    // EVERY batch; at parity-check state sizes 32 partitions of tiny
+    // state dominate runtime, so the drain runs with a small fixed
+    // count (captured by the query at start; restored after). A
+    // production deployment sizes this to its real state volume
+    // instead — the default (2; was a fixed 8 before round 19) serves
+    // only the tiny-state parity harness. NOTE: a stateful query's
+    // state-store partition count is pinned by the FIRST run of its
+    // checkpoint; drains here always start fresh per-run checkpoints,
+    // so the default change is safe in-repo, but an externally reused
+    // checkpoint created under another width must keep its original
+    // conf value. Assumes the driver-contract execution model: queries
+    // run one at a time per session (fixed sink names would collide
+    // under concurrent invocation of the SAME query).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.getOption("spark.graft.stream.drainShufflePartitions")

@@ -137,6 +137,58 @@ class GraphsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc(12L) == 1L)
   }
+  test("labelPropagation: distributed loop (localEdgeMax=0) matches the " +
+    "driver-local path exactly, incl. endpoints outside the id set") {
+    val ss = spark
+    import ss.implicits._
+    // bridged triangles + isolate 99, plus edge (3,50) whose endpoint
+    // 50 ESCAPES the id set: the distributed neigh join sources labels
+    // from the ids-rebased table so 50 never contributes a label — the
+    // local path's left-semi edge filter must reproduce exactly that.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L),
+      (3L, 50L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    def run(): Map[Long, Long] =
+      Graphs.labelPropagation(ids, "id", pairs, "id_a", "id_b", rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run()
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    val dist =
+      try run()
+      finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+    assert(dist == local)
+    assert(local.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L, 99L))
+    assert(local(99L) == 99L) // isolate keeps itself on both paths
+  }
+
+  test("pagerank: distributed loop (localEdgeMax=0) matches the " +
+    "driver-local path exactly, incl. endpoints outside the id set") {
+    val ss = spark
+    import ss.implicits._
+    // cycle + chord + pendant, plus edge (60,1) whose endpoint 60
+    // escapes the id set (it still donates rank flow on BOTH paths —
+    // pagerank does not rebase edges on ids), and isolate 99 (default
+    // rank via the left-join coalesce on both paths).
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 1L), (60L, 1L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 99L).toDF("id")
+    def run(): Map[Long, Double] =
+      Graphs.pagerank(ids, "id", pairs, "id_a", "id_b", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = run()
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    val dist =
+      try run()
+      finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+    assert(dist == local) // fixed-point integer recurrence: bit-exact
+    assert(local.keySet == Set(1L, 2L, 3L, 4L, 5L, 99L))
+    assert(local(99L) == 0.15) // isolate: (1 - d) default on both paths
+  }
+
   test("modularity: two cliques score high; random-ish mixing scores ~0") {
     val ss = spark
     import ss.implicits._
