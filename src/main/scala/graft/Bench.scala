@@ -145,12 +145,19 @@ object Bench {
         scaleFactor <= 1) Map.empty
       else try {
         val sdir = BenchScale.generate(spark, sfDir, scaleFactor)
+        // Tier warm total is ~85 s at 32 cpus (vs ~2 s for the same
+        // queries at sf0.1) — ONE timed run after the untimed warm-up
+        // keeps the driver's two full passes affordable while the
+        // cold/warm pair still separates compile cost from steady
+        // state. SPARK_GRAFT_SCALE_RUNS raises it for variance work.
+        val scaleRuns = sys.env.get("SPARK_GRAFT_SCALE_RUNS")
+          .map(_.toInt.max(1)).getOrElse(1)
         BenchScale.tier.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val sName = name.takeWhile(_ != '_') + s"x$scaleFactor" +
               name.dropWhile(_ != '_')
             val cold = timeAt(sName, fn, sdir, scaleErrors)
-            val runs = (1 to timedRuns).map(_ =>
+            val runs = (1 to scaleRuns).map(_ =>
               timeAt(sName, fn, sdir, scaleErrors))
             sName -> (cold, runs.min, runs)
           }

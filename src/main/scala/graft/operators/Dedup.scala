@@ -801,9 +801,15 @@ object Dedup {
         while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
         x
       }
-      val it = edges.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
+      // collect(), not toLocalIterator(): the iterator fetches ONE
+      // partition per sequential Spark job — measured 5-6.6 s to drain
+      // a 3.9k-row cached edge list across 32 partitions vs 0.3 s for
+      // the single collect job. Memory stays bounded by the
+      // localEdgeMax gate above (~2M rows transient at the cap).
+      val rows = edges.collect()
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri); ri += 1
         val a = find(node(r.getLong(0)))
         val b = find(node(r.getLong(1)))
         if (a != b) parent(math.max(a, b)) = math.min(a, b)

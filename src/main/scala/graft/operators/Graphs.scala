@@ -131,9 +131,15 @@ object Graphs {
           n
         }
       }
-      val it = edges.select(col("src"), col("dst")).toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
+      // collect(), not toLocalIterator(): the iterator fetches ONE
+      // partition per sequential Spark job — measured 5-6.6 s to drain
+      // a 3.9k-row cached edge list across 32 partitions vs 0.3 s for
+      // the single collect job. Memory stays bounded by the
+      // localEdgeMax gate above (~2M rows transient at the cap).
+      val rows = edges.select(col("src"), col("dst")).collect()
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri); ri += 1
         adj(node(r.getLong(0))) += node(r.getLong(1))
       }
       val n = nodeIds.length
@@ -351,9 +357,15 @@ object Graphs {
           n
         }
       }
-      val it = eMat.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
+      // collect(), not toLocalIterator(): the iterator fetches ONE
+      // partition per sequential Spark job — measured 5-6.6 s to drain
+      // a 3.9k-row cached edge list across 32 partitions vs 0.3 s for
+      // the single collect job. Memory stays bounded by the
+      // localEdgeMax gate above (~2M rows transient at the cap).
+      val rows = eMat.collect()
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri); ri += 1
         val a = node(r.getLong(0))
         val b = node(r.getLong(1))
         adj(a) += b
@@ -549,12 +561,18 @@ object Graphs {
       // OUTSIDE allIds never contributes a label: filter those edge
       // rows out here too (left-semi on ids) or the two paths diverge
       // on inputs whose pair endpoints escape the id set.
-      val it = edges
+      // collect(), not toLocalIterator(): the iterator fetches ONE
+      // partition per sequential Spark job — measured 5-6.6 s to drain
+      // a 3.9k-row cached edge list across 32 partitions vs 0.3 s for
+      // the single collect job. Memory stays bounded by the
+      // localEdgeMax gate above (~2M rows transient at the cap).
+      val rows = edges
         .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
+        .collect()
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri); ri += 1
         adj(node(r.getLong(0))) += node(r.getLong(1))
       }
       val n = nodeIds.length

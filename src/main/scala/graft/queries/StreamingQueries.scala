@@ -422,12 +422,16 @@ object StreamingQueries {
         .select(enc.tsMs.as("ts"), col("user_id"))
       def sentinel(tsNs: Long, id: Long): () => Unit =
         sentinelAppend(s, dir, watch, tsNs, id)
+      // ONE sentinel: both stateful ops (watermarked dedup + windowed
+      // count) evict on the WATERMARK alone — no event-time timers —
+      // so the sentinel batch plus its no-data follow-up seals every
+      // real window (same rationale as q130; timer-based parities keep
+      // the two-sentinel protocol).
       drainToTable(s, "q108_mem",
         StreamingOps.windowedDistinctUsers(
           evs, watermarkDelay = "10 minutes", windowLen = "1 hour"),
         "append",
-        Seq(sentinel(4000000000000000000L, -1L),
-          sentinel(4000000001000000000L, -2L)))
+        Seq(sentinel(4000000000000000000L, -1L)))
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("n_users"))
         .where(col("window_start_ms") < 3000000000000L) // drop sentinels
@@ -466,6 +470,14 @@ object StreamingQueries {
           .select(col("user_id"), enc.tsMs.as("ts"), col("event_type"))
       def sentinel(tsNs: Long, id: Long): () => Unit =
         sentinelAppend(s, dir, watch, tsNs, id)
+      // ONE sentinel batch drains a stream-stream join: outer-side
+      // eviction is purely WATERMARK-driven (no event-time timers), so
+      // the far-future row advances the watermark and the no-data
+      // micro-batch that follows (noDataMicroBatches, on by default)
+      // evicts and emits every remaining null-side row. The second
+      // sentinel the timeout-operator protocol needs only re-advanced
+      // an already-far-future watermark here — measured 6 micro-batches
+      // -> 4 at ~0.8 s per batch (state commit + WAL + planning floor).
       drainToTable(s, "q130_mem",
         StreamingOps.intervalJoin(
           side("error"), side("click"),
@@ -473,8 +485,7 @@ object StreamingQueries {
           windowMs = GapMs, watermarkDelay = "0 seconds",
           joinType = "left_outer"),
         "append",
-        Seq(sentinel(4000000000000000000L, -1L),
-          sentinel(4000000001000000000L, -2L)))
+        Seq(sentinel(4000000000000000000L, -1L)))
         .where(col("l_key") >= 0 && col("l_type") === "error" &&
           (col("r_type").isNull || col("r_type") === "click"))
         .groupBy(col("l_key").as("user_id"),
@@ -519,6 +530,8 @@ object StreamingQueries {
           .select(col("user_id"), enc.tsMs.as("ts"), col("event_type"))
       def sentinel(tsNs: Long, id: Long): () => Unit =
         sentinelAppend(s, dir, watch, tsNs, id)
+      // ONE sentinel drains the join — watermark-driven eviction, same
+      // rationale as q130 above.
       drainToTable(s, "q189_mem",
         StreamingOps.intervalJoin(
           side("error"), side("click"),
@@ -526,8 +539,7 @@ object StreamingQueries {
           windowMs = GapMs, watermarkDelay = "0 seconds",
           joinType = "full_outer"),
         "append",
-        Seq(sentinel(4000000000000000000L, -1L),
-          sentinel(4000000001000000000L, -2L)))
+        Seq(sentinel(4000000000000000000L, -1L)))
         .where(
           (col("l_type").isNull ||
             (col("l_type") === "error" && col("l_key") >= 0)) &&
@@ -652,12 +664,14 @@ object StreamingQueries {
         .select(enc.tsMs.as("ts"), col("user_id"))
       def sentinel(tsNs: Long, id: Long): () => Unit =
         sentinelAppend(s, dir, watch, tsNs, id)
+      // ONE sentinel: session_window is a watermark-evicted
+      // aggregation (no timers) — the sentinel + no-data follow-up
+      // batch seals every real session (q130 rationale).
       drainToTable(s, "q140_mem",
         StreamingOps.sessionWindowCounts(
           evs, GapMs, watermarkDelay = "0 seconds"),
         "append",
-        Seq(sentinel(4000000000000000000L, -1L),
-          sentinel(4000000001000000000L, -2L)))
+        Seq(sentinel(4000000000000000000L, -1L)))
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events"))
@@ -1474,11 +1488,11 @@ object StreamingQueries {
     "q58_stream_dedup_parity" -> ((1, 1)),
     "q59_stream_interval_join_parity" -> ((1, 2)),
     "q78_stream_static_join_parity" -> ((1, 1)),
-    "q108_stream_distinct_users_parity" -> ((3, 2)),
-    "q130_stream_leftouter_join_parity" -> ((3, 2)),
+    "q108_stream_distinct_users_parity" -> ((2, 2)),
+    "q130_stream_leftouter_join_parity" -> ((2, 2)),
     "q132_stream_per_key_cap_parity" -> ((3, 1)),
     "q139_stream_sliding_window_parity" -> ((1, 1)),
-    "q140_stream_session_window_parity" -> ((3, 1)),
+    "q140_stream_session_window_parity" -> ((2, 1)),
     "q153_stream_attribution_parity" -> ((3, 1)),
     "q223_stream_tws_sessionize_parity" -> ((3, 1)))
 }
