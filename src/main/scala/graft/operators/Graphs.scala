@@ -225,6 +225,95 @@ object Graphs {
       .where(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ADAPTIVE local path (same conf key as CC/kcore/LPA/PageRank):
+    // the distributed census is ~10 fixed-latency jobs (degree agg,
+    // two orientation joins, wedge self-join, closing join, three
+    // aggregates) regardless of size — measured 2.9 s warm on a
+    // 3.9k-edge near-dup graph at sf0.1. The local replay is the EXACT
+    // same census: n_edges = |E|, n_wedges = Σ deg·(deg−1)/2, and
+    // n_triangles by degree-ordered orientation + sorted out-neighbor
+    // intersection (each triangle counted once at its unique
+    // (deg,id)-lowest apex) — all exact integer counts, so the two
+    // paths are output-identical by construction. O(m^1.5) worst case
+    // stays driver-feasible under the 2M-edge cap.
+    val sparkT = pairs.sparkSession
+    val localMaxT = sparkT.conf.getOption("spark.graft.cc.localEdgeMax")
+      .map(_.toLong).getOrElse(2000000L)
+    val edgeCountT = e.count()
+    if (edgeCountT <= localMaxT) {
+      val rows = e.collect()
+      val idx = new java.util.HashMap[Long, Integer](
+        math.min(edgeCountT * 2 + 16L, Int.MaxValue.toLong).toInt)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def node(id: Long): Int = {
+        val got = idx.get(id)
+        if (got != null) got.intValue()
+        else {
+          val n = ids.length
+          idx.put(id, Integer.valueOf(n)); ids += id; n
+        }
+      }
+      val ea = new Array[Int](rows.length)
+      val eb = new Array[Int](rows.length)
+      var ri = 0
+      while (ri < rows.length) {
+        val r = rows(ri)
+        ea(ri) = node(r.getLong(0)); eb(ri) = node(r.getLong(1)); ri += 1
+      }
+      val n = ids.length
+      val deg = new Array[Long](n)
+      ri = 0
+      while (ri < rows.length) { deg(ea(ri)) += 1; deg(eb(ri)) += 1; ri += 1 }
+      var wedges = 0L
+      var i = 0
+      while (i < n) { wedges += deg(i) * (deg(i) - 1) / 2; i += 1 }
+      // orient each edge from its (deg, id)-lower endpoint
+      def lower(x: Int, y: Int): Boolean =
+        deg(x) < deg(y) || (deg(x) == deg(y) && ids(x) < ids(y))
+      val outDeg = new Array[Int](n)
+      ri = 0
+      while (ri < rows.length) {
+        if (lower(ea(ri), eb(ri))) outDeg(ea(ri)) += 1
+        else outDeg(eb(ri)) += 1
+        ri += 1
+      }
+      val out = Array.tabulate(n)(u => new Array[Long](outDeg(u)))
+      val fill = new Array[Int](n)
+      ri = 0
+      while (ri < rows.length) {
+        val (u, v) =
+          if (lower(ea(ri), eb(ri))) (ea(ri), eb(ri)) else (eb(ri), ea(ri))
+        out(u)(fill(u)) = ids(v); fill(u) += 1
+        ri += 1
+      }
+      i = 0
+      while (i < n) { java.util.Arrays.sort(out(i)); i += 1 }
+      var tri = 0L
+      ri = 0
+      while (ri < rows.length) {
+        val (u, v) =
+          if (lower(ea(ri), eb(ri))) (ea(ri), eb(ri)) else (eb(ri), ea(ri))
+        // |N+(u) ∩ N+(v)| — every common out-neighbor closes one
+        // triangle whose (deg,id)-lowest apex is u
+        val xs = out(u); val ys = out(v)
+        var p = 0; var q = 0
+        while (p < xs.length && q < ys.length) {
+          if (xs(p) < ys(q)) p += 1
+          else if (xs(p) > ys(q)) q += 1
+          else { tri += 1; p += 1; q += 1 }
+        }
+        ri += 1
+      }
+      // nullability mirrors the distributed shape exactly: counts are
+      // non-null, the wedge SUM aggregate is nullable — and on an
+      // EMPTY edge set the distributed sum-over-nothing is NULL, so
+      // the local value is too
+      val result = sparkT.range(1).select(
+        lit(edgeCountT).as("n_edges"),
+        when(lit(edgeCountT > 0), lit(wedges)).as("n_wedges"),
+        lit(tri).as("n_triangles"))
+      return new TriangleRun(result, e)
+    }
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val oriented = e

@@ -54,6 +54,34 @@ class GraphsSpec extends SparkTestBase {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("triangleStats: distributed census (localEdgeMax=0) matches the " +
+    "driver-local path exactly") {
+    val ss = spark
+    import ss.implicits._
+    // K4 + pendant chain + separate triangle sharing a node id ordering
+    // that exercises the degree-orientation tie-break
+    val edges = ((for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)) ++ Seq((4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (12L, 10L) // reversed duplicate: one edge
+    )).toDF("id_a", "id_b")
+    def run(): (Long, Long, Long) = {
+      val r = Graphs.triangleStats(edges, "id_a", "id_b").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val local = run()
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    val dist =
+      try run()
+      finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+    assert(dist == local)
+    // K4: 6 edges 4 triangles; chain adds 2 edges; triangle adds 3/1.
+    // wedges: K4 degs (3,3,3,4? -> 1..3 deg3, 4 deg4 with pendant) =
+    // 3*C(3,2)+C(4,2)+C(2,2)... assert vs the distributed value only.
+    assert(local._1 == 11L && local._3 == 5L)
+  }
+
   test("kcoreDegrees: pendant chain peels in cascade, triangle survives") {
     val ss = spark
     import ss.implicits._
